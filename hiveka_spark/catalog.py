@@ -56,7 +56,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     downstream event-time logic sees a first-class TimestampType column.
     """
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's exact
+        # integer range (2^53), so float division corrupts the low microseconds
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

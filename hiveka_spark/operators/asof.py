@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join — an operator Spark lacks as a built-in.
+
+Implemented as a composition of existing DataFrame ops (union + ordered
+window + last-non-null carry-forward), NOT a per-key collect or a Python
+UDF: one shuffle on the key column, sorted within partitions — survives any
+scale where a single key's history fits a partition (salt keys beyond that).
+
+Semantics match DuckDB/pandas ``ASOF JOIN`` (direction='backward'): each left
+row picks the right row with the greatest right_ts <= left_ts for the same
+key; equal timestamps match (right row sorts first).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _ms(df: DataFrame, col: str) -> Column:
+    dtype = dict(df.dtypes)[col]
+    if dtype.startswith("timestamp"):
+        return F.unix_millis(F.col(col))
+    return F.col(col).cast("bigint")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tolerance_ms: int | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join of ``left`` to ``right`` on key ``on``.
+
+    Returns all left columns + the matched right value columns (null when no
+    match) + ``asof_gap_ms`` (left_ts - matched right_ts, in epoch millis).
+    ``tolerance_ms`` nulls out matches farther back than the window;
+    ``how='inner'`` drops unmatched left rows.
+    """
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        _ms(left, left_ts).alias("_ts_ms"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        _ms(right, right_ts).alias("_ts_ms"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(ltypes[c]).alias(f"_l_{c}") for c in lcols],
+    )
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) => ties match
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts_ms", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_k",
+        "_ts_ms",
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_value_cols],
+        F.last(F.when(F.col("_side") == 0, F.col("_ts_ms")), ignorenulls=True)
+        .over(w)
+        .alias("_m_ts_ms"),
+        *[F.col(f"_l_{c}") for c in lcols],
+    )
+    gap = F.col("_ts_ms") - F.col("_m_ts_ms")
+    within = gap <= F.lit(tolerance_ms) if tolerance_ms is not None else F.lit(True)
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.when(within, F.col(f"_m_{c}")).alias(c) for c in right_value_cols],
+        F.when(within, gap).cast("bigint").alias("asof_gap_ms"),
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_gap_ms").isNotNull())
+    return out

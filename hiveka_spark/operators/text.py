@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split/filter/transform/
+aggregate) — no Python UDFs — so they stay inside whole-stage codegen and
+scale linearly with input bytes.  SURVEY.md §2C; no reference analog (the
+reference has zero scalar-function code), designed Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Small per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  Order matters: deterministic tie-break is list order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with"]
+
+# Word-ish tokenization pattern, valid in both Java regex and RE2 (DuckDB):
+# letter runs, digit runs, or single non-space symbols — a BPE-ish pre-tokenizer.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(col), " "), lambda w: w != F.lit(""))
+
+
+def floor4(col: Column) -> Column:
+    """Deterministic 4-dp quantization: floor(x*1e4)/1e4.
+
+    ROUND() on small-denominator rationals (token ratios etc.) lands on exact
+    decimal half-boundaries where engines disagree (HALF_UP vs HALF_EVEN);
+    floor of an identical IEEE-754 double is engine-independent.
+    """
+    return F.floor(col * 10000.0) / 10000.0
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + regex token counts and char count."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("bigint"),
+            "n_regex_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+            ).cast("bigint"),
+            "n_chars_actual": F.length(text_col).cast("bigint"),
+        }
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features are exact small-int rationals quantized with floor4 so the DuckDB
+    oracle reproduces them bit-for-bit.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # sum of token lengths via JVM-side fold (no UDF)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(EN_STOPWORDS)))
+    n_alnum_space = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""))
+    punct_ratio = (F.length(text_col) - n_alnum_space) * 1.0 / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("bigint"),
+            "avg_token_len": floor4(sum_len * 1.0 / F.greatest(n_tok, F.lit(1))),
+            "stopword_ratio": floor4(n_stop * 1.0 / F.greatest(n_tok, F.lit(1))),
+            "punct_ratio": floor4(punct_ratio),
+            "quality_score": floor4(
+                F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
+                + (1.0 - punct_ratio) * 0.3
+                + F.least(n_stop * 1.0 / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)) * 0.2
+            ),
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: per-language marker-token counts, argmax
+    with deterministic tie-break (lexicon declaration order).
+
+    A production system would use char-n-gram profiles; the operator shape
+    (per-language score columns -> greatest -> case) is identical and all
+    JVM-side.
+    """
+    toks = tokens(text_col)
+
+    def marker_filter(markers: list[str]):
+        # NB: the lambda must take exactly ONE arg — pyspark interprets a
+        # second lambda parameter as the array index column.
+        return lambda w: w.isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.withColumns({f"score_{lang}": c for lang, c in scores.items()})
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    # reversed so earlier languages win ties (last when() wins in a chain
+    # evaluated front-to-back; build with when-first-match instead)
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr
+    return out.withColumn("pred_lang", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text (exactly
+      reproducible in any engine);
+    - ``fp_roll``: 31-ary rolling polynomial hash mod 2^31-1 over the
+      normalized text's characters, folded JVM-side — the classic rolling
+      fingerprint, kept in bigint range so ANSI mode never overflows.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    chars = F.split(norm, "")
+    p = F.lit(2147483647).cast("bigint")
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
+    )
+    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": roll})

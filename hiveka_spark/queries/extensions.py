@@ -1,0 +1,345 @@
+"""SURVEY.md §2C — LLM-data-pipeline extension operators as inventory entries.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+similarity search (brute-force + LSH ANN), text analysis (lang-ID, quality,
+tokens, fingerprints), multimodal plumbing, as-of join.
+
+Oracle notes: every ratio/cosine is floor-quantized (floor(x*1e4)/1e4) rather
+than ROUND()ed — floor of an identical IEEE double is engine-independent while
+ROUND half-boundary behavior is not.  Cosines are computed over fixed-point
+integer-quantized vectors so dot products are exact integers (< 2^53) in both
+engines regardless of summation order.  MinHash / SimHash / LSH entries have
+no SQL oracle (they depend on xxhash64) and take the driver's rows-only check;
+their quality is property-tested against exact brute force in tests/.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import dedup as D
+from hiveka_spark.operators import multimodal as M
+from hiveka_spark.operators import similarity as S
+from hiveka_spark.operators.asof import asof_join
+from hiveka_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_stats,
+)
+from hiveka_spark.queries import register
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@register(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+    GROUP BY text
+    """,
+    tags=("dedup", "exact"),
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on the full text key (one shuffle,
+    map-side combinable).  A partial 're-crawl' is simulated by unioning every
+    3rd document back in under shifted ids; dedup must collapse them."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return (
+        D.exact_dedup(d.unionByName(recrawl), ["text"], "doc_id")
+        .select("canonical_id", "copies")
+    )
+
+
+@register(
+    "x02_dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0 >= 0.8
+    """,
+    tags=("dedup", "neardup", "jaccard"),
+)
+def x02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup detection: word-3-gram shingles -> inverted-index
+    self-join -> pairwise Jaccard >= 0.8.  The fixture corpus has planted
+    near-duplicates (jaccard >= 0.9 cluster, clean gap below)."""
+    d = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register("x03_dedup_minhash", oracle=None, tags=("dedup", "neardup", "minhash", "lsh"))
+def x03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, Jaccard-verified
+    at 0.8 — the shuffle-on-bucket scale path for near-dup dedup.  No SQL
+    oracle (xxhash64-dependent); recall property-tested vs x02 in tests/."""
+    d = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8)
+
+
+@register("x04_dedup_simhash", oracle=None, tags=("dedup", "neardup", "simhash"))
+def x04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs at Hamming <= 3 via pigeonhole banding
+    (4 blocks): equi-join candidates, exact bit_count verify."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+
+
+@register(
+    "x05_embedding_neardup",
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT vec_id, qv,
+                 list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                  list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+          FROM q)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(FLOOR((list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                                        list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+                       / (sqrt(a.n2) * sqrt(b.n2))) * 10000.0) AS BIGINT) / 10000.0 AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(FLOOR((list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                                       list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+                      / (sqrt(a.n2) * sqrt(b.n2))) * 10000.0) AS BIGINT) / 10000.0 >= 0.4
+    """,
+    tags=("dedup", "neardup", "embedding", "similarity"),
+)
+def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4) over fixed-point
+    quantized vectors — exact all-pairs at sf scale; LSH blocking at 100 TB."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "x06_ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT vec_id, qv,
+                 list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                  list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+          FROM q),
+    scored AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             CAST(FLOOR((list_dot_product(list_transform(qs.qv, x -> CAST(x AS DOUBLE)),
+                                          list_transform(cs.qv, x -> CAST(x AS DOUBLE)))
+                         / (sqrt(qs.n2) * sqrt(cs.n2))) * 10000.0) AS BIGINT) / 10000.0 AS cosine
+      FROM n qs JOIN n cs ON qs.vec_id < 10 AND cs.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def x06_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 10 query vectors (vec_id < 10):
+    broadcast queries x corpus scan, per-query ranked window with
+    deterministic tiebreak."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+
+
+@register("x07_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (4 planes):
+    candidates restricted to the query's bucket.  Recall vs brute force is
+    property-tested in tests/."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_planes=4)
+
+
+@register(
+    "x08_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LENGTH(text) AS len_text,
+             list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks,
+             LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum_space
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tok,
+             list_sum(list_transform(toks, w -> LENGTH(w))) AS sum_len,
+             LEN(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+             (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(FLOOR((sum_len * 1.0 / GREATEST(n_tok, 1)) * 10000.0) AS BIGINT) / 10000.0
+             AS avg_token_len,
+           CAST(FLOOR((n_stop * 1.0 / GREATEST(n_tok, 1)) * 10000.0) AS BIGINT) / 10000.0
+             AS stopword_ratio,
+           CAST(FLOOR(punct_r * 10000.0) AS BIGINT) / 10000.0 AS punct_ratio,
+           CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3
+                       + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2) * 10000.0)
+                AS BIGINT) / 10000.0 AS quality_score
+    FROM f
+    """,
+    tags=("text", "quality"),
+)
+def x08_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token stats, punctuation/stopword
+    ratios) + composite score — all JVM-side expressions, no UDFs."""
+    d = table(spark, sf_dir, "documents")
+    return with_quality(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        score_exprs.append(
+            f"LEN(list_filter(toks, w -> list_contains({lst}, w))) AS score_{lang}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in LANG_MARKERS
+    ) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM t)
+    SELECT lang, {case} AS pred_lang, COUNT(*) AS cnt
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("x09_lang_id", oracle=_lang_oracle(), tags=("text", "langid"))
+def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID vs the labeled lang column: confusion-matrix
+    counts per (lang, pred_lang)."""
+    d = table(spark, sf_dir, "documents")
+    return with_lang_id(d).groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "x10_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(list_filter(string_split(LOWER(text), ' '), w -> w <> '')) AS BIGINT)
+             AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_regex_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def x10_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex (BPE-ish pre-tokenizer pattern) token counts."""
+    d = table(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "n_regex_tokens", "n_chars_actual")
+
+
+@register(
+    "x11_fingerprint",
+    oracle=r"""
+    WITH n AS (SELECT doc_id,
+                      TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(norm, ''),
+                                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_roll
+    FROM n
+    """,
+    tags=("text", "fingerprint"),
+)
+def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + 31-ary rolling
+    polynomial hash mod 2^31-1 (both engine-exact)."""
+    d = table(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fp_md5", "fp_roll")
+
+
+@register(
+    "x12_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 16 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text fixture -> binary content + typed
+    metadata struct; verifies the binary length and metadata derivation.  The
+    pandas-UDF decode path over the same table is exercised in tests/."""
+    d = table(spark, sf_dir, "documents")
+    media = M.synthesize_media(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.length("content").cast("bigint").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@register(
+    "x13_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+                  FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.event_id AS click_id,
+           p.ms - c.ms AS asof_gap_ms
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ms >= c.ms
+    """,
+    tags=("join", "asof"),
+)
+def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + ordered-window carry-forward — no
+    collect, no UDF): each purchase matched to the user's most recent
+    preceding click."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["click_id"],
+    )
+    return joined.select("purchase_id", "user_id", "click_id", "asof_gap_ms")

@@ -619,7 +619,8 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events,
-           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT session_id), 4) AS events_per_session
+           CAST(FLOOR(COUNT(*) * 10000.0 / COUNT(DISTINCT session_id)) AS BIGINT) / 10000.0
+             AS events_per_session
     FROM sessions
     GROUP BY user_id
     """,
@@ -648,7 +649,10 @@ def q22_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id").agg(
         F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.count(F.lit(1)) * 1.0 / F.countDistinct("session_id"), 4).alias(
+        # floor-quantized ratio: ROUND on small-denominator rationals hits
+        # exact decimal half-boundaries where engines' rounding modes diverge;
+        # floor of an identical IEEE double is engine-independent.
+        (F.floor(F.count(F.lit(1)) * 10000.0 / F.countDistinct("session_id")) / 10000.0).alias(
             "events_per_session"
         ),
     )

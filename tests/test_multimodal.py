@@ -1,0 +1,78 @@
+"""Multimodal column plumbing: schema, mapInPandas batching, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import multimodal as M
+
+from .conftest import SF_SMOKE
+
+
+def _media(spark, n=20):
+    docs = table(spark, SF_SMOKE, "documents").limit(n)
+    return M.synthesize_media(docs, "doc_id", "text"), docs
+
+
+def test_media_schema(spark):
+    media, _ = _media(spark)
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+    meta_names = [f.name for f in media.schema["meta"].dataType.fields]
+    assert meta_names == ["media_type", "format", "width", "height", "n_frames", "sample_rate"]
+
+
+def test_decode_features_match_driver_hash(spark):
+    media, docs = _media(spark)
+    feats = {r["media_id"]: r for r in M.decode_image_features(media).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        content = row["text"].encode("utf-8")
+        f = feats[row["doc_id"]]
+        assert f["byte_len"] == len(content)
+        assert f["content_sha"] == hashlib.sha256(content).hexdigest()
+        assert 0 <= f["mean_pixel"] <= 255
+
+
+def test_decode_deterministic(spark):
+    media, _ = _media(spark, n=5)
+    a = sorted(M.decode_image_features(media).collect(), key=lambda r: r["media_id"])
+    b = sorted(M.decode_image_features(media).collect(), key=lambda r: r["media_id"])
+    assert [r["mean_pixel"] for r in a] == [r["mean_pixel"] for r in b]
+
+
+def test_real_decode_raises_not_implemented(spark):
+    media, _ = _media(spark, n=2)
+    with pytest.raises(Exception) as ei:
+        M.decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_resize_rewrites_meta_and_content(spark):
+    media, _ = _media(spark, n=5)
+    out = M.resize_images(media, 8, 6).collect()
+    for r in out:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 6
+        assert len(bytes(r["content"])) == 8 * 6 * 3
+
+
+def test_frame_sampling_counts(spark):
+    media, _ = _media(spark, n=5)
+    vids = media.withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(25).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+    out = M.sample_video_frames(vids, every_n=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 10, 20] for v in per.values())

@@ -1,0 +1,143 @@
+"""Operator-level semantics and quality properties (recall vs exact methods)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import dedup as D
+from hiveka_spark.operators import similarity as S
+from hiveka_spark.operators.asof import asof_join
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- exact dedup
+def test_exact_dedup_collapses_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "aa")], ["id", "t"]
+    )
+    out = {r["t"]: r for r in D.exact_dedup(df, ["t"], "id").collect()}
+    assert out["aa"]["canonical_id"] == 1 and out["aa"]["copies"] == 3
+    assert out["bb"]["canonical_id"] == 3 and out["bb"]["copies"] == 1
+
+
+# ------------------------------------------------------------------- minhash
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover >=90% of true jaccard>=0.8 pairs and the
+    verified output must be exactly the true pairs it found (no false
+    positives after verification)."""
+    docs = table(spark, SF_SMOKE, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs, num_perm=32, bands=8, verify_threshold=0.8).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-duplicates"
+    assert got <= true_pairs  # verification kills false positives
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(got)}/{len(true_pairs)})"
+
+
+def test_minhash_signature_shape(spark):
+    docs = table(spark, SF_SMOKE, "documents").limit(20)
+    sig = D.minhash_signatures(docs, num_perm=16).collect()
+    assert all(len(r["signature"]) == 16 for r in sig)
+    assert all(all(v >= 0 for v in r["signature"]) for r in sig)
+
+
+# ------------------------------------------------------------------- simhash
+def test_simhash_neardups_have_small_hamming(spark):
+    """Near-identical docs (true jaccard >= 0.9) should mostly collide within
+    the simhash hamming radius."""
+    docs = table(spark, SF_SMOKE, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_pairs(docs, bits=32, bands=4, max_hamming=3).collect()
+    }
+    assert true_pairs
+    covered = len(true_pairs & sim_pairs) / len(true_pairs)
+    assert covered >= 0.8, f"simhash covered only {covered:.2f} of true near-dups"
+
+
+# ---------------------------------------------------------------- similarity
+def test_lsh_topk_recall(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).collect()
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=4).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    # 4 hyperplanes ~ 16 buckets over 500 vectors: recall is partial by
+    # design; assert it beats random-bucket chance materially
+    assert recall >= 0.3, f"lsh recall {recall:.2f}"
+    # approx scores must be true cosines: every (q,n,cos) in approx matches brute's
+    bcos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bcos:
+            assert abs(r["cosine"] - bcos[key]) < 1e-12
+
+
+def test_brute_force_topk_is_sorted_and_complete(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+# -------------------------------------------------------------------- as-of
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")], ["k", "ts", "pid"]
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "c1"), (1, 200, "c2"), (1, 205, "c3"), (3, 10, "cX")], ["k", "ts", "cid"]
+    )
+    out = {
+        r["pid"]: r
+        for r in asof_join(left, right, "k", "ts", "ts", ["cid"]).collect()
+    }
+    assert out["p1"]["cid"] == "c1" and out["p1"]["asof_gap_ms"] == 10
+    # equal timestamps match (backward-inclusive)
+    assert out["p2"]["cid"] == "c3" and out["p2"]["asof_gap_ms"] == 0
+    assert out["p3"]["cid"] is None and out["p3"]["asof_gap_ms"] is None
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    left = spark.createDataFrame([(1, 1000, "p1"), (1, 5000, "p2")], ["k", "ts", "pid"])
+    right = spark.createDataFrame([(1, 900, "c1")], ["k", "ts", "cid"])
+    tol = {
+        r["pid"]: r
+        for r in asof_join(left, right, "k", "ts", "ts", ["cid"], tolerance_ms=500).collect()
+    }
+    assert tol["p1"]["cid"] == "c1"
+    assert tol["p2"]["cid"] is None  # 4100ms back > tolerance
+    inner = asof_join(left, right, "k", "ts", "ts", ["cid"], tolerance_ms=500, how="inner")
+    assert [r["pid"] for r in inner.collect()] == ["p1"]
+
+
+# ------------------------------------------------------------ jaccard pairs
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")], ["doc_id", "text"]
+    )
+    out = D.ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
