@@ -1,0 +1,294 @@
+"""Pure-Python Avro binary codec + Arrow-batched DataFrame decode/encode.
+
+Parity targets in the reference:
+- decode: KafkaAvroMessageDecoder.decode (KafkaAvroMessageDecoder.java:153-177)
+  — one whole-payload Avro datum per Kafka message, RAW framing (no Confluent
+  magic byte / schema-id header; see BaseProducer.java:44-54).
+- encode: BaseProducer.serializeAvro (BaseProducer.java:44-54).
+
+This environment ships no spark-avro jar and no fastavro, so the engine
+carries its own wire-format implementation (Avro 1.x binary encoding:
+zigzag varints, little-endian IEEE floats, length-prefixed bytes/strings,
+block-coded arrays/maps, index-prefixed unions).  On a cluster with
+spark-avro available, sources.kafka_io prefers the JVM from_avro/to_avro
+path; this codec is the dependency-free fallback and the reference
+implementation for tests.
+
+DataFrame integration is mapInPandas (Arrow batches) — per-batch Python cost,
+never per-row pickling.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct as _struct
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from hiveka_spark.schema import avro_to_struct
+
+# --------------------------------------------------------------------------
+# wire-level primitives
+# --------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(out: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _read_varint(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return _zigzag_decode(acc)
+
+
+# --------------------------------------------------------------------------
+# schema-driven encode/decode
+# --------------------------------------------------------------------------
+
+
+def _norm(schema: Any) -> Any:
+    """Unwrap {"type": "string"}-style wrappers (but keep logical/complex)."""
+    if isinstance(schema, dict) and set(schema) == {"type"}:
+        return schema["type"]
+    return schema
+
+
+def _encode_value(out: io.BytesIO, schema: Any, value: Any) -> None:
+    schema = _norm(schema)
+    if isinstance(schema, list):  # union: write branch index, then value
+        if value is None and "null" in schema:
+            out.write(bytes([_zigzag_encode(schema.index("null")) & 0x7F]))
+            return
+        for idx, branch in enumerate(schema):
+            if branch == "null":
+                continue
+            _write_varint(out, idx)
+            _encode_value(out, branch, value)
+            return
+        raise ValueError(f"no union branch for value {value!r} in {schema}")
+    if isinstance(schema, str):
+        if schema == "null":
+            return
+        if schema == "boolean":
+            out.write(b"\x01" if value else b"\x00")
+        elif schema in ("int", "long"):
+            _write_varint(out, int(value))
+        elif schema == "float":
+            out.write(_struct.pack("<f", float(value)))
+        elif schema == "double":
+            out.write(_struct.pack("<d", float(value)))
+        elif schema == "string":
+            raw = str(value).encode("utf-8")
+            _write_varint(out, len(raw))
+            out.write(raw)
+        elif schema == "bytes":
+            raw = bytes(value)
+            _write_varint(out, len(raw))
+            out.write(raw)
+        else:
+            raise ValueError(f"unsupported primitive {schema}")
+        return
+    kind = schema["type"]
+    if kind == "record":
+        for f in schema["fields"]:
+            _encode_value(out, f["type"], value.get(f["name"]) if isinstance(value, dict) else getattr(value, f["name"]))
+    elif kind == "array":
+        items = list(value or [])
+        if items:
+            _write_varint(out, len(items))
+            for item in items:
+                _encode_value(out, schema["items"], item)
+        _write_varint(out, 0)
+    elif kind == "map":
+        entries = dict(value or {})
+        if entries:
+            _write_varint(out, len(entries))
+            for k, v in entries.items():
+                _encode_value(out, "string", k)
+                _encode_value(out, schema["values"], v)
+        _write_varint(out, 0)
+    elif "logicalType" in schema:
+        _encode_value(out, kind, value)
+    else:
+        raise ValueError(f"unsupported Avro schema {schema!r}")
+
+
+def _decode_value(buf: io.BytesIO, schema: Any) -> Any:
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        idx = _read_varint(buf)
+        return _decode_value(buf, schema[idx])
+    if isinstance(schema, str):
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            return buf.read(1) == b"\x01"
+        if schema in ("int", "long"):
+            return _read_varint(buf)
+        if schema == "float":
+            return _struct.unpack("<f", buf.read(4))[0]
+        if schema == "double":
+            return _struct.unpack("<d", buf.read(8))[0]
+        if schema == "string":
+            n = _read_varint(buf)
+            return buf.read(n).decode("utf-8")
+        if schema == "bytes":
+            n = _read_varint(buf)
+            return buf.read(n)
+        raise ValueError(f"unsupported primitive {schema}")
+    kind = schema["type"]
+    if kind == "record":
+        return {f["name"]: _decode_value(buf, f["type"]) for f in schema["fields"]}
+    if kind == "array":
+        out = []
+        while True:
+            n = _read_varint(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                _read_varint(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode_value(buf, schema["items"]))
+    if kind == "map":
+        out = {}
+        while True:
+            n = _read_varint(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_varint(buf)
+                n = -n
+            for _ in range(n):
+                k = _decode_value(buf, "string")
+                out[k] = _decode_value(buf, schema["values"])
+    if "logicalType" in schema:
+        return _decode_value(buf, kind)
+    raise ValueError(f"unsupported Avro schema {schema!r}")
+
+
+def encode_record(schema: dict, record: dict) -> bytes:
+    """One record -> raw Avro binary (no header, matching the reference's
+    framing)."""
+    out = io.BytesIO()
+    _encode_value(out, schema, record)
+    return out.getvalue()
+
+
+def decode_record(schema: dict, payload: bytes) -> dict:
+    return _decode_value(io.BytesIO(payload), schema)
+
+
+# --------------------------------------------------------------------------
+# DataFrame-level: Arrow-batched decode/encode over a binary `value` column
+# --------------------------------------------------------------------------
+
+
+def decode_avro_df(
+    df: DataFrame,
+    avro_schema: dict | str,
+    value_col: str = "value",
+    mode: str = "PERMISSIVE",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Decode a binary Avro ``value`` column into typed columns via
+    mapInPandas.
+
+    ``mode='PERMISSIVE'`` nulls out corrupt payloads (the reference's
+    skip-bad-records policy, KafkaRecordReader.java:130-140,261-264);
+    ``mode='FAILFAST'`` raises — the (dead) `etl.ignore.schema.errors` knob
+    done properly."""
+    schema_dict = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+    out_struct = avro_to_struct(schema_dict)
+    keep = keep_cols or []
+    in_df = df.select(*keep, value_col)
+
+    import pyspark.sql.types as T
+
+    full_schema = T.StructType(
+        [df.schema[c] for c in keep] + list(out_struct.fields)
+    )
+    failfast = mode.upper() == "FAILFAST"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        field_names = [f["name"] for f in schema_dict["fields"]]
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                vals = tup._asdict()
+                payload = vals.pop(value_col)
+                try:
+                    rec = decode_record(schema_dict, bytes(payload))
+                except Exception:
+                    if failfast:
+                        raise
+                    rec = {n: None for n in field_names}
+                rows.append({**vals, **rec})
+            yield pd.DataFrame(rows, columns=list(keep) + field_names)
+
+    return in_df.mapInPandas(run, full_schema)
+
+
+def encode_avro_df(
+    df: DataFrame,
+    avro_schema: dict | str,
+    value_alias: str = "value",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Encode rows into a binary Avro ``value`` column (+ optional key) —
+    the real implementation of the reference's stubbed write path
+    (KafkaOutputFormat.java:28-39 returns a null RecordWriter)."""
+    schema_dict = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
+    field_names = [f["name"] for f in schema_dict["fields"]]
+
+    import pyspark.sql.types as T
+
+    out_fields = [T.StructField(value_alias, T.BinaryType())]
+    if key_col:
+        out_fields.insert(0, T.StructField("key", T.BinaryType()))
+    out_schema = T.StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                vals = tup._asdict()
+                payload = encode_record(schema_dict, {n: vals.get(n) for n in field_names})
+                row = {value_alias: payload}
+                if key_col:
+                    kv = vals.get(key_col)
+                    row["key"] = str(kv).encode("utf-8") if kv is not None else None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    return df.mapInPandas(run, out_schema)

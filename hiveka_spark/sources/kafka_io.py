@@ -1,0 +1,286 @@
+"""Kafka table layer: the Spark-native rebuild of the reference's storage
+handler + input/output formats (SURVEY.md §2A A1-A25).
+
+Mapping of the reference's table properties (KafkaBackedTableProperties.java:
+32-86) onto Spark Kafka source options:
+
+    kafka.service.uri            -> kafka.bootstrap.servers           (A2)
+    kafka.whitelist.topics       -> subscribePattern (alternation)    (A4)
+    kafka.blacklist.topics       -> subscribePattern (neg. lookahead) (A5)
+    kafka.avro.schema.file/DDL   -> Avro schema / StructType          (A20/A21)
+    move-to-last-offset          -> startingOffsets="latest"          (A9)
+    offset clamping on data loss -> failOnDataLoss=false              (A10)
+    kafka_offset_* resume files  -> OffsetStore (batch) /             (A8)
+                                    checkpointLocation (streaming)
+    LPT split allocation         -> minPartitions (Spark splits       (A11)
+                                    offset ranges per-partition —
+                                    finer-grained than the reference's
+                                    30-task LPT bin packing)
+
+Broker metadata discovery/failover, fetch loops, CRC checks (A3, A6, A13-A16)
+are inside Spark's Kafka source + kafka-clients; nothing to rebuild.
+
+This container has no spark-sql-kafka jar and no broker, so reads/writes are
+gated: option/plan construction and offset management are fully unit-tested,
+and ``kafka_available()`` decides between the live path and a clear error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.schema import avro_json, ddl_to_struct, struct_to_avro
+from hiveka_spark.sources.avro_codec import decode_avro_df
+
+WIRE_COLUMNS = ["key", "value", "topic", "partition", "offset", "timestamp", "timestampType"]
+
+
+@dataclass
+class KafkaTableConfig:
+    """Declarative Kafka table binding — the analog of the reference's
+    CREATE EXTERNAL TABLE ... TBLPROPERTIES(...) (README.md:9)."""
+
+    bootstrap_servers: str
+    whitelist_topics: list[str] = field(default_factory=list)
+    blacklist_topics: list[str] = field(default_factory=list)
+    ddl: str | None = None  # declared columns (A21)
+    avro_schema: dict | str | None = None  # .avsc contents (A20)
+    starting_offsets: str | dict = "earliest"
+    ending_offsets: str | dict = "latest"
+    fail_on_data_loss: bool = False  # A10 default: clamp & continue
+    max_offsets_per_trigger: int | None = None  # streaming backpressure
+    min_partitions: int | None = None  # A11 analog
+    extra_options: dict = field(default_factory=dict)
+
+    def schema_json(self) -> str:
+        if self.avro_schema is not None:
+            return (
+                self.avro_schema
+                if isinstance(self.avro_schema, str)
+                else json.dumps(self.avro_schema)
+            )
+        if self.ddl is not None:
+            return avro_json(ddl_to_struct(self.ddl))
+        raise ValueError("KafkaTableConfig needs ddl or avro_schema")
+
+
+def topic_pattern(whitelist: list[str], blacklist: list[str] | None = None) -> str:
+    """Build the subscribe regex — parity with createTopicRegEx's alternation
+    (KafkaInputFormat.java:209-235) plus blacklist as negative lookahead
+    (the reference filters blacklisted topics post-metadata, :254-264)."""
+    wl = "|".join(re.escape(t) for t in whitelist) if whitelist else ".*"
+    if blacklist:
+        bl = "|".join(re.escape(t) for t in blacklist)
+        return f"(?!({bl})$)({wl})"
+    return f"({wl})"
+
+
+def reader_options(cfg: KafkaTableConfig, streaming: bool = False) -> dict[str, str]:
+    """Source options for spark.read/readStream.format('kafka')."""
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribePattern": topic_pattern(cfg.whitelist_topics, cfg.blacklist_topics),
+        "failOnDataLoss": str(cfg.fail_on_data_loss).lower(),
+        "startingOffsets": (
+            cfg.starting_offsets
+            if isinstance(cfg.starting_offsets, str)
+            else json.dumps(cfg.starting_offsets)
+        ),
+    }
+    if not streaming:
+        opts["endingOffsets"] = (
+            cfg.ending_offsets
+            if isinstance(cfg.ending_offsets, str)
+            else json.dumps(cfg.ending_offsets)
+        )
+    if streaming and cfg.max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(cfg.max_offsets_per_trigger)
+    if cfg.min_partitions:
+        opts["minPartitions"] = str(cfg.min_partitions)
+    opts.update(cfg.extra_options)
+    return opts
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector classes are on the JVM
+    classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_kafka(spark: SparkSession) -> None:
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector is not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> via "
+            "spark.jars.packages. Option mapping and decode paths remain "
+            "unit-testable without it (see tests/test_kafka_io.py)."
+        )
+
+
+def read_kafka_batch(spark: SparkSession, cfg: KafkaTableConfig) -> DataFrame:
+    """Batch scan of the configured topics — wire columns out (A15's key/value
+    + the KafkaKey metadata the reference computed but never exposed,
+    KafkaKey.java:25-34; here they are real queryable columns)."""
+    _require_kafka(spark)
+    reader = spark.read.format("kafka")
+    for k, v in reader_options(cfg, streaming=False).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_kafka_stream(spark: SparkSession, cfg: KafkaTableConfig) -> DataFrame:
+    _require_kafka(spark)
+    reader = spark.readStream.format("kafka")
+    for k, v in reader_options(cfg, streaming=True).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def decode_wire(
+    df: DataFrame,
+    cfg: KafkaTableConfig,
+    mode: str = "PERMISSIVE",
+    event_time_field: str | None = None,
+) -> DataFrame:
+    """Wire rows -> typed rows: Avro-decode ``value`` against the declared
+    schema (A17/A18), keep Kafka metadata columns, and derive ``event_time``
+    with the reference's precedence — payload header time, payload timestamp
+    field, then broker timestamp (KafkaAvroMessageDecoder.java:194-205, A23).
+    """
+    schema_json = cfg.schema_json()
+    payload_fields = {f["name"] for f in json.loads(schema_json)["fields"]}
+    keep, renames = [], {}
+    for c in WIRE_COLUMNS:
+        if c in df.columns and c != "value":
+            if c in payload_fields:
+                # payload fields win the bare name; wire metadata keeps a
+                # kafka_ prefix (the reference's KafkaKey metadata vs payload
+                # timestamp distinction, A23)
+                renames[c] = f"kafka_{c}"
+            keep.append(renames.get(c, c))
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
+    broker_ts = renames.get("timestamp", "timestamp")
+    candidates = []
+    if event_time_field and event_time_field in decoded.columns:
+        dtype = dict(decoded.dtypes)[event_time_field]
+        if dtype in ("bigint", "int"):
+            # numeric payload time is epoch-millis, as in the reference's
+            # header.time / System.currentTimeMillis convention (A23)
+            candidates.append(F.timestamp_millis(F.col(event_time_field)))
+        else:
+            candidates.append(F.col(event_time_field).cast("timestamp"))
+    if broker_ts in decoded.columns:
+        candidates.append(F.col(broker_ts))
+    if candidates:
+        decoded = decoded.withColumn("event_time", F.coalesce(*candidates))
+    return decoded
+
+
+def write_kafka(
+    df: DataFrame,
+    cfg: KafkaTableConfig,
+    topic: str,
+    key_col: str | None = None,
+) -> None:
+    """Avro-encode + publish — the real implementation of the reference's
+    stub sink (KafkaOutputFormat.java:28-39)."""
+    from hiveka_spark.sources.avro_codec import encode_avro_df
+
+    _require_kafka(df.sparkSession)
+    payload = encode_avro_df(df, cfg.schema_json(), key_col=key_col)
+    (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def register_kafka_table(
+    spark: SparkSession, name: str, cfg: KafkaTableConfig, streaming: bool = False
+) -> DataFrame:
+    """Bind a decoded Kafka scan as a named catalog view — the engine's
+    CREATE EXTERNAL TABLE (A1).  Every Spark SQL query in queries/ then works
+    against it unchanged."""
+    raw = read_kafka_stream(spark, cfg) if streaming else read_kafka_batch(spark, cfg)
+    decoded = decode_wire(raw, cfg)
+    decoded.createOrReplaceTempView(name)
+    return decoded
+
+
+class OffsetStore:
+    """Batch-incremental offset state — parity with the reference's
+    kafka_offset_* SequenceFile resume (KafkaInputFormat.java:471-501, A8)
+    including the clamp-to-valid-range rule (:369-388, A10).
+
+    State is one JSON file keyed by "topic/partition" -> next offset to read.
+    ``resolve_range`` merges persisted state with the broker's
+    earliest/latest and returns (startingOffsets, endingOffsets) JSON for a
+    batch read; ``commit`` persists the end offsets after a successful run.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict[str, dict[str, int]]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def commit(self, end_offsets: dict[str, dict[str, int]]) -> None:
+        state = self.load()
+        for topic, parts in end_offsets.items():
+            cur = state.setdefault(topic, {})
+            for part, off in parts.items():
+                # monotonic: never move a committed offset backwards (the
+                # reference keeps max offset per partition, :489-496)
+                cur[part] = max(int(off), int(cur.get(part, 0)))
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def resolve_range(
+        self,
+        earliest: dict[str, dict[str, int]],
+        latest: dict[str, dict[str, int]],
+        move_to_latest: set[str] | str = frozenset(),
+    ) -> tuple[str, str]:
+        """Compute [start, end) offsets per partition.
+
+        - resumed offset below earliest (retention loss) -> clamp to earliest
+          (A10's OffsetOutOfRange recovery);
+        - resumed offset above latest (bogus state) -> clamp to earliest,
+          mirroring the reference's conservative reset (:381-388);
+        - topics in ``move_to_latest`` (or 'all') skip history (A9).
+        """
+        state = self.load()
+        start: dict[str, dict[str, int]] = {}
+        for topic, parts in latest.items():
+            start[topic] = {}
+            for part, hi in parts.items():
+                lo = earliest.get(topic, {}).get(part, 0)
+                if move_to_latest == "all" or topic in move_to_latest:
+                    start[topic][part] = hi
+                    continue
+                resumed = state.get(topic, {}).get(part)
+                if resumed is None or resumed < lo or resumed > hi:
+                    start[topic][part] = lo
+                else:
+                    start[topic][part] = resumed
+        return json.dumps(start), json.dumps(latest)

@@ -1,0 +1,204 @@
+"""Kafka layer: option mapping, topic regex, offset store, wire decode —
+everything testable without a broker (SURVEY.md §7 risk register: 'keep every
+Kafka-layer function pure enough to unit-test on DataFrames')."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from hiveka_spark.sources import producers as P
+from hiveka_spark.sources.avro_codec import decode_avro_df, encode_avro_df, decode_record
+from hiveka_spark.sources.kafka_io import (
+    KafkaTableConfig,
+    OffsetStore,
+    decode_wire,
+    kafka_available,
+    read_kafka_batch,
+    reader_options,
+    topic_pattern,
+)
+from hiveka_spark.schema import struct_to_avro
+
+from .conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- topic regex
+def test_topic_pattern_whitelist():
+    pat = topic_pattern(["alpha", "beta.v1"])
+    assert re.fullmatch(pat, "alpha")
+    assert re.fullmatch(pat, "beta.v1")
+    assert not re.fullmatch(pat, "betaXv1")  # dots escaped
+    assert not re.fullmatch(pat, "gamma")
+
+
+def test_topic_pattern_blacklist():
+    pat = topic_pattern(["a", "b", "c"], blacklist=["b"])
+    assert re.match(pat, "a") and re.match(pat, "c")
+    assert not re.match(pat, "b")
+
+
+def test_topic_pattern_empty_whitelist_matches_all():
+    pat = topic_pattern([], blacklist=["skip"])
+    assert re.match(pat, "anything")
+    assert not re.match(pat, "skip")
+
+
+# -------------------------------------------------------------- option mapping
+def _cfg(**kw) -> KafkaTableConfig:
+    base = dict(
+        bootstrap_servers="broker1:9092,broker2:9092",
+        whitelist_topics=["events"],
+        ddl="event_id BIGINT, ts_ms BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    base.update(kw)
+    return KafkaTableConfig(**base)
+
+
+def test_reader_options_batch():
+    opts = reader_options(_cfg(), streaming=False)
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["failOnDataLoss"] == "false"  # A10 default: recover, don't die
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["endingOffsets"] == "latest"
+    assert re.match(opts["subscribePattern"], "events")
+
+
+def test_reader_options_streaming_backpressure():
+    opts = reader_options(_cfg(max_offsets_per_trigger=50000), streaming=True)
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert "endingOffsets" not in opts
+
+
+def test_reader_options_explicit_offsets():
+    start = {"events": {"0": 100, "1": 200}}
+    opts = reader_options(_cfg(starting_offsets=start), streaming=False)
+    assert json.loads(opts["startingOffsets"]) == start
+
+
+def test_kafka_gated_with_clear_error(spark):
+    if kafka_available(spark):
+        pytest.skip("kafka connector present; gating not applicable")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_batch(spark, _cfg())
+
+
+# ---------------------------------------------------------------- offset store
+def test_offset_store_resume_and_clamp(tmp_path):
+    store = OffsetStore(str(tmp_path / "offsets.json"))
+    earliest = {"t": {"0": 10, "1": 0}}
+    latest = {"t": {"0": 100, "1": 50}}
+
+    # first run: no state -> start at earliest
+    start, end = store.resolve_range(earliest, latest)
+    assert json.loads(start) == {"t": {"0": 10, "1": 0}}
+    assert json.loads(end) == latest
+
+    # commit end; second run resumes there
+    store.commit({"t": {"0": 100, "1": 50}})
+    start, _ = store.resolve_range(earliest, {"t": {"0": 150, "1": 60}})
+    assert json.loads(start) == {"t": {"0": 100, "1": 50}}
+
+    # retention moved earliest past resumed offset -> clamp to earliest (A10)
+    start, _ = store.resolve_range({"t": {"0": 120, "1": 0}}, {"t": {"0": 150, "1": 60}})
+    assert json.loads(start)["t"]["0"] == 120
+
+    # resumed offset beyond latest (bogus state) -> reset to earliest
+    start, _ = store.resolve_range({"t": {"0": 0, "1": 0}}, {"t": {"0": 80, "1": 60}})
+    assert json.loads(start)["t"]["0"] == 0
+
+
+def test_offset_store_move_to_latest(tmp_path):
+    store = OffsetStore(str(tmp_path / "o.json"))
+    earliest = {"t": {"0": 0}}
+    latest = {"t": {"0": 99}}
+    start, _ = store.resolve_range(earliest, latest, move_to_latest="all")
+    assert json.loads(start)["t"]["0"] == 99  # A9
+
+
+def test_offset_store_commit_monotonic(tmp_path):
+    store = OffsetStore(str(tmp_path / "o.json"))
+    store.commit({"t": {"0": 50}})
+    store.commit({"t": {"0": 30}})  # stale commit must not regress
+    assert store.load()["t"]["0"] == 50
+
+
+# ------------------------------------------------------------------ wire decode
+def test_demo_wire_roundtrip(spark):
+    rows = P.demo_rows(25)
+    wire = P.wire_df(spark, P.DEMO_SCHEMA, rows, topic="test_kafka")
+    cfg = KafkaTableConfig(bootstrap_servers="none", ddl="a INT, b STRING")
+    out = decode_wire(wire, cfg).orderBy("a").collect()
+    assert len(out) == 25
+    assert [r["a"] for r in out] == list(range(1, 26))
+    assert all(r["b"] == "static test string" for r in out)
+    # Kafka metadata survives decode (the reference computed KafkaKey metadata
+    # but never exposed it; we expose it as queryable columns)
+    assert all(r["topic"] == "test_kafka" for r in out)
+    assert out[0]["offset"] is not None
+
+
+def test_tweets_wire_roundtrip_and_event_time(spark):
+    rows = P.fake_tweets(30, seed=7, base_ts=1700000000)
+    wire = P.wire_df(spark, P.TWEET_SCHEMA, rows, topic="tweets")
+    cfg = KafkaTableConfig(
+        bootstrap_servers="none", ddl="username STRING, text STRING, timestamp BIGINT"
+    )
+    out = decode_wire(wire, cfg, event_time_field="timestamp").collect()
+    assert len(out) == 30
+    assert {r["username"] for r in out} == set(P._USERS)
+    assert all(r["event_time"] is not None for r in out)
+
+
+def test_corrupt_payload_permissive_vs_failfast(spark):
+    rows = P.demo_rows(5)
+    wire = P.wire_df(spark, P.DEMO_SCHEMA, rows, topic="t")
+    corrupted = wire.withColumn(
+        "value",
+        F.when(F.col("offset") == 0, F.lit(b"\xff\xff\xff\xff")).otherwise(F.col("value")),
+    )
+    cfg = KafkaTableConfig(bootstrap_servers="none", ddl="a INT, b STRING")
+    ok = decode_wire(corrupted, cfg, mode="PERMISSIVE").collect()
+    assert len(ok) == 5
+    assert sum(1 for r in ok if r["a"] is None) >= 1  # bad record nulled, kept
+    with pytest.raises(Exception):
+        decode_wire(corrupted, cfg, mode="FAILFAST").collect()
+
+
+def test_encode_decode_df_symmetry(spark):
+    """to_avro-equivalent write path feeds the read path (the sink the
+    reference stubbed, done for real)."""
+    rows = P.fake_tweets(10, seed=3, base_ts=1700000000)
+    df = P.typed_df(spark, P.TWEET_SCHEMA, rows)
+    avro = struct_to_avro(P.TWEET_SCHEMA, "tweet")
+    encoded = encode_avro_df(df, avro, key_col="username")
+    assert [f.name for f in encoded.schema.fields] == ["key", "value"]
+    decoded = decode_avro_df(encoded, avro).collect()
+    got = sorted((r["username"], r["text"], r["timestamp"]) for r in decoded)
+    want = sorted((r["username"], r["text"], r["timestamp"]) for r in rows)
+    assert got == want
+
+
+def test_events_fixture_as_wire_decodes_fully(spark):
+    wire = P.events_as_wire(spark, SF_SMOKE)
+    cfg = KafkaTableConfig(
+        bootstrap_servers="none",
+        ddl="event_id BIGINT, ts_ms BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    decoded = decode_wire(wire, cfg, event_time_field="ts_ms")
+    n = decoded.count()
+    from hiveka_spark.catalog import table
+
+    events = table(spark, SF_SMOKE, "events")
+    assert n == events.count()
+    # spot-check against source-of-truth values
+    src = {r["event_id"]: r for r in events.collect()}
+    for r in decoded.limit(50).collect():
+        s = src[r["event_id"]]
+        assert r["event_type"] == s["event_type"]
+        assert r["user_id"] == s["user_id"]
+        assert abs(r["value"] - s["value"]) < 1e-12
+        assert r["event_time"] is not None
