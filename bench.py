@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": "<dir>"}
+
+Headline set covers every engine pillar: full-scan agg (q01), star join
+(q24), window top-k (q08), time windows (q21), sessionization (q22),
+near-dup dedup (x02 exact + x03 minhash-LSH), ANN (x06), text quality (x08),
+as-of join (x13).  Each query is timed around a full materialization
+(collect) after one warm-up action amortizes JVM/session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_brand_revenue",
+    "q05_customer_order_stats",
+    "q08_topk_per_group",
+    "q12_distinct_agg",
+    "q21_hourly_windows",
+    "q22_sessionization",
+    "q24_regional_revenue",
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x03_dedup_minhash",
+    "x06_ann_topk",
+    "x08_text_quality",
+    "x13_asof_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+    from hiveka_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("hiveka-bench")
+    spark.conf.set("spark.sql.ansi.enabled", spark.conf.get("spark.sql.ansi.enabled"))
+
+    # warm-up: JVM, parquet footer reads, codegen compiler
+    from hiveka_spark.catalog import table
+
+    table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Structured Streaming pipelines over the engine's tables.
+
+The reference is batch-pull only (each Hive query re-plans offset ranges and
+pulls; KafkaInputFormat.java:238-400) with resume state in offset files.  The
+Spark-native equivalent is Structured Streaming: checkpointed micro-batches,
+event-time watermarks, windowed/sessionized aggregation, stateful dedup,
+stream-static joins, foreachBatch sinks.
+
+Broker-less testing: streams come from file sources over parquet (the
+driver's `events` fixture, or Avro wire rows produced by sources.producers) —
+the DataFrame DAG is identical to a Kafka source's, so every operator here
+moves to `readStream.format("kafka")` unchanged.
+
+Scale posture: every aggregation is keyed by (window/session, key) so state
+is bounded by watermark retention; `maxFilesPerTrigger`/`maxOffsetsPerTrigger`
+give backpressure; sinks go through foreachBatch for exactly-once idempotent
+writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The fixture `events` table as a file-source stream with a proper
+    event-time `ts` column (nanos long -> timestamp, same conversion as the
+    batch catalog)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    reader = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type (the streaming
+    twin of queries q21_hourly_windows)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows (inactivity gap) per user — the streaming twin of the
+    batch lag+cumsum sessionization (q22)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup: exactly-one-row-per-key within the watermark
+    horizon (state expires with the watermark — bounded memory at any scale)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: the static side is broadcast per micro-batch (no
+    state); the standard enrichment pattern."""
+    return stream.join(F.broadcast(static_dim), on)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drain everything currently available through a memory sink and return
+    the result as a DataFrame.  availableNow = process-all-then-stop, the
+    batch-like harness for deterministic streaming tests."""
+    spark = stream_df.sparkSession
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint: str
+) -> None:
+    """Exactly-once idempotent sink: foreachBatch writes each micro-batch as
+    parquet keyed by batch id (re-run of a batch overwrites, not duplicates)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

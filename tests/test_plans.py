@@ -1,0 +1,70 @@
+"""Plan-shape assertions: the 100-TB posture is checked here, not just
+correctness — pushdown, pruning, broadcast, bounded shuffles."""
+
+from __future__ import annotations
+
+import pytest
+
+from hiveka_spark.plans.inspect import (
+    assert_column_pruned,
+    assert_filter_pushed,
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    shuffle_count,
+)
+from hiveka_spark.queries.relational import (
+    q01_pricing_summary,
+    q02_filter_project,
+    q04_brand_revenue,
+    q10_top_orders,
+    q24_regional_revenue,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_q01_filter_reaches_scan(spark):
+    df = q01_pricing_summary(spark, SF_SMOKE)
+    assert_filter_pushed(df, "l_shipdate")
+    # projection pruning: the scan must not read unused l_orderkey
+    assert_column_pruned(df, "l_returnflag", "l_orderkey")
+
+
+def test_q02_all_predicates_pushed(spark):
+    df = q02_filter_project(spark, SF_SMOKE)
+    pf = " ".join(pushed_filters(df))
+    for col in ("o_orderstatus", "o_totalprice", "o_orderpriority"):
+        assert col in pf, f"{col} missing from PushedFilters: {pf}"
+    # 4-column projection: o_orderdate must be pruned from the scan
+    assert_column_pruned(df, "o_orderkey", "o_orderdate")
+
+
+def test_q04_broadcasts_dimension(spark):
+    assert has_broadcast_join(q04_brand_revenue(spark, SF_SMOKE))
+
+
+def test_q24_star_join_broadcasts(spark):
+    df = q24_regional_revenue(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    # star joins with broadcast dims: lineitem side must not shuffle for the
+    # joins themselves; only the final groupBy aggregates (<= 3 exchanges:
+    # join-side + partial/final agg; a plain sort-merge plan would need 5+)
+    assert shuffle_count(df) <= 3, f"too many shuffles: {shuffle_count(df)}"
+
+
+def test_q01_single_shuffle(spark):
+    # scan -> partial agg -> exchange -> final agg: exactly one shuffle
+    assert shuffle_count(q01_pricing_summary(spark, SF_SMOKE)) == 1
+
+
+def test_q10_uses_take_ordered(spark):
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q10_top_orders(spark, SF_SMOKE))
+    # global sort+limit must compile to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_spans_exist(spark):
+    assert codegen_stage_count(q01_pricing_summary(spark, SF_SMOKE)) >= 1

@@ -1,0 +1,182 @@
+"""Structured Streaming semantics: windowed aggs match their batch twins,
+dedup state works, watermark drops late data across checkpointed runs,
+foreachBatch sinks write exactly once."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from hiveka_spark.catalog import table
+from hiveka_spark.streaming.pipeline import (
+    dedup_stream,
+    events_stream,
+    run_available_now,
+    run_foreach_batch_parquet,
+    session_counts,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+)
+
+from .conftest import SF_SMOKE
+
+_name_counter = [0]
+
+
+def _qname() -> str:
+    _name_counter[0] += 1
+    return f"mem_sink_{_name_counter[0]}"
+
+
+def test_tumbling_stream_matches_batch(spark):
+    """Streaming tumbling hourly counts (complete mode over a full drain)
+    must equal the batch group-by."""
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_available_now(
+        tumbling_counts(stream), _qname(), output_mode="complete"
+    ).collect()
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .collect()
+    )
+    want = {(r["window_start"], r["event_type"]): r["cnt"] for r in batch}
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["window_start"], r["event_type"])] == r["cnt"]
+
+
+def test_session_stream_matches_batch_sessionization(spark):
+    """session_window sessions-per-user must equal the batch lag+cumsum
+    computation (q22) — same 30-minute gap semantics."""
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_available_now(
+        session_counts(stream, gap="30 minutes"), _qname(), output_mode="complete"
+    )
+    per_user = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    from hiveka_spark.queries.relational import q22_sessionization
+
+    batch = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in q22_sessionization(spark, SF_SMOKE).collect()}
+    assert per_user == batch
+
+
+def test_sliding_windows_cover_each_event_twice(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_available_now(
+        sliding_counts(stream, window="1 hour", slide="30 minutes"),
+        _qname(),
+        output_mode="complete",
+    )
+    total_events = table(spark, SF_SMOKE, "events").count()
+    # 1h window sliding by 30min => every event in exactly 2 windows
+    assert got.agg(F.sum("cnt")).collect()[0][0] == 2 * total_events
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Replay with duplicated input: dropDuplicates keyed on event_id keeps
+    one row per event."""
+    stream = events_stream(spark, SF_SMOKE)
+    doubled = stream.unionByName(stream)  # same source twice in one DAG
+    out = run_available_now(
+        dedup_stream(doubled, ["event_id"], watermark="10 hours"),
+        _qname(),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    n = out.count()
+    assert n == table(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_static_join(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    static = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_bucket", F.pmod("user_id", F.lit(10)))
+    )
+    joined = stream_static_join(stream, static, "user_id")
+    got = run_available_now(
+        joined.groupBy("user_bucket").count(), _qname(), output_mode="complete"
+    )
+    assert got.agg(F.sum("count")).collect()[0][0] == table(spark, SF_SMOKE, "events").count()
+
+
+def test_watermark_drops_late_data_across_checkpointed_runs(spark, tmp_path):
+    """Two availableNow runs sharing a checkpoint: run 1 advances the
+    watermark past hour H; run 2 delivers late events inside hour H -> the
+    closed window must NOT reappear in append output."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def write_file(rows, name):
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # run 1: events at 10:xx and 14:xx -> watermark (2h) ends far past hour 10
+    write_file(
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+            (3, t0 + dt.timedelta(hours=4), 1, "click", 1.0, "{}"),
+        ],
+        "f1",
+    )
+    stream_schema = mk([]).schema
+    out_dir = str(tmp_path / "sink")
+
+    def run():
+        # parquet sink (not memory): supports checkpoint recovery, so run 2
+        # resumes the watermark state persisted by run 1
+        s = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        agg = tumbling_counts(s, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    first = run()
+    counts1 = {(r["window_start"], r["cnt"]) for r in first if r["window_start"].hour == 10}
+    assert (dt.datetime(2024, 6, 1, 10, 0), 2) in counts1  # hour-10 window closed with 2 events
+
+    # run 2: a LATE event inside hour 10 (watermark already at 12:xx+)
+    write_file([(4, t0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}")], "f2")
+    second = run()
+    # late row is beyond the watermark: the closed hour-10 window must not
+    # re-emit or change — cumulative sink output for hour 10 is unchanged
+    counts2 = {(r["window_start"], r["cnt"]) for r in second if r["window_start"].hour == 10}
+    assert counts2 == counts1
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    stream = events_stream(spark, SF_SMOKE)
+    out_dir = str(tmp_path / "out")
+    run_foreach_batch_parquet(stream.select("event_id", "event_type"), out_dir, str(tmp_path / "ck"))
+    written = spark.read.parquet(out_dir + "/batch=*")
+    assert written.count() == table(spark, SF_SMOKE, "events").count()
