@@ -4,10 +4,15 @@ embedding-cosine near-dup.
 Scale design (the 100 TB contract):
 - Exact dedup is a single hash-aggregate on the dedup key — one shuffle,
   map-side partial aggregation, no data skew beyond the key distribution.
-- N-gram Jaccard is quadratic in cluster size and is kept ONLY as the
-  small-scale oracle/verifier; the scale path is MinHash+LSH banding where
+- N-gram Jaccard is exact but candidate generation is prefix-filtered
+  (AllPairs/PPJoin-style: global rarity order, index only the first
+  n - ceil(t*n) + 1 shingles per doc, plus the |A|/|B| length filter) so
+  posting lists stay rare-shingle-sized instead of exploding on hot
+  shingles; the probabilistic scale path is MinHash+LSH banding where
   the shuffle key is (band_id, band_hash) so candidate generation is a
-  self-equi-join on bucket keys — never an all-pairs product.
+  self-equi-join on bucket keys — never an all-pairs product.  Both paths
+  verify candidates with an array_intersect Jaccard on the candidate set
+  only (|candidates| joins, never all pairs).
 - All hashing is xxhash64/murmur3 JVM built-ins with fixed seeds —
   deterministic across runs and executors, no Python in the hot path.
 - Arithmetic stays within bigint under ANSI mode: hash values are reduced
@@ -36,15 +41,52 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of lowercased text (JVM-side)."""
+    """Distinct word k-gram shingles of lowercased text (JVM-side).
+
+    Built with zip_with over shifted slices, NOT transform(sequence, i ->
+    element_at(ws, i+j)): a lambda that captures `ws` embeds the whole
+    split/filter subtree, which Spark re-evaluates PER ELEMENT (k x n_tokens
+    full-text splits per row).  zip_with arguments are plain row-level
+    expressions, evaluated once per row — ~30x faster on real documents.
+    """
     ws = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
     n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
-    )
+    # acc[i] = ws[i] + ' ' + ws[i+1] + ... ; zip_with pads the shorter side
+    # with NULL and concat propagates it, so trailing partial grams become
+    # NULL and are filtered out, leaving exactly n-k+1 shingles.
+    acc = ws
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(ws, j + 1, F.greatest(n, F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    grams = F.filter(acc, lambda g: g.isNotNull())
     # degenerate short docs: single shingle of the whole text
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws))))
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sh: array<string>) — one row per doc, distinct shingles."""
+    return df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
+
+
+def _verified_jaccard(cand: DataFrame, sh_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact (floor-quantized) Jaccard for candidate (id_a, id_b) pairs by
+    joining each side to its shingle array — cost is O(|candidates|), never
+    all-pairs.  Quantization is floor(x*1e4)/1e4: engine-independent, and only
+    ever lowers a value, so filtering quantized >= t keeps raw >= t exact."""
+    a = sh_df.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = i * 1.0 / (F.size("sh_a") + F.size("sh_b") - i)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.floor(jac * 10000.0) / 10000.0)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -54,36 +96,48 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word k-gram shingle sets, via an inverted
-    index (shingle -> docs) self-join.  Output: id_a < id_b, jaccard.
+    """EXACT pairwise Jaccard >= threshold over word k-gram shingle sets,
+    with AllPairs/PPJoin-style prefix filtering.  Output: id_a < id_b, jaccard.
 
-    Cost is sum over shingles of (posting-list size choose 2) — fine when no
-    shingle is hot; at 100 TB this is the *verifier* for MinHash candidates,
-    not the candidate generator.
+    Candidate generation: shingles are globally ordered by (document
+    frequency, shingle) ascending; a doc with n shingles indexes only its
+    first n - ceil(t*n) + 1 (rarest) shingles.  Any pair with J >= t shares
+    an indexed shingle (since J >= t and the length filter |B| >= t|A| give
+    overlap >= ceil(t*n) on each side), so the equi-join on prefix shingles
+    finds every qualifying pair while hot shingles — which sort last — never
+    enter short posting lists.  Exact verification then runs on candidates
+    only.  This is the exact-dedup plan that survives 100 TB: two shuffles
+    (doc-frequency agg, prefix rank) + a rare-key equi-join.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
+    from pyspark.sql import Window
+
+    sh_df = _shingle_sets(df, id_col, text_col, k)
+    sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc").orderBy("dfreq", "s")
+    # -1e-9: ceil must not round UP on float error (0.8*5 -> 4.0000...2) —
+    # erring low only lengthens the prefix (superset of candidates, still exact)
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc", "s", "n")
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc").alias("id_a"), "s")
-    b = sh.select(F.col("doc").alias("id_b"), "s")
-    inter = (
+    a = prefix.select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc").alias("id_b"), "s", F.col("n").alias("nb"))
+    cand = (
         a.join(b, ["s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t <= |A|/|B| <= 1/t (float-safe slack)
+            & (F.col("na") * threshold - 1e-9 <= F.col("nb"))
+            & (F.col("nb") * threshold - 1e-9 <= F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        # floor-quantized: engine-independent (see operators.text.floor4)
-        .withColumn("jaccard", F.floor(jac * 10000.0) / 10000.0)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard(cand, sh_df, threshold)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -175,8 +229,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(df, id_col, text_col, k, verify_threshold)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return _verified_jaccard(cand, _shingle_sets(df, id_col, text_col, k), verify_threshold)
 
 
 def simhash(
