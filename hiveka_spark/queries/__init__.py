@@ -55,6 +55,11 @@ def _ensure_loaded() -> None:
     global _loaded
     if not _loaded:
         # Imports populate REGISTRY via the decorator.
-        from hiveka_spark.queries import extensions, relational  # noqa: F401
+        from hiveka_spark.queries import (  # noqa: F401
+            extensions,
+            relational,
+            relational_ext,
+            streaming_queries,
+        )
 
         _loaded = True

@@ -1,0 +1,343 @@
+"""SURVEY.md §2B relational surface, part 2 — joins beyond equi, window
+frames, percentiles, array/map functions, grouping sets, subquery forms,
+pivot, approximate aggregates.
+
+The reference delegates its whole SQL surface to Hive (README.md:3,
+TODO.md:6-9); these entries declare the remainder of that surface as
+engine inventory with DuckDB oracles, same conventions as relational.py
+(identical aliases both sides, floor-quantized ratios, BIGINT casts for
+integer-typed computed columns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hiveka_spark.catalog import dim, load_tables, table
+from hiveka_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Joins beyond inner-equi
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_full_outer_join",
+    oracle="""
+    SELECT COALESCE(c.n, s.n) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS n, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS n, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.n = s.n
+    """,
+    tags=("join", "outer"),
+)
+def q26_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (customer vs supplier
+    presence per nation) — aggregate-before-join keeps the outer join's
+    shuffle at |nations| instead of |customers|."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, F.col("cn") == F.col("sn"), "full_outer").select(
+        F.coalesce("cn", "sn").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q27_cross_join",
+    oracle="""
+    SELECT r.r_name, p.p AS priority
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS p FROM orders) p
+    """,
+    tags=("join", "cross"),
+)
+def q27_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two bounded sides (the only safe cross-join
+    shape at scale: both inputs dimension-sized, product broadcastable)."""
+    r = dim(spark, sf_dir, "region").select("r_name")
+    p = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    return r.crossJoin(p)
+
+
+@register(
+    "q28_theta_join",
+    oracle="""
+    SELECT b.band_name,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o.o_totalprice), 2) AS band_revenue
+    FROM orders o
+    JOIN (VALUES ('small',   0.0,      50000.0),
+                 ('medium',  50000.0,  150000.0),
+                 ('large',   150000.0, 1e12)) b(band_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("join", "theta", "broadcast"),
+)
+def q28_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (inequality-only) join against a tiny in-memory band table —
+    planned as BroadcastNestedLoopJoin, the only join strategy for pure
+    non-equi predicates; safe because the broadcast side is O(1) rows."""
+    o = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 150000.0), ("large", 150000.0, 1e12)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames & analytic functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(FLOOR(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000.0) AS BIGINT) / 10000.0
+             AS mov_avg3,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000.0) AS BIGINT) / 10000.0 AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "frames", "analytic"),
+)
+def q29_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag/lead/ntile/percent_rank) + an explicit
+    ROWS frame moving average, all over one deterministic per-customer
+    ordering — a single shuffle on o_custkey shared by every function."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.floor(F.avg("o_totalprice").over(wf) * 10000.0) / 10000.0).alias("mov_avg3"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 10000.0) / 10000.0).alias("pct_rank"),
+    )
+
+
+@register(
+    "q30_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  Quarter fractions over the
+    integral-valued quantity column make the linear interpolation exact in
+    IEEE doubles, so Spark and DuckDB agree bit-for-bit with no quantization.
+    (At 100 TB the exact percentile becomes approx_percentile — see
+    q36_approx_distinct for the sketch-aggregate posture.)"""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / map functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(LEN(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5,
+           CAST(list_sum(list_transform(toks, w -> LENGTH(w))) AS BIGINT) AS sum_len
+    FROM t
+    """,
+    tags=("functions", "array"),
+)
+def q31_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: split/filter/distinct/sort/slice/join plus a
+    fold (F.aggregate) — all JVM higher-order functions, zero Python."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct("toks")), 1, 5), ",").alias("first5"),
+        F.aggregate(
+            "toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+    )
+
+
+@register(
+    "q32_map_funcs",
+    oracle="""
+    WITH w AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '),
+                                                 x -> x <> '')) AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (w = 'the') AS BIGINT) AS the_cnt
+    FROM w GROUP BY doc_id
+    """,
+    tags=("functions", "map"),
+)
+def q32_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function surface: per-document word-count map built with
+    map_from_entries, then size() and element_at() lookups.  The map is an
+    intermediate — outputs are plain columns so the oracle stays relational."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != F.lit(""))
+    counts = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "cnt"))).alias("m")
+    )
+    return maps.select(
+        "doc_id",
+        F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_keys"),
+        F.coalesce(F.element_at("m", F.lit("the")), F.lit(0)).cast("bigint").alias("the_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / subquery forms / pivot
+# ---------------------------------------------------------------------------
+
+_Q33_SQL = """
+SELECT COALESCE(r_name, '<ALL>') AS region_name,
+       COALESCE(o_orderpriority, '<ALL>') AS priority,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority), ())
+"""
+
+
+@register("q33_grouping_sets", oracle=_Q33_SQL, tags=("agg", "grouping-sets", "sql"))
+def q33_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() indicator columns (the general
+    form behind q13 ROLLUP / q14 CUBE), via the SQL entry point — one Expand
+    node, single aggregation pass over the joined input."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_Q33_SQL)
+
+
+_Q34_SQL = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("q34_subqueries", oracle=_Q34_SQL, tags=("subquery", "sql"))
+def q34_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (broadcast single-row) + NOT IN
+    (null-aware anti join) in one predicate — the two subquery shapes q23/q25
+    don't cover."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_Q34_SQL)
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q35_pivot",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) FILTER (o.o_orderpriority = '1-URGENT')        AS "1-URGENT",
+           COUNT(*) FILTER (o.o_orderpriority = '2-HIGH')          AS "2-HIGH",
+           COUNT(*) FILTER (o.o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+           COUNT(*) FILTER (o.o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (o.o_orderpriority = '5-LOW')           AS "5-LOW"
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "pivot"),
+)
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide) on a bounded value set.  Values are listed
+    explicitly — at scale an implicit pivot adds a full distinct-values job
+    before planning; explicit values keep it a single-pass aggregation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    wide = joined.groupBy("n_name").pivot("o_orderpriority", _PRIORITIES).count()
+    return wide.select(
+        "n_name", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES]
+    )
+
+
+@register("q36_approx_distinct", oracle=None, tags=("agg", "approx", "sketch"))
+def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (the 100 TB substitute for
+    exact count-distinct: mergeable fixed-size sketch, no expand shuffle).
+    No SQL oracle — HLL estimates are engine-specific; accuracy vs exact is
+    property-tested (<=5% rsd) in tests/test_operators.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,131 @@
+"""Structured Streaming inventory entries — the engine's streaming surface
+run through the same correctness gate as batch queries.
+
+The reference's "streaming" is repeated batch pulls of new offset ranges
+(KafkaInputFormat.java:471-501 resume + TODO.md:6-9 queries on top); the
+Spark-native equivalent is a real micro-batch stream.  Each entry here runs
+a file-source stream (same DataFrame DAG as a Kafka source — see
+hiveka_spark.streaming.pipeline) to completion with trigger(availableNow)
+and returns the drained result, so the driver can hash-compare it against a
+batch DuckDB oracle: the streaming plan must converge to the batch answer.
+
+Complete output mode is used for windowed aggregations (no rows withheld by
+the final watermark), append for dedup.  Checkpoints go to fresh temp dirs —
+each invocation is a fresh run, not a resume.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.queries import register
+from hiveka_spark.streaming import pipeline as P
+
+
+def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    return P.run_available_now(
+        df, name, output_mode=output_mode, checkpoint=tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    )
+
+
+@register(
+    "s01_stream_hourly_windows",
+    oracle="""
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS window_start_ms,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def s01_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour windows over the event stream, drained with
+    availableNow in complete mode — must equal the batch hourly aggregation
+    (q21's oracle, window starts as epoch millis)."""
+    stream = P.events_stream(spark, sf_dir)
+    agg = P.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    out = _drain(agg, "s01_hourly", "complete")
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "cnt",
+        "total_value",
+    )
+
+
+@register(
+    "s02_stream_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000 THEN 1
+                  WHEN LAG(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ms,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ms) AS session_start_ms,
+           MAX(ms) + 1800000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window", "stateful"),
+)
+def s02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min inactivity gap) per user.  Spark's
+    session_window end is last-event-time + gap, so the batch oracle is the
+    lag/cumsum sessionization (q22's shape) with MAX(ms) + gap as the end.
+    Timestamps are microsecond-truncated on the Spark side and ms-exact in
+    the fixture, so epoch-millis compare exactly."""
+    stream = P.events_stream(spark, sf_dir)
+    sess = P.session_counts(stream, gap="30 minutes", watermark="2 hours")
+    out = _drain(sess, "s02_sessions", "complete")
+    return out.select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
+@register(
+    "s03_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(FLOOR(epoch_ms(ts) / 60000) AS BIGINT) AS minute_bucket
+    FROM events
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type, minute bucket):
+    dropDuplicates state bounded by the watermark horizon.  Only key columns
+    are emitted (which physical row survives is undefined in both engines),
+    so the oracle is SELECT DISTINCT."""
+    stream = P.events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_millis("ts") / 60000).cast("bigint").alias("minute_bucket"),
+        F.col("ts"),
+    )
+    dedup = keyed.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "event_type", "minute_bucket"]
+    )
+    out = _drain(dedup, "s03_dedup", "append")
+    return out.select("user_id", "event_type", "minute_bucket")

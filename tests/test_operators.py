@@ -141,3 +141,25 @@ def test_ngram_jaccard_identical_docs(spark):
     out = D.ngram_jaccard_pairs(df, threshold=0.99).collect()
     assert len(out) == 1
     assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+# ------------------------------------------------------------ approx sketches
+def test_approx_count_distinct_accuracy(spark):
+    """q36's HLL++ estimates must land within the configured 2% rsd of exact
+    (5% tolerance for sampling slack at small n)."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 2)
