@@ -13,8 +13,9 @@ Scale design (the 100 TB contract):
   self-equi-join on bucket keys — never an all-pairs product.  Both paths
   verify candidates with an array_intersect Jaccard on the candidate set
   only (|candidates| joins, never all pairs).
-- All hashing is xxhash64/murmur3 JVM built-ins with fixed seeds —
-  deterministic across runs and executors, no Python in the hot path.
+- All hashing is the md5-derived portable_hash60 (JVM built-in, codegen'd) —
+  deterministic across runs, executors, AND engines, so every probabilistic
+  dedup entry carries a full DuckDB oracle; no Python in the hot path.
 - Arithmetic stays within bigint under ANSI mode: hash values are reduced
   mod MERSENNE31 before affine permutation, so a*h+b < 2^62.
 """
@@ -25,6 +26,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit hash from the first 15 hex chars of md5 — bit-identical in
+    Spark (conv/md5), DuckDB (CAST('0x'||substring(md5(s),1,15) AS BIGINT)),
+    and Python (int(hashlib.md5(s).hexdigest()[:15], 16)).  Engine-portable
+    hashing is what lets MinHash/SimHash/LSH entries carry a full SQL oracle
+    instead of a rows-only check; md5 is JVM codegen'd, so the hot path stays
+    off Python."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """The DuckDB-side twin of portable_hash60 (same value, same type)."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -167,14 +183,16 @@ def minhash_signatures(
     """MinHash signature per document: array<bigint> of length num_perm.
 
     One explode + one hash-aggregate (map-side combinable MIN per perm) —
-    a single shuffle keyed by doc id.  Base hash is xxhash64(shingle) reduced
-    mod 2^31-1; perm_i(h) = (a_i*h + b_i) mod 2^31-1 stays < 2^62 (ANSI-safe).
+    a single shuffle keyed by doc id.  Base hash is portable_hash60(shingle)
+    reduced mod 2^31-1 (engine-portable, so the DuckDB oracle can replay the
+    exact signatures); perm_i(h) = (a_i*h + b_i) mod 2^31-1 stays < 2^62
+    (ANSI-safe).
     """
     coeffs = _perm_coeffs(num_perm)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
     )
-    h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+    h = F.pmod(portable_hash60("s"), F.lit(MERSENNE31)).alias("h")
     hashed = sh.select("doc", h)
     mins = [
         F.min(F.pmod(F.col("h") * a + b, F.lit(MERSENNE31))).alias(f"m{i}")
@@ -210,9 +228,9 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("signature")[bi * r + j] for j in range(r)]).alias(
-                            "bh"
-                        ),
+                        portable_hash60(
+                            F.concat_ws("_", *[F.col("signature")[bi * r + j] for j in range(r)])
+                        ).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -240,7 +258,7 @@ def simhash(
     of +/-1 contributions per bit — explode + single shuffle)."""
     toks = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
     t = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("w"))
-    h = F.xxhash64("w")
+    h = portable_hash60("w")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -85,25 +85,34 @@ def brute_force_topk(
     )
 
 
-def _plane_weight(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-0.4995, 0.4995]:
-    xxhash64 of (plane-constant, dim-index) — stable across runs/executors,
-    no RNG state to ship."""
-    h = F.xxhash64(F.lit(plane * 100003), dim_idx)
-    return (F.pmod(h, F.lit(1000)).cast("double") - 499.5) / 1000.0
+def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-500, 499], derived from
+    md5("plane{p}_{i}") — reproducible in pure Python, Spark, and DuckDB, so
+    LSH bucket assignment is engine-exact (integer dot products, no float
+    sign flips near zero) and the ANN entry carries a full SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[:15], 16) % 1000 - 500
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def lsh_bucket(vec_col: Column | str, n_planes: int, dim: int) -> Column:
-    """Sign-bit bucket id from n_planes deterministic random hyperplanes."""
-    vec = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int) -> Column:
+    """Sign-bit bucket id from deterministic hyperplanes over the QUANTIZED
+    vector: dot products are exact bigint arithmetic (|qv| <= 1e4ish, |w| <=
+    500, dim 64 => |dot| < 2^30), so the bucket is order- and
+    engine-independent."""
+    qvec = qvec_col if isinstance(qvec_col, Column) else F.col(qvec_col)
     bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
+    for p, weights in enumerate(plane_weights(n_planes, dim)):
+        warr = F.array(*[F.lit(w).cast("bigint") for w in weights])
         dot = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i, p=p: F.element_at(vec, i + 1) * _plane_weight(p, i),
-            ),
-            F.lit(0.0),
+            F.zip_with(qvec, warr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
@@ -120,18 +129,30 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     dim: int = 64,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors sharing the query's LSH
-    bucket (equi-join on bucket id — the candidate set shrinks ~2^-planes).
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket
+    (equi-join on bucket id — the candidate set shrinks ~2^-planes).
 
-    Recall < 1 by construction; tests measure recall vs brute_force_topk.
+    multi_probe additionally probes every bucket at Hamming distance 1 from
+    the query's (flip each sign bit once): the query side explodes into
+    n_planes+1 probe rows so the join STAYS an equi-join on bucket — the
+    shape that survives 100 TB — while recall roughly doubles.  Probe buckets
+    are distinct and each corpus vector lives in one bucket, so no dedup of
+    candidate pairs is needed.  Recall vs brute force is property-tested.
     """
     c = with_quantized_norm(corpus, vec_col).withColumn(
-        "bucket", lsh_bucket(vec_col, n_planes, dim)
+        "bucket", lsh_bucket("qvec", n_planes, dim)
     )
     q = with_quantized_norm(queries, vec_col).withColumn(
-        "bucket", lsh_bucket(vec_col, n_planes, dim)
+        "bucket", lsh_bucket("qvec", n_planes, dim)
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** p).cast("bigint")) for p in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     cc = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"),
         F.col("qnorm2").alias("cn2"), "bucket",

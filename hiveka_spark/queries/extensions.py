@@ -8,9 +8,10 @@ Oracle notes: every ratio/cosine is floor-quantized (floor(x*1e4)/1e4) rather
 than ROUND()ed — floor of an identical IEEE double is engine-independent while
 ROUND half-boundary behavior is not.  Cosines are computed over fixed-point
 integer-quantized vectors so dot products are exact integers (< 2^53) in both
-engines regardless of summation order.  MinHash / SimHash / LSH entries have
-no SQL oracle (they depend on xxhash64) and take the driver's rows-only check;
-their quality is property-tested against exact brute force in tests/.
+engines regardless of summation order.  MinHash / SimHash / LSH entries hash
+with the md5-derived portable_hash60, so even the probabilistic pipelines are
+replayed exactly by their DuckDB oracles; quality (recall vs brute force) is
+additionally property-tested in tests/.
 """
 
 from __future__ import annotations
@@ -91,19 +92,104 @@ def x02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
 
 
-@register("x03_dedup_minhash", oracle=None, tags=("dedup", "neardup", "minhash", "lsh"))
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, k: int = 3,
+                    threshold: float = 0.8) -> str:
+    """DuckDB replay of the full MinHash+LSH+verify pipeline — possible
+    because every hash is the engine-portable md5-derived portable_hash60."""
+    coeffs = D._perm_coeffs(num_perm)
+    r = num_perm // bands
+    m31 = D.MERSENNE31
+    mins = ",\n                 ".join(
+        f"MIN(({a} * h + {b}) % {m31}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
+            bi=bi,
+            bh=D.portable_hash60_sql(
+                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{k - 1}], ' ') AS s
+           FROM (SELECT doc_id, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                 FROM w)),
+    h AS (SELECT doc_id, {D.portable_hash60_sql("s")} % {m31} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+              GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
+          >= {threshold}
+    """
+
+
+@register(
+    "x03_dedup_minhash",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "neardup", "minhash", "lsh"),
+)
 def x03_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, Jaccard-verified
-    at 0.8 — the shuffle-on-bucket scale path for near-dup dedup.  No SQL
-    oracle (xxhash64-dependent); recall property-tested vs x02 in tests/."""
+    at 0.8 on the candidate set only — the shuffle-on-bucket scale path for
+    near-dup dedup.  Fully oracle-checked: portable_hash60 lets DuckDB replay
+    the exact signatures, bands, and verification."""
     d = table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8)
 
 
-@register("x04_dedup_simhash", oracle=None, tags=("dedup", "neardup", "simhash"))
+def _simhash_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)" for i in range(bits)
+    )
+    width = bits // bands
+    mask = (1 << width) - 1
+    blocks = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, simhash, {bi} AS block, (simhash >> {bi * width}) & {mask} AS bv"
+        f" FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '),
+                                                   x -> x <> '')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, {D.portable_hash60_sql("w")} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM votes),
+    blocks AS ({blocks}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM blocks a JOIN blocks b ON a.block = b.block AND a.bv = b.bv
+                                        AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("x04_dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "neardup", "simhash"))
 def x04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs at Hamming <= 3 via pigeonhole banding
-    (4 blocks): equi-join candidates, exact bit_count verify."""
+    (4 blocks): equi-join candidates, exact bit_count verify.  Oracle-checked
+    end-to-end via portable_hash60 token hashes."""
     d = table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, "doc_id", "text", bits=32, bands=4, max_hamming=3)
 
@@ -169,11 +255,43 @@ def x06_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
 
 
-@register("x07_ann_lsh", oracle=None, tags=("similarity", "ann", "lsh"))
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 4, dim: int = 64) -> str:
+    planes = S.plane_weights(n_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(qvd, {[float(w) for w in planes[p]]}) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    b AS (SELECT vec_id, qvd, list_dot_product(qvd, qvd) AS n2, {bucket} AS bucket FROM n),
+    probes AS (SELECT vec_id, qvd, n2,
+                      UNNEST([bucket, {", ".join(f"xor(bucket, {2 ** p})" for p in range(n_planes))}])
+                        AS bucket
+               FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+             CAST(FLOOR((list_dot_product(qs.qvd, cs.qvd)
+                         / (sqrt(qs.n2) * sqrt(cs.n2))) * 10000.0) AS BIGINT) / 10000.0
+               AS cosine
+      FROM probes qs JOIN b cs ON qs.bucket = cs.bucket AND cs.vec_id <> qs.vec_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("x07_ann_lsh", oracle=_ann_lsh_oracle(), tags=("similarity", "ann", "lsh"))
 def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets (4 planes):
+    """Approximate top-5 via random-hyperplane LSH buckets (4 planes over the
+    quantized vectors — integer dots, engine-exact bucket assignment):
     candidates restricted to the query's bucket.  Recall vs brute force is
-    property-tested in tests/."""
+    property-tested in tests/; the oracle replays the same planes in DuckDB."""
     e = table(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_planes=4)
 
