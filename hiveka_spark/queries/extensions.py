@@ -431,6 +431,38 @@ def x12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x14_avro_wire_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("kafka", "avro", "ingest"),
+)
+def x14_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole value proposition on the correctness gate: rows
+    -> raw-framed Avro binary (BaseProducer.java:44-54; the sink the reference
+    stubs at KafkaOutputFormat.java:28-39) -> wire decode against the declared
+    schema (KafkaAvroMessageDecoder.java:153-177) -> SQL aggregation on the
+    decoded columns.  The oracle aggregates the source table directly, so any
+    codec corruption breaks the hash match.  Arrow-batched mapInPandas both
+    directions — per-batch Python cost, no per-row pickling."""
+    from hiveka_spark.schema import struct_to_avro
+    from hiveka_spark.sources.avro_codec import decode_avro_df, encode_avro_df
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    avro = struct_to_avro(d.schema, "document")
+    wire = encode_avro_df(d, avro)
+    decoded = decode_avro_df(wire, avro)
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
     "x13_asof_join",
     oracle="""
     WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms

@@ -68,3 +68,51 @@ def test_q10_uses_take_ordered(spark):
 
 def test_codegen_spans_exist(spark):
     assert codegen_stage_count(q01_pricing_summary(spark, SF_SMOKE)) >= 1
+
+
+# ---------------------------------------------------------------- new surface
+def test_q28_theta_join_is_broadcast_nlj(spark):
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.relational_ext import q28_theta_join
+
+    plan = formatted_plan(q28_theta_join(spark, SF_SMOKE))
+    # pure inequality join against an O(1) side must broadcast, never
+    # cartesian-shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q35_pivot_broadcasts_nation(spark):
+    from hiveka_spark.queries.relational_ext import q35_pivot
+
+    assert has_broadcast_join(q35_pivot(spark, SF_SMOKE))
+
+
+def test_q30_percentiles_single_shuffle(spark):
+    from hiveka_spark.queries.relational_ext import q30_percentiles
+
+    assert shuffle_count(q30_percentiles(spark, SF_SMOKE)) == 1
+
+
+def test_x06_ann_broadcasts_queries(spark):
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.extensions import x06_ann_topk
+
+    plan = formatted_plan(x06_ann_topk(spark, SF_SMOKE))
+    assert "Broadcast" in plan  # query side broadcast, corpus never shuffled
+    assert "CartesianProduct" not in plan
+
+
+def test_x02_no_cartesian(spark):
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.extensions import x02_dedup_ngram_jaccard
+
+    # prefix-filtered exact jaccard: equi-joins only, no all-pairs product
+    assert "CartesianProduct" not in formatted_plan(x02_dedup_ngram_jaccard(spark, SF_SMOKE))
+
+
+def test_q29_single_window_shuffle(spark):
+    from hiveka_spark.queries.relational_ext import q29_window_frames
+
+    # every analytic fn shares one per-customer ordering: exactly one exchange
+    assert shuffle_count(q29_window_frames(spark, SF_SMOKE)) == 1
