@@ -6,9 +6,11 @@ Prints ONE JSON line:
    "queries": {"q01_...": sec, ...}, "sf": "<dir>"}
 
 Headline set covers every engine pillar: full-scan agg (q01), star join
-(q24), window top-k (q08), time windows (q21), sessionization (q22),
-near-dup dedup (x02 exact + x03 minhash-LSH), ANN (x06), text quality (x08),
-as-of join (x13).  Each query is timed around a full materialization
+(q24), window top-k (q08) + analytic frames (q29), grouping sets (q33),
+time windows (q21) + their streaming twin (s01), sessionization (q22),
+near-dup dedup (x02 exact-prefix-filtered + x03 minhash-LSH), ANN (x06
+brute + x07 LSH), text quality (x08), as-of join (x13), and the Avro wire
+codec path (x14).  Each query is timed around a full materialization
 (collect) after one warm-up action amortizes JVM/session startup.
 """
 
@@ -31,12 +33,17 @@ HEADLINE = [
     "q21_hourly_windows",
     "q22_sessionization",
     "q24_regional_revenue",
+    "q29_window_frames",
+    "q33_grouping_sets",
+    "s01_stream_hourly_windows",
     "x01_dedup_exact",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash",
     "x06_ann_topk",
+    "x07_ann_lsh",
     "x08_text_quality",
     "x13_asof_join",
+    "x14_avro_wire_roundtrip",
 ]
 
 
