@@ -83,8 +83,16 @@ def word_shingles(text_col: Column | str, k: int = 3) -> Column:
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc, sh: array<string>) — one row per doc, distinct shingles."""
-    return df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
+    """(doc, sh: array<string>) — one row per doc, distinct shingles.
+
+    Repartitioned by doc so every consumer branch (doc-frequency index,
+    prefix ranking, both verify sides, minhash signatures) starts from ONE
+    identical exchange subtree: Spark's ReuseExchange computes the shingle
+    arrays once and replays the shuffle files, instead of re-running the
+    tokenizer per branch.  Downstream doc-keyed aggregations/windows/joins
+    also inherit the partitioning (no extra shuffle)."""
+    sets = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
+    return sets.repartition(F.col("doc"))
 
 
 def _verified_jaccard(cand: DataFrame, sh_df: DataFrame, threshold: float) -> DataFrame:
@@ -129,6 +137,8 @@ def ngram_jaccard_pairs(
 
     sh_df = _shingle_sets(df, id_col, text_col, k)
     sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    # NOTE: minhash_lsh_pairs' verify reuses the same sh_df subtree — keep the
+    # construction identical so ReuseExchange matches it.
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
     w = Window.partitionBy("doc").orderBy("dfreq", "s")
     # -1e-9: ceil must not round UP on float error (0.8*5 -> 4.0000...2) —
@@ -189,9 +199,9 @@ def minhash_signatures(
     (ANSI-safe).
     """
     coeffs = _perm_coeffs(num_perm)
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, k)).alias("s")
-    )
+    # explode AFTER the doc-partitioned exchange: partitioning survives the
+    # generator, so the per-doc MIN aggregation below needs no further shuffle
+    sh = _shingle_sets(df, id_col, text_col, k).select("doc", F.explode("sh").alias("s"))
     h = F.pmod(portable_hash60("s"), F.lit(MERSENNE31)).alias("h")
     hashed = sh.select("doc", h)
     mins = [
