@@ -1,0 +1,168 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+These cover the semantics Spark's built-in streaming operators can't express
+(SURVEY.md §2B "UDF surface" row; the reference has no analog — its
+"state" is the resumed offset file, KafkaInputFormat.java:471-501):
+
+- running_user_stats: per-key running aggregates that EMIT on every
+  micro-batch (dashboards want the running value; a plain streaming groupBy
+  in update mode only emits keys touched in the batch, with no way to attach
+  custom transition logic).
+- funnel_detect: A→B conversion detection within a horizon — per-key ordered
+  pattern matching with carried state, the classic case for a custom
+  transition function.
+
+Scale posture: state is one small fixed-width row per key — O(active keys),
+not O(events) — and long-running deployments pass ``ttl_minutes`` to expire
+idle keys via ProcessingTimeTimeout.  Timeouts default OFF because an
+availableNow drain with unexpired timeout state keeps scheduling no-data
+batches and never terminates.  Arrow moves each group's batch as columnar
+data; the Python transition touches pandas frames, never per-row pickles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+RUNNING_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_user_stats(events: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """Per-user running (count, sum(value)) across micro-batches.
+
+    Emits the post-batch running totals for every user seen in the batch.
+    ``ttl_minutes`` expires idle users' state (bounded state for ever-running
+    production streams).  Default is NO timeout: with ProcessingTimeTimeout
+    set and state that never expires, an availableNow drain keeps scheduling
+    no-data batches to re-check timeouts and never terminates — so timeouts
+    are opt-in for long-running queries only.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes else GroupStateTimeout.NoTimeout
+    )
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            transition,
+            outputStructType=RUNNING_OUTPUT,
+            stateStructType=RUNNING_STATE,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_ms", T.LongType()),
+        T.StructField("converted_ms", T.LongType()),
+        T.StructField("gap_ms", T.LongType()),
+    ]
+)
+FUNNEL_STATE = T.StructType([T.StructField("pending_ms", T.LongType())])
+
+
+def funnel_detect(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon_ms: int = 3_600_000,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Emit one row per (first_type → then_type) conversion within
+    ``horizon_ms``, per user.  State carries the earliest unconverted
+    ``first_type`` timestamp; events inside each batch are processed in
+    event-time order, so output is deterministic for a given batch split.
+
+    Expects columns: user_id, event_type, ms (event-time epoch millis).
+    ``ttl_minutes`` None => NoTimeout (see running_user_stats note on
+    availableNow drains).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes else GroupStateTimeout.NoTimeout
+    )
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pending = state.get[0] if state.exists else None
+        out: list[tuple[int, int]] = []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames, ignore_index=True).sort_values("ms")
+        for etype, ms in zip(batch["event_type"], batch["ms"]):
+            ms = int(ms)
+            if etype == first_type:
+                if pending is None:
+                    pending = ms
+            elif etype == then_type and pending is not None:
+                if ms - pending <= horizon_ms:
+                    out.append((pending, ms))
+                pending = None
+        if pending is None:
+            state.remove()
+        else:
+            state.update((pending,))
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "first_ms": [a for a, _ in out],
+                    "converted_ms": [b for _, b in out],
+                    "gap_ms": [b - a for a, b in out],
+                }
+            )
+
+    return (
+        events.select("user_id", "event_type", "ms")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            transition,
+            outputStructType=FUNNEL_OUTPUT,
+            stateStructType=FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
