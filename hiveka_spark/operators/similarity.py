@@ -180,6 +180,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around deterministic centroids; each query
+    scores only vectors in its ``n_probe`` nearest cells.
+
+    Centroids are corpus vectors sampled by id stride (deterministic, no
+    k-means iterations — at 100 TB you'd train centroids offline on a sample;
+    the SEARCH plan is identical either way): cell assignment is an argmax of
+    integer dot products against the broadcast centroid set, candidates come
+    from an equi-join on cell id.  Corpus-side work per query drops ~n_probe/
+    n_cells; everything stays exact-integer so the DuckDB oracle replays it.
+    """
+    v = with_quantized_norm(corpus, vec_col)
+    total = corpus.count()
+    stride = centroid_stride or max(total // n_cells, 1)
+    cents = (
+        v.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells))
+        .select(
+            (F.col(id_col) / stride).cast("bigint").alias("cell"),
+            F.col("qvec").alias("cvec"),
+            F.col("qnorm2").alias("cn2"),
+        )
+    )
+
+    def nearest_cells(side: DataFrame, n: int) -> DataFrame:
+        """Attach the n nearest cell ids (by cosine to centroid) to each row."""
+        scored = side.crossJoin(F.broadcast(cents)).withColumn(
+            "c_cos", cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+            .drop("cvec", "cn2", "c_cos", "c_rank")
+        )
+
+    c = nearest_cells(v, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"),
+        F.col("qnorm2").alias("cn2"), "cell",
+    )
+    q = nearest_cells(queries.transform(lambda d: with_quantized_norm(d, vec_col)), n_probe).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"),
+        F.col("qnorm2").alias("qn2"), "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor(
+                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+            )
+            / 10000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # no dedup needed: each corpus vector lives in exactly one cell and probe
+    # cells are distinct, so a (query, neighbor) pair joins at most once
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

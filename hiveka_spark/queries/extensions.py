@@ -296,6 +296,55 @@ def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_planes=4)
 
 
+def _ann_ivf_oracle(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+    return f"""
+    WITH params AS (SELECT GREATEST(COUNT(*) // {n_cells}, 1) AS stride FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
+                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                   list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+           FROM q),
+    cents AS (SELECT CAST(vec_id / stride AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
+              FROM nn, params WHERE vec_id % stride = 0 AND vec_id / stride < {n_cells}),
+    assign AS (SELECT vec_id, qvd, n2, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, cell) AS c_rank
+               FROM (SELECT nn.vec_id, nn.qvd, nn.n2, c.cell,
+                            list_dot_product(nn.qvd, c.cvd)
+                              / (sqrt(nn.n2) * sqrt(c.cn2)) AS c_cos
+                     FROM nn CROSS JOIN cents c)),
+    corpus AS (SELECT vec_id AS neighbor_id, qvd, n2, cell FROM assign WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS query_id, qvd, n2, cell
+               FROM assign WHERE c_rank <= {n_probe} AND vec_id < 10),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             CAST(FLOOR((list_dot_product(p.qvd, c.qvd)
+                         / (sqrt(p.n2) * sqrt(c.n2))) * 10000.0) AS BIGINT) / 10000.0
+               AS cosine
+      FROM probes p JOIN corpus c ON p.cell = c.cell AND c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("x15_ann_ivf", oracle=_ann_ivf_oracle(), tags=("similarity", "ann", "ivf"))
+def x15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: corpus partitioned into 16 Voronoi cells around
+    deterministic stride-sampled centroids; queries probe their 4 nearest
+    cells (equi-join on cell id — corpus work per query drops ~4x).  The
+    100 TB shape for ANN when bucket collisions (x07's LSH) are too coarse."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, n_probe=4,
+    )
+
+
 @register(
     "x08_text_quality",
     oracle=f"""

@@ -163,3 +163,21 @@ def test_approx_count_distinct_accuracy(spark):
     assert got
     for r in got:
         assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 2)
+
+
+def test_ivf_topk_recall(spark):
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = S.brute_force_topk(emb, queries, k=5).collect()
+    approx = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    # probing 4/16 cells: high-cosine neighbors concentrate in nearby cells
+    assert recall >= 0.5, f"ivf recall {recall:.2f}"
+    # scores must be true cosines
+    bcos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bcos:
+            assert abs(r["cosine"] - bcos[key]) < 1e-12
