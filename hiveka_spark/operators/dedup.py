@@ -34,8 +34,10 @@ def portable_hash60(col: Column | str) -> Column:
     and Python (int(hashlib.md5(s).hexdigest()[:15], 16)).  Engine-portable
     hashing is what lets MinHash/SimHash/LSH entries carry a full SQL oracle
     instead of a rows-only check; md5 is JVM codegen'd, so the hot path stays
-    off Python."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    off Python.  Non-string inputs are hashed via their canonical string form
+    (DuckDB twin: md5(CAST(x AS VARCHAR)))."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
 def portable_hash60_sql(expr: str) -> str:

@@ -512,6 +512,26 @@ def x14_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x16_salted_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "skew"),
+)
+def x16_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact count-distinct: salt = hash(user_id) % 16 splits each
+    event_type's distinct-user work across 16 disjoint buckets whose counts
+    sum exactly.  Identical answer to COUNT(DISTINCT) — the salt only moves
+    work — which is the point of the plain SQL oracle."""
+    from hiveka_spark.operators.skew import salted_count_distinct
+
+    e = table(spark, sf_dir, "events")
+    return salted_count_distinct(e, ["event_type"], "user_id", salt_n=16)
+
+
+@register(
     "x13_asof_join",
     oracle="""
     WITH clicks AS (SELECT user_id, event_id, epoch_ms(ts) AS ms

@@ -181,3 +181,17 @@ def test_ivf_topk_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bcos:
             assert abs(r["cosine"] - bcos[key]) < 1e-12
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hiveka_spark.operators.skew import salted_join
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, "/root/testdata/sf0.001", "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        ["k"], salt_n=4,
+    ).count()
+    assert salted == plain
