@@ -329,6 +329,38 @@ def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q37_math_regexp",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(ln(o_totalprice) * 10000.0) AS BIGINT) / 10000.0        AS ln_price,
+           CAST(FLOOR(sqrt(o_totalprice) * 10000.0) AS BIGINT) / 10000.0      AS sqrt_price,
+           CAST(FLOOR(power(o_totalprice / 100000.0, 2) * 10000.0) AS BIGINT) / 10000.0
+             AS pow_price,
+           CAST(abs(o_custkey % 100 - 50) AS BIGINT)                          AS abs_mod,
+           regexp_extract(o_orderpriority, '([0-9]+)-([A-Z ]+)', 2)           AS prio_word,
+           CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END AS is_fast
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    tags=("functions", "math", "regexp"),
+)
+def q37_math_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math (ln/sqrt/power/abs — IEEE-identical across engines, floor-
+    quantized) and regexp extraction/matching surface."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    q4 = lambda c: F.floor(c * 10000.0) / 10000.0  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        q4(F.log(F.col("o_totalprice"))).alias("ln_price"),
+        q4(F.sqrt("o_totalprice")).alias("sqrt_price"),
+        q4(F.pow(F.col("o_totalprice") / 100000.0, 2)).alias("pow_price"),
+        F.abs(F.col("o_custkey") % 100 - 50).cast("bigint").alias("abs_mod"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)-([A-Z ]+)", 2).alias("prio_word"),
+        F.when(F.col("o_orderpriority").rlike(r"^[12]-"), 1).otherwise(0).alias("is_fast"),
+    )
+
+
 @register("q36_approx_distinct", oracle=None, tags=("agg", "approx", "sketch"))
 def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (the 100 TB substitute for
