@@ -104,6 +104,44 @@ def s02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s04_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def s04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: click stream joined to purchase stream on user
+    within a 1-hour event-time range.  Watermarks + the range condition bound
+    both sides' join state; drained availableNow it must equal the batch
+    time-range join."""
+    src = P.events_stream(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = P.stream_stream_join(
+        clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
+        within="1 hour", watermark="2 hours",
+    )
+    out = _drain(joined.drop(joined["r.user_id"]), "s04_ssj", "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )
+
+
+@register(
     "s03_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type,

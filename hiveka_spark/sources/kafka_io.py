@@ -56,6 +56,7 @@ class KafkaTableConfig:
     fail_on_data_loss: bool = False  # A10 default: clamp & continue
     max_offsets_per_trigger: int | None = None  # streaming backpressure
     min_partitions: int | None = None  # A11 analog
+    payload_format: str = "avro"  # A19 decoder-class knob, done as a format: avro|json|csv
     extra_options: dict = field(default_factory=dict)
 
     def schema_json(self) -> str:
@@ -68,6 +69,13 @@ class KafkaTableConfig:
         if self.ddl is not None:
             return avro_json(ddl_to_struct(self.ddl))
         raise ValueError("KafkaTableConfig needs ddl or avro_schema")
+
+    def spark_struct(self):
+        from hiveka_spark.schema import avro_to_struct
+
+        if self.ddl is not None:
+            return ddl_to_struct(self.ddl)
+        return avro_to_struct(json.loads(self.schema_json()))
 
 
 def topic_pattern(whitelist: list[str], blacklist: list[str] | None = None) -> str:
@@ -154,9 +162,11 @@ def decode_wire(
     mode: str = "PERMISSIVE",
     event_time_field: str | None = None,
 ) -> DataFrame:
-    """Wire rows -> typed rows: Avro-decode ``value`` against the declared
-    schema (A17/A18), keep Kafka metadata columns, and derive ``event_time``
-    with the reference's precedence — payload header time, payload timestamp
+    """Wire rows -> typed rows: decode ``value`` against the declared schema
+    (A17/A18) in the configured payload format (A19's decoder knob: avro via
+    the wire codec, json/csv via JVM-side from_json/from_csv — no Python in
+    those paths), keep Kafka metadata columns, and derive ``event_time`` with
+    the reference's precedence — payload header time, payload timestamp
     field, then broker timestamp (KafkaAvroMessageDecoder.java:194-205, A23).
     """
     schema_json = cfg.schema_json()
@@ -172,7 +182,20 @@ def decode_wire(
             keep.append(renames.get(c, c))
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
-    decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
+    fmt = cfg.payload_format.lower()
+    if fmt == "avro":
+        decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
+    elif fmt in ("json", "csv"):
+        struct = cfg.spark_struct()
+        text = F.col("value").cast("string")
+        if fmt == "json":
+            parsed = F.from_json(text, struct, {"mode": mode})
+        else:
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
+            parsed = F.from_csv(text, ddl, {"mode": mode})
+        decoded = df.select(*keep, parsed.alias("_payload")).select(*keep, "_payload.*")
+    else:
+        raise ValueError(f"unknown payload_format: {cfg.payload_format}")
     broker_ts = renames.get("timestamp", "timestamp")
     candidates = []
     if event_time_field and event_time_field in decoded.columns:

@@ -134,6 +134,35 @@ def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> Dat
     return stream.join(F.broadcast(static_dim), on)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-range condition: right event must
+    fall in [left_ts, left_ts + within].
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so each side's buffered state is evictable once the watermark
+    passes — the REQUIRED shape for an unbounded stream-stream join (an
+    unconstrained one buffers both streams forever).  Join key (on) is the
+    shuffle key; the range condition filters within each key group.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,

@@ -202,3 +202,46 @@ def test_events_fixture_as_wire_decodes_fully(spark):
         assert r["user_id"] == s["user_id"]
         assert abs(r["value"] - s["value"]) < 1e-12
         assert r["event_time"] is not None
+
+
+# ------------------------------------------------------- json/csv wire decode
+def test_decode_wire_json_and_csv(spark):
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig, decode_wire
+
+    rows = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0)], "id bigint, name string, score double"
+    )
+    wire_meta = [
+        F.lit(None).cast("binary").alias("key"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    ]
+    ddl = "id bigint, name string, score double"
+
+    json_wire = rows.select(
+        *wire_meta, F.to_json(F.struct("id", "name", "score")).cast("binary").alias("value")
+    )
+    cfg_json = KafkaTableConfig("b:9092", ddl=ddl, payload_format="json")
+    got = {r["id"]: (r["name"], r["score"])
+           for r in decode_wire(json_wire, cfg_json).collect()}
+    assert got == {1: ("alpha", 1.5), 2: ("beta", -2.0)}
+
+    csv_wire = rows.select(
+        *wire_meta, F.concat_ws(",", "id", "name", "score").cast("binary").alias("value")
+    )
+    cfg_csv = KafkaTableConfig("b:9092", ddl=ddl, payload_format="csv")
+    got = {r["id"]: (r["name"], r["score"])
+           for r in decode_wire(csv_wire, cfg_csv).collect()}
+    assert got == {1: ("alpha", 1.5), 2: ("beta", -2.0)}
+
+    # corrupt json row nulls out under PERMISSIVE
+    bad = spark.createDataFrame([("not json",)], "v string").select(
+        *wire_meta, F.col("v").cast("binary").alias("value")
+    )
+    out = decode_wire(bad, cfg_json).collect()
+    assert len(out) == 1 and out[0]["id"] is None
