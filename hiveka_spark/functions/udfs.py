@@ -1,0 +1,74 @@
+"""The engine's Python UDF surface (SURVEY.md §2B "UDF surface" row):
+vectorized scalar pandas UDF, grouped-map applyInPandas, grouped-agg pandas
+UDAF.  The reference exposes no scalar functions of its own (zero function
+code in the repo — SURVEY §2B note); this layer exists to prove the
+Arrow-batched Python escape hatch works and is correctly planned.
+
+Scale rules enforced here:
+- Every UDF is Arrow-batched (pandas series/frames), never row-at-a-time.
+- UDFs are the LAST resort: each one below has a pure-SQL twin used as its
+  oracle, demonstrating the JVM path exists; real pipelines should prefer it.
+- Grouped-map shuffles once on the group key; output schemas are declared
+  (no inference, stable across batches).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def py_density(text: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: tokens-per-character density, floor-quantized.
+    Whole pandas-Series ops — one Arrow batch per ~10k rows, no Python loop."""
+    import numpy as np
+
+    n_tok = text.str.split(" ").map(lambda ws: sum(1 for w in ws if w))
+    n_chars = text.str.len()
+    return np.floor(n_tok * 10000.0 / (n_chars + 1)) / 10000.0
+
+
+@pandas_udf("double")
+def py_mean(v: pd.Series) -> float:  # grouped-agg pandas UDAF
+    """Grouped-aggregate pandas UDAF: mean over the group's Arrow batch.
+    Partial aggregation is NOT available to Python UDAFs — the whole group
+    ships to one worker — so keep these to bounded-cardinality groups and
+    prefer JVM aggregates for anything hot."""
+    return float(v.mean())
+
+
+@pandas_udf("long")
+def py_count(v: pd.Series) -> int:  # grouped-agg pandas UDAF
+    """Count as a pandas UDAF — Spark disallows mixing pandas and JVM
+    aggregates in one aggregation (INVALID_PANDAS_UDF_PLACEMENT), so a
+    pandas-UDAF query needs its companions in pandas too."""
+    return int(len(v))
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score (sample std, ddof=1 —
+    the STDDEV_SAMP convention, so the SQL twin matches).  One shuffle on the
+    group key; each group is one pandas frame."""
+    out_schema = f"{df.schema[group_col].dataType.simpleString()}"
+    schema = f"doc_id bigint, {group_col} {out_schema}, {out_col} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=1)
+        z = (v - v.mean()) / std if std and std > 0 else pd.Series([None] * len(v))
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                group_col: pdf[group_col],
+                out_col: np.floor(z * 10000.0) / 10000.0,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fn, schema)

@@ -512,6 +512,66 @@ def x14_avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x17_pandas_udf_density",
+    oracle="""
+    SELECT doc_id,
+           CAST(FLOOR(LEN(list_filter(string_split(text, ' '), w -> w <> ''))
+                      * 10000.0 / (LENGTH(text) + 1)) AS BIGINT) / 10000.0 AS density
+    FROM documents
+    """,
+    tags=("udf", "pandas", "vectorized"),
+)
+def x17_pandas_udf_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow-batched) with a pure-SQL oracle:
+    proves the Python escape hatch computes exactly what the JVM path would."""
+    from hiveka_spark.functions.udfs import py_density
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", py_density("text").alias("density"))
+
+
+@register(
+    "x18_grouped_zscore",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(FLOOR((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                      / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang)
+                      * 10000.0) AS BIGINT) / 10000.0 AS z
+    FROM documents
+    """,
+    tags=("udf", "pandas", "grouped-map"),
+)
+def x18_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language z-score of document length
+    (sample std).  One shuffle on lang; oracle is the SQL window twin."""
+    from hiveka_spark.functions.udfs import zscore_per_group
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return zscore_per_group(d, "lang", "n_chars")
+
+
+@register(
+    "x19_pandas_udaf",
+    oracle="""
+    SELECT lang, ROUND(AVG(n_chars), 4) AS mean_chars, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "pandas", "udaf"),
+)
+def x19_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAFs (mean + count): whole groups ship to
+    Python as Arrow batches (Spark forbids mixing pandas and JVM aggregates
+    in one agg, so both are pandas here)."""
+    from hiveka_spark.functions.udfs import py_count, py_mean
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(py_mean("n_chars"), 4).alias("mean_chars"),
+        py_count("n_chars").alias("n_docs"),
+    )
+
+
+@register(
     "x16_salted_distinct",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
