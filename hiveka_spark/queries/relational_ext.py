@@ -330,6 +330,30 @@ def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_set_ops_all",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS n FROM customer WHERE c_acctbal > 0),
+         s AS (SELECT s_nationkey AS n FROM supplier)
+    SELECT 'intersect_all' AS tag, n FROM (SELECT n FROM c INTERSECT ALL SELECT n FROM s)
+    UNION ALL
+    SELECT 'except_all' AS tag, n FROM (SELECT n FROM c EXCEPT ALL SELECT n FROM s)
+    """,
+    tags=("setops", "multiset"),
+)
+def q38_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    cardinalities (q11 covers the DISTINCT variants).  Planned as aggregated
+    count-min joins, not row-pair matching."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("n")
+    )
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    ia = c.intersectAll(s).select(F.lit("intersect_all").alias("tag"), "n")
+    ea = c.exceptAll(s).select(F.lit("except_all").alias("tag"), "n")
+    return ia.unionByName(ea)
+
+
+@register(
     "q37_math_regexp",
     oracle="""
     SELECT o_orderkey,
