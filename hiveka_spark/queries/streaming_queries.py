@@ -142,6 +142,65 @@ def s04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s05_stream_sliding_windows",
+    oracle="""
+    SELECT (CAST(FLOOR(epoch_ms(ts) / 1800000) AS BIGINT) - t.i) * 1800000
+             AS window_start_ms,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events, range(2) AS t(i)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows advancing every 30 minutes over the event
+    stream.  Each event lands in exactly window/slide = 2 windows, so the
+    batch oracle replays the assignment by cross-joining each event with
+    i in {0,1} and deriving window_start = slide-aligned bucket - i*slide."""
+    stream = P.events_stream(spark, sf_dir)
+    agg = P.sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="2 hours")
+    out = _drain(agg, "s05_sliding", "complete")
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "cnt",
+    )
+
+
+@register(
+    "s06_stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch to
+    the static customer dimension (broadcast, no join state), then a running
+    aggregate per nation drained in complete mode.  The standard "enrich a
+    firehose with a dimension table" pattern — at 100 TB the dim stays
+    broadcast-sized while the stream side never shuffles for the join."""
+    from hiveka_spark.catalog import table
+
+    stream = P.events_stream(spark, sf_dir)
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nationkey")
+    )
+    enriched = P.stream_static_join(stream, customer, on="user_id")
+    agg = enriched.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _drain(agg, "s06_enrich", "complete")
+    return out.select("nationkey", "n_events", "total_value")
+
+
+@register(
     "s03_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type,
