@@ -72,3 +72,28 @@ def zscore_per_group(
         )
 
     return df.groupBy(group_col).applyInPandas(fn, schema)
+
+
+def tokenize_map_in_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """mapInPandas as the UDTF-ish surface: one input row fans out to N output
+    rows (one per whitespace token), schema declared up front.
+
+    No shuffle is introduced — the fan-out happens inside each input
+    partition's Arrow batch stream, so at 100 TB this scales exactly like the
+    scan (the JVM twin is ``explode(split(...))``, which real pipelines should
+    prefer; this exists to prove the Python escape hatch plans correctly)."""
+    schema = "doc_id bigint, token string, token_len bigint"
+
+    def fn(batches):
+        for pdf in batches:
+            toks = pdf[text_col].str.split(" ").map(
+                lambda ws: [w for w in ws if w]
+            )
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"].repeat(toks.map(len)).values,
+                 "token": [w for ws in toks for w in ws]}
+            )
+            out["token_len"] = out["token"].str.len().astype("int64")
+            yield out
+
+    return df.select("doc_id", text_col).mapInPandas(fn, schema)

@@ -572,6 +572,28 @@ def x19_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x20_mapinpandas_tokens",
+    oracle="""
+    SELECT LENGTH(t.w) AS token_len, COUNT(*) AS n_tokens
+    FROM documents d,
+         UNNEST(list_filter(string_split(d.text, ' '), w -> w <> '')) AS t(w)
+    GROUP BY 1
+    """,
+    tags=("udf", "pandas", "mapinpandas", "udtf"),
+)
+def x20_mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fan-out (the UDTF-ish surface): each document row yields
+    one row per whitespace token inside the scan partition (no shuffle from
+    the fan-out itself), then a JVM aggregate over token lengths.  Oracle is
+    the pure-SQL UNNEST twin."""
+    from hiveka_spark.functions.udfs import tokenize_map_in_pandas
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize_map_in_pandas(d, "text")
+    return toks.groupBy("token_len").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+@register(
     "x16_salted_distinct",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
