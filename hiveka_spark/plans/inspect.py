@@ -29,6 +29,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries across all scans — evidence that a filter on
+    a partition column prunes directories instead of reading+filtering."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        out.extend(p.strip() for p in m.group(1).split(",") if p.strip())
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema struct strings for each scan (column-pruning evidence)."""
     return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
