@@ -74,6 +74,27 @@ def zscore_per_group(
     return df.groupBy(group_col).applyInPandas(fn, schema)
 
 
+def ngram_udtf():
+    """A true Python UDTF (Spark 4 ``udtf``): SELECT * FROM ngrams(TABLE(...))
+    — lateral table function producing word bigrams per document.
+
+    UDTFs are the SQL-callable fan-out surface (vs ``mapInPandas`` which is
+    DataFrame-API-only); registered once, usable from any spark.sql query.
+    eval() is row-at-a-time, so keep UDTFs to cold paths and prefer
+    explode(...)/mapInPandas for hot ones.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class NGrams:
+        def eval(self, doc_id: int, text: str):
+            ws = [w for w in text.split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                yield doc_id, f"{a} {b}"
+
+    return NGrams
+
+
 def tokenize_map_in_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """mapInPandas as the UDTF-ish surface: one input row fans out to N output
     rows (one per whitespace token), schema declared up front.

@@ -594,6 +594,39 @@ def x20_mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x21_python_udtf_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_distinct
+    FROM bigrams GROUP BY doc_id
+    """,
+    tags=("udf", "udtf", "sql"),
+)
+def x21_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF called from SQL via LATERAL: word bigrams per
+    document, aggregated to per-doc totals.  Oracle rebuilds the bigrams
+    with UNNEST(range(...)) over the split word list."""
+    from hiveka_spark.functions.udfs import ngram_udtf
+
+    spark.udtf.register("ngrams", ngram_udtf())
+    table(spark, sf_dir, "documents").createOrReplaceTempView("x21_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT t.bigram) AS n_distinct
+        FROM x21_docs d, LATERAL ngrams(d.doc_id, d.text) t
+        GROUP BY t.doc_id
+        """
+    )
+
+
+@register(
     "x16_salted_distinct",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
