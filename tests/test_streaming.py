@@ -180,3 +180,40 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     run_foreach_batch_parquet(stream.select("event_id", "event_type"), out_dir, str(tmp_path / "ck"))
     written = spark.read.parquet(out_dir + "/batch=*")
     assert written.count() == table(spark, SF_SMOKE, "events").count()
+
+
+def test_update_mode_emits_incrementally_and_converges(spark, tmp_path):
+    """Update output mode: each micro-batch emits only the keys whose
+    aggregate changed.  Two single-file triggers over overlapping key sets
+    must produce >1 emission for overlapping keys, and the latest emission
+    per key (counts are monotone for a count agg) must equal the batch
+    answer — update mode converges to complete mode."""
+    src = str(tmp_path / "src")
+    events = table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    half_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sink = run_available_now(agg, _qname(), output_mode="update")
+    emissions = sink.collect()
+
+    batch = {r["event_type"]: r["count"] for r in events.groupBy("event_type").count().collect()}
+    # overlapping keys appear once per trigger => more emissions than keys
+    assert len(emissions) > len(batch)
+    latest = {}
+    for r in emissions:  # count agg is monotone, so max == latest
+        latest[r["event_type"]] = max(latest.get(r["event_type"], 0), r["cnt"])
+    assert latest == batch
