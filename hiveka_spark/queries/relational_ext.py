@@ -179,6 +179,35 @@ def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q39_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.75) AS p75,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "sketch"),
+)
+def q39_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch) per group — the mergeable-sketch path
+    that replaces q30's exact percentile at 100 TB (partial sketches merge
+    map-side; memory is O(accuracy), not O(rows)).  With accuracy above the
+    gate-scale row count the sketch stores every value, so it returns the
+    exact discrete quantile and DuckDB's quantile_disc is a full oracle;
+    above that it degrades to a bounded-error estimate with the same plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.25, 1000000)").alias("p25"),
+        F.expr("percentile_approx(l_extendedprice, 0.50, 1000000)").alias("p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.75, 1000000)").alias("p75"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 1000000)").alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Array / map functions
 # ---------------------------------------------------------------------------
