@@ -627,6 +627,25 @@ def x21_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x22_multimodal_features",
+    oracle=None,  # decode is a deterministic Python fake — no SQL twin
+    tags=("multimodal", "mapinpandas"),
+)
+def x22_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing run: documents → binary media table (content
+    bytes + typed metadata struct) → per-image decode + feature extraction
+    via Arrow-batched mapInPandas.  The decode body is the clearly-marked
+    deterministic fake (real codecs aren't in this environment); the Spark
+    plumbing — schema, batch shape, partition-parallel decode — is the real
+    pattern for CLIP-embed/OCR/EXIF at 100 TB."""
+    from hiveka_spark.operators.multimodal import decode_image_features, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "doc_id", "text")
+    return decode_image_features(media)
+
+
+@register(
     "x16_salted_distinct",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id

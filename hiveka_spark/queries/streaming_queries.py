@@ -201,6 +201,51 @@ def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s07_stateful_funnel",
+    oracle=None,  # sequential per-key state machine — not SQL-expressible
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def s07_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): click→purchase
+    conversion detection within a 1-hour horizon, per user, with the pending
+    click carried in keyed state across micro-batches.  A per-key ordered
+    state machine has no SQL twin (no MATCH_RECOGNIZE in the oracle), so this
+    is a rows-only entry; `tests/test_stateful.py` pins its semantics on a
+    hand-built sequence."""
+    from hiveka_spark.streaming.stateful import funnel_detect
+
+    stream = P.events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    out = _drain(funnel_detect(stream, horizon_ms=3_600_000), "s07_funnel", "append")
+    return out.select("user_id", "first_ms", "converted_ms", "gap_ms")
+
+
+@register(
+    "s08_stateful_running_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def s08_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful running aggregates (applyInPandasWithState): per-user
+    (count, sum) emitted after every micro-batch from carried state.  Drained
+    availableNow over the single-file fixture there is exactly one batch, so
+    the final emission per user equals the batch group-by — which makes the
+    oracle exact here while the operator itself is built for the multi-batch
+    case (tests drive it across batch splits)."""
+    from hiveka_spark.streaming.stateful import running_user_stats
+
+    stream = P.events_stream(spark, sf_dir)
+    out = _drain(running_user_stats(stream), "s08_running", "update")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+@register(
     "s03_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type,
