@@ -7,11 +7,13 @@ Prints ONE JSON line:
 
 Headline set covers every engine pillar: full-scan agg (q01), star join
 (q24), window top-k (q08) + analytic frames (q29), grouping sets (q33),
-time windows (q21) + their streaming twin (s01), sessionization (q22),
-near-dup dedup (x02 exact-prefix-filtered + x03 minhash-LSH), ANN (x06
-brute + x07 LSH), text quality (x08), as-of join (x13), and the Avro wire
-codec path (x14).  Each query is timed around a full materialization
-(collect) after one warm-up action amortizes JVM/session startup.
+sketch percentiles (q39), time windows (q21) + their streaming twin (s01),
+sessionization (q22), stream-static enrichment (s06), near-dup dedup (x02
+exact-prefix-filtered + x03 minhash-LSH), ANN (x06 brute + x07 LSH + x15
+IVF), text quality (x08), mapInPandas fan-out (x20), as-of join (x13), and
+the Avro wire codec path (x14).  Each query is timed around a full
+materialization (collect) after one warm-up action amortizes JVM/session
+startup.
 """
 
 from __future__ import annotations
@@ -35,13 +37,17 @@ HEADLINE = [
     "q24_regional_revenue",
     "q29_window_frames",
     "q33_grouping_sets",
+    "q39_approx_percentile",
     "s01_stream_hourly_windows",
+    "s06_stream_static_enrich",
     "x01_dedup_exact",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash",
     "x06_ann_topk",
     "x07_ann_lsh",
     "x08_text_quality",
+    "x15_ann_ivf",
+    "x20_mapinpandas_tokens",
     "x13_asof_join",
     "x14_avro_wire_roundtrip",
 ]
