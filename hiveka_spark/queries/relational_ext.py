@@ -201,10 +201,10 @@ def q39_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     above that it degrades to a bounded-error estimate with the same plan."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile_approx(l_extendedprice, 0.25, 1000000)").alias("p25"),
-        F.expr("percentile_approx(l_extendedprice, 0.50, 1000000)").alias("p50"),
-        F.expr("percentile_approx(l_extendedprice, 0.75, 1000000)").alias("p75"),
-        F.expr("percentile_approx(l_extendedprice, 0.99, 1000000)").alias("p99"),
+        F.expr("percentile_approx(l_extendedprice, 0.25, 100000)").alias("p25"),
+        F.expr("percentile_approx(l_extendedprice, 0.50, 100000)").alias("p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.75, 100000)").alias("p75"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 100000)").alias("p99"),
     )
 
 
