@@ -168,6 +168,45 @@ def ngram_jaccard_pairs(
     return _verified_jaccard(cand, sh_df, threshold)
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for each training document, count its
+    distinct word k-gram shingles that also occur anywhere in the eval corpus.
+
+    Output: (doc, n_shingles, n_overlap, overlap_ratio) for training docs
+    with n_overlap >= min_overlap; overlap_ratio is floor-quantized 4dp.
+
+    Scale design: the eval side collapses to its DISTINCT shingle set —
+    eval/benchmark corpora are tiny next to 100 TB of training data — and is
+    broadcast, so the scan over training shingles is a map-side hash-join with
+    ZERO shuffle of training data; the only shuffle is the per-doc count,
+    keyed by doc id.  Shingling reuses word_shingles (JVM-side, codegen'd).
+    """
+    tr = train.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh")
+    ).select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    ev = eval_df.select(F.explode(word_shingles(text_col, k)).alias("s")).distinct()
+    hits = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    ratio = F.floor(F.col("n_overlap") * 10000.0 / F.col("n_shingles")) / 10000.0
+    return hits.select(
+        "doc",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic affine-permutation coefficients (a odd, b) mod 2^31-1.
 

@@ -696,3 +696,113 @@ def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["click_id"],
     )
     return joined.select("purchase_id", "user_id", "click_id", "asof_gap_ms")
+
+
+_MIX_RATES = {"en": 10, "zh": 50, "es": 30, "de": 100, "fr": 25}
+
+
+@register(
+    "x23_stratified_sample",
+    # generated by hiveka_spark.operators.sampling.stratified_sample_sql
+    # ("lang", _MIX_RATES, "CAST(doc_id AS VARCHAR)")
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+          < (CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 WHEN 'es' THEN 30
+                       WHEN 'de' THEN 100 WHEN 'fr' THEN 25 ELSE 0 END)
+    """,
+    tags=("sampling", "mixing"),
+)
+def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling / data mixing: per-language keep
+    rates (en 10%, zh 50%, es 30%, de 100%, fr 25%) decided by the
+    md5-derived hash bucket of doc_id — reproducible row-for-row across
+    runs, task retries, and engines (unlike df.sample's RNG).  Zero
+    shuffles: one codegen'd CASE predicate at the scan."""
+    from hiveka_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", _MIX_RATES, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "x24_decontamination",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hits AS (SELECT tr.doc_id, COUNT(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+    SELECT h.doc_id AS doc_id,
+           CAST(z.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_overlap AS BIGINT) AS n_overlap,
+           FLOOR(h.n_overlap * 10000.0 / z.n_shingles) / 10000.0 AS overlap_ratio
+    FROM hits h JOIN sizes z USING (doc_id)
+    WHERE h.n_overlap >= 1
+    """,
+    tags=("decontamination", "dedup", "shingle"),
+)
+def x24_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the eval set;
+    each remaining training doc is scored by how many of its word-3-gram
+    shingles appear anywhere in the eval corpus.  The eval shingle set is
+    DISTINCT-collapsed and broadcast (eval corpora are tiny next to 100 TB
+    of training data), so training shingles never shuffle — the only
+    exchange is the per-doc overlap count."""
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    out = D.contamination_overlap(tr, ev, "doc_id", "text", k=3, min_overlap=1)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_shingles", "n_overlap", "overlap_ratio"
+    )
+
+
+@register(
+    "x25_pack_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, source,
+                      LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum_before
+          FROM t)
+    SELECT source,
+           CAST(FLOOR(cum_before / 256.0) AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, chunk
+    """,
+    tags=("packing", "tokens"),
+)
+def x25_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents out in doc_id order within each
+    source and cut contiguous chunks every 256 tokens (cumulative-sum
+    window, bounded overflow of one doc).  Partitioning the window by
+    source keeps packing state distributed — no global sort, which is the
+    only packing formulation that survives 100 TB."""
+    from hiveka_spark.operators.sampling import pack_chunks
+    from hiveka_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    packed = pack_chunks(d, "source", "doc_id", "n_tokens", 256)
+    return packed.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

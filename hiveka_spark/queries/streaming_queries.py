@@ -271,3 +271,26 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(dedup, "s03_dedup", "append")
     return out.select("user_id", "event_type", "minute_bucket")
+
+
+@register(
+    "s09_stream_dedup_ttl",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark", "state-ttl"),
+)
+def s09_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with TTL-bounded state: dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes first-seen event time
+    + delay, so state size is bounded by the key-arrival rate x delay — the
+    variant of s03 that survives an unbounded 100 TB stream (plain
+    dropDuplicates state grows forever when the dedup key excludes event
+    time).  The 90-day delay here exceeds the fixture's 30-day span, so no
+    state expires mid-run and the drained result is exactly DISTINCT(user_id,
+    event_type); production pipelines dial the delay down to their real
+    duplicate horizon."""
+    stream = P.events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = _drain(deduped, "s09_dedup_ttl", "append")
+    return out.select("user_id", "event_type")

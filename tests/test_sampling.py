@@ -1,0 +1,79 @@
+"""Deterministic sampling, mixing, packing, and decontamination semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import dedup as D
+from hiveka_spark.operators.sampling import (
+    pack_chunks,
+    sample_bucket,
+    stratified_sample,
+)
+
+from .conftest import SF_SMOKE
+
+
+# --------------------------------------------------------- stratified sample
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same input -> identical row set across runs; per-stratum keep rate is
+    within sampling slack of the requested rate; rate-0/absent strata drop."""
+    docs = table(spark, SF_SMOKE, "documents")
+    rates = {"en": 20, "zh": 100}
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", rates, "doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, "lang", rates, "doc_id").collect()}
+    assert a == b and a, "hash-based sampling must be run-stable and non-empty"
+
+    kept = stratified_sample(docs, "lang", rates, "doc_id")
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    assert kept.filter(F.col("lang") == "zh").count() == n_zh  # 100% stratum
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = kept.filter(F.col("lang") == "en").count()
+    assert abs(k_en / n_en - 0.20) < 0.08, (k_en, n_en)
+    assert kept.filter(~F.col("lang").isin("en", "zh")).count() == 0
+
+
+def test_sample_bucket_uniform(spark):
+    """Hash buckets of sequential ids spread roughly uniformly (chi-ish)."""
+    df = spark.range(2000).select(sample_bucket("id", 10).alias("b"))
+    counts = {r["b"]: r["n"] for r in df.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    assert len(counts) == 10
+    assert all(120 < n < 280 for n in counts.values()), counts
+
+
+# ----------------------------------------------------------------- packing
+def test_pack_chunks_invariants(spark):
+    """Chunks are contiguous in order_col within each group, start at 0,
+    and every chunk except possibly the last in its group reaches the
+    budget (bounded overflow of one doc)."""
+    rows = [("a", i, 7) for i in range(30)] + [("b", i, 13) for i in range(10)]
+    df = spark.createDataFrame(rows, ["src", "i", "tok"])
+    out = pack_chunks(df, "src", "i", "tok", 20).collect()
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["src"], r["i"])):
+        by_group.setdefault(r["src"], []).append(r)
+    for src, rs in by_group.items():
+        chunks = [r["chunk"] for r in rs]
+        assert chunks[0] == 0
+        assert chunks == sorted(chunks), "chunk ids must be monotone in order"
+        # cumulative-before semantics: row enters chunk floor(cum_before/20)
+        cum = 0
+        for r in rs:
+            assert r["chunk"] == cum // 20, (src, r)
+            cum += r["tok"]
+
+
+# --------------------------------------------------------- decontamination
+def test_contamination_overlap_exact(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "totally novel words here now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "a cat sat on a mat")], ["doc_id", "text"])
+    out = {r["doc"]: r for r in D.contamination_overlap(train, ev, k=3).collect()}
+    # doc 1 shares the 3-gram "cat sat on"; doc 2 shares nothing -> filtered
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_shingles"] == 4 and r["n_overlap"] == 1
+    assert abs(r["overlap_ratio"] - 0.25) < 1e-9
