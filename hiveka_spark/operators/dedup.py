@@ -150,6 +150,10 @@ def ngram_jaccard_pairs(
         sh.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
+        # dfreq==1 shingles occur in exactly one doc — their posting list can
+        # never pair two docs, so dropping them AFTER ranking is lossless and
+        # prunes the long-tail majority of the self-join input.
+        .filter(F.col("dfreq") > 1)
         .select("doc", "s", "n")
     )
     a = prefix.select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
