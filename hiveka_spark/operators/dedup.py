@@ -84,17 +84,31 @@ def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws))))
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, reuse: bool = True
+) -> DataFrame:
     """(doc, sh: array<string>) — one row per doc, distinct shingles.
 
-    Repartitioned by doc so every consumer branch (doc-frequency index,
-    prefix ranking, both verify sides, minhash signatures) starts from ONE
-    identical exchange subtree: Spark's ReuseExchange computes the shingle
-    arrays once and replays the shuffle files, instead of re-running the
-    tokenizer per branch.  Downstream doc-keyed aggregations/windows/joins
-    also inherit the partitioning (no extra shuffle)."""
-    sets = df.select(F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh"))
-    return sets.repartition(F.col("doc"))
+    Every dedup algorithm here is multi-pass over this frame (doc-frequency
+    index / prefix ranking / minhash signatures, plus both verify sides), so
+    with ``reuse`` the frame is persisted MEMORY_AND_DISK: the tokenizer runs
+    once and all passes read the materialized shingle sets — the standard
+    production trade for a 3-pass algorithm at 100 TB (shingle sets are ~the
+    size of the text; recomputing tokenization 3-4x costs more than spilling
+    them).  Spark's CacheManager keys the cache on the canonicalized plan, so
+    repeated calls with the same inputs share ONE cache entry rather than
+    accumulating copies.  The repartition by doc additionally means doc-keyed
+    aggregations/windows/joins downstream inherit the partitioning (no extra
+    shuffle)."""
+    sets = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh")
+    )
+    sets = sets.repartition(F.col("doc"))
+    if reuse:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    return sets
 
 
 def _verified_jaccard(cand: DataFrame, sh_df: DataFrame, threshold: float) -> DataFrame:
@@ -121,6 +135,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    reuse: bool = True,
 ) -> DataFrame:
     """EXACT pairwise Jaccard >= threshold over word k-gram shingle sets,
     with AllPairs/PPJoin-style prefix filtering.  Output: id_a < id_b, jaccard.
@@ -137,10 +152,8 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh_df = _shingle_sets(df, id_col, text_col, k)
+    sh_df = _shingle_sets(df, id_col, text_col, k, reuse)
     sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    # NOTE: minhash_lsh_pairs' verify reuses the same sh_df subtree — keep the
-    # construction identical so ReuseExchange matches it.
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
     w = Window.partitionBy("doc").orderBy("dfreq", "s")
     # -1e-9: ceil must not round UP on float error (0.8*5 -> 4.0000...2) —
@@ -234,6 +247,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     k: int = 3,
+    reuse: bool = True,
 ) -> DataFrame:
     """MinHash signature per document: array<bigint> of length num_perm.
 
@@ -246,7 +260,7 @@ def minhash_signatures(
     coeffs = _perm_coeffs(num_perm)
     # explode AFTER the doc-partitioned exchange: partitioning survives the
     # generator, so the per-doc MIN aggregation below needs no further shuffle
-    sh = _shingle_sets(df, id_col, text_col, k).select("doc", F.explode("sh").alias("s"))
+    sh = _shingle_sets(df, id_col, text_col, k, reuse).select("doc", F.explode("sh").alias("s"))
     h = F.pmod(portable_hash60("s"), F.lit(MERSENNE31)).alias("h")
     hashed = sh.select("doc", h)
     mins = [
@@ -265,6 +279,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.8,
+    reuse: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (optionally Jaccard-verified).
 
@@ -275,7 +290,7 @@ def minhash_lsh_pairs(
     inverted-index Jaccard on the candidate subset only.
     """
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse)
     band_rows = sig.select(
         "doc",
         F.explode(
@@ -302,7 +317,7 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    return _verified_jaccard(cand, _shingle_sets(df, id_col, text_col, k), verify_threshold)
+    return _verified_jaccard(cand, _shingle_sets(df, id_col, text_col, k, reuse), verify_threshold)
 
 
 def simhash(
