@@ -107,18 +107,23 @@ def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int) -> Column:
     500, dim 64 => |dot| < 2^30), so the bucket is order- and
     engine-independent."""
     qvec = qvec_col if isinstance(qvec_col, Column) else F.col(qvec_col)
-    bucket = F.lit(0).cast("bigint")
-    for p, weights in enumerate(plane_weights(n_planes, dim)):
-        warr = F.array(*[F.lit(w).cast("bigint") for w in weights])
-        dot = F.aggregate(
-            F.zip_with(qvec, warr, lambda a, b: a * b),
+    # ONE array<array<bigint>> literal instead of n_planes*dim Literal nodes:
+    # Catalyst planning cost scales with tree size, and the per-literal form
+    # cost ~2s of optimizer time per query at dim 64 (execution was fine).
+    planes = F.lit(plane_weights(n_planes, dim)).cast("array<array<bigint>>")
+    pows = F.lit([2**p for p in range(n_planes)]).cast("array<bigint>")
+    dots = F.transform(
+        planes,
+        lambda w: F.aggregate(
+            F.zip_with(qvec, w, lambda a, b: a * b),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+        ),
+    )
+    bits = F.zip_with(
+        dots, pows, lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def lsh_topk(
