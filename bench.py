@@ -9,9 +9,10 @@ Headline set covers every engine pillar: full-scan agg (q01), star join
 (q24), window top-k (q08) + analytic frames (q29), grouping sets (q33),
 sketch percentiles (q39), time windows (q21) + their streaming twin (s01),
 sessionization (q22), stream-static enrichment (s06), near-dup dedup (x02
-exact-prefix-filtered + x03 minhash-LSH), ANN (x06 brute + x07 LSH + x15
-IVF), text quality (x08), mapInPandas fan-out (x20), as-of join (x13), and
-the Avro wire codec path (x14).  Each query is timed around a full
+exact-prefix-filtered + x03 minhash-LSH) with iterative duplicate
+clustering (x26), ANN (x06 brute + x07 LSH + x15 IVF), text quality (x08),
+mapInPandas fan-out (x20), as-of join (x13), and the Avro wire codec path
+(x14).  Each query is timed around a full
 materialization (collect) after one warm-up action amortizes JVM/session
 startup.
 """
@@ -43,6 +44,7 @@ HEADLINE = [
     "x01_dedup_exact",
     "x02_dedup_ngram_jaccard",
     "x03_dedup_minhash",
+    "x26_dup_clusters",
     "x06_ann_topk",
     "x07_ann_lsh",
     "x08_text_quality",

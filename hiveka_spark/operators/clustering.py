@@ -1,0 +1,92 @@
+"""Duplicate clustering: connected components over a near-duplicate pair
+graph, turning pairwise dedup output (x02/x03/x04) into canonical clusters —
+the step a production pipeline actually acts on (keep one doc per cluster).
+
+No reference analog (SURVEY.md §2C extension surface).  Spark-first design:
+
+- Pregel-style minimum-label propagation: every node starts labeled with its
+  own id; each round replaces a node's label with the minimum label in its
+  closed neighborhood; fixpoint = connected components.  Each round is ONE
+  shuffle (groupBy node) over the edge list — no driver-side graph state,
+  no collect of edges.  Rounds needed = graph diameter, which for near-dup
+  clusters is small (duplicates of a document are also near-duplicates of
+  each other); `max_iter` bounds the worst case and convergence is detected
+  with a one-scalar aggregate per round.
+- At 100 TB the edge list is orders of magnitude smaller than the corpus
+  (only near-dup pairs), so per-round cost is proportional to duplicate
+  volume, not corpus size.  Labels are localCheckpoint()ed every round to
+  truncate lineage (iterative plans otherwise grow unboundedly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster) for every node in ``pairs``; cluster = min node id of
+    its connected component.  Deterministic, engine-portable (pure min).
+    """
+    # both edge directions from ONE scan of pairs (a union of two selects
+    # would run the — possibly expensive — upstream pair pipeline twice)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    edges = edges.persist()
+    # init = round 1: closed-neighborhood min straight off the edge list (one
+    # shuffle instead of a distinct + a propagation round)
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("label")
+    )
+    for _ in range(max_iter):
+        # min label over closed neighborhood: the node's own label union the
+        # labels of its neighbors (one equi-join edge->label + one groupBy)
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        # ONE job per round: checkpoint (node, old, new) once, then both the
+        # convergence probe and next round's labels read the checkpointed
+        # blocks instead of re-running the join.
+        snap = labels.join(nbr, "node").localCheckpoint(eager=True)
+        labels = snap.select("node", F.col("new_label").alias("label"))
+        if snap.filter(F.col("new_label") < F.col("label")).limit(1).count() == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster summary per connected component of the near-dup graph:
+    (cluster, n_members, canonical_id, removed) where canonical_id is the
+    minimum member id (the doc a pipeline keeps) and removed = n_members - 1
+    (the dedup yield metric)."""
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    return cc.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("canonical_id"),
+        (F.count(F.lit(1)) - 1).alias("removed"),
+    )

@@ -806,3 +806,146 @@ def x25_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "x26_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
+                    >= 0.8),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS canonical_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS removed
+    FROM labels GROUP BY cluster
+    """,
+    tags=("dedup", "clustering", "connected-components", "iterative"),
+)
+def x26_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: exact near-dup pairs (word-3-gram Jaccard >= 0.8,
+    x02's pipeline) -> connected components via Pregel-style min-label
+    propagation -> one summary row per duplicate cluster.  The iterative Spark
+    loop shuffles only the (tiny) pair graph per round; the oracle replays it
+    as a recursive-CTE transitive closure — both reach the same fixpoint."""
+    from hiveka_spark.operators.clustering import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
+@register(
+    "x27_keyword_extract",
+    oracle="""
+    WITH t AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT doc_id, term, tf, df, FLOOR(tf * 10000.0 / df) / 10000.0 AS score
+          FROM tf JOIN dfq USING (term) WHERE doc_id < 100),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+    tags=("text", "keywords", "tfidf"),
+)
+def x27_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-5 distinctive terms per document by
+    rarity-weighted frequency score = tf/df (log-free tf-idf variant: ln()
+    is not IEEE-exact across engines, division is — so the oracle hash-matches
+    bit-for-bit).  Document frequency is computed over the WHOLE corpus; only
+    the reported docs are restricted.  Two shuffles (tf agg, df agg) + a
+    term-keyed join — the join key is the term, so hot terms are mitigated by
+    the df table being vocabulary-sized, not corpus-sized."""
+    from pyspark.sql import Window
+    from hiveka_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(dfq, "term")
+        .withColumn("score", F.floor(F.col("tf") * 10000.0 / F.col("df")) / 10000.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]+"
+
+
+@register(
+    "x28_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id,
+                        CASE WHEN doc_id % 7 = 0
+                             THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com or call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+                             ELSE text END AS text2
+                 FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text2, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text2, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    WHERE doc_id % 7 = 0
+    """,
+    tags=("pii", "redaction", "text"),
+)
+def x28_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: regex scan for email/phone patterns, count
+    hits, and rewrite them to <EMAIL>/<PHONE> placeholders.  The fixture text
+    contains no PII, so every 7th document is deterministically augmented with
+    a synthetic email+phone (both engines construct the same string) before
+    the scrub — proving detection AND redaction end-to-end.  Pure JVM regexp
+    (codegen'd, zero shuffles, filter pushed to the scan); the patterns are
+    chosen to parse identically under Java regex and RE2."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    aug = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text2", F.lit(_PHONE_RE), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
