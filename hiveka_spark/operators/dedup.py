@@ -58,8 +58,9 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of lowercased text (JVM-side).
+def word_ngrams(text_col: Column | str, k: int = 3) -> Column:
+    """Word k-grams of lowercased text in document order, duplicates kept
+    (JVM-side).
 
     Built with zip_with over shifted slices, NOT transform(sequence, i ->
     element_at(ws, i+j)): a lambda that captures `ws` embeds the whole
@@ -71,7 +72,7 @@ def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     n = F.size(ws)
     # acc[i] = ws[i] + ' ' + ws[i+1] + ... ; zip_with pads the shorter side
     # with NULL and concat propagates it, so trailing partial grams become
-    # NULL and are filtered out, leaving exactly n-k+1 shingles.
+    # NULL and are filtered out, leaving exactly n-k+1 grams.
     acc = ws
     for j in range(1, k):
         acc = F.zip_with(
@@ -80,8 +81,13 @@ def word_shingles(text_col: Column | str, k: int = 3) -> Column:
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     grams = F.filter(acc, lambda g: g.isNotNull())
-    # degenerate short docs: single shingle of the whole text
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws))))
+    # degenerate short docs: single gram of the whole text
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of lowercased text (JVM-side)."""
+    return F.array_distinct(word_ngrams(text_col, k))
 
 
 def _shingle_sets(

@@ -949,3 +949,75 @@ def x28_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+@register(
+    "x29_repetition_filter",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, lang, array_to_string(ws[i:i+1], ' ') AS gram
+          FROM (SELECT doc_id, lang, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 1, 1))) AS i
+                FROM w)),
+    m AS (SELECT doc_id, lang,
+                 COUNT(*) AS n_grams,
+                 COUNT(DISTINCT gram) AS n_distinct,
+                 MAX(cnt) AS top_gram_count
+          FROM (SELECT doc_id, lang, gram, COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+                FROM g)
+          GROUP BY 1, 2)
+    SELECT doc_id, lang,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           FLOOR((n_grams - n_distinct) * 10000.0 / n_grams) / 10000.0 AS rep_ratio,
+           CAST(top_gram_count AS BIGINT) AS top_gram_count,
+           (n_grams - n_distinct) * 4 >= n_grams AS flagged
+    FROM m
+    """,
+    tags=("quality", "repetition", "filter"),
+)
+def x29_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: the fraction of word
+    2-grams that are repeats of an earlier gram in the same document, plus
+    the hottest gram's count; ``flagged`` marks docs whose repeated-gram
+    fraction >= 25% (integer-arithmetic comparison, no float threshold).
+    All per-row array math (JVM codegen'd, no explode, ZERO shuffles) — at
+    100 TB this is a pure map over the corpus, the cheapest possible shape
+    for a quality filter."""
+    g = D.word_ngrams("text", 2)
+    # hottest gram count = longest equal run in the sorted gram array: an
+    # O(n log n) sort + one linear aggregate pass per row (NOT the O(n^2)
+    # count-each-distinct-gram formulation)
+    srt = F.array_sort(g)
+    run_scan = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(g).alias("n_grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct"),
+        run_scan.alias("top_gram_count"),
+    )
+    rep = F.floor((F.col("n_grams") - F.col("n_distinct")) * 10000.0 / F.col("n_grams")) / 10000.0
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        rep.alias("rep_ratio"),
+        F.col("top_gram_count").cast("bigint").alias("top_gram_count"),
+        ((F.col("n_grams") - F.col("n_distinct")) * 4 >= F.col("n_grams")).alias("flagged"),
+    )
