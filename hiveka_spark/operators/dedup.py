@@ -58,17 +58,24 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def word_ngrams(text_col: Column | str, k: int = 3) -> Column:
-    """Word k-grams of lowercased text in document order, duplicates kept
-    (JVM-side).
+def ngrams_from_tokens(ws: Column, k: int = 3) -> Column:
+    """Word k-grams (duplicates kept, document order) from a token-array
+    column (JVM-side).
 
     Built with zip_with over shifted slices, NOT transform(sequence, i ->
     element_at(ws, i+j)): a lambda that captures `ws` embeds the whole
-    split/filter subtree, which Spark re-evaluates PER ELEMENT (k x n_tokens
-    full-text splits per row).  zip_with arguments are plain row-level
-    expressions, evaluated once per row — ~30x faster on real documents.
+    subtree, which Spark re-evaluates PER ELEMENT (k x n_tokens evaluations
+    per row).  zip_with arguments are plain row-level expressions, evaluated
+    once per row — ~30x faster on real documents.
+
+    IMPORTANT: pass a plain *column reference* to an already-projected token
+    array, not the tokenizer expression itself — Spark does no common-
+    subexpression elimination across the ~2k+1 references this builder makes,
+    so an inline split/lower/filter subtree would run 2k+1 times per row
+    (~3x slower end-to-end at k=3).  word_ngrams()/word_shingles() below
+    exist for single-shot convenience; multi-pass operators project tokens
+    first (see _shingle_sets).
     """
-    ws = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
     n = F.size(ws)
     # acc[i] = ws[i] + ' ' + ws[i+1] + ... ; zip_with pads the shorter side
     # with NULL and concat propagates it, so trailing partial grams become
@@ -83,6 +90,12 @@ def word_ngrams(text_col: Column | str, k: int = 3) -> Column:
     grams = F.filter(acc, lambda g: g.isNotNull())
     # degenerate short docs: single gram of the whole text
     return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def word_ngrams(text_col: Column | str, k: int = 3) -> Column:
+    """Word k-grams of lowercased text, duplicates kept (JVM-side)."""
+    ws = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
+    return ngrams_from_tokens(ws, k)
 
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
@@ -106,8 +119,15 @@ def _shingle_sets(
     accumulating copies.  The repartition by doc additionally means doc-keyed
     aggregations/windows/joins downstream inherit the partitioning (no extra
     shuffle)."""
-    sets = df.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh")
+    from hiveka_spark.operators.text import tokens
+
+    # two-step projection: tokenize ONCE into a column, then shingle off the
+    # column reference (see ngrams_from_tokens: no CSE across HOF references)
+    toks = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
+    )
+    sets = toks.select(
+        "doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh")
     )
     sets = sets.repartition(F.col("doc"))
     if reuse:
@@ -211,10 +231,18 @@ def contamination_overlap(
     ZERO shuffle of training data; the only shuffle is the per-doc count,
     keyed by doc id.  Shingling reuses word_shingles (JVM-side, codegen'd).
     """
-    tr = train.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, k).alias("sh")
-    ).select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
-    ev = eval_df.select(F.explode(word_shingles(text_col, k)).alias("s")).distinct()
+    from hiveka_spark.operators.text import tokens
+
+    tr = (
+        train.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ws"))
+        .select("doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh"))
+        .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    )
+    ev = (
+        eval_df.select(tokens(text_col).alias("ws"))
+        .select(F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"))
+        .distinct()
+    )
     hits = (
         tr.join(F.broadcast(ev), "s")
         .groupBy("doc", "n_shingles")

@@ -984,7 +984,8 @@ def x29_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     All per-row array math (JVM codegen'd, no explode, ZERO shuffles) — at
     100 TB this is a pure map over the corpus, the cheapest possible shape
     for a quality filter."""
-    g = D.word_ngrams("text", 2)
+    # project the gram array ONCE (no CSE across the three metric references)
+    g = F.col("g")
     # hottest gram count = longest equal run in the sorted gram array: an
     # O(n log n) sort + one linear aggregate pass per row (NOT the O(n^2)
     # count-each-distinct-gram formulation)
@@ -1004,12 +1005,16 @@ def x29_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.size(g).alias("n_grams"),
-        F.size(F.array_distinct(g)).alias("n_distinct"),
-        run_scan.alias("top_gram_count"),
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", D.word_ngrams("text", 2).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(g).alias("n_grams"),
+            F.size(F.array_distinct(g)).alias("n_distinct"),
+            run_scan.alias("top_gram_count"),
+        )
     )
     rep = F.floor((F.col("n_grams") - F.col("n_distinct")) * 10000.0 / F.col("n_grams")) / 10000.0
     return d.select(
