@@ -208,7 +208,17 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_jaccard(cand, sh_df, threshold)
+    out = _verified_jaccard(cand, sh_df, threshold)
+    if reuse:
+        from pyspark import StorageLevel
+
+        # the verified pair set is tiny by construction (near-dup pairs);
+        # caching it lets downstream consumers (duplicate clustering reads it
+        # once per propagation round; dedup-rate metrics re-scan it) skip the
+        # whole candidate+verify pipeline — CacheManager dedupes identical
+        # plans, so repeated calls share one entry.
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def contamination_overlap(
