@@ -49,13 +49,26 @@ def py_count(v: pd.Series) -> int:  # grouped-agg pandas UDAF
 
 
 def zscore_per_group(
-    df: DataFrame, group_col: str, value_col: str, out_col: str = "z"
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Grouped-map applyInPandas: per-group z-score (sample std, ddof=1 —
     the STDDEV_SAMP convention, so the SQL twin matches).  One shuffle on the
-    group key; each group is one pandas frame."""
-    out_schema = f"{df.schema[group_col].dataType.simpleString()}"
-    schema = f"doc_id bigint, {group_col} {out_schema}, {out_col} double"
+    group key; each group is one pandas frame.
+
+    Pass-through columns default to every df column except the group and
+    value columns (override with ``id_cols``) — nothing is hardcoded, so any
+    keyed frame works."""
+    if id_cols is None:
+        id_cols = [c for c in df.columns if c not in (group_col, value_col)]
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + [f"{group_col} {df.schema[group_col].dataType.simpleString()}",
+           f"{out_col} double"]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -63,13 +76,10 @@ def zscore_per_group(
         v = pdf[value_col].astype("float64")
         std = v.std(ddof=1)
         z = (v - v.mean()) / std if std and std > 0 else pd.Series([None] * len(v))
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                group_col: pdf[group_col],
-                out_col: np.floor(z * 10000.0) / 10000.0,
-            }
-        )
+        out = {c: pdf[c] for c in id_cols}
+        out[group_col] = pdf[group_col]
+        out[out_col] = np.floor(z * 10000.0) / 10000.0
+        return pd.DataFrame(out)
 
     return df.groupBy(group_col).applyInPandas(fn, schema)
 

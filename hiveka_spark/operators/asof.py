@@ -40,22 +40,35 @@ def asof_join(
     ``tolerance_ms`` nulls out matches farther back than the window;
     ``how='inner'`` drops unmatched left rows.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
-    rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
 
+    # ONE struct carries the right ts + every right value column, so a single
+    # last(ignorenulls=True) propagates the whole match atomically — matched
+    # columns can never mix values from different right rows (a per-column
+    # carry would skip over a newer right row's NULL in one column and fill it
+    # from an older row).
+    r_struct_type = T.StructType(
+        [T.StructField("ts", T.LongType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_value_cols]
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         _ms(left, left_ts).alias("_ts_ms"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         _ms(right, right_ts).alias("_ts_ms"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        F.struct(
+            _ms(right, right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("_r"),
         *[F.lit(None).cast(ltypes[c]).alias(f"_l_{c}") for c in lcols],
     )
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) => ties match
@@ -68,17 +81,14 @@ def asof_join(
         "_k",
         "_ts_ms",
         "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_value_cols],
-        F.last(F.when(F.col("_side") == 0, F.col("_ts_ms")), ignorenulls=True)
-        .over(w)
-        .alias("_m_ts_ms"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
         *[F.col(f"_l_{c}") for c in lcols],
     )
-    gap = F.col("_ts_ms") - F.col("_m_ts_ms")
+    gap = F.col("_ts_ms") - F.col("_m.ts")
     within = gap <= F.lit(tolerance_ms) if tolerance_ms is not None else F.lit(True)
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.when(within, F.col(f"_m_{c}")).alias(c) for c in right_value_cols],
+        *[F.when(within, F.col(f"_m.{c}")).alias(c) for c in right_value_cols],
         F.when(within, gap).cast("bigint").alias("asof_gap_ms"),
     )
     if how == "inner":

@@ -63,7 +63,20 @@ def salted_join(
     right rows are replicated once per salt value.  Join key becomes
     (on..., salt): the hot key's rows land on salt_n reducers.
     Cost: right side x salt_n — use only when right is the smaller side.
+
+    ``how`` is restricted to left-preserving joins: under right/full outer
+    joins the replicated right side would emit each unmatched right row
+    salt_n times (one per salt value), silently corrupting the result —
+    salt the LEFT side of a right join instead (swap the operands).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+               "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: the "
+            "right side is replicated per salt, so right/full outer joins "
+            "would duplicate unmatched right rows salt_n times"
+        )
     lsalt = F.pmod(portable_hash60(F.concat_ws("\x1f", *[F.col(c) for c in left.columns])),
                    F.lit(salt_n))
     l = left.withColumn("_salt", lsalt)

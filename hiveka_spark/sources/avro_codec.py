@@ -83,19 +83,56 @@ def _norm(schema: Any) -> Any:
     return schema
 
 
+def _branch_matches(branch: Any, value: Any) -> bool:
+    """Does a Python value belong to this (non-null) union branch?"""
+    branch = _norm(branch)
+    if isinstance(branch, str):
+        return {
+            "boolean": lambda v: isinstance(v, bool),
+            "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "long": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "float": lambda v: isinstance(v, float),
+            "double": lambda v: isinstance(v, float),
+            "string": lambda v: isinstance(v, str),
+            "bytes": lambda v: isinstance(v, (bytes, bytearray)),
+        }.get(branch, lambda v: False)(value)
+    kind = branch.get("type")
+    if kind == "record":
+        return isinstance(value, dict)
+    if kind == "map":
+        return isinstance(value, dict)
+    if kind == "array":
+        return isinstance(value, (list, tuple))
+    if "logicalType" in branch:
+        return _branch_matches(kind, value)
+    return False
+
+
 def _encode_value(out: io.BytesIO, schema: Any, value: Any) -> None:
     schema = _norm(schema)
     if isinstance(schema, list):  # union: write branch index, then value
         if value is None and "null" in schema:
-            out.write(bytes([_zigzag_encode(schema.index("null")) & 0x7F]))
+            _write_varint(out, schema.index("null"))
             return
-        for idx, branch in enumerate(schema):
-            if branch == "null":
-                continue
-            _write_varint(out, idx)
-            _encode_value(out, branch, value)
-            return
-        raise ValueError(f"no union branch for value {value!r} in {schema}")
+        # select the branch by the VALUE's Python type — writing the first
+        # non-null branch unconditionally would coerce e.g. an int into the
+        # 'string' branch of ['null','string','int'] and external Avro
+        # readers would see garbage (self-roundtrip hides it)
+        matches = [
+            (idx, b) for idx, b in enumerate(schema)
+            if b != "null" and _branch_matches(b, value)
+        ]
+        if not matches:
+            raise ValueError(f"no union branch for value {value!r} in {schema}")
+        if len(matches) > 1:
+            raise ValueError(
+                f"ambiguous union branches {[b for _, b in matches]} for value "
+                f"{value!r}; narrow the union or pre-coerce the value"
+            )
+        idx, branch = matches[0]
+        _write_varint(out, idx)
+        _encode_value(out, branch, value)
+        return
     if isinstance(schema, str):
         if schema == "null":
             return
@@ -143,28 +180,40 @@ def _encode_value(out: io.BytesIO, schema: Any, value: Any) -> None:
         raise ValueError(f"unsupported Avro schema {schema!r}")
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Length-checked read: truncated payloads must RAISE (and get the
+    PERMISSIVE null-record treatment), never yield silently wrong values
+    (bare buf.read(1) on EOF decodes as boolean False)."""
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError(f"truncated payload: wanted {n} bytes, got {len(raw)}")
+    return raw
+
+
 def _decode_value(buf: io.BytesIO, schema: Any) -> Any:
     schema = _norm(schema)
     if isinstance(schema, list):
         idx = _read_varint(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"union branch index {idx} out of range for {schema}")
         return _decode_value(buf, schema[idx])
     if isinstance(schema, str):
         if schema == "null":
             return None
         if schema == "boolean":
-            return buf.read(1) == b"\x01"
+            return _read_exact(buf, 1) == b"\x01"
         if schema in ("int", "long"):
             return _read_varint(buf)
         if schema == "float":
-            return _struct.unpack("<f", buf.read(4))[0]
+            return _struct.unpack("<f", _read_exact(buf, 4))[0]
         if schema == "double":
-            return _struct.unpack("<d", buf.read(8))[0]
+            return _struct.unpack("<d", _read_exact(buf, 8))[0]
         if schema == "string":
             n = _read_varint(buf)
-            return buf.read(n).decode("utf-8")
+            return _read_exact(buf, n).decode("utf-8")
         if schema == "bytes":
             n = _read_varint(buf)
-            return buf.read(n)
+            return _read_exact(buf, n)
         raise ValueError(f"unsupported primitive {schema}")
     kind = schema["type"]
     if kind == "record":
@@ -206,7 +255,13 @@ def encode_record(schema: dict, record: dict) -> bytes:
 
 
 def decode_record(schema: dict, payload: bytes) -> dict:
-    return _decode_value(io.BytesIO(payload), schema)
+    buf = io.BytesIO(payload)
+    rec = _decode_value(buf, schema)
+    if buf.read(1) != b"":
+        # a corrupt-but-parseable prefix must not pass as a valid record —
+        # trailing bytes mean the payload was not this schema's encoding
+        raise ValueError("trailing bytes after Avro record")
+    return rec
 
 
 # --------------------------------------------------------------------------

@@ -120,6 +120,21 @@ def test_asof_join_semantics(spark):
     assert out["p3"]["cid"] is None and out["p3"]["asof_gap_ms"] is None
 
 
+def test_asof_join_atomic_match(spark):
+    """The matched right row is carried as ONE struct: when the most recent
+    right row has a NULL in one value column, that NULL must surface (not be
+    back-filled from an older right row), and asof_gap_ms must reflect the
+    same row the values came from."""
+    left = spark.createDataFrame([(1, 300, "p1")], ["k", "ts", "pid"])
+    right = spark.createDataFrame(
+        [(1, 100, "old", 11), (1, 200, None, 22)], ["k", "ts", "cid", "amt"]
+    )
+    (row,) = asof_join(left, right, "k", "ts", "ts", ["cid", "amt"]).collect()
+    assert row["amt"] == 22 and row["asof_gap_ms"] == 100
+    # cid comes from the SAME (ts=200) row: NULL, not "old" from ts=100
+    assert row["cid"] is None
+
+
 def test_asof_join_tolerance_and_inner(spark):
     left = spark.createDataFrame([(1, 1000, "p1"), (1, 5000, "p2")], ["k", "ts", "pid"])
     right = spark.createDataFrame([(1, 900, "c1")], ["k", "ts", "cid"])
@@ -195,3 +210,20 @@ def test_salted_join_equals_plain_join(spark):
         ["k"], salt_n=4,
     ).count()
     assert salted == plain
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    """Right/full outer joins would emit unmatched right rows salt_n times
+    (the right side is replicated per salt) — must raise, not corrupt."""
+    import pytest
+
+    from hiveka_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(1, "y")], ["k", "w"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(a, b, ["k"], salt_n=4, how=how)
+    # left semi/anti stay supported (right replication preserves semantics)
+    assert salted_join(a, b, ["k"], salt_n=4, how="left_semi").count() == 1
+    assert salted_join(a, b, ["k"], salt_n=4, how="left_anti").count() == 0

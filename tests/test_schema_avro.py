@@ -97,3 +97,62 @@ def test_corrupt_payload_raises():
     schema = struct_to_avro(ddl_to_struct("a STRING"))
     with pytest.raises(Exception):
         decode_record(schema, b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff")
+
+
+def test_trailing_bytes_raise():
+    """A valid record followed by junk is NOT a valid payload — a decoder
+    that stops early would silently accept a different schema's encoding."""
+    schema = struct_to_avro(ddl_to_struct("a INT"))
+    payload = encode_record(schema, {"a": 7})
+    with pytest.raises(ValueError, match="trailing"):
+        decode_record(schema, payload + b"\x02")
+
+
+def test_truncated_fixed_width_raises():
+    """Truncation inside a double/boolean must raise (EOFError), not decode
+    as 0.0/False."""
+    schema = struct_to_avro(ddl_to_struct("a DOUBLE"))
+    payload = encode_record(schema, {"a": math.pi})
+    with pytest.raises(Exception):
+        decode_record(schema, payload[: len(payload) - 2])
+    bschema = struct_to_avro(ddl_to_struct("b BOOLEAN"))
+    with pytest.raises(Exception):
+        decode_record(bschema, b"")  # boolean read at EOF
+
+
+def test_multibranch_union_selects_branch_by_type():
+    """['null','long','string'] unions must encode each value into ITS branch
+    (external Avro readers see the right type), and decode back exactly."""
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "v", "type": ["null", "long", "string"]}],
+    }
+    for val in (None, 42, "forty-two"):
+        assert decode_record(schema, encode_record(schema, {"v": val})) == {"v": val}
+    # booleans are not ints: bool must NOT land in the long branch
+    bschema = {
+        "type": "record",
+        "name": "ub",
+        "fields": [{"name": "v", "type": ["null", "boolean", "long"]}],
+    }
+    assert decode_record(bschema, encode_record(bschema, {"v": True})) == {"v": True}
+    assert decode_record(bschema, encode_record(bschema, {"v": 1})) == {"v": 1}
+
+
+def test_ambiguous_union_raises():
+    schema = {
+        "type": "record",
+        "name": "amb",
+        "fields": [{"name": "v", "type": ["null", "int", "long"]}],
+    }
+    with pytest.raises(ValueError, match="ambiguous"):
+        encode_record(schema, {"v": 5})
+    # no matching branch -> clear error, not silent coercion
+    sschema = {
+        "type": "record",
+        "name": "s",
+        "fields": [{"name": "v", "type": ["null", "string"]}],
+    }
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_record(sschema, {"v": 5})
