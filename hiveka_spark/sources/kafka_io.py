@@ -127,6 +127,20 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def avro_jvm_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the JVM classpath, i.e.
+    ``pyspark.sql.avro.functions.from_avro``/``to_avro`` will actually
+    evaluate (the Python wrappers import fine either way; evaluation needs
+    org.apache.spark.sql.avro.* from the spark-avro jar)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _require_kafka(spark: SparkSession) -> None:
     if not kafka_available(spark):
         raise RuntimeError(
@@ -161,13 +175,20 @@ def decode_wire(
     cfg: KafkaTableConfig,
     mode: str = "PERMISSIVE",
     event_time_field: str | None = None,
+    use_jvm_avro: bool | None = None,
 ) -> DataFrame:
     """Wire rows -> typed rows: decode ``value`` against the declared schema
-    (A17/A18) in the configured payload format (A19's decoder knob: avro via
-    the wire codec, json/csv via JVM-side from_json/from_csv — no Python in
-    those paths), keep Kafka metadata columns, and derive ``event_time`` with
-    the reference's precedence — payload header time, payload timestamp
-    field, then broker timestamp (KafkaAvroMessageDecoder.java:194-205, A23).
+    (A17/A18) in the configured payload format (A19's decoder knob), keep
+    Kafka metadata columns, and derive ``event_time`` with the reference's
+    precedence — payload header time, payload timestamp field, then broker
+    timestamp (KafkaAvroMessageDecoder.java:194-205, A23).
+
+    Avro decode dispatch (``use_jvm_avro=None`` auto-probes the classpath):
+    when the spark-avro module is present, decode stays JVM-side via
+    ``from_avro`` — at 100 TB no payload byte should ever cross into Python.
+    Without the jar (this container), the Arrow-batched pure-Python wire
+    codec (`avro_codec.decode_avro_df`) is the fallback and the test oracle.
+    json/csv always use JVM ``from_json``/``from_csv``.
     """
     schema_json = cfg.schema_json()
     payload_fields = {f["name"] for f in json.loads(schema_json)["fields"]}
@@ -184,7 +205,21 @@ def decode_wire(
         df = df.withColumnRenamed(old, new)
     fmt = cfg.payload_format.lower()
     if fmt == "avro":
-        decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
+        if use_jvm_avro is None:
+            use_jvm_avro = avro_jvm_available(df.sparkSession)
+        if use_jvm_avro:
+            # JVM-side decode: whole-stage-codegen-friendly, zero Python in
+            # the payload path (A18 scale path).  PERMISSIVE -> all-null
+            # struct on corrupt records, matching the Python codec's
+            # null-record treatment.
+            from pyspark.sql.avro.functions import from_avro
+
+            parsed = from_avro(F.col("value"), schema_json, {"mode": mode})
+            decoded = df.select(*keep, parsed.alias("_payload")).select(
+                *keep, "_payload.*"
+            )
+        else:
+            decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
     elif fmt in ("json", "csv"):
         struct = cfg.spark_struct()
         text = F.col("value").cast("string")
@@ -213,6 +248,38 @@ def decode_wire(
     return decoded
 
 
+def encode_payload(
+    df: DataFrame,
+    cfg: KafkaTableConfig,
+    key_col: str | None = None,
+    use_jvm_avro: bool | None = None,
+) -> DataFrame:
+    """Rows -> binary Kafka ``value`` (+ optional ``key``) in the table's
+    Avro schema.  Same dispatch as :func:`decode_wire`: JVM ``to_avro`` when
+    spark-avro is on the classpath, Arrow-batched Python wire codec
+    otherwise."""
+    from hiveka_spark.sources.avro_codec import encode_avro_df
+
+    schema_json = cfg.schema_json()
+    if use_jvm_avro is None:
+        use_jvm_avro = avro_jvm_available(df.sparkSession)
+    if use_jvm_avro:
+        from pyspark.sql.avro.functions import to_avro
+
+        field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
+        cols = [
+            to_avro(
+                F.struct(*[F.col(n) for n in field_names]), schema_json
+            ).alias("value")
+        ]
+        if key_col:
+            cols.insert(
+                0, F.col(key_col).cast("string").cast("binary").alias("key")
+            )
+        return df.select(*cols)
+    return encode_avro_df(df, schema_json, key_col=key_col)
+
+
 def write_kafka(
     df: DataFrame,
     cfg: KafkaTableConfig,
@@ -221,10 +288,8 @@ def write_kafka(
 ) -> None:
     """Avro-encode + publish — the real implementation of the reference's
     stub sink (KafkaOutputFormat.java:28-39)."""
-    from hiveka_spark.sources.avro_codec import encode_avro_df
-
     _require_kafka(df.sparkSession)
-    payload = encode_avro_df(df, cfg.schema_json(), key_col=key_col)
+    payload = encode_payload(df, cfg, key_col=key_col)
     (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", cfg.bootstrap_servers)

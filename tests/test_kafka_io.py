@@ -15,7 +15,9 @@ from hiveka_spark.sources.avro_codec import decode_avro_df, encode_avro_df, deco
 from hiveka_spark.sources.kafka_io import (
     KafkaTableConfig,
     OffsetStore,
+    avro_jvm_available,
     decode_wire,
+    encode_payload,
     kafka_available,
     read_kafka_batch,
     reader_options,
@@ -202,6 +204,72 @@ def test_events_fixture_as_wire_decodes_fully(spark):
         assert r["user_id"] == s["user_id"]
         assert abs(r["value"] - s["value"]) < 1e-12
         assert r["event_time"] is not None
+
+
+# ------------------------------------------------- avro decode path dispatch
+def _decode_rows(spark, use_jvm):
+    rows = P.demo_rows(20)
+    wire = P.wire_df(spark, P.DEMO_SCHEMA, rows, topic="t")
+    cfg = KafkaTableConfig(bootstrap_servers="none", ddl="a INT, b STRING")
+    out = decode_wire(wire, cfg, use_jvm_avro=use_jvm).collect()
+    return sorted((r["a"], r["b"]) for r in out)
+
+
+@pytest.mark.parametrize("use_jvm", [False, True])
+def test_decode_wire_both_avro_paths_agree(spark, use_jvm):
+    """A18 dispatch: the JVM from_avro path and the Python wire-codec path
+    must produce identical typed rows (parity with
+    KafkaAvroMessageDecoder.java:153-177 decode semantics).  The JVM case
+    skips when the spark-avro jar is absent — the Python path is the oracle
+    either way."""
+    if use_jvm and not avro_jvm_available(spark):
+        pytest.skip("spark-avro not on classpath; JVM from_avro untestable")
+    want = [(i, "static test string") for i in range(1, 21)]
+    assert _decode_rows(spark, use_jvm) == want
+
+
+def test_decode_wire_auto_probe_matches_explicit(spark):
+    """use_jvm_avro=None must dispatch to whichever path the classpath
+    supports and agree with the explicitly-chosen one."""
+    auto = _decode_rows(spark, None)
+    assert auto == _decode_rows(spark, avro_jvm_available(spark))
+
+
+def test_encode_payload_python_fallback_roundtrips(spark):
+    rows = P.fake_tweets(8, seed=11, base_ts=1700000000)
+    df = P.typed_df(spark, P.TWEET_SCHEMA, rows)
+    cfg = KafkaTableConfig(
+        bootstrap_servers="none",
+        ddl="username STRING, text STRING, timestamp BIGINT",
+    )
+    enc = encode_payload(df, cfg, key_col="username", use_jvm_avro=False)
+    assert [f.name for f in enc.schema.fields] == ["key", "value"]
+    avro = struct_to_avro(P.TWEET_SCHEMA, "tweet")
+    got = sorted(
+        (r["username"], r["text"], r["timestamp"])
+        for r in decode_avro_df(enc, avro).collect()
+    )
+    want = sorted((r["username"], r["text"], r["timestamp"]) for r in rows)
+    assert got == want
+
+
+def test_encode_payload_jvm_path(spark):
+    if not avro_jvm_available(spark):
+        pytest.skip("spark-avro not on classpath; JVM to_avro untestable")
+    rows = P.fake_tweets(8, seed=11, base_ts=1700000000)
+    df = P.typed_df(spark, P.TWEET_SCHEMA, rows)
+    cfg = KafkaTableConfig(
+        bootstrap_servers="none",
+        ddl="username STRING, text STRING, timestamp BIGINT",
+    )
+    enc = encode_payload(df, cfg, key_col="username", use_jvm_avro=True)
+    avro = struct_to_avro(P.TWEET_SCHEMA, "tweet")
+    got = sorted(
+        (r["username"], r["text"], r["timestamp"])
+        for r in decode_avro_df(enc, avro).collect()
+    )
+    want = sorted((r["username"], r["text"], r["timestamp"]) for r in rows)
+    assert got == want
 
 
 # ------------------------------------------------------- json/csv wire decode
