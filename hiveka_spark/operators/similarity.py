@@ -85,23 +85,24 @@ def brute_force_topk(
     )
 
 
-def plane_weights(n_planes: int, dim: int) -> list[list[int]]:
+def plane_weights(n_planes: int, dim: int, tag: str = "") -> list[list[int]]:
     """Deterministic integer hyperplane weights in [-500, 499], derived from
-    md5("plane{p}_{i}") — reproducible in pure Python, Spark, and DuckDB, so
-    LSH bucket assignment is engine-exact (integer dot products, no float
-    sign flips near zero) and the ANN entry carries a full SQL oracle."""
+    md5("plane{tag}{p}_{i}") — reproducible in pure Python, Spark, and DuckDB,
+    so LSH bucket assignment is engine-exact (integer dot products, no float
+    sign flips near zero) and the ANN entry carries a full SQL oracle.
+    ``tag`` namespaces independent hash tables (multi-table LSH)."""
     import hashlib
 
     return [
         [
-            int(hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[:15], 16) % 1000 - 500
+            int(hashlib.md5(f"plane{tag}{p}_{i}".encode()).hexdigest()[:15], 16) % 1000 - 500
             for i in range(dim)
         ]
         for p in range(n_planes)
     ]
 
 
-def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int) -> Column:
+def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int, tag: str = "") -> Column:
     """Sign-bit bucket id from deterministic hyperplanes over the QUANTIZED
     vector: dot products are exact bigint arithmetic (|qv| <= 1e4ish, |w| <=
     500, dim 64 => |dot| < 2^30), so the bucket is order- and
@@ -110,7 +111,7 @@ def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int) -> Column:
     # ONE array<array<bigint>> literal instead of n_planes*dim Literal nodes:
     # Catalyst planning cost scales with tree size, and the per-literal form
     # cost ~2s of optimizer time per query at dim 64 (execution was fine).
-    planes = F.lit(plane_weights(n_planes, dim)).cast("array<array<bigint>>")
+    planes = F.lit(plane_weights(n_planes, dim, tag)).cast("array<array<bigint>>")
     pows = F.lit([2**p for p in range(n_planes)]).cast("array<bigint>")
     dots = F.transform(
         planes,
@@ -259,6 +260,68 @@ def ivf_topk(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs: candidates = vector pairs sharing a bucket
+    in ANY of ``n_tables`` independent hyperplane tables; exact integer-cosine
+    verify >= threshold on candidates only.  This is the 100 TB default plan —
+    the join key is (table, bucket), so candidate generation is an equi-join
+    shuffle, never an all-pairs product.
+
+    Recall math (per pair at cosine c): P[same sign on one plane] =
+    1 - arccos(c)/pi =: p; per-table collision p^n_planes; overall
+    1-(1-p^n_planes)^n_tables.  At c=0.9, b=4, L=8 that is ~0.998; at the
+    gate threshold 0.4 it is ~0.75 — tune (b down | L up) for low thresholds.
+    Recall vs the exact path is property-tested; precision is 1.0 by
+    construction (exact verify).  Everything is engine-exact (md5-derived
+    planes, integer dots), so the DuckDB oracle replays the identical
+    blocking — the gate checks determinism of the declared approximate
+    semantics, the test suite checks measured recall.
+
+    Shuffle shape: posexplode (narrow) -> self equi-join on (table, bucket)
+    -> distinct on (id_a, id_b, cosine).  Duplicate candidates across tables
+    are collapsed AFTER the cheap verify (cosine is deterministic, so
+    distinct sees identical rows) — no join-back to re-fetch vectors.
+    """
+    v = with_quantized_norm(df, vec_col)
+    buckets = F.array(
+        *[lsh_bucket("qvec", n_planes, dim, tag=f"t{t}_") for t in range(n_tables)]
+    )
+    e = v.select(
+        F.col(id_col).alias("_id"),
+        F.col("qvec"),
+        F.col("qnorm2"),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    a = e.select(
+        F.col("_id").alias("id_a"), F.col("qvec").alias("va"),
+        F.col("qnorm2").alias("na2"), "tbl", "bucket",
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"), F.col("qvec").alias("vb"),
+        F.col("qnorm2").alias("nb2"), "tbl", "bucket",
+    )
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            / 10000.0,
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -267,9 +330,10 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (id_a < id_b).
 
-    Exact all-pairs formulation (the sf-scale oracle path); at 100 TB swap the
-    self-join for lsh_bucket blocking — same downstream expression, join key
-    becomes the bucket id.
+    EXACT all-pairs formulation — O(n^2); the small-scale oracle/recall
+    baseline.  The production-scale default is :func:`lsh_neardup_pairs`
+    (equi-join blocking); this one exists to measure its recall and to serve
+    exact answers on bounded inputs.
     """
     v = with_quantized_norm(df, vec_col)
     a = v.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na2"))

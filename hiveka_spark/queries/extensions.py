@@ -194,8 +194,59 @@ def x04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(d, "doc_id", "text", bits=32, bands=4, max_hamming=3)
 
 
+def _neardup_lsh_oracle(
+    threshold: float = 0.4, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    """Replay x05's multi-table hyperplane blocking in DuckDB: same
+    md5-derived planes, same integer dots, same verify — candidate blocking
+    is part of the declared (approximate) semantics, exactly like x03/x04/x07."""
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = S.plane_weights(n_planes, dim, tag=f"t{t}_")
+        bucket_exprs.append(
+            " + ".join(
+                f"(CASE WHEN list_dot_product(qvd, {[float(w) for w in planes[p]]}) > 0"
+                f" THEN {2 ** p} ELSE 0 END)"
+                for p in range(n_planes)
+            )
+        )
+    cos = (
+        "CAST(FLOOR((list_dot_product(a.qvd, b.qvd) / (sqrt(a.n2) * sqrt(b.n2)))"
+        " * 10000.0) AS BIGINT) / 10000.0"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    e AS (SELECT vec_id, qvd, list_dot_product(qvd, qvd) AS n2,
+                 UNNEST([{", ".join(bucket_exprs)}]) AS bucket,
+                 UNNEST([{", ".join(str(t) for t in range(n_tables))}]) AS tbl
+          FROM n)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM e a JOIN e b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
 @register(
     "x05_embedding_neardup",
+    oracle=_neardup_lsh_oracle(),
+    tags=("dedup", "neardup", "embedding", "similarity", "lsh"),
+)
+def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4) via multi-table
+    hyperplane LSH blocking (8 tables x 4 planes) + exact integer-cosine
+    verify on candidates — the equi-join plan that survives 100 TB (no
+    all-pairs product anywhere; asserted in tests/test_plans.py).  The
+    exact all-pairs path lives on as S.cosine_neardup_pairs for recall
+    measurement (tests/test_similarity.py)."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "x05x_embedding_neardup_exact",
     oracle="""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
@@ -213,11 +264,12 @@ def x04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        list_transform(b.qv, x -> CAST(x AS DOUBLE)))
                       / (sqrt(a.n2) * sqrt(b.n2))) * 10000.0) AS BIGINT) / 10000.0 >= 0.4
     """,
-    tags=("dedup", "neardup", "embedding", "similarity"),
+    tags=("dedup", "neardup", "embedding", "similarity", "exact"),
 )
-def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.4) over fixed-point
-    quantized vectors — exact all-pairs at sf scale; LSH blocking at 100 TB."""
+def x05x_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (cos >= 0.4) — the all-pairs
+    O(n^2) baseline kept as its own gate entry: it is x05's recall oracle and
+    the bounded-input exact mode.  x05 itself runs the LSH-blocked plan."""
     e = table(spark, sf_dir, "embeddings")
     return S.cosine_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
 

@@ -180,6 +180,26 @@ def test_approx_count_distinct_accuracy(spark):
         assert abs(r["approx"] - r["exact"]) <= max(0.05 * r["exact"], 2)
 
 
+def test_lsh_neardup_recall_and_precision(spark):
+    """x05's blocked plan vs the exact all-pairs baseline: precision must be
+    1.0 (exact verify on candidates — every emitted pair IS above threshold),
+    recall >= 0.7 at the hostile gate threshold 0.4 (theory for 8 tables x 4
+    planes: 1-(1-p^4)^8 ~ 0.75 at cos 0.4, ~0.998 at the realistic near-dup
+    regime cos 0.9)."""
+    emb = table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.lsh_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert approx <= exact, "blocking emitted a pair below threshold"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"lsh neardup recall {recall:.2f}"
+
+
 def test_ivf_topk_recall(spark):
     emb = table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -103,6 +103,17 @@ def test_x06_ann_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_x05_neardup_no_all_pairs_product(spark):
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.extensions import x05_embedding_neardup
+
+    # the default near-dup plan is LSH blocking: candidate generation must be
+    # an equi-join on (table, bucket) — never a self cross product
+    plan = formatted_plan(x05_embedding_neardup(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_x02_no_cartesian(spark):
     from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries.extensions import x02_dedup_ngram_jaccard
