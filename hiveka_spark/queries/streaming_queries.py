@@ -25,9 +25,15 @@ from hiveka_spark.queries import register
 from hiveka_spark.streaming import pipeline as P
 
 
-def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _drain(
+    df: DataFrame, name: str, output_mode: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     return P.run_available_now(
-        df, name, output_mode=output_mode, checkpoint=tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+        df,
+        name,
+        output_mode=output_mode,
+        checkpoint=tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+        shuffle_partitions=shuffle_partitions,
     )
 
 
@@ -217,7 +223,13 @@ def s07_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = P.events_stream(spark, sf_dir).select(
         "user_id", "event_type", F.unix_millis("ts").alias("ms")
     )
-    out = _drain(funnel_detect(stream, horizon_ms=3_600_000), "s07_funnel", "append")
+    # few hundred active keys at gate scale: 8 state partitions, not the
+    # session's batch-sized default — per-partition state-store + Python
+    # worker setup is the dominant cost for small keyed state (VERDICT r1 #4)
+    out = _drain(
+        funnel_detect(stream, horizon_ms=3_600_000), "s07_funnel", "append",
+        shuffle_partitions=8,
+    )
     return out.select("user_id", "first_ms", "converted_ms", "gap_ms")
 
 
@@ -231,16 +243,19 @@ def s07_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s08_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful running aggregates (applyInPandasWithState): per-user
-    (count, sum) emitted after every micro-batch from carried state.  Drained
-    availableNow over the single-file fixture there is exactly one batch, so
-    the final emission per user equals the batch group-by — which makes the
-    oracle exact here while the operator itself is built for the multi-batch
-    case (tests drive it across batch splits)."""
-    from hiveka_spark.streaming.stateful import running_user_stats
+    (count, sum) emitted after every micro-batch from carried state.  The
+    update-mode sink holds one emission per (user, batch-that-touched-it);
+    the entry reduces to the FINAL emission per user (max_by on the
+    monotonically-growing running count), so the result equals the batch
+    group-by no matter how the drain splits into micro-batches — exactness
+    does not depend on the fixture being a single file (VERDICT r1 #5;
+    multi-batch drains are pinned in tests/test_streaming.py)."""
+    from hiveka_spark.streaming.stateful import final_running_stats, running_user_stats
 
     stream = P.events_stream(spark, sf_dir)
-    out = _drain(running_user_stats(stream), "s08_running", "update")
-    return out.select(
+    out = _drain(running_user_stats(stream), "s08_running", "update", shuffle_partitions=8)
+    final = final_running_stats(out)
+    return final.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
 

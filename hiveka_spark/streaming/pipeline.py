@@ -168,10 +168,18 @@ def run_available_now(
     name: str,
     output_mode: str = "append",
     checkpoint: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain everything currently available through a memory sink and return
     the result as a DataFrame.  availableNow = process-all-then-stop, the
-    batch-like harness for deterministic streaming tests."""
+    batch-like harness for deterministic streaming tests.
+
+    ``shuffle_partitions`` bounds the STATE partition count for stateful
+    queries (captured from the session conf at query start and pinned into
+    the checkpoint): per-partition state-store + Python-worker setup is a
+    fixed cost, so a keyed stream with few distinct keys should run ~n_keys
+    partitions, not the session-wide default sized for 100 TB batch shuffles.
+    The prior conf is restored after the drain."""
     spark = stream_df.sparkSession
     writer = (
         stream_df.writeStream.format("memory")
@@ -181,8 +189,15 @@ def run_available_now(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = writer.start()  # physical planning reads the conf here
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 

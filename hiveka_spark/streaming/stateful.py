@@ -86,6 +86,20 @@ def running_user_stats(events: DataFrame, ttl_minutes: int | None = None) -> Dat
     )
 
 
+def final_running_stats(drained: DataFrame) -> DataFrame:
+    """Reduce an update-mode drain of :func:`running_user_stats` to the FINAL
+    emission per user.  The sink holds one row per (user, batch-that-touched-
+    it); the running count grows monotonically, so max_by(n_events) picks the
+    last batch's row — making the result equal to the batch group-by for ANY
+    micro-batch split, not just single-batch drains."""
+    import pyspark.sql.functions as F
+
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
 FUNNEL_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -8,7 +8,11 @@ import pyspark.sql.functions as F
 
 from hiveka_spark.catalog import table
 from hiveka_spark.streaming import pipeline as P
-from hiveka_spark.streaming.stateful import funnel_detect, running_user_stats
+from hiveka_spark.streaming.stateful import (
+    final_running_stats,
+    funnel_detect,
+    running_user_stats,
+)
 
 from .conftest import SF_SMOKE
 
@@ -25,6 +29,43 @@ def test_running_user_stats_matches_batch(spark):
         .collect()
     )
     want = {r["user_id"]: (r["n"], r["t"]) for r in batch}
+    assert got == want
+
+
+def test_running_stats_multi_batch_drain_stays_exact(spark):
+    """s08 hardening (VERDICT r1 #5): split events into TWO files and drain
+    one file per micro-batch — the update-mode sink now holds up to two
+    emissions per user, and the final-emission reduction must still equal the
+    batch group-by exactly."""
+    import tempfile
+
+    events = table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="s08_two_files_")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    drained = P.run_available_now(
+        running_user_stats(stream), "t_running_mb", "update",
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_mb_"), shuffle_partitions=8,
+    )
+    # multi-batch really happened: more sink rows than distinct users
+    n_users = events.select("user_id").distinct().count()
+    assert drained.count() > n_users
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in final_running_stats(drained).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
     assert got == want
 
 
