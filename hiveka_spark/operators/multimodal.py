@@ -7,16 +7,19 @@ row-at-a-time and each batch amortizes Python crossing cost.
 
 The decode kernels themselves are STUBBED (this container ships no
 image/audio codecs): ``decode_image(..., fake=True)`` produces a
-deterministic fake decode derived from the content hash, and ``fake=False``
-raises NotImplementedError at the point a real libjpeg/ffmpeg call would go.
-Everything Spark-side — schema, batching, partitioning, UDF signatures — is
-real and tested.
+deterministic fake decode derived from the content hash.  ``fake=False``
+takes an injectable codec callback (``decoder=``/``resizer=``/
+``frame_sampler=``) so production binds PIL/ffmpeg through the SAME
+mapInPandas plumbing; with no callback it raises NotImplementedError at the
+point the real call would go.  Everything Spark-side — schema, batching,
+partitioning, UDF signatures — is real and tested (including the injection
+seam, via a toy codec in tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -92,12 +95,20 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def decode_image_features(df: DataFrame, fake: bool = True, batch_hint: int = 256) -> DataFrame:
+def decode_image_features(
+    df: DataFrame,
+    fake: bool = True,
+    batch_hint: int = 256,
+    decoder: Callable[[bytes, dict | None], np.ndarray] | None = None,
+) -> DataFrame:
     """Decode media content and emit per-image features via mapInPandas.
 
     Arrow streams batches of (media_id, content, meta) into Python; each batch
     is decoded vectorized-per-row and a compact feature frame is returned —
     the pattern for any real extract (CLIP embed, OCR, EXIF parse).
+
+    ``decoder(content_bytes, meta_dict) -> HxWx3 uint8 array`` binds a real
+    codec (e.g. PIL) through the same batched path; it wins over ``fake``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,13 +118,17 @@ def decode_image_features(df: DataFrame, fake: bool = True, batch_hint: int = 25
                 content = bytes(content)
                 w = int(meta["width"]) if meta is not None else 16
                 h = int(meta["height"]) if meta is not None else 16
-                if fake:
+                if decoder is not None:
+                    px = np.asarray(decoder(content, dict(meta) if meta is not None else None))
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                    mean_pixel = int(px.mean())
+                elif fake:
                     px = _fake_decode(content, w, h)
                     mean_pixel = int(px.mean())
                 else:
                     raise NotImplementedError(
                         "real image decode requires a codec library (PIL/libjpeg) "
-                        "not present in this environment"
+                        "not present in this environment; pass decoder= to bind one"
                     )
                 rows.append(
                     {
@@ -130,34 +145,56 @@ def decode_image_features(df: DataFrame, fake: bool = True, batch_hint: int = 25
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, target_w: int, target_h: int, fake: bool = True) -> DataFrame:
-    """Resize stub: recomputes metadata and (fake-)re-encodes content.
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    fake: bool = True,
+    resizer: Callable[[bytes, dict | None, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize: recomputes metadata and re-encodes content.
 
-    Real implementation would decode -> interpolate -> re-encode per batch;
-    the Spark-side contract (same schema out, content bytes replaced) is what
+    ``resizer(content, meta, target_w, target_h) -> bytes`` binds a real
+    decode->interpolate->re-encode kernel (PIL) through the same batched
+    path; without it, ``fake=True`` re-encodes deterministic fake pixels.
+    The Spark-side contract (same schema out, content bytes replaced) is what
     downstream stages depend on and is exercised by tests."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image codec")
+            if resizer is None and not fake:
+                raise NotImplementedError(
+                    "real resize requires an image codec; pass resizer= to bind one"
+                )
             recs = []
             for media_id, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 content = bytes(content)
-                px = _fake_decode(content, target_w, target_h)
                 meta = dict(meta) if meta is not None else {}
+                if resizer is not None:
+                    new_content = bytes(resizer(content, meta or None, target_w, target_h))
+                else:
+                    new_content = _fake_decode(content, target_w, target_h).tobytes()
                 meta.update({"width": target_w, "height": target_h})
-                recs.append({"media_id": int(media_id), "content": px.tobytes(), "meta": meta})
+                recs.append({"media_id": int(media_id), "content": new_content, "meta": meta})
             yield pd.DataFrame(recs, columns=["media_id", "content", "meta"])
 
     return df.mapInPandas(run, out_schema)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
-    """Frame-sampling stub for video media: emits one row per sampled frame
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    fake: bool = True,
+    frame_sampler: Callable[[bytes, dict | None, int], "Iterator[tuple[int, bytes]]"] | None = None,
+) -> DataFrame:
+    """Frame sampling for video media: emits one row per sampled frame
     (media_id, frame_idx, frame_sha) — the explode-shaped contract a video
-    pipeline needs.  Real implementation would seek/decode via ffmpeg."""
+    pipeline needs.
+
+    ``frame_sampler(content, meta, every_n) -> iterable of (frame_idx,
+    frame_bytes)`` binds a real ffmpeg seek/decode through the same batched
+    path; the fake path derives frame hashes from content+index."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -168,14 +205,25 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
+            if frame_sampler is None and not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; pass frame_sampler= to bind one"
+                )
             rows = []
             for media_id, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                n_frames = int(meta["n_frames"]) if meta is not None and meta["n_frames"] else 1
-                for idx in range(0, n_frames, every_n):
-                    fh = hashlib.sha256(bytes(content) + idx.to_bytes(4, "big")).hexdigest()
-                    rows.append({"media_id": int(media_id), "frame_idx": idx, "frame_sha": fh})
+                content = bytes(content)
+                meta_d = dict(meta) if meta is not None else None
+                if frame_sampler is not None:
+                    for idx, frame in frame_sampler(content, meta_d, every_n):
+                        fh = hashlib.sha256(bytes(frame)).hexdigest()
+                        rows.append(
+                            {"media_id": int(media_id), "frame_idx": int(idx), "frame_sha": fh}
+                        )
+                else:
+                    n_frames = int(meta["n_frames"]) if meta is not None and meta["n_frames"] else 1
+                    for idx in range(0, n_frames, every_n):
+                        fh = hashlib.sha256(content + idx.to_bytes(4, "big")).hexdigest()
+                        rows.append({"media_id": int(media_id), "frame_idx": idx, "frame_sha": fh})
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
 
     return df.mapInPandas(run, schema)

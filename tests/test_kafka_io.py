@@ -128,6 +128,55 @@ def test_offset_store_commit_monotonic(tmp_path):
     assert store.load()["t"]["0"] == 50
 
 
+def test_offset_store_multi_topic_clamp_matrix(tmp_path):
+    """Broker-sim resume matrix across topics/partitions in one resolve —
+    parity with the reference's per-partition clamp rules
+    (KafkaInputFormat.java:369-388 data-loss recovery, :471-501 resume):
+    every case class in one topology: fresh partition, clean resume,
+    retention loss, bogus state beyond latest, caught-up partition, and a
+    per-topic move-to-latest override."""
+    store = OffsetStore(str(tmp_path / "o.json"))
+    store.commit(
+        {
+            "logs": {"0": 40, "1": 5, "2": 120},  # 1: below earliest; 2: beyond latest
+            "metrics": {"0": 70},
+            "audit": {"0": 10},  # will be overridden by move_to_latest
+        }
+    )
+    earliest = {
+        "logs": {"0": 0, "1": 10, "2": 0},
+        "metrics": {"0": 0, "1": 0},  # partition 1 has no committed state
+        "audit": {"0": 0},
+    }
+    latest = {
+        "logs": {"0": 100, "1": 90, "2": 80},
+        "metrics": {"0": 70, "1": 30},
+        "audit": {"0": 55},
+    }
+    start, end = store.resolve_range(earliest, latest, move_to_latest={"audit"})
+    got = json.loads(start)
+    assert got["logs"]["0"] == 40  # clean resume
+    assert got["logs"]["1"] == 10  # retention loss -> clamp to earliest
+    assert got["logs"]["2"] == 0  # bogus state (>latest) -> conservative earliest
+    assert got["metrics"]["0"] == 70  # fully caught up: empty [70, 70) range
+    assert got["metrics"]["1"] == 0  # never-seen partition -> earliest
+    assert got["audit"]["0"] == 55  # per-topic move-to-latest skips history
+    assert json.loads(end) == latest
+
+
+def test_register_kafka_table_gated_with_clear_error(spark):
+    """A1's registration path without a broker/connector must fail with the
+    actionable RuntimeError, not an opaque classpath stack."""
+    from hiveka_spark.sources.kafka_io import register_kafka_table
+
+    if kafka_available(spark):
+        pytest.skip("kafka connector present; gating not applicable")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        register_kafka_table(spark, "kafka_events", _cfg())
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        register_kafka_table(spark, "kafka_events_s", _cfg(), streaming=True)
+
+
 # ------------------------------------------------------------------ wire decode
 def test_demo_wire_roundtrip(spark):
     rows = P.demo_rows(25)
