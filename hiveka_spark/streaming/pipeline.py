@@ -202,16 +202,19 @@ def run_available_now(
 
 
 def run_foreach_batch_parquet(
-    stream_df: DataFrame, out_dir: str, checkpoint: str
+    stream_df: DataFrame, out_dir: str, checkpoint: str, output_mode: str = "append"
 ) -> None:
     """Exactly-once idempotent sink: foreachBatch writes each micro-batch as
-    parquet keyed by batch id (re-run of a batch overwrites, not duplicates)."""
+    parquet keyed by batch id (re-run of a batch overwrites, not duplicates).
+    Unlike the memory sink this supports CHECKPOINT RECOVERY — a restarted
+    query resumes source offsets and keyed state and continues batch ids."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

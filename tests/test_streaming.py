@@ -217,3 +217,70 @@ def test_update_mode_emits_incrementally_and_converges(spark, tmp_path):
     for r in emissions:  # count agg is monotone, so max == latest
         latest[r["event_type"]] = max(latest.get(r["event_type"], 0), r["cnt"])
     assert latest == batch
+
+
+def test_checkpoint_kill_and_resume_converges(spark):
+    """VERDICT r1 #8: restart-from-checkpoint — the Spark twin of the
+    reference's kafka_offset_* resume (KafkaInputFormat.java:471-501).
+
+    Drain 1 sees only the first source file, then terminates (the "kill":
+    availableNow stops at the offsets known at start).  More files land and
+    drain 2 restarts from the SAME checkpoint into the same idempotent
+    foreachBatch parquet sink (the memory sink does not support recovery).
+    Source offsets and keyed state must both resume: drain 2 reads only the
+    new files, yet its running counts cover drain 1's data, and the combined
+    final emissions equal the batch group-by over the full corpus."""
+    import glob
+    import shutil
+    import tempfile
+
+    from hiveka_spark.streaming.pipeline import run_foreach_batch_parquet
+    from hiveka_spark.streaming.stateful import final_running_stats, running_user_stats
+
+    events = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    staging = tempfile.mkdtemp(prefix="resume_staging_")
+    events.repartition(3).write.mode("overwrite").parquet(staging)
+    parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    assert len(parts) == 3
+    src = tempfile.mkdtemp(prefix="resume_src_")
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_")
+    out = tempfile.mkdtemp(prefix="resume_out_")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            run_foreach_batch_parquet(
+                running_user_stats(stream), out, ckpt, output_mode="update"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    shutil.copy(os.path.join(staging, parts[0]), src)
+    drain()
+    batches_run1 = sorted(glob.glob(os.path.join(out, "batch=*")))
+    assert len(batches_run1) == 1  # one file -> one micro-batch
+
+    for p in parts[1:]:
+        shutil.copy(os.path.join(staging, p), src)
+    drain()
+    batches_run2 = sorted(glob.glob(os.path.join(out, "batch=*")))
+    # resume, not restart: batch ids CONTINUED from the checkpoint (0,1,2) —
+    # run 2 processed exactly the two new files, never refetching file 1
+    assert [os.path.basename(b) for b in batches_run2] == ["batch=0", "batch=1", "batch=2"]
+
+    emissions = spark.read.parquet(os.path.join(out, "batch=*"))
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in final_running_stats(emissions).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want, "resumed stream did not converge to the batch answer"
