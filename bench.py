@@ -52,6 +52,9 @@ HEADLINE = [
     "x20_mapinpandas_tokens",
     "x13_asof_join",
     "x14_avro_wire_roundtrip",
+    # added round 2 (perf-fixed entries now tracked; no r1 baseline):
+    "x05_embedding_neardup",
+    "s07_stateful_funnel",
 ]
 
 

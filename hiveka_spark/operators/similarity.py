@@ -285,32 +285,34 @@ def lsh_neardup_pairs(
     blocking — the gate checks determinism of the declared approximate
     semantics, the test suite checks measured recall.
 
-    Shuffle shape: posexplode (narrow) -> self equi-join on (table, bucket)
-    -> distinct on (id_a, id_b, cosine).  Duplicate candidates across tables
-    are collapsed AFTER the cheap verify (cosine is deterministic, so
-    distinct sees identical rows) — no join-back to re-fetch vectors.
+    Shuffle shape: posexplode (narrow) -> ID-ONLY self equi-join on (table,
+    bucket) -> distinct (id_a, id_b) -> join back to the vectors for the
+    verify.  The bucket join deliberately carries only ids (16 bytes/row),
+    never the dim-64 vectors (~1 KB/row): at scale the candidate-pair shuffle
+    is the dominant byte mover, and deduping across tables BEFORE the verify
+    also means each surviving pair pays the exact-cosine cost exactly once.
     """
-    v = with_quantized_norm(df, vec_col)
+    v = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), "qvec", "qnorm2"
+    )
     buckets = F.array(
         *[lsh_bucket("qvec", n_planes, dim, tag=f"t{t}_") for t in range(n_tables)]
     )
     e = v.select(
-        F.col(id_col).alias("_id"),
-        F.col("qvec"),
-        F.col("qnorm2"),
-        F.posexplode(buckets).alias("tbl", "bucket"),
+        F.col("_id"), F.posexplode(buckets).alias("tbl", "bucket")
     )
-    a = e.select(
-        F.col("_id").alias("id_a"), F.col("qvec").alias("va"),
-        F.col("qnorm2").alias("na2"), "tbl", "bucket",
-    )
-    b = e.select(
-        F.col("_id").alias("id_b"), F.col("qvec").alias("vb"),
-        F.col("qnorm2").alias("nb2"), "tbl", "bucket",
-    )
-    return (
-        a.join(b, ["tbl", "bucket"])
+    cand = (
+        e.select(F.col("_id").alias("id_a"), "tbl", "bucket")
+        .join(e.select(F.col("_id").alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na2"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb2"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "cosine",
             F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
@@ -318,7 +320,6 @@ def lsh_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
 
 
