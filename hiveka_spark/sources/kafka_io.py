@@ -151,18 +151,38 @@ def _require_kafka(spark: SparkSession) -> None:
         )
 
 
-def read_kafka_batch(spark: SparkSession, cfg: KafkaTableConfig) -> DataFrame:
+def read_kafka_batch(
+    spark: SparkSession, cfg: KafkaTableConfig, broker=None
+) -> DataFrame:
     """Batch scan of the configured topics — wire columns out (A15's key/value
     + the KafkaKey metadata the reference computed but never exposed,
-    KafkaKey.java:25-34; here they are real queryable columns)."""
+    KafkaKey.java:25-34; here they are real queryable columns).
+
+    ``broker``: a :class:`hiveka_spark.sources.kafka_sim.SimBroker` runs the
+    same scan (pattern subscription, offset ranges, clamping) against the
+    file-backed simulator — the end-to-end path in broker-less environments."""
+    opts = reader_options(cfg, streaming=False)
+    if broker is not None:
+        return broker.scan(
+            spark,
+            opts["subscribePattern"],
+            starting_offsets=opts["startingOffsets"],
+            ending_offsets=opts["endingOffsets"],
+            fail_on_data_loss=opts["failOnDataLoss"] == "true",
+        )
     _require_kafka(spark)
     reader = spark.read.format("kafka")
-    for k, v in reader_options(cfg, streaming=False).items():
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
 
 
-def read_kafka_stream(spark: SparkSession, cfg: KafkaTableConfig) -> DataFrame:
+def read_kafka_stream(
+    spark: SparkSession, cfg: KafkaTableConfig, broker=None
+) -> DataFrame:
+    if broker is not None:
+        (topic,) = cfg.whitelist_topics  # sim streams are single-topic
+        return broker.stream(spark, topic)
     _require_kafka(spark)
     reader = spark.readStream.format("kafka")
     for k, v in reader_options(cfg, streaming=True).items():
@@ -285,9 +305,14 @@ def write_kafka(
     cfg: KafkaTableConfig,
     topic: str,
     key_col: str | None = None,
+    broker=None,
 ) -> None:
     """Avro-encode + publish — the real implementation of the reference's
-    stub sink (KafkaOutputFormat.java:28-39)."""
+    stub sink (KafkaOutputFormat.java:28-39).  ``broker``: publish into the
+    file-backed simulator instead of a live cluster."""
+    if broker is not None:
+        broker.produce(encode_payload(df, cfg, key_col=key_col), topic)
+        return
     _require_kafka(df.sparkSession)
     payload = encode_payload(df, cfg, key_col=key_col)
     (
@@ -299,12 +324,21 @@ def write_kafka(
 
 
 def register_kafka_table(
-    spark: SparkSession, name: str, cfg: KafkaTableConfig, streaming: bool = False
+    spark: SparkSession,
+    name: str,
+    cfg: KafkaTableConfig,
+    streaming: bool = False,
+    broker=None,
 ) -> DataFrame:
     """Bind a decoded Kafka scan as a named catalog view — the engine's
     CREATE EXTERNAL TABLE (A1).  Every Spark SQL query in queries/ then works
-    against it unchanged."""
-    raw = read_kafka_stream(spark, cfg) if streaming else read_kafka_batch(spark, cfg)
+    against it unchanged.  ``broker``: bind against the simulator instead of
+    a live cluster (same decode pipeline, same view)."""
+    raw = (
+        read_kafka_stream(spark, cfg, broker=broker)
+        if streaming
+        else read_kafka_batch(spark, cfg, broker=broker)
+    )
     decoded = decode_wire(raw, cfg)
     decoded.createOrReplaceTempView(name)
     return decoded
