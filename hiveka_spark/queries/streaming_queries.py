@@ -12,6 +12,11 @@ batch DuckDB oracle: the streaming plan must converge to the batch answer.
 Complete output mode is used for windowed aggregations (no rows withheld by
 the final watermark), append for dedup.  Checkpoints go to fresh temp dirs —
 each invocation is a fresh run, not a resume.
+
+Every drain pins a state partition count sized to its key cardinality at
+gate scale (per-partition state-store setup is a fixed cost — see
+pipeline.run_available_now); production deployments size this to their
+cluster instead.
 """
 
 from __future__ import annotations
@@ -55,7 +60,7 @@ def s01_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q21's oracle, window starts as epoch millis)."""
     stream = P.events_stream(spark, sf_dir)
     agg = P.tumbling_counts(stream, window="1 hour", watermark="2 hours")
-    out = _drain(agg, "s01_hourly", "complete")
+    out = _drain(agg, "s01_hourly", "complete", shuffle_partitions=8)
     return out.select(
         F.unix_millis("window_start").alias("window_start_ms"),
         "event_type",
@@ -100,7 +105,7 @@ def s02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture, so epoch-millis compare exactly."""
     stream = P.events_stream(spark, sf_dir)
     sess = P.session_counts(stream, gap="30 minutes", watermark="2 hours")
-    out = _drain(sess, "s02_sessions", "complete")
+    out = _drain(sess, "s02_sessions", "complete", shuffle_partitions=8)
     return out.select(
         "user_id",
         F.unix_millis("session_start").alias("session_start_ms"),
@@ -138,7 +143,7 @@ def s04_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
         within="1 hour", watermark="2 hours",
     )
-    out = _drain(joined.drop(joined["r.user_id"]), "s04_ssj", "append")
+    out = _drain(joined.drop(joined["r.user_id"]), "s04_ssj", "append", shuffle_partitions=8)
     return out.select(
         "click_id",
         "purchase_id",
@@ -166,7 +171,7 @@ def s05_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     i in {0,1} and deriving window_start = slide-aligned bucket - i*slide."""
     stream = P.events_stream(spark, sf_dir)
     agg = P.sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="2 hours")
-    out = _drain(agg, "s05_sliding", "complete")
+    out = _drain(agg, "s05_sliding", "complete", shuffle_partitions=8)
     return out.select(
         F.unix_millis("window_start").alias("window_start_ms"),
         "event_type",
@@ -202,7 +207,7 @@ def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    out = _drain(agg, "s06_enrich", "complete")
+    out = _drain(agg, "s06_enrich", "complete", shuffle_partitions=8)
     return out.select("nationkey", "n_events", "total_value")
 
 
@@ -284,7 +289,7 @@ def s03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = keyed.withWatermark("ts", "2 hours").dropDuplicates(
         ["user_id", "event_type", "minute_bucket"]
     )
-    out = _drain(dedup, "s03_dedup", "append")
+    out = _drain(dedup, "s03_dedup", "append", shuffle_partitions=16)
     return out.select("user_id", "event_type", "minute_bucket")
 
 
@@ -307,5 +312,5 @@ def s09_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    out = _drain(deduped, "s09_dedup_ttl", "append")
+    out = _drain(deduped, "s09_dedup_ttl", "append", shuffle_partitions=16)
     return out.select("user_id", "event_type")
