@@ -20,9 +20,14 @@ Mapping of the reference's table properties (KafkaBackedTableProperties.java:
 Broker metadata discovery/failover, fetch loops, CRC checks (A3, A6, A13-A16)
 are inside Spark's Kafka source + kafka-clients; nothing to rebuild.
 
-This container has no spark-sql-kafka jar and no broker, so reads/writes are
-gated: option/plan construction and offset management are fully unit-tested,
-and ``kafka_available()`` decides between the live path and a clear error.
+Without the spark-sql-kafka jar, live reads/writes gate behind
+``kafka_available()`` with a clear error — but the WHOLE layer still executes
+end-to-end against the file-backed broker simulator
+(`hiveka_spark.sources.kafka_sim.SimBroker`, the ``broker=`` argument on
+every entry point): produce -> offset-range scan -> decode -> SQL view, with
+the same option semantics.  Avro decode/encode dispatches to JVM
+``from_avro``/``to_avro`` when spark-avro is present (``avro_jvm_available``)
+and falls back to the Arrow-batched Python wire codec otherwise.
 """
 
 from __future__ import annotations
