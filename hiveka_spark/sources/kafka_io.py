@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hiveka_spark.schema import avro_json, ddl_to_struct, struct_to_avro
+from hiveka_spark.schema import avro_json, ddl_to_struct
 from hiveka_spark.sources.avro_codec import decode_avro_df
 
 WIRE_COLUMNS = ["key", "value", "topic", "partition", "offset", "timestamp", "timestampType"]
