@@ -426,3 +426,117 @@ def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE, VARIANT/JSON, LATERAL (Spark 4.x SQL surface)
+# ---------------------------------------------------------------------------
+
+_Q40_SPARK_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT add_months(m, 1) FROM months WHERE m < CAST('2001-12-01' AS DATE)
+),
+rev AS (
+  SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY date_format(o_orderdate, 'yyyy-MM')
+)
+SELECT date_format(m, 'yyyy-MM') AS month,
+       COALESCE(revenue, CAST(0 AS DOUBLE)) AS revenue,
+       COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders
+FROM months LEFT JOIN rev ON date_format(m, 'yyyy-MM') = rev.month
+"""
+
+
+@register(
+    "q40_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-12-01'
+    ),
+    rev AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           COALESCE(revenue, CAST(0 AS DOUBLE)) AS revenue,
+           COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders
+    FROM months LEFT JOIN rev ON strftime(m, '%Y-%m') = rev.month
+    """,
+    tags=("recursive-cte", "gap-fill", "sql"),
+)
+def q40_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x) generating a complete month ladder, left-
+    joined against monthly revenue so empty months surface as zero rows (the
+    time-series gap-fill shape).  The recursion is a tiny driver-side spine
+    (84 rows); the revenue aggregate is the only distributed work, so the plan
+    is one scan + one partial-agg shuffle + a broadcast join onto the spine."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_Q40_SPARK_SQL)
+
+
+@register(
+    "q41_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
+                    '$.meta.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
+                    '$.uid') AS BIGINT)) AS max_uid
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("variant", "json", "semi-structured"),
+)
+def q41_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: build a nested JSON document per event, parse it
+    into a VARIANT (Spark 4.x binary semi-structured type — parsed once, then
+    path access is a cheap binary probe, not repeated string parsing like
+    get_json_object), and aggregate typed variant_get extractions.  The DuckDB
+    oracle replays the same document through json_extract."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql("""
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(variant_get(parse_json(concat('{"meta":', props, ',"uid":',
+                   CAST(user_id AS STRING), '}')), '$.meta.k', 'bigint')) AS sum_k,
+               MAX(variant_get(parse_json(concat('{"meta":', props, ',"uid":',
+                   CAST(user_id AS STRING), '}')), '$.uid', 'bigint')) AS max_uid
+        FROM events
+        GROUP BY event_type
+    """)
+
+
+_Q42_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+@register(
+    "q42_lateral_join",
+    oracle=_Q42_ORACLE,
+    tags=("lateral", "correlated", "sql"),
+)
+def q42_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-2 orders by price,
+    order-key tiebreak).  Catalyst decorrelates the LIMIT-per-group into a
+    window/filter over one equi-join — no per-row re-execution, unlike a
+    nested-loop interpretation."""
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_Q42_ORACLE)
