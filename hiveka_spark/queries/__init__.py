@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         # Imports populate REGISTRY via the decorator.
         from hiveka_spark.queries import (  # noqa: F401
             extensions,
+            pipeline_ext,
             relational,
             relational_ext,
             streaming_queries,

@@ -1,0 +1,63 @@
+"""Semantic checks for the pipeline_ext entries (beyond oracle hash parity)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+def test_boilerplate_removal_consistent(spark):
+    """Boilerplate is actually detected, and the rebuilt text always has
+    exactly (n_chunks - n_boiler) * 8 words."""
+    out = REGISTRY["x31_boilerplate_removal"].fn(spark, SF_SMOKE)
+    assert out.filter(F.col("n_boiler") > 0).count() > 0, "no boilerplate found"
+    kept_words = F.when(
+        F.col("cleaned_text") == "", F.lit(0)
+    ).otherwise(F.size(F.split("cleaned_text", " ")))
+    bad = out.filter(kept_words != (F.col("n_chunks") - F.col("n_boiler")) * 8)
+    assert bad.count() == 0
+
+
+def test_boilerplate_unique_docs_untouched(spark):
+    """A document with no cross-doc chunk collisions keeps its full text."""
+    out = REGISTRY["x31_boilerplate_removal"].fn(spark, SF_SMOKE)
+    clean = out.filter(F.col("n_boiler") == 0)
+    assert clean.count() > 0
+    # cleaned_text must contain exactly n_chunks * 8 words
+    bad = clean.filter(
+        F.size(F.split("cleaned_text", " ")) != F.col("n_chunks") * 8
+    )
+    assert bad.count() == 0
+
+
+def test_url_dedup_variants_collapse(spark):
+    """All three wire variants of the same base URL share one canonical form."""
+    out = REGISTRY["x32_url_dedup"].fn(spark, SF_SMOKE).toPandas()
+    assert (out["n_variants"] <= 3).all()
+    assert not out["canonical_url"].str.contains("://|\\?|#|[A-Z]").any()
+    assert not out["canonical_url"].str.endswith("/").any()
+    # keep_doc_id must be a member of its group: min over >=1 docs
+    assert (out["keep_doc_id"] >= 0).all()
+    assert (out["n_docs"] >= out["n_variants"]).all()
+
+
+def test_source_mixing_budget_respected(spark):
+    """Weighted sources sample at most their budget rate; others keep nothing."""
+    out = REGISTRY["x34_source_mixing"].fn(spark, SF_SMOKE).toPandas().set_index("source")
+    from hiveka_spark.queries.pipeline_ext import _MIX_WEIGHTS
+
+    for src, row in out.iterrows():
+        if src not in _MIX_WEIGHTS:
+            assert row["rate_pct"] == 0 and row["n_kept"] == 0 and row["tokens_kept"] == 0
+        else:
+            assert 0 < row["rate_pct"] <= 100
+            assert row["tokens_kept"] <= row["src_tokens"]
+    # the mix must actually downsample: total kept < total budgeted corpus
+    kept = out["tokens_kept"].sum()
+    total = out["src_tokens"].sum()
+    assert 0 < kept < total
