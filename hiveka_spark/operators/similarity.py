@@ -350,3 +350,79 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.3,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus into
+    ``n_cells`` centroid cells (same deterministic IVF assignment as
+    :func:`ivf_topk`), then WITHIN each cell drop every vector whose cosine to
+    a lower-id cell-mate is >= ``threshold`` (keep-first policy).
+
+    Returns one row per DROPPED vector: (vec_id, cell, kept_by, cosine) where
+    ``kept_by`` is the smallest lower-id cell-mate above the threshold and
+    ``cosine`` its similarity — the audit trail a curation pipeline stores.
+
+    Scale shape: cell assignment is a broadcast of the (tiny) centroid set +
+    a per-row argmax — no shuffle; the pair search is a self-equi-join ON THE
+    CELL ID, so candidate volume is sum(cell_size^2) instead of corpus^2 —
+    the whole point of clustering before pairwise comparison (SemDeDup,
+    Abbas et al. 2023).  With k-means-balanced cells at 100 TB each cell is
+    bounded and the join never degenerates; everything is integer-exact so
+    the DuckDB oracle replays the identical assignment and pair math.
+    """
+    v = with_quantized_norm(df, vec_col)
+    total = df.count()
+    stride = centroid_stride or max(total // n_cells, 1)
+    cents = v.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_cells)
+    ).select(
+        (F.col(id_col) / stride).cast("bigint").alias("cell"),
+        F.col("qvec").alias("cvec"),
+        F.col("qnorm2").alias("cn2"),
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") == 1)
+        .select(F.col(id_col).alias("_id"), "qvec", "qnorm2", "cell")
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("qvec").alias("va"),
+        F.col("qnorm2").alias("na2"), "cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("qvec").alias("vb"),
+        F.col("qnorm2").alias("nb2"), "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            / 10000.0,
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # keep-first: the dropped vector's auditor is its SMALLEST qualifying
+    # lower id; struct min gives (min id_a, that pair's cosine) atomically
+    return (
+        pairs.groupBy("id_b", "cell")
+        .agg(F.min(F.struct("id_a", "cosine")).alias("m"))
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cell",
+            F.col("m.id_a").alias("kept_by"),
+            F.col("m.cosine").alias("cosine"),
+        )
+    )

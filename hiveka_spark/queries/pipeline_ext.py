@@ -304,3 +304,311 @@ def x34_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x33 — duplicate-cluster resolution keeping the best-quality member
+# ---------------------------------------------------------------------------
+
+def _quality_cte() -> str:
+    """DuckDB CTEs computing (doc_id, quality_score) — the x08 formula."""
+    from hiveka_spark.operators.text import EN_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    qt AS (SELECT doc_id,
+                  LENGTH(text) AS len_text,
+                  list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks,
+                  LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum_space
+           FROM documents),
+    qf AS (SELECT doc_id,
+                  LEN(toks) AS n_tok,
+                  LEN(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop,
+                  (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
+           FROM qt),
+    quality AS (SELECT doc_id,
+                       CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3
+                                   + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2)
+                                  * 10000.0) AS BIGINT) / 10000.0 AS quality_score
+                FROM qf)
+    """
+
+
+def _x33_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
+                    >= 0.8),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u),
+    {_quality_cte()},
+    m AS (SELECT l.node AS doc_id, l.cluster, q.quality_score
+          FROM labels l JOIN quality q ON q.doc_id = l.node),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY quality_score DESC, doc_id) AS rnk
+          FROM m)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rnk = 1 THEN doc_id END) AS keep_doc_id,
+           MIN(CASE WHEN rnk = 1 THEN quality_score END) AS keep_quality
+    FROM r GROUP BY cluster
+    """
+
+
+@register(
+    "x33_cluster_keep_best",
+    oracle=_x33_oracle(),
+    tags=("dedup", "clustering", "quality"),
+)
+def x33_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution with a QUALITY tiebreak: near-dup pairs
+    (x02's 3-gram Jaccard >= 0.8 pipeline, plan-cached) -> connected
+    components -> keep the highest-quality member per cluster (x08's score,
+    ties to the smaller doc_id) instead of the naive min-id — what a real
+    curation pipeline does, since duplicates often differ in truncation or
+    boilerplate.
+
+    Scale shape: the component labels live on the (tiny) near-dup pair graph,
+    so the quality join broadcasts the label set against the corpus-sized
+    score projection; the per-cluster argmax is a window over cluster — state
+    proportional to duplicate volume, never corpus size."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.clustering import connected_components
+    from hiveka_spark.operators.text import with_quality
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    cc = connected_components(pairs)
+    q = with_quality(d).select("doc_id", "quality_score")
+    m = cc.join(q, cc["node"] == q["doc_id"]).select("doc_id", "cluster", "quality_score")
+    w = Window.partitionBy("cluster").orderBy(F.col("quality_score").desc(), "doc_id")
+    r = m.withColumn("rnk", F.row_number().over(w))
+    return r.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.min(F.when(F.col("rnk") == 1, F.col("quality_score"))).alias("keep_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x35 — BM25 keyword search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    dl AS (SELECT doc_id, LEN(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tok FROM dl),
+    t AS (SELECT doc_id, dl, UNNEST(ws) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM t WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT doc_id,
+                  CAST(FLOOR(((n_docs - df + 0.5) / (df + 0.5))
+                             * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (total_tok * 1.0 / n_docs)))))
+                             * 1000000.0) AS BIGINT) AS micro
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+    agg AS (SELECT doc_id, SUM(micro) AS score_micro FROM sc GROUP BY 1)
+    SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rnk FROM agg)
+    WHERE rnk <= {_BM25_K}
+    """
+
+
+@register("x35_bm25_search", oracle=_bm25_oracle(), tags=("search", "bm25", "text"))
+def x35_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-{k} documents for a fixed multi-term query,
+    k1=1.2, b=0.75, with a RATIONAL idf = (N - df + 0.5)/(df + 0.5) instead of
+    the usual log(...) — ln() is not bit-identical across engines while +-*/
+    are, so the oracle hash-matches exactly.  Per-(doc,term) scores are
+    quantized to integer micro-units BEFORE the per-doc sum, making the
+    aggregation exact bigint arithmetic — associativity-proof under any
+    partitioning (the same trick the dedup oracles use).
+
+    Scale shape: the term filter prunes the exploded postings to query terms
+    at the scan (predicate pushdown on the exploded side), df and the corpus
+    stats are tiny broadcasts, and the final top-k is TakeOrdered — no global
+    sort.  This is distributed BM25 without an inverted index; at 100 TB
+    you'd persist the (term, doc, tf) postings table bucketed by term and
+    reuse it across queries, with the identical scoring plan."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("ws")
+    ).select("doc_id", F.size("ws").cast("bigint").alias("dl"), "ws")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    t = d.select("doc_id", "dl", F.explode("ws").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = t.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "micro",
+            F.floor(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (
+                            0.25
+                            + 0.75
+                            * (F.col("dl") / (F.col("total_tok") * 1.0 / F.col("n_docs")))
+                        )
+                    )
+                )
+                * 1000000.0
+            ).cast("bigint"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(F.sum("micro").cast("bigint").alias("score_micro"))
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("doc_id", "score_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x36 — model-based quality filter (fixed-weight linear classifier)
+# ---------------------------------------------------------------------------
+
+_QC_THRESHOLD = 0.45
+
+
+def _x36_oracle() -> str:
+    return f"""
+    WITH {_quality_cte()},
+    feats AS (SELECT q.doc_id, q.quality_score,
+                     CAST(FLOOR((LEN(qt.toks) * 1.0) * 10000.0) AS BIGINT) / 10000.0 AS n_tok
+              FROM quality q JOIN qt USING (doc_id)),
+    logits AS (SELECT doc_id,
+                      CAST(FLOOR((-0.2 + 1.2 * quality_score
+                                  + 0.1 * LEAST(n_tok / 100.0, 1.0)) * 10000.0) AS BIGINT)
+                        / 10000.0 AS logit
+               FROM feats)
+    SELECT doc_id, logit,
+           CAST(CASE WHEN logit >= {_QC_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM logits
+    """
+
+
+@register("x36_quality_classifier", oracle=_x36_oracle(), tags=("quality", "classifier", "text"))
+def x36_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight linear classifier over
+    the x08 feature vector (the deployable stand-in for a fastText/logreg
+    quality model — same plan shape, weights frozen for reproducibility).
+    logit = -0.2 + 1.2*quality_score + 0.1*min(n_tokens/100, 1), keep when
+    logit >= {_QC_THRESHOLD}.  No sigmoid: exp() is not bit-identical across
+    engines and a monotone transform never changes the decision boundary.
+    Pure per-row JVM expressions — zero shuffles, scales with input bytes."""
+    from hiveka_spark.operators.text import with_quality
+
+    d = table(spark, sf_dir, "documents")
+    q = with_quality(d)
+    ntok4 = F.floor(F.col("n_tokens") * 1.0 * 10000.0) / 10000.0
+    logit = (
+        F.floor(
+            (
+                -0.2
+                + 1.2 * F.col("quality_score")
+                + 0.1 * F.least(ntok4 / 100.0, F.lit(1.0))
+            )
+            * 10000.0
+        )
+        / 10000.0
+    )
+    return q.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.when(logit >= _QC_THRESHOLD, 1).otherwise(0).cast("bigint").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x37 — SemDeDup (semantic deduplication via centroid cells)
+# ---------------------------------------------------------------------------
+
+_SEM_CELLS = 16
+_SEM_THRESHOLD = 0.3
+
+
+def _x37_oracle() -> str:
+    return f"""
+    WITH params AS (SELECT GREATEST(COUNT(*) // {_SEM_CELLS}, 1) AS stride FROM embeddings),
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
+                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                   list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+           FROM q),
+    cents AS (SELECT CAST(vec_id / stride AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
+              FROM nn, params WHERE vec_id % stride = 0 AND vec_id / stride < {_SEM_CELLS}),
+    assign AS (SELECT vec_id, qvd, n2, cell
+               FROM (SELECT nn.vec_id, nn.qvd, nn.n2, c.cell,
+                            ROW_NUMBER() OVER (PARTITION BY nn.vec_id ORDER BY c_cos DESC, c.cell)
+                              AS c_rank
+                     FROM (SELECT nn.vec_id, nn.qvd, nn.n2, c.cell,
+                                  list_dot_product(nn.qvd, c.cvd) / (sqrt(nn.n2) * sqrt(c.cn2))
+                                    AS c_cos
+                           FROM nn CROSS JOIN cents c) AS s(vec_id, qvd, n2, cell, c_cos),
+                          nn, cents c
+                     WHERE nn.vec_id = s.vec_id AND c.cell = s.cell)
+               WHERE c_rank = 1),
+    pairs AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(FLOOR((list_dot_product(a.qvd, b.qvd) / (sqrt(a.n2) * sqrt(b.n2)))
+                                * 10000.0) AS BIGINT) / 10000.0 AS cosine
+              FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    hits AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+             FROM pairs WHERE cosine >= {_SEM_THRESHOLD})
+    SELECT id_b AS vec_id, cell, id_a AS kept_by, cosine FROM hits WHERE rn = 1
+    """
+
+
+@register("x37_semdedup", oracle=_x37_oracle(), tags=("dedup", "semantic", "embeddings"))
+def x37_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): centroid-cell clustering of the
+    embedding corpus, then keep-first semantic dedup WITHIN each cell —
+    drop every vector whose cosine to a lower-id cell-mate is >=
+    {_SEM_THRESHOLD}.  Output is the dropped-row audit trail (vec_id, cell,
+    kept_by, cosine).  See operators/similarity.py:semantic_dedup for the
+    cell-bounded join scale argument."""
+    from hiveka_spark.operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_THRESHOLD
+    )

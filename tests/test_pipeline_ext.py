@@ -61,3 +61,35 @@ def test_source_mixing_budget_respected(spark):
     kept = out["tokens_kept"].sum()
     total = out["src_tokens"].sum()
     assert 0 < kept < total
+
+
+def test_cluster_keep_best_member_quality(spark):
+    """keep_doc_id is a member with the cluster's max quality score."""
+    from hiveka_spark.operators.text import with_quality
+
+    out = REGISTRY["x33_cluster_keep_best"].fn(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert (out["n_members"] >= 2).all()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    q = {r["doc_id"]: r["quality_score"] for r in with_quality(docs).select("doc_id", "quality_score").collect()}
+    for _, row in out.iterrows():
+        assert abs(q[row["keep_doc_id"]] - row["keep_quality"]) < 1e-9
+
+
+def test_bm25_scores_monotone(spark):
+    out = REGISTRY["x35_bm25_search"].fn(spark, SF_SMOKE).toPandas().sort_values("rank")
+    assert (out["score_micro"].diff().dropna() <= 0).all()
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+
+
+def test_semdedup_drops_are_within_cells(spark):
+    """Every dropped vector's keeper has a smaller id, and cosine >= threshold."""
+    out = REGISTRY["x37_semdedup"].fn(spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    assert (out["kept_by"] < out["vec_id"]).all()
+    assert (out["cosine"] >= 0.3).all()
+    # a keeper must never itself be dropped by a member of the same cell pair
+    # chain with a smaller id AND appear as kept_by for that same pair — i.e.
+    # dropped set and audit keepers may overlap across cells but each row's
+    # keeper differs from the row itself
+    assert (out["kept_by"] != out["vec_id"]).all()
