@@ -540,3 +540,93 @@ def q42_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop interpretation."""
     load_tables(spark, sf_dir, register=True)
     return spark.sql(_Q42_ORACLE)
+
+
+@register(
+    "q43_unpivot",
+    oracle="""
+    WITH a AS (SELECT l_returnflag,
+                      ROUND(SUM(l_quantity), 2) AS sum_qty,
+                      ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                      ROUND(SUM(l_discount), 2) AS sum_disc
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, measure, value
+    FROM a UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+    tags=("unpivot", "melt", "reshape"),
+)
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-flag aggregate -> long (flag, measure, value)
+    triples via the native DataFrame ``unpivot`` (Spark's Expand node — a
+    map-side row multiplication, no shuffle beyond the feeding aggregate)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return a.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@register(
+    "q44_gap_fill",
+    oracle="""
+    WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hb, value
+               FROM events WHERE event_type IN ('click', 'error')),
+    h AS (SELECT event_type, hb, COUNT(*) AS cnt, MAX(value) AS hmax
+          FROM e GROUP BY 1, 2),
+    bounds AS (SELECT MIN(hb) AS mn, MAX(hb) AS mx FROM h),
+    grid AS (SELECT t.event_type, g.hb
+             FROM (SELECT DISTINCT event_type FROM h) t
+             CROSS JOIN (SELECT UNNEST(generate_series(mn, mx)) AS hb FROM bounds) g),
+    f AS (SELECT grid.event_type, grid.hb, h.cnt, h.hmax
+          FROM grid LEFT JOIN h USING (event_type, hb))
+    SELECT event_type, hb AS hour_bucket,
+           CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events,
+           COALESCE(LAST_VALUE(hmax IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_max
+    FROM f
+    """,
+    tags=("timeseries", "gap-fill", "forward-fill", "window"),
+)
+def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: build the complete hourly
+    grid between the corpus' first and last active hour for each event type,
+    zero-fill missing counts, and carry the last observed hourly max forward
+    (the OLAP gap-fill/LOCF idiom).  Integer hour buckets keep the grid
+    arithmetic engine-exact; the grid explodes from a 1-row bounds broadcast
+    (hours x types is tiny relative to events), the hourly aggregate is the
+    only data-sized shuffle, and the forward fill is a per-type ordered
+    window (bounded state, no global sort)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    h = (
+        e.withColumn("hb", (F.unix_millis("ts") / F.lit(3600000)).cast("bigint"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("value").alias("hmax"))
+    )
+    bounds = h.agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+    types = h.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("hb")
+    )
+    f = grid.join(h, ["event_type", "hb"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "event_type",
+        F.col("hb").alias("hour_bucket"),
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.last("hmax", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "filled_max"
+        ),
+    )

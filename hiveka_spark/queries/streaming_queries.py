@@ -314,3 +314,77 @@ def s09_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(deduped, "s09_dedup_ttl", "append", shuffle_partitions=16)
     return out.select("user_id", "event_type")
+
+
+@register(
+    "s10_stream_window_topk",
+    oracle="""
+    WITH h AS (SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT)
+                        AS window_start_ms,
+                      event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2)
+    SELECT window_start_ms, event_type, cnt, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+                                       ORDER BY cnt DESC, event_type) AS rnk
+          FROM h)
+    WHERE rnk <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def s10_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: watermarked tumbling-hour counts drained in complete
+    mode, then a per-window top-3 rank over the drained sink table.  Ranking
+    is not expressible inside a streaming aggregation (no windows-over-aggs
+    mid-stream); the idiomatic Spark shape is stream-aggregate -> finalize
+    per trigger (foreachBatch in production, post-drain here) — the rank
+    runs over the tiny aggregated table, never the raw stream."""
+    from pyspark.sql import Window
+
+    stream = P.events_stream(spark, sf_dir)
+    agg = P.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    out = _drain(agg, "s10_topk", "complete", shuffle_partitions=8)
+    w = Window.partitionBy("window_start").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            "event_type",
+            "cnt",
+            "rank",
+        )
+    )
+
+
+@register(
+    "s11_transform_with_state",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "stateful", "transformWithState"),
+)
+def s11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via the Spark 4 ``transformWithState``
+    StatefulProcessor API (typed ValueState, successor to
+    applyInPandasWithState): per-(user, event_type) running (count, sum,
+    max) emitted each micro-batch, reduced to the final emission per key
+    (monotone count max_by) so the drain equals the batch group-by under any
+    batch split.  Dispatches to an applyInPandasWithState twin with
+    identical emissions when the transformWithState Python runtime is
+    unavailable (no protobuf in this container — stateful.tws_available)."""
+    from hiveka_spark.streaming.stateful import final_type_stats, running_type_stats
+
+    stream = P.events_stream(spark, sf_dir)
+    out = _drain(
+        running_type_stats(stream), "s11_tws", "update", shuffle_partitions=8
+    )
+    final = final_type_stats(out)
+    return final.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "max_value",
+    )

@@ -180,3 +180,174 @@ def funnel_detect(
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x StatefulProcessor API)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import shape varies across minor versions
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    TWS_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    TWS_AVAILABLE = False
+
+TYPE_STATS_OUTPUT = (
+    "user_id BIGINT, event_type STRING, n_events BIGINT, "
+    "total_value DOUBLE, max_value DOUBLE"
+)
+
+
+class RunningTypeStatsProcessor(StatefulProcessor):
+    """Per-(user, event_type) running (count, sum, max) via the Spark 4
+    ``transformWithStateInPandas`` StatefulProcessor API — the successor to
+    applyInPandasWithState with typed, composable state (ValueState /
+    ListState / MapState + timers).  State here is one ValueState row per
+    key; ``ttl_ms`` demonstrates the built-in state TTL (expired state reads
+    as absent — bounded state for ever-running streams, the engine evicts
+    without user timers)."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._stats = handle.getValueState(
+            "stats", "cnt BIGINT, total DOUBLE, vmax DOUBLE", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cnt, total, vmax = 0, 0.0, None
+        if self._stats.exists():
+            cnt, total, vmax = self._stats.get()
+        for pdf in rows:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            m = float(pdf["value"].max())
+            vmax = m if vmax is None else max(vmax, m)
+        self._stats.update((cnt, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_events": [cnt],
+                "total_value": [round(total, 2)],
+                "max_value": [vmax],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """True when the transformWithState Python runtime can actually run:
+    the API ships with pyspark 4.x but its state-server protocol needs
+    ``google.protobuf`` on the worker Python path.  Same classpath-probe
+    pattern as sources.kafka_io.avro_jvm_available — implement against the
+    best primitive, dispatch on what the runtime provides."""
+    if not TWS_AVAILABLE:
+        return False
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TYPE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+TYPE_STATS_STATE = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+
+def _running_type_stats_fallback(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin of RunningTypeStatsProcessor — identical
+    emissions (same state transition, same rounding), used when the
+    transformWithState runtime is unavailable."""
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        cnt, total, vmax = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            m = float(pdf["value"].max())
+            vmax = m if vmax is None else max(vmax, m)
+        state.update((cnt, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n_events": [cnt],
+                "total_value": [round(total, 2)],
+                "max_value": [vmax],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            transition,
+            TYPE_STATS_SCHEMA,
+            TYPE_STATS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_type_stats(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming per-(user, event_type) running stats (update mode, no time
+    semantics).  Prefers the Spark 4 transformWithState StatefulProcessor;
+    when its Python runtime is missing (no protobuf), dispatches to the
+    applyInPandasWithState twin with identical emissions."""
+    if not tws_available():
+        return _running_type_stats_fallback(events)
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTypeStatsProcessor(ttl_ms),
+            outputStructType=TYPE_STATS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def final_type_stats(drained: DataFrame) -> DataFrame:
+    """Final emission per (user, event_type) from an update-mode drain —
+    n_events grows monotonically, so max_by picks the last batch's row
+    (exact under any micro-batch split, same contract as
+    :func:`final_running_stats`)."""
+    import pyspark.sql.functions as F
+
+    return drained.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("max_value", "n_events").alias("max_value"),
+    )

@@ -95,3 +95,57 @@ def test_funnel_detect_semantics(spark):
     )
     got = {(r["user_id"], r["first_ms"], r["converted_ms"]) for r in out.collect()}
     assert got == {(1, 1000, 2000), (1, 10_000, 11_000), (4, 100, 300)}
+
+
+def test_type_stats_multi_batch_drain_stays_exact(spark):
+    """s11: two-file drain, one file per micro-batch — final-emission
+    reduction per (user, event_type) must equal the batch group-by whether
+    the processor ran through transformWithState or its
+    applyInPandasWithState fallback."""
+    import tempfile
+
+    from hiveka_spark.streaming.stateful import final_type_stats, running_type_stats
+
+    events = table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="s11_two_files_")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    drained = P.run_available_now(
+        running_type_stats(stream), "t_tws_mb", "update",
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_tws_mb_"), shuffle_partitions=8,
+    )
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    assert drained.count() > n_keys
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["total_value"], 2), r["max_value"])
+        for r in final_type_stats(drained).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["t"], r["m"])
+        for r in events.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_tws_probe_is_honest():
+    """tws_available() must agree with whether protobuf imports."""
+    from hiveka_spark.streaming.stateful import tws_available
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert tws_available()
+    except ImportError:
+        assert not tws_available()
