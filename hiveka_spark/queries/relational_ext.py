@@ -630,3 +630,126 @@ def q44_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_max"
         ),
     )
+
+
+@register(
+    "q45_analytic_funcs",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority
+               FROM orders WHERE o_custkey % 100 = 0)
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice) OVER w AS prev_price,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 10000.0) AS BIGINT) / 10000.0 AS pct_rank,
+           CAST(FLOOR(CUME_DIST() OVER w * 10000.0) AS BIGINT) / 10000.0 AS cume
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "analytic", "ntile"),
+)
+def q45_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lead/lag/ntile/percent_rank/cume_dist) over
+    a unique total ordering (price + order-key tiebreak, so rank == row
+    position and the rational rank statistics are engine-exact; floor4 guards
+    the division).  One shuffle on the partition key; frames are running —
+    no buffering beyond the partition."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 10000.0) / 10000.0).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 10000.0) / 10000.0).alias("cume"),
+    )
+
+
+@register(
+    "q46_exact_stats",
+    oracle="""
+    WITH c AS (SELECT l_returnflag,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+                      CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+               FROM lineitem),
+    s AS (SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(CAST(pc AS HUGEINT)) AS sp,
+                 SUM(CAST(pc AS HUGEINT) * pc) AS spp,
+                 SUM(CAST(qc AS HUGEINT)) AS sq,
+                 SUM(CAST(qc AS HUGEINT) * qc) AS sqq,
+                 SUM(CAST(pc AS HUGEINT) * qc) AS spq
+          FROM c GROUP BY 1)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(sp AS DOUBLE) / (n * 100.0) * 10000.0) AS BIGINT) / 10000.0
+             AS mean_price,
+           CAST(FLOOR(CAST(n * spp - sp * sp AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1) * 10000.0)) AS BIGINT)
+             AS var_price,
+           CAST(FLOOR(sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1) * 10000.0)) * 100.0) AS BIGINT)
+             / 100.0 AS std_price,
+           CAST(FLOOR((CAST(n * spq - sp * sq AS DOUBLE)
+                       / (sqrt(CAST(n * spp - sp * sp AS DOUBLE))
+                          * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)))) * 10000.0) AS BIGINT)
+             / 10000.0 AS corr_price_qty
+    FROM s
+    """,
+    tags=("agg", "statistics", "variance", "correlation"),
+)
+def q46_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/variance/stddev/correlation) computed
+    ENGINE-EXACTLY: built-in stddev/corr accumulate doubles in partition
+    order (not reproducible across engines or even runs), so this entry
+    quantizes to integer cents and aggregates (n, Σx, Σx², Σxy) as
+    wide-decimal integers — exact under any partitioning — then forms the
+    moments with one deterministic IEEE expression per statistic.  The same
+    trick production pipelines use for auditable metrics; one map-side
+    combined shuffle, identical plan shape to a plain sum."""
+    li = table(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    c = li.select(
+        "l_returnflag", pc.alias("pc"), qc.alias("qc")
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pc").cast(dec)).alias("sp"),
+        F.sum(F.col("pc").cast(dec) * F.col("pc")).alias("spp"),
+        F.sum(F.col("qc").cast(dec)).alias("sq"),
+        F.sum(F.col("qc").cast(dec) * F.col("qc")).alias("sqq"),
+        F.sum(F.col("pc").cast(dec) * F.col("qc")).alias("spq"),
+    )
+    n = F.col("n")
+    var_num = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    covar_num = (n * F.col("spq") - F.col("sp") * F.col("sq")).cast("double")
+    varq_num = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (F.floor(F.col("sp").cast("double") / (n * 100.0) * 10000.0) / 10000.0).alias(
+            "mean_price"
+        ),
+        F.floor(var_num / (n.cast("double") * (n - 1) * 10000.0))
+        .cast("bigint")
+        .alias("var_price"),
+        (
+            F.floor(
+                F.sqrt(var_num / (n.cast("double") * (n - 1) * 10000.0)) * 100.0
+            )
+            / 100.0
+        ).alias("std_price"),
+        (
+            F.floor(
+                (covar_num / (F.sqrt(var_num) * F.sqrt(varq_num))) * 10000.0
+            )
+            / 10000.0
+        ).alias("corr_price_qty"),
+    )
