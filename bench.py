@@ -55,6 +55,13 @@ HEADLINE = [
     # added round 2 (perf-fixed entries now tracked; no r1 baseline):
     "x05_embedding_neardup",
     "s07_stateful_funnel",
+    # round-2 widening (new operators; establish their floor this round):
+    "x31_boilerplate_removal",
+    "x35_bm25_search",
+    "x37_semdedup",
+    "s11_transform_with_state",
+    "q44_gap_fill",
+    "q46_exact_stats",
 ]
 
 
