@@ -612,3 +612,120 @@ def x37_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# x38 — token-rarity (surprisal-proxy) document scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x38_token_rarity",
+    oracle="""
+    WITH t AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))
+                 AS term
+               FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+    tot AS (SELECT SUM(tf) AS total FROM vocab),
+    s AS (SELECT t.doc_id,
+                 CAST(FLOOR(1000000.0 * total / tf) AS BIGINT) AS micro
+          FROM t JOIN vocab USING (term) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(SUM(micro) * 1.0 / COUNT(*)) AS BIGINT) AS rarity_micro
+    FROM s GROUP BY doc_id
+    """,
+    tags=("text", "rarity", "scoring"),
+)
+def x38_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity scoring — the log-free stand-in for unigram-LM surprisal
+    used to surface rare/novel documents in curation: each token occurrence
+    scores inverse corpus frequency (total/tf) in integer micro-units, the
+    document score is the per-token average.  Inverse frequency is a monotone
+    transform of -log p, so rankings match an LM-perplexity filter while the
+    arithmetic stays engine-exact (micro-unit floors before the bigint sum —
+    associativity-proof, same discipline as x35).
+
+    Scale shape: ONE vocabulary aggregate (map-side combined; vocabulary is
+    sublinear in corpus size), a term-keyed join of postings to vocab (hot
+    terms mitigated by the vocab side being vocabulary-sized), the 1-row
+    total broadcast, then a per-doc aggregate."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = t.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("total"))
+    s = (
+        t.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "micro",
+            F.floor(1000000.0 * F.col("total") / F.col("tf")).cast("bigint"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.floor(F.sum("micro") * 1.0 / F.count(F.lit(1))).cast("bigint").alias(
+            "rarity_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x39 — vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 50
+
+
+@register(
+    "x39_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS term
+               FROM documents),
+    vocab AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+    tot AS (SELECT SUM(tf) AS total FROM vocab),
+    top AS (SELECT term, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rnk
+            FROM vocab QUALIFY rnk <= {_VOCAB_TOP}),
+    c AS (SELECT term, tf, rnk,
+                 SUM(tf) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tf
+          FROM top)
+    SELECT term, CAST(tf AS BIGINT) AS tf, CAST(rnk AS BIGINT) AS rnk,
+           CAST(FLOOR(cum_tf * 10000.0 / total) AS BIGINT) / 10000.0 AS coverage
+    FROM c CROSS JOIN tot
+    """,
+    tags=("text", "vocabulary", "tokenizer"),
+)
+def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-{k} corpus tokens by frequency with
+    the cumulative fraction of all token occurrences they cover — the
+    tokenizer-design / vocab-truncation diagnostic (what % of the stream the
+    top-N vocab explains).
+
+    Scale shape: one vocabulary aggregate, then TakeOrdered top-{k} — the
+    running-sum window runs over ONLY those {k} rows (never the full
+    vocabulary) with the grand total as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens("text")).alias("term"))
+    vocab = t.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("total"))
+    w_rank = Window.orderBy(F.col("tf").desc(), "term")
+    top = (
+        vocab.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= _VOCAB_TOP)
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("cum_tf", F.sum("tf").over(w_cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "tf",
+            "rnk",
+            (F.floor(F.col("cum_tf") * 10000.0 / F.col("total")) / 10000.0).alias(
+                "coverage"
+            ),
+        )
+    )

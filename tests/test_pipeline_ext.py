@@ -93,3 +93,18 @@ def test_semdedup_drops_are_within_cells(spark):
     # dropped set and audit keepers may overlap across cells but each row's
     # keeper differs from the row itself
     assert (out["kept_by"] != out["vec_id"]).all()
+
+
+def test_token_rarity_bounds(spark):
+    """Rarity >= 1e6 * total/max_tf per token average is >= 1e6/(max share);
+    the floor of any inverse frequency is >= 1 (tf <= total)."""
+    out = REGISTRY["x38_token_rarity"].fn(spark, SF_SMOKE).toPandas()
+    assert (out["rarity_micro"] >= 1_000_000).all()  # every tf < total
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_vocab_coverage_monotone(spark):
+    out = REGISTRY["x39_vocab_coverage"].fn(spark, SF_SMOKE).toPandas().sort_values("rnk")
+    assert (out["coverage"].diff().dropna() >= 0).all()
+    assert (out["tf"].diff().dropna() <= 0).all()
+    assert out["coverage"].iloc[-1] <= 1.0
