@@ -1129,3 +1129,71 @@ def x30_kafka_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_TT_CUTOFF_MS = 1705276800000  # 2024-01-15 00:00:00 UTC
+
+
+@register(
+    "x40_kafka_time_travel",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE event_id % 5 = 0 AND epoch_ms(ts) >= {_TT_CUTOFF_MS}
+    GROUP BY 1
+    """,
+    tags=("kafka", "sim", "timestamp-pushdown", "offsets-for-times"),
+)
+def x40_kafka_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-predicate pushdown into offset pruning (SURVEY.md §4's
+    optional source optimization, which the reference lacks entirely —
+    KafkaStorageHandler.java:38-108 has no predicate handling): events are
+    produced event-time-ordered into the broker simulator with real
+    producer-record timestamps, then a ``ts >= cutoff`` query resolves the
+    cutoff to per-partition start offsets (offsetsForTimes semantics) so the
+    scan SKIPS the old log prefix instead of reading and filtering it.  The
+    residual predicate stays in the query — offset pruning is a coarse
+    index, the filter is the contract — and the result must equal the plain
+    parquet filter+aggregate."""
+    import tempfile
+
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        pushdown_time_predicate,
+        register_kafka_table,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["events_tt"],
+        ddl="event_id BIGINT, event_type STRING, value DOUBLE, ts_ms BIGINT",
+    )
+    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simkafka_tt_"))
+    broker.create_topic("events_tt", partitions=4)
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .orderBy("ts", "event_id")  # per-partition timestamp monotonicity
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("ts"),
+        )
+    )
+    write_kafka(rows, cfg, "events_tt", key_col="event_id", broker=broker, ts_col="ts")
+    pushed = pushdown_time_predicate(spark, cfg, _TT_CUTOFF_MS, broker=broker)
+    view = register_kafka_table(spark, "kafka_events_tt", pushed, broker=broker)
+    return (
+        view.filter(F.col("ts_ms") >= _TT_CUTOFF_MS)  # residual predicate
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -319,10 +319,15 @@ def encode_avro_df(
     avro_schema: dict | str,
     value_alias: str = "value",
     key_col: str | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Encode rows into a binary Avro ``value`` column (+ optional key) —
     the real implementation of the reference's stubbed write path
-    (KafkaOutputFormat.java:28-39 returns a null RecordWriter)."""
+    (KafkaOutputFormat.java:28-39 returns a null RecordWriter).
+
+    ``ts_col``: pass an event-time column through as the wire ``timestamp``
+    (Kafka producer-record timestamp) so time-based offset resolution works
+    downstream."""
     schema_dict = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
     field_names = [f["name"] for f in schema_dict["fields"]]
 
@@ -331,6 +336,8 @@ def encode_avro_df(
     out_fields = [T.StructField(value_alias, T.BinaryType())]
     if key_col:
         out_fields.insert(0, T.StructField("key", T.BinaryType()))
+    if ts_col:
+        out_fields.append(T.StructField("timestamp", T.TimestampType()))
     out_schema = T.StructType(out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,6 +350,8 @@ def encode_avro_df(
                 if key_col:
                     kv = vals.get(key_col)
                     row["key"] = str(kv).encode("utf-8") if kv is not None else None
+                if ts_col:
+                    row["timestamp"] = vals.get(ts_col)
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 

@@ -278,11 +278,13 @@ def encode_payload(
     cfg: KafkaTableConfig,
     key_col: str | None = None,
     use_jvm_avro: bool | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Rows -> binary Kafka ``value`` (+ optional ``key``) in the table's
     Avro schema.  Same dispatch as :func:`decode_wire`: JVM ``to_avro`` when
     spark-avro is on the classpath, Arrow-batched Python wire codec
-    otherwise."""
+    otherwise.  ``ts_col`` rides through as the producer-record
+    ``timestamp`` (enables time-based offset resolution on the scan side)."""
     from hiveka_spark.sources.avro_codec import encode_avro_df
 
     schema_json = cfg.schema_json()
@@ -301,8 +303,10 @@ def encode_payload(
             cols.insert(
                 0, F.col(key_col).cast("string").cast("binary").alias("key")
             )
+        if ts_col:
+            cols.append(F.col(ts_col).alias("timestamp"))
         return df.select(*cols)
-    return encode_avro_df(df, schema_json, key_col=key_col)
+    return encode_avro_df(df, schema_json, key_col=key_col, ts_col=ts_col)
 
 
 def write_kafka(
@@ -311,15 +315,17 @@ def write_kafka(
     topic: str,
     key_col: str | None = None,
     broker=None,
+    ts_col: str | None = None,
 ) -> None:
     """Avro-encode + publish — the real implementation of the reference's
     stub sink (KafkaOutputFormat.java:28-39).  ``broker``: publish into the
-    file-backed simulator instead of a live cluster."""
+    file-backed simulator instead of a live cluster.  ``ts_col``: event-time
+    column to stamp as the producer-record timestamp."""
     if broker is not None:
-        broker.produce(encode_payload(df, cfg, key_col=key_col), topic)
+        broker.produce(encode_payload(df, cfg, key_col=key_col, ts_col=ts_col), topic)
         return
     _require_kafka(df.sparkSession)
-    payload = encode_payload(df, cfg, key_col=key_col)
+    payload = encode_payload(df, cfg, key_col=key_col, ts_col=ts_col)
     (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
@@ -411,3 +417,38 @@ class OffsetStore:
                 else:
                     start[topic][part] = resumed
         return json.dumps(start), json.dumps(latest)
+
+
+def pushdown_time_predicate(
+    spark: SparkSession,
+    cfg: KafkaTableConfig,
+    ts_ms: int,
+    broker=None,
+) -> KafkaTableConfig:
+    """Rewrite ``WHERE timestamp >= X`` on a Kafka batch table into OFFSET
+    PRUNING — the optional source-level optimization SURVEY.md §4 names: the
+    scan starts at the first offset whose record timestamp reaches the
+    cutoff instead of reading the whole retention window and filtering
+    (KafkaInputFormat has no predicate handling at all;
+    KafkaStorageHandler.java:38-108).
+
+    Against a live cluster this is Spark's native ``startingTimestamp``
+    reader option (the broker's time index resolves it); against the
+    simulator the offsets resolve eagerly via
+    :meth:`SimBroker.offsets_for_times` into explicit startingOffsets.
+    Returns a NEW config — the caller registers the table with it; the
+    residual ``timestamp >= X`` filter stays in the query for exactness at
+    the cutoff boundary (offset pruning is a coarse index, the predicate is
+    the contract)."""
+    from dataclasses import replace
+
+    if broker is None:
+        extra = dict(cfg.extra_options)
+        extra["startingTimestamp"] = str(ts_ms)
+        return replace(cfg, extra_options=extra)
+    topics = [t for t in broker.topics() if re.fullmatch(topic_pattern(cfg.whitelist_topics, cfg.blacklist_topics), t)]
+    resolved = {
+        t: {p: o for p, o in broker.offsets_for_times(spark, t, ts_ms).items()}
+        for t in topics
+    }
+    return replace(cfg, starting_offsets=resolved)

@@ -93,8 +93,18 @@ class SimBroker:
         n_parts = int(meta["partitions"])
         cols = payload.columns
         key = F.col("key") if "key" in cols else F.lit(None).cast("binary")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
+        base = F.create_map(
+            *[x for p, o in meta["next"].items() for x in (F.lit(int(p)), F.lit(int(o)))]
+        )
+        # producer-record timestamp: honor an explicit payload column (event
+        # time, timestampType=0 CreateTime) else stamp append time (=1)
+        has_ts = "timestamp" in cols
+        ts = F.col("timestamp") if has_ts else F.current_timestamp()
         routed = payload.select(
-            key.alias("key"), F.col("value").alias("value")
+            key.alias("key"), F.col("value").alias("value"), ts.alias("timestamp")
         ).withColumn(
             "partition",
             F.when(
@@ -103,20 +113,14 @@ class SimBroker:
             .otherwise(F.pmod(F.monotonically_increasing_id(), F.lit(n_parts)))
             .cast("int"),
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("partition").orderBy(F.monotonically_increasing_id())
-        base = F.create_map(
-            *[x for p, o in meta["next"].items() for x in (F.lit(int(p)), F.lit(int(o)))]
-        )
         wire = routed.select(
             "key",
             "value",
             F.lit(topic).alias("topic"),
             "partition",
             (F.row_number().over(w) - 1 + base[F.col("partition")]).alias("offset"),
-            F.current_timestamp().alias("timestamp"),
-            F.lit(0).alias("timestampType"),
+            "timestamp",
+            F.lit(0 if has_ts else 1).alias("timestampType"),
         )
         out_dir = os.path.join(self.root, topic)
         wire.write.mode("append").partitionBy("partition").parquet(out_dir)
@@ -128,6 +132,30 @@ class SimBroker:
             meta["next"][p] = int(meta["next"].get(p, 0)) + int(n)
         self._save_meta(topic, meta)
         return counts
+
+    def offsets_for_times(
+        self, spark: SparkSession, topic: str, ts_ms: int
+    ) -> dict[str, int]:
+        """Kafka's ``offsetsForTimes``: per partition, the EARLIEST offset
+        whose record timestamp is >= ``ts_ms``; partitions with no such
+        record resolve to their end offset (Kafka returns null there — the
+        caller reads nothing, same effect).  Results clamp to the first
+        retained offset.  Correct time->offset pruning assumes timestamps
+        are non-decreasing within each partition (true for event-time-ordered
+        producers; Kafka itself makes the same monotonicity assumption when
+        log.message.timestamp.type=CreateTime segments are time-indexed)."""
+        meta = self._load_meta(topic)
+        df = spark.read.parquet(os.path.join(self.root, topic))
+        hit = (
+            df.filter(F.unix_millis("timestamp") >= ts_ms)
+            .groupBy("partition")
+            .agg(F.min("offset").alias("o"))
+        )
+        res = {str(r["partition"]): int(r["o"]) for r in hit.collect()}
+        return {
+            p: max(res.get(p, int(meta["next"][p])), int(meta["earliest"][p]))
+            for p in meta["next"]
+        }
 
     def expire(self, topic: str, partition: int, new_earliest: int) -> None:
         """Simulate retention loss: advance the first retained offset.

@@ -195,3 +195,76 @@ def test_streaming_over_sim_broker(spark):
     got = sorted((r["username"], r["text"], r["timestamp"]) for r in out.collect())
     want = sorted((r["username"], r["text"], r["timestamp"]) for r in rows)
     assert got == want
+
+
+def test_offsets_for_times_prunes_log_prefix(spark, tmp_path):
+    """offsetsForTimes resolution: scanning from the resolved offsets yields
+    exactly the suffix with ts >= cutoff (producer wrote time-ordered), and
+    out-of-range cutoffs resolve to end/earliest."""
+    from hiveka_spark.catalog import table
+
+    from .conftest import SF_SMOKE
+
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        pushdown_time_predicate,
+        read_kafka_batch,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://t",
+        whitelist_topics=["tt"],
+        ddl="event_id BIGINT, value DOUBLE, ts_ms BIGINT",
+    )
+    broker = SimBroker(str(tmp_path / "b"))
+    broker.create_topic("tt", partitions=3)
+    events = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .orderBy("ts", "event_id")
+        .select("event_id", "value", F.unix_millis("ts").alias("ts_ms"), "ts")
+    )
+    write_kafka(events, cfg, "tt", key_col="event_id", broker=broker, ts_col="ts")
+    total = events.count()
+    cutoff = events.approxQuantile("ts_ms", [0.5], 0.0)[0]
+    cutoff = int(cutoff)
+
+    pushed = pushdown_time_predicate(spark, cfg, cutoff, broker=broker)
+    scanned = read_kafka_batch(spark, pushed, broker=broker)
+    n_scanned = scanned.count()
+    n_expected = events.filter(F.col("ts_ms") >= cutoff).count()
+    assert n_scanned == n_expected  # pruned exactly, no residual rows read
+    assert 0 < n_scanned < total  # and it actually skipped a prefix
+
+    # cutoff after the last record -> end offsets -> empty scan
+    far = pushdown_time_predicate(spark, cfg, 4102444800000, broker=broker)
+    assert read_kafka_batch(spark, far, broker=broker).count() == 0
+
+    # cutoff before the first record -> earliest -> full scan
+    early = pushdown_time_predicate(spark, cfg, 0, broker=broker)
+    assert read_kafka_batch(spark, early, broker=broker).count() == total
+
+
+def test_produce_honors_event_timestamps(spark, tmp_path):
+    """A payload 'timestamp' column becomes the wire timestamp with
+    timestampType=0 (CreateTime); without it, append time (=1) is stamped."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.sources.kafka_sim import SimBroker
+
+    broker = SimBroker(str(tmp_path / "b2"))
+    broker.create_topic("t0", partitions=1)
+    payload = spark.createDataFrame(
+        [(b"k", b"v")], "key binary, value binary"
+    ).withColumn("timestamp", F.to_timestamp(F.lit("2020-06-01 12:00:00")))
+    broker.produce(payload, "t0")
+    row = broker.scan(spark, "t0").collect()[0]
+    assert row["timestampType"] == 0
+    assert row["timestamp"].year == 2020
+
+    broker.create_topic("t1", partitions=1)
+    broker.produce(payload.drop("timestamp"), "t1")
+    row = broker.scan(spark, "t1").collect()[0]
+    assert row["timestampType"] == 1
