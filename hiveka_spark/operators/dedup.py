@@ -432,3 +432,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+def minhash_cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash+LSH candidates BETWEEN two
+    corpora (training vs evaluation), exact-Jaccard-verified — catches
+    paraphrase-level contamination the exact-shingle pass
+    (:func:`contamination_overlap`) misses.
+
+    Output: (train_id, eval_id, jaccard) for every cross-corpus pair with
+    word-k-gram Jaccard >= threshold.
+
+    Scale shape: both sides compute signatures independently (one shuffle
+    each); candidates come from the (band, band_hash) equi-join with the
+    EVAL side tiny in practice (benchmarks are MBs, corpora are TBs) — Spark
+    broadcasts it and the training corpus never shuffles for the join, the
+    same asymmetry contamination_overlap exploits.  Verification joins each
+    candidate id back to its shingle set — O(|candidates|)."""
+    r = num_perm // bands
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+        return sig.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            portable_hash60(
+                                F.concat_ws(
+                                    "_",
+                                    *[F.col("signature")[bi * r + j] for j in range(r)],
+                                )
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bh")
+
+    a = band_rows(train).select(F.col("doc").alias("id_a"), "band", "bh")
+    b = band_rows(eval_df).select(F.col("doc").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(F.broadcast(b), ["band", "bh"]).select("id_a", "id_b").distinct()
+    )
+    sh = _shingle_sets(train.unionByName(eval_df), id_col, text_col, k)
+    return _verified_jaccard(cand, sh, threshold).select(
+        F.col("id_a").alias("train_id"),
+        F.col("id_b").alias("eval_id"),
+        "jaccard",
+    )

@@ -388,3 +388,36 @@ def s11_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         "max_value",
     )
+
+
+@register(
+    "s12_stream_distinct_users",
+    oracle="""
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS window_start_ms,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "distinct", "dedup", "window"),
+)
+def s12_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT aggregation — two stateful operators chained:
+    watermark-bounded dropDuplicates on (user, hour) feeds a tumbling-hour
+    count, so each user counts once per window (exact streaming
+    count-distinct; the HLL sketch alternative is q36's rows-only entry).
+    Drained in complete mode and hash-checked against the batch
+    COUNT(DISTINCT)."""
+    stream = P.events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / 3600000).cast("bigint").alias("hour_bucket"),
+        "ts",
+    )
+    dedup = keyed.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "hour_bucket"]
+    )
+    agg = dedup.groupBy("hour_bucket").agg(F.count(F.lit(1)).alias("n_users"))
+    out = _drain(agg, "s12_distinct", "complete", shuffle_partitions=8)
+    return out.select(
+        (F.col("hour_bucket") * 3600000).alias("window_start_ms"),
+        "n_users",
+    )

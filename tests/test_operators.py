@@ -247,3 +247,31 @@ def test_salted_join_rejects_right_preserving_joins(spark):
     # left semi/anti stay supported (right replication preserves semantics)
     assert salted_join(a, b, ["k"], salt_n=4, how="left_semi").count() == 1
     assert salted_join(a, b, ["k"], salt_n=4, how="left_anti").count() == 0
+
+
+def test_fuzzy_decontamination_recall_vs_exact(spark):
+    """Every exact cross-corpus Jaccard>=0.8 pair must also be reported by the
+    MinHash path at these (perm, band) settings on the fixture, and every
+    reported pair must verify exactly (precision 1.0 by construction)."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.operators import dedup as D
+
+    d = table(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    tr = d.filter(~F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    got = {
+        (r["train_id"], r["eval_id"])
+        for r in D.minhash_cross_contamination(tr, ev, threshold=0.8).collect()
+    }
+    exact = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    want = set()
+    for r in exact.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in ev_ids) != (b in ev_ids):  # cross-corpus pairs only
+            want.add((b, a) if a in ev_ids else (a, b))
+    assert want, "fixture should contain cross-corpus near-dups"
+    assert want <= got  # recall 1.0 on the fixture at these settings
+    for t, e in got:
+        assert t not in ev_ids and e in ev_ids
