@@ -108,3 +108,51 @@ def test_vocab_coverage_monotone(spark):
     assert (out["coverage"].diff().dropna() >= 0).all()
     assert (out["tf"].diff().dropna() <= 0).all()
     assert out["coverage"].iloc[-1] <= 1.0
+
+
+def test_boilerplate_synthetic_planted(spark):
+    """Plant a known boilerplate chunk across docs and assert exactly it is
+    removed: docs share an 8-word header, each has a unique 8-word body."""
+    header = "terms of service apply to this web page"
+    rows = [
+        (i, f"{header} " + " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_planted")
+
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.operators.text import tokens
+
+    ws = tokens("text")
+    n_full = F.floor(F.size(ws) / F.lit(8.0)).cast("int")
+    seq = F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+        F.array().cast("array<int>")
+    )
+    c = df.select("doc_id", ws.alias("ws"), F.explode(seq).alias("i")).select(
+        "doc_id", "i",
+        F.array_join(F.slice("ws", (F.col("i") - 1) * 8 + 1, F.lit(8)), " ").alias("chunk"),
+    )
+    freq = c.groupBy("chunk").agg(F.count_distinct("doc_id").alias("n_docs"))
+    j = c.join(freq, "chunk")
+    out = (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("n_docs") < 2, F.struct("i", "chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r["n_boiler"] == 1
+        assert header not in r["cleaned_text"]
+        assert r["cleaned_text"].startswith(f"w{r['doc_id']}x0")
