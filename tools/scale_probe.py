@@ -70,6 +70,68 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
     def sample():
         return stratified_sample(docs, "lang", {"en": 10, "zh": 50}, "doc_id")
 
+    def chunk_freq():
+        # x31's dominant stage: chunk explode + chunk-keyed frequency agg
+        # (the boiler join is duplicate-rate-sensitive, so excluded — same
+        # reasoning as the MinHash candidate stage)
+        from hiveka_spark.operators.text import tokens
+
+        ws = tokens("text")
+        n_full = F.floor(F.size(ws) / F.lit(8.0)).cast("int")
+        seq = F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+            F.array().cast("array<int>")
+        )
+        c = docs.select("doc_id", ws.alias("ws"), F.explode(seq).alias("i")).select(
+            "doc_id",
+            F.array_join(F.slice("ws", (F.col("i") - 1) * 8 + 1, F.lit(8)), " ").alias(
+                "chunk"
+            ),
+        )
+        return c.groupBy("chunk").agg(F.count_distinct("doc_id"))
+
+    def bm25_postings():
+        # x35/x38's dominant stage: postings explode + (doc, term) tf agg
+        from hiveka_spark.operators.text import tokens
+
+        t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        return t.groupBy("doc_id", "term").agg(F.count(F.lit(1)))
+
+    def semdedup_assign():
+        # x37's corpus-side stage: broadcast-centroid argmax cell assignment
+        # (per-cell pair volume is duplicate-rate-sensitive -> excluded)
+        from pyspark.sql import Window
+
+        from hiveka_spark.operators.similarity import cosine_expr, with_quantized_norm
+
+        emb = replicate(table(spark, sf_dir, "embeddings"), n, ["vec_id"])
+        v = with_quantized_norm(emb, "embedding")
+        cents = v.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cell"), F.col("qvec").alias("cvec"),
+            F.col("qnorm2").alias("cn2"),
+        )
+        scored = v.crossJoin(F.broadcast(cents)).withColumn(
+            "c_cos",
+            cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cell")
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)))
+        )
+
+    def exact_stats():
+        # q46: integer-cent moment sums in wide decimals
+        pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        dec = "decimal(38,0)"
+        c = li.select("l_returnflag", pc.alias("pc"))
+        return c.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("pc").cast(dec)),
+            F.sum(F.col("pc").cast(dec) * F.col("pc")),
+        )
+
     return [
         ("q01_agg_scan", q01),
         ("join_lineitem_orders", join_agg),
@@ -77,6 +139,10 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         ("minhash_signatures", minhash_sigs),
         ("repetition_map", repetition),
         ("stratified_sample", sample),
+        ("chunk_freq_agg", chunk_freq),
+        ("bm25_postings", bm25_postings),
+        ("semdedup_cell_assign", semdedup_assign),
+        ("exact_stats_moments", exact_stats),
     ]
 
 
