@@ -16,6 +16,8 @@ additionally property-tested in tests/.
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1270,4 +1272,71 @@ def x41_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
     return D.minhash_cross_contamination(
         tr, ev, "doc_id", "text", num_perm=32, bands=8, k=3, threshold=0.8
+    )
+
+
+@register(
+    "x42_kafka_incremental_resume",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events WHERE event_id % 10 = 1 GROUP BY 1
+    """,
+    tags=("kafka", "sim", "incremental", "offset-resume"),
+)
+def x42_kafka_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental Kafka consumption ORACLE-CHECKED end-to-end — the
+    reference's kafka_offset_* resume loop (KafkaInputFormat.java:471-501)
+    as a gate entry: produce batch A, scan-and-commit (the catch-up run),
+    produce batch B, then the incremental scan from the committed offsets
+    must decode EXACTLY batch B — proving the offset store's [resume, latest)
+    arithmetic row-for-row, not just in units.  The returned aggregate is
+    over the second scan only."""
+    import tempfile
+
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        OffsetStore,
+        decode_wire,
+        read_kafka_batch,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["events_inc"],
+        ddl="event_id BIGINT, event_type STRING",
+    )
+    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simkafka_inc_"))
+    broker.create_topic("events_inc", partitions=3)
+    store = OffsetStore(tempfile.mktemp(prefix="gate_offsets_", suffix=".json"))
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+
+    def pull(commit_only: bool = False):
+        start, end = store.resolve_range(broker.earliest(), broker.latest())
+        c = KafkaTableConfig(
+            "sim://gate",
+            whitelist_topics=["events_inc"],
+            ddl="event_id BIGINT, event_type STRING",
+            starting_offsets=json.loads(start),
+            ending_offsets=json.loads(end),
+        )
+        wire = read_kafka_batch(spark, c, broker=broker)
+        store.commit(json.loads(end))
+        return decode_wire(wire, c)
+
+    # batch A: catch-up run reads it and commits its end offsets
+    write_kafka(
+        e.filter(F.col("event_id") % 10 == 0), cfg, "events_inc",
+        key_col="event_id", broker=broker,
+    )
+    pull().count()  # materialize run 1 so the commit reflects a real read
+    # batch B lands after the commit
+    write_kafka(
+        e.filter(F.col("event_id") % 10 == 1), cfg, "events_inc",
+        key_col="event_id", broker=broker,
+    )
+    incremental = pull()  # must contain ONLY batch B
+    return incremental.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
     )
