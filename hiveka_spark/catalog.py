@@ -49,17 +49,36 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet -> long under nanosAsLong.
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (LTZ) whatever its
+    physical parquet encoding turned out to be.
 
-    Convert nanos -> microsecond timestamp (integer division, exact) so all
-    downstream event-time logic sees a first-class TimestampType column.
+    The fixtures have shipped `events.ts` as TIMESTAMP(NANOS) (read as a raw
+    bigint under nanosAsLong), as timestamp[us] (read as TIMESTAMP_NTZ), and
+    may ship plain TIMESTAMP; downstream event-time logic (unix_millis,
+    watermarks, as-of joins) must never care.  This mirrors the reference's
+    posture of decoding against the declared reader schema regardless of wire
+    layout (KafkaAvroMessageDecoder.java:153-177) — normalize ONCE at the
+    source, in one shared place for batch and streaming.
+
+    - bigint: epoch nanos -> integer `div` 1000 (NOT `/`: epoch-nanos ~1.7e18
+      exceeds double's exact 2^53 range, float division corrupts the low
+      microseconds) -> timestamp_micros.
+    - timestamp_ntz: reinterpret the wall-clock value as UTC.  The session TZ
+      is pinned to UTC by our session factory, but `to_utc_timestamp` makes
+      the UTC interpretation explicit rather than session-dependent.
+    - timestamp: already what we want.
     """
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceeds double's exact
-        # integer range (2^53), so float division corrupts the low microseconds
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    return normalize_event_time(df, "ts")
 
 
 def load_tables(

@@ -17,9 +17,13 @@ from pyspark.sql import Column, DataFrame, Window
 
 
 def _ms(df: DataFrame, col: str) -> Column:
+    # dtype-exact: "timestamp_ntz" also startswith("timestamp") but
+    # unix_millis rejects it — reinterpret the naive value as UTC first.
     dtype = dict(df.dtypes)[col]
-    if dtype.startswith("timestamp"):
+    if dtype == "timestamp":
         return F.unix_millis(F.col(col))
+    if dtype == "timestamp_ntz":
+        return F.unix_millis(F.to_utc_timestamp(F.col(col), "UTC"))
     return F.col(col).cast("bigint")
 
 

@@ -487,10 +487,10 @@ def q40_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
-                    '$.meta.k') AS BIGINT)) AS sum_k,
-           MAX(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
-                    '$.uid') AS BIGINT)) AS max_uid
+           CAST(SUM(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
+                    '$.meta.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract('{"meta":' || props || ',"uid":' || CAST(user_id AS VARCHAR) || '}',
+                    '$.uid') AS BIGINT)) AS BIGINT) AS max_uid
     FROM events
     GROUP BY event_type
     """,

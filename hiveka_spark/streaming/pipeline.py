@@ -23,19 +23,6 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
-
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def events_stream(
     spark: SparkSession,
@@ -43,20 +30,32 @@ def events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The fixture `events` table as a file-source stream with a proper
-    event-time `ts` column (nanos long -> timestamp, same conversion as the
-    batch catalog)."""
+    event-time `ts` column.
+
+    The file's PHYSICAL ts encoding is not assumed: a cheap batch schema
+    probe reads the actual file schema (bigint-nanos under nanosAsLong,
+    timestamp_ntz for timestamp[us], or plain timestamp), then the SAME
+    shared normalizer as the batch catalog maps it to TimestampType.  A
+    hard-coded schema here once silently compressed every event timestamp
+    1000x — the probe makes the stream follow the file, not our memory of
+    the file.
+    """
+    from hiveka_spark.catalog import normalize_event_time
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    path = os.path.join(sf_dir, "events.parquet")
+    file_schema = spark.read.parquet(path).schema  # metadata-only probe
     reader = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_time(df, "ts")
 
 
 def tumbling_counts(

@@ -49,6 +49,17 @@ def compare_results(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> tuple[bool
     a, b = normalize(spark_pd), normalize(duck_pd)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # int-on-one-side / float-on-the-other means the two engines disagree
+        # on the column's TYPE even when values compare equal (e.g. DuckDB
+        # SUM(BIGINT) -> HUGEINT -> float64 in pandas vs Spark int64).  The
+        # driver's hash covers value rendering, so "123" vs "123.0" fails
+        # there — fail here too so it can't slip through locally (q41, r2).
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if kinds & {"i", "u"} and "f" in kinds:
+            return False, (
+                f"col {c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype} "
+                "(int vs float — pin with explicit CASTs on both sides)"
+            )
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             af, bf = av.astype(float), bv.astype(float)
             nan_ok = np.isnan(af) & np.isnan(bf)
