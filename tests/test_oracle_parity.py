@@ -49,3 +49,25 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_rotation_is_lru(tmp_path, monkeypatch):
+    """The driver checks a 50-entry prefix; ordering must be least-recently-
+    covered first so every entry is certified within ceil(N/50) rounds (the
+    round-3 verdict caught s12 starved at position 51 forever)."""
+    import json
+
+    from hiveka_spark import queries as q
+
+    hist = q._coverage_history()
+    names = q._rotated_names()
+    # never-covered entries lead, and coverage rounds are non-decreasing
+    rounds = [hist.get(n, 0) for n in names]
+    assert rounds == sorted(rounds)
+    # simulate: everything the prefix covers this round moves behind the rest
+    covered_now = dict(hist)
+    next_round = max(rounds, default=0) + 1
+    for n in names[:50]:
+        covered_now[n] = next_round
+    nxt = sorted(q.REGISTRY, key=lambda n: covered_now.get(n, 0))
+    assert set(nxt[:51]) >= set(names[50:]), "starved entries must lead next round"
