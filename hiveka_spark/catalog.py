@@ -49,6 +49,22 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the session time zone to UTC before any TIMESTAMP_NTZ reinterpretation.
+
+    ``to_utc_timestamp(ntz_col, 'UTC')`` is NOT session-independent: Spark
+    implicitly casts NTZ -> TIMESTAMP using the *session* time zone first, so
+    under e.g. America/New_York the naive value silently shifts by the TZ
+    offset.  Our session factory pins UTC already; this guard makes every
+    normalization path safe under a session we did not build (the driver
+    builds its own).
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to TimestampType (LTZ) whatever its
     physical parquet encoding turned out to be.
@@ -64,15 +80,17 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     - bigint: epoch nanos -> integer `div` 1000 (NOT `/`: epoch-nanos ~1.7e18
       exceeds double's exact 2^53 range, float division corrupts the low
       microseconds) -> timestamp_micros.
-    - timestamp_ntz: reinterpret the wall-clock value as UTC.  The session TZ
-      is pinned to UTC by our session factory, but `to_utc_timestamp` makes
-      the UTC interpretation explicit rather than session-dependent.
+    - timestamp_ntz: reinterpret the wall-clock value as UTC.  This requires
+      the session TZ pinned to UTC (see ensure_utc_session) because the
+      implicit NTZ->TIMESTAMP cast inside to_utc_timestamp is session-TZ
+      dependent; the guard below enforces it even under a foreign session.
     - timestamp: already what we want.
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     elif dtype == "timestamp_ntz":
+        ensure_utc_session(df.sparkSession)
         df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 

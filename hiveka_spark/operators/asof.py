@@ -19,10 +19,15 @@ from pyspark.sql import Column, DataFrame, Window
 def _ms(df: DataFrame, col: str) -> Column:
     # dtype-exact: "timestamp_ntz" also startswith("timestamp") but
     # unix_millis rejects it — reinterpret the naive value as UTC first.
+    # The NTZ reinterpretation is only session-independent with the session
+    # TZ pinned to UTC (implicit NTZ->LTZ cast); share the catalog guard.
+    from hiveka_spark.catalog import ensure_utc_session
+
     dtype = dict(df.dtypes)[col]
     if dtype == "timestamp":
         return F.unix_millis(F.col(col))
     if dtype == "timestamp_ntz":
+        ensure_utc_session(df.sparkSession)
         return F.unix_millis(F.to_utc_timestamp(F.col(col), "UTC"))
     return F.col(col).cast("bigint")
 

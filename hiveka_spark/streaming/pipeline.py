@@ -23,6 +23,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 def events_stream(
     spark: SparkSession,
@@ -47,7 +48,22 @@ def events_stream(
     except Exception:
         pass
     path = os.path.join(sf_dir, "events.parquet")
-    file_schema = spark.read.parquet(path).schema  # metadata-only probe
+    if os.path.exists(path):
+        file_schema = spark.read.parquet(path).schema  # metadata-only probe
+    else:
+        # Late-arriving file: start the stream on the fixture's documented
+        # layout (TESTDATA.md) and pick the file up when it lands; the
+        # normalizer below handles whichever ts encoding actually arrives.
+        file_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
