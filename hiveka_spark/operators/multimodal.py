@@ -67,6 +67,58 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def available_codecs() -> dict[str, Callable]:
+    """Probe optional media libraries and return REAL decode callbacks for
+    whichever are importable — the production binding for the injection seam
+    on every decode function here.
+
+    - ``image``: PIL (``pip install pillow``) — bytes -> HxWx3 uint8 RGB.
+    - ``audio``: stdlib ``wave`` — WAV bytes -> (frames x channels int array,
+      sample_rate).  Always present (stdlib), so the audio path is a real
+      codec even in this container.
+    - ``video``: none probed (ffmpeg bindings aren't pip-installable here);
+      bind ``frame_sampler=`` explicitly in production.
+
+    Fakes stay the deterministic test path; NotImplementedError only fires
+    when a decode is requested for a modality whose library is genuinely
+    absent and no callback was injected.
+    """
+    out: dict[str, Callable] = {}
+    try:  # pragma: no cover - PIL not in this container
+        import io
+
+        from PIL import Image
+
+        def pil_decoder(content: bytes, meta: dict | None) -> np.ndarray:
+            return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+        def pil_resizer(content: bytes, meta: dict | None, w: int, h: int) -> bytes:
+            img = Image.open(io.BytesIO(content)).convert("RGB").resize((w, h))
+            buf = io.BytesIO()
+            img.save(buf, format=(meta or {}).get("format", "PNG").upper())
+            return buf.getvalue()
+
+        out["image"] = pil_decoder
+        out["image_resize"] = pil_resizer
+    except ImportError:
+        pass
+    try:
+        import io
+        import wave
+
+        def wav_decoder(content: bytes, meta: dict | None) -> tuple[np.ndarray, int]:
+            with wave.open(io.BytesIO(content)) as w:
+                frames = w.readframes(w.getnframes())
+                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[w.getsampwidth()]
+                arr = np.frombuffer(frames, dtype=dtype).reshape(-1, w.getnchannels())
+                return arr, w.getframerate()
+
+        out["audio"] = wav_decoder
+    except ImportError:  # pragma: no cover - wave is stdlib
+        pass
+    return out
+
+
 def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a media table from a text fixture: content = utf-8 bytes of the
     text (a stand-in for encoded image bytes), metadata derived
@@ -87,12 +139,18 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake pixel decode: seed a counter-free PRNG from the
-    content digest.  Replace the body with a real codec call in production."""
+    """Deterministic fake pixel decode: tile the sha256 digest of the content
+    across the pixel buffer.  Replace the body with a real codec call in
+    production.
+
+    Digest-tiling (not a PRNG) on purpose: pixel k = digest[k % 32], so every
+    derived statistic is plain integer arithmetic on the 32 digest bytes and a
+    SQL oracle can replay it exactly — that's what gives x22 a full value-hash
+    check instead of a rows-only one."""
     digest = hashlib.sha256(content).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    n = height * width * 3
+    reps = -(-n // len(digest))
+    return np.frombuffer((digest * reps)[:n], dtype=np.uint8).reshape(height, width, 3)
 
 
 def decode_image_features(
@@ -109,7 +167,11 @@ def decode_image_features(
 
     ``decoder(content_bytes, meta_dict) -> HxWx3 uint8 array`` binds a real
     codec (e.g. PIL) through the same batched path; it wins over ``fake``.
+    With ``fake=False`` and no explicit decoder, a probed PIL binding from
+    :func:`available_codecs` is used when present.
     """
+    if decoder is None and not fake:
+        decoder = available_codecs().get("image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,10 +183,11 @@ def decode_image_features(
                 if decoder is not None:
                     px = np.asarray(decoder(content, dict(meta) if meta is not None else None))
                     h, w = int(px.shape[0]), int(px.shape[1])
-                    mean_pixel = int(px.mean())
+                    # exact integer mean (floor), oracle-replayable: sum // size
+                    mean_pixel = int(px.astype(np.int64).sum() // px.size)
                 elif fake:
                     px = _fake_decode(content, w, h)
-                    mean_pixel = int(px.mean())
+                    mean_pixel = int(px.astype(np.int64).sum() // px.size)
                 else:
                     raise NotImplementedError(
                         "real image decode requires a codec library (PIL/libjpeg) "
@@ -158,7 +221,11 @@ def resize_images(
     decode->interpolate->re-encode kernel (PIL) through the same batched
     path; without it, ``fake=True`` re-encodes deterministic fake pixels.
     The Spark-side contract (same schema out, content bytes replaced) is what
-    downstream stages depend on and is exercised by tests."""
+    downstream stages depend on and is exercised by tests.  With
+    ``fake=False`` and no explicit resizer, a probed PIL binding from
+    :func:`available_codecs` is used when present."""
+    if resizer is None and not fake:
+        resizer = available_codecs().get("image_resize")
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,6 +247,103 @@ def resize_images(
             yield pd.DataFrame(recs, columns=["media_id", "content", "meta"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build an audio media table whose content is a GENUINE RIFF/WAVE
+    container (stdlib ``wave`` writer): mono, 8-bit PCM, 16 kHz, with
+    n_samples = id % 400 + 100 uint8 samples tiling the sha256 digest of the
+    text.  Real container + digest-tiled payload means the decode exercises
+    an actual codec while every derived feature stays integer arithmetic a
+    SQL oracle can replay (same trick as the image fake)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            recs = []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                n = mid % 400 + 100
+                digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+                reps = -(-n // len(digest))
+                samples = (digest * reps)[:n]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(16000)
+                    w.writeframes(samples)
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "content": buf.getvalue(),
+                        "meta": {
+                            "media_type": "audio",
+                            "format": "wav",
+                            "width": None,
+                            "height": None,
+                            "n_frames": n,
+                            "sample_rate": 16000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["media_id", "content", "meta"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), text_col).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("mean_abs", LongType()),  # floor(mean |sample|), integer-exact
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, dict | None], "tuple[np.ndarray, int]"] | None = None,
+) -> DataFrame:
+    """Decode audio content and emit per-clip features via mapInPandas.
+
+    Unlike the image path this runs a REAL codec by default: the stdlib
+    ``wave`` binding from :func:`available_codecs` parses actual WAV bytes
+    (RIFF header, sample width, channels) — no fake needed.  ``decoder``
+    overrides it (e.g. soundfile/librosa for non-WAV formats).
+    ``mean_abs`` is exact integer arithmetic (sum(|s|) // n) so any oracle
+    can replay it."""
+    decoder = decoder or available_codecs()["audio"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                content = bytes(content)
+                arr, rate = decoder(content, dict(meta) if meta is not None else None)
+                arr = np.asarray(arr)
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "byte_len": len(content),
+                        "n_samples": int(arr.shape[0]),
+                        "n_channels": int(arr.shape[1]) if arr.ndim > 1 else 1,
+                        "sample_rate": int(rate),
+                        "mean_abs": int(np.abs(arr.astype(np.int64)).sum() // max(arr.size, 1)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(

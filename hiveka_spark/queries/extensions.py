@@ -682,7 +682,38 @@ def x21_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x22_multimodal_features",
-    oracle=None,  # decode is a deterministic Python fake — no SQL twin
+    # The fake decode tiles the sha256 digest across the pixel buffer, so the
+    # per-image mean is pure integer arithmetic on the 32 digest bytes:
+    # n = w*h*3 pixels use each digest byte n//32 times plus the first n%32
+    # bytes once more; mean_pixel = floor(total / n).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             sha256(text) AS sha,
+             CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+             CAST(doc_id % 48 + 16 AS INTEGER) AS height
+      FROM documents
+    ),
+    d AS (
+      SELECT *,
+             list_transform(range(0, 32),
+               k -> strpos('0123456789abcdef', substr(sha, CAST(k*2+1 AS INT), 1)) * 16
+                  + strpos('0123456789abcdef', substr(sha, CAST(k*2+2 AS INT), 1)) - 17
+             ) AS dig,
+             CAST(width AS BIGINT) * height * 3 AS n
+      FROM b
+    )
+    SELECT doc_id AS media_id,
+           byte_len,
+           sha AS content_sha,
+           CAST(((n // 32) * list_sum(dig)
+                 + COALESCE(list_sum(list_slice(dig, 1, CAST(n % 32 AS INT))), 0))
+                // n AS BIGINT) AS mean_pixel,
+           width,
+           height
+    FROM d
+    """,
     tags=("multimodal", "mapinpandas"),
 )
 def x22_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,7 +722,9 @@ def x22_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     via Arrow-batched mapInPandas.  The decode body is the clearly-marked
     deterministic fake (real codecs aren't in this environment); the Spark
     plumbing — schema, batch shape, partition-parallel decode — is the real
-    pattern for CLIP-embed/OCR/EXIF at 100 TB."""
+    pattern for CLIP-embed/OCR/EXIF at 100 TB.  The fake is digest-tiling
+    arithmetic, so the DuckDB oracle replays the decode exactly — full
+    value-hash parity, not a rows-only check."""
     from hiveka_spark.operators.multimodal import decode_image_features, synthesize_media
 
     d = table(spark, sf_dir, "documents")

@@ -213,16 +213,46 @@ def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s07_stateful_funnel",
-    oracle=None,  # sequential per-key state machine — not SQL-expressible
+    # The per-user state machine replayed as a recursive CTE: one iteration
+    # per event rank, carrying `pending` (earliest unconverted click) exactly
+    # as the streaming transition does.  (A list_reduce fold would be more
+    # direct but DuckDB 1.0 hangs on table-sourced folds with branching
+    # lambdas, so the recursion is the portable formulation.)
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type AS t, epoch_ms(ts) AS ms,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS rn
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    machine AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS pending,
+             CAST(NULL AS BIGINT) AS emit_first, CAST(NULL AS BIGINT) AS emit_conv
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.t = 'click' AND m.pending IS NULL THEN e.ms
+                  WHEN e.t = 'purchase' THEN CAST(NULL AS BIGINT)
+                  ELSE m.pending END,
+             CASE WHEN e.t = 'purchase' AND m.pending IS NOT NULL
+                       AND e.ms - m.pending <= 3600000 THEN m.pending END,
+             CASE WHEN e.t = 'purchase' AND m.pending IS NOT NULL
+                       AND e.ms - m.pending <= 3600000 THEN e.ms END
+      FROM machine m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1
+    )
+    SELECT user_id, emit_first AS first_ms, emit_conv AS converted_ms,
+           emit_conv - emit_first AS gap_ms
+    FROM machine WHERE emit_first IS NOT NULL
+    """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
 )
 def s07_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): click→purchase
     conversion detection within a 1-hour horizon, per user, with the pending
-    click carried in keyed state across micro-batches.  A per-key ordered
-    state machine has no SQL twin (no MATCH_RECOGNIZE in the oracle), so this
-    is a rows-only entry; `tests/test_stateful.py` pins its semantics on a
-    hand-built sequence."""
+    click carried in keyed state across micro-batches.  The oracle replays
+    the same per-key transition as a recursive CTE (one step per event rank),
+    so the entry is fully hash-checked; `tests/test_stateful.py` additionally
+    pins the transition semantics on a hand-built sequence."""
     from hiveka_spark.streaming.stateful import funnel_detect
 
     stream = P.events_stream(spark, sf_dir).select(
