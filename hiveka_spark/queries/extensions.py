@@ -1373,3 +1373,65 @@ def x42_kafka_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "x43_confluent_roundtrip",
+    oracle="""
+    SELECT lang, 'v1->v2' AS schema_path, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("kafka", "avro", "confluent", "schema-registry"),
+)
+def x43_confluent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire framing end-to-end — the schema-registry path the
+    reference declares but ships disabled (KafkaAvroMessageDecoder.java:96,
+    131-144; SchemaRegistry.java:16-62), implemented for real: rows are
+    encoded under registry schema v1 with the 0x00-magic + big-endian-id
+    header (`with_confluent_framing` registers the subject), the topic then
+    EVOLVES to v2 (adds `schema_path` with an Avro default), and decode
+    resolves each record's writer schema from the id in its header and
+    surfaces it under the latest reader schema — added field takes the
+    default.  The oracle aggregates the source table with the v2 constant,
+    so framing, id resolution, and Avro schema resolution are all
+    hash-checked."""
+    import tempfile
+
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        with_confluent_framing,
+    )
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    registry = FileSchemaRegistry(tempfile.mkdtemp(prefix="gate_confluent_reg_"))
+    cfg_v1 = KafkaTableConfig(
+        "sim://gate",
+        whitelist_topics=["docs_confluent"],
+        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
+    )
+    cfg_v1 = with_confluent_framing(cfg_v1, registry, "docs_confluent")
+    from hiveka_spark.sources.kafka_io import encode_payload
+
+    wire = encode_payload(d, cfg_v1)  # framed under v1 (schema_id=1)
+
+    v1 = json.loads(cfg_v1.schema_json())
+    v2 = {
+        **v1,
+        "fields": v1["fields"]
+        + [{"name": "schema_path", "type": "string", "default": "v1->v2"}],
+    }
+    registry.register("docs_confluent", v2)
+    from dataclasses import replace
+
+    cfg_v2 = replace(cfg_v1, ddl=None, avro_schema=v2)
+    decoded = decode_wire(
+        wire, cfg_v2, registry=registry, registry_topic="docs_confluent"
+    )
+    return decoded.groupBy("lang", "schema_path").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

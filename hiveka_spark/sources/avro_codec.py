@@ -254,6 +254,54 @@ def encode_record(schema: dict, record: dict) -> bytes:
     return out.getvalue()
 
 
+# --------------------------------------------------------------------------
+# Confluent wire framing: 1-byte magic 0x00 + 4-byte big-endian schema id
+# --------------------------------------------------------------------------
+#
+# The reference DECLARES a schema-registry decode path but ships it disabled
+# (KafkaAvroMessageDecoder.java:96,131-144; SchemaRegistry.java:16-62) and its
+# producers write raw Avro with no header (BaseProducer.java:44-54).  Raw is
+# therefore the parity default; Confluent framing is the first thing a real
+# Kafka deployment hits, so the engine implements it for real against
+# `FileSchemaRegistry` — magic byte, registry-resolved writer schema per
+# record, reader-schema resolution on decode.
+
+CONFLUENT_MAGIC = 0x00
+_CONFLUENT_HEADER_LEN = 5
+
+FRAMINGS = ("raw", "confluent")
+
+
+def frame_confluent(payload: bytes, schema_id: int) -> bytes:
+    """Wrap a raw Avro payload in the Confluent wire header."""
+    if not 0 <= schema_id <= 0x7FFFFFFF:
+        raise ValueError(f"schema id {schema_id} out of int32 range")
+    return bytes([CONFLUENT_MAGIC]) + schema_id.to_bytes(4, "big") + payload
+
+
+def unframe_confluent(raw: bytes) -> tuple[int, bytes]:
+    """Split a Confluent-framed message into (schema_id, avro_payload).
+
+    Raises ValueError on a wrong magic byte or truncated header — under
+    PERMISSIVE decode that surfaces as the standard null-record treatment,
+    under FAILFAST it propagates."""
+    if len(raw) < _CONFLUENT_HEADER_LEN:
+        raise ValueError(
+            f"confluent frame too short: {len(raw)} bytes (< {_CONFLUENT_HEADER_LEN})"
+        )
+    if raw[0] != CONFLUENT_MAGIC:
+        raise ValueError(
+            f"bad confluent magic byte 0x{raw[0]:02x} (expected 0x00) — "
+            "payload is not Confluent-framed; use framing='raw'"
+        )
+    return int.from_bytes(raw[1:5], "big"), raw[5:]
+
+
+def _check_framing(framing: str) -> None:
+    if framing not in FRAMINGS:
+        raise ValueError(f"unknown framing {framing!r}; expected one of {FRAMINGS}")
+
+
 def decode_record(schema: dict, payload: bytes) -> dict:
     buf = io.BytesIO(payload)
     rec = _decode_value(buf, schema)
@@ -275,6 +323,8 @@ def decode_avro_df(
     value_col: str = "value",
     mode: str = "PERMISSIVE",
     keep_cols: list[str] | None = None,
+    framing: str = "raw",
+    schemas_by_id: dict[int, dict] | None = None,
 ) -> DataFrame:
     """Decode a binary Avro ``value`` column into typed columns via
     mapInPandas.
@@ -282,7 +332,17 @@ def decode_avro_df(
     ``mode='PERMISSIVE'`` nulls out corrupt payloads (the reference's
     skip-bad-records policy, KafkaRecordReader.java:130-140,261-264);
     ``mode='FAILFAST'`` raises — the (dead) `etl.ignore.schema.errors` knob
-    done properly."""
+    done properly.
+
+    ``framing='confluent'``: each message carries the 0x00 magic byte + 4-byte
+    big-endian schema id; the WRITER schema is looked up per record in
+    ``schemas_by_id`` (resolved from the registry on the driver — workers get
+    a plain broadcast dict, never a registry round-trip per record) and the
+    decoded record is resolved to ``avro_schema`` (the READER schema) per the
+    Avro spec — defaults for added fields, numeric promotion, drops.  Wrong
+    magic, truncated header, or an id absent from ``schemas_by_id`` get the
+    bad-record treatment of ``mode``."""
+    _check_framing(framing)
     schema_dict = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
     out_struct = avro_to_struct(schema_dict)
     keep = keep_cols or []
@@ -294,6 +354,25 @@ def decode_avro_df(
         [df.schema[c] for c in keep] + list(out_struct.fields)
     )
     failfast = mode.upper() == "FAILFAST"
+    confluent = framing == "confluent"
+    writer_schemas = schemas_by_id or {}
+
+    def decode_one(payload: bytes) -> dict:
+        if not confluent:
+            return decode_record(schema_dict, payload)
+        sid, body = unframe_confluent(payload)
+        writer = writer_schemas.get(sid)
+        if writer is None:
+            if not writer_schemas:
+                writer = schema_dict  # no registry map: single-schema topic
+            else:
+                raise ValueError(f"unknown schema id {sid} (not in registry map)")
+        rec = decode_record(writer, body)
+        if writer != schema_dict:
+            from hiveka_spark.sources.schema_registry import resolve_record
+
+            rec = resolve_record(writer, schema_dict, rec)
+        return rec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         field_names = [f["name"] for f in schema_dict["fields"]]
@@ -303,7 +382,7 @@ def decode_avro_df(
                 vals = tup._asdict()
                 payload = vals.pop(value_col)
                 try:
-                    rec = decode_record(schema_dict, bytes(payload))
+                    rec = decode_one(bytes(payload))
                 except Exception:
                     if failfast:
                         raise
@@ -320,6 +399,8 @@ def encode_avro_df(
     value_alias: str = "value",
     key_col: str | None = None,
     ts_col: str | None = None,
+    framing: str = "raw",
+    schema_id: int | None = None,
 ) -> DataFrame:
     """Encode rows into a binary Avro ``value`` column (+ optional key) —
     the real implementation of the reference's stubbed write path
@@ -327,7 +408,14 @@ def encode_avro_df(
 
     ``ts_col``: pass an event-time column through as the wire ``timestamp``
     (Kafka producer-record timestamp) so time-based offset resolution works
-    downstream."""
+    downstream.  ``framing='confluent'`` prepends the 0x00 magic + big-endian
+    ``schema_id`` header (the id the schema was registered under)."""
+    _check_framing(framing)
+    if framing == "confluent" and schema_id is None:
+        raise ValueError(
+            "confluent framing needs schema_id — register the schema "
+            "(FileSchemaRegistry.register) and pass the returned id"
+        )
     schema_dict = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
     field_names = [f["name"] for f in schema_dict["fields"]]
 
@@ -346,6 +434,8 @@ def encode_avro_df(
             for tup in pdf.itertuples(index=False):
                 vals = tup._asdict()
                 payload = encode_record(schema_dict, {n: vals.get(n) for n in field_names})
+                if framing == "confluent":
+                    payload = frame_confluent(payload, schema_id)
                 row = {value_alias: payload}
                 if key_col:
                     kv = vals.get(key_col)

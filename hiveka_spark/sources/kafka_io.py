@@ -62,6 +62,8 @@ class KafkaTableConfig:
     max_offsets_per_trigger: int | None = None  # streaming backpressure
     min_partitions: int | None = None  # A11 analog
     payload_format: str = "avro"  # A19 decoder-class knob, done as a format: avro|json|csv
+    framing: str = "raw"  # raw (reference parity) | confluent (0x00 + schema id)
+    schema_id: int | None = None  # registry id stamped by confluent encode
     extra_options: dict = field(default_factory=dict)
 
     def schema_json(self) -> str:
@@ -201,6 +203,8 @@ def decode_wire(
     mode: str = "PERMISSIVE",
     event_time_field: str | None = None,
     use_jvm_avro: bool | None = None,
+    registry=None,
+    registry_topic: str | None = None,
 ) -> DataFrame:
     """Wire rows -> typed rows: decode ``value`` against the declared schema
     (A17/A18) in the configured payload format (A19's decoder knob), keep
@@ -214,6 +218,20 @@ def decode_wire(
     Without the jar (this container), the Arrow-batched pure-Python wire
     codec (`avro_codec.decode_avro_df`) is the fallback and the test oracle.
     json/csv always use JVM ``from_json``/``from_csv``.
+
+    ``cfg.framing='confluent'`` (the registry wire path the reference
+    declares but disables, KafkaAvroMessageDecoder.java:96,131-144): each
+    message carries 0x00 + a 4-byte schema id.  Pass ``registry``
+    (:class:`~hiveka_spark.sources.schema_registry.FileSchemaRegistry`) +
+    ``registry_topic`` to resolve per-record WRITER schemas and surface rows
+    under the declared reader schema (Avro resolution: defaults, promotions,
+    drops).  The registry is read ONCE on the driver into a plain id->schema
+    dict; workers never touch it.  The JVM ``from_avro`` path validates the
+    magic byte and strips the header with binary expressions (PERMISSIVE ->
+    null row on bad magic, FAILFAST -> raise_error), then decodes against the
+    single declared schema — like stock spark-avro it cannot dispatch
+    per-record schema ids, so mixed-version topics must use the Python codec
+    (``use_jvm_avro=False``) or pre-split by id.
     """
     schema_json = cfg.schema_json()
     payload_fields = {f["name"] for f in json.loads(schema_json)["fields"]}
@@ -239,12 +257,62 @@ def decode_wire(
             # null-record treatment.
             from pyspark.sql.avro.functions import from_avro
 
-            parsed = from_avro(F.col("value"), schema_json, {"mode": mode})
-            decoded = df.select(*keep, parsed.alias("_payload")).select(
-                *keep, "_payload.*"
-            )
+            value = F.col("value")
+            if cfg.framing == "confluent":
+                # validate magic + strip the 5-byte header entirely JVM-side
+                magic_ok = (F.length(value) >= F.lit(5)) & (
+                    F.substring(value, 1, 1) == F.lit(bytes([0]))
+                )
+                body = F.expr("substring(value, 6, length(value) - 5)")
+                parsed = from_avro(body, schema_json, {"mode": mode})
+                if mode.upper() == "FAILFAST":
+                    # assert_true can't sit in a WHEN branch with from_avro's
+                    # struct type; evaluate it as a sibling expression (null
+                    # column when ok, raises on the first bad magic byte)
+                    decoded = (
+                        df.select(
+                            *keep,
+                            parsed.alias("_payload"),
+                            F.assert_true(
+                                magic_ok, F.lit("bad confluent magic byte (expected 0x00)")
+                            ).alias("_magic_chk"),
+                        )
+                        .filter(F.col("_magic_chk").isNull())  # keeps _magic_chk live
+                        .select(*keep, "_payload.*")
+                    )
+                else:
+                    null_payload = F.lit(None).cast(cfg.spark_struct())
+                    parsed = F.when(magic_ok, parsed).otherwise(null_payload)
+                    decoded = df.select(*keep, parsed.alias("_payload")).select(
+                        *keep, "_payload.*"
+                    )
+            else:
+                parsed = from_avro(value, schema_json, {"mode": mode})
+                decoded = df.select(*keep, parsed.alias("_payload")).select(
+                    *keep, "_payload.*"
+                )
         else:
-            decoded = decode_avro_df(df, schema_json, mode=mode, keep_cols=keep)
+            schemas_by_id = None
+            if cfg.framing == "confluent" and registry is not None:
+                topic = registry_topic or (
+                    cfg.whitelist_topics[0] if cfg.whitelist_topics else None
+                )
+                if topic is None:
+                    raise ValueError(
+                        "confluent decode with a registry needs registry_topic "
+                        "(or a single whitelist topic)"
+                    )
+                schemas_by_id = {
+                    v: registry.get(topic, v) for v in registry.versions(topic)
+                }
+            decoded = decode_avro_df(
+                df,
+                schema_json,
+                mode=mode,
+                keep_cols=keep,
+                framing=cfg.framing,
+                schemas_by_id=schemas_by_id,
+            )
     elif fmt in ("json", "csv"):
         struct = cfg.spark_struct()
         text = F.col("value").cast("string")
@@ -284,21 +352,31 @@ def encode_payload(
     Avro schema.  Same dispatch as :func:`decode_wire`: JVM ``to_avro`` when
     spark-avro is on the classpath, Arrow-batched Python wire codec
     otherwise.  ``ts_col`` rides through as the producer-record
-    ``timestamp`` (enables time-based offset resolution on the scan side)."""
+    ``timestamp`` (enables time-based offset resolution on the scan side).
+
+    ``cfg.framing='confluent'`` prepends 0x00 + big-endian ``cfg.schema_id``
+    (the registry version the table schema was registered under — see
+    :func:`with_confluent_framing`); on the JVM path the header is a binary
+    ``concat``, still zero Python bytes."""
     from hiveka_spark.sources.avro_codec import encode_avro_df
 
     schema_json = cfg.schema_json()
+    if cfg.framing == "confluent" and cfg.schema_id is None:
+        raise ValueError(
+            "confluent framing needs cfg.schema_id — register the table "
+            "schema (with_confluent_framing / FileSchemaRegistry.register)"
+        )
     if use_jvm_avro is None:
         use_jvm_avro = avro_jvm_available(df.sparkSession)
     if use_jvm_avro:
         from pyspark.sql.avro.functions import to_avro
 
         field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
-        cols = [
-            to_avro(
-                F.struct(*[F.col(n) for n in field_names]), schema_json
-            ).alias("value")
-        ]
+        value = to_avro(F.struct(*[F.col(n) for n in field_names]), schema_json)
+        if cfg.framing == "confluent":
+            header = bytes([0]) + int(cfg.schema_id).to_bytes(4, "big")
+            value = F.concat(F.lit(header), value)
+        cols = [value.alias("value")]
         if key_col:
             cols.insert(
                 0, F.col(key_col).cast("string").cast("binary").alias("key")
@@ -306,7 +384,33 @@ def encode_payload(
         if ts_col:
             cols.append(F.col(ts_col).alias("timestamp"))
         return df.select(*cols)
-    return encode_avro_df(df, schema_json, key_col=key_col, ts_col=ts_col)
+    return encode_avro_df(
+        df,
+        schema_json,
+        key_col=key_col,
+        ts_col=ts_col,
+        framing=cfg.framing,
+        schema_id=cfg.schema_id,
+    )
+
+
+def with_confluent_framing(cfg: KafkaTableConfig, registry, topic: str) -> KafkaTableConfig:
+    """Switch a table config to Confluent wire framing, registering its
+    declared schema in ``registry`` under ``topic`` (idempotent: an identical
+    latest version is reused, not re-registered).  Returns a NEW config with
+    ``framing='confluent'`` and ``schema_id`` set to the registry version —
+    the producer-side analog of Confluent's subject registration, completing
+    the wire path the reference declares but disables
+    (KafkaAvroMessageDecoder.java:96,131-144; SchemaRegistry.java:16-62)."""
+    from dataclasses import replace
+
+    schema = json.loads(cfg.schema_json())
+    versions = registry.versions(topic)
+    if versions and registry.get(topic, versions[-1]) == schema:
+        sid = versions[-1]
+    else:
+        sid = registry.register(topic, schema)
+    return replace(cfg, framing="confluent", schema_id=sid)
 
 
 def write_kafka(
@@ -340,17 +444,20 @@ def register_kafka_table(
     cfg: KafkaTableConfig,
     streaming: bool = False,
     broker=None,
+    registry=None,
+    registry_topic: str | None = None,
 ) -> DataFrame:
     """Bind a decoded Kafka scan as a named catalog view — the engine's
     CREATE EXTERNAL TABLE (A1).  Every Spark SQL query in queries/ then works
     against it unchanged.  ``broker``: bind against the simulator instead of
-    a live cluster (same decode pipeline, same view)."""
+    a live cluster (same decode pipeline, same view).  ``registry``: schema
+    registry for confluent-framed topics (see :func:`decode_wire`)."""
     raw = (
         read_kafka_stream(spark, cfg, broker=broker)
         if streaming
         else read_kafka_batch(spark, cfg, broker=broker)
     )
-    decoded = decode_wire(raw, cfg)
+    decoded = decode_wire(raw, cfg, registry=registry, registry_topic=registry_topic)
     decoded.createOrReplaceTempView(name)
     return decoded
 

@@ -362,3 +362,126 @@ def test_decode_wire_json_and_csv(spark):
     )
     out = decode_wire(bad, cfg_json).collect()
     assert len(out) == 1 and out[0]["id"] is None
+
+
+# ----------------------------------------------------------- confluent framing
+def test_confluent_frame_unframe_roundtrip():
+    from hiveka_spark.sources.avro_codec import frame_confluent, unframe_confluent
+
+    framed = frame_confluent(b"\x02payload", 7)
+    assert framed[:5] == b"\x00\x00\x00\x00\x07"
+    sid, body = unframe_confluent(framed)
+    assert sid == 7 and body == b"\x02payload"
+
+
+def test_confluent_unframe_rejects_bad_magic_and_truncation():
+    from hiveka_spark.sources.avro_codec import unframe_confluent
+
+    with pytest.raises(ValueError, match="magic"):
+        unframe_confluent(b"\x01\x00\x00\x00\x07rest")
+    with pytest.raises(ValueError, match="short"):
+        unframe_confluent(b"\x00\x00\x00")
+
+
+def test_confluent_encode_requires_schema_id(spark):
+    cfg = _cfg(framing="confluent")  # no schema_id
+    df = spark.range(1).select(
+        F.col("id").alias("event_id"), F.lit(0).alias("ts_ms"),
+        F.lit(1).alias("user_id"), F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    with pytest.raises(ValueError, match="schema_id"):
+        encode_payload(df, cfg, use_jvm_avro=False)
+
+
+def test_confluent_roundtrip_single_schema(spark):
+    """Encode with confluent framing, decode without a registry (single-schema
+    topic): header stripped, id ignored, rows identical to raw framing."""
+    cfg = _cfg(framing="confluent", schema_id=3)
+    df = spark.createDataFrame(
+        [(1, 10, 100, "click", 1.5, "{}"), (2, 20, 200, "view", 2.5, "{}")],
+        "event_id BIGINT, ts_ms BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    wire = encode_payload(df, cfg, use_jvm_avro=False)
+    first = bytes(wire.select("value").first()[0])
+    assert first[0] == 0x00 and int.from_bytes(first[1:5], "big") == 3
+    out = decode_wire(wire, cfg, use_jvm_avro=False)
+    got = sorted((r["event_id"], r["event_type"]) for r in out.collect())
+    assert got == [(1, "click"), (2, "view")]
+
+
+def test_confluent_wrong_magic_permissive_vs_failfast(spark):
+    """Raw-framed payloads read under confluent framing: PERMISSIVE nulls the
+    record (reference bad-record policy), FAILFAST raises."""
+    cfg_raw = _cfg()
+    cfg_conf = _cfg(framing="confluent", schema_id=1)
+    df = spark.createDataFrame(
+        [(1, 10, 100, "click", 1.5, "{}")],
+        "event_id BIGINT, ts_ms BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    raw_wire = encode_payload(df, cfg_raw, use_jvm_avro=False)
+    permissive = decode_wire(raw_wire, cfg_conf, use_jvm_avro=False).collect()
+    assert len(permissive) == 1 and permissive[0]["event_id"] is None
+    with pytest.raises(Exception):
+        decode_wire(
+            raw_wire, cfg_conf, mode="FAILFAST", use_jvm_avro=False
+        ).collect()
+
+
+def test_confluent_unknown_schema_id_with_registry(spark, tmp_path):
+    """With a registry map, an id not in the registry is a bad record:
+    PERMISSIVE -> null row, FAILFAST -> raise."""
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+
+    registry = FileSchemaRegistry(str(tmp_path / "reg"))
+    cfg = _cfg(framing="confluent", schema_id=99)  # 99 never registered
+    registry.register("events", json.loads(cfg.schema_json()))  # v1 only
+    df = spark.createDataFrame(
+        [(1, 10, 100, "click", 1.5, "{}")],
+        "event_id BIGINT, ts_ms BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    wire = encode_payload(df, cfg, use_jvm_avro=False)
+    out = decode_wire(
+        wire, cfg, use_jvm_avro=False, registry=registry, registry_topic="events"
+    ).collect()
+    assert len(out) == 1 and out[0]["event_id"] is None
+    with pytest.raises(Exception):
+        decode_wire(
+            wire, cfg, mode="FAILFAST", use_jvm_avro=False,
+            registry=registry, registry_topic="events",
+        ).collect()
+
+
+def test_confluent_schema_evolution_via_registry(spark, tmp_path):
+    """Payloads written under v1 decode under the topic's latest (v2) reader
+    schema: added field takes its Avro default, int->long promotes."""
+    from hiveka_spark.sources.kafka_io import with_confluent_framing
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+
+    registry = FileSchemaRegistry(str(tmp_path / "reg"))
+    cfg_v1 = KafkaTableConfig(
+        "sim://x", whitelist_topics=["t"], ddl="a BIGINT, b STRING"
+    )
+    cfg_v1 = with_confluent_framing(cfg_v1, registry, "t")
+    assert cfg_v1.framing == "confluent" and cfg_v1.schema_id == 1
+    # idempotent re-registration
+    assert with_confluent_framing(cfg_v1, registry, "t").schema_id == 1
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a BIGINT, b STRING")
+    wire = encode_payload(df, cfg_v1, use_jvm_avro=False)
+
+    v1 = json.loads(cfg_v1.schema_json())
+    v2 = {
+        **v1,
+        "fields": v1["fields"]
+        + [{"name": "tag", "type": "string", "default": "evolved"}],
+    }
+    assert registry.register("t", v2) == 2
+    from dataclasses import replace
+
+    cfg_v2 = replace(cfg_v1, ddl=None, avro_schema=v2)
+    out = decode_wire(
+        wire, cfg_v2, use_jvm_avro=False, registry=registry, registry_topic="t"
+    )
+    got = sorted((r["a"], r["b"], r["tag"]) for r in out.collect())
+    assert got == [(1, "x", "evolved"), (2, "y", "evolved")]

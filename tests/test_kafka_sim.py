@@ -268,3 +268,39 @@ def test_produce_honors_event_timestamps(spark, tmp_path):
     broker.produce(payload.drop("timestamp"), "t1")
     row = broker.scan(spark, "t1").collect()[0]
     assert row["timestampType"] == 1
+
+
+def test_confluent_produce_scan_decode_over_broker(spark, tmp_path):
+    """Confluent framing through the full broker path: with_confluent_framing
+    registers the subject, write_kafka stamps the 5-byte header, scan +
+    decode_wire resolve the writer schema from the id — plus the wrong-magic
+    error path when a raw producer pollutes the same topic."""
+    from hiveka_spark.sources.kafka_io import with_confluent_framing
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+
+    broker = _broker()
+    broker.create_topic("tweets", partitions=2)
+    registry = FileSchemaRegistry(str(tmp_path / "reg"))
+    rows = P.fake_tweets(25, seed=11, base_ts=1_700_000_000)
+    df = P.typed_df(spark, P.TWEET_SCHEMA, rows)
+
+    cfg = with_confluent_framing(_tweet_cfg(), registry, "tweets")
+    write_kafka(df, cfg, "tweets", key_col="username", broker=broker)
+
+    wire = read_kafka_batch(spark, cfg, broker=broker)
+    assert wire.count() == 25
+    out = decode_wire(wire, cfg, registry=registry, registry_topic="tweets")
+    got = sorted((r["username"], r["text"]) for r in out.collect())
+    assert got == sorted((r["username"], r["text"]) for r in rows)
+
+    # a raw (unframed) producer writes into the same topic: PERMISSIVE decode
+    # nulls those records, FAILFAST dies on the first bad magic byte
+    write_kafka(df.limit(5), _tweet_cfg(), "tweets", broker=broker)
+    mixed = read_kafka_batch(spark, cfg, broker=broker)
+    assert mixed.count() == 30
+    dec = decode_wire(mixed, cfg, registry=registry, registry_topic="tweets")
+    assert dec.filter(F.col("username").isNull()).count() == 5
+    with pytest.raises(Exception):
+        decode_wire(
+            mixed, cfg, mode="FAILFAST", registry=registry, registry_topic="tweets"
+        ).collect()
