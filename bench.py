@@ -87,17 +87,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    # Per-query ratios vs the recorded baseline floor, emitted INTO the
+    # artifact: suite wall-clock swings ~25% with machine load between
+    # rounds, so ratios (and the >2x flag list) are the regression signal —
+    # same math as tools/bench_compare.py, carried in the record itself.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh).get("queries", {})
+        ratios = {
+            name: round(sec / base[name], 3)
+            for name, sec in timings.items()
+            if base.get(name)
+        }
+        if ratios:
+            vals = sorted(ratios.values())
+            out["baseline_ratios"] = ratios
+            out["ratio_mean"] = round(sum(vals) / len(vals), 3)
+            out["ratio_median"] = round(vals[len(vals) // 2], 3)
+            out["ratio_worst"] = max(vals)
+            out["flagged_over_2x"] = sorted(n for n, r in ratios.items() if r > 2.0)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
