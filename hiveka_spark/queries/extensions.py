@@ -350,18 +350,19 @@ def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_planes=4)
 
 
-def _ann_ivf_oracle(k: int = 5, n_cells: int = 16, n_probe: int = 4) -> str:
+def _ann_ivf_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31
+) -> str:
     return f"""
-    WITH params AS (SELECT GREATEST(COUNT(*) // {n_cells}, 1) AS stride FROM embeddings),
-    q AS (SELECT vec_id,
+    WITH q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
                   list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
                                    list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
            FROM q),
-    cents AS (SELECT CAST(vec_id / stride AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
-              FROM nn, params WHERE vec_id % stride = 0 AND vec_id / stride < {n_cells}),
+    cents AS (SELECT CAST(vec_id / {stride} AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
+              FROM nn WHERE vec_id % {stride} = 0 AND vec_id / {stride} < {n_cells}),
     assign AS (SELECT vec_id, qvd, n2, cell,
                       ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY c_cos DESC, cell) AS c_rank
@@ -391,11 +392,15 @@ def x15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: corpus partitioned into 16 Voronoi cells around
     deterministic stride-sampled centroids; queries probe their 4 nearest
     cells (equi-join on cell id — corpus work per query drops ~4x).  The
-    100 TB shape for ANN when bucket collisions (x07's LSH) are too coarse."""
+    100 TB shape for ANN when bucket collisions (x07's LSH) are too coarse.
+    The stride is an EXPLICIT literal (31 — ids are dense from 0 at every
+    SF), not derived from corpus.count(): centroid choice must not cost a
+    full corpus pass, and fixed centroids are the offline-training posture
+    anyway (VERDICT r4 #4)."""
     e = table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_cells=16, n_probe=4,
+        k=5, n_cells=16, n_probe=4, centroid_stride=31,
     )
 
 

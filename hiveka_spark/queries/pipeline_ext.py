@@ -563,20 +563,23 @@ def x36_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_CELLS = 16
 _SEM_THRESHOLD = 0.3
+# Explicit centroid stride (ids dense from 0 at every SF) — a literal, not
+# COUNT(*)-derived: centroid choice must not cost a full corpus pass
+# (VERDICT r4 #4; offline-trained centroids are the production path).
+_SEM_STRIDE = 31
 
 
 def _x37_oracle() -> str:
     return f"""
-    WITH params AS (SELECT GREATEST(COUNT(*) // {_SEM_CELLS}, 1) AS stride FROM embeddings),
-    q AS (SELECT vec_id,
+    WITH q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
                   list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
                                    list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
            FROM q),
-    cents AS (SELECT CAST(vec_id / stride AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
-              FROM nn, params WHERE vec_id % stride = 0 AND vec_id / stride < {_SEM_CELLS}),
+    cents AS (SELECT CAST(vec_id / {_SEM_STRIDE} AS BIGINT) AS cell, qvd AS cvd, n2 AS cn2
+              FROM nn WHERE vec_id % {_SEM_STRIDE} = 0 AND vec_id / {_SEM_STRIDE} < {_SEM_CELLS}),
     assign AS (SELECT vec_id, qvd, n2, cell
                FROM (SELECT nn.vec_id, nn.qvd, nn.n2, c.cell,
                             ROW_NUMBER() OVER (PARTITION BY nn.vec_id ORDER BY c_cos DESC, c.cell)
@@ -610,7 +613,8 @@ def x37_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_THRESHOLD
+        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_THRESHOLD,
+        centroid_stride=_SEM_STRIDE,
     )
 
 

@@ -177,3 +177,66 @@ def test_x37_semdedup_no_corpus_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the verify join on (cell, ...) appears as SortMergeJoin or ShuffledHashJoin
     assert "Join" in plan
+
+
+def test_ivf_and_semdedup_lazy_with_explicit_stride(spark):
+    """VERDICT r4 #4: with an explicit centroid_stride (or centroids frame),
+    ivf_topk/semantic_dedup must trigger NO Spark action at construction —
+    the corpus.count() fallback is the only eager path and is small-scale
+    only.  The corpus here poisons every action (mapInPandas raises), so
+    merely BUILDING the plans proves no full-corpus pass happens before
+    candidate generation."""
+    import pyspark.sql.functions as F
+    from hiveka_spark.operators.similarity import ivf_topk, semantic_dedup
+
+    def poison(batches):
+        raise RuntimeError("corpus was scanned at plan-construction time")
+        yield  # pragma: no cover
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    ).mapInPandas(poison, "vec_id long, embedding array<double>")
+
+    ivf = ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=3, n_cells=4, n_probe=2, centroid_stride=7,
+    )
+    sem = semantic_dedup(
+        corpus, "vec_id", "embedding", n_cells=4, threshold=0.3, centroid_stride=7
+    )
+    assert ivf.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert sem.columns == ["vec_id", "cell", "kept_by", "cosine"]
+    # sanity: the poison IS live — any action on these plans must raise
+    with pytest.raises(Exception):
+        ivf.count()
+
+
+def test_ivf_explicit_centroids_frame(spark):
+    """The production interface: offline-trained centroids handed in as a
+    (cell, embedding) frame — results must match the stride derivation that
+    would pick the same vectors."""
+    import pyspark.sql.functions as F
+    from hiveka_spark.operators.similarity import ivf_topk
+
+    corpus = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    ).cache()
+    queries = corpus.filter(F.col("vec_id") < 3)
+    by_stride = ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=3, n_cells=4, n_probe=2,
+        centroid_stride=10,
+    )
+    cents = corpus.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") / 10).cast("bigint").alias("cell"), "embedding"
+    )
+    by_frame = ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=3, n_cells=4, n_probe=2,
+        centroids=cents,
+    )
+    assert sorted(map(tuple, by_stride.collect())) == sorted(map(tuple, by_frame.collect()))
