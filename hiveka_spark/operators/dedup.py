@@ -22,10 +22,63 @@ Scale design (the 100 TB contract):
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 MERSENNE31 = 2147483647  # 2^31 - 1
+
+# ---------------------------------------------------------------------------
+# cache lifecycle
+# ---------------------------------------------------------------------------
+#
+# Multi-pass dedup operators persist intermediates (shingle sets, verified
+# pair sets) MEMORY_AND_DISK.  Spark's CacheManager keys entries on the
+# canonicalized plan so repeated calls share one entry — fine for a gate run,
+# but a LONG-LIVED session (notebook, streaming driver, multi-corpus
+# pipeline) would accumulate one entry per distinct input until session end.
+# `dedup_cache_scope()` gives callers ownership of that lifecycle: every
+# frame persisted by dedup operators inside the scope is unpersisted on exit.
+
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextlib.contextmanager
+def dedup_cache_scope() -> Iterator[list[DataFrame]]:
+    """Scope the MEMORY_AND_DISK persists created by dedup operators.
+
+    with dedup_cache_scope():
+        pairs = ngram_jaccard_pairs(docs, ...)
+        pairs.count()            # caches live here, reused across passes
+    # scope exit: every tracked frame is unpersisted (blocking=False)
+
+    Scopes nest (inner scope owns only its own persists).  Yields the live
+    list of tracked frames, mainly for tests/diagnostics."""
+    frames: list[DataFrame] = []
+    _CACHE_SCOPES.append(frames)
+    try:
+        yield frames
+    finally:
+        _CACHE_SCOPES.pop()
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session may already be stopped — nothing to free
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register with the innermost active
+    dedup_cache_scope (no-op registration outside any scope — the
+    CacheManager-dedupe behavior documented in _shingle_sets still applies)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df
 
 
 def portable_hash60(col: Column | str) -> Column:
@@ -131,9 +184,7 @@ def _shingle_sets(
     )
     sets = sets.repartition(F.col("doc"))
     if reuse:
-        from pyspark import StorageLevel
-
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = _persist_tracked(sets)
     return sets
 
 
@@ -210,14 +261,12 @@ def ngram_jaccard_pairs(
     )
     out = _verified_jaccard(cand, sh_df, threshold)
     if reuse:
-        from pyspark import StorageLevel
-
         # the verified pair set is tiny by construction (near-dup pairs);
         # caching it lets downstream consumers (duplicate clustering reads it
         # once per propagation round; dedup-rate metrics re-scan it) skip the
         # whole candidate+verify pipeline — CacheManager dedupes identical
         # plans, so repeated calls share one entry.
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _persist_tracked(out)
     return out
 
 

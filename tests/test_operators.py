@@ -275,3 +275,33 @@ def test_fuzzy_decontamination_recall_vs_exact(spark):
     assert want <= got  # recall 1.0 on the fixture at these settings
     for t, e in got:
         assert t not in ev_ids and e in ev_ids
+
+
+# --------------------------------------------------------- cache lifecycle
+def test_dedup_cache_scope_unpersists_on_exit(spark):
+    """VERDICT r4 #7: the MEMORY_AND_DISK persists dedup operators create
+    (shingle sets + verified pair set) are caller-owned via
+    dedup_cache_scope — live inside the scope, unpersisted on exit, so a
+    long-lived session doesn't accumulate cache entries."""
+    docs = table(spark, SF_SMOKE, "documents").limit(40)
+    with D.dedup_cache_scope() as tracked:
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+        pairs.count()  # materialize: caches go live
+        assert len(tracked) >= 2  # shingle sets + verified pairs
+        assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in tracked)
+        inner = list(tracked)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in inner
+    ), "scope exit must unpersist every tracked frame"
+
+
+def test_dedup_cache_scope_nests(spark):
+    docs = table(spark, SF_SMOKE, "documents").limit(20)
+    with D.dedup_cache_scope() as outer:
+        D.ngram_jaccard_pairs(docs, threshold=0.9, reuse=True)
+        n_outer = len(outer)
+        with D.dedup_cache_scope() as inner:
+            D.ngram_jaccard_pairs(docs.limit(10), threshold=0.9, reuse=True)
+            assert len(inner) >= 1
+        # inner scope owns only its own persists
+        assert len(outer) == n_outer
