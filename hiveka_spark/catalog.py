@@ -58,11 +58,27 @@ def ensure_utc_session(spark: SparkSession) -> None:
     offset.  Our session factory pins UTC already; this guard makes every
     normalization path safe under a session we did not build (the driver
     builds its own).
+
+    NOTE this mutates the caller's SESSION-WIDE timeZone as a side effect:
+    any later timestamp *rendering* in that session is UTC too.  That is the
+    engine's documented contract (all fixtures and oracles are UTC), and the
+    alternative — per-expression TZ plumbing — cannot protect the implicit
+    NTZ cast.  If the conf set fails, the NTZ bug this guards against comes
+    back, so it must WARN, not silently pass (ADVICE r4).
     """
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            f"could not pin spark.sql.session.timeZone=UTC ({exc}); "
+            "TIMESTAMP_NTZ normalization will follow the session TZ "
+            f"({spark.conf.get('spark.sql.session.timeZone', '?')}) and may "
+            "shift naive timestamps",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

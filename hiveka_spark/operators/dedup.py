@@ -206,6 +206,49 @@ def _verified_jaccard(cand: DataFrame, sh_df: DataFrame, threshold: float) -> Da
     )
 
 
+def _prefix_candidates(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered candidate pairs from a (doc, sh) frame.
+
+    Shingles are globally ordered by (document frequency, shingle) ascending;
+    a doc with n shingles indexes only its first n - ceil(t*n) + 1 (rarest)
+    shingles, so HOT shingles — which sort last — never enter short posting
+    lists; dfreq==1 shingles can never pair two docs and are dropped after
+    ranking.  Factored out of :func:`ngram_jaccard_pairs` so the adversarial
+    skew tests can assert the candidate count directly (a planted
+    50%-hot shingle must contribute ZERO candidates)."""
+    from pyspark.sql import Window
+
+    sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc").orderBy("dfreq", "s")
+    # -1e-9: ceil must not round UP on float error (0.8*5 -> 4.0000...2) —
+    # erring low only lengthens the prefix (superset of candidates, still exact)
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        # dfreq==1 shingles occur in exactly one doc — their posting list can
+        # never pair two docs, so dropping them AFTER ranking is lossless and
+        # prunes the long-tail majority of the self-join input.
+        .filter(F.col("dfreq") > 1)
+        .select("doc", "s", "n")
+    )
+    a = prefix.select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc").alias("id_b"), "s", F.col("n").alias("nb"))
+    return (
+        a.join(b, ["s"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t <= |A|/|B| <= 1/t (float-safe slack)
+            & (F.col("na") * threshold - 1e-9 <= F.col("nb"))
+            & (F.col("nb") * threshold - 1e-9 <= F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -227,38 +270,8 @@ def ngram_jaccard_pairs(
     only.  This is the exact-dedup plan that survives 100 TB: two shuffles
     (doc-frequency agg, prefix rank) + a rare-key equi-join.
     """
-    from pyspark.sql import Window
-
     sh_df = _shingle_sets(df, id_col, text_col, k, reuse)
-    sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
-    w = Window.partitionBy("doc").orderBy("dfreq", "s")
-    # -1e-9: ceil must not round UP on float error (0.8*5 -> 4.0000...2) —
-    # erring low only lengthens the prefix (superset of candidates, still exact)
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
-    prefix = (
-        sh.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        # dfreq==1 shingles occur in exactly one doc — their posting list can
-        # never pair two docs, so dropping them AFTER ranking is lossless and
-        # prunes the long-tail majority of the self-join input.
-        .filter(F.col("dfreq") > 1)
-        .select("doc", "s", "n")
-    )
-    a = prefix.select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
-    b = prefix.select(F.col("doc").alias("id_b"), "s", F.col("n").alias("nb"))
-    cand = (
-        a.join(b, ["s"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # length filter: J >= t forces t <= |A|/|B| <= 1/t (float-safe slack)
-            & (F.col("na") * threshold - 1e-9 <= F.col("nb"))
-            & (F.col("nb") * threshold - 1e-9 <= F.col("na"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _prefix_candidates(sh_df, threshold)
     out = _verified_jaccard(cand, sh_df, threshold)
     if reuse:
         # the verified pair set is tiny by construction (near-dup pairs);
@@ -373,6 +386,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     verify_threshold: float | None = 0.8,
     reuse: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (optionally Jaccard-verified).
 
@@ -381,6 +395,18 @@ def minhash_lsh_pairs(
     bucket-local joins only, which is what survives 100 TB.  With
     ``verify_threshold`` set, candidates are exact-verified with the
     inverted-index Jaccard on the candidate subset only.
+
+    ``salt``: skew fallback for a HOT BAND (a massive exact-duplicate group
+    collides in every band, putting one huge bucket on one reducer).  The
+    left side gets salt_a = hash(doc) mod salt; the right side is replicated
+    across all ``salt`` values and the join key becomes (band, bh, salt_a) —
+    every pair still matches exactly once (via a's salt), but each reducer
+    key now holds 1/salt of the hot bucket's left side.  Output pairs are
+    IDENTICAL to the unsalted plan (property-tested); cost is salt-way
+    replication of the right side, so turn it on when a duplicate group
+    exceeds what one task should hold, not by default.  AQE skew-join
+    (enabled in session.py) handles moderate skew automatically; the salt is
+    the explicit control for known-pathological corpora.
     """
     r = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse)
@@ -402,8 +428,16 @@ def minhash_lsh_pairs(
     ).select("doc", "bb.band", "bb.bh")
     a = band_rows.select(F.col("doc").alias("id_a"), "band", "bh")
     b = band_rows.select(F.col("doc").alias("id_b"), "band", "bh")
+    if salt and salt > 1:
+        a = a.withColumn("salt", F.pmod(portable_hash60("id_a"), F.lit(salt)))
+        b = b.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        join_keys = ["band", "bh", "salt"]
+    else:
+        join_keys = ["band", "bh"]
     cand = (
-        a.join(b, ["band", "bh"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

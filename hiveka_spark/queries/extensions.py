@@ -1440,3 +1440,56 @@ def x43_confluent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "x44_audio_features",
+    # The WAV synth tiles the sha256(text) digest as n = doc_id % 400 + 100
+    # mono 8-bit samples; decode reads them back through the REAL stdlib
+    # `wave` codec (RIFF header, sample width, channels), so the features are
+    # digest arithmetic a SQL oracle replays exactly: mean_abs =
+    # floor(((n//32)*sum(digest) + sum(digest[:n%32])) / n), byte_len =
+    # 44-byte canonical PCM header + n data bytes.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, sha256(text) AS sha,
+             CAST(doc_id % 400 + 100 AS BIGINT) AS n
+      FROM documents
+    ),
+    d AS (
+      SELECT *,
+             list_transform(range(0, 32),
+               k -> strpos('0123456789abcdef', substr(sha, CAST(k*2+1 AS INT), 1)) * 16
+                  + strpos('0123456789abcdef', substr(sha, CAST(k*2+2 AS INT), 1)) - 17
+             ) AS dig
+      FROM b
+    )
+    SELECT doc_id AS media_id,
+           44 + n AS byte_len,
+           n AS n_samples,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(((n // 32) * list_sum(dig)
+                 + COALESCE(list_sum(list_slice(dig, 1, CAST(n % 32 AS INT))), 0))
+                // n AS BIGINT) AS mean_abs
+    FROM d
+    """,
+    tags=("multimodal", "audio", "mapinpandas"),
+)
+def x44_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end with a REAL codec: documents → genuine
+    RIFF/WAVE containers (stdlib wave writer, digest-tiled 8-bit PCM) →
+    per-clip feature extraction via Arrow-batched mapInPandas where the
+    stdlib wave binding from available_codecs() parses the actual container
+    (header, sample width, channel count).  Unlike the image path (x22's
+    deterministic fake) no step here is faked — and the digest-tiled payload
+    keeps every feature integer-exact for the DuckDB oracle (ADVICE r4: the
+    audio surface previously had no query entry exercising it)."""
+    from hiveka_spark.operators.multimodal import (
+        decode_audio_features,
+        synthesize_wav_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(d, "doc_id", "text")
+    return decode_audio_features(media)

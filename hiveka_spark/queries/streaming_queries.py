@@ -221,7 +221,8 @@ def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id, event_type AS t, epoch_ms(ts) AS ms,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS rn
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS rn
       FROM events
       WHERE event_type IN ('click', 'purchase')
     ),
@@ -252,17 +253,20 @@ def s07_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     click carried in keyed state across micro-batches.  The oracle replays
     the same per-key transition as a recursive CTE (one step per event rank),
     so the entry is fully hash-checked; `tests/test_stateful.py` additionally
-    pins the transition semantics on a hand-built sequence."""
+    pins the transition semantics on a hand-built sequence.  Both sides
+    break same-ms ties on event_id (ADVICE r4: without a total per-user
+    order the hash check is latently flaky under same-ms fixtures)."""
     from hiveka_spark.streaming.stateful import funnel_detect
 
     stream = P.events_stream(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id"
     )
     # few hundred active keys at gate scale: 8 state partitions, not the
     # session's batch-sized default — per-partition state-store + Python
     # worker setup is the dominant cost for small keyed state (VERDICT r1 #4)
     out = _drain(
-        funnel_detect(stream, horizon_ms=3_600_000), "s07_funnel", "append",
+        funnel_detect(stream, horizon_ms=3_600_000, tiebreak="event_id"),
+        "s07_funnel", "append",
         shuffle_partitions=8,
     )
     return out.select("user_id", "first_ms", "converted_ms", "gap_ms")

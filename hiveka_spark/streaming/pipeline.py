@@ -52,8 +52,23 @@ def events_stream(
         file_schema = spark.read.parquet(path).schema  # metadata-only probe
     else:
         # Late-arriving file: start the stream on the fixture's documented
-        # layout (TESTDATA.md) and pick the file up when it lands; the
-        # normalizer below handles whichever ts encoding actually arrives.
+        # layout (TESTDATA.md, timestamp[us] -> TIMESTAMP_NTZ).  The
+        # normalizer below sees only this DECLARED schema, not the file: a
+        # late file that lands with a DIFFERENT ts encoding (e.g.
+        # bigint-nanos) fails loudly at the first micro-batch read — which
+        # is the intended behavior; the declared schema is the stream's
+        # contract, and guessing-then-silently-coercing is how the 1000x
+        # timestamp compression bug happened (ADVICE r4: the old comment
+        # claimed the normalizer would adapt; it cannot).
+        import warnings
+
+        warnings.warn(
+            f"events stream started before {path} exists; pinning the "
+            "documented TIMESTAMP_NTZ layout — a file arriving with a "
+            "different ts encoding will fail at first read",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         file_schema = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),

@@ -117,6 +117,7 @@ def funnel_detect(
     then_type: str = "purchase",
     horizon_ms: int = 3_600_000,
     ttl_minutes: int | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Emit one row per (first_type → then_type) conversion within
     ``horizon_ms``, per user.  State carries the earliest unconverted
@@ -124,12 +125,19 @@ def funnel_detect(
     event-time order, so output is deterministic for a given batch split.
 
     Expects columns: user_id, event_type, ms (event-time epoch millis).
-    ``ttl_minutes`` None => NoTimeout (see running_user_stats note on
-    availableNow drains).
+    ``tiebreak``: optional column (e.g. an event id) that totals the
+    per-user order when two events share the same ms — without it, a click
+    and purchase on the same millisecond order nondeterministically and a
+    hash-checked oracle replay can flap (ADVICE r4).  Ties still possible
+    ACROSS micro-batches are resolved by arrival order (batch order is the
+    stream's contract).  ``ttl_minutes`` None => NoTimeout (see
+    running_user_stats note on availableNow drains).
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes else GroupStateTimeout.NoTimeout
     )
+    sort_cols = ["ms", tiebreak] if tiebreak else ["ms"]
+    in_cols = ["user_id", "event_type", "ms"] + ([tiebreak] if tiebreak else [])
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -143,7 +151,7 @@ def funnel_detect(
         frames = [p for p in pdfs if len(p)]
         if not frames:
             return
-        batch = pd.concat(frames, ignore_index=True).sort_values("ms")
+        batch = pd.concat(frames, ignore_index=True).sort_values(sort_cols, kind="stable")
         for etype, ms in zip(batch["event_type"], batch["ms"]):
             ms = int(ms)
             if etype == first_type:
@@ -170,7 +178,7 @@ def funnel_detect(
             )
 
     return (
-        events.select("user_id", "event_type", "ms")
+        events.select(*in_cols)
         .groupBy("user_id")
         .applyInPandasWithState(
             transition,

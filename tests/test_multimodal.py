@@ -126,3 +126,45 @@ def test_frame_sampling_counts(spark):
     for r in out:
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 10, 20] for v in per.values())
+
+
+def test_wav_synth_decodes_through_real_codec(spark):
+    """ADVICE r4: the audio surface exercised end-to-end — synthesize_wav_media
+    emits genuine RIFF/WAVE containers and decode_audio_features parses them
+    with the stdlib wave binding from available_codecs(); features must match
+    the digest-tiling arithmetic exactly."""
+    docs = table(spark, SF_SMOKE, "documents").limit(10)
+    media = M.synthesize_wav_media(docs, "doc_id", "text")
+    feats = {r["media_id"]: r for r in M.decode_audio_features(media).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(feats) == set(src)
+    for doc_id, text in src.items():
+        n = doc_id % 400 + 100
+        digest = hashlib.sha256(str(text).encode("utf-8")).digest()
+        reps = -(-n // len(digest))
+        samples = (digest * reps)[:n]
+        r = feats[doc_id]
+        assert r["n_samples"] == n
+        assert r["n_channels"] == 1
+        assert r["sample_rate"] == 16000
+        assert r["byte_len"] == 44 + n  # canonical PCM header + data
+        assert r["mean_abs"] == sum(samples) // n
+
+
+def test_available_codecs_audio_binding_present():
+    """stdlib wave is always importable: the audio codec binding must be a
+    REAL codec (no fake path for audio)."""
+    codecs = M.available_codecs()
+    assert "audio" in codecs
+    import io
+    import wave as _w
+
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x00\x02\x00\x03\x00\x04\x00")  # 2 frames stereo s16
+    arr, rate = codecs["audio"](buf.getvalue(), None)
+    assert rate == 8000 and arr.shape == (2, 2)
+    assert arr.tolist() == [[1, 2], [3, 4]]

@@ -149,3 +149,34 @@ def test_tws_probe_is_honest():
         assert tws_available()
     except ImportError:
         assert not tws_available()
+
+
+def test_funnel_tiebreak_totals_same_ms_order(spark):
+    """ADVICE r4 (s07): a click and purchase sharing the same millisecond
+    must order deterministically when a tiebreak column is given — the
+    lower event_id processes first, matching the oracle's ROW_NUMBER
+    (ORDER BY ms, event_id) replay."""
+    import tempfile
+
+    rows = [
+        # u1: purchase(eid 1) and click(eid 2) at the SAME ms: purchase
+        # first -> no pending -> dropped; the click then pends and converts
+        # on the later purchase.
+        (1, "purchase", 1000, 1), (1, "click", 1000, 2), (1, "purchase", 5000, 3),
+        # u2: click(eid 4) then purchase(eid 5) at the same ms: click first
+        # -> instant conversion with gap 0.
+        (2, "click", 2000, 4), (2, "purchase", 2000, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ms long, event_id long"
+    )
+    src = tempfile.mkdtemp(prefix="funnel_tie_")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = P.run_available_now(
+        funnel_detect(stream, horizon_ms=3_600_000, tiebreak="event_id"),
+        "t_funnel_tie",
+        "append",
+    )
+    got = {(r["user_id"], r["first_ms"], r["converted_ms"]) for r in out.collect()}
+    assert got == {(1, 1000, 5000), (2, 2000, 2000)}

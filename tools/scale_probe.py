@@ -146,6 +146,95 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
     ]
 
 
+# ---------------------------------------------------------------------------
+# controlled-duplicate-rate synthetic corpora: the duplicate-rate-sensitive
+# stages (LSH candidate join + Jaccard verify) that naive replication cannot
+# probe (replicas ARE duplicates, inflating the rate with scale).  Here the
+# duplicate rate is held CONSTANT (5% of docs are an exact copy of a base
+# doc; one shingle planted in 50% of docs for the x02 row), so candidate and
+# verify volume must grow linearly with corpus size — superlinear growth
+# would mean the prefix filter / banding is leaking.
+# ---------------------------------------------------------------------------
+
+
+def synth_docs(spark: SparkSession, n_docs: int, dup_rate: float = 0.05,
+               hot_frac: float = 0.5) -> DataFrame:
+    """n_docs base docs with doc-unique shingles + a shingle shared by
+    ``hot_frac`` of docs + floor(n_docs*dup_rate) exact duplicates."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % F.lit(int(1 / hot_frac)) == 0,
+                   F.lit("common tag phrase ")).otherwise(F.lit("")),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"w{j}d"), F.col("id").cast("string"))
+                for j in range(12)
+            ]),
+        ).alias("text"),
+    )
+    n_dup = int(n_docs * dup_rate)
+    dups = spark.range(n_dup).select(  # exact copy of base doc id
+        (F.col("id") + n_docs).alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % F.lit(int(1 / hot_frac)) == 0,
+                   F.lit("common tag phrase ")).otherwise(F.lit("")),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"w{j}d"), F.col("id").cast("string"))
+                for j in range(12)
+            ]),
+        ).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+def synth_vectors(spark: SparkSession, n_vecs: int, dup_rate: float = 0.05,
+                  dim: int = 64) -> DataFrame:
+    """Deterministic pseudo-random unit-ish vectors + exact-copy duplicates
+    at a constant rate (copies of ids 0..n_dup-1)."""
+    comp = [
+        (F.pmod(F.xxhash64(F.col("src"), F.lit(j)), F.lit(2000)) / 1000.0 - 1.0
+         ).cast("float")
+        for j in range(dim)
+    ]
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"), F.col("id").alias("src"))
+    n_dup = int(n_vecs * dup_rate)
+    dups = spark.range(n_dup).select(
+        (F.col("id") + n_vecs).alias("vec_id"), F.col("id").alias("src")
+    )
+    return base.unionByName(dups).select(
+        "vec_id", F.array(*comp).alias("embedding")
+    )
+
+
+def dup_rate_probes(spark: SparkSession, n: int):
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.similarity import lsh_neardup_pairs
+
+    docs = synth_docs(spark, 1000 * n)
+    vecs = synth_vectors(spark, 500 * n)
+
+    def x02_end_to_end():
+        return D.ngram_jaccard_pairs(docs, threshold=0.8, reuse=False)
+
+    def x03_end_to_end():
+        return D.minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, verify_threshold=0.8, reuse=False
+        )
+
+    def x05_end_to_end():
+        # threshold 0.7 (not the gate's 0.4): uniform-component vectors have
+        # a constant P(cos >= 0.4) between RANDOM pairs, which would make the
+        # true output quadratic in n and drown the planted linear signal;
+        # at 0.7 only the planted exact duplicates qualify.
+        return lsh_neardup_pairs(vecs, "vec_id", "embedding", threshold=0.7)
+
+    return [
+        ("x02_jaccard_e2e_5pct_dups", x02_end_to_end),
+        ("x03_minhash_e2e_5pct_dups", x03_end_to_end),
+        ("x05_lsh_neardup_e2e_5pct_dups", x05_end_to_end),
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.1"
     out_path = None
@@ -157,6 +246,7 @@ def main() -> None:
     spark.range(1).count()
     scales = [4, 16, 64]
     results: dict[str, dict[int, float]] = {}
+    rows_out: dict[str, dict[int, int]] = {}
     for n in scales:
         for name, build in probes(spark, sf_dir, n):
             build().count()  # warm codegen/plan for this shape
@@ -165,6 +255,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
             results.setdefault(name, {})[n] = dt
             print(f"n={n} {name}: {dt:.2f}s", file=sys.stderr)
+        for name, build in dup_rate_probes(spark, n):
+            build().count()
+            t0 = time.perf_counter()
+            rows = build().count()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[n] = dt
+            rows_out.setdefault(name, {})[n] = rows
+            print(f"n={n} {name}: {dt:.2f}s ({rows} pairs)", file=sys.stderr)
 
     lines = [
         "# SCALE — measured wall-clock scaling (fixture replicated in-memory Nx)",
@@ -185,11 +283,33 @@ def main() -> None:
     lines += [
         "",
         "Replication multiplies row counts without inventing new value",
-        "distributions; duplicate-rate-sensitive stages (LSH candidate joins,",
-        "Jaccard verify) are excluded because replicas would inflate the",
-        "duplicate rate itself — their shuffle shapes are audited in",
-        "PLAN_AUDIT.md instead.",
+        "distributions, so the duplicate-rate-sensitive stages (LSH candidate",
+        "joins, Jaccard verify) are probed separately below on SYNTHETIC",
+        "corpora with a CONSTANT 5% exact-duplicate rate and (for x02) one",
+        "shingle planted in 50% of docs — end-to-end, candidates + verify",
+        "included.  Output-pair counts grow linearly with corpus size by",
+        "construction, so time ratios near 4 mean the prefix filter / banding",
+        "holds under skew; superlinear drift would mean a leak.",
+        "",
     ]
+    if rows_out:
+        lines += [
+            "| operator (end-to-end) | 4x | 16x | 64x | r(4->16) | r(16->64) | pairs@64x |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name in rows_out:
+            t = results[name]
+            r1 = t[16] / t[4] if t[4] else float("nan")
+            r2 = t[64] / t[16] if t[16] else float("nan")
+            lines.append(
+                f"| {name} | {t[4]:.2f}s | {t[16]:.2f}s | {t[64]:.2f}s "
+                f"| {r1:.2f} | {r2:.2f} | {rows_out[name][64]} |"
+            )
+        lines.append("")
+        lines.append(
+            "Synthetic bases: 1000 docs / 500 vectors per unit scale "
+            "(64x = 64k docs / 32k dim-64 vectors)."
+        )
     text = "\n".join(lines) + "\n"
     if out_path:
         with open(out_path, "w") as f:
