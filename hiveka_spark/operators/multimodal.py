@@ -76,13 +76,16 @@ def available_codecs() -> dict[str, Callable]:
     - ``audio``: stdlib ``wave`` — WAV bytes -> (frames x channels int array,
       sample_rate).  Always present (stdlib), so the audio path is a real
       codec even in this container.
-    - ``video``: none probed (ffmpeg bindings aren't pip-installable here);
-      bind ``frame_sampler=`` explicitly in production.
+    - ``video``: the ``ffmpeg`` BINARY on PATH (no pip bindings needed) —
+      bytes -> sampled (frame_idx, png_bytes) pairs via one subprocess per
+      clip; absent from this container, bound automatically where installed.
 
     Fakes stay the deterministic test path; NotImplementedError only fires
     when a decode is requested for a modality whose library is genuinely
     absent and no callback was injected.
     """
+    import shutil
+
     out: dict[str, Callable] = {}
     try:  # pragma: no cover - PIL not in this container
         import io
@@ -116,6 +119,43 @@ def available_codecs() -> dict[str, Callable]:
         out["audio"] = wav_decoder
     except ImportError:  # pragma: no cover - wave is stdlib
         pass
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg:  # pragma: no cover - ffmpeg not in this container
+
+        def ffmpeg_frame_sampler(
+            content: bytes, meta: dict | None, every_n: int
+        ) -> "Iterator[tuple[int, bytes]]":
+            """Sample every_n-th frame as PNG bytes: one ffmpeg process per
+            clip (select filter does the stride INSIDE ffmpeg — only sampled
+            frames are decoded to completion and written)."""
+            import os
+            import re
+            import subprocess
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                src = os.path.join(td, "in.bin")
+                with open(src, "wb") as fh:
+                    fh.write(content)
+                pattern = os.path.join(td, "f%06d.png")
+                subprocess.run(
+                    [
+                        ffmpeg, "-v", "error", "-i", src,
+                        "-vf", f"select=not(mod(n\\,{every_n}))",
+                        "-fps_mode", "vfr", pattern,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+                for name in sorted(os.listdir(td)):
+                    m = re.fullmatch(r"f(\d{6})\.png", name)
+                    if m:
+                        with open(os.path.join(td, name), "rb") as fh:
+                            # ffmpeg numbers outputs from 1; selected frame k
+                            # is source frame (k-1)*every_n
+                            yield (int(m.group(1)) - 1) * every_n, fh.read()
+
+        out["video"] = ffmpeg_frame_sampler
     return out
 
 
@@ -358,7 +398,12 @@ def sample_video_frames(
 
     ``frame_sampler(content, meta, every_n) -> iterable of (frame_idx,
     frame_bytes)`` binds a real ffmpeg seek/decode through the same batched
-    path; the fake path derives frame hashes from content+index."""
+    path; the fake path derives frame hashes from content+index.  With
+    ``fake=False`` and no explicit sampler, the probed ffmpeg binding from
+    :func:`available_codecs` is used when the binary is on PATH (same
+    dispatch pattern as the image/audio paths)."""
+    if frame_sampler is None and not fake:
+        frame_sampler = available_codecs().get("video")
     schema = StructType(
         [
             StructField("media_id", LongType()),

@@ -168,3 +168,44 @@ def test_available_codecs_audio_binding_present():
     arr, rate = codecs["audio"](buf.getvalue(), None)
     assert rate == 8000 and arr.shape == (2, 2)
     assert arr.tolist() == [[1, 2], [3, 4]]
+
+
+import shutil
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="ffmpeg not on PATH")
+def test_ffmpeg_frame_sampler_binding(spark):  # pragma: no cover - env-gated
+    """Where ffmpeg IS installed: generate a 12-frame test clip, sample every
+    5th frame through the probed binding via the same mapInPandas plumbing."""
+    import subprocess
+    import tempfile
+
+    codecs = M.available_codecs()
+    assert "video" in codecs
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-y", "-f", "lavfi",
+             "-i", "testsrc=duration=0.5:size=64x64:rate=24", "-frames:v", "12",
+             f.name],
+            check=True,
+        )
+        content = open(f.name, "rb").read()
+    media = spark.createDataFrame(
+        [(1, content, ("video", "mp4", 64, 64, 12, None))],
+        M.MEDIA_SCHEMA,
+    )
+    out = M.sample_video_frames(media, every_n=5, fake=False).collect()
+    assert [r["frame_idx"] for r in out] == [0, 5, 10]
+    assert all(len(r["frame_sha"]) == 64 for r in out)
+
+
+def test_video_real_path_raises_without_ffmpeg(spark):
+    """Without ffmpeg and without an injected sampler, fake=False must raise
+    NotImplementedError at decode time (the honest seam), not silently fake."""
+    if shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg present: real binding takes over")
+    media = M.synthesize_media(
+        table(spark, SF_SMOKE, "documents").limit(3), "doc_id", "text"
+    )
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        M.sample_video_frames(media, every_n=2, fake=False).collect()
