@@ -315,6 +315,15 @@ def lsh_neardup_pairs(
     1 - arccos(c)/pi =: p; per-table collision p^n_planes; overall
     1-(1-p^n_planes)^n_tables.  At c=0.9, b=4, L=8 that is ~0.998; at the
     gate threshold 0.4 it is ~0.75 — tune (b down | L up) for low thresholds.
+
+    SIZE the planes to the corpus: bucket count is 2^n_planes per table, so
+    with FIXED planes the per-bucket occupancy — and the candidate-pair
+    volume, occupancy^2 per bucket — grows quadratically with corpus size
+    (measured: the 64x controlled-dup probe in SCALE.md went superlinear at
+    n_planes=4).  Hold occupancy constant with n_planes ~ log2(n/target)
+    (e.g. target ~128 vectors/bucket) and buy back the per-table recall loss
+    with more tables; exact-duplicate recall is plane-count-independent
+    (p=1 at c=1).
     Recall vs the exact path is property-tested; precision is 1.0 by
     construction (exact verify).  Everything is engine-exact (md5-derived
     planes, integer dots), so the DuckDB oracle replays the identical
