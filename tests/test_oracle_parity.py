@@ -70,4 +70,7 @@ def test_rotation_is_lru(tmp_path, monkeypatch):
     for n in names[:50]:
         covered_now[n] = next_round
     nxt = sorted(q.REGISTRY, key=lambda n: covered_now.get(n, 0))
-    assert set(nxt[:51]) >= set(names[50:]), "starved entries must lead next round"
+    # every entry the 50-wide prefix MISSED this round must lead the next
+    # ordering (sized to the actual remainder — the inventory grows)
+    missed = set(names[50:])
+    assert set(nxt[: len(missed)]) == missed, "starved entries must lead next round"
