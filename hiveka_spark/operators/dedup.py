@@ -283,6 +283,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    reuse: bool = False,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles that
+    are FIRST INTRODUCED by it (its id is the corpus-wide minimum id among
+    docs containing the shingle).  The curation metric behind 'how much of
+    this crawl is new content' dashboards and dedup-rate monitoring —
+    exact-dup copies score 0.0, fresh documents ~1.0.
+
+    Scale shape: shingle explode -> min-id aggregate keyed by shingle
+    (map-side combinable; a hot shingle is ONE reducer key carrying an
+    8-byte min, not a posting list) -> join back on shingle (linear in
+    shingle occurrences) -> per-doc count aggregate.  Two shuffles + one
+    keyed join, no pairwise anything — this is what makes novelty cheap
+    where pairwise dedup is not.
+
+    Output: (doc_id, n_shingles, n_novel, novelty[floor4]).
+    """
+    sh_df = _shingle_sets(df, id_col, text_col, k, reuse)
+    ex = sh_df.select("doc", F.explode("sh").alias("s"))
+    first = ex.groupBy("s").agg(F.min("doc").alias("first_doc"))
+    per = (
+        ex.join(first, "s")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        (F.floor(F.col("n_novel") * 1.0 / F.col("n_shingles") * 10000.0) / 10000.0).alias(
+            "novelty"
+        ),
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

@@ -123,6 +123,65 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred)
 
 
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 15,
+    max_words: int = 5000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.7,
+    min_stop_distinct: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style composite rule filter (Rae et al. 2021 §A1.1): the
+    rule chain every large-scale curation pipeline runs before any model-
+    based scoring.  Per doc: word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, and the >=N-distinct-stopwords rule; ``keep``
+    is the conjunction.  Pure JVM column expressions (zero shuffles, scales
+    with input bytes); every ratio is floor4-quantized so a SQL oracle
+    replays the decisions bit-for-bit.  Emits per-rule flags, not just
+    ``keep`` — production pipelines log WHICH rule dropped a doc."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = floor4(sum_len * 1.0 / F.greatest(n, F.lit(1)))
+    alpha_frac = floor4(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) * 1.0
+        / F.greatest(n, F.lit(1))
+    )
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.lit(EN_STOPWORDS))
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("bigint")  # noqa: E731
+    out = df.withColumns(
+        {
+            "n_words": n.cast("bigint"),
+            "mean_word_len": mean_len,
+            "alpha_frac": alpha_frac,
+            "n_stop_distinct": n_stop.cast("bigint"),
+        }
+    )
+    out = out.withColumns(
+        {
+            "wc_ok": flag(F.col("n_words").between(min_words, max_words)),
+            "len_ok": flag(
+                F.col("mean_word_len").between(min_mean_len, max_mean_len)
+            ),
+            "alpha_ok": flag(F.col("alpha_frac") >= min_alpha_frac),
+            "stop_ok": flag(F.col("n_stop_distinct") >= min_stop_distinct),
+        }
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("wc_ok") * F.col("len_ok") * F.col("alpha_ok") * F.col("stop_ok"))
+        .cast("bigint"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

@@ -733,3 +733,95 @@ def x39_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x45 — Gopher/C4-style composite rule filter
+# ---------------------------------------------------------------------------
+
+
+def _x45_oracle() -> str:
+    from hiveka_spark.operators.text import EN_STOPWORDS
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_words,
+             CAST(FLOOR(list_sum(list_transform(toks, w -> LENGTH(w))) * 1.0
+                        / GREATEST(LEN(toks), 1) * 10000.0) AS BIGINT) / 10000.0
+               AS mean_word_len,
+             CAST(FLOOR(LEN(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                        / GREATEST(LEN(toks), 1) * 10000.0) AS BIGINT) / 10000.0
+               AS alpha_frac,
+             CAST(LEN(list_intersect(list_distinct(toks), {stop_sql})) AS BIGINT)
+               AS n_stop_distinct
+      FROM t)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_distinct,
+           CAST(CASE WHEN n_words BETWEEN 15 AND 5000 THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+           CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS len_ok,
+           CAST(CASE WHEN alpha_frac >= 0.7 THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+           CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+           CAST(CASE WHEN n_words BETWEEN 15 AND 5000 THEN 1 ELSE 0 END
+                * CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+                * CASE WHEN alpha_frac >= 0.7 THEN 1 ELSE 0 END
+                * CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+    """
+
+
+@register("x45_gopher_rules", oracle=_x45_oracle(), tags=("quality", "filter", "rules"))
+def x45_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based filter chain (word-count bounds, mean word
+    length, alphabetic-word fraction, >=2 distinct stopwords) with per-rule
+    flags + the conjunction — the pre-model curation pass every corpus
+    pipeline runs.  Zero shuffles, all JVM expressions; ratios floor4-
+    quantized so the DuckDB oracle replays every decision.  See
+    operators/text.py::with_gopher_rules."""
+    from hiveka_spark.operators.text import with_gopher_rules
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_gopher_rules(d).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop_distinct",
+        "wc_ok", "len_ok", "alpha_ok", "stop_ok", "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x46 — shingle novelty (first-introduction fraction per doc)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x46_shingle_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(FLOOR(SUM(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*) * 10000.0) AS BIGINT) / 10000.0 AS novelty
+    FROM sh JOIN first ON sh.s = first.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("dedup", "metrics", "novelty"),
+)
+def x46_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty — fraction of a doc's distinct 3-gram
+    shingles first introduced by it (corpus-wide min doc id).  The 'how much
+    of this crawl is new' dedup-rate metric: exact copies score 0, fresh
+    docs ~1.  Shingle-keyed min aggregate + linear join-back — no pairwise
+    work (see operators/dedup.py::shingle_novelty for the scale argument)."""
+    from hiveka_spark.operators.dedup import shingle_novelty
+
+    d = table(spark, sf_dir, "documents")
+    return shingle_novelty(d, "doc_id", "text", k=3)

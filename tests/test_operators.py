@@ -364,3 +364,43 @@ def test_hot_band_salted_join_same_pairs(spark):
     }
     assert len(unsalted) == 60 * 59 // 2  # the dup group is fully connected
     assert salted == unsalted
+
+
+# -------------------------------------------------- rule filter / novelty
+def test_gopher_rules_flag_each_rule(spark):
+    from hiveka_spark.operators.text import with_gopher_rules
+
+    good = "the cat and the dog sat on a mat with many other friendly animals nearby today"
+    rows = [
+        (1, good),                                   # passes all
+        (2, "too short a doc"),                      # wc_ok = 0
+        (3, "the " + " ".join(["pneumonoultramicroscopics"] * 30)),  # len_ok = 0
+        (4, "the of " + " ".join(str(n) for n in range(30))),        # alpha_ok = 0
+        (5, " ".join(f"zz{i} qq{i}" for i in range(10))),            # stop_ok = 0
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert (out[2]["wc_ok"], out[2]["keep"]) == (0, 0)
+    assert (out[3]["len_ok"], out[3]["keep"]) == (0, 0)
+    assert (out[4]["alpha_ok"], out[4]["keep"]) == (0, 0)
+    assert (out[5]["stop_ok"], out[5]["keep"]) == (0, 0)
+
+
+def test_shingle_novelty_scores(spark):
+    base = " ".join(f"w{j}" for j in range(10))       # 8 shingles, all novel
+    rows = [(1, base), (2, base), (3, " ".join(f"v{j}" for j in range(10)))]
+    out = {
+        r["doc_id"]: r
+        for r in D.shingle_novelty(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["novelty"] == 1.0      # first introduction of every shingle
+    assert out[2]["novelty"] == 0.0      # exact copy: nothing new
+    assert out[3]["novelty"] == 1.0      # disjoint content
+    assert out[2]["n_shingles"] == 8 and out[2]["n_novel"] == 0
