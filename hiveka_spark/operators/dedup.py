@@ -305,7 +305,20 @@ def shingle_novelty(
 
     Output: (doc_id, n_shingles, n_novel, novelty[floor4]).
     """
-    sh_df = _shingle_sets(df, id_col, text_col, k, reuse)
+    from hiveka_spark.operators.text import tokens
+
+    # NOT _shingle_sets: its repartition-by-doc is the right co-location for
+    # the multi-pass pairwise algorithms, but novelty's very next operator
+    # shuffles by SHINGLE — a doc-keyed exchange first would be a pure-waste
+    # full shuffle of the corpus.
+    toks = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
+    )
+    sh_df = toks.select(
+        "doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh")
+    )
+    if reuse:
+        sh_df = _persist_tracked(sh_df)
     ex = sh_df.select("doc", F.explode("sh").alias("s"))
     first = ex.groupBy("s").agg(F.min("doc").alias("first_doc"))
     per = (
