@@ -62,6 +62,11 @@ HEADLINE = [
     "s11_transform_with_state",
     "q44_gap_fill",
     "q46_exact_stats",
+    # round-5 additions (no r1 baseline; floors established from r5 on):
+    "x43_confluent_roundtrip",
+    "x44_audio_features",
+    "x45_gopher_rules",
+    "x46_shingle_novelty",
 ]
 
 

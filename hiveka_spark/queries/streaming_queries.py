@@ -455,3 +455,69 @@ def s12_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hour_bucket") * 3600000).alias("window_start_ms"),
         "n_users",
     )
+
+
+@register(
+    "s13_stream_stream_left_outer",
+    # The outer side's emission rule is replayed exactly: an unmatched click
+    # emits its null row once the GLOBAL watermark (min over both inputs'
+    # max event time, minus the 2h delay) passes the end of its 1h join
+    # window; clicks whose window is still open at the final watermark stay
+    # withheld in state.  All sf fixtures have zero exact-boundary rows
+    # (c_ts + 1h == watermark), so <' vs '<=' eviction cannot flip the hash.
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cms
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS pms
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(cms) FROM c), (SELECT MAX(pms) FROM p))
+                    - 7200000 AS w),
+    m AS (SELECT c.click_id, c.user_id, p.purchase_id, p.pms - c.cms AS gap_ms
+          FROM c JOIN p ON c.user_id = p.user_id
+                       AND p.pms >= c.cms AND p.pms <= c.cms + 3600000)
+    SELECT click_id, user_id, purchase_id, gap_ms FROM m
+    UNION ALL
+    SELECT c.click_id, c.user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.pms >= c.cms AND p.pms <= c.cms + 3600000)
+      AND c.cms + 3600000 < wm.w
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "watermark"),
+)
+def s13_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click either pairs with a
+    purchase in its 1-hour window or emits a null-purchase row once the
+    watermark proves no match can still arrive — the state-eviction
+    semantics that make outer joins possible on unbounded streams (an
+    unmatched row cannot emit until the watermark closes its window;
+    rows whose window is still open when the drain ends stay withheld).
+    The oracle replays the final-watermark cutoff exactly, so this entry
+    hash-checks the eviction rule itself, not just the join."""
+    src = P.events_stream(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    # the stream_stream_join helper assumes one shared `on` column name;
+    # the outer join needs distinct key names (p_user stays null-able), so
+    # build the watermarked range condition directly
+    l = clicks.withWatermark("c_ts", "2 hours").alias("l")
+    r = purchases.withWatermark("p_ts", "2 hours").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.p_user"))
+        & (F.col("r.p_ts") >= F.col("l.c_ts"))
+        & (F.col("r.p_ts") <= F.col("l.c_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    out = _drain(l.join(r, cond, "left_outer"), "s13_ssj_outer", "append",
+                 shuffle_partitions=8)
+    return out.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )

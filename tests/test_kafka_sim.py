@@ -304,3 +304,32 @@ def test_confluent_produce_scan_decode_over_broker(spark, tmp_path):
         decode_wire(
             mixed, cfg, mode="FAILFAST", registry=registry, registry_topic="tweets"
         ).collect()
+
+
+def test_confluent_streaming_decode_over_broker(spark, tmp_path):
+    """Streaming + Confluent framing through register_kafka_table: the
+    micro-batch stream decodes the 5-byte header and resolves the writer
+    schema exactly like the batch path (same decode_wire DAG)."""
+    import tempfile
+
+    from hiveka_spark.sources.kafka_io import with_confluent_framing
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+    from hiveka_spark.streaming.pipeline import run_available_now
+
+    broker = _broker()
+    broker.create_topic("tweets", partitions=2)
+    registry = FileSchemaRegistry(str(tmp_path / "reg"))
+    rows = P.fake_tweets(20, seed=3, base_ts=1_700_000_000)
+    cfg = with_confluent_framing(_tweet_cfg(), registry, "tweets")
+    write_kafka(P.typed_df(spark, P.TWEET_SCHEMA, rows), cfg, "tweets", broker=broker)
+
+    decoded = register_kafka_table(
+        spark, "tweets_stream_confluent", cfg, streaming=True, broker=broker,
+        registry=registry, registry_topic="tweets",
+    )
+    out = run_available_now(
+        decoded.select("username", "text"), "t_confluent_stream", "append",
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_confluent_"),
+    )
+    got = sorted((r["username"], r["text"]) for r in out.collect())
+    assert got == sorted((r["username"], r["text"]) for r in rows)

@@ -330,3 +330,49 @@ def test_s12_distinct_multi_batch_drain_stays_exact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_left_outer_ssj_watermark_eviction(spark):
+    """s13 semantics on a hand-built fixture with unambiguous boundaries:
+    an unmatched click emits its null row once the global watermark (min of
+    both inputs' max event time - delay) passes its window end; a click
+    whose window is still open at the final watermark stays withheld."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    H = 3_600_000
+    B = 1_700_000_000_000  # realistic epoch base (epoch-0 event times break
+    #                        watermark init in Spark; not our layer)
+    rows = [
+        (1, "click", B),                       # unmatched; closes B+1h << wm -> null row
+        (2, "click", B), (2, "purchase", B + H // 2),  # matched pair
+        (3, "click", B + int(45.5 * H)),       # closes B+46.5h > wm -> withheld
+        (99, "purchase", B + 48 * H),          # advances the purchase watermark
+    ]
+    # click wm = B+45.5h-2h = B+43.5h; purchase wm = B+46h; global = B+43.5h
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ms long"
+    ).select("user_id", "event_type", F.timestamp_millis("ms").alias("ts"))
+    src = tempfile.mkdtemp(prefix="ossj_src_")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    l = clicks.withWatermark("c_ts", "2 hours").alias("l")
+    r = purch.withWatermark("p_ts", "2 hours").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.p_user"))
+        & (F.col("r.p_ts") >= F.col("l.c_ts"))
+        & (F.col("r.p_ts") <= F.col("l.c_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    out = run_available_now(
+        l.join(r, cond, "left_outer"), "t_ossj", "append",
+        checkpoint=tempfile.mkdtemp(prefix="ckpt_ossj_"),
+    )
+    got = sorted((row["user_id"], row["p_user"]) for row in out.collect())
+    assert got == [(1, None), (2, 2)]
