@@ -521,3 +521,75 @@ def s13_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )
+
+
+@register(
+    "s14_stream_stream_full_outer",
+    # Both sides' eviction replayed: an unmatched CLICK emits once the global
+    # watermark passes c_ts + 1h (no purchase in its window can still
+    # arrive); an unmatched PURCHASE emits once the watermark passes p_ts
+    # itself (its click window is [p_ts - 1h, p_ts], and any late click has
+    # event time > watermark).  Zero exact-boundary rows at every SF.
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, epoch_ms(ts) AS cms
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS pms
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(cms) FROM c), (SELECT MAX(pms) FROM p))
+                    - 7200000 AS w)
+    SELECT c.click_id, c.user_id AS click_user, p.purchase_id,
+           p.user_id AS purchase_user, p.pms - c.cms AS gap_ms
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.pms >= c.cms AND p.pms <= c.cms + 3600000
+    UNION ALL
+    SELECT c.click_id, c.user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.pms >= c.cms AND p.pms <= c.cms + 3600000)
+      AND c.cms + 3600000 < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), p.purchase_id,
+           p.user_id, CAST(NULL AS BIGINT)
+    FROM p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                        AND p.pms >= c.cms AND p.pms <= c.cms + 3600000)
+      AND p.pms < wm.w
+    """,
+    tags=("streaming", "join", "stream-stream", "full-outer", "watermark"),
+)
+def s14_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — the complete eviction semantics:
+    matched pairs emit immediately; each side's unmatched rows emit their
+    null twin only when the global watermark proves no partner can still
+    arrive (left: window end passed; right: its own event time passed,
+    since its click window only extends backwards).  Hash-checked against
+    the batch replay of both cutoffs — the strongest oracle a streaming
+    outer join can carry."""
+    src = P.events_stream(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    l = clicks.withWatermark("c_ts", "2 hours").alias("l")
+    r = purchases.withWatermark("p_ts", "2 hours").alias("r")
+    cond = (
+        (F.col("l.click_user") == F.col("r.purchase_user"))
+        & (F.col("r.p_ts") >= F.col("l.c_ts"))
+        & (F.col("r.p_ts") <= F.col("l.c_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    out = _drain(l.join(r, cond, "full_outer"), "s14_ssj_full", "append",
+                 shuffle_partitions=8)
+    return out.select(
+        "click_id",
+        "click_user",
+        "purchase_id",
+        "purchase_user",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
+    )
