@@ -503,18 +503,12 @@ def s13_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
-    # the stream_stream_join helper assumes one shared `on` column name;
-    # the outer join needs distinct key names (p_user stays null-able), so
-    # build the watermarked range condition directly
-    l = clicks.withWatermark("c_ts", "2 hours").alias("l")
-    r = purchases.withWatermark("p_ts", "2 hours").alias("r")
-    cond = (
-        (F.col("l.user_id") == F.col("r.p_user"))
-        & (F.col("r.p_ts") >= F.col("l.c_ts"))
-        & (F.col("r.p_ts") <= F.col("l.c_ts") + F.expr("INTERVAL 1 hour"))
+    joined = P.stream_stream_join(
+        clicks, purchases, left_key="user_id", right_key="p_user",
+        left_ts="c_ts", right_ts="p_ts", within="1 hour", watermark="2 hours",
+        how="left_outer",
     )
-    out = _drain(l.join(r, cond, "left_outer"), "s13_ssj_outer", "append",
-                 shuffle_partitions=8)
+    out = _drain(joined, "s13_ssj_outer", "append", shuffle_partitions=8)
     return out.select(
         "click_id",
         "user_id",
@@ -577,15 +571,12 @@ def s14_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("purchase_user"),
         F.col("ts").alias("p_ts"),
     )
-    l = clicks.withWatermark("c_ts", "2 hours").alias("l")
-    r = purchases.withWatermark("p_ts", "2 hours").alias("r")
-    cond = (
-        (F.col("l.click_user") == F.col("r.purchase_user"))
-        & (F.col("r.p_ts") >= F.col("l.c_ts"))
-        & (F.col("r.p_ts") <= F.col("l.c_ts") + F.expr("INTERVAL 1 hour"))
+    joined = P.stream_stream_join(
+        clicks, purchases, left_key="click_user", right_key="purchase_user",
+        left_ts="c_ts", right_ts="p_ts", within="1 hour", watermark="2 hours",
+        how="full_outer",
     )
-    out = _drain(l.join(r, cond, "full_outer"), "s14_ssj_full", "append",
-                 shuffle_partitions=8)
+    out = _drain(joined, "s14_ssj_full", "append", shuffle_partitions=8)
     return out.select(
         "click_id",
         "click_user",

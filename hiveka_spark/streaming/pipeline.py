@@ -167,12 +167,14 @@ def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> Dat
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
-    left_ts: str,
-    right_ts: str,
+    on: str | None = None,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
     how: str = "inner",
+    left_key: str | None = None,
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-stream equi-join with a time-range condition: right event must
     fall in [left_ts, left_ts + within].
@@ -180,13 +182,22 @@ def stream_stream_join(
     Both sides are watermarked and the join condition bounds event-time
     distance, so each side's buffered state is evictable once the watermark
     passes — the REQUIRED shape for an unbounded stream-stream join (an
-    unconstrained one buffers both streams forever).  Join key (on) is the
+    unconstrained one buffers both streams forever).  The join key is the
     shuffle key; the range condition filters within each key group.
+
+    Key naming: pass ``on`` when both sides share the key column name
+    (inner-join convenience; drop the duplicate afterwards), or distinct
+    ``left_key``/``right_key`` — required for OUTER joins, where each side's
+    key must survive as its own nullable column (s13/s14).
     """
+    lk = left_key or on
+    rk = right_key or on
+    if lk is None or rk is None:
+        raise ValueError("pass on= (shared name) or left_key=/right_key=")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
-        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
