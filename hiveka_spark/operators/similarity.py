@@ -296,6 +296,118 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 16,
+    dim: int = 64,
+    n_centroids: int = 64,
+    centroid_stride: int = 7,
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC — asymmetric distance
+    computation): split each dim-``dim`` vector into ``m`` subvectors, encode
+    every corpus vector as m codebook ids (nearest of ``n_centroids``
+    stride-sampled centroids per subspace, squared-L2), then answer queries by
+    summing per-subspace query→centroid distances looked up from a broadcast
+    table — the corpus vectors themselves are never touched at query time.
+
+    This is the billion-scale ANN memory shape (Jégou et al., PQ 2011; FAISS
+    IVFPQ): the corpus index is m SMALL INTS per vector (here 16 one-byte
+    codes ≈ 16 B vs 256 B of floats — a 16x index shrink), and query scoring
+    is an equi-join of those codes against an |Q|*m*n_centroids-row lookup
+    table that always broadcasts.  Where x15 (IVF) prunes WHICH vectors are
+    scored, PQ compresses HOW each is scored; real systems stack both.
+
+    Recall calibration: stride-sampled codebooks on the fixture's
+    near-uniform unit-sphere embeddings (PQ's worst case — no cluster
+    structure to exploit) measure ~0.3 recall@5 vs brute force at the
+    defaults; an identical/near-identical corpus vector always ranks first
+    (it achieves the per-subspace LUT minimum in every subspace — the
+    property test).  Production recall comes from k-means codebooks trained
+    offline, handed in exactly like ivf_topk's ``centroids``.
+
+    Everything is integer-exact: vectors are fixed-point-quantized (QUANT),
+    squared-L2 distances are bigint sums of squared deltas (dim 64, |q|<=2e4
+    => d2 < 2^35), so code assignment, the LUT, and the final ADC distances
+    replay bit-for-bit in the DuckDB oracle.  Centroids are deterministic
+    id-stride rows (the offline-codebook posture — no corpus pass, no
+    count()); at 100 TB you'd hand in k-means codebooks the same way
+    ivf_topk takes ``centroids``.
+
+    Shuffle shape: subvector explode is narrow; code assignment is a
+    broadcast join (m*n_centroids centroid rows) + a map-side-combinable
+    argmin aggregate keyed on (vector, subspace); ADC is a broadcast-LUT
+    equi-join on (subspace, code) + one keyed aggregate per (query, vector).
+    No all-pairs product anywhere.
+
+    Output: query_id, neighbor_id, approx_d2 (bigint), rank.
+    """
+    dsub = dim // m
+
+    def subvectors(df: DataFrame, out_id: str) -> DataFrame:
+        """(id, sub, sv): quantized dsub-slice per subspace — narrow explode."""
+        q = quantized(vec_col)
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("bigint").alias("sub"),
+                    F.slice(q, s * dsub + 1, dsub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        return df.select(F.col(id_col).alias(out_id), F.inline(subs))
+
+    def d2_expr(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    c_sub = subvectors(corpus, "_id")
+    cents = c_sub.filter(
+        (F.col("_id") % centroid_stride == 0)
+        & (F.col("_id") / centroid_stride < n_centroids)
+    ).select(
+        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+        "sub",
+        F.col("sv").alias("cv"),
+    )
+    # encode: nearest centroid per (vector, subspace); min(struct) is the
+    # deterministic argmin (d2 asc, code asc) and map-side combines
+    codes = (
+        c_sub.join(F.broadcast(cents), "sub")
+        .withColumn("d2", d2_expr(F.col("sv"), F.col("cv")))
+        .groupBy("_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("mc"))
+        .select(F.col("_id").alias("neighbor_id"), "sub", F.col("mc.code").alias("code"))
+    )
+    # ADC lookup table: |Q| * m * n_centroids rows — always broadcastable
+    lut = (
+        subvectors(queries, "query_id")
+        .join(F.broadcast(cents), "sub")
+        .select(
+            "query_id", "sub", "code", d2_expr(F.col("sv"), F.col("cv")).alias("d2q")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").cast("bigint").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
     if not _loaded:
         # Imports populate REGISTRY via the decorator.
         from hiveka_spark.queries import (  # noqa: F401
+            curation_ext,
             extensions,
             pipeline_ext,
             relational,

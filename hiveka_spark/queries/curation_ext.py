@@ -1,0 +1,341 @@
+"""SURVEY.md §2C (round-5 widening) — corpus-curation + compressed-ANN entries.
+
+The next ring of training-data-pipeline operators outward from the dedup/
+quality primitives (extensions.py) and the composite curation steps
+(pipeline_ext.py):
+
+- x47 overlapping context-window chunking: the tokenize→window step that
+  turns long documents into model-context-sized training samples with a
+  stride overlap (distinct from x25, which greedily PACKS whole short docs
+  into bins — this SPLITS long docs into overlapping windows).
+- x48 product-quantization ANN (ADC): the compressed-vector scale path for
+  similarity search — corpus indexed as m one-byte codes per vector, queries
+  answered from a broadcast lookup table (Jégou et al. 2011 / FAISS IVFPQ
+  shape).  Complements x06 (brute), x07 (LSH pruning), x15 (IVF pruning).
+- x49 perceptual-hash image dedup: banding + Hamming-verify over a 60-bit
+  hash of decoded media — the image-side analog of x04's SimHash text path,
+  run through the real mapInPandas decode plumbing (multimodal.py).
+- x50 corpus report: the per-source "dataset card" aggregate (doc/token
+  counts, language spread, exact-dup count, discrete median length) a
+  curation run publishes with every snapshot.
+
+All arithmetic is engine-exact (integer token counts, bigint squared-L2,
+Horner hex parsing, integer micro-units), so every entry carries a full
+DuckDB oracle.  No reference analog (the reference is a Kafka scan layer);
+designed Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators.text import tokens
+from hiveka_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# x47 — overlapping context-window chunking
+# ---------------------------------------------------------------------------
+
+_WIN = 32  # tokens per training chunk
+_STRIDE = 24  # window stride (8-token overlap)
+
+
+@register(
+    "x47_chunk_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    n AS (SELECT doc_id, ws, LEN(ws) AS n FROM w),
+    c AS (SELECT doc_id, ws, n,
+                 UNNEST(generate_series(0,
+                   CASE WHEN n >= 1
+                        THEN (GREATEST(n - {_WIN}, 0) + {_STRIDE - 1}) // {_STRIDE}
+                        ELSE -1 END)) AS i
+          FROM n)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {_STRIDE} + 1 AS BIGINT) AS start_tok,
+           CAST(LEAST(i * {_STRIDE} + {_WIN}, n) - i * {_STRIDE} AS BIGINT) AS n_tok,
+           array_to_string(ws[CAST(i * {_STRIDE} + 1 AS INT):CAST(LEAST(i * {_STRIDE} + {_WIN}, n) AS INT)], ' ')
+             AS chunk_text
+    FROM c
+    """,
+    tags=("text", "chunking", "training-prep"),
+)
+def x47_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: tokenize each document and emit
+    32-token training windows at a 24-token stride (8-token overlap, the
+    standard trick so no sentence is ever split at a hard boundary for the
+    model).  A doc with n tokens yields 1 + ceil(max(n-32,0)/24) windows; the
+    last window is allowed to run short.
+
+    Scale shape: ZERO shuffles — tokenize, window-count, and slice are all
+    narrow per-row expressions (sequence + explode), so the operator is a
+    map-only pass that scales with input bytes.  The window/stride arithmetic
+    is pure integers, exact in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = F.size("ws")
+    n_windows = F.floor((F.greatest(n - _WIN, F.lit(0)) + (_STRIDE - 1)) / _STRIDE)
+    seq = F.when(n >= 1, F.sequence(F.lit(0).cast("bigint"), n_windows)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    start = (F.col("chunk_idx") * _STRIDE + 1).cast("int")
+    return (
+        d.select("doc_id", tokens("text").alias("ws"))
+        .select("doc_id", "ws", F.explode(seq).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.cast("bigint").alias("start_tok"),
+            F.size(F.slice("ws", start, _WIN)).cast("bigint").alias("n_tok"),
+            F.array_join(F.slice("ws", start, _WIN), " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x48 — product-quantization ANN (ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(k: int = 5, m: int = 16, dsub: int = 4, n_cent: int = 64, stride: int = 7) -> str:
+    """Replay of operators.similarity.pq_topk: same stride centroids, same
+    bigint squared-L2 (computed via the exact double identity
+    d2 = <a,a> - 2<a,b> + <b,b>; all dots < 2^33, exact in IEEE doubles),
+    same (d2, code) argmin tie-break, same ADC sum + rank order."""
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    sub AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+                   list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                  x -> CAST(x AS DOUBLE)) AS sv
+            FROM q CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    cents AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+              FROM sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    asgn AS (SELECT s.vec_id, s.sub, c.code,
+                    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                         + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2
+             FROM sub s JOIN cents c USING (sub)),
+    codes AS (SELECT vec_id AS neighbor_id, sub, code
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d2, code) AS r
+                    FROM asgn)
+              WHERE r = 1),
+    lut AS (SELECT vec_id AS query_id, sub, code, d2 AS d2q
+            FROM asgn WHERE vec_id < 10),
+    scored AS (SELECT l.query_id, c.neighbor_id, CAST(SUM(l.d2q) AS BIGINT) AS approx_d2
+               FROM codes c JOIN lut l USING (sub, code)
+               WHERE l.query_id <> c.neighbor_id
+               GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("x48_pq_ann", oracle=_pq_oracle(), tags=("similarity", "ann", "pq"))
+def x48_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 via asymmetric distance
+    computation: the corpus is indexed as 16 codebook ids per vector (4-dim
+    subspaces, 64 stride-sampled centroids each) and queries are answered
+    from a broadcast (query, subspace, code) -> distance lookup table —
+    corpus vectors are never touched at query time.  The compressed-index
+    billion-scale ANN shape, complementing x07 (LSH) and x15 (IVF), which
+    prune WHICH vectors are scored where PQ compresses HOW."""
+    from hiveka_spark.operators.similarity import pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, m=16, dim=64, n_centroids=64, centroid_stride=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x49 — perceptual-hash image dedup (banding + Hamming verify)
+# ---------------------------------------------------------------------------
+
+_PH_BANDS = 4
+_PH_BAND_BITS = 15  # 4 x 15 = 60-bit hash (fits a positive bigint exactly)
+_PH_HAMMING = 6
+
+
+def _phash_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, phash, CAST({b} AS BIGINT) AS band_idx, "
+        f"(phash // {32768 ** b}) % 32768 AS band_val FROM p"
+        for b in range(_PH_BANDS)
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             list_reduce(
+               list_transform(range(0, 15),
+                 k -> CAST(strpos('0123456789abcdef',
+                                  substr(sha256(text), CAST(k + 1 AS INT), 1)) - 1 AS BIGINT)),
+               (acc, x) -> acc * 16 + x) AS phash
+      FROM documents),
+    e AS ({band_rows}),
+    pairs AS (
+      SELECT a.media_id, a.phash,
+             b.media_id AS partner, b.phash AS partner_hash
+      FROM e a JOIN e b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.media_id <> b.media_id),
+    stats AS (
+      SELECT media_id,
+             CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_band_mates,
+             CAST(COUNT(DISTINCT CASE WHEN bit_count(xor(phash, partner_hash)) <= {_PH_HAMMING}
+                                      THEN partner END) AS BIGINT) AS n_dups
+      FROM pairs GROUP BY 1)
+    SELECT p.media_id, p.phash,
+           COALESCE(s.n_band_mates, 0) AS n_band_mates,
+           COALESCE(s.n_dups, 0) AS n_dups
+    FROM p LEFT JOIN stats s USING (media_id)
+    """
+
+
+@register("x49_image_phash_dedup", oracle=_phash_oracle(), tags=("multimodal", "dedup", "phash"))
+def x49_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: run the media table through the real
+    Arrow-batched decode (mapInPandas, multimodal.py), derive a 60-bit
+    content hash from the decoded digest (the fake decode is digest-tiling,
+    so the hash is a pure function of the pixel buffer — with a real codec
+    this is where the DCT pHash goes), band it 4 x 15 bits, and count each
+    image's band-mates and Hamming<= {_PH_HAMMING} near-duplicates.
+
+    The image-side analog of x04 (SimHash text dedup): identical/near-
+    identical pixel content collides on every/most bands, and the pigeonhole
+    guarantee (any pair within Hamming 6 of a 60-bit hash agrees exactly on
+    >=1 of 4 bands at distance <=6... any pair differing in <=3 bands' worth
+    of bits shares a band) turns dedup into an equi-join on (band, value) —
+    never an all-pairs scan.  Candidate pairs carry only ids + two bigints;
+    the Hamming verify is a bit_count(xor) on the joined rows.
+
+    Every image is reported (left join back), so the output is one
+    deterministic row per image even on a dup-free corpus — the gate then
+    certifies the banding/verify arithmetic, not just a row count.
+    """
+    from hiveka_spark.operators.multimodal import decode_image_features, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    feats = decode_image_features(synthesize_media(d, "doc_id", "text"))
+    p = feats.select(
+        "media_id",
+        F.conv(F.substring("content_sha", 1, 15), 16, 10).cast("bigint").alias("phash"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band_idx"),
+                F.pmod(F.expr(f"phash DIV {32768 ** b}"), F.lit(32768)).alias("band_val"),
+            )
+            for b in range(_PH_BANDS)
+        ]
+    )
+    e = p.select("media_id", "phash", F.inline(bands))
+    a = e.select("media_id", "phash", "band_idx", "band_val")
+    b = e.select(
+        F.col("media_id").alias("partner"),
+        F.col("phash").alias("partner_hash"),
+        "band_idx",
+        "band_val",
+    )
+    stats = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("media_id") != F.col("partner"))
+        .groupBy("media_id")
+        .agg(
+            F.count_distinct("partner").cast("bigint").alias("n_band_mates"),
+            F.count_distinct(
+                F.when(
+                    F.bit_count(F.col("phash").bitwiseXOR(F.col("partner_hash")))
+                    <= _PH_HAMMING,
+                    F.col("partner"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+    )
+    return p.join(stats, "media_id", "left").select(
+        "media_id",
+        "phash",
+        F.coalesce("n_band_mates", F.lit(0).cast("bigint")).alias("n_band_mates"),
+        F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x50 — per-source corpus report ("dataset card" aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x50_corpus_report",
+    oracle="""
+    WITH t AS (SELECT source, doc_id, lang, n_chars,
+                      LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS n_tok,
+                      md5(text) AS h
+               FROM documents),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM t)
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MAX(n) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS BIGINT) AS p50_tokens,
+           CAST(SUM(n_chars) * 1000000 // MAX(n) AS BIGINT) AS avg_chars_micro
+    FROM r GROUP BY source
+    """,
+    tags=("stats", "report", "curation"),
+)
+def x50_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card report: doc/token totals, language spread,
+    exact-duplicate count (docs minus distinct content hashes), DISCRETE
+    median token count (the row at rank ceil(n/2) — percentile_disc, so the
+    value is an actual document's length and stays integer-exact, unlike
+    interpolating percentiles), and mean chars in integer micro-units.
+
+    Scale shape: 3 keyed shuffles of slim per-doc rows — ONE exchange on
+    source feeds BOTH window functions (rank + partition count share the
+    partitioning), then the two exact COUNT(DISTINCT)s on different columns
+    force Catalyst's Expand rewrite (rows x3, keyed on (source, h, lang,
+    gid)) plus the final re-key to source.  All exchanges carry only ids and
+    counters, never text.  The discrete median costs a per-source sort
+    (inherent to any exact percentile); at 100 TB you'd trade the exact
+    distinct counts for HLL sketches (q36's path) and drop the Expand.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    w_src = Window.partitionBy("source")
+    r = t.withColumn(
+        "rn", F.row_number().over(w_src.orderBy("n_tok", "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(w_src))
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        (F.max("n") - F.count_distinct("h")).cast("bigint").alias("n_exact_dups"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("n_tok")))
+        .cast("bigint")
+        .alias("p50_tokens"),
+        F.expr("CAST(sum(n_chars) * 1000000 DIV max(n) AS BIGINT)").alias(
+            "avg_chars_micro"
+        ),
+    )

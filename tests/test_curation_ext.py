@@ -1,0 +1,202 @@
+"""Semantic tests for the round-5 curation entries (curation_ext.py): the
+oracle-parity suite certifies engine agreement; these certify the operators
+mean what they claim on hand-built corpora."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+# ------------------------------------------------------------ x47 chunking
+
+
+def test_chunk_overlap_window_arithmetic(spark):
+    """80 tokens at window 32 / stride 24 -> starts 1, 25, 49; the windows
+    tile the doc with exactly 8 overlapping tokens between neighbors and the
+    last window runs to the end."""
+    words = " ".join(f"w{i:03d}" for i in range(80))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+
+    from hiveka_spark.operators.text import tokens
+    from hiveka_spark.queries.curation_ext import _STRIDE, _WIN
+
+    n = F.size("ws")
+    n_windows = F.floor((F.greatest(n - _WIN, F.lit(0)) + (_STRIDE - 1)) / _STRIDE)
+    seq = F.when(n >= 1, F.sequence(F.lit(0).cast("bigint"), n_windows)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    start = (F.col("chunk_idx") * _STRIDE + 1).cast("int")
+    out = (
+        df.select("doc_id", tokens("text").alias("ws"))
+        .select("doc_id", "ws", F.explode(seq).alias("chunk_idx"))
+        .select(
+            "chunk_idx",
+            start.cast("bigint").alias("start_tok"),
+            F.size(F.slice("ws", start, _WIN)).cast("bigint").alias("n_tok"),
+            F.array_join(F.slice("ws", start, _WIN), " ").alias("chunk_text"),
+        )
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [(r.chunk_idx, r.start_tok, r.n_tok) for r in out] == [
+        (0, 1, 32),
+        (1, 25, 32),
+        (2, 49, 32),
+    ]
+    # neighboring windows overlap by exactly WIN - STRIDE tokens
+    c0, c1 = out[0].chunk_text.split(), out[1].chunk_text.split()
+    assert c0[-(_WIN - _STRIDE):] == c1[: _WIN - _STRIDE]
+    # the union of windows covers every token exactly
+    covered = set()
+    for r in out:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 80
+
+
+def test_chunk_overlap_short_doc_single_window(spark):
+    df = REGISTRY["x47_chunk_overlap"].fn(spark, SF_SMOKE)
+    # every doc yields >= 1 chunk; chunk 0 always starts at token 1
+    firsts = df.filter(F.col("chunk_idx") == 0)
+    assert firsts.filter(F.col("start_tok") != 1).count() == 0
+    n_docs = df.select("doc_id").distinct().count()
+    assert firsts.count() == n_docs
+
+
+# ------------------------------------------------------------ x48 PQ / ADC
+
+
+def _clustered_corpus(spark, n_per=30):
+    """8 well-separated one-hot-ish base vectors + planted exact duplicates:
+    the structure PQ codebooks exploit (unlike the uniform-sphere fixture)."""
+    rows = []
+    vid = 0
+    for c in range(8):
+        base = [0.0] * 64
+        for d in range(8):
+            base[c * 8 + d] = 1.0
+        for j in range(n_per):
+            v = list(base)
+            v[c * 8] += 0.001 * j  # tiny within-cluster spread
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_exact_duplicate_achieves_min_distance(spark):
+    """A corpus vector identical to the query picks, in every subspace, the
+    centroid nearest the query's subvector — so its ADC distance is the
+    global minimum.  (Same-code vectors legitimately tie, so the assertion
+    is on the distance floor, not on rank-1 identity.)"""
+    from hiveka_spark.operators.similarity import pq_topk
+
+    corpus = _clustered_corpus(spark)
+    # vec 240 = exact copy of vec 0 (and NOT a centroid: 240 // 30 = 8 >= 8)
+    dup = corpus.filter(F.col("vec_id") == 0).select(
+        F.lit(240).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = corpus.unionByName(dup)
+    q = corpus.filter(F.col("vec_id") == 0)
+    # k >= corpus size: every neighbor is ranked, so the tie-break on ids
+    # can't push the (high-id) duplicate out of the returned set
+    top = pq_topk(corpus, q, k=241, m=16, dim=64, n_centroids=8, centroid_stride=30)
+    rows = {r.neighbor_id: (r.approx_d2, r.rank) for r in top.collect()}
+    assert 240 in rows
+    min_d2 = min(d2 for d2, _ in rows.values())
+    assert rows[240][0] == min_d2
+
+
+def test_pq_clustered_recall_beats_uniform(spark):
+    """On clustered data the PQ top-k stays within the query's cluster —
+    the codebook captures the structure."""
+    from hiveka_spark.operators.similarity import pq_topk
+
+    corpus = _clustered_corpus(spark)
+    q = corpus.filter(F.col("vec_id").isin(0, 30, 60))  # one query per cluster
+    top = pq_topk(corpus, q, k=5, m=16, dim=64, n_centroids=8, centroid_stride=30)
+    rows = top.collect()
+    assert len(rows) == 15
+    in_cluster = sum(1 for r in rows if r.neighbor_id // 30 == r.query_id // 30)
+    assert in_cluster / len(rows) >= 0.8
+
+
+def test_pq_is_lazy_no_corpus_action(spark):
+    """Building the PQ plan must trigger no Spark action (codebooks are
+    stride rows riding the same scan, never a collect/count)."""
+    from hiveka_spark.operators.similarity import pq_topk
+
+    def poison(batches):
+        raise RuntimeError("corpus scanned at plan-construction time")
+        yield  # pragma: no cover
+
+    corpus = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=1) for _ in range(64)]).alias("embedding"),
+        )
+        .mapInPandas(poison, "vec_id long, embedding array<double>")
+    )
+    pq_topk(corpus, corpus, k=5)  # must not raise
+
+
+# ------------------------------------------------------------ x49 pHash
+
+
+def test_phash_planted_duplicates_found(spark):
+    """Exact-duplicate content -> identical 60-bit hash -> collides on all 4
+    bands and verifies at Hamming 0; unrelated docs stay (almost surely)
+    unpaired at Hamming <= 6."""
+    from hiveka_spark.operators.multimodal import decode_image_features, synthesize_media
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} with its own words") for i in range(20)]
+        + [(20, "duplicated payload"), (21, "duplicated payload")],
+        "doc_id long, text string",
+    )
+    feats = decode_image_features(synthesize_media(docs, "doc_id", "text"))
+    p = feats.select(
+        "media_id",
+        F.conv(F.substring("content_sha", 1, 15), 16, 10).cast("bigint").alias("phash"),
+    )
+    hashes = {r.media_id: r.phash for r in p.collect()}
+    assert hashes[20] == hashes[21]
+    assert len(set(hashes.values())) == 21  # only the planted pair collides fully
+
+
+def test_phash_entry_reports_every_image(spark):
+    df = REGISTRY["x49_image_phash_dedup"].fn(spark, SF_SMOKE).toPandas()
+    assert len(df) == 500
+    assert (df["phash"] >= 0).all()  # 60-bit: always a positive bigint
+    assert (df["n_dups"] <= df["n_band_mates"]).all()
+
+
+# ------------------------------------------------------------ x50 report
+
+
+def test_corpus_report_median_is_observed_length(spark):
+    """p50 is percentile_disc: the reported median must be an actual
+    document's token count within that source."""
+    df = REGISTRY["x50_corpus_report"].fn(spark, SF_SMOKE)
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.text import tokens
+
+    d = table(spark, SF_SMOKE, "documents").select(
+        "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    merged = df.join(d, ["source"]).filter(F.col("p50_tokens") == F.col("n_tok"))
+    assert merged.select("source").distinct().count() == df.count()
+
+
+def test_corpus_report_totals(spark):
+    from hiveka_spark.catalog import table
+
+    rep = REGISTRY["x50_corpus_report"].fn(spark, SF_SMOKE)
+    total = rep.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == table(spark, SF_SMOKE, "documents").count()
+    assert rep.filter(F.col("n_exact_dups") < 0).count() == 0

@@ -240,3 +240,50 @@ def test_ivf_explicit_centroids_frame(spark):
         centroids=cents,
     )
     assert sorted(map(tuple, by_stride.collect())) == sorted(map(tuple, by_frame.collect()))
+
+
+def test_x47_chunking_is_map_only(spark):
+    """Tokenize -> window-count -> slice is all narrow expressions: the
+    chunker must plan ZERO exchanges (it scales with input bytes only)."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    assert shuffle_count(REGISTRY["x47_chunk_overlap"].fn(spark, SF_SMOKE)) == 0
+
+
+def test_x48_pq_broadcasts_lut_no_cartesian(spark):
+    """PQ/ADC: centroid join and the LUT join must both broadcast; nothing
+    may plan as a cartesian/nested-loop product, and the keyed aggregates
+    (code argmin, ADC sum, rank window) bound the exchanges at 3."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x48_pq_ann"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 3
+
+
+def test_x49_phash_band_join_no_cartesian(spark):
+    """pHash dedup: candidate generation must be an equi-join on
+    (band_idx, band_val) — never an all-pairs product over images."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    plan = formatted_plan(REGISTRY["x49_image_phash_dedup"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x50_report_window_feeds_groupby(spark):
+    """The dataset-card report: both window functions and the final group-by
+    stay keyed on source; the only extra exchanges are the multi-distinct
+    Expand rewrite (3 total, all on slim rows)."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    assert shuffle_count(REGISTRY["x50_corpus_report"].fn(spark, SF_SMOKE)) <= 3
