@@ -67,6 +67,12 @@ HEADLINE = [
     "x44_audio_features",
     "x45_gopher_rules",
     "x46_shingle_novelty",
+    "x47_chunk_overlap",
+    "x48_pq_ann",
+    "x49_image_phash_dedup",
+    "x50_corpus_report",
+    "x51_jsonl_roundtrip",
+    "x52_kmeans_clusters",
 ]
 
 

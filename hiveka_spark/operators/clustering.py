@@ -90,3 +90,89 @@ def dedup_clusters(
         F.min("node").alias("canonical_id"),
         (F.count(F.lit(1)) - 1).alias("removed"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_assign: int = 2,
+    centroid_stride: int = 61,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, ENGINE-EXACT so a
+    SQL oracle can replay every iteration: vectors are fixed-point-quantized
+    (similarity.QUANT), distances are bigint squared-L2, centroid updates are
+    truncating integer divisions (Spark DIV == DuckDB // semantics), and ties
+    break (d2, cell) ascending.  ``n_assign`` assignment rounds run with an
+    update between each pair — n_assign=2 is assign -> update -> assign.
+
+    The topic-clustering step of a curation pipeline (cluster-balanced
+    mixing, cluster-level dedup seeds, SemDeDup's codebook) expressed
+    Spark-first:
+
+    - ASSIGN: centroids are always a k-row broadcast; the argmin is a per-row
+      expression + row_number over (d2, cell) — the corpus never shuffles.
+    - UPDATE: posexplode to (cell, pos, component) and ONE map-side-combined
+      aggregate keyed (cell, pos) — k*dim result rows — then collect_list/
+      array_sort repacks the k centroid arrays.  No driver-side math, no
+      collect: the centroid frame stays a DataFrame and re-broadcasts.
+    - Initial centroids are deterministic id-stride rows (vec id = cell *
+      stride) — the same offline-codebook posture as ivf_topk/pq_topk; at
+      100 TB you'd seed with k-means|| output handed in the same shape.
+
+    Returns one row per cluster: (cell, n_members, inertia, min_member_id)
+    from the FINAL assignment — all bigint-exact.
+    """
+    from hiveka_spark.operators.similarity import with_quantized_norm
+
+    v = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("_id"), "qvec"
+    )
+    cents = v.filter(
+        (F.col("_id") % centroid_stride == 0)
+        & (F.col("_id") / centroid_stride < k)
+    ).select(
+        (F.col("_id") / centroid_stride).cast("bigint").alias("cell"),
+        F.col("qvec").alias("cvec"),
+    )
+
+    def d2_expr(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    from pyspark.sql import Window
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cents_df)).withColumn(
+            "d2", d2_expr(F.col("qvec"), F.col("cvec"))
+        )
+        w = Window.partitionBy("_id").orderBy("d2", "cell")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("_id", "qvec", "cell", "d2")
+        )
+
+    asgn = assign(cents)
+    for _ in range(n_assign - 1):
+        comp = (
+            asgn.select("cell", F.posexplode("qvec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.expr("CAST(sum(val) DIV count(val) AS BIGINT)").alias("cval"))
+        )
+        cents = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+        asgn = assign(cents)
+    return asgn.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+        F.min("_id").cast("bigint").alias("min_member_id"),
+    )

@@ -339,3 +339,117 @@ def x50_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x51 — JSONL ingestion roundtrip (raw-dump source path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x51_jsonl_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("source", "jsonl", "roundtrip"),
+)
+def x51_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source path, proven by roundtrip: write the documents table as
+    partitioned JSON-lines (the format raw LLM corpus dumps actually arrive
+    in), read it back through Spark's distributed JSON reader with an
+    EXPLICIT schema (schema inference is a full extra pass at 100 TB — never
+    infer in production), and aggregate.  The oracle computes the same
+    aggregate from the parquet directly, so any unicode-escaping /
+    type-coercion loss in the JSON encode->decode would break the hash —
+    sum_text_len pins exact string fidelity, not just row counts.
+
+    Scale shape: the write is one narrow pass (per-partition .json files),
+    the read is splittable line-delimited JSON, and the aggregate is
+    map-side combined.  JSON parsing costs ~10x a parquet scan (text parse +
+    no column pruning) — the entry documents the ingest edge, parquet stays
+    the working format.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="gate_jsonl_")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    d.write.mode("overwrite").json(out)
+    j = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x52 — distributed k-means (Lloyd) topic clustering
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, stride: int = 61, dim: int = 64) -> str:
+    """Replay of operators.clustering.kmeans_lloyd at n_assign=2: stride
+    centroids -> argmin assign -> truncating-int centroid update -> argmin
+    assign -> per-cell stats.  d2 uses the exact double identity (dots <
+    2^33); the update division uses // which matches Spark's DIV
+    (truncation toward zero) on the bigint component sums."""
+    d2 = (
+        "CAST(list_dot_product(v.qvd, v.qvd) - 2 * list_dot_product(v.qvd, c.cvd)"
+        " + list_dot_product(c.cvd, c.cvd) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    c0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS cell, qvd AS cvd
+           FROM v0 WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {k}),
+    s1 AS (SELECT v.vec_id, v.qv, v.qvd, c.cell, {d2} AS d2
+           FROM v0 v CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, qv, qvd, cell, d2
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+                 FROM s1)
+           WHERE r = 1),
+    u1 AS (SELECT cell, i, CAST(SUM(qv[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
+           FROM a1 CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i)
+           GROUP BY cell, i),
+    c1 AS (SELECT cell,
+                  list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cvd
+           FROM u1 GROUP BY cell),
+    s2 AS (SELECT v.vec_id, v.qvd, c.cell, {d2} AS d2
+           FROM v0 v CROSS JOIN c1 c),
+    a2 AS (SELECT vec_id, cell, d2
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+                 FROM s2)
+           WHERE r = 1)
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member_id
+    FROM a2 GROUP BY cell
+    """
+
+
+@register("x52_kmeans_clusters", oracle=_kmeans_oracle(), tags=("clustering", "kmeans", "iterative"))
+def x52_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, assign -> integer-exact centroid
+    update -> assign) over the embeddings table — the topic-clustering step
+    behind cluster-balanced mixing and SemDeDup codebooks.  The corpus never
+    shuffles for assignment (k-row centroid broadcast + per-row argmin); the
+    update is one (cell, pos)-keyed aggregate producing k*64 rows.  Every
+    iteration is bigint/truncating-div exact, so the DuckDB oracle replays
+    both rounds bit-for-bit."""
+    from hiveka_spark.operators.clustering import kmeans_lloyd
+
+    e = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)

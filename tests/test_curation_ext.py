@@ -200,3 +200,55 @@ def test_corpus_report_totals(spark):
     total = rep.agg(F.sum("n_docs")).collect()[0][0]
     assert total == table(spark, SF_SMOKE, "documents").count()
     assert rep.filter(F.col("n_exact_dups") < 0).count() == 0
+
+
+# ------------------------------------------------------------ x52 k-means
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """8 well-separated clusters with stride-seeded centroids (one seed per
+    cluster): every vector must land in its own cluster after 2 assignment
+    rounds, and each reported cell holds exactly the 30 planted members."""
+    from hiveka_spark.operators.clustering import kmeans_lloyd
+
+    corpus = _clustered_corpus(spark)  # ids 0..239, cluster = id // 30
+    out = kmeans_lloyd(corpus, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=30)
+    rows = sorted(out.collect(), key=lambda r: r.cell)
+    assert len(rows) == 8
+    assert all(r.n_members == 30 for r in rows)
+    # centroid c was seeded from vec 30c, so cell c's min member is 30c's cluster start
+    assert [r.min_member_id for r in rows] == [0, 30, 60, 90, 120, 150, 180, 210]
+
+
+def test_kmeans_total_membership(spark):
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.clustering import kmeans_lloyd
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    out = kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    total = out.agg(F.sum("n_members")).collect()[0][0]
+    assert total == e.count()
+
+
+# ------------------------------------------------------------ x51 JSONL
+
+
+def test_jsonl_roundtrip_preserves_text_exactly(spark):
+    """Unicode + escapes survive the JSON write->read: per-doc text equality,
+    not just aggregate counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, 'quotes "inside" and \\ backslash'),
+            (2, "unicode: é中文 ☃"),
+            (3, "newline-free but\ttabbed"),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="test_jsonl_")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, text string").json(out)
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    rt = {r.doc_id: r.text for r in back.collect()}
+    assert rt == orig

@@ -287,3 +287,16 @@ def test_x50_report_window_feeds_groupby(spark):
 
     _ensure_loaded()
     assert shuffle_count(REGISTRY["x50_corpus_report"].fn(spark, SF_SMOKE)) <= 3
+
+
+def test_x52_kmeans_assignment_broadcasts(spark):
+    """k-means assignment must broadcast the k-row centroid frame; the only
+    joins are vs that broadcast — no CartesianProduct over the corpus."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x52_kmeans_clusters"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

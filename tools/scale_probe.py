@@ -132,6 +132,59 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
             F.sum(F.col("pc").cast(dec) * F.col("pc")),
         )
 
+    def pq_encode():
+        # x48's scale-dominant stage: subvector explode + broadcast-codebook
+        # join + per-(vector, subspace) argmin.  The codebook stays FIXED
+        # under replication (stride ids only exist in replica 0), so encode
+        # work must grow linearly with corpus size; the query/LUT side is
+        # constant.
+        from hiveka_spark.operators.similarity import pq_topk
+
+        emb = replicate(table(spark, sf_dir, "embeddings"), n, ["vec_id"])
+        q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        return pq_topk(emb, q, k=5)
+
+    def chunk_overlap():
+        # x47 end-to-end: map-only (zero exchanges), must scale with bytes
+        from hiveka_spark.operators.text import tokens
+
+        ws = tokens("text")
+        nw = F.floor((F.greatest(F.size("ws") - 32, F.lit(0)) + 23) / 24)
+        seq = F.when(F.size("ws") >= 1, F.sequence(F.lit(0).cast("bigint"), nw)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        start = (F.col("i") * 24 + 1).cast("int")
+        c = (
+            docs.select("doc_id", ws.alias("ws"))
+            .select("doc_id", "ws", F.explode(seq).alias("i"))
+            .select(F.size(F.slice("ws", start, 32)).alias("nt"))
+        )
+        return c.groupBy().agg(F.sum("nt"))
+
+    def phash_banding():
+        # x49's banding stage: 60-bit hash + 4-way band explode + band-count
+        # agg (the pair join is duplicate-rate-sensitive — random 15-bit
+        # bands keep candidates ~n^2/2^15 per band, probed implicitly via
+        # the count agg staying bounded)
+        p = docs.select(
+            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("phash")
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("bigint").alias("band_idx"),
+                    F.pmod(F.expr(f"phash DIV {32768 ** b}"), F.lit(32768)).alias(
+                        "band_val"
+                    ),
+                )
+                for b in range(4)
+            ]
+        )
+        e = p.select(F.inline(bands))
+        return e.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)))
+
     return [
         ("q01_agg_scan", q01),
         ("join_lineitem_orders", join_agg),
@@ -143,6 +196,9 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         ("bm25_postings", bm25_postings),
         ("semdedup_cell_assign", semdedup_assign),
         ("exact_stats_moments", exact_stats),
+        ("pq_encode_adc", pq_encode),
+        ("chunk_overlap_map", chunk_overlap),
+        ("phash_banding", phash_banding),
     ]
 
 
