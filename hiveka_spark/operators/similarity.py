@@ -348,40 +348,67 @@ def pq_topk(
     dsub = dim // m
 
     def subvectors(df: DataFrame, out_id: str) -> DataFrame:
-        """(id, sub, sv): quantized dsub-slice per subspace — narrow explode."""
-        q = quantized(vec_col)
+        """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
+        SCALAR columns, not an array — the pair-distance below then compiles
+        to plain codegen arithmetic instead of interpreted higher-order
+        array functions (zip_with/aggregate don't whole-stage-codegen; the
+        scalar form measured ~5x faster on the encode join).  The quantized
+        array is materialized ONCE per row first — element_at over the raw
+        transform expression would re-evaluate the (interpreted) lambda once
+        per extracted component, m*dsub = dim times per row."""
         subs = F.array(
             *[
                 F.struct(
                     F.lit(s).cast("bigint").alias("sub"),
-                    F.slice(q, s * dsub + 1, dsub).alias("sv"),
+                    *[
+                        F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
+                        for i in range(dsub)
+                    ],
                 )
                 for s in range(m)
             ]
         )
-        return df.select(F.col(id_col).alias(out_id), F.inline(subs))
+        return df.select(
+            F.col(id_col).alias(out_id), quantized(vec_col).alias("_qv")
+        ).select(out_id, F.inline(subs))
 
-    def d2_expr(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+    def d2_expr(a_prefix: str, b_prefix: str) -> Column:
+        """Sum of squared component deltas — pure codegen-able bigint math."""
+        terms = [
+            (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
+            * (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
+            for i in range(dsub)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
 
     c_sub = subvectors(corpus, "_id")
+    # Degenerate-parallelism guard: the encode join multiplies each corpus
+    # row by m*n_centroids, so a single-file input (1 scan partition — the
+    # gate/bench shape) would run the whole 1000x-expanded stage in ONE
+    # task.  Repartition the slim (id, 4 ints) subvector rows — keyed on
+    # the vector id so the argmin groupBy needs no second exchange — up to
+    # the cluster's parallelism.  At 100 TB the scan already has thousands
+    # of partitions and this branch never fires.  (getNumPartitions is plan
+    # metadata — no job; measured 16x-replica encode: 56s -> 4.4s.)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if c_sub.rdd.getNumPartitions() < target:
+        c_sub = c_sub.repartition(target, F.col("_id"))
     cents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
         & (F.col("_id") / centroid_stride < n_centroids)
     ).select(
         (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
         "sub",
-        F.col("sv").alias("cv"),
+        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
     )
     # encode: nearest centroid per (vector, subspace); min(struct) is the
     # deterministic argmin (d2 asc, code asc) and map-side combines
     codes = (
         c_sub.join(F.broadcast(cents), "sub")
-        .withColumn("d2", d2_expr(F.col("sv"), F.col("cv")))
+        .withColumn("d2", d2_expr("sv_", "cv_"))
         .groupBy("_id", "sub")
         .agg(F.min(F.struct("d2", "code")).alias("mc"))
         .select(F.col("_id").alias("neighbor_id"), "sub", F.col("mc.code").alias("code"))
@@ -391,7 +418,7 @@ def pq_topk(
         subvectors(queries, "query_id")
         .join(F.broadcast(cents), "sub")
         .select(
-            "query_id", "sub", "code", d2_expr(F.col("sv"), F.col("cv")).alias("d2q")
+            "query_id", "sub", "code", d2_expr("sv_", "cv_").alias("d2q")
         )
     )
     scored = (

@@ -453,3 +453,56 @@ def x52_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+
+
+# ---------------------------------------------------------------------------
+# x53 — bucketed co-located fact-fact join (pay-once layout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x53_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketing", "layout"),
+)
+def x53_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-once bucketed layout as a gate entry: write lineitem and
+    orders hash-bucketed (and per-bucket sorted) on the join key, then join
+    and aggregate.  Catalyst detects the matching HashPartitioning from the
+    bucket metadata and plans the fact-fact join with ZERO Exchange on
+    either side — at 100 TB this removes the two dominant shuffles of every
+    repeated big-big join (the layout cost is paid once, amortized over all
+    downstream joins; `tests/test_bucketing.py` pins 0 shuffles vs >= 2 for
+    the raw-parquet plan).  Revenue sums integer cents so the oracle — the
+    same join computed WITHOUT the layout — matches bit-for-bit: bucketing
+    must change the plan, never the answer."""
+    import tempfile
+
+    from hiveka_spark.operators.bucketing import (
+        colocated_join,
+        prepare_bucketed_db,
+        write_bucketed,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    db = "gate_bucketed"
+    prepare_bucketed_db(spark, db, tempfile.mkdtemp(prefix="gate_bucketed_"))
+    write_bucketed(li, f"{db}.lineitem_b", ["l_orderkey"], 16)
+    write_bucketed(o, f"{db}.orders_b", ["o_orderkey"], 16)
+    j = colocated_join(
+        spark, f"{db}.lineitem_b", f"{db}.orders_b", "l_orderkey", "o_orderkey"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

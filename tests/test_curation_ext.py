@@ -252,3 +252,53 @@ def test_jsonl_roundtrip_preserves_text_exactly(spark):
     orig = {r.doc_id: r.text for r in docs.collect()}
     rt = {r.doc_id: r.text for r in back.collect()}
     assert rt == orig
+
+
+# ------------------------------------------------------------ JSONL policy
+
+
+def _write_mixed_jsonl(tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 2, "text": "another good"}\n'
+        '{"doc_id": "NaN-ish-garbage", "text": 42broken\n'
+    )
+    return str(p)
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    from hiveka_spark.sources.jsonl import read_jsonl, split_quarantine
+
+    df = read_jsonl(spark, _write_mixed_jsonl(tmp_path), "doc_id bigint, text string")
+    clean, bad = split_quarantine(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    bad_lines = [r._corrupt_record for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json at all" in bad_lines[0] or "not json at all" in bad_lines[1]
+
+
+def test_jsonl_failfast_raises(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hiveka_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(
+        spark, _write_mixed_jsonl(tmp_path), "doc_id bigint, text string", mode="FAILFAST"
+    )
+    with pytest.raises(Py4JJavaError):
+        df.collect()
+
+
+def test_jsonl_dropmalformed_drops(spark, tmp_path):
+    from hiveka_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(
+        spark,
+        _write_mixed_jsonl(tmp_path),
+        "doc_id bigint, text string",
+        mode="DROPMALFORMED",
+    )
+    assert {r.doc_id for r in df.collect()} == {1, 2}

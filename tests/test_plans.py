@@ -254,7 +254,9 @@ def test_x47_chunking_is_map_only(spark):
 def test_x48_pq_broadcasts_lut_no_cartesian(spark):
     """PQ/ADC: centroid join and the LUT join must both broadcast; nothing
     may plan as a cartesian/nested-loop product, and the keyed aggregates
-    (code argmin, ADC sum, rank window) bound the exchanges at 3."""
+    (code argmin, ADC sum, rank window) bound the exchanges at 3 — plus one
+    more when the degenerate-parallelism guard repartitions a single-file
+    gate input (at scale that branch never fires)."""
     from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
 
@@ -264,7 +266,7 @@ def test_x48_pq_broadcasts_lut_no_cartesian(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 4
 
 
 def test_x49_phash_band_join_no_cartesian(spark):
@@ -300,3 +302,14 @@ def test_x52_kmeans_assignment_broadcasts(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_x53_bucketed_join_zero_join_shuffles(spark):
+    """The gate entry's returned frame reads two identically-bucketed tables:
+    the join must plan with no Exchange on either side — the only shuffle is
+    the final aggregate."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x53_bucketed_join"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) <= 1

@@ -306,6 +306,11 @@ def main() -> None:
     out_path = None
     if "--write" in sys.argv:
         out_path = sys.argv[sys.argv.index("--write") + 1]
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        # probe a subset; rows for probes NOT run are carried over from the
+        # existing --write file so incremental runs don't drop history
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     from hiveka_spark.session import get_spark
 
     spark = get_spark("scale-probe")
@@ -313,8 +318,18 @@ def main() -> None:
     scales = [4, 16, 64]
     results: dict[str, dict[int, float]] = {}
     rows_out: dict[str, dict[int, int]] = {}
+    all_main_names = [name for name, _ in probes(spark, sf_dir, 1)]
+    all_dup_names = [name for name, _ in dup_rate_probes(spark, 1)]
+    old_rows: dict[str, str] = {}
+    if only and out_path and os.path.exists(out_path):
+        with open(out_path) as fh:
+            for ln in fh:
+                if ln.startswith("| ") and ln.count("|") >= 6:
+                    old_rows[ln.split("|")[1].strip()] = ln.rstrip("\n")
     for n in scales:
         for name, build in probes(spark, sf_dir, n):
+            if only is not None and name not in only:
+                continue
             build().count()  # warm codegen/plan for this shape
             t0 = time.perf_counter()
             build().count()
@@ -322,6 +337,8 @@ def main() -> None:
             results.setdefault(name, {})[n] = dt
             print(f"n={n} {name}: {dt:.2f}s", file=sys.stderr)
         for name, build in dup_rate_probes(spark, n):
+            if only is not None and name not in only:
+                continue
             build().count()
             t0 = time.perf_counter()
             rows = build().count()
@@ -340,14 +357,16 @@ def main() -> None:
         "| operator | 4x | 16x | 64x | r(4->16) | r(16->64) |",
         "|---|---|---|---|---|---|",
     ]
-    for name, t in results.items():
-        if name in rows_out:
-            continue  # controlled-dup probes get their own table below
-        r1 = t[16] / t[4] if t[4] else float("nan")
-        r2 = t[64] / t[16] if t[16] else float("nan")
-        lines.append(
-            f"| {name} | {t[4]:.2f}s | {t[16]:.2f}s | {t[64]:.2f}s | {r1:.2f} | {r2:.2f} |"
-        )
+    for name in all_main_names:
+        if name in results:
+            t = results[name]
+            r1 = t[16] / t[4] if t[4] else float("nan")
+            r2 = t[64] / t[16] if t[16] else float("nan")
+            lines.append(
+                f"| {name} | {t[4]:.2f}s | {t[16]:.2f}s | {t[64]:.2f}s | {r1:.2f} | {r2:.2f} |"
+            )
+        elif name in old_rows:
+            lines.append(old_rows[name])
     lines += [
         "",
         "Replication multiplies row counts without inventing new value",
@@ -360,19 +379,22 @@ def main() -> None:
         "holds under skew; superlinear drift would mean a leak.",
         "",
     ]
-    if rows_out:
+    if rows_out or any(n in old_rows for n in all_dup_names):
         lines += [
             "| operator (end-to-end) | 4x | 16x | 64x | r(4->16) | r(16->64) | pairs@64x |",
             "|---|---|---|---|---|---|---|",
         ]
-        for name in rows_out:
-            t = results[name]
-            r1 = t[16] / t[4] if t[4] else float("nan")
-            r2 = t[64] / t[16] if t[16] else float("nan")
-            lines.append(
-                f"| {name} | {t[4]:.2f}s | {t[16]:.2f}s | {t[64]:.2f}s "
-                f"| {r1:.2f} | {r2:.2f} | {rows_out[name][64]} |"
-            )
+        for name in all_dup_names:
+            if name in rows_out:
+                t = results[name]
+                r1 = t[16] / t[4] if t[4] else float("nan")
+                r2 = t[64] / t[16] if t[16] else float("nan")
+                lines.append(
+                    f"| {name} | {t[4]:.2f}s | {t[16]:.2f}s | {t[64]:.2f}s "
+                    f"| {r1:.2f} | {r2:.2f} | {rows_out[name][64]} |"
+                )
+            elif name in old_rows:
+                lines.append(old_rows[name])
         lines.append("")
         lines.append(
             "Synthetic bases: 1000 docs / 500 vectors per unit scale "
