@@ -121,8 +121,10 @@ def kmeans_lloyd(
       stride) — the same offline-codebook posture as ivf_topk/pq_topk; at
       100 TB you'd seed with k-means|| output handed in the same shape.
 
-    Returns one row per cluster: (cell, n_members, inertia, min_member_id)
-    from the FINAL assignment — all bigint-exact.
+    Returns the FINAL assignment, one row per vector: (<id_col>, cell, d2) —
+    the frame downstream curation steps consume (cluster-balanced sampling,
+    per-cluster dedup seeds).  Summaries are one aggregate away (see
+    ``kmeans_summary``).  All bigint-exact.
     """
     from hiveka_spark.operators.similarity import with_quantized_norm
 
@@ -171,8 +173,14 @@ def kmeans_lloyd(
             ).alias("cvec")
         )
         asgn = assign(cents)
-    return asgn.groupBy("cell").agg(
+    return asgn.select(F.col("_id").alias(id_col), "cell", "d2")
+
+
+def kmeans_summary(assignments: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster rollup of a kmeans_lloyd assignment frame:
+    (cell, n_members, inertia, min_member_id) — the dashboard/gate shape."""
+    return assignments.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("d2").cast("bigint").alias("inertia"),
-        F.min("_id").cast("bigint").alias("min_member_id"),
+        F.min(id_col).cast("bigint").alias("min_member_id"),
     )

@@ -449,10 +449,11 @@ def x52_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     update is one (cell, pos)-keyed aggregate producing k*64 rows.  Every
     iteration is bigint/truncating-div exact, so the DuckDB oracle replays
     both rounds bit-for-bit."""
-    from hiveka_spark.operators.clustering import kmeans_lloyd
+    from hiveka_spark.operators.clustering import kmeans_lloyd, kmeans_summary
 
     e = table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    asgn = kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    return kmeans_summary(asgn)
 
 
 # ---------------------------------------------------------------------------

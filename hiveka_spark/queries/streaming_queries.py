@@ -584,3 +584,53 @@ def s14_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_user",
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("gap_ms"),
     )
+
+
+@register(
+    "s15_stream_jsonl_ingest",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+    FROM documents GROUP BY source
+    """,
+    tags=("streaming", "source", "jsonl"),
+)
+def s15_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of raw JSON-lines dumps — the file-drop twin of the
+    Kafka path: batch-write documents as JSONL, stream the directory back
+    through the file source with an EXPLICIT schema and PERMISSIVE
+    corrupt-line quarantine (sources/jsonl.py's policy surface), filter to
+    clean rows, aggregate per source in complete mode.  The drained result
+    must equal the batch aggregate computed from parquet — sum_text_len pins
+    string fidelity through JSON encode -> micro-batch decode.  The
+    streaming shape is the production one for landed-file corpora: new
+    dumps appear in the directory, maxFilesPerTrigger paces them, the
+    aggregate rolls forward."""
+    import tempfile
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.sources.jsonl import CORRUPT_COL
+
+    out = tempfile.mkdtemp(prefix="gate_sjsonl_")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    d.write.mode("overwrite").json(out)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            f"n_chars bigint, {CORRUPT_COL} string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(out)
+    )
+    clean = stream.filter(F.col(CORRUPT_COL).isNull())
+    agg = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+    )
+    return _drain(agg, "s15_jsonl", "complete", shuffle_partitions=8)

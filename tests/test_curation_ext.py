@@ -209,10 +209,13 @@ def test_kmeans_recovers_planted_clusters(spark):
     """8 well-separated clusters with stride-seeded centroids (one seed per
     cluster): every vector must land in its own cluster after 2 assignment
     rounds, and each reported cell holds exactly the 30 planted members."""
-    from hiveka_spark.operators.clustering import kmeans_lloyd
+    from hiveka_spark.operators.clustering import kmeans_lloyd, kmeans_summary
 
     corpus = _clustered_corpus(spark)  # ids 0..239, cluster = id // 30
-    out = kmeans_lloyd(corpus, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=30)
+    asgn = kmeans_lloyd(corpus, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=30)
+    # per-vector assignments: every planted vector in its seed's cluster
+    assert asgn.filter(F.col("cell") != F.floor(F.col("vec_id") / 30)).count() == 0
+    out = kmeans_summary(asgn)
     rows = sorted(out.collect(), key=lambda r: r.cell)
     assert len(rows) == 8
     assert all(r.n_members == 30 for r in rows)
@@ -222,10 +225,12 @@ def test_kmeans_recovers_planted_clusters(spark):
 
 def test_kmeans_total_membership(spark):
     from hiveka_spark.catalog import table
-    from hiveka_spark.operators.clustering import kmeans_lloyd
+    from hiveka_spark.operators.clustering import kmeans_lloyd, kmeans_summary
 
     e = table(spark, SF_SMOKE, "embeddings")
-    out = kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    out = kmeans_summary(
+        kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    )
     total = out.agg(F.sum("n_members")).collect()[0][0]
     assert total == e.count()
 

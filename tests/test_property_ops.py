@@ -89,3 +89,56 @@ def test_stratified_sample_matches_python_hash(spark, rows, en_rate):
         if _hash60(str(i)) % 100 < rates.get(lang, 0)
     }
     assert got == expect
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8)
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_overlap_invariants(spark, n_tokens):
+    """For any document length: every token is covered by >=1 window,
+    consecutive windows overlap by exactly WIN-STRIDE tokens (when both are
+    full), all windows except possibly the last are full, and the window
+    count is 1 + ceil(max(n-WIN,0)/STRIDE) (0-token docs emit nothing)."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.operators.text import tokens
+    from hiveka_spark.queries.curation_ext import _STRIDE, _WIN
+
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = F.size("ws")
+    n_windows = F.floor((F.greatest(n - _WIN, F.lit(0)) + (_STRIDE - 1)) / _STRIDE)
+    seq = F.when(n >= 1, F.sequence(F.lit(0).cast("bigint"), n_windows)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    start = (F.col("chunk_idx") * _STRIDE + 1).cast("int")
+    out = (
+        df.select("doc_id", tokens("text").alias("ws"))
+        .select("doc_id", "ws", F.explode(seq).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.slice("ws", start, _WIN)).alias("n_tok"),
+            F.array_join(F.slice("ws", start, _WIN), " ").alias("chunk_text"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n_tok in enumerate(n_tokens):
+        rows = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if n_tok == 0:
+            assert rows == []
+            continue
+        expected = 1 + max(0, -(-(max(n_tok - _WIN, 0)) // _STRIDE))
+        assert len(rows) == expected
+        covered = set()
+        for r in rows:
+            covered.update(r.chunk_text.split())
+        assert len(covered) == n_tok  # full coverage, distinct tokens
+        for r in rows[:-1]:
+            assert r.n_tok == _WIN  # only the last window may run short
