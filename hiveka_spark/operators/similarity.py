@@ -24,8 +24,18 @@ QUANT = 10000  # fixed-point scale for engine-exact cosine
 
 
 def quantized(col: Column | str) -> Column:
-    """array<float> -> array<bigint> fixed-point at 1e-4 resolution."""
-    return F.transform(col, lambda x: F.round(x * QUANT, 0).cast("bigint"))
+    """array<float> -> array<bigint> fixed-point at 1e-4 resolution.
+
+    The component is cast to DOUBLE before the multiply: float32 * int runs
+    in float32, where x * 1e4 can land within half an ulp of a .5 boundary
+    that the true double product is on the other side of (observed: float
+    -0.042849998921 -> float32 product exactly -428.5 -> HALF_UP -429, vs
+    the double product -428.49998921 -> -428).  Every SQL oracle promotes
+    float to double before arithmetic, so double-first is the portable
+    semantic."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
+    )
 
 
 def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -108,7 +108,7 @@ def _pq_oracle(k: int = 5, m: int = 16, dsub: int = 4, n_cent: int = 64, stride:
     same (d2, code) argmin tie-break, same ADC sum + rank order."""
     return f"""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     sub AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
                    list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
@@ -409,7 +409,7 @@ def _kmeans_oracle(k: int = 8, stride: int = 61, dim: int = 64) -> str:
     )
     return f"""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
     c0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS cell, qvd AS cvd
@@ -506,4 +506,49 @@ def x53_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x54 — hive-partitioned layout + partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x54_partitioned_layout",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang
+    """,
+    tags=("layout", "partitioning", "pruning"),
+)
+def x54_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning as a gate entry: write
+    documents partitioned by lang (directory-per-value layout), read back
+    with a lang predicate, aggregate.  The predicate resolves against
+    DIRECTORY NAMES at planning time — non-matching partitions are never
+    opened, the I/O lever that turns a 100 TB corpus scan into a
+    100 GB-per-language one (`tests/test_plans.py` asserts the plan's
+    PartitionFilters carries the predicate and the scan reads only the two
+    matching partitions).  The oracle computes the same aggregate from the
+    unpartitioned parquet: layout changes I/O, never the answer.
+
+    Partition-column cardinality discipline: partition by LOW-cardinality
+    routing keys (lang, source, date) only — a high-cardinality partition
+    column (doc_id...) explodes into millions of tiny directories and kills
+    the file listing; high-cardinality layout belongs to bucketing (x53).
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="gate_partlayout_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "zh"))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )

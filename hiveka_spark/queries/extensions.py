@@ -218,7 +218,7 @@ def _neardup_lsh_oracle(
     )
     return f"""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     n AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
     e AS (SELECT vec_id, qvd, list_dot_product(qvd, qvd) AS n2,
@@ -251,7 +251,7 @@ def x05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x05x_embedding_neardup_exact",
     oracle="""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     n AS (SELECT vec_id, qv,
                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
@@ -280,7 +280,7 @@ def x05x_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x06_ann_topk",
     oracle="""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     n AS (SELECT vec_id, qv,
                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
@@ -318,7 +318,7 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 4, dim: int = 64) -> str:
     )
     return f"""
     WITH q AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     n AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
     b AS (SELECT vec_id, qvd, list_dot_product(qvd, qvd) AS n2, {bucket} AS bucket FROM n),
@@ -355,7 +355,7 @@ def _ann_ivf_oracle(
 ) -> str:
     return f"""
     WITH q AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
                   list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),

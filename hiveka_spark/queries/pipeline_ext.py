@@ -572,7 +572,7 @@ _SEM_STRIDE = 31
 def _x37_oracle() -> str:
     return f"""
     WITH q AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
                   list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),

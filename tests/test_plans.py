@@ -313,3 +313,17 @@ def test_x53_bucketed_join_zero_join_shuffles(spark):
     _ensure_loaded()
     df = REGISTRY["x53_bucketed_join"].fn(spark, SF_SMOKE)
     assert shuffle_count(df) <= 1
+
+
+def test_x54_partition_pruning_reaches_scan(spark):
+    """The lang predicate must appear as a PartitionFilter (pruned at
+    planning from directory names), not a post-scan Filter over all rows."""
+    from hiveka_spark.plans.inspect import formatted_plan, partition_filters
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x54_partitioned_layout"].fn(spark, SF_SMOKE)
+    pf = " ".join(partition_filters(df))
+    assert "lang" in pf, f"lang missing from PartitionFilters: {pf}"
+    plan = formatted_plan(df)
+    assert "PartitionFilters: []" not in plan
