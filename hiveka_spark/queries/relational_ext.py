@@ -716,16 +716,36 @@ def q46_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     dec = "decimal(38,0)"
+    # The second-moment sums overflow bigint at scale (pc^2 <= 1e14/row; a
+    # 100 TB lineitem is ~4e11 rows -> 4e25), but per-row decimal(38)
+    # accumulation is ~3x slower than bigint in the hash aggregate.  So each
+    # wide sum is SPLIT into two bigint sums — floor(x/1e9) and x%1e9, both
+    # provably < 2^63 at any realistic row count (hi <= 1e5/row, lo < 1e9/
+    # row) — and recombined in decimal(38) only on the 5 group rows.  The
+    # terms are non-negative, so DIV/% truncation == floor and the split is
+    # exact; sp/sq stay plain bigint (<= 1e7/row).
+    B = 10**9
     c = li.select(
-        "l_returnflag", pc.alias("pc"), qc.alias("qc")
+        "l_returnflag",
+        pc.alias("pc"),
+        qc.alias("qc"),
+        (pc * pc).alias("pp"),
+        (qc * qc).alias("qq"),
+        (pc * qc).alias("pq"),
     )
+
+    def split_sum(col: str):
+        hi = F.sum(F.expr(f"{col} DIV {B}")).cast(dec)
+        lo = F.sum(F.expr(f"{col} % {B}")).cast(dec)
+        return (hi * B + lo).alias(f"s{col}")
+
     s = c.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("pc").cast(dec)).alias("sp"),
-        F.sum(F.col("pc").cast(dec) * F.col("pc")).alias("spp"),
-        F.sum(F.col("qc").cast(dec)).alias("sq"),
-        F.sum(F.col("qc").cast(dec) * F.col("qc")).alias("sqq"),
-        F.sum(F.col("pc").cast(dec) * F.col("qc")).alias("spq"),
+        F.sum("pc").cast(dec).alias("sp"),
+        split_sum("pp").alias("spp"),
+        F.sum("qc").cast(dec).alias("sq"),
+        split_sum("qq").alias("sqq"),
+        split_sum("pq").alias("spq"),
     )
     n = F.col("n")
     var_num = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
