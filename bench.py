@@ -73,6 +73,7 @@ HEADLINE = [
     "x50_corpus_report",
     "x51_jsonl_roundtrip",
     "x52_kmeans_clusters",
+    "x55_ivfpq_ann",
 ]
 
 

@@ -445,6 +445,156 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    m: int = 16,
+    dim: int = 64,
+    n_centroids: int = 64,
+    centroid_stride: int = 7,
+) -> DataFrame:
+    """IVF + PQ stacked (the FAISS IVFPQ composition): a coarse quantizer
+    prunes WHICH vectors are scored (each query probes its ``n_probe``
+    nearest of ``n_cells`` Voronoi cells, squared-L2) and product
+    quantization compresses HOW (scoring is ADC over m codebook ids — the
+    corpus vectors are touched only at index-build time).  At billion scale
+    this is the standard memory/latency point: cell pruning cuts candidates
+    ~n_probe/n_cells, the PQ index is ~16 B/vector, and query cost is a
+    broadcast-LUT equi-join over the probed cells only.
+
+    Plan shape: cell assignment and codebook encode both ride the same
+    corpus scan (stride-row centroids broadcast — the offline-training
+    posture, zero extra corpus passes); the probe table (|Q| * n_probe
+    rows) and the ADC LUT both broadcast; the only shuffles are the keyed
+    argmin/ADC aggregates.  All arithmetic is bigint squared-L2, so the
+    DuckDB oracle replays cell choice, codes, and ADC sums bit-for-bit.
+    """
+    dsub = dim // m
+
+    v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < target:
+        v = v.repartition(target, F.col("_id"))  # same guard as pq_topk
+    qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+
+    def l2_expr(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    ccents = v.filter(
+        (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
+    ).select((F.col("_id") / cell_stride).cast("bigint").alias("cell"), F.col("_qv").alias("_cv"))
+
+    def cell_assign(side: DataFrame, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(ccents)).withColumn(
+            "cd2", l2_expr(F.col("_qv"), F.col("_cv"))
+        )
+        w = Window.partitionBy("_id").orderBy("cd2", "cell")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select("_id", "cell")
+        )
+
+    corp_cell = cell_assign(v, 1)
+    probes = cell_assign(qv, n_probe).select(
+        F.col("_id").alias("query_id"), "cell"
+    )
+
+    def sub_cols(df: DataFrame, out_id: str) -> DataFrame:
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("bigint").alias("sub"),
+                    *[
+                        F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                for s in range(m)
+            ]
+        )
+        return df.select(F.col("_id").alias(out_id), F.inline(subs))
+
+    def d2_cols() -> Column:
+        terms = [
+            (F.col(f"sv_{i}") - F.col(f"cv_{i}")) * (F.col(f"sv_{i}") - F.col(f"cv_{i}"))
+            for i in range(dsub)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    pcents = sub_cols(v, "_id").filter(
+        (F.col("_id") % centroid_stride == 0)
+        & (F.col("_id") / centroid_stride < n_centroids)
+    ).select(
+        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+        "sub",
+        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
+    )
+    # index build: attach each vector's cell (id-keyed join of two
+    # corpus-sized frames — this is the one big-big join and it happens at
+    # BUILD time, not per query), then encode; cell rides the argmin keys
+    # (it is functionally dependent on the vector id, so no extra groups)
+    subs_with_cell = v.join(corp_cell, "_id")
+    subs_with_cell = subs_with_cell.select(
+        "_id",
+        "cell",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("sub"),
+                        *[
+                            F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
+                            for i in range(dsub)
+                        ],
+                    )
+                    for s in range(m)
+                ]
+            )
+        ),
+    )
+    codes = (
+        subs_with_cell.join(F.broadcast(pcents), "sub")
+        .withColumn("d2", d2_cols())
+        .groupBy("_id", "cell", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("mc"))
+        .select(
+            F.col("_id").alias("neighbor_id"), "cell", "sub", F.col("mc.code").alias("code")
+        )
+    )
+    lut = (
+        sub_cols(qv, "query_id")
+        .join(F.broadcast(pcents), "sub")
+        .select("query_id", "sub", "code", d2_cols().alias("d2q"))
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").cast("bigint").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

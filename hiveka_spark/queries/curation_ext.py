@@ -552,3 +552,88 @@ def x54_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x55 — IVF + PQ stacked ANN (FAISS IVFPQ composition)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    m: int = 16,
+    dsub: int = 4,
+    n_cent: int = 64,
+    stride: int = 7,
+) -> str:
+    """Replay of operators.similarity.ivfpq_topk: same L2 cell assignment
+    (exact double identity), same probe set, same PQ codes and ADC sums."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    cell_d2 = d2.format(a="v.qvd", b="c.cvd")
+    pq_d2 = d2.format(a="s.sv", b="c.cv")
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells}),
+    crank AS (SELECT vec_id, cell, r FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {cell_d2}, c.cell) AS r
+                FROM v0 v CROSS JOIN ccents c)),
+    corpcell AS (SELECT vec_id, cell FROM crank WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM crank WHERE r <= {n_probe} AND vec_id < 10),
+    sub AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+                   list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                  x -> CAST(x AS DOUBLE)) AS sv
+            FROM q CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    pcents AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+               FROM sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    asgn AS (SELECT s.vec_id, s.sub, c.code, {pq_d2} AS d2
+             FROM sub s JOIN pcents c USING (sub)),
+    codes AS (SELECT vec_id, sub, code
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d2, code) AS r FROM asgn)
+              WHERE r = 1),
+    lut AS (SELECT vec_id AS query_id, sub, code, d2 AS d2q FROM asgn WHERE vec_id < 10),
+    scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                      CAST(SUM(l.d2q) AS BIGINT) AS approx_d2
+               FROM codes c
+               JOIN corpcell cc ON cc.vec_id = c.vec_id
+               JOIN probes p ON p.cell = cc.cell
+               JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                         AND l.query_id = p.query_id
+               WHERE l.query_id <> c.vec_id
+               GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("x55_ivfpq_ann", oracle=_ivfpq_oracle(), tags=("similarity", "ann", "ivf", "pq"))
+def x55_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ stacked approximate top-5 — the FAISS IVFPQ composition and
+    the billion-scale default: a 16-cell coarse quantizer prunes WHICH
+    vectors each query scores (4 probes), PQ compresses HOW (ADC over 16
+    codebook ids from a broadcast LUT).  Cell pruning and code compression
+    compose multiplicatively: candidate volume drops ~4x while the per-
+    candidate cost drops from a 64-dim dot product to 16 LUT adds."""
+    from hiveka_spark.operators.similarity import ivfpq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=16, n_probe=4, cell_stride=31,
+        m=16, dim=64, n_centroids=64, centroid_stride=7,
+    )

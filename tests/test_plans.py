@@ -327,3 +327,19 @@ def test_x54_partition_pruning_reaches_scan(spark):
     assert "lang" in pf, f"lang missing from PartitionFilters: {pf}"
     plan = formatted_plan(df)
     assert "PartitionFilters: []" not in plan
+
+
+def test_x55_ivfpq_no_cartesian_bounded_shuffles(spark):
+    """IVFPQ: centroids, probes, and the ADC LUT all broadcast; no
+    CartesianProduct anywhere.  Exchanges are bounded (repartition guard,
+    two cell-argmin windows, code argmin, the build-time id-keyed cell
+    join, ADC sum, rank) — all keyed, none corpus-squared."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x55_ivfpq_ann"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 9
