@@ -637,3 +637,43 @@ def x55_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, n_cells=16, n_probe=4, cell_stride=31,
         m=16, dim=64, n_centroids=64, centroid_stride=7,
     )
+
+
+# ---------------------------------------------------------------------------
+# x56 — salted shuffle join (hot-key splitting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x56_salted_join",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+               FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(u.user_events) AS BIGINT) AS sum_user_activity
+    FROM events e JOIN u USING (user_id)
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def x56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe shuffle join as a gate entry: enrich each event with its
+    user's total activity via operators.skew.salted_join — left rows get a
+    row-hash salt, the (small) right side is replicated per salt value, and
+    the join key becomes (user_id, salt), so one dominant user's rows fan
+    out across salt_n reducers instead of melting a single task.  The salt
+    only moves work, never the answer — which is exactly what the plain
+    unsalted SQL oracle certifies.  (x16 covers salted AGGREGATION; this is
+    the salted JOIN, for when the right side is too large to broadcast and
+    AQE's runtime skew split can't see the skew — e.g. a first-pass join
+    with no stats.)"""
+    from hiveka_spark.operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("user_events"))
+    j = salted_join(e, u, ["user_id"], salt_n=8)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("user_events").cast("bigint").alias("sum_user_activity"),
+    )

@@ -634,3 +634,80 @@ def s15_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
     )
     return _drain(agg, "s15_jsonl", "complete", shuffle_partitions=8)
+
+
+@register(
+    "s16_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ms,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "sink", "upsert", "foreachBatch"),
+)
+def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-UPSERT sink — the pattern for maintaining a
+    serving table from a stream when the sink has no native merge: each
+    micro-batch is aggregated per key and merged (sum counts, max
+    last-seen, sum integer cents) into a VERSIONED state snapshot
+    (state/v{batch_id}), so a replayed batch id overwrites its own version
+    instead of double-counting — idempotence comes from the version key,
+    exactly the mechanism a Delta/Iceberg MERGE gives you for free.
+
+    The fixture is re-written as 4 parquet files and streamed with
+    maxFilesPerTrigger=1, so the merge logic is exercised across 4 REAL
+    micro-batches (a single-batch drain would never merge at all — the s07
+    lesson).  The drained final snapshot must equal the batch aggregate of
+    the whole table — streaming-upsert convergence, hash-checked."""
+    import os
+    import tempfile
+
+    from hiveka_spark.catalog import table
+
+    src_dir = tempfile.mkdtemp(prefix="gate_fbsrc_")
+    state_root = tempfile.mkdtemp(prefix="gate_fbstate_")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    latest: dict[str, str | None] = {"path": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max(F.unix_millis("ts")).cast("bigint").alias("last_ms"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        if latest["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(latest["path"])
+            b = (
+                prev.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.max("last_ms").cast("bigint").alias("last_ms"),
+                    F.sum("value_cents").cast("bigint").alias("value_cents"),
+                )
+            )
+        out = os.path.join(state_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s16_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert latest["path"] is not None
+    return spark.read.parquet(latest["path"])
