@@ -711,3 +711,55 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert latest["path"] is not None
     return spark.read.parquet(latest["path"])
+
+
+@register(
+    "s17_stream_kafka_decode",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    """,
+    tags=("streaming", "kafka", "avro", "decode"),
+)
+def s17_stream_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Kafka-decode parity — the reference's scan loop as a real
+    micro-batch stream: produce Avro-framed wire records into the broker
+    simulator (write_kafka: encode + keyed partition routing + per-partition
+    offsets), consume the topic log with SimBroker.stream (the simulator's
+    readStream.format('kafka')), run the SAME decode_wire the batch path
+    uses (the Arrow-batched Avro codec runs per micro-batch), aggregate in
+    complete mode, drain with availableNow.  The drained result must equal
+    the batch aggregate over the produced subset — the streaming and batch
+    decode paths are one code path, certified by one oracle (A13–A18 + A23
+    as a live stream instead of repeated batch pulls, the upgrade over the
+    reference's KafkaInputFormat.java:471-501 resume loop)."""
+    import tempfile
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig, decode_wire, write_kafka
+    from hiveka_spark.sources.kafka_sim import SimBroker
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["events_live"],
+        ddl="event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simstream_"))
+    broker.create_topic("events_live", partitions=4)
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    write_kafka(rows, cfg, "events_live", key_col="user_id", broker=broker)
+    wire_stream = broker.stream(spark, "events_live")
+    typed = decode_wire(wire_stream, cfg)
+    agg = typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    return _drain(agg, "s17_kafka_decode", "complete", shuffle_partitions=8)
