@@ -677,3 +677,49 @@ def x56_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("user_events").cast("bigint").alias("sum_user_activity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x57 — exact-k-per-group deterministic sample (dev-set carving)
+# ---------------------------------------------------------------------------
+
+_K_PER_SOURCE = 5
+
+
+@register(
+    "x57_fixed_k_sample",
+    oracle=f"""
+    SELECT source, doc_id, h_rank
+    FROM (SELECT source, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':devset'),
+                                                  doc_id) AS BIGINT) AS h_rank
+          FROM documents)
+    WHERE h_rank <= {_K_PER_SOURCE}
+    """,
+    tags=("sampling", "devset", "deterministic"),
+)
+def x57_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample — dev/holdout-set carving:
+    take EXACTLY {_K_PER_SOURCE} documents per source, chosen by ranking on
+    an md5 of the id + a salt tag.  Complements x23 (rate-based stratified
+    sampling): rates give you proportions, this gives fixed-size per-stratum
+    sets that are stable across reruns AND across engines (the hash order is
+    data-derived, so adding new documents to a source does not reshuffle
+    which old ones were picked beyond the insertion points — unlike
+    RAND()-seeded sampling, which is partition-order-dependent and
+    irreproducible in Spark).
+
+    Scale shape: one shuffle keyed on the stratum; the rank is a per-group
+    sort of (16-byte hash, id) pairs.  For millions of groups this is the
+    standard plan; for a FEW huge groups you'd pre-filter with a hash-prefix
+    predicate (keep only rows whose md5 starts below a bound ~ k/n) to cut
+    the sorted volume — the x23 trick composed in front of this one."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":devset")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("source", "doc_id")
+        .withColumn("h_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("h_rank") <= _K_PER_SOURCE)
+    )
