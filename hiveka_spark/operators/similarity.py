@@ -494,20 +494,26 @@ def ivfpq_topk(
         (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
     ).select((F.col("_id") / cell_stride).cast("bigint").alias("cell"), F.col("_qv").alias("_cv"))
 
-    def cell_assign(side: DataFrame, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(ccents)).withColumn(
+    def cell_scores(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(ccents)).withColumn(
             "cd2", l2_expr(F.col("_qv"), F.col("_cv"))
         )
-        w = Window.partitionBy("_id").orderBy("cd2", "cell")
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n)
-            .select("_id", "cell")
-        )
 
-    corp_cell = cell_assign(v, 1)
-    probes = cell_assign(qv, n_probe).select(
-        F.col("_id").alias("query_id"), "cell"
+    # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break as
+    # a rank-1 window but map-side combinable — no per-key sort of the
+    # n*n_cells scored rows
+    corp_cell = (
+        cell_scores(v)
+        .groupBy("_id")
+        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
+        .select("_id", F.col("m.cell").alias("cell"))
+    )
+    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    probes = (
+        cell_scores(qv)
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("_id").alias("query_id"), "cell")
     )
 
     def sub_cols(df: DataFrame, out_id: str) -> DataFrame:
