@@ -185,6 +185,26 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         e = p.select(F.inline(bands))
         return e.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)))
 
+    def kmeans_two_rounds():
+        # x52 end-to-end: assign -> integer centroid update -> assign.  The
+        # stride seeds exist only in replica 0, so k stays fixed and both
+        # assignment passes + the (cell, pos)-keyed update must scale
+        # linearly with corpus size.
+        from hiveka_spark.operators.clustering import kmeans_lloyd, kmeans_summary
+
+        emb = replicate(table(spark, sf_dir, "embeddings"), n, ["vec_id"])
+        return kmeans_summary(kmeans_lloyd(emb, k=8, n_assign=2, centroid_stride=61))
+
+    def ivfpq_e2e():
+        # x55 end-to-end: cell assign + PQ encode + probe-pruned ADC for a
+        # FIXED 10-query set — index-build work grows linearly, query work
+        # grows with the probed fraction (~n_probe/n_cells of the corpus).
+        from hiveka_spark.operators.similarity import ivfpq_topk
+
+        emb = replicate(table(spark, sf_dir, "embeddings"), n, ["vec_id"])
+        q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        return ivfpq_topk(emb, q, k=5)
+
     return [
         ("q01_agg_scan", q01),
         ("join_lineitem_orders", join_agg),
@@ -199,6 +219,8 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         ("pq_encode_adc", pq_encode),
         ("chunk_overlap_map", chunk_overlap),
         ("phash_banding", phash_banding),
+        ("kmeans_two_rounds", kmeans_two_rounds),
+        ("ivfpq_e2e", ivfpq_e2e),
     ]
 
 
