@@ -376,3 +376,67 @@ def test_left_outer_ssj_watermark_eviction(spark):
     )
     got = sorted((row["user_id"], row["p_user"]) for row in out.collect())
     assert got == [(1, None), (2, 2)]
+
+
+def test_foreachbatch_upsert_merges_across_real_batches(spark, tmp_path):
+    """The s16 pattern: a 3-file source with maxFilesPerTrigger=1 must invoke
+    the sink 3 times, and the versioned merge must converge to the batch
+    aggregate (replaying proves merge, not just single-batch passthrough)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    state_root = str(tmp_path / "state")
+    spark.range(300).select(
+        (F.col("id") % 10).alias("user_id"), F.col("id").alias("v")
+    ).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    calls: list[int] = []
+    latest: dict[str, str | None] = {"path": None}
+
+    def sink(batch_df, batch_id):
+        calls.append(batch_id)
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        )
+        if latest["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(latest["path"])
+            b = (
+                prev.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("sv").cast("bigint").alias("sv"),
+                )
+            )
+        out = os.path.join(state_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(calls) == 3, f"expected 3 micro-batches, sink saw {calls}"
+    final = {
+        r.user_id: (r.n, r.sv)
+        for r in spark.read.parquet(latest["path"]).collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.sv)
+        for r in spark.range(300)
+        .select((F.col("id") % 10).alias("user_id"), F.col("id").alias("v"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").cast("bigint").alias("sv"))
+        .collect()
+    }
+    assert final == expected
