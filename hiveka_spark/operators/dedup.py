@@ -634,3 +634,72 @@ def minhash_cross_contamination(
         F.col("id_b").alias("eval_id"),
         "jaccard",
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    reuse: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC containment C(A in B) = |sh(A) n sh(B)| / |sh(A)| >=
+    threshold — excerpt/quotation detection: a short document largely
+    contained in a long one scores high containment while its Jaccard stays
+    low (the union is dominated by the long side), so Jaccard dedup (x02)
+    systematically misses subset duplication.  The standard companion metric
+    in corpus curation (quote mining, boilerplate provenance, eval-leak
+    containment).
+
+    Candidate generation is a ONE-SIDED prefix filter: if C(A in B) >= t
+    then A shares >= ceil(t*|A|) shingles with B, so at least one shared
+    shingle lies in A's |A| - ceil(t*|A|) + 1 rarest (same argument as
+    AllPairs, applied to the contained side only).  The B side must index
+    ALL its shingles (no symmetric prefix exists for containment), so
+    posting lists carry the full corpus — the dfreq==1 drop still applies
+    (a shingle in one doc can't pair two), and the one-sided length filter
+    |B| >= t*|A| prunes candidates where B is too small to contain A's
+    overlap.  Verify is exact array_intersect on candidates only.
+
+    Output: (id_a, id_b, containment[floor4]) with id_a != id_b — BOTH
+    directions are evaluated independently (containment is not symmetric).
+    """
+    sh_df = _shingle_sets(df, id_col, text_col, k, reuse)
+    from pyspark.sql import Window
+
+    sh = sh_df.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    # both the A-prefix and the B-postings branch read this frame; persist so
+    # the explode + dfreq join runs once (same lifecycle discipline as
+    # _shingle_sets — dedup_cache_scope() owns the unpersist)
+    shf = sh.join(dfreq, "s").filter(F.col("dfreq") > 1)
+    if reuse:
+        shf = _persist_tracked(shf)
+    w = Window.partitionBy("doc").orderBy("dfreq", "s")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
+    a_prefix = (
+        shf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
+    )
+    b_post = shf.select(F.col("doc").alias("id_b"), "s", F.col("n").alias("nb"))
+    cand = (
+        a_prefix.join(b_post, "s")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= F.col("na") * threshold - 1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh_df.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("containment", F.floor(i * 10000.0 / F.size("sh_a")) / 10000.0)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

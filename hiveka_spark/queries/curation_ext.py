@@ -723,3 +723,42 @@ def x57_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("h_rank") <= _K_PER_SOURCE)
     )
+
+
+# ---------------------------------------------------------------------------
+# x58 — asymmetric shingle containment (excerpt detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x58_shingle_containment",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 4, 1))) AS i
+                 FROM w)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(FLOOR(i * 10000.0 / sa.n) AS BIGINT) / 10000.0 AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(FLOOR(i * 10000.0 / sa.n) AS BIGINT) / 10000.0 >= 0.6
+    """,
+    tags=("dedup", "containment", "excerpt"),
+)
+def x58_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A in B) = |sh(A) n sh(B)| / |sh(A)| >= 0.6
+    over word-5-gram shingles — excerpt/quotation detection, the subset-
+    duplication case Jaccard dedup (x02) systematically misses (a short doc
+    inside a long one has high containment but low Jaccard).  Candidates
+    come from a ONE-SIDED rarity-prefix filter on the contained side plus a
+    one-sided length filter; the oracle computes the exact all-pairs answer,
+    so a green row proves the prefix filter is LOSSLESS, not just fast.
+    `operators/dedup.py::shingle_containment_pairs`."""
+    from hiveka_spark.operators.dedup import shingle_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(d, "doc_id", "text", k=5, threshold=0.6)

@@ -332,3 +332,31 @@ def test_ivfpq_candidates_subset_of_probed_cells(spark):
     }
     for r in out:
         assert pq[(r.query_id, r.neighbor_id)] == r.approx_d2
+
+
+# ------------------------------------------------------------ x58 containment
+
+
+def test_containment_detects_excerpt_asymmetrically(spark):
+    """A short doc fully contained in a long one: containment(short in long)
+    = 1.0, containment(long in short) far below threshold — and Jaccard
+    would miss the pair entirely at 0.6 (union dominated by the long doc)."""
+    from hiveka_spark.operators.dedup import shingle_containment_pairs
+
+    excerpt = " ".join(f"core{i}" for i in range(20))
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(80))
+        + " " + excerpt + " "
+        + " ".join(f"post{i}" for i in range(80))
+    )
+    filler = " ".join(f"other{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, long_doc), (3, filler)], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in shingle_containment_pairs(docs, k=5, threshold=0.6).collect()
+    }
+    assert out.get((1, 2)) == 1.0  # excerpt fully inside the long doc
+    assert (2, 1) not in out  # the long doc is NOT contained in the excerpt
+    assert all(3 not in pair for pair in out)
