@@ -762,3 +762,101 @@ def x58_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return shingle_containment_pairs(d, "doc_id", "text", k=5, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# x59 — sparse TF-IDF document similarity (text-space top-k)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SCALE = 100000  # weight quantization: keeps all norms/dots < 2^53
+
+
+@register(
+    "x59_tfidf_doc_similarity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))
+                 AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    wgt AS (SELECT doc_id, term,
+                   CAST(FLOOR(tf * {_TFIDF_SCALE}.0 / dfreq) AS BIGINT) AS w
+            FROM tf JOIN dfq USING (term)),
+    nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wgt GROUP BY 1),
+    dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                    SUM(q.w * c.w) AS dot
+             FROM wgt q JOIN wgt c USING (term)
+             WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      CAST(FLOOR(dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE)))
+                                 * 10000.0) AS BIGINT) / 10000.0 AS cosine
+               FROM dots
+               JOIN nrm nq ON nq.doc_id = query_id
+               JOIN nrm nc ON nc.doc_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "tfidf", "sparse", "search"),
+)
+def x59_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-5 — text-space document similarity, the
+    postings-join complement to the dense-embedding ANN family (x06/x07/
+    x15/x48/x55): documents are sparse vectors over the vocabulary, weights
+    are rational tf/df in integer micro-units (log-free idf, same discipline
+    as x27/x35 — division is engine-exact where ln is not), and the dot
+    product is an equi-join on the TERM with a (query, doc)-keyed sum —
+    sparse similarity never materializes vectors, so corpus cost scales with
+    postings, not vocabulary x docs.
+
+    Scale shape: tf aggregate (map-side combined), vocabulary-sized df
+    frame joined back on term (hot terms bounded by the vocab side), query
+    postings broadcast (|Q| docs' terms), one keyed dot aggregate, norm
+    join, rank.  Weights are floor-quantized at 1e5 so every norm and dot
+    stays under 2^53 — the bigint sums are exact and the final cosine is
+    one deterministic IEEE expression per pair."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    wgt = tf.join(dfq, "term").select(
+        "doc_id",
+        "term",
+        F.floor(F.col("tf") * float(_TFIDF_SCALE) / F.col("dfreq"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    nrm = wgt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    q = wgt.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq")
+    )
+    dots = (
+        wgt.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("dot"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("n2").alias("nq2"))
+    nc = nrm.select(F.col("doc_id").alias("neighbor_id"), F.col("n2").alias("nc2"))
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.floor(
+                F.col("dot")
+                / (F.sqrt(F.col("nq2").cast("double")) * F.sqrt(F.col("nc2").cast("double")))
+                * 10000.0
+            )
+            / 10000.0,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
