@@ -818,16 +818,23 @@ def x59_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, rank.  Weights are floor-quantized at 1e5 so every norm and dot
     stays under 2^53 — the bigint sums are exact and the final cosine is
     one deterministic IEEE expression per pair."""
+    from hiveka_spark.operators.dedup import _persist_tracked
+
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    wgt = tf.join(dfq, "term").select(
-        "doc_id",
-        "term",
-        F.floor(F.col("tf") * float(_TFIDF_SCALE) / F.col("dfreq"))
-        .cast("bigint")
-        .alias("w"),
+    # four branches read the weighted postings (norms, query side, dot join);
+    # persist so tokenize + tf + df runs once (scope-aware, CacheManager
+    # dedupes repeat invocations — same discipline as dedup._shingle_sets)
+    wgt = _persist_tracked(
+        tf.join(dfq, "term").select(
+            "doc_id",
+            "term",
+            F.floor(F.col("tf") * float(_TFIDF_SCALE) / F.col("dfreq"))
+            .cast("bigint")
+            .alias("w"),
+        )
     )
     nrm = wgt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     q = wgt.filter(F.col("doc_id") < 10).select(
