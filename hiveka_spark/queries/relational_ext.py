@@ -773,3 +773,62 @@ def q46_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("corr_price_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — RANGE-interval window frames (time-based sliding state per key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_range_frame_window",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(cents) OVER w AS BIGINT) AS cents_last_hour,
+           CAST(MIN(ms) OVER w AS BIGINT) AS window_open_ms
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "time-series"),
+)
+def q47_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frames: for every event, aggregate the SAME
+    user's events in the trailing hour — the time-based sliding frame (RANGE
+    over an ordering VALUE interval) that ROWS frames (q29) cannot express
+    when events are irregularly spaced.  The frame is anchored on epoch
+    millis, so the bound arithmetic is pure integers; value sums are integer
+    cents.  NOTE a subtlety both engines share and the oracle certifies:
+    RANGE frames include ALL PEERS of the boundary values, so two events of
+    one user in the same millisecond always see each other regardless of
+    row order — which is exactly what makes the result deterministic where
+    a ROWS frame on a non-unique ordering would not be.
+
+    One shuffle (hash by user), per-partition ordered scan with a sliding
+    accumulator — Spark's WindowExec keeps only the active frame buffered,
+    so memory is bounded by the densest hour per user, not the partition.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
+        F.min("ms").over(w).cast("bigint").alias("window_open_ms"),
+    )
