@@ -763,3 +763,75 @@ def s17_stream_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
     )
     return _drain(agg, "s17_kafka_decode", "complete", shuffle_partitions=8)
+
+
+@register(
+    "s18_stream_confluent_decode",
+    oracle="""
+    SELECT lang, schema_path,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, 'v1->v2' AS schema_path, n_chars
+          FROM documents WHERE doc_id % 3 = 0)
+    GROUP BY lang, schema_path
+    """,
+    tags=("streaming", "kafka", "confluent", "registry"),
+)
+def s18_stream_confluent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed registry decode as a LIVE STREAM: documents are
+    encoded under registry schema v1 (0x00 magic + big-endian schema id),
+    produced into the broker simulator, the topic then EVOLVES to v2 (new
+    field with an Avro default), and each micro-batch resolves every
+    record's writer schema from its header id and surfaces rows under the
+    v2 reader schema — streaming schema evolution, the exact situation a
+    long-running consumer hits when producers upgrade mid-stream.  Composes
+    s17 (streaming wire decode) with x43 (Confluent framing + resolution);
+    the oracle aggregates the source subset with the v2 default constant,
+    so framing, per-record id resolution, and Avro schema resolution are
+    hash-checked through the micro-batch path."""
+    import json as _json
+    import tempfile
+    from dataclasses import replace
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        with_confluent_framing,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.sources.schema_registry import FileSchemaRegistry
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    registry = FileSchemaRegistry(tempfile.mkdtemp(prefix="gate_s18_reg_"))
+    cfg_v1 = KafkaTableConfig(
+        "sim://gate",
+        whitelist_topics=["docs_live_confluent"],
+        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
+    )
+    cfg_v1 = with_confluent_framing(cfg_v1, registry, "docs_live_confluent")
+    broker = SimBroker(tempfile.mkdtemp(prefix="gate_s18_broker_"))
+    broker.create_topic("docs_live_confluent", partitions=2)
+    write_kafka(d, cfg_v1, "docs_live_confluent", key_col="doc_id", broker=broker)
+
+    v1 = _json.loads(cfg_v1.schema_json())
+    v2 = {
+        **v1,
+        "fields": v1["fields"]
+        + [{"name": "schema_path", "type": "string", "default": "v1->v2"}],
+    }
+    registry.register("docs_live_confluent", v2)
+    cfg_v2 = replace(cfg_v1, ddl=None, avro_schema=v2)
+
+    wire_stream = broker.stream(spark, "docs_live_confluent")
+    decoded = decode_wire(
+        wire_stream, cfg_v2, registry=registry, registry_topic="docs_live_confluent"
+    )
+    agg = decoded.groupBy("lang", "schema_path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return _drain(agg, "s18_confluent", "complete", shuffle_partitions=8)
