@@ -832,3 +832,66 @@ def q47_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("bigint").alias("cents_last_hour"),
         F.min("ms").over(w).cast("bigint").alias("window_open_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — deterministic set aggregation (sorted collect + argmax with tie-break)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_sorted_set_agg",
+    oracle="""
+    WITH seg AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+                 FROM customer GROUP BY 1, 2),
+    top AS (SELECT c_nationkey, c_mktsegment AS top_segment
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                    ORDER BY n DESC, LENGTH(c_mktsegment), c_mktsegment) AS r
+                  FROM seg)
+            WHERE r = 1)
+    SELECT n.n_name,
+           CAST(SUM(s.n) AS BIGINT) AS n_customers,
+           list_aggregate(list_sort(list(DISTINCT s.c_mktsegment)), 'string_agg', '|')
+             AS segments,
+           MAX(t.top_segment) AS top_segment
+    FROM seg s
+    JOIN top t USING (c_nationkey)
+    JOIN nation n ON n.n_nationkey = s.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "collect", "deterministic"),
+)
+def q48_sorted_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic set aggregation — the reproducibility trap collect_set
+    sets for pipelines: its element ORDER is partition-order-dependent, so
+    any downstream hash/serialization of the raw set is irreproducible.
+    The fix certified here: sort the collected set before emitting
+    (array_sort + array_join -> one canonical string) and break argmax ties
+    totally (max_by on a (count, tie-break...) struct — here count, then
+    shorter-name-first, then name) so 'most common segment per nation' is a
+    function of the DATA, not the schedule.  The oracle recomputes both in
+    SQL; a green hash proves order-independence end-to-end."""
+    c = table(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        seg.join(F.broadcast(n), seg["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
+            # min over (-n, len, name) == argmax on count with (shorter,
+            # alphabetically-first) tie-breaks — a TOTAL order, so the winner
+            # is data-determined (bare max_by ties are schedule-determined)
+            F.min_by(
+                "c_mktsegment",
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.length("c_mktsegment").alias("len"),
+                    F.col("c_mktsegment"),
+                ),
+            ).alias("top_segment"),
+        )
+    )
