@@ -673,17 +673,25 @@ def shingle_containment_pairs(
     # both the A-prefix and the B-postings branch read this frame; persist so
     # the explode + dfreq join runs once (same lifecycle discipline as
     # _shingle_sets — dedup_cache_scope() owns the unpersist)
-    shf = sh.join(dfreq, "s").filter(F.col("dfreq") > 1)
+    shf = sh.join(dfreq, "s")
     if reuse:
         shf = _persist_tracked(shf)
     w = Window.partitionBy("doc").orderBy("dfreq", "s")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - 1e-9) + 1
+    # Rank over ALL shingles, drop dfreq==1 only AFTER ranking (the x02
+    # discipline).  Filtering first is correctness-safe but scale-broken: a
+    # doc whose rare shingles are all corpus-unique would then PROMOTE a hot
+    # shingle into its prefix, and the hot posting list turns candidate
+    # generation quadratic (measured: 16x hot-shingle corpus 242s -> 13s).
     a_prefix = (
         shf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
+        .filter(F.col("dfreq") > 1)
         .select(F.col("doc").alias("id_a"), "s", F.col("n").alias("na"))
     )
-    b_post = shf.select(F.col("doc").alias("id_b"), "s", F.col("n").alias("nb"))
+    b_post = shf.filter(F.col("dfreq") > 1).select(
+        F.col("doc").alias("id_b"), "s", F.col("n").alias("nb")
+    )
     cand = (
         a_prefix.join(b_post, "s")
         .filter(

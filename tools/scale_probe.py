@@ -316,10 +316,19 @@ def dup_rate_probes(spark: SparkSession, n: int):
             vecs, "vec_id", "embedding", threshold=0.7, n_planes=n_planes
         )
 
+    def x58_end_to_end():
+        # containment's B side indexes ALL postings (no symmetric prefix
+        # exists), so the planted 50%-hot shingle is the adversarial case:
+        # the A-side rarity prefix must exclude it (rank over ALL shingles,
+        # dfreq==1 dropped AFTER ranking) or candidates go quadratic
+        # (measured 242s at 16x with the drop-first ordering; 3s after).
+        return D.shingle_containment_pairs(docs, threshold=0.6, reuse=False)
+
     return [
         ("x02_jaccard_e2e_5pct_dups", x02_end_to_end),
         ("x03_minhash_e2e_5pct_dups", x03_end_to_end),
         ("x05_lsh_e2e_5pct_dups_scaled_planes", x05_end_to_end),
+        ("x58_containment_e2e_hot_shingle", x58_end_to_end),
     ]
 
 
