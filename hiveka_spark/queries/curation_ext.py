@@ -335,9 +335,16 @@ def x50_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("n_tok")))
         .cast("bigint")
         .alias("p50_tokens"),
-        F.expr("CAST(sum(n_chars) * 1000000 DIV max(n) AS BIGINT)").alias(
-            "avg_chars_micro"
-        ),
+        # sum(n_chars)*1e6 wraps bigint once one source holds ~9.2e12 chars
+        # (~9 TB of text), so the scaled mean is formed by quotient/
+        # remainder split instead: floor(s*1e6/n) == (s DIV n)*1e6 +
+        # (s%n)*1e6 DIV n for non-negative s (exact identity; every term
+        # stays far under 2^63 — s DIV n is the per-doc mean, s%n < n).
+        # Pure bigint, so no decimal rounding-mode hazards either.
+        F.expr(
+            "CAST((sum(n_chars) DIV max(n)) * 1000000"
+            " + (sum(n_chars) % max(n)) * 1000000 DIV max(n) AS BIGINT)"
+        ).alias("avg_chars_micro"),
     )
 
 

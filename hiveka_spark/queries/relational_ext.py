@@ -719,12 +719,15 @@ def q46_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The second-moment sums overflow bigint at scale (pc^2 <= 1e14/row; a
     # 100 TB lineitem is ~4e11 rows -> 4e25), but per-row decimal(38)
     # accumulation is ~3x slower than bigint in the hash aggregate.  So each
-    # wide sum is SPLIT into two bigint sums — floor(x/1e9) and x%1e9, both
-    # provably < 2^63 at any realistic row count (hi <= 1e5/row, lo < 1e9/
-    # row) — and recombined in decimal(38) only on the 5 group rows.  The
-    # terms are non-negative, so DIV/% truncation == floor and the split is
-    # exact; sp/sq stay plain bigint (<= 1e7/row).
-    B = 10**9
+    # wide sum is SPLIT into two bigint sums — floor(x/B) and x%B with
+    # B=1e7, giving hi <= 1.2e7/row and lo < 1e7/row, so BOTH partial sums
+    # stay under ~5e18 (< 2^63) even at 4e11 rows — and recombined in
+    # decimal(38) only on the 5 group rows.  (B=1e9 would cap hi at 1e5/row
+    # but let sum(lo) wrap past 2^63 beyond ~1.8e10 rows; 1e7 balances the
+    # halves.)  The terms are non-negative, so DIV/% truncation == floor and
+    # the split is exact; sp/sq stay plain bigint (<= 1e7/row, safe to
+    # ~9e11 rows before their own split would be needed).
+    B = 10**7
     c = li.select(
         "l_returnflag",
         pc.alias("pc"),

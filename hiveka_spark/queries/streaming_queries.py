@@ -653,18 +653,23 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is aggregated per key and merged (sum counts, max
     last-seen, sum integer cents) into a VERSIONED state snapshot
     (state/v{batch_id}), so a replayed batch id overwrites its own version
-    instead of double-counting — idempotence comes from the version key,
-    exactly the mechanism a Delta/Iceberg MERGE gives you for free.
+    instead of double-counting.  The previous-version pointer is NOT trusted
+    across restarts: at every batch the sink re-derives it from the newest
+    on-disk v{id} directory with id < batch_id (committed = has _SUCCESS),
+    so after a driver crash + checkpoint replay the replayed batch merges
+    from its true predecessor instead of silently restarting from empty —
+    version key + disk-derived predecessor together give the MERGE-style
+    idempotence a Delta/Iceberg sink provides natively.
 
     The fixture is re-written as 4 parquet files and streamed with
     maxFilesPerTrigger=1, so the merge logic is exercised across 4 REAL
     micro-batches (a single-batch drain would never merge at all — the s07
     lesson).  The drained final snapshot must equal the batch aggregate of
     the whole table — streaming-upsert convergence, hash-checked."""
-    import os
     import tempfile
 
     from hiveka_spark.catalog import table
+    from hiveka_spark.streaming.upsert import VersionedUpsertSink
 
     src_dir = tempfile.mkdtemp(prefix="gate_fbsrc_")
     state_root = tempfile.mkdtemp(prefix="gate_fbstate_")
@@ -676,31 +681,27 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    latest: dict[str, str | None] = {"path": None}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.groupBy("user_id").agg(
+    def batch_reduce(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.max(F.unix_millis("ts")).cast("bigint").alias("last_ms"),
             F.sum(F.round(F.col("value") * 100).cast("bigint"))
             .cast("bigint")
             .alias("value_cents"),
         )
-        if latest["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(latest["path"])
-            b = (
-                prev.unionByName(b)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.max("last_ms").cast("bigint").alias("last_ms"),
-                    F.sum("value_cents").cast("bigint").alias("value_cents"),
-                )
-            )
-        out = os.path.join(state_root, f"v{batch_id}")
-        b.write.mode("overwrite").parquet(out)
-        latest["path"] = out
 
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(b)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.max("last_ms").cast("bigint").alias("last_ms"),
+                F.sum("value_cents").cast("bigint").alias("value_cents"),
+            )
+        )
+
+    sink = VersionedUpsertSink(state_root, batch_reduce, merge)
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("append")
@@ -709,8 +710,9 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert latest["path"] is not None
-    return spark.read.parquet(latest["path"])
+    final = sink.latest_path()
+    assert final is not None
+    return spark.read.parquet(final)
 
 
 @register(
