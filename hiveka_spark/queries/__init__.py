@@ -100,6 +100,7 @@ def _ensure_loaded() -> None:
         from hiveka_spark.queries import (  # noqa: F401
             curation_ext,
             extensions,
+            pipeline_e2e,
             pipeline_ext,
             relational,
             relational_ext,

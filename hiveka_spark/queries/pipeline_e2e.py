@@ -1,0 +1,372 @@
+"""x60 — the composed end-to-end curation pipeline as ONE gate entry.
+
+Every stage below already has its own green single-stage gate (x51 ingest,
+x45 rules, x01/x03 dedup, x41 decontamination, x34 mixing, x47 chunking,
+x50 report), but a real curation run is their COMPOSITION — and that is
+where inter-stage column-contract bugs, cache-lifecycle bugs under nested
+scopes, and cumulative plan-size problems hide.  This entry chains them
+over one corpus inside one ``dedup_cache_scope`` and certifies the final
+per-source report with a single DuckDB oracle that replays every stage:
+
+    JSONL ingest -> Gopher rules -> exact dedup -> MinHash near-dup dedup
+    -> fuzzy eval-decontamination -> source mixing -> overlap chunking
+    -> per-source report
+
+The oracle is exact because every probabilistic decision in the chain is a
+pure function of engine-portable md5-derived hashes (portable_hash60) and
+integer arithmetic — the same property each stage oracle relies on — and
+because per-doc MinHash signatures depend only on the doc's text, so the
+oracle computes ONE signature/shingle table over the ingested corpus and
+filters it per stage, while Spark computes them per stage input (identical
+values either way).
+
+Reference parity: the reference's own headline is a composed
+scan->decode->query flow (README.md:7-16, TODO.md:6-9); this is the
+curation-pipeline analog, Spark-first.
+
+Scale shape: each stage keeps its single-stage plan (documented in its own
+entry); composition adds only (a) membership semi/anti-joins between
+stages — keyed on doc_id, the natural partitioning — and (b) one persist
+per surviving frontier so per-stage report counts never recompute the
+corpus.  All persists are owned by the outer ``dedup_cache_scope`` (the
+operators' internal shingle persists register with the same scope), so a
+long-lived session releases everything at entry exit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import dedup as D
+from hiveka_spark.operators.sampling import sample_bucket, sample_bucket_sql
+from hiveka_spark.operators.text import tokens, with_gopher_rules
+from hiveka_spark.queries import register
+
+# Stage parameters — deliberately identical to the single-stage gates so a
+# divergence between composed and single-stage behavior is a real bug, not
+# a config delta.
+EVAL_SOURCES = ("src0", "src1", "src2", "src3", "src4")  # x41's eval split
+CORE_SOURCES = ("src5", "src6", "src7", "src8", "src9")  # mix weight 10
+_TAIL_WEIGHT = 5  # every other non-eval source
+_CORE_WEIGHT = 10
+_BUDGET_PCT = 40  # sampled-corpus target: 40% of surviving tokens
+_NUM_PERM, _BANDS, _K, _THRESH = 32, 8, 3, 0.8  # x03/x41 MinHash params
+_WIN, _STRIDE = 32, 24  # x47 chunking params
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE block: shingles, signatures, band table, shingle-set
+    sizes — computed once over the ingested corpus (per-doc pure), filtered
+    by stage membership downstream.  Mirrors extensions._minhash_oracle."""
+    coeffs = D._perm_coeffs(_NUM_PERM)
+    r = _NUM_PERM // _BANDS
+    m31 = D.MERSENNE31
+    mins = ",\n                 ".join(
+        f"MIN(({a} * h + {b}) % {m31}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
+            bi=bi,
+            bh=D.portable_hash60_sql(
+                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for bi in range(_BANDS)
+    )
+    return f"""
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_K - 1}], ' ') AS s
+           FROM (SELECT doc_id, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {_K - 1}, 1))) AS i
+                 FROM tok)),
+    h AS (SELECT doc_id, {D.portable_hash60_sql("s")} % {m31} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_selects}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def _jaccard_pairs_cte(cand: str, out: str) -> str:
+    """Exact floor4-quantized Jaccard verification of a candidate CTE
+    (columns id_a, id_b) — mirrors operators.dedup._verified_jaccard."""
+    q = "CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0"
+    return f"""
+    {out}_i AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM {cand} c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+              GROUP BY c.id_a, c.id_b),
+    {out} AS (SELECT id_a, id_b FROM {out}_i
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {q} >= {_THRESH})"""
+
+
+def _x60_oracle() -> str:
+    from hiveka_spark.operators.text import EN_STOPWORDS
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    evals = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
+    cores = ", ".join(f"'{s}'" for s in CORE_SOURCES)
+    weight = f"(CASE WHEN source IN ({cores}) THEN {_CORE_WEIGHT} ELSE {_TAIL_WEIGHT} END)"
+    return f"""
+    WITH ing AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+    tok AS (SELECT doc_id, source,
+                   list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+            FROM ing),
+    -- stage 2: Gopher rule chain (x45's exact formulas)
+    gf AS (SELECT doc_id,
+                  CAST(LEN(ws) AS BIGINT) AS n_words,
+                  CAST(FLOOR(list_sum(list_transform(ws, w -> LENGTH(w))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS mean_word_len,
+                  CAST(FLOOR(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS alpha_frac,
+                  CAST(LEN(list_intersect(list_distinct(ws), {stop_sql})) AS BIGINT)
+                    AS n_stop_distinct
+           FROM tok),
+    q AS (SELECT i.* FROM ing i JOIN gf USING (doc_id)
+          WHERE n_words BETWEEN 15 AND 5000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_frac >= 0.7 AND n_stop_distinct >= 2),
+    -- stage 3: exact dedup, keep min doc_id per identical text
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+    e AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
+    -- shared MinHash machinery (per-doc pure; filtered per stage below)
+    {_minhash_ctes()},
+    -- stage 4: near-dup dedup WITHIN the exact-surviving corpus
+    cand4 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                          AND a.doc_id < b.doc_id
+              JOIN e ea ON ea.doc_id = a.doc_id
+              JOIN e eb ON eb.doc_id = b.doc_id),
+    {_jaccard_pairs_cte("cand4", "pairs4")},
+    n4 AS (SELECT e.* FROM e
+           WHERE doc_id NOT IN (SELECT id_b FROM pairs4)),
+    -- stage 5: fuzzy decontamination of the training split vs the RAW eval
+    -- split (benchmarks are given, not curated)
+    train AS (SELECT * FROM n4 WHERE source NOT IN ({evals})),
+    evald AS (SELECT * FROM ing WHERE source IN ({evals})),
+    cand5 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              JOIN train t ON t.doc_id = a.doc_id
+              JOIN evald v ON v.doc_id = b.doc_id),
+    {_jaccard_pairs_cte("cand5", "pairs5")},
+    n5 AS (SELECT * FROM train
+           WHERE doc_id NOT IN (SELECT id_a FROM pairs5)),
+    -- stage 6: source mixing to a token budget (x34's rate formula)
+    ntok AS (SELECT t.doc_id, t.source, t.ws, CAST(LEN(t.ws) AS BIGINT) AS n_tok
+             FROM tok t JOIN n5 USING (doc_id)),
+    per_src AS (SELECT source, SUM(n_tok) AS src_tokens FROM ntok GROUP BY source),
+    grand AS (SELECT SUM(n_tok) AS total_tokens FROM ntok),
+    rates AS (SELECT source, src_tokens,
+                     CAST(LEAST(100, FLOOR(
+                       FLOOR(total_tokens * {_BUDGET_PCT} * {weight} / 10000.0)
+                       * 100.0 / src_tokens)) AS BIGINT) AS rate_pct
+              FROM per_src, grand),
+    kept AS (SELECT n.* FROM ntok n JOIN rates USING (source)
+             WHERE {sample_bucket_sql("CAST(doc_id AS VARCHAR)")} < rate_pct),
+    kept_stats AS (SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS tokens_kept
+                   FROM kept GROUP BY source),
+    -- stage 7: overlap chunking of the kept docs (x47's window arithmetic)
+    chunks AS (SELECT source,
+                      LEAST(i * {_STRIDE} + {_WIN}, n_tok) - i * {_STRIDE} AS c_tok
+               FROM (SELECT source, n_tok,
+                            UNNEST(generate_series(0,
+                              CASE WHEN n_tok >= 1
+                                   THEN (GREATEST(n_tok - {_WIN}, 0) + {_STRIDE - 1})
+                                        // {_STRIDE}
+                                   ELSE -1 END)) AS i
+                     FROM kept)),
+    chunk_stats AS (SELECT source, COUNT(*) AS n_chunks, SUM(c_tok) AS chunk_tokens
+                    FROM chunks GROUP BY source),
+    -- stage 8: per-source report with per-stage survivor counts
+    s1 AS (SELECT source, COUNT(*) AS n_ingested FROM ing GROUP BY source),
+    s2 AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),
+    s3 AS (SELECT source, COUNT(*) AS n_exact FROM e GROUP BY source),
+    s4 AS (SELECT source, COUNT(*) AS n_neardup FROM n4 GROUP BY source),
+    s5 AS (SELECT source, COUNT(*) AS n_decontam FROM n5 GROUP BY source)
+    SELECT s1.source,
+           CAST(s1.n_ingested AS BIGINT) AS n_ingested,
+           CAST(COALESCE(s2.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(s3.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(s4.n_neardup, 0) AS BIGINT) AS n_neardup,
+           CAST(COALESCE(s5.n_decontam, 0) AS BIGINT) AS n_decontam,
+           CAST(COALESCE(r.src_tokens, 0) AS BIGINT) AS src_tokens,
+           CAST(COALESCE(r.rate_pct, 0) AS BIGINT) AS rate_pct,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(c.chunk_tokens, 0) AS BIGINT) AS chunk_tokens
+    FROM s1
+    LEFT JOIN s2 USING (source)
+    LEFT JOIN s3 USING (source)
+    LEFT JOIN s4 USING (source)
+    LEFT JOIN s5 USING (source)
+    LEFT JOIN rates r USING (source)
+    LEFT JOIN kept_stats k USING (source)
+    LEFT JOIN chunk_stats c USING (source)
+    WHERE s1.source NOT IN ({evals})
+    """
+
+
+def build_curation_report(ing: DataFrame, scope: list[DataFrame]) -> DataFrame:
+    """Build the LAZY stage-2..8 report plan from an ingested corpus.
+
+    ``scope`` is the live frame list yielded by ``dedup_cache_scope`` —
+    every stage frontier is persisted into it, so the report plan reads
+    each frontier as an InMemoryTableScan instead of recomputing the
+    corpus at every stage boundary (asserted by
+    tests/test_plans.py::test_x60_no_stage_recomputation).  Exposed
+    separately from the gate entry so the plan can be inspected before
+    materialization."""
+
+    def keep(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        scope.append(df)
+        return df
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ing = keep(ing)
+    # stage 2 — Gopher rule chain
+    q = with_gopher_rules(ing).filter(F.col("keep") == 1).select(*cols)
+    # stage 3 — exact dedup (keep min doc_id per identical text)
+    canon = D.exact_dedup(q, ["text"], "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    e = keep(q.join(canon, "doc_id", "left_semi"))
+    # stage 4 — MinHash+LSH near-dup dedup, greedy min-id keep: every
+    # doc appearing as the LARGER id of a verified pair is dropped (one
+    # anti-join; deterministic, order-free)
+    pairs = D.minhash_lsh_pairs(
+        e, "doc_id", "text",
+        num_perm=_NUM_PERM, bands=_BANDS, k=_K, verify_threshold=_THRESH,
+    )
+    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    n4 = keep(e.join(near_drop, "doc_id", "left_anti"))
+    # stage 5 — fuzzy decontamination vs the RAW eval split
+    train = keep(n4.filter(~F.col("source").isin(*EVAL_SOURCES)))
+    evald = ing.filter(F.col("source").isin(*EVAL_SOURCES))
+    contam = D.minhash_cross_contamination(
+        train, evald, "doc_id", "text",
+        num_perm=_NUM_PERM, bands=_BANDS, k=_K, threshold=_THRESH,
+    )
+    contam_ids = contam.select(F.col("train_id").alias("doc_id")).distinct()
+    n5 = keep(train.join(contam_ids, "doc_id", "left_anti"))
+    # stage 6 — source mixing to a token budget (x34's rate formula)
+    ntok = keep(
+        n5.select(
+            "doc_id", "source", tokens("text").alias("ws")
+        ).withColumn("n_tok", F.size("ws").cast("bigint"))
+    )
+    per_src = ntok.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    grand = ntok.agg(F.sum("n_tok").alias("total_tokens"))
+    weight = F.when(
+        F.col("source").isin(*CORE_SOURCES), F.lit(_CORE_WEIGHT)
+    ).otherwise(F.lit(_TAIL_WEIGHT))
+    rates = (
+        per_src.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "budget",
+            F.floor(F.col("total_tokens") * _BUDGET_PCT * weight / 10000.0),
+        )
+        .withColumn(
+            "rate_pct",
+            F.least(
+                F.lit(100).cast("bigint"),
+                F.floor(F.col("budget") * 100.0 / F.col("src_tokens")),
+            ),
+        )
+        .select("source", "src_tokens", "rate_pct")
+    )
+    kept = keep(
+        ntok.join(F.broadcast(rates), "source").filter(
+            sample_bucket("doc_id") < F.col("rate_pct")
+        )
+    )
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )
+    # stage 7 — overlap chunking of the kept docs (x47's real window
+    # explode + slice, aggregated per source)
+    n = F.col("n_tok")
+    n_windows = F.floor(
+        (F.greatest(n - _WIN, F.lit(0)) + (_STRIDE - 1)) / _STRIDE
+    )
+    seq = F.when(n >= 1, F.sequence(F.lit(0).cast("bigint"), n_windows)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    start = (F.col("chunk_idx") * _STRIDE + 1).cast("int")
+    chunk_stats = (
+        kept.select("source", "ws", "n_tok", F.explode(seq).alias("chunk_idx"))
+        .select(
+            "source", F.size(F.slice("ws", start, _WIN)).cast("bigint").alias("c_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("c_tok").cast("bigint").alias("chunk_tokens"),
+        )
+    )
+    # stage 8 — the report: per-stage survivor counts per source
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    base = cnt(ing, "n_ingested").filter(~F.col("source").isin(*EVAL_SOURCES))
+    report = (
+        base.join(cnt(q, "n_quality"), "source", "left")
+        .join(cnt(e, "n_exact"), "source", "left")
+        .join(cnt(n4, "n_neardup"), "source", "left")
+        .join(cnt(n5, "n_decontam"), "source", "left")
+        .join(rates, "source", "left")
+        .join(kept_stats, "source", "left")
+        .join(chunk_stats, "source", "left")
+        .select(
+            "source",
+            "n_ingested",
+            *[
+                F.coalesce(c, F.lit(0)).cast("bigint").alias(c)
+                for c in (
+                    "n_quality", "n_exact", "n_neardup", "n_decontam",
+                    "src_tokens", "rate_pct", "n_kept", "tokens_kept",
+                    "n_chunks", "chunk_tokens",
+                )
+            ],
+        )
+    )
+    return report
+
+
+@register(
+    "x60_curation_pipeline",
+    oracle=_x60_oracle(),
+    tags=("pipeline", "e2e", "dedup", "decontamination", "mixing", "chunking"),
+)
+def x60_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation run (see module docstring for the stage chain).
+
+    Returns the per-source report over the 15 non-eval sources: survivor
+    counts after every stage plus mixing rates, kept-sample stats, and
+    chunk stats — all bigint, so the hash certifies every inter-stage
+    contract exactly.  Any column-contract or cache-lifecycle bug between
+    stages moves at least one count.  The report is materialized INSIDE
+    the cache scope (localCheckpoint) so the driver's later collect reads
+    the 15-row result, not a recomputation of the unpersisted chain.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="gate_x60_jsonl_")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table(spark, sf_dir, "documents").select(*cols).write.mode("overwrite").json(out)
+    with D.dedup_cache_scope() as scope:
+        ing = spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).json(out)
+        return build_curation_report(ing, scope).localCheckpoint(eager=True)

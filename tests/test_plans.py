@@ -343,3 +343,32 @@ def test_x55_ivfpq_no_cartesian_bounded_shuffles(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 9
+
+
+def test_x60_no_stage_recomputation(spark):
+    """The composed curation pipeline must read each stage frontier from
+    cache, never re-derive the corpus at a stage boundary: the report plan
+    scans the underlying corpus source AT MOST once (for the one frontier
+    whose cache hasn't materialized yet at plan time the relation plan is
+    inlined), and every other stage consumer is an InMemoryTableScan."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.dedup import dedup_cache_scope
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.pipeline_e2e import build_curation_report
+
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with dedup_cache_scope() as scope:
+        report = build_curation_report(d, scope)
+        # materialize so the plan below reads caches, as the real run does
+        report.count()
+        plan = formatted_plan(report)
+        cached_reads = plan.count("InMemoryTableScan")
+        # 8+ consumers across the stage chain read persisted frontiers
+        assert cached_reads >= 8, f"only {cached_reads} cached reads:\n{plan}"
+        # the corpus parquet is scanned at most once in the whole plan — a
+        # second scan would mean a stage boundary recomputed the corpus
+        corpus_scans = plan.count("documents.parquet")
+        assert corpus_scans <= 1, f"{corpus_scans} corpus scans:\n{plan}"
+        assert len(scope) >= 7  # ing,e,n4,train,n5,ntok,kept + shingle sets
