@@ -435,6 +435,43 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    reuse: bool = True,
+) -> DataFrame:
+    """LSH band table (doc, band, bh) from MinHash signatures — the
+    join-key material both the batch pair finders and the streaming band
+    index (s19) build on.  One row per (doc, band); bh is the
+    portable_hash60 of the band's signature slice, so a DuckDB oracle can
+    replay the exact buckets."""
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse)
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        portable_hash60(
+                            F.concat_ws(
+                                "_",
+                                *[F.col("signature")[bi * r + j] for j in range(r)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -466,24 +503,7 @@ def minhash_lsh_pairs(
     (enabled in session.py) handles moderate skew automatically; the salt is
     the explicit control for known-pathological corpora.
     """
-    r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse)
-    band_rows = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        portable_hash60(
-                            F.concat_ws("_", *[F.col("signature")[bi * r + j] for j in range(r)])
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
+    band_rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, k, reuse)
     a = band_rows.select(F.col("doc").alias("id_a"), "band", "bh")
     b = band_rows.select(F.col("doc").alias("id_b"), "band", "bh")
     if salt and salt > 1:
@@ -599,29 +619,9 @@ def minhash_cross_contamination(
     broadcasts it and the training corpus never shuffles for the join, the
     same asymmetry contamination_overlap exploits.  Verification joins each
     candidate id back to its shingle set — O(|candidates|)."""
-    r = num_perm // bands
 
     def band_rows(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, num_perm, k)
-        return sig.select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            portable_hash60(
-                                F.concat_ws(
-                                    "_",
-                                    *[F.col("signature")[bi * r + j] for j in range(r)],
-                                )
-                            ).alias("bh"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc", "bb.band", "bb.bh")
+        return minhash_band_rows(df, id_col, text_col, num_perm, bands, k)
 
     a = band_rows(train).select(F.col("doc").alias("id_a"), "band", "bh")
     b = band_rows(eval_df).select(F.col("doc").alias("id_b"), "band", "bh")

@@ -837,3 +837,136 @@ def s18_stream_confluent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
     return _drain(agg, "s18_confluent", "complete", shuffle_partitions=8)
+
+
+@register(
+    "s19_stream_minhash_dedup",
+    oracle=None,  # set just below — reuses x03's full MinHash replay
+    tags=("streaming", "dedup", "minhash", "lsh", "band-index"),
+)
+def s19_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup — the streaming twin of x03 and the shape a
+    live ingest pipeline actually needs: documents arrive in micro-batches;
+    each batch computes MinHash band rows + shingle sets, probes the
+    PERSISTED BAND INDEX of all earlier batches for cross-batch candidates,
+    self-joins for within-batch candidates, Jaccard-verifies both against
+    the accumulated shingle store, and appends its bands/shingles to the
+    index.  The fixture is streamed as 4 real micro-batches
+    (maxFilesPerTrigger=1 — the s07/s16 lesson), so the index is genuinely
+    built and probed incrementally.
+
+    Convergence contract: a near-dup pair (a, b) is discovered exactly once
+    — when the later of the two docs arrives (same-batch pairs by the batch
+    self-join, cross-batch pairs by the index probe) — so the union of all
+    per-batch emissions must equal x03's one-shot batch result over the
+    whole corpus.  That IS the oracle: the entry is hash-checked against
+    the same DuckDB MinHash replay as x03.
+
+    State layout follows the s16 discipline: per-batch versioned
+    subdirectories (bands/b{id}, sh/b{id}, pairs/b{id}) written with
+    overwrite, prior state re-derived from committed (_SUCCESS) dirs with
+    id < batch_id — a checkpoint-replayed batch rewrites its own outputs
+    and re-probes its true predecessors, never double-emits.
+
+    Scale shape: per batch, one signature aggregate over the BATCH only
+    (the index is never recomputed), one (band, bh)-keyed equi-join against
+    the index — at 100 TB you'd bucket the index files by bh so the probe
+    prunes to matching buckets, and compact per-batch dirs periodically;
+    the shingle store is the Jaccard-verify cost and would be replaced by
+    signature-only verification (estimated Jaccard) if exactness were
+    relaxed.  No all-pairs edge anywhere."""
+    import os
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+
+    src_dir = tempfile.mkdtemp(prefix="gate_s19src_")
+    state_root = tempfile.mkdtemp(prefix="gate_s19state_")
+    bands_root = os.path.join(state_root, "bands")
+    sh_root = os.path.join(state_root, "sh")
+    pairs_root = os.path.join(state_root, "pairs")
+    for p in (bands_root, sh_root, pairs_root):
+        os.makedirs(p)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def committed_prior(root: str, batch_id: int) -> list[str]:
+        return [
+            os.path.join(root, n)
+            for n in sorted(os.listdir(root))
+            if n.startswith("b")
+            and n[1:].isdigit()
+            and int(n[1:]) < batch_id
+            and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+        ]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # write this batch's bands/shingles FIRST, read back for the joins:
+        # the parquet round trip doubles as the persist (each frame feeds
+        # two consumers) and makes replay idempotent (overwrite by id)
+        D.minhash_band_rows(
+            batch_df, "doc_id", "text", num_perm=32, bands=8, k=3, reuse=False
+        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
+        D._shingle_sets(batch_df, "doc_id", "text", 3, reuse=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sh_root, f"b{batch_id}"))
+        bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))
+        sh_all = s.read.parquet(
+            os.path.join(sh_root, f"b{batch_id}"), *committed_prior(sh_root, batch_id)
+        )
+        a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
+        b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
+        cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+        prior_bands = committed_prior(bands_root, batch_id)
+        if prior_bands:
+            idx = s.read.parquet(*prior_bands).select(
+                F.col("doc").alias("id_old"), "band", "bh"
+            )
+            new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
+            cross = (
+                idx.join(new, ["band", "bh"])
+                .select(
+                    F.least("id_old", "id_new").alias("id_a"),
+                    F.greatest("id_old", "id_new").alias("id_b"),
+                )
+            )
+            cand = cand.select("id_a", "id_b").unionByName(cross)
+        cand = cand.select("id_a", "id_b").distinct()
+        D._verified_jaccard(cand, sh_all, 0.8).write.mode("overwrite").parquet(
+            os.path.join(pairs_root, f"b{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s19_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = committed_prior(pairs_root, 10**9)
+    assert len(emitted) >= 3, f"expected >=3 micro-batches, got {len(emitted)}"
+    return spark.read.parquet(*emitted).distinct()
+
+
+# The streaming run must converge to x03's one-shot batch answer — reuse
+# its exact DuckDB MinHash replay as the oracle.
+def _set_s19_oracle() -> None:
+    from dataclasses import replace
+
+    from hiveka_spark.queries import REGISTRY
+    from hiveka_spark.queries.extensions import _minhash_oracle
+
+    spec = REGISTRY["s19_stream_minhash_dedup"]
+    REGISTRY["s19_stream_minhash_dedup"] = replace(spec, oracle=_minhash_oracle())
+
+
+_set_s19_oracle()
