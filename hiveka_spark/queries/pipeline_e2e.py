@@ -239,23 +239,61 @@ def build_curation_report(ing: DataFrame, scope: list[DataFrame]) -> DataFrame:
         F.col("canonical_id").alias("doc_id")
     )
     e = keep(q.join(canon, "doc_id", "left_semi"))
-    # stage 4 — MinHash+LSH near-dup dedup, greedy min-id keep: every
-    # doc appearing as the LARGER id of a verified pair is dropped (one
-    # anti-join; deterministic, order-free)
-    pairs = D.minhash_lsh_pairs(
-        e, "doc_id", "text",
-        num_perm=_NUM_PERM, bands=_BANDS, k=_K, verify_threshold=_THRESH,
-    )
-    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    n4 = keep(e.join(near_drop, "doc_id", "left_anti"))
-    # stage 5 — fuzzy decontamination vs the RAW eval split
-    train = keep(n4.filter(~F.col("source").isin(*EVAL_SOURCES)))
+    # Shared MinHash machinery for stages 4+5, computed ONCE over every
+    # doc either stage needs (e ∪ the raw eval split) and filtered per
+    # stage by id membership — per-doc signatures don't depend on the
+    # stage input, so this mirrors the oracle's single sig/bands tables
+    # and halves the pipeline's dominant cost (tokenize+shingle+signature)
+    # vs calling the two single-stage operators back to back.
     evald = ing.filter(F.col("source").isin(*EVAL_SOURCES))
-    contam = D.minhash_cross_contamination(
-        train, evald, "doc_id", "text",
-        num_perm=_NUM_PERM, bands=_BANDS, k=_K, threshold=_THRESH,
+    need = e.select("doc_id").unionByName(evald.select("doc_id")).distinct()
+    mh_corpus = ing.join(need, "doc_id", "left_semi")
+    # reuse=True on both: CacheManager keys on the canonicalized plan, so
+    # band rows and the verify join read ONE cached shingle-set frame
+    sh_all = D._shingle_sets(mh_corpus, "doc_id", "text", _K, reuse=True)
+    bands_all = keep(
+        D.minhash_band_rows(
+            mh_corpus, "doc_id", "text",
+            num_perm=_NUM_PERM, bands=_BANDS, k=_K, reuse=True,
+        )
     )
-    contam_ids = contam.select(F.col("train_id").alias("doc_id")).distinct()
+
+    def bands_of(ids: DataFrame) -> DataFrame:
+        member = ids.select(F.col("doc_id").alias("doc"))
+        return bands_all.join(member, "doc", "left_semi")
+
+    # stage 4 — MinHash+LSH near-dup dedup WITHIN e, greedy min-id keep:
+    # every doc appearing as the LARGER id of a verified pair is dropped
+    # (one anti-join; deterministic, order-free)
+    be = bands_of(e)
+    cand4 = (
+        be.select(F.col("doc").alias("id_a"), "band", "bh")
+        .join(be.select(F.col("doc").alias("id_b"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs4 = D._verified_jaccard(cand4, sh_all, _THRESH)
+    near_drop = pairs4.select(F.col("id_b").alias("doc_id")).distinct()
+    n4 = keep(e.join(near_drop, "doc_id", "left_anti"))
+    # stage 5 — fuzzy decontamination of the training split vs the RAW
+    # eval split (benchmarks are given, not curated); eval side broadcast
+    # (tiny next to corpora), same asymmetry as minhash_cross_contamination
+    train = keep(n4.filter(~F.col("source").isin(*EVAL_SOURCES)))
+    cand5 = (
+        bands_of(train)
+        .select(F.col("doc").alias("id_a"), "band", "bh")
+        .join(
+            F.broadcast(
+                bands_of(evald).select(F.col("doc").alias("id_b"), "band", "bh")
+            ),
+            ["band", "bh"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs5 = D._verified_jaccard(cand5, sh_all, _THRESH)
+    contam_ids = pairs5.select(F.col("id_a").alias("doc_id")).distinct()
     n5 = keep(train.join(contam_ids, "doc_id", "left_anti"))
     # stage 6 — source mixing to a token budget (x34's rate formula)
     ntok = keep(
