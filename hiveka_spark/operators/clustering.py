@@ -92,6 +92,165 @@ def dedup_clusters(
     )
 
 
+def kmeans_parallel_init(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    rounds: int = 3,
+    oversample: int | None = None,
+    local_iters: int = 20,
+) -> DataFrame:
+    """k-means‖ initialization (Bahmani et al., VLDB 2012): the distributed,
+    few-pass seeding that replaces k-means++'s k sequential passes — the
+    production posture kmeans_lloyd's docstring promises ("seed with
+    k-means|| output handed in the same shape").
+
+    Distributed part (everything corpus-sized): start from the min-id
+    vector; each of ``rounds`` passes computes every point's squared
+    distance to the CURRENT candidate set (candidates broadcast — they
+    number at most 1 + rounds*l) and samples each point independently with
+    probability min(1, l*d2/phi), where phi is the current total cost and
+    l = ``oversample`` (default 2k).  The Bernoulli draw is the
+    engine-portable hash of (id, round) scaled to [0,1) — deterministic,
+    so runs are reproducible and property-testable, while distributionally
+    equivalent to a uniform draw.
+
+    Driver part (candidate-sized, the standard finish — Spark MLlib and
+    FAISS do the same): the ~rounds*l surviving candidates are weighted by
+    how many corpus points each one is closest to, pulled to the driver
+    (hundreds of rows, NOT the corpus), and reduced to exactly k centers
+    with deterministic weighted k-means++ followed by a few local Lloyd
+    iterations.  Centers are re-quantized to bigint so the downstream
+    distributed Lloyd stays engine-exact.
+
+    Returns a k-row (cell, cvec) frame shaped exactly like kmeans_lloyd's
+    internal centroid frame — hand it in via ``init_centroids``.
+
+    Scale shape: per round, one broadcast-join distance pass over the
+    corpus + one min-per-point aggregate + one scalar cost aggregate; the
+    corpus never shuffles on anything but its own id.  The only collect is
+    the candidate set (O(rounds * l) rows).
+    """
+    import hashlib
+
+    from hiveka_spark.operators.similarity import with_quantized_norm
+
+    l = oversample if oversample is not None else 2 * k
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    v = with_quantized_norm(v, "_v").select("_id", "qvec")
+    v = v.persist()
+    try:
+        first_id = v.agg(F.min("_id")).collect()[0][0]
+        cand = v.filter(F.col("_id") == first_id).select("_id", "qvec")
+
+        def d2_expr(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+
+        def min_d2(cand_df: DataFrame) -> DataFrame:
+            c = cand_df.select(F.col("qvec").alias("cvec"))
+            return (
+                v.crossJoin(F.broadcast(c))
+                .select("_id", "qvec", d2_expr(F.col("qvec"), F.col("cvec")).alias("d2"))
+                .groupBy("_id", "qvec")
+                .agg(F.min("d2").alias("d2"))
+            )
+
+        for r in range(rounds):
+            scored = min_d2(cand)
+            phi = scored.agg(F.sum("d2").alias("phi"))
+            # hash-of-(id, round) as the uniform draw: u in [0, 1) with 60
+            # bits of resolution; sample iff u * phi < l * d2
+            from hiveka_spark.operators.dedup import portable_hash60
+
+            u = portable_hash60(
+                F.concat_ws("_", F.lit("kmeanspar"), F.col("_id"), F.lit(r))
+            ) / F.lit(float(2**60))
+            picked = (
+                scored.crossJoin(F.broadcast(phi))
+                .filter((u * F.col("phi")) < (F.lit(float(l)) * F.col("d2")))
+                .select("_id", "qvec")
+            )
+            cand = cand.unionByName(picked).dropDuplicates(["_id"])
+        cand = cand.localCheckpoint(eager=True)  # candidates: O(rounds*l) rows
+
+        # weight candidates by closest-point counts (ties -> min candidate id)
+        cc = cand.select(F.col("_id").alias("cid"), F.col("qvec").alias("cvec"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_id").orderBy("d2", "cid")
+        nearest = (
+            v.crossJoin(F.broadcast(cc))
+            .select("_id", "cid", d2_expr(F.col("qvec"), F.col("cvec")).alias("d2"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+        )
+        weights = nearest.groupBy("cid").agg(F.count(F.lit(1)).alias("wt"))
+        rows = (
+            cc.join(weights, "cid", "left")
+            .select("cid", "cvec", F.coalesce("wt", F.lit(0)).alias("wt"))
+            .collect()
+        )
+        # collect() order is partition-dependent; every driver-side step
+        # below (argmax first-match, rng.choice index mapping) is order-
+        # sensitive, so pin a canonical order or runs on differently-
+        # partitioned inputs would yield different centers
+        rows.sort(key=lambda r: r["cid"])
+    finally:
+        v.unpersist()
+
+    # ---- driver-local weighted k-means++ + Lloyd over the candidates ----
+    import numpy as np
+
+    pts = np.array([row["cvec"] for row in rows], dtype=np.float64)
+    wts = np.array([row["wt"] for row in rows], dtype=np.float64)
+    cids = [row["cid"] for row in rows]
+    # deterministic seed derived from the candidate ids (stable across runs)
+    seed = int(
+        hashlib.md5(",".join(map(str, sorted(cids))).encode()).hexdigest()[:8], 16
+    )
+    rng = np.random.RandomState(seed)
+    n = len(pts)
+    if n <= k:
+        centers = pts[np.argsort(cids)][:k]
+    else:
+        idx = [int(np.argmax(wts))]  # heaviest candidate first (deterministic)
+        for _ in range(1, k):
+            d2 = np.min(
+                ((pts[:, None, :] - pts[idx][None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            p = wts * d2
+            tot = p.sum()
+            if tot <= 0:
+                remaining = [i for i in range(n) if i not in idx]
+                idx.append(remaining[0])
+                continue
+            idx.append(int(rng.choice(n, p=p / tot)))
+        centers = pts[idx]
+        for _ in range(local_iters):
+            a = np.argmin(
+                ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            new = centers.copy()
+            for c in range(k):
+                m = a == c
+                if wts[m].sum() > 0:
+                    new[c] = (pts[m] * wts[m, None]).sum(axis=0) / wts[m].sum()
+            if np.allclose(new, centers):
+                break
+            centers = new
+    spark = df.sparkSession
+    out = [
+        (int(cell), [int(x) for x in np.rint(vec)])
+        for cell, vec in enumerate(centers)
+    ]
+    return spark.createDataFrame(out, "cell bigint, cvec array<bigint>")
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -99,6 +258,7 @@ def kmeans_lloyd(
     k: int = 8,
     n_assign: int = 2,
     centroid_stride: int = 61,
+    init_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column, ENGINE-EXACT so a
     SQL oracle can replay every iteration: vectors are fixed-point-quantized
@@ -117,9 +277,10 @@ def kmeans_lloyd(
       aggregate keyed (cell, pos) — k*dim result rows — then collect_list/
       array_sort repacks the k centroid arrays.  No driver-side math, no
       collect: the centroid frame stays a DataFrame and re-broadcasts.
-    - Initial centroids are deterministic id-stride rows (vec id = cell *
-      stride) — the same offline-codebook posture as ivf_topk/pq_topk; at
-      100 TB you'd seed with k-means|| output handed in the same shape.
+    - Initial centroids: ``init_centroids`` (a (cell, cvec) frame, e.g.
+      :func:`kmeans_parallel_init`'s output — the production posture) when
+      given; otherwise deterministic id-stride rows (vec id = cell *
+      stride), the oracle-exact mode the x52 gate replays in DuckDB.
 
     Returns the FINAL assignment, one row per vector: (<id_col>, cell, d2) —
     the frame downstream curation steps consume (cluster-balanced sampling,
@@ -131,13 +292,16 @@ def kmeans_lloyd(
     v = with_quantized_norm(df, vec_col).select(
         F.col(id_col).alias("_id"), "qvec"
     )
-    cents = v.filter(
-        (F.col("_id") % centroid_stride == 0)
-        & (F.col("_id") / centroid_stride < k)
-    ).select(
-        (F.col("_id") / centroid_stride).cast("bigint").alias("cell"),
-        F.col("qvec").alias("cvec"),
-    )
+    if init_centroids is not None:
+        cents = init_centroids.select("cell", "cvec")
+    else:
+        cents = v.filter(
+            (F.col("_id") % centroid_stride == 0)
+            & (F.col("_id") / centroid_stride < k)
+        ).select(
+            (F.col("_id") / centroid_stride).cast("bigint").alias("cell"),
+            F.col("qvec").alias("cvec"),
+        )
 
     def d2_expr(a, b):
         return F.aggregate(

@@ -33,3 +33,51 @@ def test_undirected_regardless_of_pair_order(spark):
     pairs = spark.createDataFrame([(5, 3), (3, 9)], ["id_a", "id_b"])
     cc = {r["node"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert cc == {3: 3, 5: 3, 9: 3}
+
+
+def _inertia(asgn) -> int:
+    import pyspark.sql.functions as F
+
+    return asgn.agg(F.sum("d2")).collect()[0][0]
+
+
+def test_kmeans_parallel_init_beats_stride_seeding(spark):
+    """The documented production posture made real: k-means|| seeding must
+    give a substantially better INITIAL assignment cost than the arbitrary
+    id-stride seeding (measured: ~0.64x on this fixture — cost-aware seeds
+    cover the space).  Initial cost, not converged cost, is the seeding
+    claim: on a near-uniform synthetic corpus a few Lloyd rounds drive
+    both seedings to statistically identical local minima (measured
+    ratios 0.99-1.01), so comparing after convergence would be a coin
+    flip, while better initial cost is what buys fewer rounds at 100 TB.
+    Both runs are deterministic, so this is a fixed comparison."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.clustering import kmeans_lloyd, kmeans_parallel_init
+
+    from .conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    seeds = kmeans_parallel_init(emb, k=8, rounds=3)
+    assert seeds.count() == 8
+    kpp = kmeans_lloyd(emb, k=8, n_assign=1, init_centroids=seeds)
+    stride = kmeans_lloyd(emb, k=8, n_assign=1, centroid_stride=61)
+    i_kpp, i_stride = _inertia(kpp), _inertia(stride)
+    assert i_kpp < 0.8 * i_stride, f"k-means|| {i_kpp} vs stride {i_stride}"
+    # and it must never LOSE after Lloyd refinement (1% determinism slack)
+    kpp2 = kmeans_lloyd(emb, k=8, n_assign=2, init_centroids=seeds)
+    stride2 = kmeans_lloyd(emb, k=8, n_assign=2, centroid_stride=61)
+    assert _inertia(kpp2) <= 1.01 * _inertia(stride2)
+
+
+def test_kmeans_parallel_init_is_deterministic(spark):
+    """Hash-based Bernoulli draws + hash-derived local seed: two runs must
+    produce byte-identical centers."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.clustering import kmeans_parallel_init
+
+    from .conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    a = sorted(map(tuple, kmeans_parallel_init(emb, k=5, rounds=2).collect()))
+    b = sorted(map(tuple, kmeans_parallel_init(emb, k=5, rounds=2).collect()))
+    assert a == b
