@@ -15,6 +15,36 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "hiveka-spark"
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def state_store_conf(provider: str = "rocksdb") -> dict[str, str]:
+    """Streaming state-store posture as a config dict (pass to
+    ``get_spark(extra_conf=...)`` or ``spark.conf.set`` before starting a
+    query — Spark reads the provider from session conf at query start).
+
+    ``rocksdb``: keep per-key state off the JVM heap in an embedded
+    RocksDB per state partition.  This is the 100 TB posture for the
+    stateful entries (s02 sessions, s07/s11 per-key funnels, s09 dedup
+    keys, s13/s14 join buffers): state size is bounded by disk, not
+    executor heap, GC pressure stays flat as key cardinality grows, and
+    changelog checkpointing ships deltas instead of full snapshots.  The
+    default HDFS-backed provider keeps every key in an in-heap map — fine
+    at gate scale, an OOM at billions of keys.
+
+    ``hdfs`` (or anything else): Spark's default in-heap provider.
+    """
+    if provider.lower() != "rocksdb":
+        return {}
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # ship per-batch changelogs, snapshot in the background — the
+        # production default for large state
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
 
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
@@ -38,6 +68,11 @@ def get_spark(
       and convert in the catalog layer (see catalog.load_tables).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_STATE_STORE=rocksdb switches every stateful streaming
+    # query to the RocksDB provider (see state_store_conf); default stays
+    # Spark's in-heap provider so gate runs don't pay RocksDB setup per
+    # tiny query.
+    state_conf = state_store_conf(os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs"))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -55,7 +90,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**state_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

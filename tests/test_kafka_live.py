@@ -1,0 +1,114 @@
+"""Env-gated REAL-broker smoke test — keeps the simulator honest.
+
+Everything else in the Kafka surface runs against SimBroker (end-to-end
+within the sandbox), but the ``reader_options`` -> kafka-clients mapping
+(kafka_io.py) is only ever exercised for real when a live bootstrap server
+exists.  Set ``HIVEKA_KAFKA_BOOTSTRAP=host:port`` (and put the
+spark-sql-kafka connector on the classpath, e.g.
+``spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``)
+to run; skipped otherwise — green-or-skipped in CI by design.
+
+Reference behavior being smoked: KafkaInputFormat.java:99-131 (broker
+metadata + topic pattern subscription) and KafkaReader.java:144-222
+(fetch/extract), via the SAME KafkaTableConfig options the simulator path
+uses — any drift between the simulated and real option semantics fails
+here, not in production.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+BOOTSTRAP = os.environ.get("HIVEKA_KAFKA_BOOTSTRAP")
+
+pytestmark = pytest.mark.skipif(
+    not BOOTSTRAP, reason="HIVEKA_KAFKA_BOOTSTRAP not set (live-broker smoke)"
+)
+
+
+def _cfg(topic: str):
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig
+
+    return KafkaTableConfig(
+        bootstrap_servers=BOOTSTRAP,
+        whitelist_topics=[topic],
+        ddl="event_id BIGINT, event_type STRING",
+        payload_format="json",
+        starting_offsets="earliest",
+        ending_offsets="latest",
+    )
+
+
+def test_roundtrip_through_real_connector(spark):
+    from hiveka_spark.sources.kafka_io import (
+        decode_wire,
+        kafka_available,
+        read_kafka_batch,
+        write_kafka,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the JVM classpath")
+
+    topic = f"hiveka_smoke_{uuid.uuid4().hex[:12]}"
+    cfg = _cfg(topic)
+    rows = [(1, "click"), (2, "view"), (3, "click"), (4, "purchase")]
+    df = spark.createDataFrame(rows, "event_id BIGINT, event_type STRING")
+
+    # the exact production write path: encode_payload + connector save
+    write_kafka(df, cfg, topic, key_col="event_id")
+
+    # the exact production read path: reader_options -> format('kafka')
+    wire = read_kafka_batch(spark, cfg)
+    decoded = decode_wire(wire, cfg)
+    got = sorted(
+        (r["event_id"], r["event_type"])
+        for r in decoded.select("event_id", "event_type").collect()
+    )
+    assert got == sorted(rows)
+    # wire metadata columns the reference exposed as KafkaKey must be real
+    assert {"topic", "partition", "offset"} <= set(wire.columns)
+    assert wire.filter(wire["topic"] == topic).count() == len(rows)
+
+
+def test_explicit_offset_range_against_real_broker(spark):
+    """startingOffsets/endingOffsets JSON must slice a real topic log the
+    same way OffsetStore/resolve_range slices the simulator's."""
+    import json
+
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        kafka_available,
+        read_kafka_batch,
+        write_kafka,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the JVM classpath")
+
+    topic = f"hiveka_smoke_{uuid.uuid4().hex[:12]}"
+    cfg = _cfg(topic)
+    df = spark.createDataFrame(
+        [(i, "e") for i in range(10)], "event_id BIGINT, event_type STRING"
+    )
+    write_kafka(df, cfg, topic)
+
+    # resolve real end offsets, then re-read only the first half per
+    # partition via explicit JSON ranges — the incremental-resume shape
+    ends: dict[str, dict[str, int]] = {topic: {}}
+    for r in read_kafka_batch(spark, cfg).groupBy("partition").count().collect():
+        ends[topic][str(r["partition"])] = r["count"] // 2
+    sliced_cfg = KafkaTableConfig(
+        bootstrap_servers=BOOTSTRAP,
+        whitelist_topics=[topic],
+        ddl="event_id BIGINT, event_type STRING",
+        payload_format="json",
+        starting_offsets=json.dumps({topic: {p: 0 for p in ends[topic]}}),
+        ending_offsets=json.dumps(ends),
+    )
+    sliced = decode_wire(read_kafka_batch(spark, sliced_cfg), sliced_cfg)
+    assert sliced.count() == sum(ends[topic].values())
