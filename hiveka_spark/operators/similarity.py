@@ -23,6 +23,24 @@ from pyspark.sql import Column, DataFrame, Window
 QUANT = 10000  # fixed-point scale for engine-exact cosine
 
 
+def _scan_parallelism(df: DataFrame) -> int:
+    """Estimated scan-side parallelism from catalog metadata only.
+
+    File-backed frames report their input files (one small gate/bench file
+    == one scan split; big files split further, so the count only UNDER-
+    estimates — erring toward firing the repartition guard, whose cost is
+    one exchange of slim rows).  Non-file frames (in-memory fixtures) fall
+    back to the RDD partition count — that path forces plan translation
+    but no job, and never occurs on the parquet gate/production inputs."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        return len(files)
+    return df.rdd.getNumPartitions()
+
+
 def quantized(col: Column | str) -> Column:
     """array<float> -> array<bigint> fixed-point at 1e-4 resolution.
 
@@ -401,10 +419,10 @@ def pq_topk(
     # task.  Repartition the slim (id, 4 ints) subvector rows — keyed on
     # the vector id so the argmin groupBy needs no second exchange — up to
     # the cluster's parallelism.  At 100 TB the scan already has thousands
-    # of partitions and this branch never fires.  (getNumPartitions is plan
-    # metadata — no job; measured 16x-replica encode: 56s -> 4.4s.)
+    # of partitions and this branch never fires.  (Measured 16x-replica
+    # encode: 56s -> 4.4s.)
     target = corpus.sparkSession.sparkContext.defaultParallelism
-    if c_sub.rdd.getNumPartitions() < target:
+    if _scan_parallelism(c_sub) < target:
         c_sub = c_sub.repartition(target, F.col("_id"))
     cents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
@@ -479,7 +497,7 @@ def ivfpq_topk(
 
     v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
     target = corpus.sparkSession.sparkContext.defaultParallelism
-    if v.rdd.getNumPartitions() < target:
+    if _scan_parallelism(v) < target:
         v = v.repartition(target, F.col("_id"))  # same guard as pq_topk
     qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
 

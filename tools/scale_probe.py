@@ -284,6 +284,44 @@ def synth_vectors(spark: SparkSession, n_vecs: int, dup_rate: float = 0.05,
     )
 
 
+def synth_pipeline_docs(spark: SparkSession, n_docs: int, dup_rate: float = 0.05,
+                        hot_frac: float = 0.5) -> DataFrame:
+    """synth_docs extended to the full documents schema AND past the Gopher
+    rules (>=15 words, >=2 distinct stopwords, sane mean word length), so
+    the composed x60 pipeline can be probed at constant duplicate rate —
+    naive fixture replication would make every replica an exact duplicate
+    and blow the near-dup stage quadratic (the round-4 lesson)."""
+    def text_for(idc):
+        return F.concat(
+            F.lit("the and for with that from "),  # 6 stopwords, stop_ok
+            F.when(idc % F.lit(int(1 / hot_frac)) == 0,
+                   F.lit("common tag phrase ")).otherwise(F.lit("")),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"w{j}d"), idc.cast("string")) for j in range(14)
+            ]),
+        )
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20)).cast("string")
+            ).alias("source"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text_for(F.col("id")).alias("text")
+    )
+    n_dup = int(n_docs * dup_rate)
+    dups = spark.range(n_dup).select(
+        (F.col("id") + n_docs).alias("doc_id"), text_for(F.col("id")).alias("text")
+    )
+    return shape(base.unionByName(dups))
+
+
 def dup_rate_probes(spark: SparkSession, n: int):
     from hiveka_spark.operators import dedup as D
     from hiveka_spark.operators.similarity import lsh_neardup_pairs
@@ -324,11 +362,23 @@ def dup_rate_probes(spark: SparkSession, n: int):
         # (measured 242s at 16x with the drop-first ordering; 3s after).
         return D.shingle_containment_pairs(docs, threshold=0.6, reuse=False)
 
+    def x60_pipeline_e2e():
+        # the COMPOSED x60 chain (rules -> exact -> minhash dedup ->
+        # decontam -> mix -> chunk -> report) at constant dup rate; the
+        # probe materializes inside the cache scope exactly like the gate
+        from hiveka_spark.operators.dedup import dedup_cache_scope
+        from hiveka_spark.queries.pipeline_e2e import build_curation_report
+
+        pdocs = synth_pipeline_docs(spark, 1000 * n)
+        with dedup_cache_scope() as scope:
+            return build_curation_report(pdocs, scope).localCheckpoint(eager=True)
+
     return [
         ("x02_jaccard_e2e_5pct_dups", x02_end_to_end),
         ("x03_minhash_e2e_5pct_dups", x03_end_to_end),
         ("x05_lsh_e2e_5pct_dups_scaled_planes", x05_end_to_end),
         ("x58_containment_e2e_hot_shingle", x58_end_to_end),
+        ("x60_pipeline_e2e_5pct_dups", x60_pipeline_e2e),
     ]
 
 
