@@ -878,83 +878,17 @@ def s19_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from hiveka_spark.catalog import table
-    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.streaming.neardup import committed_versions, stream_minhash_dedup
 
-    src_dir = tempfile.mkdtemp(prefix="gate_s19src_")
     state_root = tempfile.mkdtemp(prefix="gate_s19state_")
-    bands_root = os.path.join(state_root, "bands")
-    sh_root = os.path.join(state_root, "sh")
-    pairs_root = os.path.join(state_root, "pairs")
-    for p in (bands_root, sh_root, pairs_root):
-        os.makedirs(p)
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
+    pairs = stream_minhash_dedup(
+        spark, docs, n_batches=4,
+        num_perm=32, bands=8, k=3, threshold=0.8, state_root=state_root,
     )
-
-    def committed_prior(root: str, batch_id: int) -> list[str]:
-        return [
-            os.path.join(root, n)
-            for n in sorted(os.listdir(root))
-            if n.startswith("b")
-            and n[1:].isdigit()
-            and int(n[1:]) < batch_id
-            and os.path.exists(os.path.join(root, n, "_SUCCESS"))
-        ]
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        # write this batch's bands/shingles FIRST, read back for the joins:
-        # the parquet round trip doubles as the persist (each frame feeds
-        # two consumers) and makes replay idempotent (overwrite by id)
-        D.minhash_band_rows(
-            batch_df, "doc_id", "text", num_perm=32, bands=8, k=3, reuse=False
-        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
-        D._shingle_sets(batch_df, "doc_id", "text", 3, reuse=False).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sh_root, f"b{batch_id}"))
-        bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))
-        sh_all = s.read.parquet(
-            os.path.join(sh_root, f"b{batch_id}"), *committed_prior(sh_root, batch_id)
-        )
-        a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
-        b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
-        cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-        prior_bands = committed_prior(bands_root, batch_id)
-        if prior_bands:
-            idx = s.read.parquet(*prior_bands).select(
-                F.col("doc").alias("id_old"), "band", "bh"
-            )
-            new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
-            cross = (
-                idx.join(new, ["band", "bh"])
-                .select(
-                    F.least("id_old", "id_new").alias("id_a"),
-                    F.greatest("id_old", "id_new").alias("id_b"),
-                )
-            )
-            cand = cand.select("id_a", "id_b").unionByName(cross)
-        cand = cand.select("id_a", "id_b").distinct()
-        D._verified_jaccard(cand, sh_all, 0.8).write.mode("overwrite").parquet(
-            os.path.join(pairs_root, f"b{batch_id}")
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s19_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    emitted = committed_prior(pairs_root, 10**9)
+    emitted = committed_versions(os.path.join(state_root, "pairs"), 10**9)
     assert len(emitted) >= 3, f"expected >=3 micro-batches, got {len(emitted)}"
-    return spark.read.parquet(*emitted).distinct()
+    return pairs
 
 
 # The streaming run must converge to x03's one-shot batch answer — reuse

@@ -1,0 +1,131 @@
+"""Streaming MinHash near-dup dedup over a persisted band index.
+
+The streaming twin of ``operators.dedup.minhash_lsh_pairs`` (see s19 in
+queries/streaming_queries.py for the gate-entry framing).  Each
+micro-batch:
+
+1. computes MinHash band rows + shingle sets for ITS docs only,
+2. writes them to per-batch versioned dirs (``bands/b{id}``, ``sh/b{id}``,
+   overwrite — a checkpoint-replayed batch rewrites its own version),
+3. probes the committed band index of all PRIOR batches for cross-batch
+   candidates and self-joins for within-batch candidates,
+4. Jaccard-verifies both against the accumulated shingle store, and
+5. emits verified pairs to ``pairs/b{id}``.
+
+Convergence contract (batch-split invariance): a pair (a, b) is
+discovered exactly once — when the later doc arrives — so the union of
+per-batch emissions equals the one-shot batch ``minhash_lsh_pairs``
+result REGARDLESS of how the corpus is split into micro-batches.  The
+s19 oracle checks one split against DuckDB; ``tests/test_streaming_
+neardup.py`` checks several splits against the batch operator.
+
+Scale shape: per batch one signature aggregate over the batch only (the
+index is never recomputed), one (band, bh)-keyed equi-join against the
+index.  At 100 TB: bucket the index files by ``bh`` so the probe prunes
+to matching buckets, compact per-batch dirs periodically, and relax the
+shingle-store verify to signature-estimated Jaccard if exactness can be
+traded for state size.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def committed_versions(root: str, before: int) -> list[str]:
+    """Committed (``_SUCCESS``-marked) version dirs with id < ``before`` —
+    the disk-derived predecessor rule (the s16 discipline)."""
+    return [
+        os.path.join(root, n)
+        for n in sorted(os.listdir(root))
+        if n.startswith("b")
+        and n[1:].isdigit()
+        and int(n[1:]) < before
+        and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+    ]
+
+
+def stream_minhash_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_batches: int = 4,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+    state_root: str | None = None,
+) -> DataFrame:
+    """Run ``docs`` (doc_id, text) through the streaming band-index dedup
+    as ``n_batches`` REAL micro-batches; returns the distinct verified
+    (id_a, id_b, jaccard) pair set.  See module docstring."""
+    from hiveka_spark.operators import dedup as D
+
+    src_dir = tempfile.mkdtemp(prefix="sneardup_src_")
+    state_root = state_root or tempfile.mkdtemp(prefix="sneardup_state_")
+    bands_root = os.path.join(state_root, "bands")
+    sh_root = os.path.join(state_root, "sh")
+    pairs_root = os.path.join(state_root, "pairs")
+    for p in (bands_root, sh_root, pairs_root):
+        os.makedirs(p, exist_ok=True)
+
+    docs.select("doc_id", "text").repartition(n_batches).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # write this batch's bands/shingles FIRST, read back for the joins:
+        # the parquet round trip doubles as the persist (each frame feeds
+        # two consumers) and makes replay idempotent (overwrite by id)
+        D.minhash_band_rows(
+            batch_df, "doc_id", "text",
+            num_perm=num_perm, bands=bands, k=k, reuse=False,
+        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
+        D._shingle_sets(batch_df, "doc_id", "text", k, reuse=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sh_root, f"b{batch_id}"))
+        bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))
+        sh_all = s.read.parquet(
+            os.path.join(sh_root, f"b{batch_id}"),
+            *committed_versions(sh_root, batch_id),
+        )
+        a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
+        b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
+        cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+        prior_bands = committed_versions(bands_root, batch_id)
+        if prior_bands:
+            idx = s.read.parquet(*prior_bands).select(
+                F.col("doc").alias("id_old"), "band", "bh"
+            )
+            new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
+            cross = idx.join(new, ["band", "bh"]).select(
+                F.least("id_old", "id_new").alias("id_a"),
+                F.greatest("id_old", "id_new").alias("id_b"),
+            )
+            cand = cand.select("id_a", "id_b").unionByName(cross)
+        cand = cand.select("id_a", "id_b").distinct()
+        D._verified_jaccard(cand, sh_all, threshold).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(pairs_root, f"b{batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sneardup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = committed_versions(pairs_root, 10**9)
+    assert emitted, "no micro-batch emitted pairs output"
+    return spark.read.parquet(*emitted).distinct()

@@ -1,0 +1,41 @@
+"""Batch-split invariance of the streaming MinHash band-index dedup.
+
+The convergence contract s19's oracle checks for ONE split (4 batches vs
+DuckDB) must hold for ANY split: each pair is discovered exactly once —
+when the later doc arrives — so the union of per-batch emissions equals
+the one-shot batch operator's answer regardless of how the corpus is cut
+into micro-batches.  A violation here means the index probe either
+misses cross-batch pairs (under-merge) or double-emits (over-merge)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators.dedup import minhash_lsh_pairs
+from hiveka_spark.streaming.neardup import stream_minhash_dedup
+
+from .conftest import SF_SMOKE
+
+
+def _pairset(df):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in df.select("id_a", "id_b", "jaccard").collect()
+    }
+
+
+def test_stream_equals_batch_for_any_split(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    expected = _pairset(
+        minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, k=3, verify_threshold=0.8, reuse=False
+        )
+    )
+    assert expected, "fixture must contain planted near-dups"
+    for n_batches in (1, 2, 7):
+        got = _pairset(stream_minhash_dedup(spark, docs, n_batches=n_batches))
+        assert got == expected, (
+            f"split into {n_batches} batches diverged: "
+            f"missing={expected - got}, extra={got - expected}"
+        )
