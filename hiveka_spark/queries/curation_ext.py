@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hiveka_spark.catalog import table
 from hiveka_spark.operators.text import tokens
 from hiveka_spark.queries import register
+from hiveka_spark.scratch import scratch_dir
 
 # ---------------------------------------------------------------------------
 # x47 — overlapping context-window chunking
@@ -381,9 +382,8 @@ def x51_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no column pruning) — the entry documents the ingest edge, parquet stays
     the working format.
     """
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="gate_jsonl_")
+    out = scratch_dir(prefix="gate_jsonl_")
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -491,7 +491,6 @@ def x53_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-parquet plan).  Revenue sums integer cents so the oracle — the
     same join computed WITHOUT the layout — matches bit-for-bit: bucketing
     must change the plan, never the answer."""
-    import tempfile
 
     from hiveka_spark.operators.bucketing import (
         colocated_join,
@@ -502,7 +501,7 @@ def x53_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     db = "gate_bucketed"
-    prepare_bucketed_db(spark, db, tempfile.mkdtemp(prefix="gate_bucketed_"))
+    prepare_bucketed_db(spark, db, scratch_dir(prefix="gate_bucketed_"))
     write_bucketed(li, f"{db}.lineitem_b", ["l_orderkey"], 16)
     write_bucketed(o, f"{db}.orders_b", ["o_orderkey"], 16)
     j = colocated_join(
@@ -548,9 +547,8 @@ def x54_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (doc_id...) explodes into millions of tiny directories and kills
     the file listing; high-cardinality layout belongs to bucketing (x53).
     """
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="gate_partlayout_")
+    out = scratch_dir(prefix="gate_partlayout_")
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out).filter(F.col("lang").isin("en", "zh"))

@@ -36,6 +36,7 @@ from hiveka_spark.operators.text import (
     with_token_stats,
 )
 from hiveka_spark.queries import register
+from hiveka_spark.scratch import scratch_dir
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
@@ -1154,7 +1155,7 @@ def x30_kafka_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitelist_topics=["events_rt"],
         ddl="event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     )
-    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simkafka_"))
+    broker = SimBroker(scratch_dir(prefix="gate_simkafka_"))
     broker.create_topic("events_rt", partitions=4)
     # deterministic 1/5 subsample: the roundtrip proof doesn't need every row,
     # and the payload bytes cross the Python codec twice on the gate box
@@ -1212,7 +1213,7 @@ def x40_kafka_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitelist_topics=["events_tt"],
         ddl="event_id BIGINT, event_type STRING, value DOUBLE, ts_ms BIGINT",
     )
-    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simkafka_tt_"))
+    broker = SimBroker(scratch_dir(prefix="gate_simkafka_tt_"))
     broker.create_topic("events_tt", partitions=4)
     rows = (
         table(spark, sf_dir, "events")
@@ -1345,7 +1346,7 @@ def x42_kafka_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitelist_topics=["events_inc"],
         ddl="event_id BIGINT, event_type STRING",
     )
-    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simkafka_inc_"))
+    broker = SimBroker(scratch_dir(prefix="gate_simkafka_inc_"))
     broker.create_topic("events_inc", partitions=3)
     store = OffsetStore(tempfile.mktemp(prefix="gate_offsets_", suffix=".json"))
     e = table(spark, sf_dir, "events").select("event_id", "event_type")
@@ -1412,7 +1413,7 @@ def x43_confluent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.sources.schema_registry import FileSchemaRegistry
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    registry = FileSchemaRegistry(tempfile.mkdtemp(prefix="gate_confluent_reg_"))
+    registry = FileSchemaRegistry(scratch_dir(prefix="gate_confluent_reg_"))
     cfg_v1 = KafkaTableConfig(
         "sim://gate",
         whitelist_topics=["docs_confluent"],

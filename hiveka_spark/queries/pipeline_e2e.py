@@ -44,6 +44,7 @@ from hiveka_spark.operators import dedup as D
 from hiveka_spark.operators.sampling import sample_bucket, sample_bucket_sql
 from hiveka_spark.operators.text import tokens, with_gopher_rules
 from hiveka_spark.queries import register
+from hiveka_spark.scratch import scratch_dir
 
 # Stage parameters — deliberately identical to the single-stage gates so a
 # divergence between composed and single-stage behavior is a real bug, not
@@ -398,9 +399,8 @@ def x60_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cache scope (localCheckpoint) so the driver's later collect reads
     the 15-row result, not a recomputation of the unpersisted chain.
     """
-    import tempfile
 
-    out = tempfile.mkdtemp(prefix="gate_x60_jsonl_")
+    out = scratch_dir(prefix="gate_x60_jsonl_")
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     table(spark, sf_dir, "documents").select(*cols).write.mode("overwrite").json(out)
     with D.dedup_cache_scope() as scope:

@@ -21,12 +21,12 @@ cluster instead.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hiveka_spark.queries import register
+from hiveka_spark.scratch import scratch_dir
 from hiveka_spark.streaming import pipeline as P
 
 
@@ -37,7 +37,7 @@ def _drain(
         df,
         name,
         output_mode=output_mode,
-        checkpoint=tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+        checkpoint=scratch_dir(prefix=f"ckpt_{name}_"),
         shuffle_partitions=shuffle_partitions,
     )
 
@@ -608,12 +608,11 @@ def s15_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming shape is the production one for landed-file corpora: new
     dumps appear in the directory, maxFilesPerTrigger paces them, the
     aggregate rolls forward."""
-    import tempfile
 
     from hiveka_spark.catalog import table
     from hiveka_spark.sources.jsonl import CORRUPT_COL
 
-    out = tempfile.mkdtemp(prefix="gate_sjsonl_")
+    out = scratch_dir(prefix="gate_sjsonl_")
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -666,13 +665,12 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (a single-batch drain would never merge at all — the s07
     lesson).  The drained final snapshot must equal the batch aggregate of
     the whole table — streaming-upsert convergence, hash-checked."""
-    import tempfile
 
     from hiveka_spark.catalog import table
     from hiveka_spark.streaming.upsert import VersionedUpsertSink
 
-    src_dir = tempfile.mkdtemp(prefix="gate_fbsrc_")
-    state_root = tempfile.mkdtemp(prefix="gate_fbstate_")
+    src_dir = scratch_dir(prefix="gate_fbsrc_")
+    state_root = scratch_dir(prefix="gate_fbstate_")
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
     ev.repartition(4).write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
@@ -705,7 +703,7 @@ def s16_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_s16_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s16_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -737,7 +735,6 @@ def s17_stream_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode paths are one code path, certified by one oracle (A13–A18 + A23
     as a live stream instead of repeated batch pulls, the upgrade over the
     reference's KafkaInputFormat.java:471-501 resume loop)."""
-    import tempfile
 
     from hiveka_spark.catalog import table
     from hiveka_spark.sources.kafka_io import KafkaTableConfig, decode_wire, write_kafka
@@ -748,7 +745,7 @@ def s17_stream_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitelist_topics=["events_live"],
         ddl="event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
     )
-    broker = SimBroker(tempfile.mkdtemp(prefix="gate_simstream_"))
+    broker = SimBroker(scratch_dir(prefix="gate_simstream_"))
     broker.create_topic("events_live", partitions=4)
     rows = (
         table(spark, sf_dir, "events")
@@ -792,7 +789,6 @@ def s18_stream_confluent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so framing, per-record id resolution, and Avro schema resolution are
     hash-checked through the micro-batch path."""
     import json as _json
-    import tempfile
     from dataclasses import replace
 
     from hiveka_spark.catalog import table
@@ -808,14 +804,14 @@ def s18_stream_confluent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
         "doc_id", "lang", "n_chars"
     )
-    registry = FileSchemaRegistry(tempfile.mkdtemp(prefix="gate_s18_reg_"))
+    registry = FileSchemaRegistry(scratch_dir(prefix="gate_s18_reg_"))
     cfg_v1 = KafkaTableConfig(
         "sim://gate",
         whitelist_topics=["docs_live_confluent"],
         ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
     )
     cfg_v1 = with_confluent_framing(cfg_v1, registry, "docs_live_confluent")
-    broker = SimBroker(tempfile.mkdtemp(prefix="gate_s18_broker_"))
+    broker = SimBroker(scratch_dir(prefix="gate_s18_broker_"))
     broker.create_topic("docs_live_confluent", partitions=2)
     write_kafka(d, cfg_v1, "docs_live_confluent", key_col="doc_id", broker=broker)
 
@@ -880,7 +876,7 @@ def s19_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.catalog import table
     from hiveka_spark.streaming.neardup import committed_versions, stream_minhash_dedup
 
-    state_root = tempfile.mkdtemp(prefix="gate_s19state_")
+    state_root = scratch_dir(prefix="gate_s19state_")
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = stream_minhash_dedup(
         spark, docs, n_batches=4,

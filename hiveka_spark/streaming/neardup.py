@@ -30,10 +30,11 @@ traded for state size.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.scratch import scratch_dir
 
 
 def committed_versions(root: str, before: int) -> list[str]:
@@ -64,8 +65,8 @@ def stream_minhash_dedup(
     (id_a, id_b, jaccard) pair set.  See module docstring."""
     from hiveka_spark.operators import dedup as D
 
-    src_dir = tempfile.mkdtemp(prefix="sneardup_src_")
-    state_root = state_root or tempfile.mkdtemp(prefix="sneardup_state_")
+    src_dir = scratch_dir(prefix="sneardup_src_")
+    state_root = state_root or scratch_dir(prefix="sneardup_state_")
     bands_root = os.path.join(state_root, "bands")
     sh_root = os.path.join(state_root, "sh")
     pairs_root = os.path.join(state_root, "pairs")
@@ -121,7 +122,7 @@ def stream_minhash_dedup(
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sneardup_"))
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_sneardup_"))
         .trigger(availableNow=True)
         .start()
     )
