@@ -388,6 +388,124 @@ def contamination_overlap(
     )
 
 
+def bloom_positions(shingle: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """The ``n_hashes`` bit positions of a shingle in an ``m_bits`` Bloom
+    filter — portable_hash60 of a per-hash-salted shingle, mod m.  Engine-
+    portable (md5), so a SQL oracle replays every position, hence every
+    false positive."""
+    return [
+        F.pmod(portable_hash60(F.concat(F.lit(f"bloom{i}_"), shingle)), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_positions_sql(expr: str, n_hashes: int, m_bits: int) -> list[str]:
+    """DuckDB twins of :func:`bloom_positions`."""
+    out = []
+    for i in range(n_hashes):
+        salted = f"concat('bloom{i}_', {expr})"
+        out.append(f"({portable_hash60_sql(salted)} % {m_bits})")
+    return out
+
+
+def bloom_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m_bits: int = 2**18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """MEMORY-BOUNDED benchmark decontamination: probe training shingles
+    against a Bloom filter of the eval corpus's shingles instead of the
+    broadcast shingle SET :func:`contamination_overlap` uses.
+
+    Why it exists at 100 TB: contamination_overlap broadcasts the eval
+    shingle strings — fine for one benchmark, but a decontamination pass
+    against a large eval SUITE (every benchmark you'll ever report) makes
+    the broadcast set grow with suite size.  The Bloom filter pins the
+    broadcast at m_bits/8 bytes (32 KiB here) FOREVER, trading a
+    deterministic, quantified false-positive rate: a shingle flags iff all
+    ``n_hashes`` of its bit positions are set.
+
+    Output per training doc: (doc, n_shingles, n_bloom_hits, n_exact_hits,
+    flagged) — n_exact_hits is the true overlap computed alongside, so
+    false positives are visible in the result itself (n_bloom_hits >=
+    n_exact_hits always; the gap IS the fp count, hash-certified by the
+    oracle).  In production you'd route only flagged docs (a tiny
+    fraction) to the exact verifier — the standard two-tier filter.
+
+    Scale shape: the filter is built from the eval side (one distinct-
+    position aggregate, collected to the driver at <= m_bits ints — the
+    same bounded-collect posture as centroid handoff) and broadcast as ONE
+    array<bigint> literal of m_bits/64 words; the training scan is then a
+    pure map (bit tests against the literal) + one doc-keyed count — ZERO
+    shuffle of training data beyond the per-doc aggregate.  Exact-hit
+    counting reuses the broadcast eval shingle set (gate-scale); drop the
+    exact columns and the eval strings never ship at all.
+    """
+    from hiveka_spark.operators.text import tokens
+
+    spark = train.sparkSession
+    ev_sh = (
+        eval_df.select(tokens(text_col).alias("ws"))
+        .select(F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"))
+        .distinct()
+    )
+    pos_rows = (
+        ev_sh.select(
+            F.explode(F.array(*bloom_positions(F.col("s"), n_hashes, m_bits))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p // 64] |= 1 << (p % 64)
+    # one array<bigint> literal (single Literal node — the plane_weights
+    # lesson: per-element literals cost seconds of planning)
+    bitset = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words]).cast(
+        "array<bigint>"
+    )
+
+    tr = (
+        train.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ws"))
+        .select("doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh"))
+        .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+        .withColumn("_bs", bitset)
+    )
+    for i, p in enumerate(bloom_positions(F.col("s"), n_hashes, m_bits)):
+        tr = tr.withColumn(f"_p{i}", p)
+    # bit test in SQL form: the Python shiftright wrapper only takes int
+    # literals, but the SQL function shifts by any expression.  Arithmetic
+    # (signed) shift is fine — "& 1" reads the target bit regardless of the
+    # sign extension above it.
+    all_set = " AND ".join(
+        f"((shiftright(element_at(_bs, CAST(_p{i} DIV 64 AS INT) + 1),"
+        f" CAST(_p{i} % 64 AS INT)) & 1) = 1)"
+        for i in range(n_hashes)
+    )
+    probed = tr.withColumn("bloom_hit", F.expr(all_set).cast("int")).drop(
+        "_bs", *[f"_p{i}" for i in range(n_hashes)]
+    )
+    exact = probed.join(
+        F.broadcast(ev_sh.withColumn("exact_hit", F.lit(1))), "s", "left"
+    )
+    out = exact.groupBy("doc", "n_shingles").agg(
+        F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.coalesce("exact_hit", F.lit(0))).cast("bigint").alias("n_exact_hits"),
+    )
+    return out.select(
+        "doc",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") > 0).cast("bigint").alias("flagged"),
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic affine-permutation coefficients (a odd, b) mod 2^31-1.
 

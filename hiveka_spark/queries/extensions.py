@@ -1494,3 +1494,68 @@ def x44_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     media = synthesize_wav_media(d, "doc_id", "text")
     return decode_audio_features(media)
+
+
+# ---------------------------------------------------------------------------
+# x62 — Bloom-filter decontamination (memory-bounded membership at 100 TB)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2**18  # bits -> 32 KiB broadcast, forever, regardless of suite size
+_BLOOM_H = 3
+
+
+def _bloom_oracle(k: int = 3) -> str:
+    srcs = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    p = D.bloom_positions_sql("s", _BLOOM_H, _BLOOM_M)
+    pos_cols = ", ".join(f"{p[i]} AS p{i}" for i in range(_BLOOM_H))
+    all_in = " AND ".join(
+        f"p{i} IN (SELECT pos FROM evpos)" for i in range(_BLOOM_H)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, source,
+                      list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+{k - 1}], ' ') AS s
+           FROM (SELECT doc_id, source, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                 FROM w)),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source IN ({srcs})),
+    evpos AS (SELECT DISTINCT pos FROM
+                (SELECT UNNEST([{", ".join(p)}]) AS pos FROM ev)),
+    tr AS (SELECT doc_id, s, {pos_cols}
+           FROM sh WHERE source NOT IN ({srcs})),
+    probe AS (SELECT doc_id, s,
+                     CASE WHEN {all_in} THEN 1 ELSE 0 END AS bloom_hit,
+                     CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END AS exact_hit
+              FROM tr)
+    SELECT doc_id AS doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(CASE WHEN SUM(bloom_hit) > 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM probe GROUP BY doc_id
+    """
+
+
+@register(
+    "x62_bloom_decontamination",
+    oracle=_bloom_oracle(),
+    tags=("dedup", "decontamination", "bloom", "membership"),
+)
+def x62_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the memory-bounded third
+    tier next to exact-set (x24) and MinHash-fuzzy (x41): the eval suite's
+    shingles collapse to a fixed 32 KiB bit array broadcast as ONE
+    array<bigint> literal; training shingles flag iff all {_BLOOM_H} salted
+    md5 bit positions are set.  False positives are deterministic given
+    the hashes, so the DuckDB oracle replays them exactly via position-set
+    membership (bit p set <=> some eval shingle hashes to p), and the
+    result carries n_exact_hits alongside n_bloom_hits — the gap IS the
+    certified fp count.  See operators/dedup.py::bloom_decontamination
+    for the two-tier production posture."""
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    tr = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return D.bloom_decontamination(
+        tr, ev, "doc_id", "text", k=3, m_bits=_BLOOM_M, n_hashes=_BLOOM_H
+    )
