@@ -81,6 +81,8 @@ HEADLINE = [
     "x59_tfidf_doc_similarity",
     "x60_curation_pipeline",
     "s19_stream_minhash_dedup",
+    "x61_ann_recall",
+    "x62_bloom_decontamination",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
