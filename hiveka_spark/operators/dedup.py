@@ -445,14 +445,34 @@ def bloom_decontamination(
     counting reuses the broadcast eval shingle set (gate-scale); drop the
     exact columns and the eval strings never ship at all.
     """
+    ev_sh = eval_shingle_set(eval_df, text_col, k)
+    bitset = build_bloom_bitset(ev_sh, m_bits, n_hashes)
+    return bloom_probe(
+        train, bitset, ev_sh, id_col, text_col, k, m_bits, n_hashes
+    )
+
+
+def eval_shingle_set(eval_df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct eval-corpus shingles (one column ``s``) — the build input
+    for both the Bloom bitset and the exact-hit verifier."""
     from hiveka_spark.operators.text import tokens
 
-    spark = train.sparkSession
-    ev_sh = (
+    return (
         eval_df.select(tokens(text_col).alias("ws"))
         .select(F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"))
         .distinct()
     )
+
+
+def build_bloom_bitset(
+    ev_sh: DataFrame, m_bits: int = 2**18, n_hashes: int = 3
+) -> Column:
+    """Build the Bloom bit array from an eval shingle set and return it as
+    ONE array<bigint> literal (m_bits/64 words; a single Literal node — the
+    plane_weights lesson: per-element literals cost seconds of planning).
+    The collect is bounded by m_bits distinct positions — the same bounded-
+    collect posture as centroid handoff.  The returned Column is reusable
+    across queries AND micro-batches (it is pure plan data)."""
     pos_rows = (
         ev_sh.select(
             F.explode(F.array(*bloom_positions(F.col("s"), n_hashes, m_bits))).alias("pos")
@@ -464,11 +484,28 @@ def bloom_decontamination(
     for r in pos_rows:
         p = r["pos"]
         words[p // 64] |= 1 << (p % 64)
-    # one array<bigint> literal (single Literal node — the plane_weights
-    # lesson: per-element literals cost seconds of planning)
-    bitset = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words]).cast(
+    return F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words]).cast(
         "array<bigint>"
     )
+
+
+def bloom_probe(
+    train: DataFrame,
+    bitset: Column,
+    ev_sh: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m_bits: int = 2**18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Probe training docs against a pre-built Bloom bitset (see
+    :func:`bloom_decontamination` for semantics/output).  Split out so the
+    STREAMING twin (s20) can apply the same probe per micro-batch against
+    one shared bitset — the probe is per-doc-local (a doc's shingles all
+    live in its own row), so batch-local application over any stream split
+    equals the one-shot batch answer."""
+    from hiveka_spark.operators.text import tokens
 
     tr = (
         train.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ws"))

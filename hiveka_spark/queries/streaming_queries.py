@@ -900,3 +900,76 @@ def _set_s19_oracle() -> None:
 
 
 _set_s19_oracle()
+
+
+@register(
+    "s20_stream_bloom_decontam",
+    oracle=None,  # set below — reuses x62's Bloom replay
+    tags=("streaming", "decontamination", "bloom", "ingest-filter"),
+)
+def s20_stream_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME decontamination — the streaming twin of x62 and the
+    filter a live pipeline runs as documents land: the eval suite's Bloom
+    bitset is built ONCE (32 KiB literal, pure plan data) and every
+    micro-batch of arriving training docs is probed against it map-only.
+    The probe is per-doc-local (a doc's shingles live in its own row), so
+    there is NO streaming state at all — the cheapest possible streaming
+    operator shape — and the union of per-batch outputs must equal x62's
+    one-shot batch answer, which is exactly what the shared oracle checks.
+
+    4 real micro-batches (maxFilesPerTrigger=1); per-batch results go to
+    versioned dirs (replay-idempotent, the s16/s19 discipline)."""
+    import os
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    tr = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select("doc_id", "text")
+
+    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+
+    src_dir = scratch_dir(prefix="gate_s20src_")
+    out_root = scratch_dir(prefix="gate_s20out_")
+    tr.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        D.bloom_probe(
+            batch_df, bitset, ev_sh, "doc_id", "text",
+            k=3, m_bits=_BLOOM_M, n_hashes=_BLOOM_H,
+        ).write.mode("overwrite").parquet(os.path.join(out_root, f"b{batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s20_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = committed_versions(out_root, 10**9)
+    assert len(emitted) >= 3, f"expected >=3 micro-batches, got {len(emitted)}"
+    return spark.read.parquet(*emitted)
+
+
+def _set_s20_oracle() -> None:
+    from dataclasses import replace
+
+    from hiveka_spark.queries import REGISTRY
+    from hiveka_spark.queries.extensions import _bloom_oracle
+
+    spec = REGISTRY["s20_stream_bloom_decontam"]
+    REGISTRY["s20_stream_bloom_decontam"] = replace(spec, oracle=_bloom_oracle())
+
+
+_set_s20_oracle()
