@@ -324,6 +324,124 @@ def ivf_topk(
     )
 
 
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, m: int, dsub: int
+) -> DataFrame:
+    """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
+    SCALAR columns, not an array — pair distances over them compile to
+    plain codegen arithmetic instead of interpreted higher-order array
+    functions (zip_with/aggregate don't whole-stage-codegen; the scalar
+    form measured ~5x faster on the encode join).  The quantized array is
+    materialized ONCE per row first — element_at over the raw transform
+    expression would re-evaluate the (interpreted) lambda once per
+    extracted component, m*dsub = dim times per row."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("bigint").alias("sub"),
+                *[
+                    F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
+                    for i in range(dsub)
+                ],
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), quantized(vec_col).alias("_qv")
+    ).select(out_id, F.inline(subs))
+
+
+def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
+    """Sum of squared component deltas — pure codegen-able bigint math."""
+    terms = [
+        (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
+        * (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
+        for i in range(dsub)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    dim: int = 64,
+    n_centroids: int = 64,
+    centroid_stride: int = 7,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks with distributed Lloyd — the
+    offline-codebook production posture pq_topk/ivfpq_topk document
+    ("hand in k-means codebooks the same way"), made real.
+
+    All m subspaces train JOINTLY in each pass: assignment is ONE
+    broadcast join of the (sub, code) centroid frame against the
+    subvector rows (equi-keyed on sub) + a map-side-combinable argmin;
+    the update is ONE (sub, code)-keyed aggregate producing m*n_centroids
+    rows with truncating-integer-division component means (engine-exact,
+    same arithmetic as clustering.kmeans_lloyd).  Empty cells keep their
+    previous centroid (left join + coalesce), so the codebook never
+    shrinks.  Seeds are the same stride rows pq_topk defaults to, so
+    n_iters=0 degenerates to the untrained codebook exactly.
+
+    Returns (sub, code, cv_0..cv_{dsub-1}) — pq_topk/ivfpq_topk's
+    ``codebooks`` shape.  Deterministic: stride seeds, integer means,
+    (d2, code)-ascending tie-breaks.
+    """
+    dsub = dim // m
+    c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub)
+    cents = c_sub.filter(
+        (F.col("_id") % centroid_stride == 0)
+        & (F.col("_id") / centroid_stride < n_centroids)
+    ).select(
+        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+        "sub",
+        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
+    )
+    for _ in range(n_iters):
+        assigned = (
+            c_sub.join(F.broadcast(cents), "sub")
+            .withColumn("d2", _pq_d2(dsub, "sv_", "cv_"))
+            .groupBy("_id", "sub")
+            .agg(
+                F.min(
+                    F.struct("d2", "code", *[f"sv_{i}" for i in range(dsub)])
+                ).alias("mc")
+            )
+            .select(
+                "sub",
+                F.col("mc.code").alias("code"),
+                *[F.col(f"mc.sv_{i}").alias(f"sv_{i}") for i in range(dsub)],
+            )
+        )
+        updated = assigned.groupBy("sub", "code").agg(
+            *[
+                F.expr(f"CAST(sum(sv_{i}) DIV count(sv_{i}) AS BIGINT)").alias(
+                    f"nv_{i}"
+                )
+                for i in range(dsub)
+            ]
+        )
+        cents = (
+            cents.join(updated, ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                *[
+                    F.coalesce(f"nv_{i}", f"cv_{i}").alias(f"cv_{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return cents
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -334,6 +452,7 @@ def pq_topk(
     dim: int = 64,
     n_centroids: int = 64,
     centroid_stride: int = 7,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (ADC — asymmetric distance
     computation): split each dim-``dim`` vector into ``m`` subvectors, encode
@@ -376,41 +495,10 @@ def pq_topk(
     dsub = dim // m
 
     def subvectors(df: DataFrame, out_id: str) -> DataFrame:
-        """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
-        SCALAR columns, not an array — the pair-distance below then compiles
-        to plain codegen arithmetic instead of interpreted higher-order
-        array functions (zip_with/aggregate don't whole-stage-codegen; the
-        scalar form measured ~5x faster on the encode join).  The quantized
-        array is materialized ONCE per row first — element_at over the raw
-        transform expression would re-evaluate the (interpreted) lambda once
-        per extracted component, m*dsub = dim times per row."""
-        subs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).cast("bigint").alias("sub"),
-                    *[
-                        F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
-                        for i in range(dsub)
-                    ],
-                )
-                for s in range(m)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id), quantized(vec_col).alias("_qv")
-        ).select(out_id, F.inline(subs))
+        return _pq_subvectors(df, id_col, vec_col, out_id, m, dsub)
 
     def d2_expr(a_prefix: str, b_prefix: str) -> Column:
-        """Sum of squared component deltas — pure codegen-able bigint math."""
-        terms = [
-            (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
-            * (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
-            for i in range(dsub)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out.cast("bigint")
+        return _pq_d2(dsub, a_prefix, b_prefix)
 
     c_sub = subvectors(corpus, "_id")
     # Degenerate-parallelism guard: the encode join multiplies each corpus
@@ -424,14 +512,19 @@ def pq_topk(
     target = corpus.sparkSession.sparkContext.defaultParallelism
     if _scan_parallelism(c_sub) < target:
         c_sub = c_sub.repartition(target, F.col("_id"))
-    cents = c_sub.filter(
-        (F.col("_id") % centroid_stride == 0)
-        & (F.col("_id") / centroid_stride < n_centroids)
-    ).select(
-        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
-        "sub",
-        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
-    )
+    if codebooks is not None:
+        # trained codebooks handed in (train_pq_codebooks's output shape:
+        # sub, code, cv_0..cv_{dsub-1}) — the production posture
+        cents = codebooks
+    else:
+        cents = c_sub.filter(
+            (F.col("_id") % centroid_stride == 0)
+            & (F.col("_id") / centroid_stride < n_centroids)
+        ).select(
+            (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+            "sub",
+            *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
+        )
     # encode: nearest centroid per (vector, subspace); min(struct) is the
     # deterministic argmin (d2 asc, code asc) and map-side combines
     codes = (

@@ -360,3 +360,59 @@ def test_containment_detects_excerpt_asymmetrically(spark):
     assert out.get((1, 2)) == 1.0  # excerpt fully inside the long doc
     assert (2, 1) not in out  # the long doc is NOT contained in the excerpt
     assert all(3 not in pair for pair in out)
+
+
+def test_trained_pq_codebooks_beat_stride_recall(spark):
+    """The 'production recall comes from trained codebooks' posture, made
+    real and measurable: per-subspace distributed-Lloyd codebooks
+    (train_pq_codebooks) must beat the stride seeds' recall@5 against the
+    exact squared-L2 top-5.  Measured on this fixture: 0.30 (stride) ->
+    0.50 (4 Lloyd passes) — both runs deterministic, so the comparison is
+    fixed, not sampled."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+        with_quantized_norm,
+    )
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    q = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_stride = recall(pq_topk(e, qs, k=5))
+    cb = train_pq_codebooks(e, n_iters=4)
+    assert cb.count() == 16 * 64  # codebook never shrinks (empty-cell keep)
+    r_trained = recall(pq_topk(e, qs, k=5, codebooks=cb))
+    assert r_trained > r_stride, f"trained {r_trained} <= stride {r_stride}"
+    assert r_trained >= 0.4  # measured 0.50; generous floor for fixture drift
