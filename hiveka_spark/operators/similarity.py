@@ -569,6 +569,7 @@ def ivfpq_topk(
     dim: int = 64,
     n_centroids: int = 64,
     centroid_stride: int = 7,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ stacked (the FAISS IVFPQ composition): a coarse quantizer
     prunes WHICH vectors are scored (each query probes its ``n_probe``
@@ -652,14 +653,20 @@ def ivfpq_topk(
             out = out + t
         return out.cast("bigint")
 
-    pcents = sub_cols(v, "_id").filter(
-        (F.col("_id") % centroid_stride == 0)
-        & (F.col("_id") / centroid_stride < n_centroids)
-    ).select(
-        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
-        "sub",
-        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
-    )
+    if codebooks is not None:
+        # trained PQ codebooks handed in (train_pq_codebooks's shape) —
+        # cell centroids stay stride-seeded (coarse pruning is far less
+        # codebook-sensitive than the ADC distances)
+        pcents = codebooks
+    else:
+        pcents = sub_cols(v, "_id").filter(
+            (F.col("_id") % centroid_stride == 0)
+            & (F.col("_id") / centroid_stride < n_centroids)
+        ).select(
+            (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+            "sub",
+            *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
+        )
     # index build: attach each vector's cell (id-keyed join of two
     # corpus-sized frames — this is the one big-big join and it happens at
     # BUILD time, not per query), then encode; cell rides the argmin keys
