@@ -50,6 +50,36 @@ def committed_versions(root: str, before: int) -> list[str]:
     ]
 
 
+def compact_band_index(spark: SparkSession, state_root: str) -> None:
+    """Merge every committed per-batch version of the band index (and the
+    shingle store) into its newest version dir, deleting the rest.
+
+    The per-batch dirs grow without bound on a long-running ingest (one
+    dir per micro-batch; 8 band rows per doc forever), and each new batch
+    reads ALL of them — at some point the file-listing and small-file
+    overhead dominates the probe.  Compaction is run BETWEEN stream runs
+    (never concurrently with one): union -> rewrite into the highest
+    committed id -> drop the lower ids.  Index CONTENT is a set of
+    per-doc rows, so the merge is a pure union — probe results before
+    and after are identical (pinned by
+    tests/test_streaming_neardup.py::test_continuation_through_compaction).
+    At 100 TB you would additionally bucket the rewrite by ``bh`` so
+    probes prune to matching buckets."""
+    import shutil
+
+    for sub in ("bands", "sh"):
+        root = os.path.join(state_root, sub)
+        dirs = committed_versions(root, 10**9)
+        if len(dirs) <= 1:
+            continue
+        top = max(int(os.path.basename(d)[1:]) for d in dirs)
+        tmp = os.path.join(root, "_compact_tmp")
+        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        for d in dirs:
+            shutil.rmtree(d)
+        os.rename(tmp, os.path.join(root, f"b{top}"))
+
+
 def stream_minhash_dedup(
     spark: SparkSession,
     docs: DataFrame,
@@ -59,10 +89,19 @@ def stream_minhash_dedup(
     k: int = 3,
     threshold: float = 0.8,
     state_root: str | None = None,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Run ``docs`` (doc_id, text) through the streaming band-index dedup
     as ``n_batches`` REAL micro-batches; returns the distinct verified
-    (id_a, id_b, jaccard) pair set.  See module docstring."""
+    (id_a, id_b, jaccard) pair set — accumulated across ALL runs sharing
+    ``state_root``, not just this one.  See module docstring.
+
+    ``id_offset`` shifts this run's version-dir ids: a RESUMED stream
+    (same checkpoint) continues Spark's batch ids automatically, but a
+    NEW stream over newly landed files restarts at 0 — pass an offset
+    above every existing version so the new run's state sorts after (and
+    probes) the old corpus instead of overwriting it.  This is the
+    multi-run ingest story: run -> compact_band_index -> run again."""
     from hiveka_spark.operators import dedup as D
 
     src_dir = scratch_dir(prefix="sneardup_src_")
@@ -84,6 +123,7 @@ def stream_minhash_dedup(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_id = batch_id + id_offset
         s = batch_df.sparkSession
         # write this batch's bands/shingles FIRST, read back for the joins:
         # the parquet round trip doubles as the persist (each frame feeds

@@ -39,3 +39,40 @@ def test_stream_equals_batch_for_any_split(spark):
             f"split into {n_batches} batches diverged: "
             f"missing={expected - got}, extra={got - expected}"
         )
+
+
+def test_continuation_through_compaction(spark, tmp_path):
+    """The multi-run ingest story: stream half the corpus, COMPACT the band
+    index, stream the other half into the same state root (id_offset above
+    the old versions).  The accumulated pair set must equal the one-shot
+    batch answer over the full corpus — compaction changed the index's
+    file layout but not its content, and the second run's cross-batch
+    probes found every old-corpus partner."""
+    import os
+
+    from hiveka_spark.streaming.neardup import compact_band_index
+
+    root = str(tmp_path / "state")
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    stream_minhash_dedup(spark, half1, n_batches=2, state_root=root)
+    n_dirs_before = len(os.listdir(os.path.join(root, "bands")))
+    compact_band_index(spark, root)
+    n_dirs_after = len(os.listdir(os.path.join(root, "bands")))
+    assert n_dirs_before == 2 and n_dirs_after == 1
+
+    got = _pairset(
+        stream_minhash_dedup(
+            spark, half2, n_batches=2, state_root=root, id_offset=1000
+        )
+    )
+    expected = _pairset(
+        minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, k=3, verify_threshold=0.8, reuse=False
+        )
+    )
+    assert got == expected, (
+        f"missing={expected - got}, extra={got - expected}"
+    )
