@@ -936,3 +936,81 @@ def q48_sorted_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_segment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — conditional aggregation: FILTER clause, count_if, deterministic mode
+# ---------------------------------------------------------------------------
+
+_Q49_SPARK_SQL = """
+WITH month_counts AS (
+  SELECT o_orderpriority, date_format(o_orderdate, 'yyyy-MM') AS mon, COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority, date_format(o_orderdate, 'yyyy-MM')
+),
+top_month AS (
+  SELECT o_orderpriority, mon AS mode_month
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY n DESC, mon) AS r
+        FROM month_counts)
+  WHERE r = 1
+),
+agg AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_high_value,
+         COUNT_IF(o_orderstatus = 'F') AS n_finished,
+         ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE year(o_orderdate) = 1995), 0), 2)
+           AS revenue_1995
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT a.o_orderpriority, a.n_orders, a.n_high_value, a.n_finished,
+       a.revenue_1995, t.mode_month
+FROM agg a JOIN top_month t USING (o_orderpriority)
+"""
+
+
+@register(
+    "q49_conditional_agg",
+    oracle="""
+    WITH month_counts AS (
+      SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, strftime(o_orderdate, '%Y-%m')
+    ),
+    top_month AS (
+      SELECT o_orderpriority, mon AS mode_month
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY n DESC, mon) AS r
+            FROM month_counts)
+      WHERE r = 1
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_high_value,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE year(o_orderdate) = 1995), 0), 2)
+               AS revenue_1995
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT a.o_orderpriority, CAST(a.n_orders AS BIGINT) AS n_orders,
+           CAST(a.n_high_value AS BIGINT) AS n_high_value,
+           CAST(a.n_finished AS BIGINT) AS n_finished,
+           a.revenue_1995, t.mode_month
+    FROM agg a JOIN top_month t USING (o_orderpriority)
+    """,
+    tags=("agg", "filter-clause", "conditional", "mode", "sql"),
+)
+def q49_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation surface: ANSI FILTER (WHERE ...) aggregate
+    modifiers, count_if, and a DETERMINISTIC per-group mode (the most
+    frequent order month per priority; Spark's mode() breaks frequency
+    ties arbitrarily — nondeterministic across engines and runs, so the
+    reproducible form is count + rank with a total (n DESC, value ASC)
+    order, the q48 collect_set lesson applied to mode).  All
+    conditional counts land in the same single aggregation pass (one Expand-
+    free hash aggregate); the mode ranking is a second, month-keyed
+    aggregate joined back on the 5 priority rows."""
+    from hiveka_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    return spark.sql(_Q49_SPARK_SQL)
