@@ -1005,3 +1005,85 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ivfpq_hits", F.lit(0)).cast("bigint").alias("ivfpq_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x63 — corpus snapshot diff (curation-run regression report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x63_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    b AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || ' [rev2]')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, source, md5(text || ' [new]') AS h
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    d AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY source, status
+    """,
+    tags=("curation", "diff", "snapshot", "regression"),
+)
+def x63_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the regression report a curation team reads
+    between pipeline versions: given snapshot A (the fixture) and snapshot
+    B (a simulated next run: every 7th doc dropped, every 5th doc's text
+    revised, every 11th doc re-ingested under a new id), classify every
+    doc_id as added / removed / changed / unchanged by full-outer-joining
+    on id and comparing CONTENT HASHES (never the text itself), then
+    report per-(source, status) counts.
+
+    Scale shape: each side reduces to (doc_id, source, md5) BEFORE the
+    join — the full outer join shuffles 16-byte digests keyed by doc_id,
+    never document bytes, and the status classification is a per-row
+    expression.  At 100 TB both snapshots would already be
+    hive-partitioned by source (x54), making the diff partition-local.
+    """
+    d = table(spark, sf_dir, "documents")
+    a = d.select("doc_id", "source", F.md5("text").alias("h"))
+    b_kept = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit(" [rev2]")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    b_new = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "source",
+        F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("h"),
+    )
+    b = b_kept.unionByName(b_new)
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("a.source", "b.source").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
