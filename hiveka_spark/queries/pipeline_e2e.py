@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from hiveka_spark.catalog import table
 from hiveka_spark.operators import dedup as D
@@ -352,19 +352,37 @@ def build_curation_report(ing: DataFrame, scope: list[DataFrame]) -> DataFrame:
             F.sum("c_tok").cast("bigint").alias("chunk_tokens"),
         )
     )
-    # stage 8 — the report: per-stage survivor counts per source
-    def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("bigint").alias(name)
+    # stage 8 — the report.  The five per-stage survivor counts come from
+    # ONE union + ONE conditional aggregate (each frontier contributes
+    # slim (source, stage) rows read from its cache) instead of five
+    # aggregates + four joins — at gate scale each extra AQE stage costs
+    # more wall-clock than the data itself, and at cluster scale one
+    # exchange of tagged rows beats five exchanges of the same keys.
+    tagged = None
+    for stage_name, frontier in (
+        ("ing", ing), ("q", q), ("e", e), ("n4", n4), ("n5", n5)
+    ):
+        t = frontier.select("source", F.lit(stage_name).alias("stage"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def stage_cnt(name: str) -> Column:
+        return (
+            F.count(F.when(F.col("stage") == name, 1)).cast("bigint")
         )
 
-    base = cnt(ing, "n_ingested").filter(~F.col("source").isin(*EVAL_SOURCES))
+    base = (
+        tagged.filter(~F.col("source").isin(*EVAL_SOURCES))
+        .groupBy("source")
+        .agg(
+            stage_cnt("ing").alias("n_ingested"),
+            stage_cnt("q").alias("n_quality"),
+            stage_cnt("e").alias("n_exact"),
+            stage_cnt("n4").alias("n_neardup"),
+            stage_cnt("n5").alias("n_decontam"),
+        )
+    )
     report = (
-        base.join(cnt(q, "n_quality"), "source", "left")
-        .join(cnt(e, "n_exact"), "source", "left")
-        .join(cnt(n4, "n_neardup"), "source", "left")
-        .join(cnt(n5, "n_decontam"), "source", "left")
-        .join(rates, "source", "left")
+        base.join(rates, "source", "left")
         .join(kept_stats, "source", "left")
         .join(chunk_stats, "source", "left")
         .select(
