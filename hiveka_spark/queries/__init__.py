@@ -61,11 +61,22 @@ def _coverage_history() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as fh:
-                names = json.load(fh).keys()
+                rows = json.load(fh)
         except Exception:
             continue
-        for name in names:
-            history[name] = max(history.get(name, 0), rnd)
+        for name, row in rows.items():
+            # only a GREEN row counts as coverage: an entry whose last
+            # driver row was an error (e.g. q36's old no_oracle) is not
+            # certified and must resurface at the front of the rotation
+            # until it passes, not wait out a full LRU cycle (round 6:
+            # q36's fixed oracle would otherwise have sat at position 64,
+            # unverified for another round)
+            ok = isinstance(row, dict) and not row.get("err") and all(
+                row.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if ok:
+                history[name] = max(history.get(name, 0), rnd)
     return history
 
 
