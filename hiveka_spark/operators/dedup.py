@@ -388,6 +388,65 @@ def contamination_overlap(
     )
 
 
+def minhash_machinery_sql(
+    num_perm: int = 32, bands: int = 8, k: int = 3, tok_cte: str = "w"
+) -> str:
+    """CANONICAL DuckDB CTE block replaying this module's MinHash pipeline:
+    ``sh`` (distinct word-k-gram shingles), ``h`` (portable_hash60 mod
+    2^31-1), ``sig`` (the num_perm affine-permutation minima), ``bands``
+    (per-band signature-slice hashes) and ``sizes`` — over a caller-
+    provided token CTE ``tok_cte`` with columns (doc_id, ws).
+
+    Every SQL oracle that replays MinHash (x03, x41, s19, x60) builds on
+    THIS text, so the replay math exists in exactly one place and cannot
+    drift from minhash_signatures/minhash_band_rows above."""
+    coeffs = _perm_coeffs(num_perm)
+    r = num_perm // bands
+    mins = ",\n                 ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
+            bi=bi,
+            bh=portable_hash60_sql(
+                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{k - 1}], ' ') AS s
+           FROM (SELECT doc_id, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                 FROM {tok_cte})),
+    h AS (SELECT doc_id, {portable_hash60_sql("s")} % {MERSENNE31} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({band_selects}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def jaccard_pairs_sql(
+    cand_cte: str, out_cte: str, threshold: float, with_value: bool = False
+) -> str:
+    """CANONICAL DuckDB twin of :func:`_verified_jaccard` over a candidate
+    CTE with columns (id_a, id_b), using the ``sh``/``sizes`` CTEs from
+    :func:`minhash_machinery_sql`.  ``with_value`` additionally emits the
+    floor4-quantized jaccard column."""
+    q = "CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0"
+    cols = "id_a, id_b" + (f", {q} AS jaccard" if with_value else "")
+    return f"""
+    {out_cte}_i AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM {cand_cte} c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+              GROUP BY c.id_a, c.id_b),
+    {out_cte} AS (SELECT {cols} FROM {out_cte}_i
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE {q} >= {threshold})"""
+
+
 def bloom_positions(shingle: Column, n_hashes: int, m_bits: int) -> list[Column]:
     """The ``n_hashes`` bit positions of a shingle in an ``m_bits`` Bloom
     filter — portable_hash60 of a per-hash-salted shingle, mod m.  Engine-

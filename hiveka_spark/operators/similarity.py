@@ -23,20 +23,25 @@ from pyspark.sql import Column, DataFrame, Window
 QUANT = 10000  # fixed-point scale for engine-exact cosine
 
 
-def _scan_parallelism(df: DataFrame) -> int:
-    """Estimated scan-side parallelism from catalog metadata only.
+def _scan_parallelism(df: DataFrame, target: int) -> int:
+    """Estimated scan-side parallelism, cheap-path first.
 
-    File-backed frames report their input files (one small gate/bench file
-    == one scan split; big files split further, so the count only UNDER-
-    estimates — erring toward firing the repartition guard, whose cost is
-    one exchange of slim rows).  Non-file frames (in-memory fixtures) fall
-    back to the RDD partition count — that path forces plan translation
-    but no job, and never occurs on the parquet gate/production inputs."""
+    When the frame is file-backed with FEWER files than ``target``, return
+    the file count from catalog metadata alone — the count can only
+    UNDERestimate split parallelism in that direction (a big file splits
+    into more partitions, never fewer), so the repartition guard may fire
+    unnecessarily, and the cost of that mistake is one exchange of slim
+    rows.  With MANY files the file count can OVERestimate real
+    parallelism (Spark bin-packs tiny files into few FilePartitions via
+    maxPartitionBytes/openCost), which would silently DISABLE the guard —
+    the expensive mistake — so that case, and non-file frames, fall back
+    to the real partition count via the RDD (forces plan translation, no
+    job; acceptable exactly where the input is already large)."""
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
+    if files and len(files) < target:
         return len(files)
     return df.rdd.getNumPartitions()
 
@@ -324,17 +329,11 @@ def ivf_topk(
     )
 
 
-def _pq_subvectors(
-    df: DataFrame, id_col: str, vec_col: str, out_id: str, m: int, dsub: int
-) -> DataFrame:
-    """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
-    SCALAR columns, not an array — pair distances over them compile to
-    plain codegen arithmetic instead of interpreted higher-order array
-    functions (zip_with/aggregate don't whole-stage-codegen; the scalar
-    form measured ~5x faster on the encode join).  The quantized array is
-    materialized ONCE per row first — element_at over the raw transform
-    expression would re-evaluate the (interpreted) lambda once per
-    extracted component, m*dsub = dim times per row."""
+def _pq_sub_from_qv(df: DataFrame, out_id: str, m: int, dsub: int) -> DataFrame:
+    """(id, sub, sv_0..sv_{dsub-1}) from a frame already carrying the
+    quantized array as ``_qv`` and the id as ``_id`` — shared by
+    _pq_subvectors and ivfpq_topk so the subspace-extraction expression
+    exists exactly once."""
     subs = F.array(
         *[
             F.struct(
@@ -347,9 +346,26 @@ def _pq_subvectors(
             for s in range(m)
         ]
     )
-    return df.select(
-        F.col(id_col).alias(out_id), quantized(vec_col).alias("_qv")
-    ).select(out_id, F.inline(subs))
+    return df.select(F.col("_id").alias(out_id), F.inline(subs))
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, m: int, dsub: int
+) -> DataFrame:
+    """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
+    SCALAR columns, not an array — pair distances over them compile to
+    plain codegen arithmetic instead of interpreted higher-order array
+    functions (zip_with/aggregate don't whole-stage-codegen; the scalar
+    form measured ~5x faster on the encode join).  The quantized array is
+    materialized ONCE per row first — element_at over the raw transform
+    expression would re-evaluate the (interpreted) lambda once per
+    extracted component, m*dsub = dim times per row."""
+    return _pq_sub_from_qv(
+        df.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv")),
+        out_id,
+        m,
+        dsub,
+    )
 
 
 def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
@@ -510,7 +526,7 @@ def pq_topk(
     # of partitions and this branch never fires.  (Measured 16x-replica
     # encode: 56s -> 4.4s.)
     target = corpus.sparkSession.sparkContext.defaultParallelism
-    if _scan_parallelism(c_sub) < target:
+    if _scan_parallelism(c_sub, target) < target:
         c_sub = c_sub.repartition(target, F.col("_id"))
     if codebooks is not None:
         # trained codebooks handed in (train_pq_codebooks's output shape:
@@ -591,7 +607,7 @@ def ivfpq_topk(
 
     v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
     target = corpus.sparkSession.sparkContext.defaultParallelism
-    if _scan_parallelism(v) < target:
+    if _scan_parallelism(v, target) < target:
         v = v.repartition(target, F.col("_id"))  # same guard as pq_topk
     qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
 
@@ -629,29 +645,10 @@ def ivfpq_topk(
     )
 
     def sub_cols(df: DataFrame, out_id: str) -> DataFrame:
-        subs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).cast("bigint").alias("sub"),
-                    *[
-                        F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
-                        for i in range(dsub)
-                    ],
-                )
-                for s in range(m)
-            ]
-        )
-        return df.select(F.col("_id").alias(out_id), F.inline(subs))
+        return _pq_sub_from_qv(df, out_id, m, dsub)
 
     def d2_cols() -> Column:
-        terms = [
-            (F.col(f"sv_{i}") - F.col(f"cv_{i}")) * (F.col(f"sv_{i}") - F.col(f"cv_{i}"))
-            for i in range(dsub)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out.cast("bigint")
+        return _pq_d2(dsub, "sv_", "cv_")
 
     if codebooks is not None:
         # trained PQ codebooks handed in (train_pq_codebooks's shape) —

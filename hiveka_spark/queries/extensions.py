@@ -98,48 +98,18 @@ def x02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(num_perm: int = 32, bands: int = 8, k: int = 3,
                     threshold: float = 0.8) -> str:
     """DuckDB replay of the full MinHash+LSH+verify pipeline — possible
-    because every hash is the engine-portable md5-derived portable_hash60."""
-    coeffs = D._perm_coeffs(num_perm)
-    r = num_perm // bands
-    m31 = D.MERSENNE31
-    mins = ",\n                 ".join(
-        f"MIN(({a} * h + {b}) % {m31}) AS m{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n          UNION ALL\n          ".join(
-        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
-            bi=bi,
-            bh=D.portable_hash60_sql(
-                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
-            ),
-        )
-        for bi in range(bands)
-    )
+    because every hash is the engine-portable md5-derived portable_hash60.
+    Built on the CANONICAL SQL builders in operators/dedup.py (one copy of
+    the replay math for x03/x41/s19/x60)."""
     return f"""
     WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
                FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{k - 1}], ' ') AS s
-           FROM (SELECT doc_id, ws,
-                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
-                 FROM w)),
-    h AS (SELECT doc_id, {D.portable_hash60_sql("s")} % {m31} AS h FROM sh),
-    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    bands AS ({band_selects}),
+    {D.minhash_machinery_sql(num_perm, bands, k, "w")},
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
                                       AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-              GROUP BY c.id_a, c.id_b)
-    SELECT id_a, id_b,
-           CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0 AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
-          >= {threshold}
+    {D.jaccard_pairs_sql("cand", "pairs", threshold, with_value=True)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -1246,51 +1216,19 @@ _EVAL_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 def _minhash_cross_oracle(
     num_perm: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.8
 ) -> str:
-    coeffs = D._perm_coeffs(num_perm)
-    r = num_perm // bands
-    m31 = D.MERSENNE31
     srcs = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
-    mins = ",\n                 ".join(
-        f"MIN(({a} * h + {b}) % {m31}) AS m{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n          UNION ALL\n          ".join(
-        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
-            bi=bi,
-            bh=D.portable_hash60_sql(
-                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
-            ),
-        )
-        for bi in range(bands)
-    )
     return f"""
     WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
                FROM documents),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{k - 1}], ' ') AS s
-           FROM (SELECT doc_id, ws,
-                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
-                 FROM w)),
-    h AS (SELECT doc_id, {D.portable_hash60_sql("s")} % {m31} AS h FROM sh),
-    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    bands AS ({band_selects}),
-    cand AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+    {D.minhash_machinery_sql(num_perm, bands, k, "w")},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a
              JOIN bands b ON a.band = b.band AND a.bh = b.bh
              JOIN documents da ON da.doc_id = a.doc_id
              JOIN documents db ON db.doc_id = b.doc_id
              WHERE da.source NOT IN ({srcs}) AND db.source IN ({srcs})),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (SELECT c.train_id, c.eval_id, COUNT(*) AS i
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.train_id
-              JOIN sh sb ON sb.doc_id = c.eval_id AND sb.s = sa.s
-              GROUP BY c.train_id, c.eval_id)
-    SELECT train_id, eval_id,
-           CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0 AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = train_id
-    JOIN sizes sb ON sb.doc_id = eval_id
-    WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
-          >= {threshold}
+    {D.jaccard_pairs_sql("cand", "pairs", threshold, with_value=True)}
+    SELECT id_a AS train_id, id_b AS eval_id, jaccard FROM pairs
     """
 
 

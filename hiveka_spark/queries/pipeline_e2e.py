@@ -59,49 +59,17 @@ _WIN, _STRIDE = 32, 24  # x47 chunking params
 
 
 def _minhash_ctes() -> str:
-    """Shared CTE block: shingles, signatures, band table, shingle-set
-    sizes — computed once over the ingested corpus (per-doc pure), filtered
-    by stage membership downstream.  Mirrors extensions._minhash_oracle."""
-    coeffs = D._perm_coeffs(_NUM_PERM)
-    r = _NUM_PERM // _BANDS
-    m31 = D.MERSENNE31
-    mins = ",\n                 ".join(
-        f"MIN(({a} * h + {b}) % {m31}) AS m{i}" for i, (a, b) in enumerate(coeffs)
-    )
-    band_selects = "\n          UNION ALL\n          ".join(
-        "SELECT doc_id, {bi} AS band, {bh} AS bh FROM sig".format(
-            bi=bi,
-            bh=D.portable_hash60_sql(
-                "concat_ws('_', " + ", ".join(f"m{bi * r + j}" for j in range(r)) + ")"
-            ),
-        )
-        for bi in range(_BANDS)
-    )
-    return f"""
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_K - 1}], ' ') AS s
-           FROM (SELECT doc_id, ws,
-                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {_K - 1}, 1))) AS i
-                 FROM tok)),
-    h AS (SELECT doc_id, {D.portable_hash60_sql("s")} % {m31} AS h FROM sh),
-    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-    bands AS ({band_selects}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"""
+    """Shared CTE block over the ``tok`` CTE — delegated to the CANONICAL
+    SQL builder in operators/dedup.py (one copy of the replay math for
+    x03/x41/s19/x60), computed once over the ingested corpus (per-doc
+    pure) and filtered by stage membership downstream."""
+    return D.minhash_machinery_sql(_NUM_PERM, _BANDS, _K, tok_cte="tok")
 
 
 def _jaccard_pairs_cte(cand: str, out: str) -> str:
-    """Exact floor4-quantized Jaccard verification of a candidate CTE
-    (columns id_a, id_b) — mirrors operators.dedup._verified_jaccard."""
-    q = "CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0"
-    return f"""
-    {out}_i AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-              FROM {cand} c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-              GROUP BY c.id_a, c.id_b),
-    {out} AS (SELECT id_a, id_b FROM {out}_i
-              JOIN sizes sa ON sa.doc_id = id_a
-              JOIN sizes sb ON sb.doc_id = id_b
-              WHERE {q} >= {_THRESH})"""
+    """Canonical floor4-quantized Jaccard verification (operators/dedup.py
+    builder) of a candidate CTE with columns (id_a, id_b)."""
+    return D.jaccard_pairs_sql(cand, out, _THRESH)
 
 
 def _x60_oracle() -> str:

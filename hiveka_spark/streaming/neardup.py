@@ -73,11 +73,21 @@ def compact_band_index(spark: SparkSession, state_root: str) -> None:
         if len(dirs) <= 1:
             continue
         top = max(int(os.path.basename(d)[1:]) for d in dirs)
+        # Crash-safe ordering: materialize the merged copy, PUBLISH it
+        # atomically under a fresh higher id, and only then delete the
+        # inputs.  A crash before the rename leaves the old dirs intact
+        # (tmp is invisible to committed_versions); a crash after it
+        # leaves harmless duplicates — index content is a set of per-doc
+        # rows and every consumer dedups (candidate .distinct(), pair
+        # .distinct()), so duplicated rows never change results.  The
+        # old delete-then-rename order had a window where the ONLY copy
+        # was the invisible tmp dir: a crash there silently emptied the
+        # index.
         tmp = os.path.join(root, "_compact_tmp")
         spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(root, f"b{top + 1}"))
         for d in dirs:
             shutil.rmtree(d)
-        os.rename(tmp, os.path.join(root, f"b{top}"))
 
 
 def stream_minhash_dedup(
@@ -111,6 +121,22 @@ def stream_minhash_dedup(
     pairs_root = os.path.join(state_root, "pairs")
     for p in (bands_root, sh_root, pairs_root):
         os.makedirs(p, exist_ok=True)
+    # Collision guard: this run's versions (starting at id_offset) must
+    # sort strictly after every existing committed version, or batch 0
+    # would OVERWRITE the prior corpus's b0 state and silently corrupt
+    # the accumulated pair set.  Cheap (one listdir per store), and it
+    # turns the forgotten-id_offset mistake into an error.
+    existing = [
+        int(os.path.basename(d)[1:])
+        for root in (bands_root, sh_root, pairs_root)
+        for d in committed_versions(root, 10**9)
+    ]
+    if existing and id_offset <= max(existing):
+        raise ValueError(
+            f"state_root already holds versions up to b{max(existing)}; "
+            f"pass id_offset > {max(existing)} to continue into it "
+            "(or a fresh state_root)"
+        )
 
     docs.select("doc_id", "text").repartition(n_batches).write.mode(
         "overwrite"
