@@ -1087,3 +1087,112 @@ def x63_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x64 — HTML-to-text extraction (web-corpus ingestion's first step)
+# ---------------------------------------------------------------------------
+
+# Java-regex/RE2-portable patterns (no lookaround, no backrefs; [\s\S]
+# instead of DOTALL; explicit [ \t\n\r] instead of \s, whose class differs
+# between Java and RE2 at \x0B)
+_SCRIPT_RE = r"<script[^>]*>[\s\S]*?</script>"
+_STYLE_RE = r"<style[^>]*>[\s\S]*?</style>"
+_TAG_RE = r"<[^>]+>"
+_WS_RE = r"[ \t\n\r]+"
+
+
+@register(
+    "x64_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><script type="text/javascript">track(' || CAST(doc_id AS VARCHAR)
+             || ');</script><style>p {{margin: 0}}</style></head><body><h1>'
+             || substr(text, 1, 12)
+             || '</h1><p>' || text || '</p><p>tags &amp; entities &lt;kept&gt; '
+             || '&quot;quoted&quot;</p></body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(
+               html, '{_SCRIPT_RE}', '', 'g'), '{_STYLE_RE}', '', 'g'),
+               '{_TAG_RE}', ' ', 'g') AS untagged
+      FROM h),
+    clean AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(untagged,
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '{_WS_RE}', ' ', 'g')) AS txt
+      FROM stripped)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(html, '{_TAG_RE}')) AS BIGINT) AS n_tags,
+           CAST(LENGTH(txt) AS BIGINT) AS clean_len,
+           md5(txt) AS clean_md5
+    FROM clean
+    """,
+    tags=("text", "html", "extraction", "web-corpus"),
+)
+def x64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text extraction — the first step of every web-corpus
+    pipeline: drop <script>/<style> blocks wholesale, strip remaining tags
+    to spaces, decode the core entities (&amp; &lt; &gt; &quot;), collapse
+    whitespace, trim.  The fixture carries plain text, so each doc is first
+    wrapped in a deterministic HTML page (title/script/style/h1/entities —
+    the x49 synthesize-then-process pattern); the oracle replays synthesis
+    AND extraction, and clean_md5 certifies the extracted STRING exactly,
+    not just its length.
+
+    All patterns live in the Java-regex/RE2-portable subset (no
+    lookaround/backrefs, [\\s\\S] for DOTALL, explicit whitespace class —
+    Java's \\s and RE2's \\s disagree at \\x0B), the same discipline as the
+    PII scrub (x28).  Zero shuffles: synthesis, stripping, and the stats
+    are all per-row JVM expressions — the operator scales with input
+    bytes, exactly like production trafilatura-style extraction stages."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">track('),
+        F.col("doc_id").cast("string"),
+        F.lit(");</script><style>p {margin: 0}</style></head><body><h1>"),
+        F.substring("text", 1, 12),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>tags &amp; entities &lt;kept&gt; &quot;quoted&quot;</p></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    untagged = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), _SCRIPT_RE, ""), _STYLE_RE, ""
+        ),
+        _TAG_RE,
+        " ",
+    )
+    txt = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(untagged, F.lit("&amp;"), F.lit("&")),
+                        F.lit("&lt;"),
+                        F.lit("<"),
+                    ),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&quot;"),
+                F.lit('"'),
+            ),
+            _WS_RE,
+            " ",
+        )
+    )
+    return h.select(
+        "doc_id",
+        F.regexp_count("html", F.lit(_TAG_RE)).cast("bigint").alias("n_tags"),
+        F.length(txt).cast("bigint").alias("clean_len"),
+        F.md5(txt).alias("clean_md5"),
+    )
