@@ -404,3 +404,35 @@ def test_shingle_novelty_scores(spark):
     assert out[2]["novelty"] == 0.0      # exact copy: nothing new
     assert out[3]["novelty"] == 1.0      # disjoint content
     assert out[2]["n_shingles"] == 8 and out[2]["n_novel"] == 0
+
+
+def test_bloom_decontamination_has_no_false_negatives(spark):
+    """The Bloom invariant: a shingle actually present in the eval set can
+    NEVER fail the probe (all its bit positions were set at build time), so
+    per doc n_bloom_hits >= n_exact_hits and every truly-contaminated doc
+    is flagged.  False positives are allowed (and certified by the x62
+    oracle); false negatives would be a correctness bug in the bitset
+    build or the bit test."""
+    from hiveka_spark.operators.dedup import bloom_decontamination
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),  # full copy
+            (2, "prefix words then the quick brown fox appears here now"),  # partial
+            (3, "completely unrelated content with distinct tokens only ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc"]: r
+        for r in bloom_decontamination(train, eval_df, m_bits=2**12).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]
+    assert rows[1]["flagged"] == 1 and rows[1]["n_exact_hits"] == rows[1]["n_shingles"]
+    assert rows[2]["n_exact_hits"] > 0 and rows[2]["flagged"] == 1
