@@ -973,3 +973,85 @@ def _set_s20_oracle() -> None:
 
 
 _set_s20_oracle()
+
+
+@register(
+    "s21_stream_corpus_stats",
+    oracle="""
+    WITH t AS (SELECT source, n_chars,
+                      LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))
+                        AS n_tok
+               FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM t GROUP BY source
+    """,
+    tags=("streaming", "upsert", "corpus-stats", "serving-table"),
+)
+def s21_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live corpus-stats SERVING TABLE — the dataset-card numbers (x50's
+    mergeable subset) maintained from a document stream through the
+    restart-safe VersionedUpsertSink rather than an in-memory complete-mode
+    aggregate (s15's mechanism): each micro-batch reduces to per-source
+    (n_docs, sum_chars, sum_tokens) and merges into the versioned snapshot
+    by summation.  This is the pattern for stats a dashboard reads DURING
+    ingest — the snapshot is a queryable parquet table at every batch
+    boundary, survives driver restarts (disk-derived predecessor,
+    tests/test_upsert.py), and never holds stream-length state in memory.
+    Only MERGEABLE stats qualify (counts/sums; x50's exact distinct counts
+    and discrete median need the full corpus — at 100 TB those become
+    sketches).  4 real micro-batches; drained snapshot must equal the batch
+    aggregate."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.text import tokens
+    from hiveka_spark.streaming.upsert import VersionedUpsertSink
+
+    src_dir = scratch_dir(prefix="gate_s21src_")
+    state_root = scratch_dir(prefix="gate_s21state_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    d.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def batch_reduce(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                "source", "n_chars", F.size(tokens("text")).cast("bigint").alias("n_tok")
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            )
+        )
+
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(b)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+                F.sum("sum_tokens").cast("bigint").alias("sum_tokens"),
+            )
+        )
+
+    sink = VersionedUpsertSink(state_root, batch_reduce, merge)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s21_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sink.latest_path()
+    assert final is not None
+    return spark.read.parquet(final)
