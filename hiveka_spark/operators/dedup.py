@@ -626,6 +626,7 @@ def minhash_signatures(
     num_perm: int = 32,
     k: int = 3,
     reuse: bool = True,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: array<bigint> of length num_perm.
 
@@ -634,11 +635,21 @@ def minhash_signatures(
     reduced mod 2^31-1 (engine-portable, so the DuckDB oracle can replay the
     exact signatures); perm_i(h) = (a_i*h + b_i) mod 2^31-1 stays < 2^62
     (ANSI-safe).
+
+    ``shingle_df``: a pre-computed (doc, sh) frame (``_shingle_sets``
+    shape) to build from instead of re-tokenizing ``df`` — for callers
+    that already materialized shingle sets (e.g. the streaming sink, which
+    writes them to its state store and reads them back).
     """
     coeffs = _perm_coeffs(num_perm)
     # explode AFTER the doc-partitioned exchange: partitioning survives the
     # generator, so the per-doc MIN aggregation below needs no further shuffle
-    sh = _shingle_sets(df, id_col, text_col, k, reuse).select("doc", F.explode("sh").alias("s"))
+    base = (
+        shingle_df
+        if shingle_df is not None
+        else _shingle_sets(df, id_col, text_col, k, reuse)
+    )
+    sh = base.select("doc", F.explode("sh").alias("s"))
     h = F.pmod(portable_hash60("s"), F.lit(MERSENNE31)).alias("h")
     hashed = sh.select("doc", h)
     mins = [
@@ -657,6 +668,7 @@ def minhash_band_rows(
     bands: int = 8,
     k: int = 3,
     reuse: bool = True,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band table (doc, band, bh) from MinHash signatures — the
     join-key material both the batch pair finders and the streaming band
@@ -664,7 +676,7 @@ def minhash_band_rows(
     portable_hash60 of the band's signature slice, so a DuckDB oracle can
     replay the exact buckets."""
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse, shingle_df)
     return sig.select(
         "doc",
         F.explode(

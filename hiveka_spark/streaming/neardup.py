@@ -151,16 +151,19 @@ def stream_minhash_dedup(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_id = batch_id + id_offset
         s = batch_df.sparkSession
-        # write this batch's bands/shingles FIRST, read back for the joins:
-        # the parquet round trip doubles as the persist (each frame feeds
-        # two consumers) and makes replay idempotent (overwrite by id)
-        D.minhash_band_rows(
-            batch_df, "doc_id", "text",
-            num_perm=num_perm, bands=bands, k=k, reuse=False,
-        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
+        # write this batch's shingles FIRST, read them back, and derive
+        # band rows FROM the read-back frame: one tokenization pass per
+        # batch instead of two, and the parquet round trip doubles as the
+        # persist (each frame feeds two consumers) while making replay
+        # idempotent (overwrite by id)
         D._shingle_sets(batch_df, "doc_id", "text", k, reuse=False).write.mode(
             "overwrite"
         ).parquet(os.path.join(sh_root, f"b{batch_id}"))
+        sh_cur = s.read.parquet(os.path.join(sh_root, f"b{batch_id}"))
+        D.minhash_band_rows(
+            batch_df, "doc_id", "text",
+            num_perm=num_perm, bands=bands, k=k, reuse=False, shingle_df=sh_cur,
+        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
         bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))
         sh_all = s.read.parquet(
             os.path.join(sh_root, f"b{batch_id}"),
