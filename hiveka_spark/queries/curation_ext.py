@@ -1196,3 +1196,69 @@ def x64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(txt).cast("bigint").alias("clean_len"),
         F.md5(txt).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x65 — deterministic epoch shuffle (reproducible training order)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "x65_epoch_shuffle",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY
+               {{h0}}, doc_id) AS pos_epoch0,
+             ROW_NUMBER() OVER (ORDER BY
+               {{h1}}, doc_id) AS pos_epoch1
+      FROM documents)
+    SELECT doc_id,
+           CAST(pos_epoch0 AS BIGINT) AS pos_epoch0,
+           CAST(pos_epoch1 AS BIGINT) AS pos_epoch1,
+           CAST((pos_epoch0 - 1) % {_N_SHARDS} AS BIGINT) AS shard_epoch0
+    FROM r
+    """.format(
+        h0="CAST(concat('0x', substring(md5(concat('epoch0_', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)",
+        h1="CAST(concat('0x', substring(md5(concat('epoch1_', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)",
+    ),
+    tags=("training-prep", "shuffle", "ordering", "sharding"),
+)
+def x65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the reproducible random training order
+    every run needs: rank docs by the engine-portable hash of
+    (epoch_seed, doc_id) with doc_id as the total-order tiebreak.  Two
+    epochs are emitted side by side (different salts -> independent
+    permutations), plus the round-robin shard assignment off the epoch-0
+    position — the order -> shard step of packing a training run.  Unlike
+    rand(seed), the hash order is identical across engines, runs, AND
+    partitionings, so the exact sample order of any epoch can be replayed
+    byte-for-byte years later from (seed, ids) alone.
+
+    Scale shape: a global rank is inherently a total sort — Spark plans it
+    as range-partition + local sort (no single-reducer bottleneck), the
+    same cost as writing the shuffled corpus out in training order, paid
+    once per epoch.  Production variant: skip the global rank entirely and
+    SORT BY the hash within each output shard (shard = pmod(hash, n) —
+    zero global coordination); the rank form here exists to certify the
+    order itself."""
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    d = table(spark, sf_dir, "documents")
+
+    def epoch_hash(epoch: int):
+        return portable_hash60(
+            F.concat(F.lit(f"epoch{epoch}_"), F.col("doc_id").cast("string"))
+        )
+
+    w0 = Window.orderBy(epoch_hash(0), "doc_id")
+    w1 = Window.orderBy(epoch_hash(1), "doc_id")
+    return d.select(
+        "doc_id",
+        F.row_number().over(w0).cast("bigint").alias("pos_epoch0"),
+        F.row_number().over(w1).cast("bigint").alias("pos_epoch1"),
+    ).withColumn(
+        "shard_epoch0", F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint")
+    )
