@@ -83,6 +83,11 @@ HEADLINE = [
     "s19_stream_minhash_dedup",
     "x61_ann_recall",
     "x62_bloom_decontamination",
+    "x63_snapshot_diff",
+    "x64_html_extract",
+    "x65_epoch_shuffle",
+    "s20_stream_bloom_decontam",
+    "s21_stream_corpus_stats",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
