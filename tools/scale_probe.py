@@ -487,6 +487,17 @@ def main() -> None:
             "in operators/similarity.py::lsh_neardup_pairs."
         )
     text = "\n".join(lines) + "\n"
+    # Preserve hand-maintained prose: everything in the existing file from
+    # the APPENDIX marker on survives regeneration verbatim (the round-6
+    # --write run silently dropped the RocksDB state-sizing section that
+    # had been appended by hand — measured rows and curated analysis live
+    # in one file, so the writer must treat the appendix as foreign).
+    marker = "<!-- SCALE-APPENDIX: hand-maintained below; scale_probe preserves this section -->"
+    if out_path and os.path.exists(out_path):
+        with open(out_path) as fh:
+            existing = fh.read()
+        if marker in existing:
+            text += "\n" + marker + existing.split(marker, 1)[1]
     if out_path:
         with open(out_path, "w") as f:
             f.write(text)
