@@ -97,3 +97,53 @@ def pack_chunks(
     )
     cum_before = F.sum(tok).over(w) - tok
     return df.withColumn("chunk", F.floor(cum_before / F.lit(budget)))
+
+
+def global_hash_rank(
+    df: DataFrame,
+    id_col: str,
+    salt: str,
+    out_col: str = "pos",
+) -> DataFrame:
+    """Deterministic GLOBAL rank of every row by (portable_hash60(salt, id),
+    id) — 1-based, dense, engine-reproducible — WITHOUT the single-reducer
+    global window (``Window.orderBy`` with no partitionBy moves every row
+    into ONE partition: the classic scale killer).
+
+    The distributed recipe: range-partition on the order key and sort
+    within partitions (Spark's scalable total sort), rank LOCALLY per
+    partition (the window partitions on spark_partition_id, so every
+    partition ranks in parallel), then add each partition's global offset
+    — per-partition counts are a numPartitions-row collect (the bounded-
+    driver-collect posture, like centroid handoff), broadcast back as a
+    tiny join.  The final rank depends only on the TOTAL order (hash, id),
+    not on where the sampled range boundaries fall, so the output is
+    deterministic even though range-partitioner sampling is not.
+    """
+    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    t = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .repartitionByRange(F.col("_h"), F.col(id_col))
+        .sortWithinPartitions("_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    t = t.persist()
+    counts = sorted(
+        ((r["_pid"], r["cnt"]) for r in t.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()),
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    out = (
+        t.withColumn("_lr", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(off_df), "_pid")
+        .select(id_col, (F.col("_lr") + F.col("_off")).alias(out_col))
+    )
+    # the persisted order frame backs only this plan; caller materializes
+    return out

@@ -1237,28 +1237,24 @@ def x65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings, so the exact sample order of any epoch can be replayed
     byte-for-byte years later from (seed, ids) alone.
 
-    Scale shape: a global rank is inherently a total sort — Spark plans it
-    as range-partition + local sort (no single-reducer bottleneck), the
-    same cost as writing the shuffled corpus out in training order, paid
-    once per epoch.  Production variant: skip the global rank entirely and
-    SORT BY the hash within each output shard (shard = pmod(hash, n) —
-    zero global coordination); the rank form here exists to certify the
-    order itself."""
-    from hiveka_spark.operators.dedup import portable_hash60
+    Scale shape: naive Window.orderBy with no partition key would move
+    EVERY row into one partition (the single-reducer global-window trap),
+    so the rank comes from operators/sampling.py::global_hash_rank —
+    range-partition on the hash + per-partition local rank + broadcast
+    partition offsets, all parallel; the plan is asserted free of
+    SinglePartition exchanges in tests/test_plans.py.  Production
+    variant: skip the global rank entirely and SORT BY the hash within
+    each output shard (shard = pmod(hash, n) — zero global coordination);
+    the rank form here exists to certify the order itself."""
+    from hiveka_spark.operators.sampling import global_hash_rank
 
     d = table(spark, sf_dir, "documents")
-
-    def epoch_hash(epoch: int):
-        return portable_hash60(
-            F.concat(F.lit(f"epoch{epoch}_"), F.col("doc_id").cast("string"))
+    e0 = global_hash_rank(d, "doc_id", "epoch0_", "pos_epoch0")
+    e1 = global_hash_rank(d, "doc_id", "epoch1_", "pos_epoch1")
+    return (
+        e0.join(e1, "doc_id")
+        .withColumn(
+            "shard_epoch0",
+            F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint"),
         )
-
-    w0 = Window.orderBy(epoch_hash(0), "doc_id")
-    w1 = Window.orderBy(epoch_hash(1), "doc_id")
-    return d.select(
-        "doc_id",
-        F.row_number().over(w0).cast("bigint").alias("pos_epoch0"),
-        F.row_number().over(w1).cast("bigint").alias("pos_epoch1"),
-    ).withColumn(
-        "shard_epoch0", F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint")
     )

@@ -372,3 +372,18 @@ def test_x60_no_stage_recomputation(spark):
         corpus_scans = plan.count("documents.parquet")
         assert corpus_scans <= 1, f"{corpus_scans} corpus scans:\n{plan}"
         assert len(scope) >= 7  # ing,e,n4,train,n5,ntok,kept + shingle sets
+
+
+def test_x65_global_rank_has_no_single_partition_exchange(spark):
+    """The epoch-shuffle rank must come from the distributed recipe
+    (range-partition + local rank + broadcast offsets), never from a
+    partitionBy-less global window — which plans as Exchange
+    SinglePartition and funnels the whole corpus through one task."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x65_epoch_shuffle"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
