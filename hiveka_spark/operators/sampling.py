@@ -127,7 +127,12 @@ def global_hash_rank(
         .sortWithinPartitions("_h", id_col)
         .withColumn("_pid", F.spark_partition_id())
     )
-    t = t.persist()
+    from hiveka_spark.operators.dedup import _persist_tracked
+
+    # persisted because both the counts job and the final plan read the
+    # sorted frame; registered with any active dedup_cache_scope so
+    # long-lived sessions can release it (gate runs: freed at exit)
+    t = _persist_tracked(t)
     counts = sorted(
         ((r["_pid"], r["cnt"]) for r in t.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("cnt")).collect()),
