@@ -620,7 +620,7 @@ def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 32,
@@ -642,6 +642,12 @@ def minhash_signatures(
     writes them to its state store and reads them back).
     """
     coeffs = _perm_coeffs(num_perm)
+    if shingle_df is not None and df is not None:
+        raise ValueError(
+            "pass EITHER df (tokenized internally) OR shingle_df (a "
+            "pre-computed (doc, sh) frame), not both — df would be "
+            "silently ignored, hiding a mismatched-source mistake"
+        )
     # explode AFTER the doc-partitioned exchange: partitioning survives the
     # generator, so the per-doc MIN aggregation below needs no further shuffle
     base = (
@@ -661,7 +667,7 @@ def minhash_signatures(
 
 
 def minhash_band_rows(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 32,

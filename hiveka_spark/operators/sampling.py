@@ -121,10 +121,13 @@ def global_hash_rank(
     deterministic even though range-partitioner sampling is not.
     """
     h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # no sortWithinPartitions: neither consumer needs intra-partition
+    # order (the counts job is order-free; the rank window re-sorts after
+    # its own _pid exchange anyway), so sorting here would be a full
+    # per-partition sort of the corpus paid for nothing
     t = (
         df.select(F.col(id_col), h.alias("_h"))
         .repartitionByRange(F.col("_h"), F.col(id_col))
-        .sortWithinPartitions("_h", id_col)
         .withColumn("_pid", F.spark_partition_id())
     )
     from hiveka_spark.operators.dedup import _persist_tracked
@@ -142,8 +145,6 @@ def global_hash_rank(
         offsets.append((pid, acc))
         acc += cnt
     off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_pid").orderBy("_h", id_col)
     out = (
         t.withColumn("_lr", F.row_number().over(w).cast("bigint"))

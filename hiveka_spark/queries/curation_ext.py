@@ -1112,7 +1112,7 @@ _WS_RE = r"[ \t\n\r]+"
              || ');</script><style>p {{margin: 0}}</style></head><body><h1>'
              || substr(text, 1, 12)
              || '</h1><p>' || text || '</p><p>tags &amp; entities &lt;kept&gt; '
-             || '&quot;quoted&quot;</p></body></html>' AS html
+             || '&quot;quoted&quot; double-escaped &amp;lt;still-escaped&amp;gt;</p></body></html>' AS html
       FROM documents),
     stripped AS (
       SELECT doc_id, html,
@@ -1124,7 +1124,7 @@ _WS_RE = r"[ \t\n\r]+"
       SELECT doc_id, html,
              trim(regexp_replace(
                replace(replace(replace(replace(untagged,
-                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
                '{_WS_RE}', ' ', 'g')) AS txt
       FROM stripped)
     SELECT doc_id,
@@ -1161,7 +1161,10 @@ def x64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 12),
         F.lit("</h1><p>"),
         F.col("text"),
-        F.lit("</p><p>tags &amp; entities &lt;kept&gt; &quot;quoted&quot;</p></body></html>"),
+        F.lit(
+            "</p><p>tags &amp; entities &lt;kept&gt; &quot;quoted&quot;"
+            " double-escaped &amp;lt;still-escaped&amp;gt;</p></body></html>"
+        ),
     )
     h = d.select("doc_id", html.alias("html"))
     untagged = F.regexp_replace(
@@ -1171,20 +1174,23 @@ def x64_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TAG_RE,
         " ",
     )
+    # decode &amp; LAST: decoding it first would re-interpret the result
+    # (the classic double-unescape bug — '&amp;lt;' must become '&lt;',
+    # not '<')
     txt = F.trim(
         F.regexp_replace(
             F.replace(
                 F.replace(
                     F.replace(
-                        F.replace(untagged, F.lit("&amp;"), F.lit("&")),
-                        F.lit("&lt;"),
-                        F.lit("<"),
+                        F.replace(untagged, F.lit("&lt;"), F.lit("<")),
+                        F.lit("&gt;"),
+                        F.lit(">"),
                     ),
-                    F.lit("&gt;"),
-                    F.lit(">"),
+                    F.lit("&quot;"),
+                    F.lit('"'),
                 ),
-                F.lit("&quot;"),
-                F.lit('"'),
+                F.lit("&amp;"),
+                F.lit("&"),
             ),
             _WS_RE,
             " ",
@@ -1246,15 +1252,17 @@ def x65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant: skip the global rank entirely and SORT BY the hash within
     each output shard (shard = pmod(hash, n) — zero global coordination);
     the rank form here exists to certify the order itself."""
+    from hiveka_spark.operators.dedup import dedup_cache_scope
     from hiveka_spark.operators.sampling import global_hash_rank
 
     d = table(spark, sf_dir, "documents")
-    e0 = global_hash_rank(d, "doc_id", "epoch0_", "pos_epoch0")
-    e1 = global_hash_rank(d, "doc_id", "epoch1_", "pos_epoch1")
-    return (
-        e0.join(e1, "doc_id")
-        .withColumn(
+    # the rank operator persists its sorted order frame; scope + checkpoint
+    # release those caches at entry exit (the x60 lifecycle discipline)
+    with dedup_cache_scope():
+        e0 = global_hash_rank(d, "doc_id", "epoch0_", "pos_epoch0")
+        e1 = global_hash_rank(d, "doc_id", "epoch1_", "pos_epoch1")
+        out = e0.join(e1, "doc_id").withColumn(
             "shard_epoch0",
             F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint"),
         )
-    )
+        return out.localCheckpoint(eager=True)

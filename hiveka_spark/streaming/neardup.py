@@ -161,7 +161,7 @@ def stream_minhash_dedup(
         ).parquet(os.path.join(sh_root, f"b{batch_id}"))
         sh_cur = s.read.parquet(os.path.join(sh_root, f"b{batch_id}"))
         D.minhash_band_rows(
-            batch_df, "doc_id", "text",
+            None, "doc_id", "text",
             num_perm=num_perm, bands=bands, k=k, reuse=False, shingle_df=sh_cur,
         ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
         bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))

