@@ -1497,3 +1497,81 @@ def x62_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.bloom_decontamination(
         tr, ev, "doc_id", "text", k=3, m_bits=_BLOOM_M, n_hashes=_BLOOM_H
     )
+
+
+# ---------------------------------------------------------------------------
+# x66 — signature-estimated Jaccard vs exact (the 100 TB verify relaxation)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_estimate_oracle(num_perm: int = 32, bands: int = 8, k: int = 3,
+                             threshold: float = 0.8) -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    est = f"CAST(FLOOR(({matches}) * 10000.0 / {num_perm}) AS BIGINT) / 10000.0"
+    return f"""
+    WITH w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    {D.minhash_machinery_sql(num_perm, bands, k, "w")},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id),
+    {D.jaccard_pairs_sql("cand", "pairs", threshold, with_value=True)}
+    SELECT p.id_a, p.id_b, p.jaccard,
+           {est} AS est_jaccard,
+           CAST(({matches}) AS BIGINT) AS n_matching
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "x66_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    tags=("dedup", "minhash", "estimator", "certification"),
+)
+def x66_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard ESTIMATION certified against the exact value
+    — the verify relaxation the streaming band index (s19) and any
+    state-bounded dedup would use at 100 TB: est_J = (matching signature
+    positions) / num_perm, computed from the 32-minima signatures ALONE
+    (no shingle store, no text), emitted next to the exact
+    shingle-intersection Jaccard for every x03 verified pair.  Both values
+    and the raw match count are deterministic, so the driver hash-checks
+    the estimator's actual error on real near-dup pairs — the judgement a
+    pipeline needs before trading the shingle store away (state per doc
+    drops from ~text-sized to 32*8 bytes; E[est_J] = J with sd
+    sqrt(J(1-J)/num_perm) ~ 0.07 at J=0.8, num_perm=32).
+
+    Scale shape: x03's candidate/verify plan plus one signature equi-join
+    per pair side — the estimator itself adds only per-row zip_with
+    arithmetic over two 32-element arrays."""
+    d = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, "doc_id", "text", num_perm=32, k=3)
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=32, bands=8, k=3, verify_threshold=0.8
+    )
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("signature").alias("sig_b"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    ).cast("bigint")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_matching", n_match)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.floor(F.col("n_matching") * 10000.0 / 32) / 10000.0).alias(
+                "est_jaccard"
+            ),
+            "n_matching",
+        )
+    )
