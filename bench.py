@@ -88,6 +88,7 @@ HEADLINE = [
     "x65_epoch_shuffle",
     "s20_stream_bloom_decontam",
     "s21_stream_corpus_stats",
+    "x66_minhash_estimate",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -76,3 +76,32 @@ def test_continuation_through_compaction(spark, tmp_path):
     assert got == expected, (
         f"missing={expected - got}, extra={got - expected}"
     )
+
+
+def test_compaction_tmp_dir_is_invisible_and_recoverable(spark, tmp_path):
+    """Crash-window semantics: a leftover _compact_tmp (crash before the
+    publish rename) must be invisible to committed_versions — the old
+    committed dirs remain the source of truth — and a subsequent
+    compaction still works."""
+    import os
+
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        compact_band_index,
+        stream_minhash_dedup,
+    )
+
+    root = str(tmp_path / "state")
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(60)
+    stream_minhash_dedup(spark, docs, n_batches=2, state_root=root)
+    bands_root = os.path.join(root, "bands")
+    before = committed_versions(bands_root, 10**9)
+    assert len(before) == 2
+    rows_before = spark.read.parquet(*before).count()
+    # simulate a crash that left a half-written tmp dir
+    os.makedirs(os.path.join(bands_root, "_compact_tmp"))
+    assert committed_versions(bands_root, 10**9) == before  # invisible
+    compact_band_index(spark, root)
+    after = committed_versions(bands_root, 10**9)
+    assert len(after) == 1
+    assert spark.read.parquet(*after).count() == rows_before
