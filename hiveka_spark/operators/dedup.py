@@ -731,9 +731,13 @@ def minhash_lsh_pairs(
     key now holds 1/salt of the hot bucket's left side.  Output pairs are
     IDENTICAL to the unsalted plan (property-tested); cost is salt-way
     replication of the right side, so turn it on when a duplicate group
-    exceeds what one task should hold, not by default.  AQE skew-join
-    (enabled in session.py) handles moderate skew automatically; the salt is
-    the explicit control for known-pathological corpora.
+    exceeds what one task should hold, not by default.  NOTE: AQE's
+    automatic skew-join split does NOT cover this join by default — the
+    band join feeds the candidate .distinct() (a downstream shuffle), and
+    default AQE skips splitting joins whose output must satisfy another
+    distribution (pinned in tests/test_aqe.py).  For pathological corpora
+    the explicit controls are this salt or
+    spark.sql.adaptive.forceOptimizeSkewedJoin.
     """
     band_rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, k, reuse)
     a = band_rows.select(F.col("doc").alias("id_a"), "band", "bh")
