@@ -404,18 +404,19 @@ def x51_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int = 8, stride: int = 61, dim: int = 64) -> str:
-    """Replay of operators.clustering.kmeans_lloyd at n_assign=2: stride
-    centroids -> argmin assign -> truncating-int centroid update -> argmin
-    assign -> per-cell stats.  d2 uses the exact double identity (dots <
+def _kmeans_assign_ctes(k: int = 8, stride: int = 61, dim: int = 64) -> str:
+    """CANONICAL replay of operators.clustering.kmeans_lloyd at n_assign=2,
+    ending at the ``a2`` CTE (final per-vector assignment: vec_id, cell,
+    d2): stride centroids -> argmin assign -> truncating-int centroid
+    update -> argmin assign.  d2 uses the exact double identity (dots <
     2^33); the update division uses // which matches Spark's DIV
-    (truncation toward zero) on the bigint component sums."""
+    (truncation toward zero) on the bigint component sums.  Shared by the
+    x52 summary oracle and the x67 cluster-balanced-sampling oracle."""
     d2 = (
         "CAST(list_dot_product(v.qvd, v.qvd) - 2 * list_dot_product(v.qvd, c.cvd)"
         " + list_dot_product(c.cvd, c.cvd) AS BIGINT)"
     )
-    return f"""
-    WITH q AS (SELECT vec_id,
+    return f"""q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
@@ -438,7 +439,12 @@ def _kmeans_oracle(k: int = 8, stride: int = 61, dim: int = 64) -> str:
     a2 AS (SELECT vec_id, cell, d2
            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
                  FROM s2)
-           WHERE r = 1)
+           WHERE r = 1)"""
+
+
+def _kmeans_oracle(k: int = 8, stride: int = 61, dim: int = 64) -> str:
+    return f"""
+    WITH {_kmeans_assign_ctes(k, stride, dim)}
     SELECT cell,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(d2) AS BIGINT) AS inertia,
@@ -1266,3 +1272,69 @@ def x65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint"),
         )
         return out.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# x67 — cluster-balanced sampling (k-means cells + exact-k per cell)
+# ---------------------------------------------------------------------------
+
+_X67_PER_CELL = 10
+
+
+def _x67_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('x67_', CAST(vec_id AS VARCHAR))")
+    return f"""
+    WITH {_kmeans_assign_ctes()},
+    ranked AS (SELECT cell, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY {h}, vec_id) AS rk,
+                      COUNT(*) OVER (PARTITION BY cell) AS n_members
+               FROM a2)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk <= {_X67_PER_CELL}
+    """
+
+
+@register(
+    "x67_cluster_balanced_sample",
+    oracle=_x67_oracle(),
+    tags=("clustering", "sampling", "diversity", "mixing"),
+)
+def x67_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the 'diversity-balanced subset' step the
+    k-means docstring promises (cluster-balanced mixing): assign every
+    vector to its k-means cell (x52's exact two-round Lloyd, replayed
+    bit-for-bit by the oracle), then keep EXACTLY {_X67_PER_CELL} members
+    per cell by hash rank (x57's engine-portable exact-k discipline) —
+    equal representation from every region of embedding space regardless
+    of how unbalanced the cells are, the standard recipe for
+    diversity-preserving downsampling of a skewed corpus.
+
+    Scale shape: x52's assignment plan (corpus never shuffles for
+    assignment) + one cell-keyed window over slim (cell, vec_id) rows;
+    composes two independently-certified primitives and certifies the
+    COMPOSITION with one oracle (the x60 lesson at operator scale)."""
+    from hiveka_spark.operators.clustering import kmeans_lloyd
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    e = table(spark, sf_dir, "embeddings")
+    asgn = kmeans_lloyd(e, "vec_id", "embedding", k=8, n_assign=2, centroid_stride=61)
+    h = portable_hash60(F.concat(F.lit("x67_"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(h, "vec_id")
+    wc = Window.partitionBy("cell")
+    return (
+        asgn.select("cell", "vec_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rk") <= _X67_PER_CELL)
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "rk",
+            "n_members",
+        )
+    )
