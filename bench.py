@@ -89,6 +89,7 @@ HEADLINE = [
     "s20_stream_bloom_decontam",
     "s21_stream_corpus_stats",
     "x66_minhash_estimate",
+    "x67_cluster_balanced_sample",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
