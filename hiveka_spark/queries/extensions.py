@@ -1575,3 +1575,97 @@ def x66_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matching",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x68 — containment decontamination (benchmark QUOTED inside a training doc)
+# ---------------------------------------------------------------------------
+
+_X68_THRESHOLD = 0.5
+
+
+def _containment_decontam_oracle(k: int = 3, threshold: float = _X68_THRESHOLD) -> str:
+    srcs = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    c = "CAST(FLOOR(i * 10000.0 / ne.n) AS BIGINT) / 10000.0"
+    return f"""
+    WITH w AS (SELECT doc_id, source,
+                      list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+{k - 1}], ' ') AS s
+           FROM (SELECT doc_id, source, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                 FROM w)),
+    ev AS (SELECT doc_id, s FROM sh WHERE source IN ({srcs})),
+    tr AS (SELECT doc_id, s FROM sh WHERE source NOT IN ({srcs})),
+    ev_sizes AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+    inter AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS i
+              FROM tr t JOIN ev e ON t.s = e.s
+              GROUP BY 1, 2)
+    SELECT train_id, eval_id,
+           CAST(i AS BIGINT) AS n_shared,
+           {c} AS containment
+    FROM inter JOIN ev_sizes ne ON ne.doc_id = eval_id
+    WHERE {c} >= {threshold}
+    """
+
+
+@register(
+    "x68_containment_decontamination",
+    oracle=_containment_decontam_oracle(),
+    tags=("dedup", "decontamination", "containment", "cross-corpus"),
+)
+def x68_containment_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT decontamination — the quoted-benchmark case the other
+    three tiers miss: a short eval item quoted inside a long training doc
+    has LOW symmetric Jaccard (x41's 0.8 threshold never fires) but HIGH
+    one-sided containment C(eval in train) = |A∩B| / |eval shingles|.
+    x24 counts overlap per train doc against the eval UNION (no per-
+    benchmark attribution); this emits the (train_id, eval_id) pairs with
+    containment >= {_X68_THRESHOLD}, i.e. WHICH benchmark leaks WHERE —
+    what you need to actually fix a leak.
+
+    Scale shape: the eval shingle postings broadcast (benchmarks are MBs
+    next to TB corpora — the x24/x41 asymmetry), so candidate generation
+    is a map-side hash join on the shingle string; the per-(train, eval)
+    intersection is ONE count aggregate over the joined rows — no arrays
+    materialized, no all-pairs product, and the training corpus never
+    shuffles except for that keyed count.  Exact (no banding): a one-
+    sided-rare quoted excerpt can evade MinHash banding entirely, so
+    the exact path is the right default when the eval side is small."""
+    from hiveka_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+
+    def shingles(df):
+        return (
+            df.select("doc_id", tokens("text").alias("ws"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(D.ngrams_from_tokens(F.col("ws"), 3))
+                ).alias("s"),
+            )
+        )
+
+    ev = shingles(d.filter(F.col("source").isin(*_EVAL_SOURCES)))
+    tr = shingles(d.filter(~F.col("source").isin(*_EVAL_SOURCES)))
+    ev_sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tr.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_id")), "s")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    containment = F.floor(F.col("i") * 10000.0 / F.col("n")) / 10000.0
+    return (
+        inter.join(
+            F.broadcast(ev_sizes.withColumnRenamed("doc_id", "eval_id")), "eval_id"
+        )
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= _X68_THRESHOLD)
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("i").cast("bigint").alias("n_shared"),
+            "containment",
+        )
+    )
