@@ -90,6 +90,7 @@ HEADLINE = [
     "s21_stream_corpus_stats",
     "x66_minhash_estimate",
     "x67_cluster_balanced_sample",
+    "x68_containment_decontamination",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
