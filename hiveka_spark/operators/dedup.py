@@ -602,6 +602,66 @@ def bloom_probe(
     )
 
 
+def containment_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-sided CONTAINMENT decontamination: per (train, eval) pair, the
+    fraction of the EVAL doc's shingles present in the training doc —
+    C(eval in train) = |A∩B| / |eval shingles|.  Catches a short benchmark
+    QUOTED inside a long training doc, where symmetric Jaccard (x41's
+    fuzzy tier) never fires and the union overlap (x24) cannot attribute
+    the leak to a benchmark.
+
+    Output: (train_id, eval_id, n_shared, containment) for pairs with
+    floor4-quantized containment >= threshold.
+
+    Scale shape: the eval shingle postings broadcast (benchmarks are MBs
+    next to TB corpora); candidate generation is a map-side hash join on
+    the shingle string, and the per-pair intersection is ONE keyed count
+    over the joined rows — no arrays materialized, no all-pairs product,
+    zero training-corpus shuffle beyond that count.  Exact by design: a
+    one-sided-rare quoted excerpt can evade MinHash banding entirely, so
+    the exact path is the right default while the eval side is small."""
+    from hiveka_spark.operators.text import tokens
+
+    def shingle_rows(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("ws"))
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"),
+            )
+        )
+
+    ev = shingle_rows(eval_df)
+    tr = shingle_rows(train)
+    ev_sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tr.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_id")), "s")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    containment = F.floor(F.col("i") * 10000.0 / F.col("n")) / 10000.0
+    return (
+        inter.join(
+            F.broadcast(ev_sizes.withColumnRenamed("doc_id", "eval_id")), "eval_id"
+        )
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("i").cast("bigint").alias("n_shared"),
+            "containment",
+        )
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic affine-permutation coefficients (a odd, b) mod 2^31-1.
 
@@ -675,6 +735,7 @@ def minhash_band_rows(
     k: int = 3,
     reuse: bool = True,
     shingle_df: DataFrame | None = None,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band table (doc, band, bh) from MinHash signatures — the
     join-key material both the batch pair finders and the streaming band
@@ -682,7 +743,14 @@ def minhash_band_rows(
     portable_hash60 of the band's signature slice, so a DuckDB oracle can
     replay the exact buckets."""
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k, reuse, shingle_df)
+    # signature_df: a pre-computed (doc, signature) frame — callers that
+    # need the signatures for their own purposes too (x66) hand them in
+    # once instead of re-running the num_perm-way MIN aggregate per consumer
+    sig = (
+        signature_df
+        if signature_df is not None
+        else minhash_signatures(df, id_col, text_col, num_perm, k, reuse, shingle_df)
+    )
     return sig.select(
         "doc",
         F.explode(

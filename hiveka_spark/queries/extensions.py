@@ -1504,7 +1504,12 @@ def x62_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_estimate_oracle(num_perm: int = 32, bands: int = 8, k: int = 3,
+_X66_NUM_PERM = 32
+_X66_NUM_PERM_K = 3  # shingle k
+
+
+def _minhash_estimate_oracle(num_perm: int = _X66_NUM_PERM, bands: int = 8,
+                             k: int = _X66_NUM_PERM_K,
                              threshold: float = 0.8) -> str:
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
@@ -1549,32 +1554,51 @@ def x66_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair side — the estimator itself adds only per-row zip_with
     arithmetic over two 32-element arrays."""
     d = table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(d, "doc_id", "text", num_perm=32, k=3)
-    pairs = D.minhash_lsh_pairs(
-        d, "doc_id", "text", num_perm=32, bands=8, k=3, verify_threshold=0.8
-    )
-    sa = sig.select(F.col("doc").alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("id_b"), F.col("signature").alias("sig_b"))
-    n_match = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda b: b,
+    with D.dedup_cache_scope() as scope:
+        # ONE shingle pass, ONE signature aggregate: the signatures feed
+        # three consumers (band rows + both estimator sides), so they are
+        # computed once and persisted instead of re-running the 32-way MIN
+        # aggregate per consumer (the entry's own 100 TB posture)
+        sh = D._shingle_sets(d, "doc_id", "text", _X66_NUM_PERM_K, reuse=True)
+        sig = D.minhash_signatures(
+            None, num_perm=_X66_NUM_PERM, k=_X66_NUM_PERM_K, shingle_df=sh
+        ).persist()
+        scope.append(sig)
+        band_rows = D.minhash_band_rows(
+            None, num_perm=_X66_NUM_PERM, bands=8, signature_df=sig
         )
-    ).cast("bigint")
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_matching", n_match)
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            (F.floor(F.col("n_matching") * 10000.0 / 32) / 10000.0).alias(
-                "est_jaccard"
-            ),
-            "n_matching",
+        a = band_rows.select(F.col("doc").alias("id_a"), "band", "bh")
+        b = band_rows.select(F.col("doc").alias("id_b"), "band", "bh")
+        cand = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-    )
+        pairs = D._verified_jaccard(cand, sh, 0.8)
+        sa = sig.select(F.col("doc").alias("id_a"), F.col("signature").alias("sig_a"))
+        sb = sig.select(F.col("doc").alias("id_b"), F.col("signature").alias("sig_b"))
+        n_match = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("bigint")
+        out = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("n_matching", n_match)
+            .select(
+                "id_a",
+                "id_b",
+                "jaccard",
+                (
+                    F.floor(F.col("n_matching") * 10000.0 / _X66_NUM_PERM) / 10000.0
+                ).alias("est_jaccard"),
+                "n_matching",
+            )
+        )
+        return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1632,40 +1656,9 @@ def x68_containment_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     shuffles except for that keyed count.  Exact (no banding): a one-
     sided-rare quoted excerpt can evade MinHash banding entirely, so
     the exact path is the right default when the eval side is small."""
-    from hiveka_spark.operators.text import tokens
-
     d = table(spark, sf_dir, "documents")
-
-    def shingles(df):
-        return (
-            df.select("doc_id", tokens("text").alias("ws"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(D.ngrams_from_tokens(F.col("ws"), 3))
-                ).alias("s"),
-            )
-        )
-
-    ev = shingles(d.filter(F.col("source").isin(*_EVAL_SOURCES)))
-    tr = shingles(d.filter(~F.col("source").isin(*_EVAL_SOURCES)))
-    ev_sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        tr.join(F.broadcast(ev.withColumnRenamed("doc_id", "eval_id")), "s")
-        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    containment = F.floor(F.col("i") * 10000.0 / F.col("n")) / 10000.0
-    return (
-        inter.join(
-            F.broadcast(ev_sizes.withColumnRenamed("doc_id", "eval_id")), "eval_id"
-        )
-        .withColumn("containment", containment)
-        .filter(F.col("containment") >= _X68_THRESHOLD)
-        .select(
-            "train_id",
-            "eval_id",
-            F.col("i").cast("bigint").alias("n_shared"),
-            "containment",
-        )
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    tr = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return D.containment_decontamination(
+        tr, ev, "doc_id", "text", k=3, threshold=_X68_THRESHOLD
     )

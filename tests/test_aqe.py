@@ -104,7 +104,8 @@ def test_force_skew_split_with_downstream_aggregate(aqe_tuned):
 
 
 def test_aqe_coalesces_small_shuffle_partitions(aqe_tuned):
-    """A 32-partition shuffle of a tiny aggregate must be COALESCED at
+    """The session's shuffle fan-out (8 partitions in the test fixture;
+    32+ in production) over a tiny aggregate must be COALESCED at
     runtime (AQEShuffleRead coalesced) — the mechanism that makes
     spark.sql.shuffle.partitions an upper bound rather than a fixed
     fan-out, so one job spec spans sf0.001 to 100 TB."""
