@@ -8,6 +8,7 @@ reference has zero scalar-function code), designed Spark-first.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas-UDF type hints under future-annotations)
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -200,3 +201,84 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
     )
     return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": roll})
+
+
+# Sentiment polarity lexicon (SURVEY.md §2C text-analysis row; mirrors the
+# EDBT-2016 tweet-sentiment workload in PAPERS.md and the reference's fake
+# tweet data, FakeTweetProducer.java:40-65 + src/main/avro/twitter.avsc:5-17).
+# Words are drawn from the synthetic corpus vocabulary so the fixture scores
+# are non-trivial; the operator is lexicon-agnostic.
+SENTIMENT_POS = ["fast", "big", "merge", "join", "good", "great", "love"]
+SENTIMENT_NEG = ["slow", "small", "dup", "scan", "bad", "sad", "hate"]
+
+
+def with_sentiment(
+    df: DataFrame,
+    text_col: str = "text",
+    pos: list[str] | None = None,
+    neg: list[str] | None = None,
+) -> DataFrame:
+    """Lexicon-based sentiment polarity — the x09 lang-id shape: the lexicon
+    is a tiny array LITERAL folded into the plan (the broadcast-lexicon
+    posture at any scale), the score is pure per-row JVM expressions (zero
+    shuffles, scales with input bytes), and polarity is an integer
+    micro-unit (floor((n_pos-n_neg)*1e6/n_tokens)) so a SQL oracle replays
+    it bit-for-bit.
+
+    Emits ``n_pos``, ``n_neg``, ``polarity_micro`` (bigint, [-1e6, 1e6]) and
+    the ternary ``sentiment`` label.
+    """
+    pos = SENTIMENT_POS if pos is None else pos
+    neg = SENTIMENT_NEG if neg is None else neg
+    toks = tokens(text_col)
+    n_pos = F.size(F.filter(toks, lambda w: w.isin(pos)))
+    n_neg = F.size(F.filter(toks, lambda w: w.isin(neg)))
+    n_tok = F.size(toks)
+    polarity = F.floor(
+        (n_pos - n_neg) * 1000000.0 / F.greatest(n_tok, F.lit(1))
+    ).cast("bigint")
+    return df.withColumns(
+        {
+            "n_pos": n_pos.cast("bigint"),
+            "n_neg": n_neg.cast("bigint"),
+            "polarity_micro": polarity,
+            "sentiment": F.when(polarity > 0, "positive")
+            .when(polarity < 0, "negative")
+            .otherwise("neutral"),
+        }
+    )
+
+
+def with_sentiment_pandas(
+    df: DataFrame,
+    text_col: str = "text",
+    pos: list[str] | None = None,
+    neg: list[str] | None = None,
+) -> DataFrame:
+    """Pandas-UDF twin of :func:`with_sentiment` — the "sentiment via pandas
+    UDF" surface SURVEY.md §2C declares.  Arrow-batched (never per-row); the
+    JVM-expression version is the hot path, this is the seam where a real
+    model (e.g. a scikit/torch scorer) would plug in.  Tests pin both
+    implementations equal row-for-row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    pos = SENTIMENT_POS if pos is None else pos
+    neg = SENTIMENT_NEG if neg is None else neg
+    pos_set, neg_set = frozenset(pos), frozenset(neg)
+
+    @pandas_udf("struct<n_pos:bigint,n_neg:bigint,polarity_micro:bigint,sentiment:string>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        import math
+
+        rows = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split(" ") if w]
+            np_, nn = sum(w in pos_set for w in toks), sum(w in neg_set for w in toks)
+            pol = math.floor((np_ - nn) * 1000000.0 / max(len(toks), 1))
+            lab = "positive" if pol > 0 else ("negative" if pol < 0 else "neutral")
+            rows.append((np_, nn, pol, lab))
+        return pd.DataFrame(rows, columns=["n_pos", "n_neg", "polarity_micro", "sentiment"])
+
+    out = df.withColumn("_s", score(F.col(text_col)))
+    return out.select("*", "_s.n_pos", "_s.n_neg", "_s.polarity_micro", "_s.sentiment").drop("_s")

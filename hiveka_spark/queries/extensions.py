@@ -29,10 +29,13 @@ from hiveka_spark.operators.asof import asof_join
 from hiveka_spark.operators.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
+    SENTIMENT_NEG,
+    SENTIMENT_POS,
     TOKEN_PATTERN,
     with_fingerprint,
     with_lang_id,
     with_quality,
+    with_sentiment,
     with_token_stats,
 )
 from hiveka_spark.queries import register
@@ -482,6 +485,55 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial hash mod 2^31-1 (both engine-exact)."""
     d = table(spark, sf_dir, "documents")
     return with_fingerprint(d).select("doc_id", "fp_md5", "fp_roll")
+
+
+def _sentiment_oracle() -> str:
+    pos = "[" + ", ".join(f"'{w}'" for w in SENTIMENT_POS) + "]"
+    neg = "[" + ", ".join(f"'{w}'" for w in SENTIMENT_NEG) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source,
+                 LEN(list_filter(toks, w -> list_contains({pos}, w))) AS n_pos,
+                 LEN(list_filter(toks, w -> list_contains({neg}, w))) AS n_neg,
+                 LEN(toks) AS n_tok
+          FROM t),
+    p AS (SELECT doc_id, source,
+                 CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+                 CAST(FLOOR((n_pos - n_neg) * 1000000.0 / GREATEST(n_tok, 1)) AS BIGINT)
+                   AS polarity_micro
+          FROM s)
+    SELECT doc_id, source, n_pos, n_neg, polarity_micro,
+           CASE WHEN polarity_micro > 0 THEN 'positive'
+                WHEN polarity_micro < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           CAST(FLOOR(AVG(polarity_micro) OVER (PARTITION BY source)) AS BIGINT)
+             AS source_mean_micro
+    FROM p
+    """
+
+
+@register("x69_sentiment", oracle=_sentiment_oracle(), tags=("text", "sentiment"))
+def x69_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment polarity per document + per-source mean — the last
+    SURVEY §2C text-analysis row (mirrors the EDBT-2016 tweet-sentiment
+    workload; reference data analog: FakeTweetProducer.java:40-65 +
+    src/main/avro/twitter.avsc:5-17).  Scoring is zero-shuffle per-row JVM
+    expressions with the lexicon folded in as a literal; the only exchange
+    is the per-source window (hash partition by source).  Integer micro-unit
+    polarity so DuckDB replays exactly; the declared pandas-UDF twin
+    (`with_sentiment_pandas`) is pinned equal in tests/test_operators.py."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = with_sentiment(d).select(
+        "doc_id", "source", "n_pos", "n_neg", "polarity_micro", "sentiment"
+    )
+    w = Window.partitionBy("source")
+    return scored.withColumn(
+        "source_mean_micro", F.floor(F.avg("polarity_micro").over(w)).cast("bigint")
+    )
 
 
 @register(

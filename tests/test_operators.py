@@ -436,3 +436,50 @@ def test_bloom_decontamination_has_no_false_negatives(spark):
         assert r["n_bloom_hits"] >= r["n_exact_hits"]
     assert rows[1]["flagged"] == 1 and rows[1]["n_exact_hits"] == rows[1]["n_shingles"]
     assert rows[2]["n_exact_hits"] > 0 and rows[2]["flagged"] == 1
+
+
+# ----------------------------------------------------------------- sentiment
+def test_sentiment_pandas_twin_matches_jvm(spark):
+    """The declared 'sentiment via pandas UDF' surface must agree row-for-row
+    with the JVM-expression hot path on the real fixture."""
+    from hiveka_spark.operators.text import with_sentiment, with_sentiment_pandas
+
+    docs = table(spark, SF_SMOKE, "documents")
+    cols = ["doc_id", "n_pos", "n_neg", "polarity_micro", "sentiment"]
+    jvm = {r["doc_id"]: tuple(r) for r in with_sentiment(docs).select(*cols).collect()}
+    pdf = {r["doc_id"]: tuple(r) for r in with_sentiment_pandas(docs).select(*cols).collect()}
+    assert jvm == pdf and len(jvm) > 0
+
+
+def test_sentiment_custom_lexicon_on_tweet_fixture(spark):
+    """EDBT-2016-style workload: score the FakeTweetProducer-mirror tweets
+    with a domain lexicon; labels follow the sign of (n_pos - n_neg)."""
+    from hiveka_spark.operators.text import with_sentiment
+    from hiveka_spark.sources import producers as P
+
+    rows = P.fake_tweets(50, seed=7, base_ts=1_700_000_000)
+    df = spark.createDataFrame(
+        [(r["username"], r["text"]) for r in rows], ["username", "text"]
+    )
+    out = with_sentiment(
+        df, pos=["big", "quickly", "parallel"], neg=["lazily", "late", "tiny"]
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        toks = r["text"].lower().split(" ")
+        n_pos = sum(t in {"big", "quickly", "parallel"} for t in toks)
+        n_neg = sum(t in {"lazily", "late", "tiny"} for t in toks)
+        assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+        want = "positive" if n_pos > n_neg else ("negative" if n_neg > n_pos else "neutral")
+        assert r["sentiment"] == want
+    labels = {r["sentiment"] for r in out}
+    assert {"positive", "negative"} <= labels, "fixture should produce both polarities"
+
+
+def test_sentiment_zero_tokens_is_neutral(spark):
+    from hiveka_spark.operators.text import with_sentiment
+
+    out = with_sentiment(
+        spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    ).collect()
+    assert all(r["sentiment"] == "neutral" and r["polarity_micro"] == 0 for r in out)
