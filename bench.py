@@ -124,6 +124,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {name: timed(name) for name in HEADLINE}
+    first_pass = dict(timings)  # pre-remeasure snapshot (uniform single-shot)
     # Noise control: single-shot timings on this shared-host VM swing
     # individual queries by up to ~1.7x run-to-run.  Any query whose
     # first-pass ratio vs the recorded floor exceeds _REMEASURE_OVER is
@@ -159,6 +160,10 @@ def main() -> None:
     }
     if remeasured:
         out["remeasured"] = remeasured
+        # Headline "value" mixes min-of-k (outliers) with single-shot
+        # (everything else); record the uniform single-shot total alongside
+        # so the two protocols are separable in the artifact.
+        out["value_single_shot"] = round(sum(first_pass.values()), 3)
     # Per-query ratios vs the recorded baseline floor, emitted INTO the
     # artifact: suite wall-clock swings ~25% with machine load between
     # rounds, so ratios (and the >2x flag list) are the regression signal —

@@ -215,7 +215,15 @@ def kmeans_parallel_init(
     )
     rng = np.random.RandomState(seed)
     n = len(pts)
-    if n <= k:
+    if n < k:
+        # returning fewer-than-k centers silently shrinks downstream
+        # kmeans_lloyd's k with no signal; surface it to the caller instead
+        raise ValueError(
+            f"k-means|| candidate pool has only {n} points for k={k}; "
+            "increase rounds/oversample (or lower k) so init can seed "
+            "every requested center"
+        )
+    if n == k:
         centers = pts[np.argsort(cids)][:k]
     else:
         idx = [int(np.argmax(wts))]  # heaviest candidate first (deterministic)

@@ -708,6 +708,8 @@ def minhash_signatures(
             "pre-computed (doc, sh) frame), not both — df would be "
             "silently ignored, hiding a mismatched-source mistake"
         )
+    if shingle_df is None and df is None:
+        raise ValueError("minhash_signatures needs df or shingle_df")
     # explode AFTER the doc-partitioned exchange: partitioning survives the
     # generator, so the per-doc MIN aggregation below needs no further shuffle
     base = (

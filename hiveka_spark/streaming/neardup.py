@@ -178,9 +178,18 @@ def stream_minhash_dedup(
                 F.col("doc").alias("id_old"), "band", "bh"
             )
             new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
-            cross = idx.join(new, ["band", "bh"]).select(
-                F.least("id_old", "id_new").alias("id_a"),
-                F.greatest("id_old", "id_new").alias("id_b"),
+            cross = (
+                idx.join(new, ["band", "bh"])
+                # a doc_id re-ingested in a later batch/run matches its own
+                # band index entries; without this filter it would emit a
+                # degenerate self-pair (id_a == id_b, jaccard 1.0) the
+                # one-shot batch operator can never produce, breaking
+                # batch-split invariance for re-ingested ids
+                .filter(F.col("id_old") != F.col("id_new"))
+                .select(
+                    F.least("id_old", "id_new").alias("id_a"),
+                    F.greatest("id_old", "id_new").alias("id_b"),
+                )
             )
             cand = cand.select("id_a", "id_b").unionByName(cross)
         cand = cand.select("id_a", "id_b").distinct()

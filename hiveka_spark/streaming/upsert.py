@@ -56,10 +56,12 @@ class VersionedUpsertSink:
         state_root: str,
         batch_reduce: Callable[[DataFrame], DataFrame],
         merge: Callable[[DataFrame, DataFrame], DataFrame],
+        id_offset: int = 0,
     ) -> None:
         self.state_root = state_root
         self.batch_reduce = batch_reduce
         self.merge = merge
+        self.id_offset = id_offset
 
     def _committed_versions(self) -> list[int]:
         try:
@@ -96,6 +98,24 @@ class VersionedUpsertSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_id = batch_id + self.id_offset
+        # Version-collision guard (mirrors streaming/neardup.py's id_offset
+        # discipline): in a monotone stream a committed version with id
+        # STRICTLY ABOVE the current batch can only mean a NEW stream (fresh
+        # checkpoint, ids restarted at 0) was pointed at an existing
+        # state_root — proceeding would overwrite v0..vN with batch-only
+        # data while latest_path() still serves the stale old snapshot.
+        # id == batch_id stays allowed: that is this sink's own designed
+        # replay-overwrite idempotence.
+        ahead = [v for v in self._committed_versions() if v > batch_id]
+        if ahead:
+            raise ValueError(
+                f"state_root {self.state_root!r} already holds committed "
+                f"version v{max(ahead)} > current batch {batch_id}; this is "
+                "a new stream over old state — pass "
+                f"id_offset > {max(ahead)} to continue into it, or use a "
+                "fresh state_root"
+            )
         reduced = self.batch_reduce(batch_df)
         prev_path = self.predecessor_path(batch_id)
         if prev_path is not None:
