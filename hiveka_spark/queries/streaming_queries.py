@@ -1055,3 +1055,80 @@ def s21_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = sink.latest_path()
     assert final is not None
     return spark.read.parquet(final)
+
+
+@register(
+    "s22_stream_kafka_sink",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    tags=("streaming", "kafka", "sink", "produce", "foreachBatch"),
+)
+def s22_stream_kafka_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Kafka PRODUCE sink — the streaming half of A25, the path
+    the reference stubs out entirely (KafkaOutputFormat.java:28-39 returns a
+    null RecordWriter): a curated document stream drains back INTO a topic
+    via foreachBatch + the batch producer, with batch-id commit markers so
+    a checkpoint-replayed micro-batch never appends twice (see
+    streaming/kafka_sink.py for the exactly-once contract).  4 real
+    micro-batches produce Avro-framed records into the SimBroker topic;
+    after the drain, a REPLAY of the last committed batch id is simulated
+    and asserted to leave every partition's end offset unchanged; the topic
+    is then batch-read + decode_wire'd back — one oracle certifies the
+    whole encode -> produce -> log -> scan -> decode loop per document."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        read_kafka_batch,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["curated_out"],
+        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
+    )
+    broker = SimBroker(scratch_dir(prefix="gate_s22broker_"))
+    broker.create_topic("curated_out", partitions=4)
+    src_dir = scratch_dir(prefix="gate_s22src_")
+
+    curated = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
+    curated.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    sink = KafkaStreamSink(
+        cfg, "curated_out", scratch_dir(prefix="gate_s22commits_"),
+        broker=broker, key_col="doc_id",
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s22_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = sink.committed_batches()
+    assert len(committed) >= 3, f"expected >=3 produced micro-batches, got {committed}"
+
+    # Simulated checkpoint replay of an already-committed batch: the marker
+    # must drop it before it reaches the log (idempotence under replay).
+    before = dict(broker.latest()["curated_out"])
+    sink(spark.read.parquet(src_dir), committed[-1])
+    after = dict(broker.latest()["curated_out"])
+    assert before == after, f"replayed batch appended to the log: {before} -> {after}"
+
+    wire = read_kafka_batch(spark, cfg, broker=broker)
+    return decode_wire(wire, cfg).select("doc_id", "lang", "n_chars")

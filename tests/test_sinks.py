@@ -53,3 +53,33 @@ def test_max_records_per_file_splits_hot_partition(spark, tmp_path):
         import math
 
         assert len(files) == math.ceil(row["count"] / 100)
+
+
+# --------------------------------------------------- streaming Kafka produce
+def test_kafka_stream_sink_replay_is_dropped(spark, tmp_path):
+    """A replayed (already-committed) batch id must never append to the log;
+    new batch ids must."""
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    cfg = KafkaTableConfig(
+        bootstrap_servers="sim://t",
+        whitelist_topics=["out"],
+        ddl="id BIGINT, name STRING",
+    )
+    broker = SimBroker(str(tmp_path / "broker"))
+    broker.create_topic("out", partitions=2)
+    sink = KafkaStreamSink(cfg, "out", str(tmp_path / "commits"), broker=broker, key_col="id")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, name string")
+
+    sink(df, 0)
+    after0 = dict(broker.latest()["out"])
+    assert sum(after0.values()) == 3 and sink.committed_batches() == [0]
+
+    sink(df, 0)  # checkpoint replay of batch 0
+    assert dict(broker.latest()["out"]) == after0, "replay appended"
+
+    sink(df, 1)
+    assert sum(broker.latest()["out"].values()) == 6
+    assert sink.committed_batches() == [0, 1]
