@@ -99,6 +99,93 @@ def pack_chunks(
     return df.withColumn("chunk", F.floor(cum_before / F.lit(budget)))
 
 
+_MID_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits
+
+
+def _ranked_once(t: DataFrame, id_col: str, h_col: str, out_col: str) -> DataFrame:
+    """One distributed total-order rank over (h_col, id_col), carrying every
+    other column of ``t`` through as payload.
+
+    Recipe: range-partition on the order key + sort within partitions
+    (Spark's scalable total sort), then read the LOCAL index straight out
+    of ``monotonically_increasing_id`` — its documented layout is
+    (partition id << 33) + consecutive within-partition record number, so
+    local rank and partition id are two bit-ops on one JVM-generated long:
+    no per-partition window (which would re-exchange on the partition id)
+    and no join on the row id.  Per-partition counts are a
+    numPartitions-row collect (bounded-driver-collect posture) broadcast
+    back as global offsets.  The final rank depends only on the TOTAL
+    order, not on where the sampled range boundaries fall, so the output
+    is deterministic even though range-partitioner sampling is not (and
+    the correctness pin vs the naive global window in tests/test_plans.py
+    guards the _mid layout assumption).
+    """
+    from hiveka_spark.operators.dedup import _persist_tracked
+
+    s = (
+        t.repartitionByRange(F.col(h_col), F.col(id_col))
+        .sortWithinPartitions(h_col, id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    # persisted because both the counts job and the final plan read the
+    # sorted frame (and _mid must be assigned exactly once); registered
+    # with any active dedup_cache_scope so long-lived sessions release it
+    s = _persist_tracked(s)
+    pid = F.shiftright(F.col("_mid"), 33).cast("int")
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in s.groupBy(pid.alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in counts:
+        offsets.append((p, acc))
+        acc += cnt
+    off_df = t.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
+    local = (F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)) + 1).cast("bigint")
+    keep = [c for c in t.columns if c != h_col]
+    return (
+        s.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .select(*keep, (local + F.col("_off")).alias(out_col))
+    )
+
+
+def global_hash_rank_multi(
+    df: DataFrame,
+    id_col: str,
+    salts: dict[str, str],
+) -> DataFrame:
+    """Deterministic GLOBAL ranks of every row under SEVERAL independent
+    orders (``salts``: out_col -> hash salt), sharing ONE scan of ``df`` —
+    WITHOUT the single-reducer global window (``Window.orderBy`` with no
+    partitionBy moves every row into ONE partition: the classic scale
+    killer) and WITHOUT a per-order join on the row id.
+
+    Two independent total orders genuinely need two sorts, but nothing
+    else need be duplicated: all hash columns are computed in one pass,
+    and each successive rank pass range-partitions the PREVIOUS pass's
+    output carrying the already-computed positions as payload — so k
+    epochs cost exactly k range exchanges, k bounded counts-collects, and
+    zero row-id joins (the r6 x65 shape was 2x the full rank machinery
+    plus a doc_id join: 3 shuffles, double persist).
+    """
+    out_cols = list(salts)
+    t = df.select(
+        F.col(id_col),
+        *[
+            portable_hash60(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ).alias(f"_h_{oc}")
+            for oc, salt in salts.items()
+        ],
+    )
+    for oc in out_cols:
+        t = _ranked_once(t, id_col, f"_h_{oc}", oc)
+    return t.select(id_col, *out_cols)
+
+
 def global_hash_rank(
     df: DataFrame,
     id_col: str,
@@ -106,50 +193,8 @@ def global_hash_rank(
     out_col: str = "pos",
 ) -> DataFrame:
     """Deterministic GLOBAL rank of every row by (portable_hash60(salt, id),
-    id) — 1-based, dense, engine-reproducible — WITHOUT the single-reducer
-    global window (``Window.orderBy`` with no partitionBy moves every row
-    into ONE partition: the classic scale killer).
-
-    The distributed recipe: range-partition on the order key and sort
-    within partitions (Spark's scalable total sort), rank LOCALLY per
-    partition (the window partitions on spark_partition_id, so every
-    partition ranks in parallel), then add each partition's global offset
-    — per-partition counts are a numPartitions-row collect (the bounded-
-    driver-collect posture, like centroid handoff), broadcast back as a
-    tiny join.  The final rank depends only on the TOTAL order (hash, id),
-    not on where the sampled range boundaries fall, so the output is
-    deterministic even though range-partitioner sampling is not.
+    id) — 1-based, dense, engine-reproducible.  Single-order convenience
+    wrapper over :func:`global_hash_rank_multi`; see it for the
+    distributed recipe and scale posture.
     """
-    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    # no sortWithinPartitions: neither consumer needs intra-partition
-    # order (the counts job is order-free; the rank window re-sorts after
-    # its own _pid exchange anyway), so sorting here would be a full
-    # per-partition sort of the corpus paid for nothing
-    t = (
-        df.select(F.col(id_col), h.alias("_h"))
-        .repartitionByRange(F.col("_h"), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    from hiveka_spark.operators.dedup import _persist_tracked
-
-    # persisted because both the counts job and the final plan read the
-    # sorted frame; registered with any active dedup_cache_scope so
-    # long-lived sessions can release it (gate runs: freed at exit)
-    t = _persist_tracked(t)
-    counts = sorted(
-        ((r["_pid"], r["cnt"]) for r in t.groupBy("_pid").agg(
-            F.count(F.lit(1)).alias("cnt")).collect()),
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
-    w = Window.partitionBy("_pid").orderBy("_h", id_col)
-    out = (
-        t.withColumn("_lr", F.row_number().over(w).cast("bigint"))
-        .join(F.broadcast(off_df), "_pid")
-        .select(id_col, (F.col("_lr") + F.col("_off")).alias(out_col))
-    )
-    # the persisted order frame backs only this plan; caller materializes
-    return out
+    return global_hash_rank_multi(df, id_col, {out_col: salt})

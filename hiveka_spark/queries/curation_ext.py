@@ -1251,23 +1251,28 @@ def x65_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: naive Window.orderBy with no partition key would move
     EVERY row into one partition (the single-reducer global-window trap),
-    so the rank comes from operators/sampling.py::global_hash_rank —
-    range-partition on the hash + per-partition local rank + broadcast
-    partition offsets, all parallel; the plan is asserted free of
-    SinglePartition exchanges in tests/test_plans.py.  Production
-    variant: skip the global rank entirely and SORT BY the hash within
-    each output shard (shard = pmod(hash, n) — zero global coordination);
-    the rank form here exists to certify the order itself."""
+    so the ranks come from operators/sampling.py::global_hash_rank_multi —
+    ONE corpus scan computes both epoch hashes, then each epoch is one
+    range-partition + local index (read off monotonically_increasing_id's
+    bit layout, no per-partition window exchange) + broadcast partition
+    offsets, with epoch-0's positions carried as payload through epoch-1's
+    exchange — two range exchanges total, zero row-id joins (the r6 shape
+    ran the full rank machinery twice plus a doc_id join).  The plan is
+    asserted free of SinglePartition exchanges in tests/test_plans.py.
+    Production variant: skip the global rank entirely and SORT BY the hash
+    within each output shard (shard = pmod(hash, n) — zero global
+    coordination); the rank form here exists to certify the order itself."""
     from hiveka_spark.operators.dedup import dedup_cache_scope
-    from hiveka_spark.operators.sampling import global_hash_rank
+    from hiveka_spark.operators.sampling import global_hash_rank_multi
 
     d = table(spark, sf_dir, "documents")
-    # the rank operator persists its sorted order frame; scope + checkpoint
+    # the rank operator persists its sorted order frames; scope + checkpoint
     # release those caches at entry exit (the x60 lifecycle discipline)
     with dedup_cache_scope():
-        e0 = global_hash_rank(d, "doc_id", "epoch0_", "pos_epoch0")
-        e1 = global_hash_rank(d, "doc_id", "epoch1_", "pos_epoch1")
-        out = e0.join(e1, "doc_id").withColumn(
+        ranked = global_hash_rank_multi(
+            d, "doc_id", {"pos_epoch0": "epoch0_", "pos_epoch1": "epoch1_"}
+        )
+        out = ranked.withColumn(
             "shard_epoch0",
             F.pmod(F.col("pos_epoch0") - 1, F.lit(_N_SHARDS)).cast("bigint"),
         )
