@@ -458,6 +458,73 @@ def train_pq_codebooks(
     return cents
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    cell_stride: int = 31,
+    n_iters: int = 1,
+) -> DataFrame:
+    """Train the COARSE quantizer's cell centroids with distributed Lloyd in
+    quantized space — the ivfpq_topk ``cell_centroids`` production seam
+    made real (the coarse twin of :func:`train_pq_codebooks`).
+
+    Same engine-exact arithmetic as clustering.kmeans_lloyd: bigint
+    squared-L2 assignment (argmin as a map-side-combinable min(struct)),
+    truncating-integer-division component means via ONE (cell, pos)-keyed
+    aggregate per pass, empty cells keep their previous centroid.  Seeds
+    are the same stride rows ivfpq_topk defaults to, so n_iters=0
+    degenerates to the untrained coarse quantizer exactly.
+
+    Returns (cell: bigint, _cv: array<bigint>) in QUANTIZED units —
+    exactly the frame ivfpq_topk broadcasts; a SQL oracle replays every
+    pass bit-for-bit (the x61 trained-recall certification).
+    """
+    v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    cents = v.filter(
+        (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
+    ).select(
+        (F.col("_id") / cell_stride).cast("bigint").alias("cell"),
+        F.col("_qv").alias("_cv"),
+    )
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(n_iters):
+        # argmin carries the vector through the struct comparator: (cd2,
+        # cell) is already a total order per _id, so _qv never compares
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("cd2", l2(F.col("_qv"), F.col("_cv")))
+            .groupBy("_id")
+            .agg(F.min(F.struct("cd2", "cell", "_qv")).alias("mc"))
+            .select(F.col("mc.cell").alias("cell"), F.col("mc._qv").alias("_qv"))
+        )
+        comp = (
+            assigned.select("cell", F.posexplode("_qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.expr("CAST(sum(val) DIV count(val) AS BIGINT)").alias("cval"))
+        )
+        trained = comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("_tv")
+        )
+        cents = (
+            cents.join(trained, "cell", "left")
+            .select("cell", F.coalesce("_tv", "_cv").alias("_cv"))
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return cents
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -586,6 +653,7 @@ def ivfpq_topk(
     n_centroids: int = 64,
     centroid_stride: int = 7,
     codebooks: DataFrame | None = None,
+    cell_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ stacked (the FAISS IVFPQ composition): a coarse quantizer
     prunes WHICH vectors are scored (each query probes its ``n_probe``
@@ -618,9 +686,14 @@ def ivfpq_topk(
             lambda acc, x: acc + x,
         )
 
-    ccents = v.filter(
-        (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
-    ).select((F.col("_id") / cell_stride).cast("bigint").alias("cell"), F.col("_qv").alias("_cv"))
+    if cell_centroids is not None:
+        # trained coarse quantizer handed in (train_ivf_centroids' shape:
+        # cell bigint, _cv array<bigint> in quantized units)
+        ccents = cell_centroids.select("cell", "_cv")
+    else:
+        ccents = v.filter(
+            (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
+        ).select((F.col("_id") / cell_stride).cast("bigint").alias("cell"), F.col("_qv").alias("_cv"))
 
     def cell_scores(side: DataFrame) -> DataFrame:
         return side.crossJoin(F.broadcast(ccents)).withColumn(

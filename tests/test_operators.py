@@ -483,3 +483,58 @@ def test_sentiment_zero_tokens_is_neutral(spark):
         spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
     ).collect()
     assert all(r["sentiment"] == "neutral" and r["polarity_micro"] == 0 for r in out)
+
+
+# ------------------------------------------------------ trained IVF centroids
+def test_train_ivf_centroids_shape_and_degeneracy(spark):
+    """n_iters=0 must equal the stride seeds exactly (the ivfpq default);
+    training keeps every cell (empty-cell keep) and moves centroids."""
+    from hiveka_spark.operators.similarity import quantized, train_ivf_centroids
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    seed = {
+        r["cell"]: r["_cv"]
+        for r in train_ivf_centroids(e, n_cells=16, cell_stride=31, n_iters=0).collect()
+    }
+    stride = {
+        r["cell"]: r["_cv"]
+        for r in e.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") / 31 < 16))
+        .select(
+            (F.col("vec_id") / 31).cast("bigint").alias("cell"),
+            quantized("embedding").alias("_cv"),
+        )
+        .collect()
+    }
+    assert seed == stride
+
+    trained = {
+        r["cell"]: r["_cv"]
+        for r in train_ivf_centroids(e, n_cells=16, cell_stride=31, n_iters=1).collect()
+    }
+    assert set(trained) == set(seed) and all(len(v) == 64 for v in trained.values())
+    assert trained != seed, "one Lloyd pass should move at least one centroid"
+
+
+def test_ivfpq_trained_cells_still_exact_pipeline(spark):
+    """ivfpq_topk with trained cell centroids returns a valid determinstic
+    top-k (k rows per query, ranks 1..k) — the cell_centroids seam wiring."""
+    from hiveka_spark.operators.similarity import ivfpq_topk, train_ivf_centroids
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    cc = train_ivf_centroids(e, n_cells=8, cell_stride=31, n_iters=1)
+    out = ivfpq_topk(
+        e, qs, k=3, n_cells=8, n_probe=3, m=16, n_centroids=16,
+        centroid_stride=7, cell_centroids=cc,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    # deterministic: second run returns the identical pair set
+    out2 = ivfpq_topk(
+        e, qs, k=3, n_cells=8, n_probe=3, m=16, n_centroids=16,
+        centroid_stride=7,
+        cell_centroids=train_ivf_centroids(e, n_cells=8, cell_stride=31, n_iters=1),
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
