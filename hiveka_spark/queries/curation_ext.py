@@ -1465,3 +1465,54 @@ def x67_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x70 — batch incremental dedup across corpus versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x70_incremental_dedup",
+    oracle=None,  # set below — reuses x03's MinHash replay (the union answer)
+    tags=("dedup", "minhash", "incremental", "versioned-corpus"),
+)
+def x70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch INCREMENTAL near-dup dedup across corpus versions — the
+    growing-corpus production pattern: v1 (docs with doc_id % 7 != 0) is
+    ingested and deduped first; v2 (the rest) lands later and is deduped
+    against v1's PERSISTED index (operators/incremental.py) — v1's text is
+    never re-read or re-shingled (the index stores shingle arrays and band
+    hashes only; tests assert the v2 update's plan reads nothing but the
+    state root).  The accumulated pair set must equal the one-shot batch
+    answer over the full corpus — the entry is hash-checked against x03's
+    exact DuckDB MinHash replay, same as s19's streaming convergence
+    contract but for versioned batch drops."""
+    from hiveka_spark.operators.dedup import dedup_cache_scope
+    from hiveka_spark.operators.incremental import minhash_index_update
+
+    root = scratch_dir(prefix="gate_x70_")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with dedup_cache_scope():
+        minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 7 != 0), root, 1,
+            num_perm=32, bands=8, k=3, threshold=0.8,
+        )
+        pairs = minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 7 == 0), root, 2,
+            num_perm=32, bands=8, k=3, threshold=0.8,
+        )
+        return pairs.localCheckpoint(eager=True)
+
+
+def _set_x70_oracle() -> None:
+    from dataclasses import replace
+
+    from hiveka_spark.queries import REGISTRY
+    from hiveka_spark.queries.extensions import _minhash_oracle
+
+    spec = REGISTRY["x70_incremental_dedup"]
+    REGISTRY["x70_incremental_dedup"] = replace(spec, oracle=_minhash_oracle())
+
+
+_set_x70_oracle()

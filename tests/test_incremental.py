@@ -1,0 +1,70 @@
+"""Batch incremental MinHash dedup across corpus versions (operators/incremental.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from hiveka_spark.catalog import table
+from hiveka_spark.operators import dedup as D
+from hiveka_spark.operators.incremental import minhash_index_update
+from hiveka_spark.plans.inspect import formatted_plan
+
+from .conftest import SF_SMOKE
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_equals_oneshot_across_three_versions(spark, tmp_path):
+    """Split-invariance: three version drops must accumulate to exactly the
+    one-shot batch answer over the union."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        for v, pred in (
+            (1, F.col("doc_id") % 3 == 0),
+            (2, F.col("doc_id") % 3 == 1),
+            (3, F.col("doc_id") % 3 == 2),
+        ):
+            acc = minhash_index_update(spark, docs.filter(pred), root, v)
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(acc) == _pairs(oneshot)
+        assert _pairs(acc), "fixture should contain planted near-duplicates"
+
+
+def test_incremental_update_never_rereads_old_text(spark, tmp_path):
+    """Two proofs that v1 text cannot be re-processed by the v2 update:
+    (a) structural — no text column exists anywhere in the persisted index;
+    (b) plan — the v2 update's accumulated-pairs plan scans only the state
+    root (the original corpus parquet never appears)."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, docs.filter(F.col("doc_id") % 2 == 0), root, 1)
+        # (a) the index holds shingle arrays / band hashes / pairs only
+        for store in ("sh", "bands", "pairs"):
+            stored = spark.read.parquet(os.path.join(root, store, "b1"))
+            assert "text" not in stored.columns, (store, stored.columns)
+        acc = minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), root, 2
+        )
+        plan = formatted_plan(acc)
+        assert "documents.parquet" not in plan, plan
+        assert _pairs(acc)
+
+
+def test_incremental_version_guard(spark, tmp_path):
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(20)
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, docs, root, 3)
+        with pytest.raises(ValueError, match="version"):
+            minhash_index_update(spark, docs, root, 3)
+        with pytest.raises(ValueError, match="version"):
+            minhash_index_update(spark, docs, root, 1)
