@@ -74,17 +74,133 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — provably O(log n) rounds, vs min-label
+    propagation's O(diameter): a 100 TB dup graph with long chains (URL
+    redirect chains, quote-of-quote-of-quote threads) multiplies
+    :func:`connected_components`' full-edge shuffles by the chain length,
+    while star contraction halves every path each alternation.
+
+    - large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u});
+    - small-star(u): over edges directed larger->smaller, connect u and
+      all its smaller neighbors to their minimum.
+
+    Each phase is one groupBy(u) + one equi-join of the edge list — the
+    same per-round shuffle cost as one propagation round, but the round
+    COUNT is logarithmic.  Fixpoint: the small-star output is a stable
+    star forest (every edge points node -> component minimum); detected
+    with an exact set-equality probe (count + one-sided exceptAll).
+
+    Returns ((node, cluster), rounds) — the frame matches
+    :func:`connected_components` exactly (property-tested, including a
+    path graph where propagation needs n rounds); ``rounds`` is the number
+    of large+small alternations executed, exposed so tests can assert the
+    logarithmic behavior instead of trusting the docstring.
+    """
+    # symmetrized edge list, self-loops dropped
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col("u").alias("node")).distinct().persist()
+
+    def min_nbr(e: DataFrame) -> DataFrame:
+        # m(u) = min over the closed neighborhood N(u) ∪ {u}
+        return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # LARGE-STAR over the SYMMETRIZED edge list: emit (v, m(u)) for
+        # v in N(u), v > u.  Every emitted edge already points larger ->
+        # smaller (m <= u < v), which is exactly small-star's input form.
+        sym = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct("u", "v"),
+                        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .distinct()
+        )
+        ls = (
+            sym.join(min_nbr(sym), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: attach u and all its smaller neighbors to their
+        # minimum; output stays directed larger -> smaller
+        sm = min_nbr(ls)
+        ss = (
+            ls.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        # exact fixpoint probe: same edge count and no edge outside the old
+        # set => identical sets (both sides are distinct).  Round 1 compares
+        # against the symmetric init and is never stable — fine.
+        stable = (
+            ss.count() == edges.count()
+            and ss.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = ss
+        if stable:
+            break
+    # terminal star forest: every edge is node -> component min; component
+    # minima themselves carry their own label
+    labels = (
+        all_nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
+        .groupBy("node")
+        .agg(F.least(F.min("v"), F.first("node")).alias("cluster"))
+    )
+    all_nodes.unpersist()
+    return labels, rounds
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "propagation",
 ) -> DataFrame:
     """Cluster summary per connected component of the near-dup graph:
     (cluster, n_members, canonical_id, removed) where canonical_id is the
     minimum member id (the doc a pipeline keeps) and removed = n_members - 1
-    (the dedup yield metric)."""
-    cc = connected_components(pairs, id_a, id_b, max_iter)
+    (the dedup yield metric).  ``method``: 'propagation' (min-label,
+    O(diameter) rounds) or 'star' (large/small-star contraction, O(log n)
+    rounds — the 100 TB long-chain-safe choice, see
+    :func:`connected_components_star`); both reach the identical fixpoint
+    (property-tested)."""
+    if method == "star":
+        cc, _ = connected_components_star(pairs, id_a, id_b, max_iter)
+    else:
+        cc = connected_components(pairs, id_a, id_b, max_iter)
     return cc.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("canonical_id"),

@@ -958,15 +958,19 @@ def x25_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x26_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: exact near-dup pairs (word-3-gram Jaccard >= 0.8,
-    x02's pipeline) -> connected components via Pregel-style min-label
-    propagation -> one summary row per duplicate cluster.  The iterative Spark
-    loop shuffles only the (tiny) pair graph per round; the oracle replays it
-    as a recursive-CTE transitive closure — both reach the same fixpoint."""
+    x02's pipeline) -> connected components via alternating large-star /
+    small-star contraction (O(log n) rounds — chain-length-safe at 100 TB,
+    where min-label propagation pays one full-edge shuffle per hop of graph
+    diameter) -> one summary row per duplicate cluster.  The propagation
+    version remains as the operator twin (property-tested equal, including
+    a path graph where propagation needs n rounds); the oracle replays the
+    components as a recursive-CTE transitive closure — all three reach the
+    same fixpoint."""
     from hiveka_spark.operators.clustering import dedup_clusters
 
     d = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
-    return dedup_clusters(pairs)
+    return dedup_clusters(pairs, method="star")
 
 
 @register(

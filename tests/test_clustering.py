@@ -81,3 +81,48 @@ def test_kmeans_parallel_init_is_deterministic(spark):
     a = sorted(map(tuple, kmeans_parallel_init(emb, k=5, rounds=2).collect()))
     b = sorted(map(tuple, kmeans_parallel_init(emb, k=5, rounds=2).collect()))
     assert a == b
+
+
+# ------------------------------------------------- star-contraction components
+def test_star_contraction_matches_propagation(spark):
+    """Both component algorithms must reach the identical (node, cluster)
+    fixpoint on a mixed graph (two chains, a triangle, an isolated edge)."""
+    from hiveka_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (21, 22), (22, 20), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    prop = {(r["node"], r["cluster"]) for r in connected_components(pairs).collect()}
+    star_df, rounds = connected_components_star(pairs)
+    star = {(r["node"], r["cluster"]) for r in star_df.collect()}
+    assert star == prop
+    assert {c for _, c in star} == {1, 10, 20, 30}
+
+
+def test_star_contraction_path_graph_logarithmic_rounds(spark):
+    """A 64-node path has diameter 63: min-label propagation needs ~63
+    rounds (it cannot converge inside its default 20), while star
+    contraction must finish in O(log n) alternations.  This is the 100 TB
+    long-chain scenario the operator exists for."""
+    from hiveka_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    star_df, rounds = connected_components_star(path)
+    star = {(r["node"], r["cluster"]) for r in star_df.collect()}
+    assert star == {(i, 0) for i in range(n + 1)}
+    assert rounds <= 10, f"star contraction took {rounds} rounds on a {n}-path"
+    prop = {
+        (r["node"], r["cluster"])
+        for r in connected_components(path, max_iter=100).collect()
+    }
+    assert prop == star
