@@ -13,6 +13,16 @@ metadata + topic pattern subscription) and KafkaReader.java:144-222
 (fetch/extract), via the SAME KafkaTableConfig options the simulator path
 uses — any drift between the simulated and real option semantics fails
 here, not in production.
+
+ROUND-7 ENVIRONMENT AUDIT (2026-08-14): this gate has never run in the
+build sandbox and cannot — probed and confirmed: no broker process (port
+9092 refused), no Kafka server binaries anywhere on the image, no
+kafka-python to embed one, no network access to start from a package, AND
+the Spark distribution at /opt/spark-4.1.2-bin-hadoop3 ships WITHOUT the
+spark-sql-kafka connector jar (jars/ contains no kafka artifact), so even
+a reachable broker would need a classpath the sandbox cannot fetch.  The
+blocker is environmental on two independent axes; the test stays the
+first thing to run wherever a broker + connector exist.
 """
 
 from __future__ import annotations

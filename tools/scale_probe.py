@@ -373,12 +373,81 @@ def dup_rate_probes(spark: SparkSession, n: int):
         with dedup_cache_scope() as scope:
             return build_curation_report(pdocs, scope).localCheckpoint(eager=True)
 
+    def x65_epoch_shuffle_e2e():
+        # two independent deterministic epoch orders + shard assignment over
+        # the synthetic corpus ids — the round-7 chained multi-rank (one
+        # corpus scan, one range exchange per epoch, no row-id join)
+        from hiveka_spark.operators.dedup import dedup_cache_scope
+        from hiveka_spark.operators.sampling import global_hash_rank_multi
+
+        with dedup_cache_scope():
+            r = global_hash_rank_multi(
+                docs, "doc_id", {"pos_epoch0": "e0_", "pos_epoch1": "e1_"}
+            )
+            return r.localCheckpoint(eager=True)
+
+    def x68_containment_e2e():
+        # FIXED 200-doc eval suite (benchmarks don't grow with the corpus),
+        # training side grows with n; the 50%-hot planted shingle is the
+        # adversarial posting, and the first 200 train docs are exact twins
+        # of the eval docs (constant planted containment-1.0 signal)
+        ev = synth_docs(spark, 200)
+        return D.containment_decontamination(
+            docs, ev, "doc_id", "text", k=3, threshold=0.5
+        )
+
+    def s20_stream_bloom_e2e():
+        # ingest-time Bloom decontamination as a REAL 4-micro-batch stream
+        # (the s20 shape): fixed eval bitset (one 32 KiB literal), map-only
+        # probe per batch, zero streaming state — growth should track the
+        # per-batch training bytes, with micro-batch scheduling as the
+        # fixed cost
+        import os as _os
+
+        from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M
+        from hiveka_spark.scratch import scratch_dir
+        from hiveka_spark.streaming.neardup import committed_versions
+
+        ev = synth_docs(spark, 200)
+        ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+        bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+        src = scratch_dir(prefix="sprobe_s20src_")
+        out_root = scratch_dir(prefix="sprobe_s20out_")
+        docs.select("doc_id", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            D.bloom_probe(
+                batch_df, bitset, ev_sh, "doc_id", "text",
+                k=3, m_bits=_BLOOM_M, n_hashes=_BLOOM_H,
+            ).write.mode("overwrite").parquet(_os.path.join(out_root, f"b{batch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir(prefix="sprobe_s20ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(*committed_versions(out_root, 10**9))
+
     return [
         ("x02_jaccard_e2e_5pct_dups", x02_end_to_end),
         ("x03_minhash_e2e_5pct_dups", x03_end_to_end),
         ("x05_lsh_e2e_5pct_dups_scaled_planes", x05_end_to_end),
         ("x58_containment_e2e_hot_shingle", x58_end_to_end),
         ("x60_pipeline_e2e_5pct_dups", x60_pipeline_e2e),
+        ("x65_epoch_shuffle_e2e", x65_epoch_shuffle_e2e),
+        ("x68_containment_e2e_fixed_eval", x68_containment_e2e),
+        ("s20_stream_bloom_e2e_fixed_eval", s20_stream_bloom_e2e),
     ]
 
 
