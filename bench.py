@@ -91,6 +91,11 @@ HEADLINE = [
     "x66_minhash_estimate",
     "x67_cluster_balanced_sample",
     "x68_containment_decontamination",
+    # round-7 additions (floors established from r7 on):
+    "x69_sentiment",
+    "s22_stream_kafka_sink",
+    "x70_incremental_dedup",
+    "x71_epoch_shards",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -198,3 +198,36 @@ def global_hash_rank(
     distributed recipe and scale posture.
     """
     return global_hash_rank_multi(df, id_col, {out_col: salt})
+
+
+def epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    salt: str,
+    n_shards: int,
+) -> DataFrame:
+    """The PRODUCTION epoch-shuffle variant global_hash_rank's docstring
+    promises: shard = pmod(hash, n) and a deterministic within-shard
+    position — ZERO global coordination.  No total order is ever computed:
+    the only exchange is the hash partition on the shard key, and the
+    rank window partitions BY shard, so every shard ranks in parallel and
+    no counts-collect/offset broadcast exists at all.  This is what a
+    training job actually writes (shard files consumed in within-shard
+    order); the global-rank form (x65) exists to certify a single
+    replayable total order when one is required.
+
+    Returns (<id_col>, shard, shard_pos): shard in [0, n_shards),
+    shard_pos 1-based within the shard under the (hash, id) order —
+    byte-replayable from (salt, ids) alone, like everything in this
+    module.
+    """
+    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    t = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return t.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )

@@ -1516,3 +1516,44 @@ def _set_x70_oracle() -> None:
 
 
 _set_x70_oracle()
+
+
+# ---------------------------------------------------------------------------
+# x71 — production epoch sharding (zero global coordination)
+# ---------------------------------------------------------------------------
+
+
+def _x71_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('epoch0_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH t AS (SELECT doc_id, {h} AS h FROM documents)
+    SELECT doc_id,
+           CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+    FROM t
+    """
+
+
+@register(
+    "x71_epoch_shards",
+    oracle=_x71_oracle(),
+    tags=("training-prep", "shuffle", "sharding", "production-variant"),
+)
+def x71_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION epoch sharding — the zero-coordination variant x65's
+    docstring promises, now certified instead of prose: shard =
+    pmod(hash(seed, id), n) and a within-shard (hash, id) position.  No
+    total order is computed anywhere: the only exchange is the hash
+    partition on the shard key and the rank window partitions BY shard, so
+    every shard ranks in parallel — no range sampling, no counts collect,
+    no offset broadcast.  This is what a training job actually writes
+    (shard files consumed in within-shard order); x65's global rank exists
+    for when a single replayable total order must be certified.  Both
+    orders are byte-replayable from (seed, ids) alone."""
+    from hiveka_spark.operators.sampling import epoch_shards
+
+    d = table(spark, sf_dir, "documents")
+    return epoch_shards(d, "doc_id", "epoch0_", _N_SHARDS)

@@ -404,3 +404,29 @@ def test_x65_global_rank_has_no_single_partition_exchange(spark):
         F.row_number().over(Window.orderBy(h, "doc_id")).cast("bigint").alias("pos"),
     )
     assert got == {(r["doc_id"], r["pos"]) for r in naive.collect()}
+
+
+def test_x71_epoch_shards_no_single_partition_and_no_counts_collect(spark):
+    """The production sharding variant must be pure shuffle-by-shard +
+    per-shard window: no SinglePartition exchange, no range partitioning
+    (that would mean a hidden global sort), and the x65 global rank's
+    broadcast-offsets join must be absent."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.sampling import epoch_shards
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    d = table(spark, SF_SMOKE, "documents")
+    out = epoch_shards(d, "doc_id", "epoch0_", 8)
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # shards partition the corpus and positions are dense 1..|shard|
+    rows = out.collect()
+    assert len(rows) == d.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
