@@ -525,6 +525,66 @@ def train_ivf_centroids(
     return cents
 
 
+def ivf_cell_stage(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    cell_centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF coarse stage alone, materialized for sharing: corpus cell
+    assignment (the one corpus-sized pass of an IVF build) + per-query
+    probe sets, exactly as ivfpq_topk computes them internally.  Hand the
+    result to several ``ivfpq_topk(..., cell_stage=...)`` calls to build
+    multiple indexes (different codebooks, A/B certification like x61)
+    over ONE coarse partition instead of re-assigning the corpus per
+    index.  Both frames are localCheckpointed (corp_cell is corpus-sized
+    but id+cell only; probes is |Q| * n_probe rows)."""
+    v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    if cell_centroids is not None:
+        ccents = cell_centroids.select("cell", "_cv")
+    else:
+        ccents = v.filter(
+            (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
+        ).select(
+            (F.col("_id") / cell_stride).cast("bigint").alias("cell"),
+            F.col("_qv").alias("_cv"),
+        )
+
+    def l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def cell_scores(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(ccents)).withColumn(
+            "cd2", l2(F.col("_qv"), F.col("_cv"))
+        )
+
+    corp_cell = (
+        cell_scores(v)
+        .groupBy("_id")
+        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
+        .select("_id", F.col("m.cell").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    probes = (
+        cell_scores(qv)
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("_id").alias("query_id"), "cell")
+        .localCheckpoint(eager=True)
+    )
+    return corp_cell, probes
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -654,6 +714,7 @@ def ivfpq_topk(
     centroid_stride: int = 7,
     codebooks: DataFrame | None = None,
     cell_centroids: DataFrame | None = None,
+    cell_stage: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF + PQ stacked (the FAISS IVFPQ composition): a coarse quantizer
     prunes WHICH vectors are scored (each query probes its ``n_probe``
@@ -700,22 +761,29 @@ def ivfpq_topk(
             "cd2", l2_expr(F.col("_qv"), F.col("_cv"))
         )
 
-    # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break as
-    # a rank-1 window but map-side combinable — no per-key sort of the
-    # n*n_cells scored rows
-    corp_cell = (
-        cell_scores(v)
-        .groupBy("_id")
-        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
-        .select("_id", F.col("m.cell").alias("cell"))
-    )
-    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
-    probes = (
-        cell_scores(qv)
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col("_id").alias("query_id"), "cell")
-    )
+    if cell_stage is not None:
+        # precomputed coarse stage handed in (ivf_cell_stage's output) —
+        # callers building SEVERAL indexes over one coarse partition (the
+        # x61 A/B certification, or multi-codebook serving) pay the
+        # corpus-sized cell assignment once instead of per index
+        corp_cell, probes = cell_stage
+    else:
+        # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break
+        # as a rank-1 window but map-side combinable — no per-key sort of the
+        # n*n_cells scored rows
+        corp_cell = (
+            cell_scores(v)
+            .groupBy("_id")
+            .agg(F.min(F.struct("cd2", "cell")).alias("m"))
+            .select("_id", F.col("m.cell").alias("cell"))
+        )
+        w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+        probes = (
+            cell_scores(qv)
+            .withColumn("_r", F.row_number().over(w_probe))
+            .filter(F.col("_r") <= n_probe)
+            .select(F.col("_id").alias("query_id"), "cell")
+        )
 
     def sub_cols(df: DataFrame, out_id: str) -> DataFrame:
         return _pq_sub_from_qv(df, out_id, m, dsub)

@@ -1085,6 +1085,13 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, qs, "vec_id", "embedding",
         k=k, m=16, dim=64, n_centroids=64, centroid_stride=7,
     ).select("query_id", "neighbor_id")
+    # NOTE: both IVFPQ arms could share one materialized coarse-cell stage
+    # (ivf_cell_stage + the cell_stage= seam), but at this scale the cell
+    # pass (n x 16 L2) is cheap next to the PQ encode (n x m x 64) and the
+    # checkpoint barriers cost MORE than the saved recompute — measured
+    # 16.7s shared vs 12.4s inline at sf0.1.  The seam pays when the
+    # coarse stage dominates (large n_cells, no PQ, many indexes); here
+    # the arms stay inline.
     iv = ivfpq_topk(
         e, qs, "vec_id", "embedding",
         k=k, n_cells=16, n_probe=4, cell_stride=31,

@@ -538,3 +538,19 @@ def test_ivfpq_trained_cells_still_exact_pipeline(spark):
         cell_centroids=train_ivf_centroids(e, n_cells=8, cell_stride=31, n_iters=1),
     ).collect()
     assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+
+def test_ivf_cell_stage_matches_inline(spark):
+    """The shareable coarse stage must reproduce ivfpq_topk's inline cell
+    assignment exactly: handing it back via cell_stage= yields the
+    identical top-k result."""
+    from hiveka_spark.operators.similarity import ivf_cell_stage, ivfpq_topk
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    kw = dict(k=3, n_cells=8, n_probe=3, cell_stride=31, m=16, n_centroids=16,
+              centroid_stride=7)
+    inline = {tuple(r) for r in ivfpq_topk(e, qs, **kw).collect()}
+    stage = ivf_cell_stage(e, qs, n_cells=8, n_probe=3, cell_stride=31)
+    shared = {tuple(r) for r in ivfpq_topk(e, qs, cell_stage=stage, **kw).collect()}
+    assert inline == shared and inline
