@@ -44,6 +44,18 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 @settings(max_examples=8, deadline=None)
+@given(st.lists(EDGE, min_size=1, max_size=24))
+def test_star_contraction_matches_union_find(spark, edges):
+    from hiveka_spark.operators.clustering import connected_components_star
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star_df, rounds = connected_components_star(pairs)
+    got = {r["node"]: r["cluster"] for r in star_df.collect()}
+    assert got == _uf_components(edges)
+    assert rounds <= 10  # arbitrary graphs on 16 nodes: O(log n) alternations
+
+
+@settings(max_examples=8, deadline=None)
 @given(
     st.lists(
         st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50), st.integers(1, 9)),
