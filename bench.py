@@ -96,6 +96,7 @@ HEADLINE = [
     "s22_stream_kafka_sink",
     "x70_incremental_dedup",
     "x71_epoch_shards",
+    "x72_bpe_train",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

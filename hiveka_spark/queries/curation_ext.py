@@ -1564,3 +1564,85 @@ def x71_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return epoch_shards(d, "doc_id", "epoch0_", _N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# x72 — distributed BPE vocabulary training
+# ---------------------------------------------------------------------------
+
+_X72_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int = _X72_MERGES) -> str:
+    """Replay of operators.bpe.bpe_train: word-freq reduction, then per
+    merge an exact pair-count argmax ((c DESC, lhs, rhs)) and the greedy
+    leftmost merge application via the same window recipe (per-position
+    match for distinct pairs; even-offset-within-run for aa pairs) —
+    unrolled one CTE block per merge, the x52/x61 discipline."""
+    blocks = []
+    for j in range(1, n_merges + 1):
+        prev = f"syms{j - 1}"
+        blocks.append(f"""
+    nx{j} AS (SELECT w, freq, pos, s, LEAD(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
+              FROM {prev}),
+    pc{j} AS (SELECT s, nxt, SUM(freq) AS c FROM nx{j} WHERE nxt IS NOT NULL GROUP BY s, nxt),
+    best{j} AS (SELECT s AS a, nxt AS b, CAST(c AS BIGINT) AS c
+                FROM pc{j} ORDER BY c DESC, s, nxt LIMIT 1),
+    fl{j} AS (SELECT n.w, n.freq, n.pos, n.s, n.nxt, b.a, b.b,
+                     CASE WHEN n.s = b.a THEN 1 ELSE 0 END AS isa
+              FROM nx{j} n CROSS JOIN best{j} b),
+    g{j} AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, isa ORDER BY pos) AS grp
+             FROM fl{j}),
+    lf{j} AS (SELECT *, CASE WHEN a = b
+                             THEN (isa = 1 AND nxt = a
+                                   AND (ROW_NUMBER() OVER (PARTITION BY w, isa, grp
+                                                           ORDER BY pos) - 1) % 2 = 0)
+                             ELSE (s = a AND nxt = b) END AS is_left
+              FROM g{j}),
+    cs{j} AS (SELECT *, COALESCE(LAG(is_left) OVER (PARTITION BY w ORDER BY pos), FALSE)
+                          AS consumed
+              FROM lf{j}),
+    syms{j} AS (SELECT w, freq, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                       CASE WHEN is_left THEN a || b ELSE s END AS s
+                FROM cs{j} WHERE NOT consumed)""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"a || b AS merged, c AS pair_count FROM best{j}"
+        for j in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT UNNEST(list_filter(string_split(LOWER(text), ' '),
+                                                x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY w),
+    syms0 AS (SELECT w, freq,
+                     UNNEST(range(1, LEN(string_split(w, '')) + 1)) AS pos,
+                     UNNEST(string_split(w, '')) AS s
+              FROM wf),
+    {",".join(blocks)}
+    {finals}
+    """
+
+
+@register(
+    "x72_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "bpe", "training-prep"),
+)
+def x72_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016) — the
+    tokenizer-training step of a training-data pipeline: ONE corpus pass
+    reduces to the (word, freq) table, then every merge is a pair-count
+    aggregate + a 1-row argmax collect + a per-word window merge pass (the
+    operators/bpe.py recipe; greedy leftmost application expressed as
+    windows, not a sequential fold, so DuckDB replays every merge exactly).
+    Emits the ordered {0}-merge table — the artifact a tokenizer ships.
+    Scale: training cost is vocabulary-bounded (zipfian), not
+    corpus-bounded; ``max_words`` caps it outright at 100 TB.  The
+    application side (``bpe_apply``) is pinned equal to a pure-Python
+    reference in tests/test_operators.py.""".format(_X72_MERGES)
+    from hiveka_spark.operators.bpe import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=_X72_MERGES)

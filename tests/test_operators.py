@@ -554,3 +554,76 @@ def test_ivf_cell_stage_matches_inline(spark):
     stage = ivf_cell_stage(e, qs, n_cells=8, n_probe=3, cell_stride=31)
     shared = {tuple(r) for r in ivfpq_topk(e, qs, cell_stage=stage, **kw).collect()}
     assert inline == shared and inline
+
+
+# ------------------------------------------------------------------ BPE train
+def _ref_bpe(texts, n_merges):
+    """Pure-Python Sennrich BPE reference (sequential greedy fold)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The window-based greedy merge (incl. the aa-run parity rule) must
+    equal the classic sequential fold on an adversarial corpus (runs of
+    repeated chars, overlapping candidates, shared prefixes)."""
+    from hiveka_spark.operators.bpe import bpe_apply, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cattle cat aaaa aaa",
+        "banana bandana the band",
+        "aaaa sat the aaaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in bpe_train(df, n_merges=8).collect()]
+    want, vocab = _ref_bpe(texts, 8)
+    assert got == [tuple(m) for m in want]
+
+    applied = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply(df, [(m[1], m[2]) for m in want]).collect()
+    }
+    ref_counts = {
+        i: sum(len(vocab[w]) for w in t.lower().split() if w)
+        for i, t in enumerate(texts)
+    }
+    assert applied == ref_counts
+
+
+def test_bpe_train_max_words_cap(spark):
+    """The 100 TB vocab cap: training on the top-K words only must equal
+    the reference restricted to those words."""
+    from hiveka_spark.operators.bpe import bpe_train
+
+    texts = ["aa bb aa bb aa cc dd ee ff gg zz"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id bigint, text string")
+    got = [tuple(r) for r in bpe_train(df, n_merges=2, max_words=2).collect()]
+    # top-2 words by (freq desc, w asc): aa (3), bb (2)
+    want, _ = _ref_bpe(["aa aa aa bb bb"], 2)
+    assert got == [tuple(m) for m in want]
