@@ -1637,11 +1637,11 @@ def x72_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + a 1-row argmax collect + a per-word window merge pass (the
     operators/bpe.py recipe; greedy leftmost application expressed as
     windows, not a sequential fold, so DuckDB replays every merge exactly).
-    Emits the ordered {0}-merge table — the artifact a tokenizer ships.
+    Emits the ordered 8-merge table — the artifact a tokenizer ships.
     Scale: training cost is vocabulary-bounded (zipfian), not
     corpus-bounded; ``max_words`` caps it outright at 100 TB.  The
     application side (``bpe_apply``) is pinned equal to a pure-Python
-    reference in tests/test_operators.py.""".format(_X72_MERGES)
+    reference in tests/test_operators.py."""
     from hiveka_spark.operators.bpe import bpe_train
 
     d = table(spark, sf_dir, "documents")

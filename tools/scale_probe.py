@@ -439,6 +439,20 @@ def dup_rate_probes(spark: SparkSession, n: int):
         q.awaitTermination()
         return spark.read.parquet(*committed_versions(out_root, 10**9))
 
+    def x72_bpe_uncapped():
+        # synth_docs' vocabulary GROWS with n (per-doc word ids), so the
+        # uncapped trainer's cost tracks vocab size — the honest worst case
+        from hiveka_spark.operators.bpe import bpe_train
+
+        return bpe_train(docs, "text", n_merges=4)
+
+    def x72_bpe_capped():
+        # the 100 TB knob: top-2000 words regardless of corpus size — the
+        # curve should flatten once vocab > cap
+        from hiveka_spark.operators.bpe import bpe_train
+
+        return bpe_train(docs, "text", n_merges=4, max_words=2000)
+
     return [
         ("x02_jaccard_e2e_5pct_dups", x02_end_to_end),
         ("x03_minhash_e2e_5pct_dups", x03_end_to_end),
@@ -448,6 +462,8 @@ def dup_rate_probes(spark: SparkSession, n: int):
         ("x65_epoch_shuffle_e2e", x65_epoch_shuffle_e2e),
         ("x68_containment_e2e_fixed_eval", x68_containment_e2e),
         ("s20_stream_bloom_e2e_fixed_eval", s20_stream_bloom_e2e),
+        ("x72_bpe_e2e_vocab_grows", x72_bpe_uncapped),
+        ("x72_bpe_e2e_capped_2k_words", x72_bpe_capped),
     ]
 
 
