@@ -59,14 +59,11 @@ def bpe_train(
     """
     wf = word_freq(docs, text_col)
     if max_words is not None:
-        w_rank = Window.orderBy(F.desc("freq"), "w")
-        # small-K cap: the rank window is a single partition by design —
-        # only ever run it with max_words-scale vocabularies
-        wf = (
-            wf.withColumn("_r", F.row_number().over(w_rank))
-            .filter(F.col("_r") <= max_words)
-            .drop("_r")
-        )
+        # distributed exact top-K: orderBy + limit plans as
+        # TakeOrderedAndProject (per-partition top-K then a K-row merge) —
+        # never a single-partition sort of the uncapped vocabulary, which
+        # is exactly the case max_words exists for
+        wf = wf.orderBy(F.desc("freq"), "w").limit(max_words)
     syms = wf.select(
         "w", "freq", F.posexplode(F.split("w", "")).alias("pos", "s")
     ).localCheckpoint(eager=True)

@@ -104,22 +104,26 @@ def connected_components_star(
     of large+small alternations executed, exposed so tests can assert the
     logarithmic behavior instead of trusting the docstring.
     """
-    # symmetrized edge list, self-loops dropped
+    # symmetrized edge list; node universe captured BEFORE self-loops are
+    # dropped so a node whose only edge is a self-pair still emits its
+    # singleton cluster (matching connected_components — a self-pair is a
+    # legal degenerate input, e.g. a re-ingested doc id paired with itself)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    all_nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
-                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .filter(F.col("u") != F.col("v"))
+        both.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = edges.select(F.col("u").alias("node")).distinct().persist()
 
     def min_nbr(e: DataFrame) -> DataFrame:
         # m(u) = min over the closed neighborhood N(u) ∪ {u}
@@ -178,7 +182,6 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.least(F.min("v"), F.first("node")).alias("cluster"))
     )
-    all_nodes.unpersist()
     return labels, rounds
 
 

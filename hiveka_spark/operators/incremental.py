@@ -40,15 +40,56 @@ from hiveka_spark.operators import dedup as D
 from hiveka_spark.streaming.neardup import committed_versions
 
 
-def _existing_versions(state_root: str) -> list[int]:
-    out: set[int] = set()
-    for store in ("sh", "bands", "pairs"):
-        root = os.path.join(state_root, store)
-        if os.path.isdir(root):
-            out.update(
-                int(os.path.basename(p)[1:]) for p in committed_versions(root, 10**9)
+_STORES = ("sh", "bands", "pairs")
+
+
+def _store_versions(state_root: str, store: str) -> set[int]:
+    root = os.path.join(state_root, store)
+    if not os.path.isdir(root):
+        return set()
+    return {int(os.path.basename(p)[1:]) for p in committed_versions(root, 10**9)}
+
+
+def complete_versions(state_root: str) -> list[int]:
+    """Versions committed in ALL THREE stores — the only ones that count.
+
+    The three per-version writes are not atomic; ``pairs`` is written LAST,
+    so a crash mid-update leaves a PARTIAL version (e.g. bands committed,
+    pairs missing).  Treating a partial version as present would both block
+    its retry and silently drop its pairs from every future accumulated
+    answer — so partial versions are invisible here (never probed as
+    priors, never returned) and retryable (the same version id may be
+    re-ingested; every store write is mode=overwrite)."""
+    sets = [_store_versions(state_root, s) for s in _STORES]
+    return sorted(sets[0] & sets[1] & sets[2])
+
+
+def _manifest_path(state_root: str) -> str:
+    return os.path.join(state_root, "manifest.json")
+
+
+def _check_manifest(state_root: str, params: dict) -> None:
+    """Pin the MinHash parameters to the index: signatures/bands/shingles
+    built with different (num_perm, bands, k) are incomparable — the
+    (band, bh) probe would silently match nothing across versions.  First
+    update writes the manifest; later updates must match it exactly."""
+    import json
+
+    path = _manifest_path(state_root)
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"index at {state_root!r} was built with {existing}; this "
+                f"update passed {params} — band hashes and shingle sets "
+                "would be incomparable across versions (use a fresh "
+                "state_root to change parameters)"
             )
-    return sorted(out)
+    else:
+        os.makedirs(state_root, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(params, fh)
 
 
 def minhash_index_update(
@@ -69,15 +110,22 @@ def minhash_index_update(
     documents (ids globally unique across versions — re-ingesting an id
     would pair it with itself; the cross probe filters the degenerate
     self-pair like streaming/neardup.py does)."""
-    existing = _existing_versions(state_root)
-    if existing and version <= max(existing):
+    _check_manifest(
+        state_root,
+        {"num_perm": num_perm, "bands": bands, "k": k, "threshold": threshold},
+    )
+    complete = complete_versions(state_root)
+    if complete and version <= max(complete):
         raise ValueError(
-            f"index already holds version b{max(existing)}; pass a version "
-            f"> {max(existing)} (or a fresh state_root)"
+            f"index already holds version b{max(complete)}; pass a version "
+            f"> {max(complete)} (or a fresh state_root).  A PARTIAL version "
+            "(crashed mid-update) does not count and may be re-ingested "
+            "under its own id."
         )
     sh_root = os.path.join(state_root, "sh")
     bands_root = os.path.join(state_root, "bands")
     pairs_root = os.path.join(state_root, "pairs")
+    complete_set = set(complete)
 
     # 1. shingle + band the NEW docs once; both stores are written from one
     #    persisted shingle frame, then re-read from disk so every downstream
@@ -95,7 +143,13 @@ def minhash_index_update(
     a = bands_new.select(F.col("doc").alias("id_a"), "band", "bh")
     b = bands_new.select(F.col("doc").alias("id_b"), "band", "bh")
     cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-    prior_bands = committed_versions(bands_root, version)
+    # priors = COMPLETE versions only (see complete_versions): a partial
+    # version's bands must not be probed — its pairs were never emitted
+    prior_bands = [
+        p
+        for p in committed_versions(bands_root, version)
+        if int(os.path.basename(p)[1:]) in complete_set
+    ]
     sh_sources = [os.path.join(sh_root, f"b{version}")]
     if prior_bands:
         idx = spark.read.parquet(*prior_bands).select(
@@ -111,7 +165,11 @@ def minhash_index_update(
             )
         )
         cand = cand.select("id_a", "id_b").unionByName(cross)
-        sh_sources = [p for p in committed_versions(sh_root, version)] + sh_sources
+        sh_sources = [
+            p
+            for p in committed_versions(sh_root, version)
+            if int(os.path.basename(p)[1:]) in complete_set
+        ] + sh_sources
     cand = cand.select("id_a", "id_b").distinct()
 
     # 3. exact-verify against the shingle STORE (old shingles come from the
@@ -121,9 +179,17 @@ def minhash_index_update(
         os.path.join(pairs_root, f"b{version}")
     )
 
-    # 4. accumulated answer across every committed version
+    # 4. accumulated answer across every COMPLETE version (this one is now
+    #    complete: its pairs write just committed)
+    done = set(complete_versions(state_root))
     return (
-        spark.read.parquet(*committed_versions(pairs_root, 10**9))
+        spark.read.parquet(
+            *[
+                p
+                for p in committed_versions(pairs_root, 10**9)
+                if int(os.path.basename(p)[1:]) in done
+            ]
+        )
         .select("id_a", "id_b", "jaccard")
         .distinct()
     )

@@ -458,6 +458,59 @@ def train_pq_codebooks(
     return cents
 
 
+def _l2_bigint(a: Column, b: Column) -> Column:
+    """Bigint squared-L2 between two quantized vectors — the ONE definition
+    every coarse-quantizer site (ivfpq_topk, ivf_cell_stage,
+    train_ivf_centroids) folds, so a tie-break or arithmetic tweak cannot
+    drift between the seams the oracles certify as bit-equal."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _stride_cells(v: DataFrame, cell_stride: int, n_cells: int) -> DataFrame:
+    """Deterministic stride-seeded cell centroids (cell, _cv) off a
+    (_id, _qv) frame — the shared untrained coarse quantizer."""
+    return v.filter(
+        (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
+    ).select(
+        (F.col("_id") / cell_stride).cast("bigint").alias("cell"),
+        F.col("_qv").alias("_cv"),
+    )
+
+
+def _coarse_stage(
+    v: DataFrame, qv: DataFrame, ccents: DataFrame, n_probe: int
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus cell assignment + per-query probe sets off a broadcast
+    centroid frame — lazy; callers decide about materialization."""
+
+    def cell_scores(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(ccents)).withColumn(
+            "cd2", _l2_bigint(F.col("_qv"), F.col("_cv"))
+        )
+
+    # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break
+    # as a rank-1 window but map-side combinable — no per-key sort of the
+    # n*n_cells scored rows
+    corp_cell = (
+        cell_scores(v)
+        .groupBy("_id")
+        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
+        .select("_id", F.col("m.cell").alias("cell"))
+    )
+    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    probes = (
+        cell_scores(qv)
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("_id").alias("query_id"), "cell")
+    )
+    return corp_cell, probes
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -482,26 +535,14 @@ def train_ivf_centroids(
     pass bit-for-bit (the x61 trained-recall certification).
     """
     v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
-    cents = v.filter(
-        (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
-    ).select(
-        (F.col("_id") / cell_stride).cast("bigint").alias("cell"),
-        F.col("_qv").alias("_cv"),
-    )
-
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+    cents = _stride_cells(v, cell_stride, n_cells)
 
     for _ in range(n_iters):
         # argmin carries the vector through the struct comparator: (cd2,
         # cell) is already a total order per _id, so _qv never compares
         assigned = (
             v.crossJoin(F.broadcast(cents))
-            .withColumn("cd2", l2(F.col("_qv"), F.col("_cv")))
+            .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
             .groupBy("_id")
             .agg(F.min(F.struct("cd2", "cell", "_qv")).alias("mc"))
             .select(F.col("mc.cell").alias("cell"), F.col("mc._qv").alias("_qv"))
@@ -545,44 +586,16 @@ def ivf_cell_stage(
     but id+cell only; probes is |Q| * n_probe rows)."""
     v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
     qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
-    if cell_centroids is not None:
-        ccents = cell_centroids.select("cell", "_cv")
-    else:
-        ccents = v.filter(
-            (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
-        ).select(
-            (F.col("_id") / cell_stride).cast("bigint").alias("cell"),
-            F.col("_qv").alias("_cv"),
-        )
-
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    def cell_scores(side: DataFrame) -> DataFrame:
-        return side.crossJoin(F.broadcast(ccents)).withColumn(
-            "cd2", l2(F.col("_qv"), F.col("_cv"))
-        )
-
-    corp_cell = (
-        cell_scores(v)
-        .groupBy("_id")
-        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
-        .select("_id", F.col("m.cell").alias("cell"))
-        .localCheckpoint(eager=True)
+    ccents = (
+        cell_centroids.select("cell", "_cv")
+        if cell_centroids is not None
+        else _stride_cells(v, cell_stride, n_cells)
     )
-    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
-    probes = (
-        cell_scores(qv)
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col("_id").alias("query_id"), "cell")
-        .localCheckpoint(eager=True)
+    corp_cell, probes = _coarse_stage(v, qv, ccents, n_probe)
+    return (
+        corp_cell.localCheckpoint(eager=True),
+        probes.localCheckpoint(eager=True),
     )
-    return corp_cell, probes
 
 
 def pq_topk(
@@ -740,27 +753,6 @@ def ivfpq_topk(
         v = v.repartition(target, F.col("_id"))  # same guard as pq_topk
     qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
 
-    def l2_expr(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    if cell_centroids is not None:
-        # trained coarse quantizer handed in (train_ivf_centroids' shape:
-        # cell bigint, _cv array<bigint> in quantized units)
-        ccents = cell_centroids.select("cell", "_cv")
-    else:
-        ccents = v.filter(
-            (F.col("_id") % cell_stride == 0) & (F.col("_id") / cell_stride < n_cells)
-        ).select((F.col("_id") / cell_stride).cast("bigint").alias("cell"), F.col("_qv").alias("_cv"))
-
-    def cell_scores(side: DataFrame) -> DataFrame:
-        return side.crossJoin(F.broadcast(ccents)).withColumn(
-            "cd2", l2_expr(F.col("_qv"), F.col("_cv"))
-        )
-
     if cell_stage is not None:
         # precomputed coarse stage handed in (ivf_cell_stage's output) —
         # callers building SEVERAL indexes over one coarse partition (the
@@ -768,22 +760,14 @@ def ivfpq_topk(
         # corpus-sized cell assignment once instead of per index
         corp_cell, probes = cell_stage
     else:
-        # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break
-        # as a rank-1 window but map-side combinable — no per-key sort of the
-        # n*n_cells scored rows
-        corp_cell = (
-            cell_scores(v)
-            .groupBy("_id")
-            .agg(F.min(F.struct("cd2", "cell")).alias("m"))
-            .select("_id", F.col("m.cell").alias("cell"))
+        ccents = (
+            # trained coarse quantizer handed in (train_ivf_centroids'
+            # shape: cell bigint, _cv array<bigint> in quantized units)
+            cell_centroids.select("cell", "_cv")
+            if cell_centroids is not None
+            else _stride_cells(v, cell_stride, n_cells)
         )
-        w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
-        probes = (
-            cell_scores(qv)
-            .withColumn("_r", F.row_number().over(w_probe))
-            .filter(F.col("_r") <= n_probe)
-            .select(F.col("_id").alias("query_id"), "cell")
-        )
+        corp_cell, probes = _coarse_stage(v, qv, ccents, n_probe)
 
     def sub_cols(df: DataFrame, out_id: str) -> DataFrame:
         return _pq_sub_from_qv(df, out_id, m, dsub)

@@ -230,7 +230,9 @@ def with_sentiment(
     """
     pos = SENTIMENT_POS if pos is None else pos
     neg = SENTIMENT_NEG if neg is None else neg
-    toks = tokens(text_col)
+    # NULL text scores as empty (0/0/0/neutral) so the pandas-UDF twin —
+    # where None naturally maps to "" — stays pinned equal row-for-row
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n_pos = F.size(F.filter(toks, lambda w: w.isin(pos)))
     n_neg = F.size(F.filter(toks, lambda w: w.isin(neg)))
     n_tok = F.size(toks)

@@ -492,7 +492,8 @@ def _sentiment_oracle() -> str:
     neg = "[" + ", ".join(f"'{w}'" for w in SENTIMENT_NEG) + "]"
     return f"""
     WITH t AS (SELECT doc_id, source,
-                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks
+                      list_filter(string_split(LOWER(COALESCE(text, '')), ' '),
+                                  w -> w <> '') AS toks
                FROM documents),
     s AS (SELECT doc_id, source,
                  LEN(list_filter(toks, w -> list_contains({pos}, w))) AS n_pos,

@@ -57,11 +57,14 @@ class VersionedUpsertSink:
         batch_reduce: Callable[[DataFrame], DataFrame],
         merge: Callable[[DataFrame, DataFrame], DataFrame],
         id_offset: int = 0,
+        allow_batch0_overwrite: bool = False,
     ) -> None:
         self.state_root = state_root
         self.batch_reduce = batch_reduce
         self.merge = merge
         self.id_offset = id_offset
+        self.allow_batch0_overwrite = allow_batch0_overwrite
+        self._processed_any = False
 
     def _committed_versions(self) -> list[int]:
         try:
@@ -107,7 +110,8 @@ class VersionedUpsertSink:
         # data while latest_path() still serves the stale old snapshot.
         # id == batch_id stays allowed: that is this sink's own designed
         # replay-overwrite idempotence.
-        ahead = [v for v in self._committed_versions() if v > batch_id]
+        committed = self._committed_versions()
+        ahead = [v for v in committed if v > batch_id]
         if ahead:
             raise ValueError(
                 f"state_root {self.state_root!r} already holds committed "
@@ -116,6 +120,28 @@ class VersionedUpsertSink:
                 f"id_offset > {max(ahead)} to continue into it, or use a "
                 "fresh state_root"
             )
+        # v0-only ambiguity the strictly-greater check cannot see: this
+        # instance's FIRST batch is 0 and v0 is already committed.  Either
+        # (a) a crash-before-checkpoint restart is replaying batch 0 (the
+        # designed overwrite) or (b) a NEW stream with a fresh checkpoint
+        # was pointed at old state and is about to destroy the v0 snapshot.
+        # Indistinguishable from here, and (b) is silent data loss — so
+        # error with both resolutions unless the caller opted in.
+        if (
+            batch_id == self.id_offset
+            and not self._processed_any
+            and batch_id in committed
+            and not self.allow_batch0_overwrite
+        ):
+            raise ValueError(
+                f"state_root {self.state_root!r} already holds committed "
+                f"version v{batch_id} and this sink instance has processed "
+                "no prior batch: either a batch-0 replay after a crash "
+                "(pass allow_batch0_overwrite=True to proceed) or a NEW "
+                "stream over old state (pass id_offset above the existing "
+                "versions, or use a fresh state_root)"
+            )
+        self._processed_any = True
         reduced = self.batch_reduce(batch_df)
         prev_path = self.predecessor_path(batch_id)
         if prev_path is not None:

@@ -126,3 +126,19 @@ def test_star_contraction_path_graph_logarithmic_rounds(spark):
         for r in connected_components(path, max_iter=100).collect()
     }
     assert prop == star
+
+
+def test_star_contraction_keeps_self_pair_singletons(spark):
+    """A node whose only edge is a self-pair (a legal degenerate input,
+    e.g. a re-ingested doc paired with itself) must emit its singleton
+    cluster, exactly as the propagation twin does."""
+    from hiveka_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (5, 5)], "id_a bigint, id_b bigint")
+    star_df, _ = connected_components_star(pairs)
+    star = {(r["node"], r["cluster"]) for r in star_df.collect()}
+    prop = {(r["node"], r["cluster"]) for r in connected_components(pairs).collect()}
+    assert star == prop == {(1, 1), (2, 1), (5, 5)}

@@ -68,3 +68,40 @@ def test_incremental_version_guard(spark, tmp_path):
             minhash_index_update(spark, docs, root, 3)
         with pytest.raises(ValueError, match="version"):
             minhash_index_update(spark, docs, root, 1)
+
+
+def test_incremental_manifest_pins_parameters(spark, tmp_path):
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(20)
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, docs, root, 1, num_perm=32, bands=8, k=3)
+        with pytest.raises(ValueError, match="incomparable"):
+            minhash_index_update(
+                spark, docs.limit(5), root, 2, num_perm=64, bands=16, k=3
+            )
+
+
+def test_incremental_partial_version_is_retryable_and_invisible(spark, tmp_path):
+    """A crash between the bands and pairs writes must leave a version that
+    (a) does not block its own retry, (b) is never probed as a prior, and
+    (c) after the retry the accumulated answer equals the one-shot run."""
+    import shutil
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    v1, v2 = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, v1, root, 1)
+        # simulate the crash window: run v2 fully, then delete its pairs
+        minhash_index_update(spark, v2, root, 2)
+        shutil.rmtree(os.path.join(root, "pairs", "b2"))
+        from hiveka_spark.operators.incremental import complete_versions
+
+        assert complete_versions(root) == [1]
+        # retry under the SAME id must be allowed and heal the index
+        acc = minhash_index_update(spark, v2, root, 2)
+        assert complete_versions(root) == [1, 2]
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)

@@ -485,6 +485,22 @@ def test_sentiment_zero_tokens_is_neutral(spark):
     assert all(r["sentiment"] == "neutral" and r["polarity_micro"] == 0 for r in out)
 
 
+def test_sentiment_null_text_twins_stay_equal(spark):
+    """NULL text (the norm in scraped corpora) must score 0/0/0/neutral on
+    BOTH the JVM path and the pandas twin — not NULL on one and 0 on the
+    other (which silently diverges under sum/avg)."""
+    from hiveka_spark.operators.text import with_sentiment, with_sentiment_pandas
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "fast fast slow")], "doc_id bigint, text string"
+    )
+    cols = ["doc_id", "n_pos", "n_neg", "polarity_micro", "sentiment"]
+    jvm = {r["doc_id"]: tuple(r) for r in with_sentiment(df).select(*cols).collect()}
+    pdf = {r["doc_id"]: tuple(r) for r in with_sentiment_pandas(df).select(*cols).collect()}
+    assert jvm == pdf
+    assert jvm[1] == (1, 0, 0, 0, "neutral")
+
+
 # ------------------------------------------------------ trained IVF centroids
 def test_train_ivf_centroids_shape_and_degeneracy(spark):
     """n_iters=0 must equal the stride seeds exactly (the ivfpq default);

@@ -430,3 +430,20 @@ def test_x71_epoch_shards_no_single_partition_and_no_counts_collect(spark):
     assert set(by_shard) == set(range(8))
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_bpe_max_words_cap_is_take_ordered(spark):
+    """The vocab cap must plan as TakeOrderedAndProject (distributed
+    per-partition top-K), never a SinglePartition sort of the full
+    vocabulary."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import word_freq
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    import pyspark.sql.functions as F
+
+    d = table(spark, SF_SMOKE, "documents")
+    capped = word_freq(d).orderBy(F.desc("freq"), "w").limit(2000)
+    plan = formatted_plan(capped)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan

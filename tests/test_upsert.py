@@ -78,3 +78,24 @@ def test_uncommitted_snapshot_is_ignored(spark, tmp_path):
     assert sink.predecessor_path(2).endswith("v0")
     sink(_batch(spark, [("a", 2)]), 2)
     assert _snapshot(spark, sink) == {"a": 3}
+
+
+def test_fresh_stream_over_v0_only_state_errors(spark, tmp_path):
+    """A new stream (batch ids restarting at 0) over a state_root whose
+    only committed version is v0 must error instead of silently replacing
+    the merged v0 snapshot with batch-only data; the crash-replay case
+    proceeds via the explicit opt-in."""
+    import pytest
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    run1 = VersionedUpsertSink(root, _reduce, _merge)
+    run1(_batch(spark, [("a", 1), ("b", 2)]), 0)
+
+    fresh = VersionedUpsertSink(root, _reduce, _merge)
+    with pytest.raises(ValueError, match="v0"):
+        fresh(_batch(spark, [("z", 9)]), 0)
+
+    replay = VersionedUpsertSink(root, _reduce, _merge, allow_batch0_overwrite=True)
+    replay(_batch(spark, [("a", 1), ("b", 2)]), 0)  # crash-window replay
+    assert _snapshot(spark, replay) == {"a": 1, "b": 2}
