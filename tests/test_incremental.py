@@ -105,3 +105,29 @@ def test_incremental_partial_version_is_retryable_and_invisible(spark, tmp_path)
             docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
         )
         assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)
+
+
+def test_batch_index_continues_into_streaming_dedup(spark, tmp_path):
+    """Batch/streaming interop: a corpus version ingested by the BATCH
+    index builder (x70) and a later version ingested by the STREAMING
+    band-index sink (s19's stream_minhash_dedup, id_offset continuation)
+    share one state layout — the combined pair set must equal the one-shot
+    batch answer over the union.  This is the production handoff: backfill
+    the index in batch, then keep deduping live drops as a stream."""
+    from hiveka_spark.streaming.neardup import stream_minhash_dedup
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, v1, root, 1)
+        streamed = stream_minhash_dedup(
+            spark, v2, n_batches=2,
+            num_perm=32, bands=8, k=3, threshold=0.8,
+            state_root=root, id_offset=2,
+        )
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(streamed) == _pairs(oneshot) and _pairs(streamed)
