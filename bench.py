@@ -97,6 +97,7 @@ HEADLINE = [
     "x70_incremental_dedup",
     "x71_epoch_shards",
     "x72_bpe_train",
+    "x73_temperature_mix",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

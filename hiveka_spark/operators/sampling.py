@@ -71,6 +71,86 @@ def stratified_sample_sql(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tok",
+    budget_pct: int = 40,
+    alpha_is_half: bool = True,
+) -> DataFrame:
+    """Temperature-based (alpha-weighted) source mixing — the multinomial
+    alpha-sampling of mC4/XLM-R (Conneau et al. 2020 §3.1): sampling
+    weight_s ∝ n_s^alpha with alpha < 1 UPWEIGHTS low-resource sources
+    relative to proportional sampling, the standard fix for head-heavy
+    corpora.  x34 takes the mixture weights as input; this DERIVES them
+    from the corpus at alpha = 0.5 (sqrt — IEEE-correctly-rounded in every
+    engine, then floor-quantized to integer micro-units so ALL later
+    arithmetic is bigint-exact: the weight normalization uses an integer
+    DIV, never a partition-order-sensitive double sum).
+
+    Per source: w_int = floor(sqrt(src_tokens) * 1e6); share_micro =
+    (w_int * 1e6) DIV sum(w_int); budget = (total_budget * share_micro)
+    DIV 1e6; rate = min(100, (budget * 100) DIV src_tokens); keep(doc) =
+    md5 bucket < rate.  Returns the per-source mixing report
+    (source, src_tokens, share_micro, budget_tokens, rate_pct, n_kept,
+    kept_tokens).
+
+    Scale shape: one per-source token aggregate (map-side combined), a
+    source-count-row weight table with a 1-row grand-total broadcast, the
+    rate table broadcast into the corpus-sized filter (zero shuffle on the
+    big side), one final per-source aggregate.
+    """
+    assert alpha_is_half, "alpha=0.5 (sqrt) is the engine-exact contract"
+    d = docs.select(F.col(id_col), F.col(source_col).alias("source"), F.col(token_col))
+    per_src = d.groupBy("source").agg(F.sum(token_col).cast("bigint").alias("src_tokens"))
+    per_src = per_src.withColumn(
+        "w_int", F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0).cast("bigint")
+    )
+    totals = per_src.agg(
+        F.sum("w_int").cast("bigint").alias("w_sum"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("share_micro", F.expr("w_int * 1000000 DIV w_sum").cast("bigint"))
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"(total_tokens * {budget_pct} DIV 100) * share_micro DIV 1000000").cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "rate_pct",
+            F.least(F.lit(100), F.expr("budget_tokens * 100 DIV src_tokens")).cast(
+                "bigint"
+            ),
+        )
+        .select("source", "src_tokens", "w_int", "share_micro", "budget_tokens", "rate_pct")
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(sample_bucket(id_col) < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum(token_col).cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "src_tokens",
+            "share_micro",
+            "budget_tokens",
+            "rate_pct",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     partition_col: str,

@@ -1646,3 +1646,68 @@ def x72_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=_X72_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# x73 — temperature-based (alpha-weighted) source mixing
+# ---------------------------------------------------------------------------
+
+
+def _x73_oracle() -> str:
+    from hiveka_spark.operators.sampling import sample_bucket_sql
+
+    bucket = sample_bucket_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(LEN(list_filter(string_split(LOWER(text), ' '),
+                                           x -> x <> '')) AS BIGINT) AS n_tok
+               FROM documents),
+    ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+    pw AS (SELECT source, src_tokens,
+                  CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_int
+           FROM ps),
+    tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS w_sum,
+                   CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+            FROM pw),
+    r AS (SELECT source, src_tokens, w_int,
+                 CAST(w_int * 1000000 // w_sum AS BIGINT) AS share_micro,
+                 CAST((total_tokens * 40 // 100) * (w_int * 1000000 // w_sum) // 1000000
+                      AS BIGINT) AS budget_tokens
+          FROM pw CROSS JOIN tot),
+    r2 AS (SELECT source, src_tokens, share_micro, budget_tokens,
+                  CAST(LEAST(100, budget_tokens * 100 // src_tokens) AS BIGINT) AS rate_pct
+           FROM r),
+    k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+          FROM d JOIN r2 USING (source)
+          WHERE {bucket} < rate_pct
+          GROUP BY d.source)
+    SELECT r2.source, src_tokens, share_micro, budget_tokens, rate_pct,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM r2 LEFT JOIN k ON r2.source = k.source
+    """
+
+
+@register(
+    "x73_temperature_mix",
+    oracle=_x73_oracle(),
+    tags=("sampling", "mixing", "temperature", "training-prep"),
+)
+def x73_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (mC4/XLM-R multinomial
+    alpha-sampling, alpha=0.5): x34 takes mixture weights as INPUT; this
+    derives them from the corpus — weight ∝ sqrt(source tokens), which
+    upweights low-resource sources vs proportional sampling.  sqrt is the
+    one float op (IEEE-correctly-rounded in every engine) and is floor-
+    quantized to integer micro-units immediately, so normalization,
+    budgets, and keep-rates are all bigint DIV arithmetic — no
+    partition-order-sensitive double sums anywhere.  Selection is the md5
+    bucket predicate (zero shuffle on the corpus side).  Emits the
+    per-source mixing report."""
+    from hiveka_spark.operators.sampling import temperature_mix
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    return temperature_mix(d, "doc_id", "source", "n_tok", budget_pct=40)

@@ -77,3 +77,28 @@ def test_contamination_overlap_exact(spark):
     r = out[1]
     assert r["n_shingles"] == 4 and r["n_overlap"] == 1
     assert abs(r["overlap_ratio"] - 0.25) < 1e-9
+
+
+def test_temperature_mix_upweights_low_resource_sources(spark):
+    """alpha=0.5 must give a low-resource source a LARGER share than its
+    proportional token share, and a high-resource source a smaller one;
+    keep-rates never exceed 100 and kept tokens respect the budget shape."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big_src", 10) for i in range(900)] + [
+        (1000 + i, "small_src", 10) for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+    out = {r["source"]: r for r in temperature_mix(d, budget_pct=40).collect()}
+    big, small = out["big_src"], out["small_src"]
+    # proportional shares: 90% / 10%; sqrt shares: 75% / 25%
+    assert small["share_micro"] > 100_000 * 2  # > 2x proportional
+    assert big["share_micro"] < 900_000
+    assert abs(big["share_micro"] + small["share_micro"] - 1_000_000) <= 2
+    for r in out.values():
+        assert 0 <= r["rate_pct"] <= 100
+        assert r["n_kept"] <= (
+            d.filter(F.col("source") == r["source"]).count()
+        )
