@@ -98,6 +98,7 @@ HEADLINE = [
     "x71_epoch_shards",
     "x72_bpe_train",
     "x73_temperature_mix",
+    "x74_curriculum_order",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -200,11 +200,30 @@ def _ranked_once(t: DataFrame, id_col: str, h_col: str, out_col: str) -> DataFra
     the correctness pin vs the naive global window in tests/test_plans.py
     guards the _mid layout assumption).
     """
+    return _ranked_by_keys(t, [h_col, id_col], out_col, drop=[h_col])
+
+
+def global_order_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "pos"
+) -> DataFrame:
+    """Distributed 1-based global rank of every row under an arbitrary
+    ascending composite order (``order_cols`` must be a total order —
+    include a unique id last) — the generalization of the epoch-shuffle
+    rank used for curriculum ordering (x74: quality band, then hash, then
+    id).  Same recipe and scale posture as :func:`_ranked_once`; the order
+    columns are kept in the output (callers usually report them).
+    Descending components: negate the column before calling."""
+    return _ranked_by_keys(df, order_cols, out_col, drop=[])
+
+
+def _ranked_by_keys(
+    t: DataFrame, keys: list[str], out_col: str, drop: list[str]
+) -> DataFrame:
     from hiveka_spark.operators.dedup import _persist_tracked
 
     s = (
-        t.repartitionByRange(F.col(h_col), F.col(id_col))
-        .sortWithinPartitions(h_col, id_col)
+        t.repartitionByRange(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("_mid", F.monotonically_increasing_id())
     )
     # persisted because both the counts job and the final plan read the
@@ -224,7 +243,7 @@ def _ranked_once(t: DataFrame, id_col: str, h_col: str, out_col: str) -> DataFra
         acc += cnt
     off_df = t.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
     local = (F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)) + 1).cast("bigint")
-    keep = [c for c in t.columns if c != h_col]
+    keep = [c for c in t.columns if c not in drop]
     return (
         s.withColumn("_pid", pid)
         .join(F.broadcast(off_df), "_pid")

@@ -1711,3 +1711,76 @@ def x73_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
     )
     return temperature_mix(d, "doc_id", "source", "n_tok", budget_pct=40)
+
+
+# ---------------------------------------------------------------------------
+# x74 — curriculum ordering (quality bands, shuffled within band)
+# ---------------------------------------------------------------------------
+
+
+def _x74_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+    from hiveka_spark.queries.extensions import _STOP_SQL
+
+    h = portable_hash60_sql("concat('cur0_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      LENGTH(text) AS len_text,
+                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks,
+                      LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'))
+                        AS n_alnum_space
+               FROM documents),
+    f AS (SELECT doc_id, LEN(toks) AS n_tok,
+                 LEN(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+                 (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
+          FROM t),
+    qs AS (SELECT doc_id,
+                  CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3
+                              + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2)
+                             * 10000.0) AS BIGINT) / 10000.0 AS quality_score
+           FROM f),
+    b AS (SELECT doc_id,
+                 CAST(FLOOR(quality_score * 10.0) AS BIGINT) AS q_band,
+                 {h} AS h
+          FROM qs)
+    SELECT doc_id, q_band,
+           CAST(ROW_NUMBER() OVER (ORDER BY q_band DESC, h, doc_id) AS BIGINT) AS pos
+    FROM b
+    """
+
+
+@register(
+    "x74_curriculum_order",
+    oracle=_x74_oracle(),
+    tags=("training-prep", "curriculum", "ordering", "quality"),
+)
+def x74_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — highest-quality band first, deterministic
+    shuffle WITHIN each band (Bengio et al. 2009's curriculum posture
+    composed from two certified primitives: x08's quality score and x65's
+    replayable hash order).  The global position comes from
+    operators/sampling.py::global_order_rank over the composite
+    (band DESC, epoch hash, id) total order — the same range-partition +
+    local-index + broadcast-offsets recipe as the epoch shuffle, so no
+    single-reducer window anywhere (band DESC is encoded as the negated
+    band, keeping the rank machinery ascending-only).  Byte-replayable
+    from (seed, ids, quality formula) alone."""
+    from hiveka_spark.operators.dedup import dedup_cache_scope, portable_hash60
+    from hiveka_spark.operators.sampling import global_order_rank
+    from hiveka_spark.operators.text import with_quality
+
+    d = with_quality(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 10.0).cast("bigint").alias("q_band"),
+    )
+    t = d.select(
+        "doc_id",
+        "q_band",
+        (-F.col("q_band")).alias("neg_band"),
+        portable_hash60(
+            F.concat(F.lit("cur0_"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    with dedup_cache_scope():
+        ranked = global_order_rank(t, ["neg_band", "h", "doc_id"], "pos")
+        return ranked.select("doc_id", "q_band", "pos").localCheckpoint(eager=True)

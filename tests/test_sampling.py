@@ -102,3 +102,23 @@ def test_temperature_mix_upweights_low_resource_sources(spark):
         assert r["n_kept"] <= (
             d.filter(F.col("source") == r["source"]).count()
         )
+
+
+def test_global_order_rank_composite_key(spark):
+    """Arbitrary composite ascending order must yield the dense global
+    1..n rank a naive single-partition sort would give."""
+    from hiveka_spark.operators.dedup import dedup_cache_scope
+    from hiveka_spark.operators.sampling import global_order_rank
+
+    rows = [(i, i % 3, (i * 7) % 11) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, band bigint, h bigint")
+    with dedup_cache_scope():
+        got = {
+            r["id"]: r["pos"]
+            for r in global_order_rank(df, ["band", "h", "id"], "pos").collect()
+        }
+    want = {
+        rid: rank + 1
+        for rank, (rid, _, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[2], r[0])))
+    }
+    assert got == want
