@@ -99,6 +99,7 @@ HEADLINE = [
     "x72_bpe_train",
     "x73_temperature_mix",
     "x74_curriculum_order",
+    "x75_dataset_export",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

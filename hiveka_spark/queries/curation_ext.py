@@ -1784,3 +1784,98 @@ def x74_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_cache_scope():
         ranked = global_order_rank(t, ["neg_band", "h", "doc_id"], "pos")
         return ranked.select("doc_id", "q_band", "pos").localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# x75 — dataset export: sharded publish with content-and-order certification
+# ---------------------------------------------------------------------------
+
+
+def _x75_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('epoch0_', CAST(doc_id AS VARCHAR))")
+    d = portable_hash60_sql("concat(CAST(doc_id AS VARCHAR), ':', md5(text))")
+    return f"""
+    WITH t AS (SELECT doc_id, text,
+                      CAST(LEN(list_filter(string_split(LOWER(text), ' '),
+                                           x -> x <> '')) AS BIGINT) AS n_tok,
+                      {h} AS hh
+               FROM documents),
+    s AS (SELECT doc_id, n_tok,
+                 CAST(hh % 8 AS BIGINT) AS shard,
+                 ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS shard_pos,
+                 {d} AS dd
+          FROM t)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list(dd ORDER BY shard_pos)),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS order_digest
+    FROM s GROUP BY shard
+    """
+
+
+@register(
+    "x75_dataset_export",
+    oracle=_x75_oracle(),
+    tags=("training-prep", "export", "sharding", "manifest"),
+)
+def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset PUBLISH step — the end of the curation pipeline: assign
+    every document to its epoch shard (x71's zero-coordination sharding),
+    physically WRITE the shards as partitioned parquet, read them back,
+    and emit the shipping manifest: per shard (n_docs, n_tokens,
+    order_digest), where order_digest is a 31-ary rolling hash over the
+    per-doc digests in shard order — it certifies both CONTENT and
+    WITHIN-SHARD ORDER of the exported files (a dropped, duplicated, or
+    re-ordered row changes it).  The oracle computes the same manifest
+    from the source table directly, so a mismatch means the export
+    round-trip corrupted something.
+
+    Scale shape: the write is partitionBy(shard) (one dir per shard, the
+    training-job layout); the digest is computed per shard from a sorted
+    in-group array here (shards at gate scale are small); at 100 TB the
+    rolling hash composes associatively as affine maps
+    ((a1*x+b1)∘(a2*x+b2) with a = 31^len), so a segment-wise
+    mapPartitions + driver-side composition of per-segment (a, b) pairs
+    computes the identical digest without collecting a shard into one
+    task."""
+    import os
+
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import epoch_shards
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = epoch_shards(docs, "doc_id", "epoch0_", 8)
+    staged = shards.join(docs, "doc_id").select(
+        "shard", "shard_pos", "doc_id", "text"
+    )
+    out_dir = scratch_dir(prefix="gate_x75export_")
+    staged.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    dd = portable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))
+    )
+    per_doc = back.select(
+        "shard",
+        "shard_pos",
+        dd.alias("dd"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    rolled = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("shard_pos", "dd"))),
+            lambda s: s["dd"],
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("bigint"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        rolled.cast("bigint").alias("order_digest"),
+    )
