@@ -111,20 +111,30 @@ def temperature_mix(
         F.sum("w_int").cast("bigint").alias("w_sum"),
         F.sum("src_tokens").cast("bigint").alias("total_tokens"),
     )
+    # budget = floor(total_budget * share / 1e6) computed as
+    # q*share + (r*share DIV 1e6) with q = total_budget DIV 1e6,
+    # r = total_budget % 1e6 — algebraically identical but every
+    # intermediate stays < ~2.4e13 instead of total_budget * share
+    # (~1e19 at a 100 TB corpus, past int64); GREATEST guards the
+    # all-empty-text source (src_tokens = 0 would NULL in Spark and
+    # ERROR in the DuckDB twin)
     rates = (
         per_src.crossJoin(F.broadcast(totals))
         .withColumn("share_micro", F.expr("w_int * 1000000 DIV w_sum").cast("bigint"))
+        .withColumn("_tb", F.expr(f"total_tokens * {budget_pct} DIV 100"))
         .withColumn(
             "budget_tokens",
-            F.expr(f"(total_tokens * {budget_pct} DIV 100) * share_micro DIV 1000000").cast(
-                "bigint"
-            ),
+            F.expr(
+                "(_tb DIV 1000000) * share_micro"
+                " + ((_tb % 1000000) * share_micro DIV 1000000)"
+            ).cast("bigint"),
         )
         .withColumn(
             "rate_pct",
-            F.least(F.lit(100), F.expr("budget_tokens * 100 DIV src_tokens")).cast(
-                "bigint"
-            ),
+            F.least(
+                F.lit(100),
+                F.expr("budget_tokens * 100 DIV GREATEST(src_tokens, 1)"),
+            ).cast("bigint"),
         )
         .select("source", "src_tokens", "w_int", "share_micro", "budget_tokens", "rate_pct")
     )
@@ -299,11 +309,30 @@ def global_hash_rank(
     return global_hash_rank_multi(df, id_col, {out_col: salt})
 
 
+def rolling_digest(sort_col: str, val_col: str):
+    """Aggregate Column: 31-ary rolling hash mod 2^31-1 over ``val_col``
+    bigints in ``sort_col`` order within the group — the content-AND-order
+    manifest digest (x75); one definition shared by the operator and its
+    sensitivity tests.  At shard sizes too big for an in-group array, the
+    hash composes associatively as affine maps (a = 31^len carries), so a
+    mapPartitions-per-segment + driver composition computes the identical
+    value."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(sort_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("bigint"),
+    )
+
+
 def epoch_shards(
     df: DataFrame,
     id_col: str,
     salt: str,
     n_shards: int,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The PRODUCTION epoch-shuffle variant global_hash_rank's docstring
     promises: shard = pmod(hash, n) and a deterministic within-shard
@@ -315,13 +344,15 @@ def epoch_shards(
     order); the global-rank form (x65) exists to certify a single
     replayable total order when one is required.
 
-    Returns (<id_col>, shard, shard_pos): shard in [0, n_shards),
-    shard_pos 1-based within the shard under the (hash, id) order —
-    byte-replayable from (salt, ids) alone, like everything in this
-    module.
+    Returns (<id_col>, shard, shard_pos, *keep_cols): shard in
+    [0, n_shards), shard_pos 1-based within the shard under the (hash, id)
+    order — byte-replayable from (salt, ids) alone, like everything in
+    this module.  ``keep_cols`` ride the one shard-key exchange as payload
+    (the export path carries text this way — no second corpus scan, no
+    id-keyed re-join).
     """
     h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    t = df.select(F.col(id_col), h.alias("_h")).withColumn(
+    t = df.select(F.col(id_col), *keep_cols, h.alias("_h")).withColumn(
         "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint")
     )
     w = Window.partitionBy("shard").orderBy("_h", id_col)
@@ -329,4 +360,5 @@ def epoch_shards(
         id_col,
         "shard",
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
+        *keep_cols,
     )

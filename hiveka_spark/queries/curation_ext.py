@@ -1671,12 +1671,17 @@ def _x73_oracle() -> str:
             FROM pw),
     r AS (SELECT source, src_tokens, w_int,
                  CAST(w_int * 1000000 // w_sum AS BIGINT) AS share_micro,
-                 CAST((total_tokens * 40 // 100) * (w_int * 1000000 // w_sum) // 1000000
-                      AS BIGINT) AS budget_tokens
+                 CAST(total_tokens * 40 // 100 AS BIGINT) AS tb
           FROM pw CROSS JOIN tot),
-    r2 AS (SELECT source, src_tokens, share_micro, budget_tokens,
-                  CAST(LEAST(100, budget_tokens * 100 // src_tokens) AS BIGINT) AS rate_pct
+    r1 AS (SELECT source, src_tokens, share_micro,
+                  CAST((tb // 1000000) * share_micro
+                       + ((tb % 1000000) * share_micro // 1000000) AS BIGINT)
+                    AS budget_tokens
            FROM r),
+    r2 AS (SELECT source, src_tokens, share_micro, budget_tokens,
+                  CAST(LEAST(100, budget_tokens * 100 // GREATEST(src_tokens, 1))
+                       AS BIGINT) AS rate_pct
+           FROM r1),
     k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
                  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
           FROM d JOIN r2 USING (source)
@@ -1720,24 +1725,12 @@ def x73_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x74_oracle() -> str:
     from hiveka_spark.operators.dedup import portable_hash60_sql
-    from hiveka_spark.queries.extensions import _STOP_SQL
+    from hiveka_spark.queries.extensions import _QUALITY_SCORE_SQL, _QUALITY_TF_CTES
 
     h = portable_hash60_sql("concat('cur0_', CAST(doc_id AS VARCHAR))")
     return f"""
-    WITH t AS (SELECT doc_id,
-                      LENGTH(text) AS len_text,
-                      list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks,
-                      LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'))
-                        AS n_alnum_space
-               FROM documents),
-    f AS (SELECT doc_id, LEN(toks) AS n_tok,
-                 LEN(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
-                 (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
-          FROM t),
-    qs AS (SELECT doc_id,
-                  CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3
-                              + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2)
-                             * 10000.0) AS BIGINT) / 10000.0 AS quality_score
+    WITH {_QUALITY_TF_CTES},
+    qs AS (SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality_score
            FROM f),
     b AS (SELECT doc_id,
                  CAST(FLOOR(quality_score * 10.0) AS BIGINT) AS q_band,
@@ -1825,34 +1818,38 @@ def _x75_oracle() -> str:
 )
 def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset PUBLISH step — the end of the curation pipeline: assign
-    every document to its epoch shard (x71's zero-coordination sharding),
-    physically WRITE the shards as partitioned parquet, read them back,
-    and emit the shipping manifest: per shard (n_docs, n_tokens,
-    order_digest), where order_digest is a 31-ary rolling hash over the
-    per-doc digests in shard order — it certifies both CONTENT and
-    WITHIN-SHARD ORDER of the exported files (a dropped, duplicated, or
-    re-ordered row changes it).  The oracle computes the same manifest
-    from the source table directly, so a mismatch means the export
-    round-trip corrupted something.
+    every document to its epoch shard (x71's zero-coordination sharding,
+    with text riding the one shard-key exchange as payload — no second
+    corpus scan, no id-keyed re-join), physically WRITE the shards as
+    partitioned parquet, read them back, and emit the shipping manifest:
+    per shard (n_docs, n_tokens, order_digest), where order_digest is a
+    31-ary rolling hash over the per-doc digests in shard_pos order.  It
+    certifies the exported files' CONTENT and the (shard_pos -> document)
+    ORDER MAPPING: a dropped, duplicated, or content-altered row, or a
+    reassigned position, changes it.  Because shard_pos travels with the
+    data, a pure physical permutation of otherwise-intact rows re-sorts
+    to the same digest — so the consumption contract is ORDER BY
+    shard_pos (not file row order), which the manifest then fully
+    certifies.  The oracle computes the same manifest from the source
+    table directly, so a mismatch means the export round-trip corrupted
+    data.
 
     Scale shape: the write is partitionBy(shard) (one dir per shard, the
-    training-job layout); the digest is computed per shard from a sorted
-    in-group array here (shards at gate scale are small); at 100 TB the
-    rolling hash composes associatively as affine maps
-    ((a1*x+b1)∘(a2*x+b2) with a = 31^len), so a segment-wise
-    mapPartitions + driver-side composition of per-segment (a, b) pairs
-    computes the identical digest without collecting a shard into one
-    task."""
-    import os
+    training-job layout); the digest (operators/sampling.py::
+    rolling_digest — one definition, shared with its sensitivity tests)
+    is computed per shard from a sorted in-group array here (shards at
+    gate scale are small); at 100 TB it composes associatively as affine
+    maps (a = 31^len), so a segment-wise mapPartitions + driver
+    composition computes the identical value without collecting a shard
+    into one task.  The scratch export dir is deleted eagerly once the
+    manifest is materialized (bench runs this repeatedly)."""
+    import shutil
 
     from hiveka_spark.operators.dedup import portable_hash60
-    from hiveka_spark.operators.sampling import epoch_shards
+    from hiveka_spark.operators.sampling import epoch_shards, rolling_digest
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    shards = epoch_shards(docs, "doc_id", "epoch0_", 8)
-    staged = shards.join(docs, "doc_id").select(
-        "shard", "shard_pos", "doc_id", "text"
-    )
+    staged = epoch_shards(docs, "doc_id", "epoch0_", 8, keep_cols=("text",))
     out_dir = scratch_dir(prefix="gate_x75export_")
     staged.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
@@ -1866,16 +1863,14 @@ def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.alias("dd"),
         F.size(tokens("text")).cast("bigint").alias("n_tok"),
     )
-    rolled = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("shard_pos", "dd"))),
-            lambda s: s["dd"],
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("bigint"),
+    manifest = (
+        per_doc.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            rolling_digest("shard_pos", "dd").cast("bigint").alias("order_digest"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return per_doc.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        rolled.cast("bigint").alias("order_digest"),
-    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest

@@ -43,6 +43,29 @@ from hiveka_spark.scratch import scratch_dir
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
+# Shared replay of operators.text.with_quality's feature CTEs — ONE copy of
+# the delicate float-exact quality SQL, used by the x08 oracle here and the
+# x74 curriculum-ordering oracle (curation_ext).
+_QUALITY_TF_CTES = f"""t AS (
+      SELECT doc_id,
+             LENGTH(text) AS len_text,
+             list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks,
+             LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum_space
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tok,
+             list_sum(list_transform(toks, w -> LENGTH(w))) AS sum_len,
+             LEN(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+             (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
+      FROM t)"""
+
+_QUALITY_SCORE_SQL = (
+    "CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3"
+    " + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2) * 10000.0)"
+    " AS BIGINT) / 10000.0"
+)
+
 
 @register(
     "x01_dedup_exact",
@@ -381,19 +404,7 @@ def x15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x08_text_quality",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             LENGTH(text) AS len_text,
-             list_filter(string_split(LOWER(text), ' '), w -> w <> '') AS toks,
-             LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum_space
-      FROM documents),
-    f AS (
-      SELECT doc_id,
-             LEN(toks) AS n_tok,
-             list_sum(list_transform(toks, w -> LENGTH(w))) AS sum_len,
-             LEN(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) AS n_stop,
-             (len_text - n_alnum_space) * 1.0 / GREATEST(len_text, 1) AS punct_r
-      FROM t)
+    WITH {_QUALITY_TF_CTES}
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tokens,
            CAST(FLOOR((sum_len * 1.0 / GREATEST(n_tok, 1)) * 10000.0) AS BIGINT) / 10000.0
@@ -401,9 +412,7 @@ def x15_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR((n_stop * 1.0 / GREATEST(n_tok, 1)) * 10000.0) AS BIGINT) / 10000.0
              AS stopword_ratio,
            CAST(FLOOR(punct_r * 10000.0) AS BIGINT) / 10000.0 AS punct_ratio,
-           CAST(FLOOR((LEAST(n_tok / 100.0, 1.0) * 0.5 + (1.0 - punct_r) * 0.3
-                       + LEAST(n_stop * 1.0 / GREATEST(n_tok, 1) * 5.0, 1.0) * 0.2) * 10000.0)
-                AS BIGINT) / 10000.0 AS quality_score
+           {_QUALITY_SCORE_SQL} AS quality_score
     FROM f
     """,
     tags=("text", "quality"),

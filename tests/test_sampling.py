@@ -125,23 +125,19 @@ def test_global_order_rank_composite_key(spark):
 
 
 def test_export_order_digest_detects_reorder_and_drop(spark):
-    """The manifest digest must change when a row is dropped OR when two
-    rows swap within-shard positions (content alone wouldn't catch that)."""
-    import pyspark.sql.functions as F
+    """The manifest digest (the PRODUCTION rolling_digest, not a copy)
+    must change when a row is dropped OR when two rows swap within-shard
+    positions (content alone wouldn't catch that)."""
+
+    from hiveka_spark.operators.sampling import rolling_digest
 
     def manifest(rows):
         df = spark.createDataFrame(rows, "shard bigint, shard_pos bigint, dd bigint")
-        rolled = F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("shard_pos", "dd"))),
-                lambda s: s["dd"],
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("bigint"),
-        )
         return {
             r["shard"]: r["d"]
-            for r in df.groupBy("shard").agg(rolled.alias("d")).collect()
+            for r in df.groupBy("shard")
+            .agg(rolling_digest("shard_pos", "dd").alias("d"))
+            .collect()
         }
 
     base = [(0, 1, 111), (0, 2, 222), (0, 3, 333)]
