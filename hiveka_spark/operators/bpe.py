@@ -132,9 +132,14 @@ def bpe_apply(
 ) -> DataFrame:
     """Tokenize documents with a trained merge list: per doc, whitespace
     words -> characters -> apply each merge in rank order (same greedy
-    window rule as training).  Returns (<id_col>, n_bpe_tokens).  Corpus-
-    sized but embarrassingly parallel: every pass is per-(doc, word)
-    windows, no cross-doc shuffle."""
+    window rule as training).  Returns (<id_col>, n_bpe_tokens) for EVERY
+    input document: ids whose text is NULL or tokenizes to zero words
+    (posexplode of an empty array emits no rows) come back with 0 via a
+    left join against the id set, the same row-parity discipline
+    with_sentiment follows by coalescing NULL text.  Corpus-sized but
+    embarrassingly parallel: every pass is per-(doc, word) windows, no
+    cross-doc shuffle; the final left join is id-keyed (the aggregate side
+    is one row per doc)."""
     wspec = Window.partitionBy(id_col, "wi").orderBy("pos")
     t = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("wi", "w")
@@ -171,4 +176,9 @@ def bpe_apply(
                 F.when(F.col("is_left"), F.lit(a + b)).otherwise(F.col("s")).alias("s"),
             )
         )
-    return t.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_bpe_tokens"))
+    counts = t.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bpe_tokens")
+    )
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        id_col, F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens")
+    )

@@ -85,11 +85,18 @@ def temperature_mix(
     relative to proportional sampling, the standard fix for head-heavy
     corpora.  x34 takes the mixture weights as input; this DERIVES them
     from the corpus at alpha = 0.5 (sqrt — IEEE-correctly-rounded in every
-    engine, then floor-quantized to integer micro-units so ALL later
+    engine, then floor-quantized to integer MILLI-units so ALL later
     arithmetic is bigint-exact: the weight normalization uses an integer
-    DIV, never a partition-order-sensitive double sum).
+    DIV, never a partition-order-sensitive double sum).  Milli (1e3), not
+    micro (1e6): the share numerator is w_int * 1e6, and w_int =
+    floor(sqrt(src_tokens) * scale) must keep that product inside int64
+    for ANY bigint src_tokens — at scale 1e3, w_int < 3.04e12 even when
+    src_tokens is the full int64 range, so w_int * 1e6 < 3.04e18 < 2^63
+    with ~3x headroom (at 1e6 scale a single ~8.5e13-token source —
+    well inside a 100 TB corpus — silently wrapped; the same overflow
+    class budget_tokens was already decomposed against).
 
-    Per source: w_int = floor(sqrt(src_tokens) * 1e6); share_micro =
+    Per source: w_int = floor(sqrt(src_tokens) * 1e3); share_micro =
     (w_int * 1e6) DIV sum(w_int); budget = (total_budget * share_micro)
     DIV 1e6; rate = min(100, (budget * 100) DIV src_tokens); keep(doc) =
     md5 bucket < rate.  Returns the per-source mixing report
@@ -105,7 +112,7 @@ def temperature_mix(
     d = docs.select(F.col(id_col), F.col(source_col).alias("source"), F.col(token_col))
     per_src = d.groupBy("source").agg(F.sum(token_col).cast("bigint").alias("src_tokens"))
     per_src = per_src.withColumn(
-        "w_int", F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0).cast("bigint")
+        "w_int", F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000.0).cast("bigint")
     )
     totals = per_src.agg(
         F.sum("w_int").cast("bigint").alias("w_sum"),

@@ -1664,7 +1664,7 @@ def _x73_oracle() -> str:
                FROM documents),
     ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM d GROUP BY source),
     pw AS (SELECT source, src_tokens,
-                  CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_int
+                  CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS w_int
            FROM ps),
     tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS w_sum,
                    CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
@@ -1705,7 +1705,9 @@ def x73_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives them from the corpus — weight ∝ sqrt(source tokens), which
     upweights low-resource sources vs proportional sampling.  sqrt is the
     one float op (IEEE-correctly-rounded in every engine) and is floor-
-    quantized to integer micro-units immediately, so normalization,
+    quantized to integer milli-units immediately (milli keeps the share
+    numerator w_int*1e6 inside int64 for any bigint token count — see
+    operators/sampling.py), so normalization,
     budgets, and keep-rates are all bigint DIV arithmetic — no
     partition-order-sensitive double sums anywhere.  Selection is the md5
     bucket predicate (zero shuffle on the corpus side).  Emits the

@@ -513,14 +513,17 @@ def _sentiment_oracle() -> str:
                  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
                  CAST(FLOOR((n_pos - n_neg) * 1000000.0 / GREATEST(n_tok, 1)) AS BIGINT)
                    AS polarity_micro
-          FROM s)
+          FROM s),
+    w AS (SELECT doc_id, source, n_pos, n_neg, polarity_micro,
+                 SUM(polarity_micro) OVER (PARTITION BY source) AS ws,
+                 COUNT(*) OVER (PARTITION BY source) AS wc
+          FROM p)
     SELECT doc_id, source, n_pos, n_neg, polarity_micro,
            CASE WHEN polarity_micro > 0 THEN 'positive'
                 WHEN polarity_micro < 0 THEN 'negative'
                 ELSE 'neutral' END AS sentiment,
-           CAST(FLOOR(AVG(polarity_micro) OVER (PARTITION BY source)) AS BIGINT)
-             AS source_mean_micro
-    FROM p
+           CAST((ws - ((ws % wc) + wc) % wc) // wc AS BIGINT) AS source_mean_micro
+    FROM w
     """
 
 
@@ -532,8 +535,13 @@ def x69_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/main/avro/twitter.avsc:5-17).  Scoring is zero-shuffle per-row JVM
     expressions with the lexicon folded in as a literal; the only exchange
     is the per-source window (hash partition by source).  Integer micro-unit
-    polarity so DuckDB replays exactly; the declared pandas-UDF twin
-    (`with_sentiment_pandas`) is pinned equal in tests/test_operators.py."""
+    polarity so DuckDB replays exactly; the per-source mean is pure bigint
+    arithmetic too — floor(sum/count) as (sum - pmod(sum, count)) DIV count,
+    never floor(AVG(...)): avg accumulates bigints as doubles, so past 2^53
+    per-source polarity mass (~9e9 docs/source) it would turn
+    partition-order-sensitive and floor could land on a boundary.  The
+    declared pandas-UDF twin (`with_sentiment_pandas`) is pinned equal in
+    tests/test_operators.py."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
@@ -541,8 +549,14 @@ def x69_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_pos", "n_neg", "polarity_micro", "sentiment"
     )
     w = Window.partitionBy("source")
-    return scored.withColumn(
-        "source_mean_micro", F.floor(F.avg("polarity_micro").over(w)).cast("bigint")
+    return (
+        scored.withColumn("_ws", F.sum("polarity_micro").over(w).cast("bigint"))
+        .withColumn("_wc", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn(
+            "source_mean_micro",
+            F.expr("(_ws - pmod(_ws, _wc)) DIV _wc").cast("bigint"),
+        )
+        .drop("_ws", "_wc")
     )
 
 

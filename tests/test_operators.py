@@ -632,6 +632,19 @@ def test_bpe_train_matches_sequential_reference(spark):
     assert applied == ref_counts
 
 
+def test_bpe_apply_keeps_empty_and_null_docs(spark):
+    """Row parity: ids whose text is NULL or tokenizes to nothing must come
+    back with n_bpe_tokens = 0, not vanish (the with_sentiment discipline)."""
+    from hiveka_spark.operators.bpe import bpe_apply
+
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, None), (2, ""), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply(df, [("t", "h")]).collect()}
+    assert got == {0: 5, 1: 0, 2: 0, 3: 0}  # th|e + c|a|t = 5 symbols
+
+
 def test_bpe_train_max_words_cap(spark):
     """The 100 TB vocab cap: training on the top-K words only must equal
     the reference restricted to those words."""
