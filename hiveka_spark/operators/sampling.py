@@ -316,21 +316,87 @@ def global_hash_rank(
     return global_hash_rank_multi(df, id_col, {out_col: salt})
 
 
+_DIGEST_MOD = 2147483647  # 2^31 - 1
+
+
 def rolling_digest(sort_col: str, val_col: str):
     """Aggregate Column: 31-ary rolling hash mod 2^31-1 over ``val_col``
     bigints in ``sort_col`` order within the group — the content-AND-order
-    manifest digest (x75); one definition shared by the operator and its
-    sensitivity tests.  At shard sizes too big for an in-group array, the
-    hash composes associatively as affine maps (a = 31^len carries), so a
-    mapPartitions-per-segment + driver composition computes the identical
-    value."""
+    manifest digest (x75); one definition shared by the segmented
+    production path (:func:`segmented_order_digest`, which composes these
+    per bounded segment) and the sensitivity tests.  Builds the group's
+    value array in ONE aggregation buffer, so call it directly only on
+    groups known to fit a task (a single segment, a test fixture) — a
+    100 TB shard goes through the segmented form."""
     return F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct(sort_col, val_col))),
             lambda s: s[val_col],
         ),
         F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * 31 + x) % F.lit(2147483647).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(_DIGEST_MOD).cast("bigint"),
+    )
+
+
+def segmented_order_digest(
+    df: DataFrame,
+    group_col: str,
+    pos_col: str,
+    val_col: str,
+    out_col: str = "order_digest",
+    seg_size: int = 4096,
+) -> DataFrame:
+    """Per-group 31-ary order digest — IDENTICAL value to
+    ``groupBy(group).agg(rolling_digest(pos, val))`` — computed without
+    ever materializing a whole group in one aggregation buffer: the scale
+    path for x75 manifests whose shards exceed task memory.
+
+    The rolling hash is linear mod p, so over a segment split it composes
+    as an affine map: digest(A || B) = digest(A) * 31^len(B) + digest(B)
+    (mod p).  ``pos_col`` must be a dense 1-based rank within the group
+    (x71/x75's shard_pos), so segment = (pos-1) DIV seg_size is a
+    contiguous slice of the order:
+
+    1. one hash aggregate keyed by (group, segment) computes each
+       segment's digest + length — every buffer is bounded by
+       ``seg_size`` rows by construction, regardless of group size;
+    2. 31^len mod p comes from a broadcast (seg_size+1)-row power table
+       (built driver-side with pow(31, len, p) — no modpow builtin
+       needed, and no Python in the executor path);
+    3. per group, segments fold in segment order with the affine step
+       (acc * pw + d) mod p — the composition array holds one 3-field
+       struct per SEGMENT (a seg_size-fold reduction; lift seg_size or
+       re-apply the same trick for another level if a single shard ever
+       exceeds seg_size^2 rows).
+
+    Every intermediate stays in int64: segment folds are acc*31 + h60
+    < 2^36 + 2^60; composition is acc*pw + d < p^2 + p < 2^62.
+    Returns (group_col, out_col).  Equality with the one-buffer
+    rolling_digest is pinned in tests/test_sampling.py with seg_size
+    smaller than the groups, so the composition path itself is what the
+    pin exercises.
+    """
+    spark = df.sparkSession
+    seg = F.expr(f"CAST(({pos_col} - 1) DIV {seg_size} AS BIGINT)")
+    segs = (
+        df.groupBy(F.col(group_col), seg.alias("_seg"))
+        .agg(
+            rolling_digest(pos_col, val_col).alias("_d"),
+            F.count(F.lit(1)).cast("int").alias("_len"),
+        )
+    )
+    pow_tbl = spark.createDataFrame(
+        [(n, pow(31, n, _DIGEST_MOD)) for n in range(seg_size + 1)],
+        "_len int, _pw bigint",
+    )
+    segs = segs.join(F.broadcast(pow_tbl), "_len")
+    return segs.groupBy(group_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_seg", "_d", "_pw"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * x["_pw"] + x["_d"])
+            % F.lit(_DIGEST_MOD).cast("bigint"),
+        ).alias(out_col)
     )
 
 

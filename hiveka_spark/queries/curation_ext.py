@@ -1837,18 +1837,20 @@ def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     data.
 
     Scale shape: the write is partitionBy(shard) (one dir per shard, the
-    training-job layout); the digest (operators/sampling.py::
-    rolling_digest — one definition, shared with its sensitivity tests)
-    is computed per shard from a sorted in-group array here (shards at
-    gate scale are small); at 100 TB it composes associatively as affine
-    maps (a = 31^len), so a segment-wise mapPartitions + driver
-    composition computes the identical value without collecting a shard
-    into one task.  The scratch export dir is deleted eagerly once the
-    manifest is materialized (bench runs this repeatedly)."""
+    training-job layout); the digest is the SEGMENT-COMPOSED form
+    (operators/sampling.py::segmented_order_digest): bounded seg_size-row
+    segment digests folded with affine carries (a = 31^len, from a
+    broadcast power table), so no aggregation buffer ever holds a whole
+    shard — the executed path IS the 100 TB path.  seg_size here is 64 so
+    the gate's ~60-doc shards genuinely exercise the multi-segment
+    composition, not just a degenerate single segment; the one-buffer
+    rolling_digest twin is pinned equal in tests/test_sampling.py.  The
+    scratch export dir is deleted eagerly once the manifest is
+    materialized (bench runs this repeatedly)."""
     import shutil
 
     from hiveka_spark.operators.dedup import portable_hash60
-    from hiveka_spark.operators.sampling import epoch_shards, rolling_digest
+    from hiveka_spark.operators.sampling import epoch_shards, segmented_order_digest
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     staged = epoch_shards(docs, "doc_id", "epoch0_", 8, keep_cols=("text",))
@@ -1865,12 +1867,20 @@ def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.alias("dd"),
         F.size(tokens("text")).cast("bigint").alias("n_tok"),
     )
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    digests = segmented_order_digest(
+        per_doc, "shard", "shard_pos", "dd", out_col="order_digest", seg_size=64
+    )
     manifest = (
-        per_doc.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("n_tokens"),
-            rolling_digest("shard_pos", "dd").cast("bigint").alias("order_digest"),
+        counts.join(digests, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.col("order_digest").cast("bigint").alias("order_digest"),
         )
         .localCheckpoint(eager=True)
     )

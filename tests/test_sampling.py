@@ -144,3 +144,29 @@ def test_export_order_digest_detects_reorder_and_drop(spark):
     ref = manifest(base)
     assert manifest([(0, 1, 111), (0, 2, 222)])[0] != ref[0]  # drop
     assert manifest([(0, 1, 222), (0, 2, 111), (0, 3, 333)])[0] != ref[0]  # swap
+
+
+def test_segmented_digest_equals_one_buffer_digest(spark):
+    """The PRODUCTION segment-composed digest (bounded seg_size buffers +
+    affine 31^len carries) must equal the one-buffer rolling_digest on
+    groups much larger than seg_size — i.e. the composition path itself,
+    including ragged last segments and multi-group inputs, is what this
+    pins.  Uses 60-bit hash-scale values to exercise the int64 headroom
+    the docstring claims."""
+    from hiveka_spark.operators.sampling import rolling_digest, segmented_order_digest
+
+    rows = []
+    for g in range(3):
+        n = [37, 64, 129][g]  # non-multiple, exact-multiple, 2 full + 1 ragged
+        for p in range(1, n + 1):
+            rows.append((g, p, ((p * 2654435761 + g) ** 2) % (1 << 60)))
+    df = spark.createDataFrame(rows, "shard bigint, shard_pos bigint, dd bigint")
+    one = {
+        r["shard"]: r["d"]
+        for r in df.groupBy("shard").agg(rolling_digest("shard_pos", "dd").alias("d")).collect()
+    }
+    seg = {
+        r["shard"]: r["d"]
+        for r in segmented_order_digest(df, "shard", "shard_pos", "dd", "d", seg_size=64).collect()
+    }
+    assert seg == one and len(seg) == 3
