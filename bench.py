@@ -100,6 +100,7 @@ HEADLINE = [
     "x73_temperature_mix",
     "x74_curriculum_order",
     "x75_dataset_export",
+    "x76_bpe_train_capped",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

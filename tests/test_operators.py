@@ -632,6 +632,87 @@ def test_bpe_train_matches_sequential_reference(spark):
     assert applied == ref_counts
 
 
+def test_bpe_python_trainer_matches_sequential_reference():
+    """The incremental (heap + occurrence-index) driver-local trainer must
+    equal the naive full-recount fold merge-for-merge — incl. count ties
+    (lhs/rhs tie-break), aa-runs, and early exhaustion."""
+    from hiveka_spark.operators.bpe import _train_python
+
+    texts = [
+        "the cat sat on the mat",
+        "the cattle cat aaaa aaa",
+        "banana bandana the band",
+        "aaaa sat the aaaaa",
+        "xy xy xyxy yx",
+    ]
+    from collections import Counter
+
+    wf = sorted(Counter(w for t in texts for w in t.lower().split() if w).items())
+    want, _ = _ref_bpe(texts, 500)  # exhausts well before 500
+    got = _train_python(wf, 500)
+    assert got == want and len(got) < 500  # exhaustion reached, all equal
+
+
+def test_bpe_capped_driver_local_equals_distributed_loop(spark):
+    """bpe_train_capped (driver-local incremental finish) must equal the
+    distributed per-merge loop on the same capped word table — the
+    certification pin that lets the production path skip per-merge Spark
+    jobs."""
+    from hiveka_spark.operators.bpe import bpe_train, bpe_train_capped
+
+    texts = [
+        "the cat sat on the mat",
+        "the cattle cat aaaa aaa",
+        "banana bandana the band",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    dist = [tuple(r) for r in bpe_train(df, n_merges=10, max_words=8).collect()]
+    local = [
+        tuple(r)
+        for r in bpe_train_capped(df, n_merges=10, max_words=8, units=False).collect()
+    ]
+    assert local == dist and len(local) == 10
+
+
+def test_bpe_unit_freq_space_spanning_pairs(spark):
+    """Non-overlapping pair units joined by '_', odd trailing word alone,
+    empty/NULL docs contribute nothing."""
+    from hiveka_spark.operators.bpe import unit_freq
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["w"]: r["freq"] for r in unit_freq(df).collect()}
+    assert got == {"a_b": 2, "c_d": 1, "e": 1}
+
+
+def test_bpe_python_trainer_real_vocab_speed():
+    """The real-vocab capability claim: thousands of merges over a
+    thousands-of-words vocabulary complete in seconds driver-locally
+    (incremental counts), where the distributed loop would need one Spark
+    job per merge."""
+    import random
+    import time
+
+    from hiveka_spark.operators.bpe import _train_python
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    wf = [
+        ("".join(rng.choice(alpha) for _ in range(rng.randint(4, 12))), rng.randint(1, 500))
+        for _ in range(4000)
+    ]
+    wf = list({w: f for w, f in wf}.items())
+    t0 = time.time()
+    merges = _train_python(wf, 8000)
+    dt = time.time() - t0
+    assert len(merges) >= 4000, len(merges)
+    assert dt < 60, f"incremental trainer too slow: {dt:.1f}s"
+
+
 def test_bpe_apply_keeps_empty_and_null_docs(spark):
     """Row parity: ids whose text is NULL or tokenizes to nothing must come
     back with n_bpe_tokens = 0, not vanish (the with_sentiment discipline)."""
