@@ -101,6 +101,7 @@ HEADLINE = [
     "x74_curriculum_order",
     "x75_dataset_export",
     "x76_bpe_train_capped",
+    "x77_ann_recall_curve",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -598,6 +598,117 @@ def ivf_cell_stage(
     )
 
 
+def ivf_exact_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    cell_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, d2, probe_rank): EXACT bigint squared-L2
+    scores of every corpus vector in each query's ``n_probe`` nearest
+    cells, with the candidate cell's probe rank carried through.
+
+    This is IVF with full-precision in-cell distances — recall loss comes
+    ONLY from coarse-probe misses, so recall -> 1 monotonically as
+    n_probe -> n_cells (the knob certified as a measured curve by gate
+    x77).  Carrying ``probe_rank`` means ONE corpus cell-assignment pass
+    and ONE candidates join serve a whole recall-vs-n_probe sweep:
+    an arm at probe budget p is just ``filter(probe_rank <= p)`` + a
+    per-query top-k window over these slim (query, candidate) rows.
+
+    Scale shape: centroids broadcast (same L2 coarse seam as ivfpq_topk —
+    stride cells by default, trained via ``cell_centroids``); corpus
+    assignment is a map-side-combinable min(struct) argmin carrying the
+    vector; the probe table (|Q| x n_probe rows + query vectors) is
+    broadcast into the cell equi-join, so the corpus never shuffles."""
+    v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    ccents = (
+        cell_centroids.select("cell", "_cv")
+        if cell_centroids is not None
+        else _stride_cells(v, cell_stride, n_cells)
+    )
+    corp = (
+        v.crossJoin(F.broadcast(ccents))
+        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
+        .groupBy("_id")
+        .agg(F.min(F.struct("cd2", "cell", "_qv")).alias("m"))
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("m.cell").alias("cell"),
+            F.col("m._qv").alias("cvec"),
+        )
+    )
+    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    probes = (
+        qv.crossJoin(F.broadcast(ccents))
+        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(
+            F.col("_id").alias("query_id"),
+            "cell",
+            "probe_rank",
+            F.col("_qv").alias("qqvec"),
+        )
+    )
+    return (
+        corp.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _l2_bigint(F.col("qqvec"), F.col("cvec")).alias("d2"),
+            F.col("probe_rank").cast("bigint").alias("probe_rank"),
+        )
+    )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Serving-grade SECOND stage: full-precision bigint-L2 rerank of an
+    ANN candidate pool — the standard search-then-rerank shape (FAISS
+    refine / two-stage retrieval) that recovers the recall a compressed
+    first stage (ADC) gives up to quantization error, while keeping the
+    per-query cost bounded by the pool size, not the corpus.
+
+    ``candidates``: (query_id, neighbor_id) from any first stage (e.g.
+    ivfpq_topk at k = pool_size).  The pool (|Q| x pool rows) is
+    BROADCAST against the corpus scan to fetch true vectors — an id-keyed
+    hash semi-join, no corpus shuffle — then scored exactly and ranked
+    (d2, neighbor_id) to top-``k``.  Recall after rerank is bounded only
+    by pool coverage (did the first stage surface the true neighbor),
+    which x77 measures arm-against-arm."""
+    cand = candidates.select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("cvec")
+    )
+    qvv = queries.select(
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qqvec")
+    )
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvv), "query_id")
+        .withColumn("d2", _l2_bigint(F.col("qqvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1143,6 +1143,219 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x77 — ANN recall-vs-n_probe curve + serving-grade (>=0.8) certified arm
+# ---------------------------------------------------------------------------
+
+_X77_PROBES = (1, 4, 8, 12)
+_X77_MAX_PROBE = 12
+_X77_POOL = 32
+
+
+def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
+    """Exact L2 ground truth + every arm replayed: the IVF-exact candidate
+    table once at the max probe budget (arms are probe_rank filters over
+    it, exactly like the operator), the IVFPQ ADC pool via the x55 oracle
+    at k=pool/n_probe=12, and the rerank arm re-scoring that pool with
+    exact d2."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    probes_vals = ", ".join(f"({p})" for p in _X77_PROBES)
+    denom = 10 * k  # 10 fixed queries x k
+    return f"""
+    WITH eq AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+                FROM embeddings),
+    ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM eq),
+    exact AS (SELECT query_id, neighbor_id FROM (
+                SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qr.vec_id
+                         ORDER BY {d2.format(a="qr.qvd", b="c.qvd")}, c.vec_id) AS rn
+                FROM ev qr JOIN ev c ON qr.vec_id <> c.vec_id
+                WHERE qr.vec_id < 10)
+              WHERE rn <= {k}),
+    ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM ev WHERE vec_id % {cell_stride} = 0
+                         AND vec_id // {cell_stride} < {n_cells}),
+    crank AS (SELECT vec_id, cell, r FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {d2.format(a="v.qvd", b="c.cvd")},
+                                                   c.cell) AS r
+                FROM ev v CROSS JOIN ccents c)),
+    corpcell AS (SELECT vec_id, cell FROM crank WHERE r = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell, r AS probe_rank
+               FROM crank WHERE r <= {_X77_MAX_PROBE} AND vec_id < 10),
+    cand AS (SELECT p.query_id, cc.vec_id AS neighbor_id, p.probe_rank,
+                    {d2.format(a="q.qvd", b="v.qvd")} AS d2
+             FROM qprobe p
+             JOIN corpcell cc USING (cell)
+             JOIN ev v ON v.vec_id = cc.vec_id
+             JOIN ev q ON q.vec_id = p.query_id
+             WHERE p.query_id <> cc.vec_id),
+    ivf_arms AS (SELECT np, query_id, neighbor_id FROM (
+                   SELECT np.np, c.query_id, c.neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY np.np, c.query_id
+                                             ORDER BY c.d2, c.neighbor_id) AS rn
+                   FROM (VALUES {probes_vals}) np(np)
+                   JOIN cand c ON c.probe_rank <= np.np)
+                 WHERE rn <= {k}),
+    ivf_hits AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS hits
+                 FROM ivf_arms a JOIN exact e USING (query_id, neighbor_id)
+                 GROUP BY np),
+    pool AS (SELECT query_id, neighbor_id, rank
+             FROM ({_ivfpq_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE)})),
+    adc5 AS (SELECT query_id, neighbor_id FROM pool WHERE rank <= {k}),
+    rr AS (SELECT query_id, neighbor_id FROM (
+             SELECT p.query_id, p.neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                       ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                p.neighbor_id) AS rn
+             FROM pool p
+             JOIN ev v ON v.vec_id = p.neighbor_id
+             JOIN ev q ON q.vec_id = p.query_id)
+           WHERE rn <= {k}),
+    spine AS (
+      SELECT 'ivf_exact' AS arm, CAST(np AS BIGINT) AS n_probe,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
+      FROM (VALUES {probes_vals}) np(np) LEFT JOIN ivf_hits h USING (np)
+      UNION ALL
+      SELECT 'ivfpq_adc', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM adc5 JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_rerank', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rr JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT))
+    SELECT arm, n_probe, hits, CAST({denom} AS BIGINT) AS denom,
+           CAST(hits * 1000000 // {denom} AS BIGINT) AS recall_micro
+    FROM spine
+    """
+
+
+@register(
+    "x77_ann_recall_curve",
+    oracle=_x77_oracle(),
+    tags=("similarity", "ann", "recall", "nprobe", "certification"),
+)
+def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-grade ANN recall, certified as a measured CURVE: x61 showed
+    recall@5 = 0.40-0.42 for the compressed indexes at n_probe=4 — this
+    entry certifies both knobs that buy it back.  (a) IVF with EXACT
+    in-cell distances swept over n_probe (1/4/8/12 of 16 cells): loss is
+    coarse-probe misses only, so the curve is monotone — measured 0.24 /
+    0.56 / 0.70 / 0.84 at sf0.01, with the 12-probe arm >= 0.8.  (b) the
+    two-stage serving shape: IVFPQ ADC generates a 32-candidate pool at
+    n_probe=12, exact bigint-L2 RERANKS it to top-5 (similarity.py::
+    exact_rerank) — 0.82 vs 0.46 for the same pool consumed ADC-only,
+    i.e. rerank recovers what quantization error gives up, bounded only
+    by pool coverage (the ivf_exact@12 arm).  One candidates join serves
+    all four IVF arms (probe_rank is carried, arms are filters); the ADC
+    pool is computed once and consumed by both the adc and rerank arms.
+    Every number is integer-exact (hits, denom, recall in micro-units) —
+    the driver hash-certifies the curve itself."""
+    from hiveka_spark.operators.similarity import (
+        exact_rerank,
+        ivf_exact_candidates,
+        ivfpq_topk,
+        with_quantized_norm,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    k = 5
+    denom = 10 * k
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    qv = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        c.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # consumed by all 6 arms
+    )
+
+    cand = ivf_exact_candidates(
+        e, qs, "vec_id", "embedding",
+        n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+    ).localCheckpoint(eager=True)  # one candidates join serves all IVF arms
+    wk = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    arm_frames = [
+        cand.filter(F.col("probe_rank") <= p)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.lit("ivf_exact").alias("arm"),
+            F.lit(p).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+        for p in _X77_PROBES
+    ]
+
+    pool = ivfpq_topk(
+        e, qs, "vec_id", "embedding",
+        k=_X77_POOL, n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+        m=16, dim=64, n_centroids=64, centroid_stride=7,
+    ).localCheckpoint(eager=True)  # consumed by the adc AND rerank arms
+    arm_frames.append(
+        pool.filter(F.col("rank") <= k).select(
+            F.lit("ivfpq_adc").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+    arm_frames.append(
+        exact_rerank(e, qs, pool, "vec_id", "embedding", k=k).select(
+            F.lit("ivfpq_rerank").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+
+    all_arms = arm_frames[0]
+    for f in arm_frames[1:]:
+        all_arms = all_arms.unionByName(f)
+    hits = (
+        all_arms.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("arm", "n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    spine = spark.createDataFrame(
+        [("ivf_exact", p) for p in _X77_PROBES]
+        + [("ivfpq_adc", _X77_MAX_PROBE), ("ivfpq_rerank", _X77_MAX_PROBE)],
+        "arm string, n_probe bigint",
+    )
+    return spine.join(hits, ["arm", "n_probe"], "left").select(
+        "arm",
+        "n_probe",
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.lit(denom).cast("bigint").alias("denom"),
+        F.expr(f"coalesce(hits, 0) * 1000000 DIV {denom}")
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # x63 — corpus snapshot diff (curation-run regression report)
 # ---------------------------------------------------------------------------
 

@@ -416,3 +416,66 @@ def test_trained_pq_codebooks_beat_stride_recall(spark):
     r_trained = recall(pq_topk(e, qs, k=5, codebooks=cb))
     assert r_trained > r_stride, f"trained {r_trained} <= stride {r_stride}"
     assert r_trained >= 0.4  # measured 0.50; generous floor for fixture drift
+
+
+def test_ann_recall_curve_monotone_and_rerank_recovers(spark):
+    """x77's contract on any fixture: IVF-exact recall is monotone
+    non-decreasing in n_probe (loss is probe misses only), and exact
+    rerank of the ADC pool never does worse than consuming the same pool
+    ADC-only (rerank can only reorder toward the true metric)."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {
+        (r["arm"], r["n_probe"]): r["recall_micro"]
+        for r in REGISTRY["x77_ann_recall_curve"].fn(spark, SF_SMOKE).collect()
+    }
+    curve = [rows[("ivf_exact", p)] for p in (1, 4, 8, 12)]
+    assert curve == sorted(curve), curve
+    assert rows[("ivfpq_rerank", 12)] >= rows[("ivfpq_adc", 12)]
+    assert all(0 <= v <= 1_000_000 for v in rows.values())
+
+
+def test_exact_rerank_of_full_pool_equals_exact_topk(spark):
+    """Reranking a pool that contains EVERY corpus vector must reproduce
+    the exact top-k — the invariant that pins exact_rerank's distance and
+    tie-break to the ground-truth definition."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import exact_rerank, with_quantized_norm
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    full_pool = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(e.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact_rerank(e, qs, full_pool, k=5).collect()
+    }
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    q = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want and len(want) == 25
