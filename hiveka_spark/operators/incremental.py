@@ -92,6 +92,58 @@ def _check_manifest(state_root: str, params: dict) -> None:
             json.dump(params, fh)
 
 
+def compact_minhash_index(spark: SparkSession, state_root: str) -> int | None:
+    """Fold every COMPLETE version of the batch index into one new version
+    across ALL THREE stores, then delete the rest.  Returns the new
+    version id, or None when nothing needed compacting.
+
+    The streaming ``compact_band_index`` handles only sh+bands — applied
+    to THIS index it would orphan the pairs store (no version present in
+    all three stores, so ``complete_versions`` goes empty and the
+    accumulated answer silently vanishes).  This variant keeps the
+    three-store commit protocol:
+
+    - the new id is max(any id in ANY store) + 1, so a crashed partial
+      ingest's dirs can never collide with the compacted dir;
+    - stores publish in the ingest order (sh, bands, PAIRS LAST): a crash
+      before the pairs publish leaves the new id partial — invisible to
+      ``complete_versions`` — with every old dir intact, and a compaction
+      retry simply picks the next id;
+    - old dirs (and any stale partials) are deleted only after all three
+      publishes; a crash mid-delete leaves duplicate index rows, which
+      every consumer tolerates (candidates/pairs ``.distinct()``, verify
+      joins recompute identical jaccards).
+
+    Same concurrency rule as the streaming compactor: run BETWEEN
+    updates, never concurrently with one.  After compaction the next
+    ingest must use a version id above the returned one (the normal
+    monotone-version guard enforces this)."""
+    import shutil
+
+    complete = complete_versions(state_root)
+    if len(complete) <= 1:
+        return None
+    all_ids = set().union(*[_store_versions(state_root, s) for s in _STORES])
+    new_id = max(all_ids) + 1
+    keep = set(complete)
+    for store in _STORES:  # ("sh", "bands", "pairs") — pairs last
+        root = os.path.join(state_root, store)
+        dirs = [
+            p
+            for p in committed_versions(root, 10**9)
+            if int(os.path.basename(p)[1:]) in keep
+        ]
+        tmp = os.path.join(root, "_compact_tmp")
+        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(root, f"b{new_id}"))
+    for store in _STORES:
+        root = os.path.join(state_root, store)
+        for n in os.listdir(root):
+            if n.startswith("b") and n[1:].isdigit() and int(n[1:]) != new_id:
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+    return new_id
+
+
 def minhash_index_update(
     spark: SparkSession,
     docs: DataFrame,
@@ -103,13 +155,22 @@ def minhash_index_update(
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.8,
+    compact_after: int | None = None,
 ) -> DataFrame:
     """Add corpus ``version`` to the persisted MinHash index; return the
     ACCUMULATED verified near-dup pair set (id_a, id_b, jaccard) over every
     version ingested so far.  ``docs`` must contain ONLY the new version's
     documents (ids globally unique across versions — re-ingesting an id
     would pair it with itself; the cross probe filters the degenerate
-    self-pair like streaming/neardup.py does)."""
+    self-pair like streaming/neardup.py does).
+
+    ``compact_after``: auto-compaction policy — when set and the number of
+    COMPLETE versions reaches it after this update, the three stores are
+    folded into one version (:func:`compact_minhash_index`) before the
+    accumulated answer is assembled.  Per-version dirs are what every
+    future update file-lists and probes, so without a bound a
+    daily-ingest index pays O(versions) listing overhead forever; N
+    bounds it at a constant."""
     _check_manifest(
         state_root,
         {"num_perm": num_perm, "bands": bands, "k": k, "threshold": threshold},
@@ -179,8 +240,12 @@ def minhash_index_update(
         os.path.join(pairs_root, f"b{version}")
     )
 
-    # 4. accumulated answer across every COMPLETE version (this one is now
-    #    complete: its pairs write just committed)
+    # 4. auto-compaction: this version is complete (its pairs write just
+    #    committed), so the fold is between-updates by construction
+    if compact_after is not None and len(complete_versions(state_root)) >= compact_after:
+        compact_minhash_index(spark, state_root)
+
+    # 5. accumulated answer across every COMPLETE version
     done = set(complete_versions(state_root))
     return (
         spark.read.parquet(

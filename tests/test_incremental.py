@@ -131,3 +131,104 @@ def test_batch_index_continues_into_streaming_dedup(spark, tmp_path):
             docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
         )
         assert _pairs(streamed) == _pairs(oneshot) and _pairs(streamed)
+
+
+def test_batch_continuation_through_compaction(spark, tmp_path):
+    """Compaction between updates must be invisible to results: v1+v2 ->
+    compact (three stores folded into ONE version each) -> v3 ingest probes
+    the compacted index, and the accumulated answer still equals the
+    one-shot batch run over the union."""
+    from hiveka_spark.operators.incremental import (
+        compact_minhash_index,
+        complete_versions,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1)
+        minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 1), root, 2)
+        new_id = compact_minhash_index(spark, root)
+        assert new_id == 3 and complete_versions(root) == [3]
+        for store in ("sh", "bands", "pairs"):
+            dirs = os.listdir(os.path.join(root, store))
+            assert [d for d in dirs if d.startswith("b")] == ["b3"], (store, dirs)
+        acc = minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 2), root, 4)
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)
+
+
+def test_batch_compaction_crash_window_is_retryable(spark, tmp_path):
+    """Model the compactor's worst crash point — sh and bands for the new
+    folded version published, crash BEFORE the pairs publish (pairs is
+    deliberately last) and before any deletes: every old version must
+    still be complete and live, the next ingest must keep working, and a
+    compaction retry must converge under a fresh id."""
+    from hiveka_spark.operators.incremental import (
+        compact_minhash_index,
+        complete_versions,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1)
+        a2 = minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 1), root, 2)
+        before = _pairs(a2)
+
+        # reproduce the compactor's first two publishes by hand (union of
+        # complete versions -> b3), stopping where the crash would: pairs
+        # untouched, no deletes run
+        for store in ("sh", "bands"):
+            sroot = os.path.join(root, store)
+            spark.read.parquet(
+                os.path.join(sroot, "b1"), os.path.join(sroot, "b2")
+            ).write.parquet(os.path.join(sroot, "b3"))
+
+        # partial b3 is invisible; the old state is fully live
+        assert complete_versions(root) == [1, 2]
+        acc = minhash_index_update(spark, docs.limit(0), root, 4)
+        assert _pairs(acc) == before
+
+        # retry: picks an id above EVERY existing dir (b3 partial, b4
+        # ingest), folds the complete versions, cleans up the stale partial
+        new_id = compact_minhash_index(spark, root)
+        assert new_id == 5
+        assert complete_versions(root) == [5]
+        for store in ("sh", "bands", "pairs"):
+            dirs = [d for d in os.listdir(os.path.join(root, store)) if d.startswith("b")]
+            assert dirs == ["b5"], (store, dirs)
+        acc = minhash_index_update(spark, docs.filter(F.col("doc_id") % 3 == 2), root, 6)
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)
+
+
+def test_auto_compaction_policy_bounds_version_dirs(spark, tmp_path):
+    """compact_after=2: every time the complete-version count reaches 2 the
+    stores fold to one dir, so the dir count stays bounded on a long
+    ingest cadence and results are unchanged."""
+    from hiveka_spark.operators.incremental import complete_versions
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "idx")
+    with D.dedup_cache_scope():
+        minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 3 == 0), root, 1, compact_after=2
+        )
+        assert complete_versions(root) == [1]  # below the bound: no fold
+        minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 3 == 1), root, 2, compact_after=2
+        )
+        assert complete_versions(root) == [3]  # folded 1+2 -> 3
+        acc = minhash_index_update(
+            spark, docs.filter(F.col("doc_id") % 3 == 2), root, 4, compact_after=2
+        )
+        assert complete_versions(root) == [5]  # folded 3+4 -> 5
+        oneshot = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
+        )
+        assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)
