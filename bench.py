@@ -102,6 +102,8 @@ HEADLINE = [
     "x75_dataset_export",
     "x76_bpe_train_capped",
     "x77_ann_recall_curve",
+    # round-8 additions (floors established from r8 on):
+    "x78_multi_epoch_export",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -340,7 +340,7 @@ def rolling_digest(sort_col: str, val_col: str):
 
 def segmented_order_digest(
     df: DataFrame,
-    group_col: str,
+    group_col: str | tuple[str, ...] | list[str],
     pos_col: str,
     val_col: str,
     out_col: str = "order_digest",
@@ -377,9 +377,10 @@ def segmented_order_digest(
     pin exercises.
     """
     spark = df.sparkSession
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
     seg = F.expr(f"CAST(({pos_col} - 1) DIV {seg_size} AS BIGINT)")
     segs = (
-        df.groupBy(F.col(group_col), seg.alias("_seg"))
+        df.groupBy(*[F.col(g) for g in group_cols], seg.alias("_seg"))
         .agg(
             rolling_digest(pos_col, val_col).alias("_d"),
             F.count(F.lit(1)).cast("int").alias("_len"),
@@ -390,7 +391,7 @@ def segmented_order_digest(
         "_len int, _pw bigint",
     )
     segs = segs.join(F.broadcast(pow_tbl), "_len")
-    return segs.groupBy(group_col).agg(
+    return segs.groupBy(*group_cols).agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("_seg", "_d", "_pw"))),
             F.lit(0).cast("bigint"),
@@ -431,6 +432,61 @@ def epoch_shards(
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return t.select(
         id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+        *keep_cols,
+    )
+
+
+def multi_epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    salts: tuple[str, ...] | list[str],
+    n_shards: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """E training epochs of :func:`epoch_shards` from ONE corpus scan — the
+    multi-epoch export path (x78).
+
+    A training run that consumes the corpus E times wants E *independent*
+    epoch orders, but reading the corpus E times to build them reads
+    100 TB E times.  Here the per-row epoch fan-out is a generator
+    (``posexplode`` over the salt literals) applied directly to the single
+    scan: each source row emits one lightweight (epoch, salt) copy, the
+    shard hash is salted per epoch, and the ONE exchange that follows is
+    keyed on (epoch, shard) — so all E epochs' shards rank in parallel
+    with zero global coordination, and the corpus parquet is scanned
+    exactly once (plan-asserted in tests/test_plans.py).
+
+    ``keep_cols`` payload (the export path carries text) is duplicated E×
+    *through the exchange* — unavoidable if E physical epoch copies are
+    being written, and still strictly cheaper than E scans because the
+    source read, decompression, and any upstream curation happen once.
+    For epoch 0 the output is row-for-row identical to
+    ``epoch_shards(df, id_col, salts[0], n_shards)`` (pinned in
+    tests/test_sampling.py), so a single-epoch consumer can't tell which
+    path produced its shards.
+
+    Returns (<id_col>, epoch, shard, shard_pos, *keep_cols) with epoch in
+    [0, len(salts)), shard in [0, n_shards), shard_pos 1-based within
+    (epoch, shard) under the (hash, id) order — byte-replayable from
+    (salts, ids) alone."""
+    t = df.select(
+        F.col(id_col),
+        *keep_cols,
+        F.posexplode(F.array(*[F.lit(s) for s in salts])).alias("epoch", "_salt"),
+    )
+    h = portable_hash60(F.concat(F.col("_salt"), F.col(id_col).cast("string")))
+    t = t.select(
+        id_col,
+        F.col("epoch").cast("bigint").alias("epoch"),
+        *keep_cols,
+        h.alias("_h"),
+    ).withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("bigint"))
+    w = Window.partitionBy("epoch", "shard").orderBy("_h", id_col)
+    return t.select(
+        id_col,
+        "epoch",
         "shard",
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
         *keep_cols,

@@ -2204,3 +2204,130 @@ def x75_dataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# x78 — multi-epoch export: E epoch orders from ONE corpus scan
+# ---------------------------------------------------------------------------
+
+_X78_EPOCH_SALTS = ("epoch0_", "epoch1_")
+_X78_SHARDS = 8
+
+
+def _x78_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat(e.salt, CAST(d.doc_id AS VARCHAR))")
+    dd = portable_hash60_sql("concat(CAST(d.doc_id AS VARCHAR), ':', md5(d.text))")
+    salts = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_X78_EPOCH_SALTS)
+    )
+    return f"""
+    WITH t AS (SELECT e.epoch, d.doc_id,
+                      CAST(LEN(list_filter(string_split(LOWER(d.text), ' '),
+                                           x -> x <> '')) AS BIGINT) AS n_tok,
+                      {h} AS hh,
+                      {dd} AS dd
+               FROM documents d
+               CROSS JOIN (VALUES {salts}) e(epoch, salt)),
+    s AS (SELECT epoch, doc_id, n_tok, dd,
+                 CAST(hh % {_X78_SHARDS} AS BIGINT) AS shard,
+                 ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X78_SHARDS}
+                                    ORDER BY hh, doc_id) AS shard_pos
+          FROM t)
+    SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list(dd ORDER BY shard_pos)),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS order_digest
+    FROM s GROUP BY epoch, shard
+    """
+
+
+def x78_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-write staged frame for x78 — split out so tests/test_plans.py
+    can assert its physical plan scans documents.parquet exactly ONCE for
+    E=2 epochs (the whole point of the multi-epoch path)."""
+    from hiveka_spark.operators.sampling import multi_epoch_shards
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return multi_epoch_shards(
+        docs, "doc_id", _X78_EPOCH_SALTS, _X78_SHARDS, keep_cols=("text",)
+    )
+
+
+@register(
+    "x78_multi_epoch_export",
+    oracle=_x78_oracle(),
+    tags=("training-prep", "export", "sharding", "manifest", "multi-epoch"),
+)
+def x78_multi_epoch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch dataset PUBLISH — x75 generalized to E training epochs
+    sharing ONE corpus scan (the round-7 verdict's item 8): every document
+    is fanned out to E (epoch, salt) copies by a generator on the single
+    scan (operators/sampling.py::multi_epoch_shards — posexplode over the
+    salt literals, so the parquet source, its decompression, and any
+    upstream curation run once no matter how many epochs ship), sharded
+    per epoch by the salted hash, physically written as
+    partitionBy(epoch, shard) parquet — the layout a multi-epoch training
+    job consumes directly, one directory per (epoch, shard) — read back,
+    and certified by one manifest row per (epoch, shard): (n_docs,
+    n_tokens, order_digest), digest composed segment-wise exactly as x75
+    (bounded seg_size=64 buffers, affine 31^len carries — no whole-shard
+    array anywhere).
+
+    Epoch 0 is row-identical to x75's single-epoch export (same salt, same
+    shard count — pinned in tests/test_sampling.py), so the multi-epoch
+    path is a strict superset, not a fork.  The oracle replays both
+    epochs' shard assignment, ordering, and digests from the source table,
+    so a mismatch means the fan-out, the physical write, or the read-back
+    corrupted content or order.
+
+    Scale shape: one corpus scan, one exchange keyed (epoch, shard) — all
+    E×n_shards groups rank in parallel, zero global coordination, no
+    SinglePartition exchange (plan-asserted).  Payload text crosses the
+    exchange E× because E physical copies are being written; that is the
+    write's own output volume, not overhead."""
+    import shutil
+
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import segmented_order_digest
+
+    staged = x78_staged(spark, sf_dir)
+    out_dir = scratch_dir(prefix="gate_x78export_")
+    staged.write.mode("overwrite").partitionBy("epoch", "shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    dd = portable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))
+    )
+    per_doc = back.select(
+        "epoch",
+        "shard",
+        "shard_pos",
+        dd.alias("dd"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    counts = per_doc.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    digests = segmented_order_digest(
+        per_doc, ("epoch", "shard"), "shard_pos", "dd",
+        out_col="order_digest", seg_size=64,
+    )
+    manifest = (
+        counts.join(digests, ["epoch", "shard"])
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.col("order_digest").cast("bigint").alias("order_digest"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest

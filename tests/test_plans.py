@@ -447,3 +447,21 @@ def test_bpe_max_words_cap_is_take_ordered(spark):
     plan = formatted_plan(capped)
     assert "TakeOrderedAndProject" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_x78_multi_epoch_staged_scans_corpus_once(spark):
+    """The multi-epoch export's whole point: E=2 epoch orders from ONE
+    corpus scan.  The staged frame's plan must contain exactly one
+    documents.parquet scan (the epoch fan-out is a generator, not a
+    self-union), one hash exchange keyed on the epoch/shard, and no
+    SinglePartition or range exchange (no hidden global sort)."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.curation_ext import x78_staged
+
+    staged = x78_staged(spark, SF_SMOKE)
+    plan = formatted_plan(staged)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Generate" in plan, plan  # posexplode fan-out, not a union
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert shuffle_count(staged) == 1, plan

@@ -170,3 +170,62 @@ def test_segmented_digest_equals_one_buffer_digest(spark):
         for r in segmented_order_digest(df, "shard", "shard_pos", "dd", "d", seg_size=64).collect()
     }
     assert seg == one and len(seg) == 3
+
+
+def test_multi_epoch_shards_epoch0_pins_to_single_epoch_path(spark):
+    """x78's fan-out must be a strict superset of x75's single-epoch
+    export: epoch 0 row-identical to epoch_shards under the same salt, and
+    each epoch's (shard, shard_pos) space independently dense."""
+    from hiveka_spark.operators.sampling import epoch_shards, multi_epoch_shards
+
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    multi = multi_epoch_shards(d, "doc_id", ("epoch0_", "epoch1_"), 4,
+                               keep_cols=("text",))
+    single = epoch_shards(d, "doc_id", "epoch0_", 4, keep_cols=("text",))
+    got0 = {
+        (r["doc_id"], r["shard"], r["shard_pos"], r["text"])
+        for r in multi.filter(F.col("epoch") == 0).drop("epoch").collect()
+    }
+    want = {
+        (r["doc_id"], r["shard"], r["shard_pos"], r["text"])
+        for r in single.collect()
+    }
+    assert got0 == want
+    # epoch 1 is a DIFFERENT order (salted differently) over the same ids
+    n = d.count()
+    e1 = multi.filter(F.col("epoch") == 1)
+    assert e1.count() == n
+    assert {r["doc_id"] for r in e1.select("doc_id").collect()} == {
+        r["doc_id"] for r in d.select("doc_id").collect()
+    }
+    pos1 = {(r["shard"], r["shard_pos"]) for r in e1.collect()}
+    assert len(pos1) == n  # dense, collision-free positions per epoch
+    # and the two epochs genuinely differ in assignment
+    a0 = {(r["doc_id"], r["shard"]) for r in multi.filter(F.col("epoch") == 0).collect()}
+    a1 = {(r["doc_id"], r["shard"]) for r in e1.collect()}
+    assert a0 != a1
+
+
+def test_segmented_digest_multi_column_group(spark):
+    """segmented_order_digest with a composite group key must equal the
+    one-buffer rolling_digest per (epoch, shard) group."""
+    from hiveka_spark.operators.sampling import (
+        multi_epoch_shards,
+        rolling_digest,
+        segmented_order_digest,
+    )
+
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    staged = multi_epoch_shards(d, "doc_id", ("ea_", "eb_"), 3)
+    vals = staged.select(
+        "epoch", "shard", "shard_pos",
+        (F.col("doc_id") % 1000).cast("bigint").alias("v"),
+    )
+    seg = segmented_order_digest(vals, ("epoch", "shard"), "shard_pos", "v",
+                                 seg_size=7)
+    one = vals.groupBy("epoch", "shard").agg(
+        rolling_digest("shard_pos", "v").alias("order_digest")
+    )
+    got = {(r["epoch"], r["shard"], r["order_digest"]) for r in seg.collect()}
+    want = {(r["epoch"], r["shard"], r["order_digest"]) for r in one.collect()}
+    assert got == want
