@@ -1132,3 +1132,165 @@ def s22_stream_kafka_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wire = read_kafka_batch(spark, cfg, broker=broker)
     return decode_wire(wire, cfg).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# s23 — the LIVE pipeline: ingest topic -> curate -> compacted curated topic
+# ---------------------------------------------------------------------------
+
+
+def _s23_oracle(contain_pct: int = 50) -> str:
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.text import EN_STOPWORDS
+    from hiveka_spark.queries.extensions import _EVAL_SOURCES
+
+    k = 3
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    evals = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    machinery = D.minhash_machinery_sql(32, 8, k, tok_cte="tok")
+    jac = D.jaccard_pairs_sql("cand", "pairs", 0.8)
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+                 FROM documents WHERE source NOT IN ({evals})),
+    evtok AS (SELECT doc_id,
+                     list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+              FROM documents WHERE source IN ({evals})),
+    evsh AS (SELECT DISTINCT array_to_string(ws[i:i+{k - 1}], ' ') AS s
+             FROM (SELECT ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                   FROM evtok)),
+    {machinery},
+    gf AS (SELECT doc_id,
+                  CAST(LEN(ws) AS BIGINT) AS n_words,
+                  CAST(FLOOR(list_sum(list_transform(ws, w -> LENGTH(w))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS mean_word_len,
+                  CAST(FLOOR(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS alpha_frac,
+                  CAST(LEN(list_intersect(list_distinct(ws), {stop_sql})) AS BIGINT)
+                    AS n_stop_distinct
+           FROM tok),
+    gq AS (SELECT doc_id FROM gf
+           WHERE n_words BETWEEN 15 AND 5000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND alpha_frac >= 0.7 AND n_stop_distinct >= 2),
+    hits AS (SELECT m.doc_id,
+                    COUNT(*) AS n_sh,
+                    SUM(CASE WHEN m.s IN (SELECT s FROM evsh) THEN 1 ELSE 0 END) AS n_hit
+             FROM sh m JOIN gq USING (doc_id)
+             GROUP BY m.doc_id),
+    bflag AS (SELECT doc_id FROM hits WHERE n_hit * 100 >= {contain_pct} * n_sh),
+    part AS (SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+             FROM documents d JOIN gq USING (doc_id)
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM bflag)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                         AND a.doc_id < b.doc_id
+             JOIN part pa ON pa.doc_id = a.doc_id
+             JOIN part pb ON pb.doc_id = b.doc_id),
+    {jac}
+    SELECT p.doc_id, p.lang, p.n_chars
+    FROM part p WHERE p.doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@register(
+    "s23_stream_curation_e2e",
+    oracle=_s23_oracle(),
+    tags=("streaming", "pipeline", "kafka", "dedup", "decontamination", "compaction"),
+)
+def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE end-to-end curation pipeline — topic in, curated topic out,
+    the composed flow the reference's README sketches (README.md:7-16:
+    Kafka scan -> query -> output) upgraded to a full curation chain, and
+    the streaming twin of x60's batch composition (round-7 verdict item 5):
+
+        Avro ingest topic -> per-micro-batch decode (s17's wire path)
+        -> Gopher rules (x45, stateless) -> eval-shingle CONTAINMENT
+        decontam (x68's rule at doc granularity via x62's bloom_probe:
+        bitset upper bound + broadcast exact-hit count in one pass; flag
+        iff >= 50% of a doc's distinct shingles are eval shingles;
+        stateless) -> MinHash band-index near-dup dedup
+        (s19's persisted-index discipline, the stateful stage)
+        -> marker-protected Avro PRODUCE (s22) onto a LOG-COMPACTED
+        curated topic as upsert/tombstone records.
+
+    Convergence contract (the oracle): near-dup survivorship is "smallest
+    doc_id of a dup group wins" — but a doc's smaller partner can ARRIVE
+    LATER, after the doc was already produced.  The sink emits immediately
+    and RETRACTS by producing a tombstone (op='d', same key) when a later
+    batch discovers an indexed doc lost to a newly arrived smaller id —
+    so under last-record-per-key compaction the topic converges to
+    EXACTLY the batch answer for any arrival order (streaming/curation.py
+    for the full argument).  The returned frame is the compacted read-back
+    (read_compacted: per-key max-offset record, tombstones delete), and
+    the DuckDB oracle replays all three stages batch-wise from the source
+    table: gopher pass AND not containment-flagged AND not the larger side of
+    any verified (jaccard >= 0.8) pair among participants.  One hash
+    certifies decode, every filter decision, cross-batch index probes,
+    retraction, produce framing, and compaction.
+
+    Kill-and-resume across the whole chain is pinned in
+    tests/test_streaming_curation.py (fresh sink objects + continued
+    checkpoint; marker replay leaves the log unchanged)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig, write_kafka
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.curation import (
+        StreamCurationSink,
+        curated_topic_config,
+        read_compacted,
+    )
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+
+    broker = SimBroker(scratch_dir(prefix="gate_s23broker_"))
+    cfg_in = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["docs_raw"],
+        ddl="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    broker.create_topic("docs_raw", partitions=4)
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        "doc_id", "text", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    write_kafka(raw, cfg_in, "docs_raw", key_col="doc_id", broker=broker)
+
+    cfg_out = curated_topic_config("sim://gate", "docs_curated")
+    broker.create_topic("docs_curated", partitions=4)
+
+    from hiveka_spark.sources.kafka_io import decode_wire
+
+    typed = decode_wire(
+        broker.stream(spark, "docs_raw", max_files_per_trigger=1), cfg_in
+    ).select("doc_id", "text", "lang", "n_chars")
+
+    sink = StreamCurationSink(
+        scratch_dir(prefix="gate_s23state_"),
+        KafkaStreamSink(
+            cfg_out, "docs_curated", scratch_dir(prefix="gate_s23commits_"),
+            broker=broker, key_col="doc_id",
+        ),
+        bitset, ev_sh,
+        num_perm=32, bands=8, k=3, threshold=0.8,
+        bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+    )
+    q = (
+        typed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s23_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = sink.produce_sink.committed_batches()
+    assert len(committed) >= 3, f"expected >=3 curated micro-batches, got {committed}"
+    return read_compacted(spark, cfg_out, broker=broker)

@@ -19,6 +19,7 @@ swaps out for the real connector by dropping the ``broker=`` argument.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -222,12 +223,20 @@ class SimBroker:
         )
         scans = []
         for t in topics:
+            # a freshly created (or fully retained-away) topic has metadata
+            # but no log segments yet — Kafka serves it as an empty scan,
+            # not an error, so the simulator must too.
+            segs = glob.glob(os.path.join(self.root, t, "partition=*", "*.parquet"))
+            if not segs:
+                continue
             df = spark.read.parquet(os.path.join(self.root, t))
             scans.append(df.select(
                 "key", "value", F.lit(t).alias("topic"),
                 F.col("partition").cast("int").alias("partition"),
                 "offset", "timestamp", "timestampType",
             ))
+        if not scans:
+            return spark.createDataFrame([], WIRE_DDL)
         wire = scans[0]
         for s in scans[1:]:
             wire = wire.unionByName(s)
@@ -237,15 +246,22 @@ class SimBroker:
             .drop("_start", "_end")
         )
 
-    def stream(self, spark: SparkSession, topic: str) -> DataFrame:
+    def stream(
+        self, spark: SparkSession, topic: str, max_files_per_trigger: int | None = None
+    ) -> DataFrame:
         """The topic log as a file-source micro-batch stream (checkpointable,
-        same wire schema) — the simulator's readStream.format('kafka')."""
+        same wire schema) — the simulator's readStream.format('kafka').
+        ``max_files_per_trigger`` caps log segments per micro-batch (the
+        simulator's maxOffsetsPerTrigger analog) so a drained topic still
+        exercises REAL multi-batch processing."""
+        reader = spark.readStream.schema(
+            "key binary, value binary, offset long, timestamp timestamp, "
+            "timestampType int"
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return (
-            spark.readStream.schema(
-                "key binary, value binary, offset long, timestamp timestamp, "
-                "timestampType int"
-            )
-            .option("basePath", os.path.join(self.root, topic))
+            reader.option("basePath", os.path.join(self.root, topic))
             .option("pathGlobFilter", "*.parquet")
             .parquet(os.path.join(self.root, topic, "partition=*"))
             .withColumn("topic", F.lit(topic))

@@ -1,0 +1,240 @@
+"""Live end-to-end curation pipeline: ingest topic -> curate -> curated topic.
+
+The streaming twin of x60's composed batch pipeline and the shape the
+reference's README sketches (topic in -> query -> topic out): documents
+arrive as Avro wire records on an ingest topic, each micro-batch is decoded
+and pushed through the batch operators' own stage chain — Gopher rules
+(operators/text.py, stateless), eval-shingle CONTAINMENT decontamination
+(operators/dedup.py bloom_probe: Bloom bitset upper bound + broadcast
+exact-hit count in one pass; a doc flags iff >= half its distinct shingles
+are eval shingles — x68's rule at doc granularity, stateless), MinHash
+band-index near-dup dedup (the s19 persisted-index discipline, the only
+stateful stage) — and
+the surviving documents are produced onto a LOG-COMPACTED curated topic
+through the marker-protected Kafka sink (streaming/kafka_sink.py).
+
+Retraction, not reordering: near-dup survivorship is "the smallest doc_id
+of a dup group wins" (x60's batch rule — a doc is dropped iff it verifies
+against a smaller-id participant).  A stream cannot apply that rule at
+emission time, because the smaller partner may ARRIVE LATER than a doc
+that was already produced.  Instead of holding emissions back, the sink
+embraces Kafka log-compaction semantics: every kept doc is produced as an
+upsert record (op='u', key=doc_id) immediately, and when a later batch
+discovers that an already-indexed doc lost to a newly arrived smaller id,
+it produces a TOMBSTONE (op='d') for the same key.  Under last-record-
+per-key compaction the topic therefore CONVERGES to exactly the batch
+answer for ANY arrival order — the standard CDC/compacted-topic pattern,
+and the reason the convergence oracle can be exact.
+
+Replay safety composes from the parts: dedup state dirs are versioned by
+batch id and overwritten on replay (the s16/s19 discipline); the produce
+step is marker-gated (kafka_sink.py) so a checkpoint-replayed batch never
+appends twice; and even a crash in the produce->marker window only
+duplicates records whose keys compact away (an extra 'u' or 'd' with an
+identical predecessor changes nothing after compaction) — upsert payloads
+are a pure function of the doc, so re-produced records are byte-identical.
+
+Scale shape per micro-batch: Gopher and Bloom are zero-shuffle map stages
+(the bitset is 32 KiB of literal plan data); the dedup stage is one
+signature aggregate over the BATCH only plus one (band, bh)-keyed equi-join
+against the committed index — never a corpus rescan, never all-pairs; the
+produce is map-only Avro encode.  At 100 TB the index is the only growing
+state, with the same bucketing/compaction story as streaming/neardup.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hiveka_spark.sources.kafka_io import (
+    KafkaTableConfig,
+    decode_wire,
+    read_kafka_batch,
+)
+from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+from hiveka_spark.streaming.neardup import committed_versions
+
+
+class StreamCurationSink:
+    """foreachBatch callable running the full curation chain on each decoded
+    micro-batch of (doc_id, text, lang, n_chars) rows.
+
+    Parameters
+    ----------
+    state_root:
+        Root for the dedup band index (``bands/b{id}``, ``sh/b{id}``).
+    produce_sink:
+        Marker-protected :class:`KafkaStreamSink` targeting the curated
+        topic; its payload schema must be
+        ``doc_id BIGINT, lang STRING, n_chars BIGINT, op STRING``.
+    bitset / ev_sh:
+        Pre-built Bloom bitset literal + eval shingle frame
+        (``operators.dedup.build_bloom_bitset`` / ``eval_shingle_set``) —
+        built ONCE before the stream starts; pure plan data reused by every
+        micro-batch.
+    """
+
+    def __init__(
+        self,
+        state_root: str,
+        produce_sink: KafkaStreamSink,
+        bitset,
+        ev_sh: DataFrame,
+        num_perm: int = 32,
+        bands: int = 8,
+        k: int = 3,
+        threshold: float = 0.8,
+        bloom_m: int = 2**18,
+        bloom_h: int = 3,
+        contain_pct: int = 50,
+    ) -> None:
+        self.state_root = state_root
+        self.produce_sink = produce_sink
+        self.bitset = bitset
+        self.ev_sh = ev_sh
+        self.num_perm, self.bands, self.k = num_perm, bands, k
+        self.threshold = threshold
+        self.bloom_m, self.bloom_h = bloom_m, bloom_h
+        self.contain_pct = contain_pct
+        self.bands_root = os.path.join(state_root, "bands")
+        self.sh_root = os.path.join(state_root, "sh")
+        for p in (self.bands_root, self.sh_root):
+            os.makedirs(p, exist_ok=True)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from hiveka_spark.operators import dedup as D
+        from hiveka_spark.operators.text import with_gopher_rules
+
+        s = batch_df.sparkSession
+
+        # stage 1+2 (stateless): Gopher rule chain, then the Bloom probe on
+        # the survivors; participants are checkpointed once so the three
+        # downstream consumers (shingle write, band write, produce) don't
+        # re-run tokenization — bounded by one micro-batch.
+        g = (
+            with_gopher_rules(batch_df)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "text", "lang", "n_chars")
+        )
+        # the flag rule is CONTAINMENT, not any-hit: a doc is contaminated
+        # iff >= contain_pct% of its distinct shingles are eval shingles
+        # (x68's semantics at doc granularity; any-hit would nuke the whole
+        # corpus whenever eval/train share common phrases).  bloom_probe
+        # computes both the bitset upper bound and the broadcast exact-hit
+        # count in one pass; the decision uses the exact count, all-bigint.
+        flagged = (
+            D.bloom_probe(
+                g, self.bitset, self.ev_sh, "doc_id", "text",
+                k=self.k, m_bits=self.bloom_m, n_hashes=self.bloom_h,
+            )
+            .filter(
+                F.col("n_exact_hits") * 100
+                >= F.lit(self.contain_pct) * F.col("n_shingles")
+            )
+            .select(F.col("doc").alias("doc_id"))
+        )
+        part = g.join(flagged, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+        # stage 3 (stateful): s19's band-index discipline — write this
+        # batch's shingles/bands (overwrite by id: replay-idempotent), probe
+        # the committed index for cross-batch candidates, self-join for
+        # within-batch ones, Jaccard-verify both.
+        D._shingle_sets(part, "doc_id", "text", self.k, reuse=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.sh_root, f"b{batch_id}"))
+        sh_cur = s.read.parquet(os.path.join(self.sh_root, f"b{batch_id}"))
+        D.minhash_band_rows(
+            None, "doc_id", "text",
+            num_perm=self.num_perm, bands=self.bands, k=self.k,
+            reuse=False, shingle_df=sh_cur,
+        ).write.mode("overwrite").parquet(os.path.join(self.bands_root, f"b{batch_id}"))
+        bands_cur = s.read.parquet(os.path.join(self.bands_root, f"b{batch_id}"))
+
+        a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
+        b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
+        cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+        prior = committed_versions(self.bands_root, batch_id)
+        if prior:
+            idx = s.read.parquet(*prior).select(
+                F.col("doc").alias("id_old"), "band", "bh"
+            )
+            new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
+            cross = (
+                idx.join(new, ["band", "bh"])
+                .filter(F.col("id_old") != F.col("id_new"))
+                .select(
+                    F.least("id_old", "id_new").alias("id_a"),
+                    F.greatest("id_old", "id_new").alias("id_b"),
+                )
+            )
+            cand = cand.select("id_a", "id_b").unionByName(cross)
+        cand = cand.select("id_a", "id_b").distinct()
+        sh_all = s.read.parquet(
+            os.path.join(self.sh_root, f"b{batch_id}"),
+            *committed_versions(self.sh_root, batch_id),
+        )
+        pairs = D._verified_jaccard(cand, sh_all, self.threshold).select(
+            "id_a", "id_b"
+        )
+
+        # survivorship: every verified pair's id_b loses (x60's batch rule).
+        # id_b in THIS batch  -> never produced (dropped before emission);
+        # id_b in the index   -> already produced in an earlier batch ->
+        #                        TOMBSTONE it (op='d'); compaction converges
+        #                        the topic to the batch answer.
+        batch_ids = part.select("doc_id")
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        drops_here = losers.join(batch_ids, "doc_id", "semi")
+        tombstones = losers.join(batch_ids, "doc_id", "anti").select(
+            "doc_id",
+            F.lit("").alias("lang"),
+            F.lit(0).cast("bigint").alias("n_chars"),
+            F.lit("d").alias("op"),
+        )
+        kept = part.join(drops_here, "doc_id", "left_anti").select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.lit("u").alias("op"),
+        )
+        self.produce_sink(kept.unionByName(tombstones), batch_id)
+
+
+def curated_topic_config(bootstrap: str, topic: str) -> KafkaTableConfig:
+    """Table config for the compacted curated topic (upsert/tombstone wire
+    schema shared by the sink and the read-back)."""
+    return KafkaTableConfig(
+        bootstrap_servers=bootstrap,
+        whitelist_topics=[topic],
+        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT, op STRING",
+    )
+
+
+def read_compacted(
+    spark: SparkSession, cfg: KafkaTableConfig, broker=None
+) -> DataFrame:
+    """Read a curated topic back under LOG-COMPACTION semantics: for each
+    key the LAST record (by offset; keys are routed to one partition, so
+    per-partition offsets totally order each key's history) wins, and a
+    winning tombstone (op='d') deletes the key.  This is exactly what a
+    consumer of a ``cleanup.policy=compact`` topic observes after
+    compaction runs — computed here so the convergence contract can be
+    asserted against an uncompacted simulator log.
+
+    Scale shape: one scan of the topic, one (doc_id)-keyed window (the
+    max-offset argmax); on a real deployment the broker's own compaction
+    does this server-side and the consumer reads the retained records."""
+    from pyspark.sql import Window
+
+    wire = read_kafka_batch(spark, cfg, broker=broker)
+    dec = decode_wire(wire, cfg)
+    w = Window.partitionBy("doc_id").orderBy(F.col("offset").desc())
+    last = (
+        dec.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("op") == "u")
+    )
+    return last.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
