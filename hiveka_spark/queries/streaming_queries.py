@@ -1215,14 +1215,15 @@ def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateless) -> MinHash band-index near-dup dedup
         (s19's persisted-index discipline, the stateful stage)
         -> marker-protected Avro PRODUCE (s22) onto a LOG-COMPACTED
-        curated topic as upsert/tombstone records.
+        curated topic as upsert records + REAL tombstones (key set,
+        value NULL — the record shape broker compaction deletes on).
 
     Convergence contract (the oracle): near-dup survivorship is "smallest
     doc_id of a dup group wins" — but a doc's smaller partner can ARRIVE
     LATER, after the doc was already produced.  The sink emits immediately
-    and RETRACTS by producing a tombstone (op='d', same key) when a later
-    batch discovers an indexed doc lost to a newly arrived smaller id —
-    so under last-record-per-key compaction the topic converges to
+    and RETRACTS by producing a null-value tombstone for the same key when
+    a later batch discovers an indexed doc lost to a newly arrived smaller
+    id — so under last-record-per-key compaction the topic converges to
     EXACTLY the batch answer for any arrival order (streaming/curation.py
     for the full argument).  The returned frame is the compacted read-back
     (read_compacted: per-key max-offset record, tombstones delete), and
@@ -1234,7 +1235,9 @@ def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kill-and-resume across the whole chain is pinned in
     tests/test_streaming_curation.py (fresh sink objects + continued
-    checkpoint; marker replay leaves the log unchanged)."""
+    checkpoint; marker replay leaves the log byte-identical; the
+    produce->marker crash window compacts away; arrival-order
+    convergence)."""
     from hiveka_spark.catalog import table
     from hiveka_spark.operators import dedup as D
     from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
@@ -1277,7 +1280,7 @@ def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_dir(prefix="gate_s23state_"),
         KafkaStreamSink(
             cfg_out, "docs_curated", scratch_dir(prefix="gate_s23commits_"),
-            broker=broker, key_col="doc_id",
+            broker=broker, key_col="doc_id", tombstone_col="_tombstone",
         ),
         bitset, ev_sh,
         num_perm=32, bands=8, k=3, threshold=0.8,

@@ -122,6 +122,22 @@ def _encode_value(out: io.BytesIO, schema: Any, value: Any) -> None:
             (idx, b) for idx, b in enumerate(schema)
             if b != "null" and _branch_matches(b, value)
         ]
+        if not matches and isinstance(value, float) and not any(
+            _norm(b) in ("float", "double") for b in schema
+        ):
+            # pandas/Arrow reality: a nullable int64 column arrives as
+            # float64 (485.0, NaN-for-null).  Only when the union has no
+            # true float branch: NaN -> null, integral float -> int/long.
+            import math
+
+            if math.isnan(value) and "null" in schema:
+                _write_varint(out, schema.index("null"))
+                return
+            if value.is_integer():
+                matches = [
+                    (idx, b) for idx, b in enumerate(schema)
+                    if _norm(b) in ("int", "long")
+                ]
         if not matches:
             raise ValueError(f"no union branch for value {value!r} in {schema}")
         if len(matches) > 1:
@@ -401,6 +417,7 @@ def encode_avro_df(
     ts_col: str | None = None,
     framing: str = "raw",
     schema_id: int | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Encode rows into a binary Avro ``value`` column (+ optional key) —
     the real implementation of the reference's stubbed write path
@@ -409,7 +426,9 @@ def encode_avro_df(
     ``ts_col``: pass an event-time column through as the wire ``timestamp``
     (Kafka producer-record timestamp) so time-based offset resolution works
     downstream.  ``framing='confluent'`` prepends the 0x00 magic + big-endian
-    ``schema_id`` header (the id the schema was registered under)."""
+    ``schema_id`` header (the id the schema was registered under).
+    ``tombstone_col``: boolean column; marked rows encode as key-only
+    NULL-value records (real ``cleanup.policy=compact`` tombstones)."""
     _check_framing(framing)
     if framing == "confluent" and schema_id is None:
         raise ValueError(
@@ -431,11 +450,20 @@ def encode_avro_df(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for tup in pdf.itertuples(index=False):
-                vals = tup._asdict()
-                payload = encode_record(schema_dict, {n: vals.get(n) for n in field_names})
-                if framing == "confluent":
-                    payload = frame_confluent(payload, schema_id)
+            colnames = list(pdf.columns)
+            # name=None keeps plain tuples: namedtuple _asdict silently
+            # RENAMES leading-underscore columns (e.g. a _tombstone flag)
+            # to positional fields, losing them
+            for tup in pdf.itertuples(index=False, name=None):
+                vals = dict(zip(colnames, tup))
+                if tombstone_col and bool(vals.get(tombstone_col)):
+                    payload = None
+                else:
+                    payload = encode_record(
+                        schema_dict, {n: vals.get(n) for n in field_names}
+                    )
+                    if framing == "confluent":
+                        payload = frame_confluent(payload, schema_id)
                 row = {value_alias: payload}
                 if key_col:
                     kv = vals.get(key_col)

@@ -347,12 +347,18 @@ def encode_payload(
     key_col: str | None = None,
     use_jvm_avro: bool | None = None,
     ts_col: str | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Rows -> binary Kafka ``value`` (+ optional ``key``) in the table's
     Avro schema.  Same dispatch as :func:`decode_wire`: JVM ``to_avro`` when
     spark-avro is on the classpath, Arrow-batched Python wire codec
     otherwise.  ``ts_col`` rides through as the producer-record
     ``timestamp`` (enables time-based offset resolution on the scan side).
+
+    ``tombstone_col``: boolean column marking rows to emit as REAL Kafka
+    tombstones — key set, ``value`` NULL — the record shape a
+    ``cleanup.policy=compact`` broker deletes keys on.  Requires
+    ``key_col`` (a null-value record without a key compacts nothing).
 
     ``cfg.framing='confluent'`` prepends 0x00 + big-endian ``cfg.schema_id``
     (the registry version the table schema was registered under — see
@@ -366,6 +372,8 @@ def encode_payload(
             "confluent framing needs cfg.schema_id — register the table "
             "schema (with_confluent_framing / FileSchemaRegistry.register)"
         )
+    if tombstone_col and not key_col:
+        raise ValueError("tombstone_col requires key_col (tombstones are key-only)")
     if use_jvm_avro is None:
         use_jvm_avro = avro_jvm_available(df.sparkSession)
     if use_jvm_avro:
@@ -376,6 +384,10 @@ def encode_payload(
         if cfg.framing == "confluent":
             header = bytes([0]) + int(cfg.schema_id).to_bytes(4, "big")
             value = F.concat(F.lit(header), value)
+        if tombstone_col:
+            value = F.when(F.col(tombstone_col), F.lit(None).cast("binary")).otherwise(
+                value
+            )
         cols = [value.alias("value")]
         if key_col:
             cols.insert(
@@ -391,6 +403,7 @@ def encode_payload(
         ts_col=ts_col,
         framing=cfg.framing,
         schema_id=cfg.schema_id,
+        tombstone_col=tombstone_col,
     )
 
 
@@ -420,16 +433,26 @@ def write_kafka(
     key_col: str | None = None,
     broker=None,
     ts_col: str | None = None,
+    tombstone_col: str | None = None,
 ) -> None:
     """Avro-encode + publish — the real implementation of the reference's
     stub sink (KafkaOutputFormat.java:28-39).  ``broker``: publish into the
     file-backed simulator instead of a live cluster.  ``ts_col``: event-time
-    column to stamp as the producer-record timestamp."""
+    column to stamp as the producer-record timestamp.  ``tombstone_col``:
+    boolean column marking rows produced as key-only null-value records
+    (real compaction tombstones — see :func:`encode_payload`)."""
     if broker is not None:
-        broker.produce(encode_payload(df, cfg, key_col=key_col, ts_col=ts_col), topic)
+        broker.produce(
+            encode_payload(
+                df, cfg, key_col=key_col, ts_col=ts_col, tombstone_col=tombstone_col
+            ),
+            topic,
+        )
         return
     _require_kafka(df.sparkSession)
-    payload = encode_payload(df, cfg, key_col=key_col, ts_col=ts_col)
+    payload = encode_payload(
+        df, cfg, key_col=key_col, ts_col=ts_col, tombstone_col=tombstone_col
+    )
     (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", cfg.bootstrap_servers)

@@ -19,20 +19,27 @@ against a smaller-id participant).  A stream cannot apply that rule at
 emission time, because the smaller partner may ARRIVE LATER than a doc
 that was already produced.  Instead of holding emissions back, the sink
 embraces Kafka log-compaction semantics: every kept doc is produced as an
-upsert record (op='u', key=doc_id) immediately, and when a later batch
-discovers that an already-indexed doc lost to a newly arrived smaller id,
-it produces a TOMBSTONE (op='d') for the same key.  Under last-record-
-per-key compaction the topic therefore CONVERGES to exactly the batch
-answer for ANY arrival order — the standard CDC/compacted-topic pattern,
-and the reason the convergence oracle can be exact.
+upsert record (key=doc_id, Avro payload) immediately, and when a later
+batch discovers that an already-indexed doc lost to a newly arrived
+smaller id, it produces a REAL TOMBSTONE for the same key — key set,
+``value`` NULL, the exact record shape a ``cleanup.policy=compact``
+broker deletes keys on (no application-level delete flag; a stock
+consumer of the compacted topic observes the deletion).  Under
+last-record-per-key compaction the topic therefore CONVERGES to exactly
+the batch answer for ANY arrival order — the standard CDC/compacted-topic
+pattern, and the reason the convergence oracle can be exact.
 
 Replay safety composes from the parts: dedup state dirs are versioned by
 batch id and overwritten on replay (the s16/s19 discipline); the produce
 step is marker-gated (kafka_sink.py) so a checkpoint-replayed batch never
 appends twice; and even a crash in the produce->marker window only
-duplicates records whose keys compact away (an extra 'u' or 'd' with an
-identical predecessor changes nothing after compaction) — upsert payloads
-are a pure function of the doc, so re-produced records are byte-identical.
+duplicates records whose keys compact away (an extra upsert or tombstone
+with an identical predecessor changes nothing after compaction) — upsert
+payloads are a pure function of the doc, so re-produced records are
+byte-identical.  Pinned in tests/test_streaming_curation.py: fresh sink
+objects on a continued checkpoint, marker replay leaving the log
+byte-identical, the produce->marker crash window, and arrival-order
+convergence.
 
 Scale shape per micro-batch: Gopher and Bloom are zero-shuffle map stages
 (the bitset is 32 KiB of literal plan data); the dedup stage is one
@@ -69,7 +76,9 @@ class StreamCurationSink:
     produce_sink:
         Marker-protected :class:`KafkaStreamSink` targeting the curated
         topic; its payload schema must be
-        ``doc_id BIGINT, lang STRING, n_chars BIGINT, op STRING``.
+        ``doc_id BIGINT, lang STRING, n_chars BIGINT`` and it must be
+        constructed with ``tombstone_col="_tombstone"`` so retractions go
+        out as real null-value records.
     bitset / ev_sh:
         Pre-built Bloom bitset literal + eval shingle frame
         (``operators.dedup.build_bloom_bitset`` / ``eval_shingle_set``) —
@@ -183,33 +192,35 @@ class StreamCurationSink:
         # survivorship: every verified pair's id_b loses (x60's batch rule).
         # id_b in THIS batch  -> never produced (dropped before emission);
         # id_b in the index   -> already produced in an earlier batch ->
-        #                        TOMBSTONE it (op='d'); compaction converges
-        #                        the topic to the batch answer.
+        #                        TOMBSTONE it (key-only null-value record);
+        #                        broker compaction converges the topic to
+        #                        the batch answer.
         batch_ids = part.select("doc_id")
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         drops_here = losers.join(batch_ids, "doc_id", "semi")
         tombstones = losers.join(batch_ids, "doc_id", "anti").select(
             "doc_id",
-            F.lit("").alias("lang"),
-            F.lit(0).cast("bigint").alias("n_chars"),
-            F.lit("d").alias("op"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit(True).alias("_tombstone"),
         )
         kept = part.join(drops_here, "doc_id", "left_anti").select(
             "doc_id",
             "lang",
             F.col("n_chars").cast("bigint").alias("n_chars"),
-            F.lit("u").alias("op"),
+            F.lit(False).alias("_tombstone"),
         )
         self.produce_sink(kept.unionByName(tombstones), batch_id)
 
 
 def curated_topic_config(bootstrap: str, topic: str) -> KafkaTableConfig:
-    """Table config for the compacted curated topic (upsert/tombstone wire
-    schema shared by the sink and the read-back)."""
+    """Table config for the compacted curated topic (upsert payload schema
+    shared by the sink and the read-back; deletes are wire-level
+    tombstones — null value — not a payload field)."""
     return KafkaTableConfig(
         bootstrap_servers=bootstrap,
         whitelist_topics=[topic],
-        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT, op STRING",
+        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
     )
 
 
@@ -217,24 +228,28 @@ def read_compacted(
     spark: SparkSession, cfg: KafkaTableConfig, broker=None
 ) -> DataFrame:
     """Read a curated topic back under LOG-COMPACTION semantics: for each
-    key the LAST record (by offset; keys are routed to one partition, so
+    KEY the LAST record (by offset; keys are routed to one partition, so
     per-partition offsets totally order each key's history) wins, and a
-    winning tombstone (op='d') deletes the key.  This is exactly what a
-    consumer of a ``cleanup.policy=compact`` topic observes after
-    compaction runs — computed here so the convergence contract can be
-    asserted against an uncompacted simulator log.
+    winning null-value record — a real Kafka tombstone — deletes the key.
+    This is the retention rule a ``cleanup.policy=compact`` broker applies
+    server-side; it is computed here (over the wire frame, BEFORE decode,
+    exactly as the broker sees records: opaque key/value bytes) so the
+    convergence contract can be asserted against an uncompacted simulator
+    log.  Against a broker that has already compacted, the same plan is a
+    no-op pass-through: every surviving key has one record and no
+    tombstones remain past the delete-retention horizon.
 
-    Scale shape: one scan of the topic, one (doc_id)-keyed window (the
-    max-offset argmax); on a real deployment the broker's own compaction
-    does this server-side and the consumer reads the retained records."""
+    Scale shape: one scan of the topic, one key-keyed window (the
+    max-offset argmax), then Avro decode of only the survivors."""
     from pyspark.sql import Window
 
     wire = read_kafka_batch(spark, cfg, broker=broker)
-    dec = decode_wire(wire, cfg)
-    w = Window.partitionBy("doc_id").orderBy(F.col("offset").desc())
+    w = Window.partitionBy("key").orderBy(F.col("offset").desc())
     last = (
-        dec.withColumn("_rn", F.row_number().over(w))
+        wire.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(F.col("op") == "u")
+        .filter(F.col("value").isNotNull())
+        .drop("_rn")
     )
-    return last.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    dec = decode_wire(last, cfg)
+    return dec.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -51,6 +51,9 @@ class KafkaStreamSink:
     key_col / ts_col:
         Producer-record key and event-time timestamp columns (routing and
         CreateTime stamping, see ``write_kafka``).
+    tombstone_col:
+        Optional boolean column; marked rows are produced as key-only
+        NULL-value records — real log-compaction tombstones.
     """
 
     def __init__(
@@ -61,6 +64,7 @@ class KafkaStreamSink:
         broker=None,
         key_col: str | None = None,
         ts_col: str | None = None,
+        tombstone_col: str | None = None,
     ) -> None:
         self.cfg = cfg
         self.topic = topic
@@ -68,6 +72,7 @@ class KafkaStreamSink:
         self.broker = broker
         self.key_col = key_col
         self.ts_col = ts_col
+        self.tombstone_col = tombstone_col
         os.makedirs(commit_root, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
@@ -93,6 +98,7 @@ class KafkaStreamSink:
             key_col=self.key_col,
             broker=self.broker,
             ts_col=self.ts_col,
+            tombstone_col=self.tombstone_col,
         )
         with open(marker, "w") as fh:
             fh.write("committed\n")
