@@ -104,6 +104,9 @@ HEADLINE = [
     "x77_ann_recall_curve",
     # round-8 additions (floors established from r8 on):
     "x78_multi_epoch_export",
+    # round-9 additions (floors established from r9 on):
+    "x79_bpe_tokenize",
+    "s23_stream_curation_e2e",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -46,17 +46,16 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(w, freq) over SentencePiece-style space-spanning units: each doc's
-    token stream is cut into non-overlapping word PAIRS joined by '_' (the
-    odd trailing word stands alone) — the space-as-token-content convention
-    that lets merges learn cross-word pieces.  Same one-pass map-side-
-    combinable shape as :func:`word_freq`; exists because a pre-tokenizer
-    unit richer than the bare word multiplies the trainable merge capacity
-    (the gate corpus has a 31-word vocabulary: word units exhaust after
-    ~107 merges, pair units sustain 256+ — gate x76)."""
+def unit_expr(text_col: str = "text"):
+    """SentencePiece-style space-spanning units of a text column: the token
+    stream cut into non-overlapping word PAIRS joined by '_' (the odd
+    trailing word stands alone) — the space-as-token-content convention
+    that lets merges learn cross-word pieces.  Shared by the training
+    reduction (:func:`unit_freq`) and the apply side (:func:`bpe_apply` /
+    :func:`bpe_apply_fast`) so trained merges tokenize the exact unit
+    stream they were learned on."""
     toks = tokens(text_col)
-    units = F.transform(
+    pairs = F.transform(
         F.sequence(
             F.lit(0).cast("bigint"),
             F.ceil(F.size(toks) / F.lit(2.0)).cast("bigint") - 1,
@@ -70,9 +69,23 @@ def unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).otherwise(F.element_at(toks, (i * 2 + 1).cast("int"))),
     )
+    # empty/NULL text: sequence(0, -1) counts DOWN and would index an empty
+    # array — a NULL array explodes to no rows, same as tokens() of NULL
+    return F.when(F.size(toks) > 0, pairs).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+
+
+def unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) over space-spanning units (:func:`unit_expr`).  Same
+    one-pass map-side-combinable shape as :func:`word_freq`; exists because
+    a pre-tokenizer unit richer than the bare word multiplies the trainable
+    merge capacity (the gate corpus has a 31-word vocabulary: word units
+    exhaust after ~107 merges, pair units sustain 256+ — gate x76)."""
+    toks = tokens(text_col)
     return (
         docs.filter(F.size(toks) > 0)  # sequence(0, -1) would count DOWN
-        .select(F.explode(units).alias("w"))
+        .select(F.explode(unit_expr(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -285,20 +298,28 @@ def bpe_apply(
     merge_table: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    units: bool = False,
 ) -> DataFrame:
-    """Tokenize documents with a trained merge list: per doc, whitespace
-    words -> characters -> apply each merge in rank order (same greedy
-    window rule as training).  Returns (<id_col>, n_bpe_tokens) for EVERY
-    input document: ids whose text is NULL or tokenizes to zero words
-    (posexplode of an empty array emits no rows) come back with 0 via a
-    left join against the id set, the same row-parity discipline
-    with_sentiment follows by coalescing NULL text.  Corpus-sized but
-    embarrassingly parallel: every pass is per-(doc, word) windows, no
-    cross-doc shuffle; the final left join is id-keyed (the aggregate side
-    is one row per doc)."""
+    """CERTIFICATION-TWIN tokenizer: per doc, pre-tokenizer units
+    (whitespace words, or :func:`unit_expr` pairs when ``units``) ->
+    characters -> apply each merge in rank order as a stacked window pass
+    (the exact greedy rule training used).  Returns (<id_col>,
+    n_bpe_tokens) for EVERY input document: ids whose text is NULL or
+    tokenizes to zero words (posexplode of an empty array emits no rows)
+    come back with 0 via a left join against the id set, the same
+    row-parity discipline with_sentiment follows by coalescing NULL text.
+
+    This is NOT the production path: the plan stacks 2-4 window operators
+    PER MERGE over the corpus-sized (doc, unit, pos) frame, so a real
+    ~32k-merge table means ~100k chained window ops — unplannable.  Ship
+    :func:`bpe_apply_fast` (broadcast merge table + one Arrow-batched
+    mapInPandas, flat plan at any merge count); the two are property-
+    pinned equal at small merge counts in tests/test_operators.py, which
+    is this loop's remaining job."""
     wspec = Window.partitionBy(id_col, "wi").orderBy("pos")
+    pretok = unit_expr(text_col) if units else tokens(text_col)
     t = docs.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("wi", "w")
+        F.col(id_col), F.posexplode(pretok).alias("wi", "w")
     ).select(
         id_col, "wi", F.posexplode(F.split("w", "")).alias("pos", "s")
     )
@@ -337,4 +358,98 @@ def bpe_apply(
     )
     return docs.select(id_col).join(counts, id_col, "left").select(
         id_col, F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+def _tokenize_unit(syms: list[str], rank: dict[tuple[str, str], int]) -> int:
+    """Greedy BPE application to one pre-tokenizer unit: repeatedly take
+    the LOWEST-RANK adjacent pair present and merge all its occurrences
+    left-to-right.  Equivalent to training's "apply merges in rank order,
+    one full greedy pass each" (the rule bpe_apply's windows and
+    _train_python both implement): the first pair either scheme merges is
+    the minimal-rank pair present, and merging rank r's occurrences can
+    never create a pair of rank < r — a rank-s pair's symbols both existed
+    at training step s, so neither can be the symbol rank r creates (r>s),
+    and merging two adjacent symbols never makes their OLD neighbors
+    adjacent to each other, only to the new symbol.  Returns the final
+    token count."""
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, a, b = r, syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        merged, out, i = a + b, [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_apply_fast(
+    docs: DataFrame,
+    merge_table: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    units: bool = False,
+) -> DataFrame:
+    """The PRODUCTION tokenizer — real-merge-table-capable, mirroring what
+    bpe_train_capped did for the training side: the merge table is bounded
+    (~32k rows = the vocabulary; pair->rank dict broadcast to every
+    executor ONCE), and tokenization is ONE Arrow-batched ``mapInPandas``
+    over (id, text) — a flat two-node plan at ANY merge count, vs the
+    window twin's 2-4 stacked window operators PER MERGE (gate x79;
+    SCALE.md has the cost-vs-merge-count curve).  Embarrassingly parallel:
+    each doc tokenizes independently, zero shuffle, and a per-partition
+    memo on distinct units makes the zipfian common case a dict hit.
+
+    Returns (<id_col>, n_bpe_tokens) for EVERY input row — NULL/empty text
+    counts 0 — property-pinned equal to :func:`bpe_apply` and to the
+    training loop's own application rule (tests/test_operators.py)."""
+    import pandas as pd
+
+    rank = {
+        (a, b): i for i, (a, b) in enumerate(merge_table)
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(rank)
+    use_units = units
+
+    def run(batches):
+        rk = bc.value
+        memo: dict[str, int] = {}
+
+        def unit_tokens(u: str) -> int:
+            n = memo.get(u)
+            if n is None:
+                n = memo[u] = _tokenize_unit(list(u), rk)
+            return n
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str):
+                    out.append((did, 0))
+                    continue
+                ws = [w for w in text.lower().split(" ") if w]
+                if use_units:
+                    us = [
+                        ws[2 * i] + "_" + ws[2 * i + 1]
+                        if 2 * i + 1 < len(ws)
+                        else ws[2 * i]
+                        for i in range((len(ws) + 1) // 2)
+                    ]
+                else:
+                    us = ws
+                out.append((did, sum(unit_tokens(u) for u in us)))
+            yield pd.DataFrame(out, columns=[id_col, "n_bpe_tokens"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} bigint, n_bpe_tokens bigint"
     )

@@ -1869,20 +1869,18 @@ _X76_MERGES = 256
 _X76_MAX_WORDS = 400
 
 
-def _bpe_capped_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
-    """Replay of bpe_train_capped: the capped space-spanning-unit frequency
-    table, then EVERY merge re-derived by a RECURSIVE CTE whose recursive
-    term is the same window recipe as the unrolled x72 oracle (pair counts
-    via SUM OVER, argmax broadcast via FIRST_VALUE over the global
-    (count DESC, lhs, rhs) order, greedy leftmost application incl. the
-    aa-run parity rule).  Recursion instead of unrolling because 256
+def _bpe_train_ctes(n_merges: int, max_words: int) -> str:
+    """The shared WITH RECURSIVE body replaying bpe_train_capped (the
+    capped space-spanning-unit frequency table ``uf`` + the merge-loop
+    recursion ``r``) — used by both the training gate (x76) and the
+    tokenize gate (x79, which joins the derived merge table into a second
+    recursion applying it).  Recursion instead of unrolling because 256
     merges x 7 CTEs blows past the binder's expression-depth limit — the
     recursive form has CONSTANT depth at any merge count, which is the
-    whole point of the real-vocab gate.  uf is MATERIALIZED: DuckDB
+    whole point of the real-vocab gates.  uf is MATERIALIZED: DuckDB
     inlines plain CTEs, and re-expanding the corpus scan down the
     recursion is an exponential blowup."""
-    return f"""
-    WITH RECURSIVE uf AS MATERIALIZED (
+    return f"""uf AS MATERIALIZED (
       SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
                       i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
@@ -1934,7 +1932,16 @@ def _bpe_capped_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WO
           ) q3
         ) q4
       ) q5 WHERE NOT consumed
-    )
+    )"""
+
+
+def _bpe_capped_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of bpe_train_capped via the shared recursive machinery
+    (:func:`_bpe_train_ctes`): pair counts via SUM OVER, argmax broadcast
+    via FIRST_VALUE over the global (count DESC, lhs, rhs) order, greedy
+    leftmost application incl. the aa-run parity rule."""
+    return f"""
+    WITH RECURSIVE {_bpe_train_ctes(n_merges, max_words)}
     SELECT it AS merge_rank, MIN(a) AS lhs, MIN(b) AS rhs,
            MIN(a) || MIN(b) AS merged, CAST(MIN(c) AS BIGINT) AS pair_count
     FROM r WHERE it >= 1 GROUP BY it ORDER BY merge_rank
@@ -1964,6 +1971,111 @@ def x76_bpe_train_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_capped(
         d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
     )
+
+
+# ---------------------------------------------------------------------------
+# x79 — production BPE tokenization with the trained merge table
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of train-then-tokenize: the x76 recursion derives the merge
+    table, then a SECOND recursive CTE applies it to every DISTINCT
+    corpus unit — at iteration j the pair comes from the merge table row
+    merge_rank = j (an equi-join, not an argmax), the application recipe
+    is byte-identical to training's (greedy leftmost; aa-run parity).
+    Token counts then factor through units: greedy BPE of a fixed table
+    never crosses unit boundaries, so a doc's count is the sum of its
+    units' counts — the same vocabulary-bounded memoization the Spark
+    side's mapInPandas exploits.  Docs with NULL/empty text come back 0
+    (LEFT JOIN + COALESCE row parity)."""
+    return f"""
+    WITH RECURSIVE {_bpe_train_ctes(n_merges, max_words)},
+    merges AS MATERIALIZED (
+      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b
+      FROM r WHERE it >= 1 GROUP BY it),
+    docunits AS MATERIALIZED (
+      SELECT doc_id, u FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
+                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
+                                ELSE toks[2*i+1] END)) AS u
+        FROM (SELECT doc_id,
+                     list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+              FROM documents)
+        WHERE LEN(toks) > 0)),
+    units AS MATERIALIZED (SELECT DISTINCT u FROM docunits),
+    ap AS (
+      SELECT CAST(0 AS BIGINT) AS it, u AS w, CAST(pos AS BIGINT) AS pos, s
+      FROM (SELECT u, UNNEST(range(1, LEN(string_split(u, '')) + 1)) AS pos,
+                   UNNEST(string_split(u, '')) AS s
+            FROM units)
+      UNION ALL
+      SELECT it, w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN is_left THEN a || b ELSE s END AS s
+      FROM (
+        SELECT *, COALESCE(LAG(is_left) OVER (PARTITION BY w ORDER BY pos), FALSE)
+                    AS consumed
+        FROM (
+          SELECT *, CASE WHEN a = b
+                         THEN COALESCE(isa = 1 AND nxt = a
+                               AND (ROW_NUMBER() OVER (PARTITION BY w, isa, grp
+                                                       ORDER BY pos) - 1) % 2 = 0, FALSE)
+                         ELSE COALESCE(s = a AND nxt = b, FALSE) END AS is_left
+          FROM (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, isa ORDER BY pos) AS grp
+            FROM (
+              SELECT *, CASE WHEN s = a THEN 1 ELSE 0 END AS isa
+              FROM (
+                SELECT p.it + 1 AS it, p.w, p.pos, p.s,
+                       LEAD(p.s) OVER (PARTITION BY p.w ORDER BY p.pos) AS nxt,
+                       m.a, m.b
+                FROM ap p JOIN merges m ON m.merge_rank = p.it + 1
+              ) q0
+            ) q1
+          ) q2
+        ) q3
+      ) q4 WHERE NOT consumed
+    ),
+    unit_tok AS (
+      SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w)
+    SELECT d.doc_id, CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d
+    LEFT JOIN docunits du ON du.doc_id = d.doc_id
+    LEFT JOIN unit_tok t ON t.u = du.u
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "x79_bpe_tokenize",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "bpe", "training-prep", "scale"),
+)
+def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production BPE tokenization — the SHIP side of x76, closing the
+    round-8 verdict's `bpe_apply` weak mark: train the 256-merge table
+    (bpe_train_capped: one corpus pass + driver-local incremental finish),
+    then tokenize EVERY document with ONE Arrow-batched mapInPandas over a
+    broadcast pair->rank dict (operators/bpe.py::bpe_apply_fast) — a flat
+    two-node plan at any merge count, vs the stacked-window twin's 2-4
+    window operators PER MERGE (~100k chained windows at a real 32k-merge
+    vocabulary; the twin stays as the property-pinned certification path,
+    tests/test_operators.py).  Per-doc token counts (NULL/empty text -> 0)
+    are replayed end-to-end by the DuckDB oracle: merge derivation via the
+    x76 recursion, application via a second recursive CTE joined to the
+    derived table rank-by-rank.  Scale: merge table ~32k rows broadcast
+    once; tokenization is zero-shuffle per-doc work; distinct-unit
+    memoization makes the zipfian common case a dict hit."""
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    return bpe_apply_fast(d, merges, "text", "doc_id", units=True)
 
 
 # ---------------------------------------------------------------------------

@@ -726,6 +726,74 @@ def test_bpe_apply_keeps_empty_and_null_docs(spark):
     assert got == {0: 5, 1: 0, 2: 0, 3: 0}  # th|e + c|a|t = 5 symbols
 
 
+def test_bpe_apply_fast_equals_window_twin(spark):
+    """The production tokenizer (broadcast merge table + one mapInPandas)
+    must equal the stacked-window certification twin in BOTH pre-tokenizer
+    modes — words and space-spanning units — on an adversarial corpus
+    (aa-runs where greedy order matters, overlapping candidates, NULL/empty
+    rows for parity), using REAL trained tables so the min-rank-iterative
+    rule is exercised against rank-order-pass semantics."""
+    from hiveka_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_fast,
+        bpe_train_capped,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cattle cat aaaa aaa",
+        "banana bandana the band",
+        "aaaa sat the aaaaa",
+        "xy xy xyxy yx",
+        None,
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    for units in (False, True):
+        mt = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_train_capped(
+                df, n_merges=24, max_words=50, units=units
+            ).collect()
+        ]
+        assert len(mt) >= 8, f"units={units}: table too small to be a real pin"
+        twin = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_apply(df, mt, units=units).collect()
+        }
+        fast = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_apply_fast(df, mt, units=units).collect()
+        }
+        assert fast == twin, f"units={units}: {fast} != {twin}"
+        assert fast[5] == 0 and fast[6] == 0 and fast[7] == 0  # row parity
+
+
+def test_bpe_apply_fast_min_rank_equivalence_unseen_text(spark):
+    """Apply to text the trainer never saw (the serving case): the
+    min-rank-iterative rule must still equal rank-order full passes —
+    pinned by running the window twin on the same unseen docs."""
+    from hiveka_spark.operators.bpe import bpe_apply, bpe_apply_fast, bpe_train
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat the cattle aaaa aaa")],
+        "doc_id bigint, text string",
+    )
+    mt = [(r["lhs"], r["rhs"]) for r in bpe_train(train, n_merges=8).collect()]
+    unseen = spark.createDataFrame(
+        [(0, "theme cathedral matting saaaat"), (1, "ttttheeee aaaaaa")],
+        "doc_id bigint, text string",
+    )
+    twin = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply(unseen, mt).collect()}
+    fast = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply_fast(unseen, mt).collect()
+    }
+    assert fast == twin
+
+
 def test_bpe_train_max_words_cap(spark):
     """The 100 TB vocab cap: training on the top-K words only must equal
     the reference restricted to those words."""

@@ -449,6 +449,24 @@ def test_bpe_max_words_cap_is_take_ordered(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_bpe_apply_fast_plan_is_flat(spark):
+    """The production tokenizer's whole point: a two-node plan (scan ->
+    mapInPandas) with ZERO shuffles and ZERO window operators at ANY merge
+    count — vs the certification twin's 2-4 stacked windows per merge."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import bpe_apply_fast
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    d = table(spark, SF_SMOKE, "documents")
+    mt = [("a", "b"), ("c", "d"), ("ab", "cd")] * 100  # size is irrelevant
+    out = bpe_apply_fast(d, mt, units=True)
+    plan = formatted_plan(out)
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert shuffle_count(out) == 0, plan
+
+
 def test_x78_multi_epoch_staged_scans_corpus_once(spark):
     """The multi-epoch export's whole point: E=2 epoch orders from ONE
     corpus scan.  The staged frame's plan must contain exactly one
