@@ -570,6 +570,44 @@ def x54_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _trained_cells_sql(
+    cell_stride: int, n_cells: int, n_iters: int, dim: int = 64,
+    out_name: str = "ccents",
+) -> str:
+    """CTE chain replaying similarity.train_ivf_centroids (coarse Lloyd in
+    quantized space): stride seeds -> per-vector (cd2, cell) argmin ->
+    truncating-integer-division component means (Spark DIV == DuckDB //)
+    -> empty cells keep their previous centroid.  Emits a final ``ccents``
+    (cell, cvd) so downstream SQL is identical to the stride case."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    blocks = [f"""ccents0 AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells})"""]
+    for j in range(1, n_iters + 1):
+        prev = f"ccents{j - 1}"
+        blocks.append(f"""
+    casgn{j} AS (SELECT vec_id, qv, cell FROM (
+                   SELECT v.vec_id, v.qv, c.cell,
+                          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                             ORDER BY {d2.format(a="v.qvd", b="c.cvd")},
+                                                      c.cell) AS r
+                   FROM v0 v CROSS JOIN {prev} c)
+                 WHERE r = 1),
+    cupd{j} AS (SELECT cell, i,
+                       CAST(SUM(qv[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
+                FROM casgn{j} CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i)
+                GROUP BY cell, i),
+    cnew{j} AS (SELECT cell,
+                       list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cvd
+                FROM cupd{j} GROUP BY cell),
+    ccents{j} AS (SELECT p.cell, COALESCE(n.cvd, p.cvd) AS cvd
+                  FROM {prev} p LEFT JOIN cnew{j} n USING (cell))""")
+    blocks.append(f"{out_name} AS (SELECT cell, cvd FROM ccents{n_iters})")
+    return ",\n    ".join(blocks)
+
+
 def _ivfpq_oracle(
     k: int = 5,
     n_cells: int = 16,
@@ -579,22 +617,29 @@ def _ivfpq_oracle(
     dsub: int = 4,
     n_cent: int = 64,
     stride: int = 7,
+    train_cells_iters: int = 0,
 ) -> str:
     """Replay of operators.similarity.ivfpq_topk: same L2 cell assignment
-    (exact double identity), same probe set, same PQ codes and ADC sums."""
+    (exact double identity), same probe set, same PQ codes and ADC sums.
+    ``train_cells_iters``: replay train_ivf_centroids for the coarse cells
+    first (:func:`_trained_cells_sql`) instead of stride seeds."""
     d2 = (
         "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}) AS BIGINT)"
     )
     cell_d2 = d2.format(a="v.qvd", b="c.cvd")
     pq_d2 = d2.format(a="s.sv", b="c.cv")
+    if train_cells_iters:
+        cells_sql = _trained_cells_sql(cell_stride, n_cells, train_cells_iters)
+    else:
+        cells_sql = f"""ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells})"""
     return f"""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
-    ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
-               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells}),
+    {cells_sql},
     crank AS (SELECT vec_id, cell, r FROM (
                 SELECT v.vec_id, c.cell,
                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1218,6 +1263,41 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
              JOIN ev v ON v.vec_id = p.neighbor_id
              JOIN ev q ON q.vec_id = p.query_id)
            WHERE rn <= {k}),
+    v0 AS (SELECT eq.vec_id, eq.qv, ev.qvd FROM eq JOIN ev USING (vec_id)),
+    {_trained_cells_sql(cell_stride, n_cells, 1, out_name="tcents")},
+    tcrank AS (SELECT vec_id, cell, r FROM (
+                 SELECT v.vec_id, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {d2.format(a="v.qvd", b="c.cvd")},
+                                                    c.cell) AS r
+                 FROM ev v CROSS JOIN tcents c)),
+    tcorp AS (SELECT vec_id, cell FROM tcrank WHERE r = 1),
+    tprobe AS (SELECT vec_id AS query_id, cell FROM tcrank
+               WHERE r <= {_X77_MAX_PROBE} AND vec_id < 10),
+    tcand AS (SELECT p.query_id, cc.vec_id AS neighbor_id,
+                     {d2.format(a="q.qvd", b="v.qvd")} AS d2
+              FROM tprobe p
+              JOIN tcorp cc USING (cell)
+              JOIN ev v ON v.vec_id = cc.vec_id
+              JOIN ev q ON q.vec_id = p.query_id
+              WHERE p.query_id <> cc.vec_id),
+    ttop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY d2, neighbor_id) AS rn
+               FROM tcand)
+             WHERE rn <= {k}),
+    pool_tr AS (SELECT query_id, neighbor_id
+                FROM ({_ivfpq_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE, train_cells_iters=1)})),
+    rrtr AS (SELECT query_id, neighbor_id FROM (
+               SELECT p.query_id, p.neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                         ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                  p.neighbor_id) AS rn
+               FROM pool_tr p
+               JOIN ev v ON v.vec_id = p.neighbor_id
+               JOIN ev q ON q.vec_id = p.query_id)
+             WHERE rn <= {k}),
     spine AS (
       SELECT 'ivf_exact' AS arm, CAST(np AS BIGINT) AS n_probe,
              CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
@@ -1229,6 +1309,14 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
       UNION ALL
       SELECT 'ivfpq_rerank', {_X77_MAX_PROBE},
              CAST((SELECT COUNT(*) FROM rr JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivf_trained', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM ttop JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_trained_rerank', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rrtr JOIN exact USING (query_id, neighbor_id))
                   AS BIGINT))
     SELECT arm, n_probe, hits, CAST({denom} AS BIGINT) AS denom,
            CAST(hits * 1000000 // {denom} AS BIGINT) AS recall_micro
@@ -1252,15 +1340,24 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe=12, exact bigint-L2 RERANKS it to top-5 (similarity.py::
     exact_rerank) — 0.82 vs 0.46 for the same pool consumed ADC-only,
     i.e. rerank recovers what quantization error gives up, bounded only
-    by pool coverage (the ivf_exact@12 arm).  One candidates join serves
-    all four IVF arms (probe_rank is carried, arms are filters); the ADC
-    pool is computed once and consumed by both the adc and rerank arms.
-    Every number is integer-exact (hits, denom, recall in micro-units) —
-    the driver hash-certifies the curve itself."""
+    by pool coverage (the ivf_exact@12 arm).  (c) round 9: the TRAINED
+    coarse quantizer (train_ivf_centroids, 1 Lloyd pass — the x61 seam)
+    inside the same sweep: ivf_trained 0.90 vs 0.84 stride at the same
+    12-probe budget, and the full serving recommendation — trained cells
+    + n_probe=12 + ADC pool + exact rerank — certified as ONE
+    configuration (ivfpq_trained_rerank, 0.88 vs 0.82 untrained), with
+    the coarse Lloyd pass replayed bit-for-bit inside the oracle
+    (_trained_cells_sql).  One candidates join serves all four stride IVF
+    arms (probe_rank is carried, arms are filters); each ADC pool is
+    computed once and consumed by its adc/rerank consumers; the trained
+    centroid frame is checkpointed once and consumed by both trained
+    arms.  Every number is integer-exact (hits, denom, recall in
+    micro-units) — the driver hash-certifies the curve itself."""
     from hiveka_spark.operators.similarity import (
         exact_rerank,
         ivf_exact_candidates,
         ivfpq_topk,
+        train_ivf_centroids,
         with_quantized_norm,
     )
 
@@ -1331,6 +1428,42 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # trained-coarse-quantizer arms: ONE Lloyd pass over the stride seeds
+    # (train_ivf_centroids — the x61-certified production seam), then the
+    # same exact-candidates path and the same ADC-pool + rerank serving
+    # shape, so the full recommendation (trained cells, n_probe=12,
+    # rerank) is certified as one configuration inside the same sweep
+    tcents = train_ivf_centroids(
+        e, "vec_id", "embedding", n_cells=16, cell_stride=31, n_iters=1
+    ).localCheckpoint(eager=True)  # consumed by both trained arms
+    cand_tr = ivf_exact_candidates(
+        e, qs, "vec_id", "embedding",
+        n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31, cell_centroids=tcents,
+    )
+    arm_frames.append(
+        cand_tr.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.lit("ivf_trained").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+    pool_tr = ivfpq_topk(
+        e, qs, "vec_id", "embedding",
+        k=_X77_POOL, n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+        m=16, dim=64, n_centroids=64, centroid_stride=7, cell_centroids=tcents,
+    )
+    arm_frames.append(
+        exact_rerank(e, qs, pool_tr, "vec_id", "embedding", k=k).select(
+            F.lit("ivfpq_trained_rerank").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+
     all_arms = arm_frames[0]
     for f in arm_frames[1:]:
         all_arms = all_arms.unionByName(f)
@@ -1341,7 +1474,12 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = spark.createDataFrame(
         [("ivf_exact", p) for p in _X77_PROBES]
-        + [("ivfpq_adc", _X77_MAX_PROBE), ("ivfpq_rerank", _X77_MAX_PROBE)],
+        + [
+            ("ivfpq_adc", _X77_MAX_PROBE),
+            ("ivfpq_rerank", _X77_MAX_PROBE),
+            ("ivf_trained", _X77_MAX_PROBE),
+            ("ivfpq_trained_rerank", _X77_MAX_PROBE),
+        ],
         "arm string, n_probe bigint",
     )
     return spine.join(hits, ["arm", "n_probe"], "left").select(
