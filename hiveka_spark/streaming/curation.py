@@ -99,6 +99,7 @@ class StreamCurationSink:
         bloom_m: int = 2**18,
         bloom_h: int = 3,
         contain_pct: int = 50,
+        compact_after: int | None = None,
     ) -> None:
         self.state_root = state_root
         self.produce_sink = produce_sink
@@ -108,6 +109,10 @@ class StreamCurationSink:
         self.threshold = threshold
         self.bloom_m, self.bloom_h = bloom_m, bloom_h
         self.contain_pct = contain_pct
+        # auto-compaction policy for the dedup band index (the s19/x70
+        # knob): fold bands+sh into one c{top} segment whenever the
+        # committed version count reaches this, between micro-batches
+        self.compact_after = compact_after
         self.bands_root = os.path.join(state_root, "bands")
         self.sh_root = os.path.join(state_root, "sh")
         for p in (self.bands_root, self.sh_root):
@@ -211,6 +216,16 @@ class StreamCurationSink:
             F.lit(False).alias("_tombstone"),
         )
         self.produce_sink(kept.unionByName(tombstones), batch_id)
+
+        if (
+            self.compact_after is not None
+            and len(committed_versions(self.bands_root, 10**9)) >= self.compact_after
+        ):
+            from hiveka_spark.streaming.neardup import compact_band_index
+
+            # before=batch_id: never fold THIS batch's dir (replay safety,
+            # see compact_band_index)
+            compact_band_index(s, self.state_root, before=batch_id)
 
 
 def curated_topic_config(bootstrap: str, topic: str) -> KafkaTableConfig:

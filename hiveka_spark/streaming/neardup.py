@@ -39,55 +39,81 @@ from hiveka_spark.scratch import scratch_dir
 
 def committed_versions(root: str, before: int) -> list[str]:
     """Committed (``_SUCCESS``-marked) version dirs with id < ``before`` —
-    the disk-derived predecessor rule (the s16 discipline)."""
+    the disk-derived predecessor rule (the s16 discipline).  Two dir
+    kinds, one namespace of ids: ``b{id}`` per-batch deltas and ``c{id}``
+    compacted base segments (the fold of every version <= id); a c-dir's
+    id is the HIGHEST batch it contains, so the ``id < before`` probe
+    guard applies to both unchanged."""
     return [
         os.path.join(root, n)
         for n in sorted(os.listdir(root))
-        if n.startswith("b")
+        if n[:1] in ("b", "c")
         and n[1:].isdigit()
         and int(n[1:]) < before
         and os.path.exists(os.path.join(root, n, "_SUCCESS"))
     ]
 
 
-def compact_band_index(spark: SparkSession, state_root: str) -> None:
-    """Merge every committed per-batch version of the band index (and the
-    shingle store) into its newest version dir, deleting the rest.
+def compact_band_index(
+    spark: SparkSession, state_root: str, before: int = 10**9
+) -> None:
+    """Merge committed versions of the band index (and the shingle store)
+    with id < ``before`` into ONE compacted segment ``c{top}`` (top =
+    highest folded id), deleting the inputs.
 
     The per-batch dirs grow without bound on a long-running ingest (one
     dir per micro-batch; 8 band rows per doc forever), and each new batch
     reads ALL of them — at some point the file-listing and small-file
-    overhead dominates the probe.  Compaction is run BETWEEN stream runs
-    (never concurrently with one): union -> rewrite into the highest
-    committed id -> drop the lower ids.  Index CONTENT is a set of
-    per-doc rows, so the merge is a pure union — probe results before
-    and after are identical (pinned by
+    overhead dominates the probe.  Index CONTENT is a set of per-doc
+    rows, so the merge is a pure union — probe results before and after
+    are identical (pinned by
     tests/test_streaming_neardup.py::test_continuation_through_compaction).
     At 100 TB you would additionally bucket the rewrite by ``bh`` so
-    probes prune to matching buckets."""
+    probes prune to matching buckets.
+
+    Safe to run BETWEEN batches of a live stream (foreachBatch calls are
+    serialized — the ``compact_after`` knob of stream_minhash_dedup /
+    StreamCurationSink does exactly this) as well as between runs.  Two
+    rules make it replay-safe:
+
+    - the compacted segment lives under the ``c`` prefix so a FUTURE
+      batch id can never collide with it (publishing under b{top+1}
+      would be overwritten by the stream's next micro-batch);
+    - in-stream callers pass ``before = current batch id`` so the
+      CURRENT batch's own dir is never folded: folding it would name the
+      segment c{batch_id}, and a checkpoint REPLAY of that batch — whose
+      prior-probe excludes ids >= batch_id — would see an empty index
+      and silently re-emit fewer pairs into its overwritten output.
+      With the guard, a replayed batch probes exactly the segment its
+      first run probed.  (Run the unbounded default only between CLEANLY
+      terminated runs, where no replay can be pending.)
+
+    Crash ordering: materialize the merged copy, PUBLISH it atomically as
+    ``c{top}`` (fresh name — rename is atomic), only then delete the
+    inputs.  A crash before the rename leaves the old dirs intact (tmp is
+    invisible to committed_versions); a crash after it leaves duplicate
+    rows, which every consumer tolerates (candidate/pair ``.distinct()``,
+    identical re-verified jaccards), and the retry path detects the
+    published ``c{top}`` and just finishes the deletes — c{top} by
+    construction contains every committed version with id <= top."""
     import shutil
 
     for sub in ("bands", "sh"):
         root = os.path.join(state_root, sub)
-        dirs = committed_versions(root, 10**9)
+        dirs = committed_versions(root, before)
         if len(dirs) <= 1:
             continue
         top = max(int(os.path.basename(d)[1:]) for d in dirs)
-        # Crash-safe ordering: materialize the merged copy, PUBLISH it
-        # atomically under a fresh higher id, and only then delete the
-        # inputs.  A crash before the rename leaves the old dirs intact
-        # (tmp is invisible to committed_versions); a crash after it
-        # leaves harmless duplicates — index content is a set of per-doc
-        # rows and every consumer dedups (candidate .distinct(), pair
-        # .distinct()), so duplicated rows never change results.  The
-        # old delete-then-rename order had a window where the ONLY copy
-        # was the invisible tmp dir: a crash there silently emptied the
-        # index.
-        tmp = os.path.join(root, "_compact_tmp")
-        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(root, f"b{top + 1}"))
+        target = os.path.join(root, f"c{top}")
+        if not os.path.exists(target):
+            tmp = os.path.join(root, "_compact_tmp")
+            spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, target)
+        # finish (or retry after a crash-after-publish): every other
+        # committed dir with id <= top is already folded into c{top}
         for d in dirs:
-            shutil.rmtree(d)
+            if os.path.abspath(d) != os.path.abspath(target):
+                shutil.rmtree(d)
 
 
 def stream_minhash_dedup(
@@ -100,6 +126,7 @@ def stream_minhash_dedup(
     threshold: float = 0.8,
     state_root: str | None = None,
     id_offset: int = 0,
+    compact_after: int | None = None,
 ) -> DataFrame:
     """Run ``docs`` (doc_id, text) through the streaming band-index dedup
     as ``n_batches`` REAL micro-batches; returns the distinct verified
@@ -111,7 +138,17 @@ def stream_minhash_dedup(
     NEW stream over newly landed files restarts at 0 — pass an offset
     above every existing version so the new run's state sorts after (and
     probes) the old corpus instead of overwriting it.  This is the
-    multi-run ingest story: run -> compact_band_index -> run again."""
+    multi-run ingest story: run -> compact_band_index -> run again.
+
+    ``compact_after``: AUTO-compaction policy (the x70 batch index's knob
+    on the streaming index): when set and the number of committed band
+    versions reaches it at the end of a micro-batch, the bands+sh stores
+    are folded into one ``c{top}`` segment before the next batch — safe
+    mid-stream because foreachBatch calls are serialized and the
+    compacted segment's name can never collide with a future batch id.
+    A long-running ingest otherwise pays O(batches) version-dir listing
+    on every probe forever; N bounds it at a constant.  The pairs store
+    (pure emission log, never probed) stays per-batch."""
     from hiveka_spark.operators import dedup as D
 
     src_dir = scratch_dir(prefix="sneardup_src_")
@@ -196,6 +233,13 @@ def stream_minhash_dedup(
         D._verified_jaccard(cand, sh_all, threshold).write.mode(
             "overwrite"
         ).parquet(os.path.join(pairs_root, f"b{batch_id}"))
+        if (
+            compact_after is not None
+            and len(committed_versions(bands_root, 10**9)) >= compact_after
+        ):
+            # before=batch_id: never fold THIS batch's dir (replay safety,
+            # see compact_band_index)
+            compact_band_index(s, state_root, before=batch_id)
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -84,7 +84,9 @@ def _rowset(df):
     return {(r["doc_id"], r["lang"], r["n_chars"]) for r in df.collect()}
 
 
-def _mk_sink(spark, root: str, broker, bitset, ev_sh) -> StreamCurationSink:
+def _mk_sink(
+    spark, root: str, broker, bitset, ev_sh, compact_after: int | None = None
+) -> StreamCurationSink:
     """FRESH sink objects every call — nothing carried over in memory, only
     the on-disk roots (state dirs, commit markers, broker log)."""
     return StreamCurationSink(
@@ -100,6 +102,7 @@ def _mk_sink(spark, root: str, broker, bitset, ev_sh) -> StreamCurationSink:
         bitset, ev_sh,
         num_perm=32, bands=8, k=3, threshold=0.8,
         bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+        compact_after=compact_after,
     )
 
 
@@ -231,7 +234,10 @@ def test_produce_marker_crash_window_compacts_away(spark, tmp_path):
     re-delivered batch is EXACTLY the crashed one: delete the last marker
     (crash between produce and marker), re-deliver through fresh objects —
     the log grows by one duplicated batch, the compacted read-back doesn't
-    change, and the replacement marker lands."""
+    change, and the replacement marker lands.  The sink runs with
+    compact_after=2, so the re-delivered batch probes the AUTO-COMPACTED
+    c-segment (replay-through-auto-compaction for the curation chain) and
+    must still produce byte-identically."""
     raw, bitset, ev_sh = _fixtures(spark)
     expected = _rowset(_expected_batch_answer(raw, bitset, ev_sh))
     broker = SimBroker(str(tmp_path / "broker"))
@@ -242,15 +248,21 @@ def test_produce_marker_crash_window_compacts_away(spark, tmp_path):
         raw.filter(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
         for i in range(3)
     ]
-    sink = _mk_sink(spark, root, broker, bitset, ev_sh)
+    sink = _mk_sink(spark, root, broker, bitset, ev_sh, compact_after=2)
     for i, p in enumerate(parts):
         sink(p, i)
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    assert [
+        os.path.basename(p)
+        for p in committed_versions(os.path.join(root, "state", "bands"), 10**9)
+    ] == ["b2", "c1"]  # auto-compaction ran mid-"stream"
     cfg_out = curated_topic_config("sim://test", "docs_curated")
     assert _rowset(read_compacted(spark, cfg_out, broker=broker)) == expected
 
     os.remove(os.path.join(root, "commits", "b2"))  # crash window: produce
     before = _wire_rows(spark, broker)               # happened, marker didn't
-    redelivered = _mk_sink(spark, root, broker, bitset, ev_sh)
+    redelivered = _mk_sink(spark, root, broker, bitset, ev_sh, compact_after=2)
     redelivered(parts[2], 2)
     after = _wire_rows(spark, broker)
     assert len(after) > len(before), "re-delivery must have re-produced"

@@ -78,6 +78,101 @@ def test_continuation_through_compaction(spark, tmp_path):
     )
 
 
+def test_auto_compaction_mid_stream(spark, tmp_path):
+    """compact_after folds the band index DURING the stream (between
+    micro-batches): the run must still produce exactly the one-shot batch
+    pair set, and the state must end folded into a single c{top} segment
+    per probed store — the bounded-listing policy the x70 batch index got
+    in round 8, now on the streaming index."""
+    import os
+
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    root = str(tmp_path / "state")
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    expected = _pairset(
+        minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, k=3, verify_threshold=0.8, reuse=False
+        )
+    )
+    got = _pairset(
+        stream_minhash_dedup(
+            spark, docs, n_batches=4, state_root=root, compact_after=2
+        )
+    )
+    assert got == expected, f"missing={expected - got}, extra={got - expected}"
+    for sub in ("bands", "sh"):
+        names = sorted(
+            os.path.basename(p)
+            for p in committed_versions(os.path.join(root, sub), 10**9)
+        )
+        # steady state: one folded segment of every PRIOR batch + the
+        # last batch's own delta (never folded while it could replay)
+        assert names == ["b3", "c2"], names
+    # pairs store is an emission log, never probed: stays per-batch
+    assert len(committed_versions(os.path.join(root, "pairs"), 10**9)) == 4
+
+
+def test_auto_compaction_continuation_and_replay_retry(spark, tmp_path):
+    """(a) a run continued INTO auto-compacted state (id_offset above the
+    c segment) still accumulates the full-corpus pair set; (b) the
+    crash-after-publish retry: a checkpoint-replayed batch recreates its
+    b-dir next to the c segment that already folded it — the next
+    compaction must delete the duplicate without changing index content."""
+    import os
+    import shutil
+
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        compact_band_index,
+    )
+
+    root = str(tmp_path / "state")
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    stream_minhash_dedup(
+        spark, half1, n_batches=3, state_root=root, compact_after=2
+    )
+    bands_root = os.path.join(root, "bands")
+    assert [
+        os.path.basename(p) for p in committed_versions(bands_root, 10**9)
+    ] == ["b2", "c1"]
+
+    # (b) simulate the replayed-batch duplicate: a copy of already-folded
+    # content reappears as b9 (content identity is what matters); the
+    # clean between-runs compaction must fold the duplicate away
+    distinct_before = (
+        spark.read.parquet(*committed_versions(bands_root, 10**9))
+        .distinct()
+        .count()
+    )
+    shutil.copytree(os.path.join(bands_root, "c1"), os.path.join(bands_root, "b9"))
+    compact_band_index(spark, root)
+    after = [os.path.basename(p) for p in committed_versions(bands_root, 10**9)]
+    assert after == ["c9"], after
+    # union keeps duplicate rows (documented-harmless); the SET is unchanged
+    assert (
+        spark.read.parquet(os.path.join(bands_root, "c9")).distinct().count()
+        == distinct_before
+    )
+
+    # (a) continuation: second half streams into the compacted state
+    got = _pairset(
+        stream_minhash_dedup(
+            spark, half2, n_batches=2, state_root=root, id_offset=1000,
+            compact_after=2,
+        )
+    )
+    expected = _pairset(
+        minhash_lsh_pairs(
+            docs, num_perm=32, bands=8, k=3, verify_threshold=0.8, reuse=False
+        )
+    )
+    assert got == expected, f"missing={expected - got}, extra={got - expected}"
+
+
 def test_compaction_tmp_dir_is_invisible_and_recoverable(spark, tmp_path):
     """Crash-window semantics: a leftover _compact_tmp (crash before the
     publish rename) must be invisible to committed_versions — the old
