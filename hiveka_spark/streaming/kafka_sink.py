@@ -15,11 +15,12 @@ directory on replay, but a Kafka log can only append — so replays must be
 batch id that already has a marker is dropped before producing.  The
 produce->marker pair is not atomic: a crash BETWEEN them re-produces that
 one batch on restart (at-least-once for the crashing batch, exactly-once
-for every batch that reached its marker).  Against a real cluster the same
-seam upgrades to a transactional producer (``transactional.id`` =
-``{query}-{batch_id}``, commit after send) for end-to-end exactly-once;
-the marker protocol here is the object-store-grade fallback that needs no
-broker support.
+for every batch that reached its marker).  Against a real cluster the
+upgrade is ``streaming/kafka_txn.py``'s TransactionalKafkaSink: one
+fenced transactional producer per query, each batch one transaction with
+the commit marker INSIDE it, so data+marker become visible atomically and
+the window disappears (env-gated live test); the marker protocol here is
+the object-store-grade fallback that needs no broker support.
 
 Scale shape: each micro-batch is one map-only Avro encode + one produce —
 no shuffle introduced by the sink itself (``encode_payload`` routes by key

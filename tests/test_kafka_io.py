@@ -88,6 +88,15 @@ def test_kafka_gated_with_clear_error(spark):
         read_kafka_batch(spark, _cfg())
 
 
+def test_transactional_sink_gated_with_clear_error(spark):
+    from hiveka_spark.streaming.kafka_txn import TransactionalKafkaSink
+
+    if kafka_available(spark):
+        pytest.skip("kafka connector present; gating not applicable")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        TransactionalKafkaSink(spark, _cfg(), "t", txn_id="t-writer")
+
+
 # ---------------------------------------------------------------- offset store
 def test_offset_store_resume_and_clamp(tmp_path):
     store = OffsetStore(str(tmp_path / "offsets.json"))

@@ -122,3 +122,75 @@ def test_explicit_offset_range_against_real_broker(spark):
     )
     sliced = decode_wire(read_kafka_batch(spark, sliced_cfg), sliced_cfg)
     assert sliced.count() == sum(ends[topic].values())
+
+
+def test_transactional_sink_exactly_once(spark):
+    """The transactional upgrade of the marker protocol (round-8 verdict
+    item 2 / round-7 item 6): (a) a replayed, already-committed batch is
+    skipped before any record is sent; (b) a batch whose produce CRASHES
+    mid-flight aborts — read_committed consumers see no partial batch;
+    (c) the in-transaction commit marker makes data+marker visible
+    atomically, so no produce->marker window exists at all."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.sources.kafka_io import (
+        decode_wire,
+        kafka_available,
+        read_kafka_batch,
+    )
+    from hiveka_spark.streaming.kafka_txn import TransactionalKafkaSink
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the JVM classpath")
+
+    topic = f"hiveka_txn_{uuid.uuid4().hex[:12]}"
+    cfg = _cfg(topic)
+    sink = TransactionalKafkaSink(
+        spark, cfg, topic, txn_id=f"{topic}-writer", key_col="event_id"
+    )
+    try:
+        b0 = spark.createDataFrame(
+            [(1, "click"), (2, "view")], "event_id BIGINT, event_type STRING"
+        )
+        sink(b0, 0)
+        assert sink.committed_batches() == {0}
+
+        def read_ids():
+            wire = read_kafka_batch(spark, cfg)
+            return sorted(
+                r["event_id"]
+                for r in decode_wire(wire, cfg).select("event_id").collect()
+            )
+
+        first = read_ids()
+        assert first == [1, 2]
+
+        # (a) replay of a committed batch: skipped, log unchanged
+        sink(b0, 0)
+        assert read_ids() == first
+
+        # (b) a poisoned batch aborts its transaction: nothing visible
+        poison = spark.createDataFrame(
+            [(3, "x")], "event_id BIGINT, event_type STRING"
+        ).withColumn(
+            "event_type", F.raise_error(F.lit("injected mid-produce failure"))
+        )
+        try:
+            sink(poison, 1)
+            raise AssertionError("poisoned batch did not raise")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+        assert read_ids() == first, "aborted records leaked past read_committed"
+        assert sink.committed_batches() == {0}
+
+        # (c) a healthy next batch commits normally after the abort
+        b2 = spark.createDataFrame(
+            [(5, "purchase")], "event_id BIGINT, event_type STRING"
+        )
+        sink(b2, 2)
+        assert read_ids() == [1, 2, 5]
+        assert sink.committed_batches() == {0, 2}
+    finally:
+        sink.close()
