@@ -453,3 +453,114 @@ def bpe_apply_fast(
     return docs.select(id_col, text_col).mapInPandas(
         run, f"{id_col} bigint, n_bpe_tokens bigint"
     )
+
+
+_DIGEST_MOD = 2147483647  # 2^31 - 1, shared with sampling.rolling_digest
+
+
+def bpe_vocab(
+    merge_table: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """Deterministic token-string -> id vocabulary: the sorted base
+    alphabet takes ids 0..B-1, then each merge's merged string (in rank
+    order) takes the next id — skipping strings already assigned, because
+    two merges can produce the SAME string from different splits (e.g.
+    ('ab','c') and ('a','bc') both make 'abc') and a vocabulary is keyed
+    by the string (the HF-tokenizer convention: first creation wins).
+    The unknown id is ``len(vocab)`` (one past the last assigned)."""
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    for a, b in merge_table:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merge_table: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    units: bool = False,
+) -> DataFrame:
+    """The tokenizer's SHIP artifact: per doc the full token-ID sequence,
+    certified as (<id_col>, n_tokens, ids_digest) where ``ids_digest`` is
+    the 31-ary rolling hash mod 2^31-1 over the ids IN ORDER — the same
+    content-AND-order digest x75's export manifests use, so any dropped /
+    duplicated / reordered / substituted token changes it.  (A variant
+    emitting the raw ``array<bigint>`` is the same mapInPandas with the
+    accumulator swapped for a list; the digest form is what a
+    certification gate can hash and what a manifest stores.)
+
+    Same scale shape as :func:`bpe_apply_fast`: merge table + vocabulary
+    broadcast once (both vocabulary-bounded), ONE Arrow-batched
+    mapInPandas, flat plan at any merge count, per-partition distinct-unit
+    memo (each unit's id list is cached, the per-doc fold is O(tokens)).
+    Symbols outside the vocabulary map to the unknown id ``len(vocab)``.
+    NULL/empty text -> (0, 0) row parity.  Gate x80 replays train ->
+    vocab -> tokenize -> digest end-to-end in DuckDB."""
+    import pandas as pd
+
+    rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
+    bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
+    use_units = units
+
+    def run(batches):
+        rk, vc = bc.value
+        unk = len(vc)
+        memo: dict[str, tuple[int, ...]] = {}
+
+        def unit_ids(u: str) -> tuple[int, ...]:
+            ids = memo.get(u)
+            if ids is None:
+                syms = list(u)
+                while len(syms) > 1:
+                    best_rank = None
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best_rank, a, b = r, syms[i], syms[i + 1]
+                    if best_rank is None:
+                        break
+                    merged, out, i = a + b, [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                ids = memo[u] = tuple(vc.get(s, unk) for s in syms)
+            return ids
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str):
+                    out.append((did, 0, 0))
+                    continue
+                ws = [w for w in text.lower().split(" ") if w]
+                if use_units:
+                    us = [
+                        ws[2 * i] + "_" + ws[2 * i + 1]
+                        if 2 * i + 1 < len(ws)
+                        else ws[2 * i]
+                        for i in range((len(ws) + 1) // 2)
+                    ]
+                else:
+                    us = ws
+                n, dig = 0, 0
+                for u in us:
+                    for tid in unit_ids(u):
+                        n += 1
+                        dig = (dig * 31 + tid) % _DIGEST_MOD
+                out.append((did, n, dig))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_tokens", "ids_digest"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} bigint, n_tokens bigint, ids_digest bigint"
+    )

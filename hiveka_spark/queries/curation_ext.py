@@ -2116,32 +2116,31 @@ def x76_bpe_train_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_apply_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
-    """Replay of train-then-tokenize: the x76 recursion derives the merge
-    table, then a SECOND recursive CTE applies it to every DISTINCT
-    corpus unit — at iteration j the pair comes from the merge table row
-    merge_rank = j (an equi-join, not an argmax), the application recipe
-    is byte-identical to training's (greedy leftmost; aa-run parity).
-    Token counts then factor through units: greedy BPE of a fixed table
-    never crosses unit boundaries, so a doc's count is the sum of its
-    units' counts — the same vocabulary-bounded memoization the Spark
-    side's mapInPandas exploits.  Docs with NULL/empty text come back 0
-    (LEFT JOIN + COALESCE row parity)."""
-    return f"""
-    WITH RECURSIVE {_bpe_train_ctes(n_merges, max_words)},
+def _bpe_apply_ctes(n_merges: int, max_words: int) -> str:
+    """Shared CTE chain for the tokenize gates (x79/x80): the x76 training
+    recursion, the derived merge table, per-doc ORDERED unit occurrences
+    (upos — the in-doc position, needed by x80's order digest), the
+    distinct-unit set, and the APPLY recursion ``ap`` — at iteration j the
+    pair comes from the merge table row merge_rank = j (an equi-join, not
+    an argmax), the application recipe byte-identical to training's
+    (greedy leftmost; aa-run parity)."""
+    return f"""{_bpe_train_ctes(n_merges, max_words)},
     merges AS MATERIALIZED (
-      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b
+      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b, MIN(a) || MIN(b) AS merged
       FROM r WHERE it >= 1 GROUP BY it),
     docunits AS MATERIALIZED (
-      SELECT doc_id, u FROM (
+      SELECT doc_id, upos, u FROM (
         SELECT doc_id,
-               UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
-                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
-                                ELSE toks[2*i+1] END)) AS u
+               UNNEST(range(1, LEN(us) + 1)) AS upos,
+               UNNEST(us) AS u
         FROM (SELECT doc_id,
-                     list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
-              FROM documents)
-        WHERE LEN(toks) > 0)),
+                     list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
+                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
+                                ELSE toks[2*i+1] END) AS us
+              FROM (SELECT doc_id,
+                           list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE LEN(toks) > 0))),
     units AS MATERIALIZED (SELECT DISTINCT u FROM docunits),
     ap AS (
       SELECT CAST(0 AS BIGINT) AS it, u AS w, CAST(pos AS BIGINT) AS pos, s
@@ -2174,7 +2173,18 @@ def _bpe_apply_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WOR
           ) q2
         ) q3
       ) q4 WHERE NOT consumed
-    ),
+    )"""
+
+
+def _bpe_apply_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of train-then-tokenize (gate x79).  Token counts factor
+    through units: greedy BPE of a fixed table never crosses unit
+    boundaries, so a doc's count is the sum of its units' counts — the
+    same vocabulary-bounded memoization the Spark side's mapInPandas
+    exploits.  Docs with NULL/empty text come back 0 (LEFT JOIN +
+    COALESCE row parity)."""
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
     unit_tok AS (
       SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
       FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w)
@@ -2214,6 +2224,105 @@ def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
     return bpe_apply_fast(d, merges, "text", "doc_id", units=True)
+
+
+# ---------------------------------------------------------------------------
+# x80 — token-ID encoding: the tokenizer's ship artifact, digest-certified
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of train -> vocabulary -> tokenize -> per-doc ID-sequence
+    digest: the x79 apply machinery, plus the deterministic vocabulary
+    (sorted corpus-unit alphabet ids 0..B-1, then merged strings in
+    first-creation rank order — two merges CAN produce the same string
+    from different splits, so ids key on the string, min rank wins), the
+    doc token sequence ordered by (unit position, symbol position), and
+    the 31-ary rolling digest mod 2^31-1 computed positionally:
+    digest = SUM(id * 31^(n - ti)) mod p, with 31^k from a recursive
+    power CTE (bounded by the longest doc's token count).  Every product
+    id * 31^k stays under 2^62 (id < vocab size < 2^31, power < p)."""
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    alpha AS (SELECT DISTINCT s
+              FROM (SELECT UNNEST(string_split(u, '')) AS s FROM units)),
+    vocab0 AS (SELECT s AS sym, ROW_NUMBER() OVER (ORDER BY s) - 1 AS id FROM alpha),
+    vmerge AS (SELECT merged, MIN(merge_rank) AS mr FROM merges GROUP BY merged),
+    vocab AS (SELECT sym, CAST(id AS BIGINT) AS id FROM vocab0
+              UNION ALL
+              SELECT merged AS sym,
+                     CAST((SELECT COUNT(*) FROM alpha) - 1
+                          + ROW_NUMBER() OVER (ORDER BY mr) AS BIGINT) AS id
+              FROM vmerge),
+    unit_syms AS (
+      SELECT ap.w AS u, ap.pos, v.id
+      FROM ap JOIN vocab v ON v.sym = ap.s
+      WHERE ap.it = (SELECT MAX(merge_rank) FROM merges)),
+    seqs AS MATERIALIZED (
+      SELECT du.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY du.doc_id
+                                ORDER BY du.upos, us.pos) AS ti,
+             COUNT(*) OVER (PARTITION BY du.doc_id) AS n
+      FROM docunits du JOIN unit_syms us ON us.u = du.u),
+    maxn AS MATERIALIZED (SELECT COALESCE(MAX(n), 0) AS m FROM seqs),
+    pw AS (SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v
+           UNION ALL
+           SELECT k + 1, (v * 31) % 2147483647 FROM pw
+           WHERE k < (SELECT m FROM maxn)),
+    dig AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(SUM((s.id * p.v) % 2147483647) % 2147483647 AS BIGINT)
+               AS ids_digest
+      FROM seqs s JOIN pw p ON p.k = s.n - s.ti
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(g.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM documents d LEFT JOIN dig g ON g.doc_id = d.doc_id
+    """
+
+
+@register(
+    "x80_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "tokenizer", "bpe", "training-prep", "scale", "certification"),
+)
+def x80_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding — the tokenizer's SHIP ARTIFACT on top of x79's
+    apply path: a deterministic vocabulary (sorted corpus-unit alphabet,
+    then merged strings in first-creation order; ids key on the STRING
+    because distinct merges can produce the same token text), and per doc
+    the full ID sequence certified as (n_tokens, ids_digest) — the 31-ary
+    rolling content-AND-order digest x75's export manifests use, so ONE
+    hash certifies every id, its position, and the sequence length for
+    every document (operators/bpe.py::bpe_encode).  The DuckDB oracle
+    replays the whole chain: 256-merge training recursion, vocabulary
+    assignment, rank-joined apply recursion, positional digest.  Scale:
+    merge table + vocabulary broadcast once (vocabulary-bounded), one
+    Arrow-batched mapInPandas, zero shuffle; the alphabet collect is
+    bounded by the corpus character set."""
+    from hiveka_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+    return bpe_encode(d, merges, vocab, "text", "doc_id", units=True)
 
 
 # ---------------------------------------------------------------------------
