@@ -107,6 +107,8 @@ HEADLINE = [
     # round-9 additions (floors established from r9 on):
     "x79_bpe_tokenize",
     "s23_stream_curation_e2e",
+    # round-10 additions (floors established from r10 on):
+    "x80_bpe_encode",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
@@ -197,7 +199,22 @@ def main() -> None:
             out["ratio_median"] = round(vals[len(vals) // 2], 3)
             out["ratio_worst"] = max(vals)
             out["flagged_over_2x"] = sorted(n for n, r in ratios.items() if r > 2.0)
+    # Self-enforcing guard (round-9 verdict: x78/s23 in r8 and x80 in r9 all
+    # shipped without a floor, so bench_compare could never flag them): a
+    # HEADLINE entry with no recorded floor is a hard error, not an info
+    # line — new entries must land WITH their min-of-3-idle floor in the
+    # same commit.  The artifact still prints so the run is inspectable.
+    missing_floor = [n for n in HEADLINE if n not in base] if base else []
+    if missing_floor:
+        out["missing_floor"] = missing_floor
     print(json.dumps(out))
+    if missing_floor:
+        print(
+            "ERROR: HEADLINE entries without a BENCH_BASELINE.json floor: "
+            + ", ".join(missing_floor),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -361,26 +361,36 @@ def bpe_apply(
     )
 
 
-def _tokenize_unit(syms: list[str], rank: dict[tuple[str, str], int]) -> int:
-    """Greedy BPE application to one pre-tokenizer unit: repeatedly take
-    the LOWEST-RANK adjacent pair present and merge all its occurrences
-    left-to-right.  Equivalent to training's "apply merges in rank order,
-    one full greedy pass each" (the rule bpe_apply's windows and
-    _train_python both implement): the first pair either scheme merges is
-    the minimal-rank pair present, and merging rank r's occurrences can
-    never create a pair of rank < r — a rank-s pair's symbols both existed
-    at training step s, so neither can be the symbol rank r creates (r>s),
-    and merging two adjacent symbols never makes their OLD neighbors
-    adjacent to each other, only to the new symbol.  Returns the final
-    token count."""
+def _merge_unit(syms: list[str], rank: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE application to one pre-tokenizer unit, replaying the
+    RANK-ORDER semantics the certified surfaces use (bpe_apply's stacked
+    windows, _train_python's training-time application, the x79/x80 DuckDB
+    apply recursion): for each rank in increasing order, one full greedy
+    leftmost pass.  The fast replay tracks the last applied rank and only
+    merges the minimum-rank pair present with rank > last — equivalent
+    because (a) between two applied ranks, the skipped ranks' pairs are
+    absent so their passes are no-ops, and (b) one pass per rank is
+    complete: merging (a,b)->ab only creates pairs involving the NEW
+    symbol ab, never a fresh (a,b) adjacency.  The ``rank > last`` guard
+    is load-bearing, not an optimization: a LATER merge can create a
+    string an EARLIER merge's pair references (two merges can produce the
+    same string from different splits — e.g. table
+    [(b,c),(a,b),(ab,c),(x,abc),(a,bc)] on 'xabc': rank-4 (a,bc) makes
+    'abc' AFTER rank-3 (x,abc)'s turn has passed), and an unguarded
+    min-rank loop would merge it retroactively, silently diverging from
+    every certified twin (regression-pinned in tests/test_operators.py).
+    Returns the final symbol list; the token count and the id sequence
+    both derive from it so the two ship paths cannot drift."""
+    last = -1
     while len(syms) > 1:
         best_rank = None
         for i in range(len(syms) - 1):
             r = rank.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
+            if r is not None and r > last and (best_rank is None or r < best_rank):
                 best_rank, a, b = r, syms[i], syms[i + 1]
         if best_rank is None:
             break
+        last = best_rank
         merged, out, i = a + b, [], 0
         while i < len(syms):
             if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
@@ -390,7 +400,12 @@ def _tokenize_unit(syms: list[str], rank: dict[tuple[str, str], int]) -> int:
                 out.append(syms[i])
                 i += 1
         syms = out
-    return len(syms)
+    return syms
+
+
+def _tokenize_unit(syms: list[str], rank: dict[tuple[str, str], int]) -> int:
+    """Final token count of one unit under :func:`_merge_unit`."""
+    return len(_merge_unit(syms, rank))
 
 
 def bpe_apply_fast(
@@ -437,7 +452,7 @@ def bpe_apply_fast(
                 if text is None or not isinstance(text, str):
                     out.append((did, 0))
                     continue
-                ws = [w for w in text.lower().split(" ") if w]
+                ws = [w for w in text.split(" ") if w]
                 if use_units:
                     us = [
                         ws[2 * i] + "_" + ws[2 * i + 1]
@@ -450,9 +465,13 @@ def bpe_apply_fast(
                 out.append((did, sum(unit_tokens(u) for u in us)))
             yield pd.DataFrame(out, columns=[id_col, "n_bpe_tokens"])
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} bigint, n_bpe_tokens bigint"
-    )
+    # lowercase JVM-side so the pre-tokenizer can't diverge from the window
+    # twin's tokens() on locale-sensitive code points ('İ' etc.); the id
+    # field keeps the input column's own type rather than assuming bigint
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias(text_col)
+    ).mapInPandas(run, f"{id_col} {id_type}, n_bpe_tokens bigint")
 
 
 _DIGEST_MOD = 2147483647  # 2^31 - 1, shared with sampling.rolling_digest
@@ -514,25 +533,9 @@ def bpe_encode(
         def unit_ids(u: str) -> tuple[int, ...]:
             ids = memo.get(u)
             if ids is None:
-                syms = list(u)
-                while len(syms) > 1:
-                    best_rank = None
-                    for i in range(len(syms) - 1):
-                        r = rk.get((syms[i], syms[i + 1]))
-                        if r is not None and (best_rank is None or r < best_rank):
-                            best_rank, a, b = r, syms[i], syms[i + 1]
-                    if best_rank is None:
-                        break
-                    merged, out, i = a + b, [], 0
-                    while i < len(syms):
-                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                            out.append(merged)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                ids = memo[u] = tuple(vc.get(s, unk) for s in syms)
+                ids = memo[u] = tuple(
+                    vc.get(s, unk) for s in _merge_unit(list(u), rk)
+                )
             return ids
 
         for pdf in batches:
@@ -541,7 +544,7 @@ def bpe_encode(
                 if text is None or not isinstance(text, str):
                     out.append((did, 0, 0))
                     continue
-                ws = [w for w in text.lower().split(" ") if w]
+                ws = [w for w in text.split(" ") if w]
                 if use_units:
                     us = [
                         ws[2 * i] + "_" + ws[2 * i + 1]
@@ -561,6 +564,8 @@ def bpe_encode(
                 out, columns=[id_col, "n_tokens", "ids_digest"]
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} bigint, n_tokens bigint, ids_digest bigint"
-    )
+    # same JVM-side lowercase + derived id type as bpe_apply_fast
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias(text_col)
+    ).mapInPandas(run, f"{id_col} {id_type}, n_tokens bigint, ids_digest bigint")

@@ -772,6 +772,44 @@ def test_bpe_apply_fast_equals_window_twin(spark):
         assert fast[5] == 0 and fast[6] == 0 and fast[7] == 0  # row parity
 
 
+def test_bpe_apply_fast_rank_order_duplicate_merged_string(spark):
+    """Regression for the round-9 ADVICE repro: when a LATER merge creates
+    a string an EARLIER merge's pair references (two merges producing the
+    same string from different splits), an unguarded min-rank-iterative
+    apply merges the earlier pair retroactively.  Table
+    [(b,c),(a,b),(ab,c),(x,abc),(a,bc)] on 'xabc': rank-order semantics
+    (the certified twin + the x79/x80 oracles) run rank0 (b,c) -> 'x a bc'
+    then rank4 (a,bc) -> 'x abc' and STOP (rank3 (x,abc)'s turn already
+    passed) = 2 tokens; the buggy fast path went on to merge (x,abc) = 1
+    token.  Pins the fast path — count, encode, and the _merge_unit helper
+    both derive from — to the twin on this exact table."""
+    from hiveka_spark.operators.bpe import (
+        _merge_unit,
+        bpe_apply,
+        bpe_apply_fast,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    mt = [("b", "c"), ("a", "b"), ("ab", "c"), ("x", "abc"), ("a", "bc")]
+    rank = {p: i for i, p in enumerate(mt)}
+    assert _merge_unit(list("xabc"), rank) == ["x", "abc"]
+
+    df = spark.createDataFrame(
+        [(0, "xabc"), (1, "abc xabc ababc")], "doc_id bigint, text string"
+    )
+    twin = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply(df, mt).collect()}
+    fast = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply_fast(df, mt).collect()
+    }
+    assert twin[0] == 2
+    assert fast == twin
+    # encode path shares _merge_unit: n_tokens must agree with the count path
+    vocab = bpe_vocab(mt, list("abcx"))
+    enc = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, mt, vocab).collect()}
+    assert enc == twin
+
+
 def test_bpe_apply_fast_min_rank_equivalence_unseen_text(spark):
     """Apply to text the trainer never saw (the serving case): the
     min-rank-iterative rule must still equal rank-order full passes —

@@ -39,10 +39,14 @@ def main() -> int:
         print("no JSON bench line found", file=sys.stderr)
         return 2
     flagged = []
+    floorless = []
     for name, sec in run["queries"].items():
         b = base.get(name)
         if b is None:
-            print(f"  NEW   {name}: {sec:.2f}s (no baseline)")
+            # a benched query with no floor is unguarded — hard error, so a
+            # new entry can never ship guard-blind (round-9 verdict #1)
+            print(f"  MISSING FLOOR  {name}: {sec:.2f}s (no baseline entry)")
+            floorless.append(name)
             continue
         ratio = sec / b if b else float("inf")
         mark = "SLOW" if ratio > BUDGET else "ok"
@@ -56,8 +60,9 @@ def main() -> int:
               f"= {total_run / total_base:.2f}x (budget {BUDGET}x per query)")
     if flagged:
         print("REGRESSIONS:", ", ".join(flagged))
-        return 1
-    return 0
+    if floorless:
+        print("FLOORLESS (add to BENCH_BASELINE.json):", ", ".join(floorless))
+    return 1 if (flagged or floorless) else 0
 
 
 if __name__ == "__main__":
