@@ -109,6 +109,7 @@ HEADLINE = [
     "s23_stream_curation_e2e",
     # round-10 additions (floors established from r10 on):
     "x80_bpe_encode",
+    "x81_token_export",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -569,3 +569,80 @@ def bpe_encode(
     return docs.select(
         F.col(id_col), F.lower(F.col(text_col)).alias(text_col)
     ).mapInPandas(run, f"{id_col} {id_type}, n_tokens bigint, ids_digest bigint")
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merge_table: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    units: bool = False,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The RAW token-ID artifact (`array<bigint>` per doc) — what a
+    training job actually reads, where :func:`bpe_encode` ships the
+    digest that certifies it.  Same flat scale shape (merge table +
+    vocabulary broadcast once, ONE Arrow-batched mapInPandas, zero
+    shuffle, distinct-unit memo); NULL/empty text -> empty array (NOT
+    null), keeping row parity and making the digest composition a no-op
+    for such docs.  ``keep_cols`` pass through the Arrow batches
+    untouched — the export path carries shard/shard_pos this way, so
+    tokenized shards need no id-keyed corpus re-join (the x75
+    discipline).  Invariants vs :func:`bpe_encode` (pinned in
+    tests/test_operators.py): size(ids) == n_tokens and the 31-ary fold
+    of ids == ids_digest, doc by doc."""
+    import pandas as pd
+
+    rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
+    bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
+    use_units = units
+
+    def run(batches):
+        rk, vc = bc.value
+        unk = len(vc)
+        memo: dict[str, tuple[int, ...]] = {}
+
+        def unit_ids(u: str) -> tuple[int, ...]:
+            ids = memo.get(u)
+            if ids is None:
+                ids = memo[u] = tuple(
+                    vc.get(s, unk) for s in _merge_unit(list(u), rk)
+                )
+            return ids
+
+        for pdf in batches:
+            seqs: list[list[int]] = []
+            for text in pdf[text_col]:
+                if text is None or not isinstance(text, str):
+                    seqs.append([])
+                    continue
+                ws = [w for w in text.split(" ") if w]
+                if use_units:
+                    us = [
+                        ws[2 * i] + "_" + ws[2 * i + 1]
+                        if 2 * i + 1 < len(ws)
+                        else ws[2 * i]
+                        for i in range((len(ws) + 1) // 2)
+                    ]
+                else:
+                    us = ws
+                seq: list[int] = []
+                for u in us:
+                    seq.extend(unit_ids(u))
+                seqs.append(seq)
+            out = pdf[[id_col, *keep_cols]].copy()
+            out["ids"] = seqs
+            yield out
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.lower(F.col(text_col)).alias(text_col),
+    ).mapInPandas(
+        run, f"{id_col} {id_type}{keep_schema}, ids array<bigint>"
+    )

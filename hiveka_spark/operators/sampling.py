@@ -401,6 +401,71 @@ def segmented_order_digest(
     )
 
 
+def composed_order_digest(
+    df: DataFrame,
+    group_col: str | tuple[str, ...] | list[str],
+    pos_col: str,
+    dig_col: str,
+    len_col: str,
+    out_col: str = "ids_digest",
+    seg_size: int = 4096,
+) -> DataFrame:
+    """Per-group digest of the CONCATENATION of variable-length sequences:
+    each input row carries a sequence's own 31-ary digest (``dig_col``)
+    and its length (``len_col``); the group's digest — identical to
+    folding every element of every sequence in ``pos_col`` order — is
+    composed via the affine rule digest(A||B) = digest(A) * 31^len(B) +
+    digest(B) (mod p).  This is :func:`segmented_order_digest`
+    generalized from fixed-size segments to per-row lengths: the token
+    manifest path (x81), where a shard's token-stream digest composes
+    from per-doc (ids_digest, n_tokens) pairs without ever exploding the
+    token stream or holding a shard's tokens in one buffer.
+
+    Bounded everywhere: 31^len mod p comes from a broadcast power table
+    over the DISTINCT lengths present (one bounded collect — distinct
+    per-doc token counts, capped by the max document length, zipfian in
+    practice; pow(31, n, p) driver-side costs O(log n) each); rows fold
+    in bounded ``seg_size`` segments by (pos-1) DIV seg_size, each
+    segment carrying its digest AND its combined power (powers multiply:
+    31^(a+b) = 31^a * 31^b mod p), and segments fold with the same
+    affine step.  Every intermediate < p^2 + p < 2^62.  Zero-length rows
+    (empty docs) carry digest 0 / power 1 — exact no-ops.  Pinned equal
+    to a flat per-element fold in tests/test_sampling.py with seg_size
+    smaller than the groups."""
+    spark = df.sparkSession
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    lens = sorted(
+        int(r[0]) for r in df.select(len_col).distinct().collect() if r[0] is not None
+    )
+    pow_tbl = spark.createDataFrame(
+        [(n, pow(31, n, _DIGEST_MOD)) for n in lens] or [(0, 1)],
+        f"{len_col} bigint, _pw bigint",
+    )
+    t = df.join(F.broadcast(pow_tbl), len_col)
+    seg = F.expr(f"CAST(({pos_col} - 1) DIV {seg_size} AS BIGINT)")
+    segs = t.groupBy(*[F.col(g) for g in group_cols], seg.alias("_seg")).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(pos_col, dig_col, "_pw"))),
+            F.struct(
+                F.lit(0).cast("bigint").alias("d"),
+                F.lit(1).cast("bigint").alias("pw"),
+            ),
+            lambda acc, x: F.struct(
+                ((acc["d"] * x["_pw"] + x[dig_col]) % p).alias("d"),
+                ((acc["pw"] * x["_pw"]) % p).alias("pw"),
+            ),
+        ).alias("_sd")
+    )
+    return segs.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_seg", "_sd"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * x["_sd"]["pw"] + x["_sd"]["d"]) % p,
+        ).alias(out_col)
+    )
+
+
 def epoch_shards(
     df: DataFrame,
     id_col: str,

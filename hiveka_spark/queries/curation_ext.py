@@ -2231,19 +2231,13 @@ def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
-    """Replay of train -> vocabulary -> tokenize -> per-doc ID-sequence
-    digest: the x79 apply machinery, plus the deterministic vocabulary
-    (sorted corpus-unit alphabet ids 0..B-1, then merged strings in
-    first-creation rank order — two merges CAN produce the same string
-    from different splits, so ids key on the string, min rank wins), the
-    doc token sequence ordered by (unit position, symbol position), and
-    the 31-ary rolling digest mod 2^31-1 computed positionally:
-    digest = SUM(id * 31^(n - ti)) mod p, with 31^k from a recursive
-    power CTE (bounded by the longest doc's token count).  Every product
-    id * 31^k stays under 2^62 (id < vocab size < 2^31, power < p)."""
-    return f"""
-    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+#: vocabulary + final-iteration token-id CTEs shared by the encode-side
+#: oracles (x80 digest form, x81 token-certified export): the
+#: deterministic vocabulary (sorted corpus-unit alphabet ids 0..B-1, then
+#: merged strings in first-creation rank order — two merges CAN produce
+#: the same string from different splits, so ids key on the string, min
+#: rank wins) and unit_syms, each distinct unit's ordered token ids.
+_BPE_VOCAB_CTES = """
     alpha AS (SELECT DISTINCT s
               FROM (SELECT UNNEST(string_split(u, '')) AS s FROM units)),
     vocab0 AS (SELECT s AS sym, ROW_NUMBER() OVER (ORDER BY s) - 1 AS id FROM alpha),
@@ -2257,7 +2251,21 @@ def _bpe_encode_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WO
     unit_syms AS (
       SELECT ap.w AS u, ap.pos, v.id
       FROM ap JOIN vocab v ON v.sym = ap.s
-      WHERE ap.it = (SELECT MAX(merge_rank) FROM merges)),
+      WHERE ap.it = (SELECT MAX(merge_rank) FROM merges))"""
+
+
+def _bpe_encode_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of train -> vocabulary -> tokenize -> per-doc ID-sequence
+    digest: the x79 apply machinery, the shared vocabulary CTEs
+    (:data:`_BPE_VOCAB_CTES`), the doc token sequence ordered by (unit
+    position, symbol position), and the 31-ary rolling digest mod 2^31-1
+    computed positionally: digest = SUM(id * 31^(n - ti)) mod p, with
+    31^k from a recursive power CTE (bounded by the longest doc's token
+    count).  Every product id * 31^k stays under 2^62 (id < vocab size
+    < 2^31, power < p)."""
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
     seqs AS MATERIALIZED (
       SELECT du.doc_id, us.id,
              ROW_NUMBER() OVER (PARTITION BY du.doc_id
@@ -2323,6 +2331,149 @@ def x80_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     vocab = bpe_vocab(merges, alphabet)
     return bpe_encode(d, merges, vocab, "text", "doc_id", units=True)
+
+
+# ---------------------------------------------------------------------------
+# x81 — token-certified dataset export: shards of raw token-ID arrays,
+# manifest digests over the shards' concatenated token streams
+# ---------------------------------------------------------------------------
+
+
+def _x81_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of tokenize-then-shard-then-manifest: the x80 train/vocab/
+    apply machinery produces every doc's ordered token-id sequence; shard
+    assignment and shard_pos replay x75's salted portable_hash60 recipe;
+    and each shard's ids_digest is ONE ordered 31-ary fold over the
+    shard's concatenated token stream (ORDER BY shard_pos, upos, pos) —
+    the flat twin of the Spark side's affine per-doc composition
+    (operators/sampling.py::composed_order_digest), so a match certifies
+    the composition algebra as well as the export round-trip.  Shards
+    whose docs all tokenize to nothing come back (n_docs, 0, 0) via the
+    LEFT JOIN."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('tok0_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    shards AS (
+      SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+               AS shard_pos
+      FROM (SELECT doc_id, {h} AS hh FROM documents)),
+    toks AS (
+      SELECT s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY shard_pos, upos, pos)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM toks GROUP BY shard),
+    dcount AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM shards GROUP BY shard)
+    SELECT d.shard, d.n_docs,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(t.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM dcount d LEFT JOIN tokagg t ON t.shard = d.shard
+    """
+
+
+@register(
+    "x81_token_export",
+    oracle=_x81_oracle(),
+    tags=("training-prep", "export", "tokenizer", "manifest", "certification"),
+)
+def x81_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-certified dataset export — the composition the round-9
+    verdict asked for: the tokenizer's RAW artifact (per-doc
+    ``array<bigint>`` ids, operators/bpe.py::bpe_encode_ids) is sharded
+    (x71's zero-coordination epoch_shards; shard/shard_pos ride the
+    mapInPandas batches as pass-through columns — no id-keyed re-join),
+    physically written as partitioned parquet, read back, and manifested
+    per shard as (n_docs, n_tokens, ids_digest) where ids_digest is the
+    31-ary rolling hash over the shard's ENTIRE concatenated token stream
+    in shard_pos order — one number certifying every token id, its
+    position, and the stream length of the exported shard files.
+
+    Scale shape: tokenization is the x79/x80 flat mapInPandas (vocab +
+    merge table broadcast once, zero shuffle); per-doc digests/lengths
+    are JVM-side array folds over the READ-BACK ids column (the digest
+    certifies the shipped bytes, not the pre-write values); the shard
+    digest composes per-doc pairs with the affine rule via
+    composed_order_digest — bounded 64-row segment buffers, a broadcast
+    power table over distinct doc lengths, never an exploded token
+    stream.  The DuckDB oracle folds the same stream flat, so the
+    composition algebra is certified against a structurally different
+    computation.  Scratch export dir deleted eagerly (bench reruns)."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        composed_order_digest,
+        epoch_shards,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    staged = epoch_shards(d, "doc_id", "tok0_", 8, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges, vocab, "text", "doc_id",
+        units=True, keep_cols=("shard", "shard_pos"),
+    )
+    out_dir = scratch_dir(prefix="gate_x81export_")
+    toks.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    per_doc = back.select(
+        "shard",
+        "shard_pos",
+        F.aggregate(
+            "ids",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % p,
+        ).alias("dd"),
+        F.size("ids").cast("bigint").alias("n_tok"),
+    )
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    digests = composed_order_digest(
+        per_doc, "shard", "shard_pos", "dd", "n_tok",
+        out_col="ids_digest", seg_size=64,
+    )
+    manifest = (
+        counts.join(digests, "shard")
+        .select("shard", "n_docs", "n_tokens",
+                F.col("ids_digest").cast("bigint").alias("ids_digest"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest
 
 
 # ---------------------------------------------------------------------------

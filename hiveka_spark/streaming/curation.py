@@ -61,8 +61,11 @@ from hiveka_spark.sources.kafka_io import (
     decode_wire,
     read_kafka_batch,
 )
-from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
-from hiveka_spark.streaming.neardup import committed_versions
+from hiveka_spark.streaming.neardup import (
+    N_BH_BUCKETS,
+    committed_versions,
+    read_bands,
+)
 
 
 class StreamCurationSink:
@@ -74,8 +77,15 @@ class StreamCurationSink:
     state_root:
         Root for the dedup band index (``bands/b{id}``, ``sh/b{id}``).
     produce_sink:
-        Marker-protected :class:`KafkaStreamSink` targeting the curated
-        topic; its payload schema must be
+        Produce sink for the curated topic — any ``(batch_df, batch_id)``
+        callable honoring the key/tombstone contract: the marker-protected
+        :class:`KafkaStreamSink` (object-store-grade default, works against
+        the simulator), or a
+        :class:`~hiveka_spark.streaming.kafka_txn.TransactionalKafkaSink`
+        for broker-grade exactly-once where a live cluster exists (the
+        composition is env-gated in tests/test_kafka_live.py::
+        test_curation_over_transactional_sink — zero protocol change, the
+        seam is shared).  Its payload schema must be
         ``doc_id BIGINT, lang STRING, n_chars BIGINT`` and it must be
         constructed with ``tombstone_col="_tombstone"`` so retractions go
         out as real null-value records.
@@ -89,7 +99,7 @@ class StreamCurationSink:
     def __init__(
         self,
         state_root: str,
-        produce_sink: KafkaStreamSink,
+        produce_sink,  # KafkaStreamSink | TransactionalKafkaSink (see class doc)
         bitset,
         ev_sh: DataFrame,
         num_perm: int = 32,
@@ -172,7 +182,18 @@ class StreamCurationSink:
         cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
         prior = committed_versions(self.bands_root, batch_id)
         if prior:
-            idx = s.read.parquet(*prior).select(
+            # bucket-pruned probe: the compacted c-segment is partitioned
+            # by bh_bucket (neardup.compact_band_index), so reading only
+            # this batch's buckets prunes directories before any I/O
+            buckets = [
+                r[0]
+                for r in bands_cur.select(
+                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).alias("bk")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = read_bands(s, prior, bh_buckets=buckets).select(
                 F.col("doc").alias("id_old"), "band", "bh"
             )
             new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")
@@ -254,11 +275,20 @@ def read_compacted(
     no-op pass-through: every surviving key has one record and no
     tombstones remain past the delete-retention horizon.
 
+    Compacted topics are KEYED by contract: a real broker REJECTS an
+    unkeyed produce to a ``cleanup.policy=compact`` topic
+    (InvalidRecordException), so null-key records cannot exist there —
+    any present in an uncompacted simulator log (a producer run without
+    ``key_col``) are dropped up front rather than silently collapsing
+    into one shared window partition where all but one would vanish.
+
     Scale shape: one scan of the topic, one key-keyed window (the
     max-offset argmax), then Avro decode of only the survivors."""
     from pyspark.sql import Window
 
-    wire = read_kafka_batch(spark, cfg, broker=broker)
+    wire = read_kafka_batch(spark, cfg, broker=broker).filter(
+        F.col("key").isNotNull()
+    )
     w = Window.partitionBy("key").orderBy(F.col("offset").desc())
     last = (
         wire.withColumn("_rn", F.row_number().over(w))

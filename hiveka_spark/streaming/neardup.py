@@ -21,10 +21,11 @@ neardup.py`` checks several splits against the batch operator.
 
 Scale shape: per batch one signature aggregate over the batch only (the
 index is never recomputed), one (band, bh)-keyed equi-join against the
-index.  At 100 TB: bucket the index files by ``bh`` so the probe prunes
-to matching buckets, compact per-batch dirs periodically, and relax the
-shingle-store verify to signature-estimated Jaccard if exactness can be
-traded for state size.
+index.  The compacted segment is partitioned by ``bh_bucket`` so probes
+prune to the batch's own buckets (:func:`read_bands`), and per-batch
+dirs fold periodically (``compact_after``).  The remaining 100 TB knob:
+relax the shingle-store verify to signature-estimated Jaccard if
+exactness can be traded for state size.
 """
 
 from __future__ import annotations
@@ -35,6 +36,48 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hiveka_spark.scratch import scratch_dir
+
+
+#: partition fan-out of the compacted band segment: c{top} is laid out as
+#: bh_bucket=pmod(bh, N)/ dirs so a probe that knows its batch's buckets
+#: prunes the committed index to matching directories before any read.
+#: 64 keeps per-bucket files large at gate scale; at 100 TB raise it with
+#: index size (it only changes the DIRECTORY fan-out, not results).
+N_BH_BUCKETS = 64
+
+
+def read_bands(
+    s: SparkSession, dirs: list[str], bh_buckets: list[int] | None = None
+) -> DataFrame:
+    """Read band-index version dirs as one (doc, band, bh) frame.
+    Per-batch ``b{id}`` deltas are flat parquet; compacted ``c{top}``
+    segments are partitioned by ``bh_bucket`` — the two layouts cannot
+    share one ``spark.read.parquet(*paths)`` call (partition discovery
+    needs a uniform structure), so they read separately and union.
+    With ``bh_buckets`` (the probing batch's own bucket set — at most
+    :data:`N_BH_BUCKETS` values), the c-segment scan is PARTITION-PRUNED
+    to matching directories (plan-asserted in
+    tests/test_streaming_neardup.py) and the deltas take the equivalent
+    row filter; without it, everything is read."""
+    cs = [d for d in dirs if os.path.basename(d).startswith("c")]
+    bs = [d for d in dirs if os.path.basename(d).startswith("b")]
+    frames = []
+    if bs:
+        f = s.read.parquet(*bs)
+        if bh_buckets is not None:
+            f = f.filter(
+                F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).isin(bh_buckets)
+            )
+        frames.append(f.select("doc", "band", "bh"))
+    if cs:
+        f = s.read.parquet(*cs)
+        if bh_buckets is not None:
+            f = f.filter(F.col("bh_bucket").isin(bh_buckets))
+        frames.append(f.select("doc", "band", "bh"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def committed_versions(root: str, before: int) -> list[str]:
@@ -68,8 +111,9 @@ def compact_band_index(
     rows, so the merge is a pure union — probe results before and after
     are identical (pinned by
     tests/test_streaming_neardup.py::test_continuation_through_compaction).
-    At 100 TB you would additionally bucket the rewrite by ``bh`` so
-    probes prune to matching buckets.
+    The bands rewrite is laid out partitioned by ``bh_bucket`` =
+    pmod(bh, :data:`N_BH_BUCKETS`) so probes prune to matching
+    directories (:func:`read_bands`); results are layout-independent.
 
     Safe to run BETWEEN batches of a live stream (foreachBatch calls are
     serialized — the ``compact_after`` knob of stream_minhash_dedup /
@@ -107,7 +151,16 @@ def compact_band_index(
         target = os.path.join(root, f"c{top}")
         if not os.path.exists(target):
             tmp = os.path.join(root, "_compact_tmp")
-            spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+            if sub == "bands":
+                # the probed store: lay the fold out partitioned by
+                # bh_bucket so future probes prune directories (the
+                # round-9 "at 100 TB" comment, made real); read_bands
+                # handles the delta/segment layout split on the way in
+                read_bands(spark, dirs).withColumn(
+                    "bh_bucket", F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS))
+                ).write.mode("overwrite").partitionBy("bh_bucket").parquet(tmp)
+            else:
+                spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, target)
         # finish (or retry after a crash-after-publish): every other
         # committed dir with id <= top is already folded into c{top}
@@ -211,7 +264,19 @@ def stream_minhash_dedup(
         cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
         prior_bands = committed_versions(bands_root, batch_id)
         if prior_bands:
-            idx = s.read.parquet(*prior_bands).select(
+            # the batch's own bucket set (<= N_BH_BUCKETS values, one tiny
+            # aggregate over this batch's band rows): everything the probe
+            # join could match lives in these buckets, so the committed
+            # c-segment prunes to matching partition dirs before any read
+            buckets = [
+                r[0]
+                for r in bands_cur.select(
+                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).alias("bk")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = read_bands(s, prior_bands, bh_buckets=buckets).select(
                 F.col("doc").alias("id_old"), "band", "bh"
             )
             new = bands_cur.select(F.col("doc").alias("id_new"), "band", "bh")

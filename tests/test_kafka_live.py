@@ -194,3 +194,77 @@ def test_transactional_sink_exactly_once(spark):
         assert sink.committed_batches() == {0, 2}
     finally:
         sink.close()
+
+
+def test_curation_over_transactional_sink(spark, tmp_path):
+    """Round-9 verdict item 8: the s23 curation chain with BROKER-GRADE
+    exactly-once produce — TransactionalKafkaSink drops into
+    StreamCurationSink's produce seam (same (batch_df, batch_id) +
+    key/tombstone contract as the marker sink) with zero protocol change.
+    Certifies on a real broker: (a) the curated topic converges to the
+    one-shot batch answer under per-key last-record semantics, and (b) a
+    checkpoint-replayed batch through FRESH objects is skipped inside the
+    transaction protocol (no marker files involved at all)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.sources.kafka_io import kafka_available, read_kafka_batch
+    from hiveka_spark.streaming.curation import (
+        StreamCurationSink,
+        curated_topic_config,
+        read_compacted,
+    )
+    from hiveka_spark.streaming.kafka_txn import TransactionalKafkaSink
+
+    from .test_streaming_curation import (
+        _expected_batch_answer,
+        _fixtures,
+        _rowset,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on the JVM classpath")
+
+    topic = f"hiveka_cur_{uuid.uuid4().hex[:12]}"
+    cfg_out = curated_topic_config(BOOTSTRAP, topic)
+    raw, bitset, ev_sh = _fixtures(spark)
+    raw = raw.filter(F.col("doc_id") < 200)
+    batches = [raw.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+
+    def mk_sink():
+        # fresh objects every call — only broker + state dirs carry over
+        return StreamCurationSink(
+            os.path.join(str(tmp_path), "state"),
+            TransactionalKafkaSink(
+                spark, cfg_out, topic, txn_id=f"{topic}-writer",
+                key_col="doc_id", tombstone_col="_tombstone",
+            ),
+            bitset, ev_sh,
+        )
+
+    sink = mk_sink()
+    try:
+        sink(batches[0], 0)
+        sink(batches[1], 1)
+        wire_count = read_kafka_batch(spark, cfg_out).count()
+
+        # (b) replay of batch 0 through fresh objects: the transaction
+        # marker (read from the commit topic, no filesystem) skips the
+        # produce before a single record is sent
+        replayer = mk_sink()
+        try:
+            replayer(batches[0], 0)
+        finally:
+            replayer.produce_sink.close()
+        assert read_kafka_batch(spark, cfg_out).count() == wire_count
+
+        # (a) compaction semantics converge the topic to the batch answer
+        got = {
+            (r["doc_id"], r["lang"], r["n_chars"])
+            for r in read_compacted(spark, cfg_out).collect()
+        }
+        want = _rowset(_expected_batch_answer(raw, bitset, ev_sh))
+        assert got == want, f"missing={want - got}, extra={got - want}"
+    finally:
+        sink.produce_sink.close()

@@ -172,6 +172,94 @@ def test_segmented_digest_equals_one_buffer_digest(spark):
     assert seg == one and len(seg) == 3
 
 
+def test_composed_order_digest_equals_flat_concat_fold(spark):
+    """The variable-length affine composition (x81's shard token digest:
+    per-row (digest, length) pairs folded with 31^len carries in bounded
+    segments) must equal the flat 31-ary fold over the CONCATENATED
+    element stream — including zero-length rows (empty docs: digest 0 /
+    power 1, exact no-ops), ragged segment boundaries, and multi-group
+    inputs."""
+    import random
+
+    from hiveka_spark.operators.sampling import _DIGEST_MOD, composed_order_digest
+
+    rng = random.Random(81)
+    rows, flat = [], {}
+    for g in range(3):
+        stream = []
+        n = [9, 16, 23][g]
+        for pos in range(1, n + 1):
+            length = rng.choice([0, 1, 2, 5, 11])  # zero-length rows included
+            seq = [rng.randrange(50_000) for _ in range(length)]
+            d = 0
+            for x in seq:
+                d = (d * 31 + x) % _DIGEST_MOD
+            rows.append((g, pos, d, length))
+            stream.extend(seq)
+        acc = 0
+        for x in stream:
+            acc = (acc * 31 + x) % _DIGEST_MOD
+        flat[g] = acc
+    df = spark.createDataFrame(
+        rows, "shard bigint, shard_pos bigint, dd bigint, n_tok bigint"
+    )
+    got = {
+        r["shard"]: r["ids_digest"]
+        for r in composed_order_digest(
+            df, "shard", "shard_pos", "dd", "n_tok", seg_size=4
+        ).collect()
+    }
+    assert got == flat and len(got) == 3
+
+
+def test_bpe_encode_ids_matches_digest_form(spark):
+    """The raw array<bigint> artifact and the digest certification form
+    must describe the same sequences: size(ids) == n_tokens and the
+    31-ary fold of ids == ids_digest doc by doc, with pass-through
+    columns intact and empty-array (not NULL) parity for NULL text."""
+    from hiveka_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+    )
+    from hiveka_spark.operators.sampling import _DIGEST_MOD
+
+    texts = [
+        (0, "the cat sat on the mat", 7),
+        (1, "banana bandana the band", 3),
+        (2, None, 9),
+        (3, "", 4),
+        (4, "aaaa aaa the cattle", 5),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string, extra bigint")
+    mt = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_capped(df, n_merges=16, max_words=40, units=True).collect()
+    ]
+    alphabet = sorted({c for _, t, _ in texts if t for c in t.lower() if c != " "} | {"_"})
+    vocab = bpe_vocab(mt, alphabet)
+    dig = {
+        r["doc_id"]: (r["n_tokens"], r["ids_digest"])
+        for r in bpe_encode(df, mt, vocab, units=True).collect()
+    }
+    raw = {
+        r["doc_id"]: (r["ids"], r["extra"])
+        for r in bpe_encode_ids(
+            df, mt, vocab, units=True, keep_cols=("extra",)
+        ).collect()
+    }
+    assert set(raw) == set(dig) == {0, 1, 2, 3, 4}
+    for did, (ids, extra) in raw.items():
+        assert ids is not None  # empty list, never NULL
+        d = 0
+        for x in ids:
+            d = (d * 31 + x) % _DIGEST_MOD
+        assert (len(ids), d) == dig[did], did
+        assert extra == dict((i, e) for i, _, e in texts)[did]
+    assert raw[2][0] == [] and raw[3][0] == []
+
+
 def test_multi_epoch_shards_epoch0_pins_to_single_epoch_path(spark):
     """x78's fan-out must be a strict superset of x75's single-epoch
     export: epoch 0 row-identical to epoch_shards under the same salt, and

@@ -209,6 +209,37 @@ def test_kill_and_resume_equals_uninterrupted(spark, tmp_path):
     )
 
 
+def test_read_compacted_drops_unkeyed_records(spark, tmp_path):
+    """Compacted topics are keyed by contract — a real broker rejects an
+    unkeyed produce to a compact topic, so read_compacted must DROP
+    null-key rows an uncompacted simulator log happens to contain rather
+    than letting them collapse into one shared window partition (where
+    all but the max-offset row silently vanished before round 10)."""
+    broker = SimBroker(str(tmp_path / "broker"))
+    broker.create_topic("curated", partitions=2)
+    cfg = curated_topic_config("sim://", "curated")
+    rows = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (2, "de", 25)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    write_kafka(rows, cfg, "curated", key_col="doc_id", broker=broker)
+    # three UNKEYED records (no key_col): invalid on a compact topic
+    write_kafka(
+        spark.createDataFrame(
+            [(7, "fr", 7), (8, "es", 8), (9, "it", 9)],
+            "doc_id bigint, lang string, n_chars bigint",
+        ),
+        cfg, "curated", broker=broker,
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in read_compacted(spark, cfg, broker=broker).collect()
+    }
+    # keyed survivors compacted per key; unkeyed rows all dropped (the old
+    # behavior kept exactly one of the three, nondeterministically)
+    assert got == {1: ("en", 10), 2: ("de", 25)}
+
+
 def test_marker_replay_leaves_log_byte_identical(spark, tmp_path):
     raw, bitset, ev_sh = _fixtures(spark)
     broker = SimBroker(str(tmp_path / "broker"))

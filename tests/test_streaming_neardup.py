@@ -78,6 +78,61 @@ def test_continuation_through_compaction(spark, tmp_path):
     )
 
 
+def test_bucketed_compacted_segment_prunes_probe(spark, tmp_path):
+    """Round-10 realization of the 'at 100 TB bucket by bh' comment: the
+    compacted c-segment is laid out partitioned by bh_bucket, and a probe
+    that passes its batch's bucket set (read_bands) must (a) show a
+    PARTITION filter on bh_bucket in the physical scan — pruning happens
+    at the directory level, before any file I/O — and (b) return exactly
+    the rows a flat read + row filter returns, so the layout cannot
+    change results."""
+    import os
+
+    from hiveka_spark.streaming.neardup import (
+        N_BH_BUCKETS,
+        committed_versions,
+        compact_band_index,
+        read_bands,
+        stream_minhash_dedup,
+    )
+
+    root = str(tmp_path / "state")
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    stream_minhash_dedup(spark, docs, n_batches=3, state_root=root)
+    compact_band_index(spark, root)
+    bands_root = os.path.join(root, "bands")
+    dirs = committed_versions(bands_root, 10**9)
+    assert [os.path.basename(d)[:1] for d in dirs] == ["c"]
+    # partition layout on disk
+    assert any(
+        n.startswith("bh_bucket=") for n in os.listdir(dirs[0])
+    ), os.listdir(dirs[0])
+
+    everything = read_bands(spark, dirs)
+    buckets = [0, 3, 17]
+    pruned = read_bands(spark, dirs, bh_buckets=buckets)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bh_bucket" in plan, plan
+    want = {
+        (r["doc"], r["band"], r["bh"])
+        for r in everything.filter(
+            F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).isin(buckets)
+        ).collect()
+    }
+    got = {(r["doc"], r["band"], r["bh"]) for r in pruned.collect()}
+    assert got == want and got  # non-vacuous: some rows land in the buckets
+    # mixed layout (c-segment + fresh b-delta) reads and filters coherently
+    sub = docs.limit(40)
+    stream_minhash_dedup(spark, sub, n_batches=1, state_root=root, id_offset=2000)
+    dirs2 = committed_versions(bands_root, 10**9)
+    assert {os.path.basename(d)[:1] for d in dirs2} == {"b", "c"}
+    mixed = read_bands(spark, dirs2, bh_buckets=buckets)
+    flat = read_bands(spark, dirs2).filter(
+        F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).isin(buckets)
+    )
+    assert {tuple(r) for r in mixed.collect()} == {tuple(r) for r in flat.collect()}
+
+
 def test_auto_compaction_mid_stream(spark, tmp_path):
     """compact_after folds the band index DURING the stream (between
     micro-batches): the run must still produce exactly the one-shot batch
@@ -120,11 +175,11 @@ def test_auto_compaction_continuation_and_replay_retry(spark, tmp_path):
     b-dir next to the c segment that already folded it — the next
     compaction must delete the duplicate without changing index content."""
     import os
-    import shutil
 
     from hiveka_spark.streaming.neardup import (
         committed_versions,
         compact_band_index,
+        read_bands,
     )
 
     root = str(tmp_path / "state")
@@ -141,20 +196,25 @@ def test_auto_compaction_continuation_and_replay_retry(spark, tmp_path):
     ] == ["b2", "c1"]
 
     # (b) simulate the replayed-batch duplicate: a copy of already-folded
-    # content reappears as b9 (content identity is what matters); the
-    # clean between-runs compaction must fold the duplicate away
+    # content reappears as b9 (content identity is what matters — a real
+    # replayed delta is written FLAT by the sink, so the duplicate is
+    # materialized flat via read_bands, not copied with the c-segment's
+    # partitioned layout); the clean between-runs compaction must fold
+    # the duplicate away
     distinct_before = (
-        spark.read.parquet(*committed_versions(bands_root, 10**9))
+        read_bands(spark, committed_versions(bands_root, 10**9))
         .distinct()
         .count()
     )
-    shutil.copytree(os.path.join(bands_root, "c1"), os.path.join(bands_root, "b9"))
+    read_bands(spark, [os.path.join(bands_root, "c1")]).write.parquet(
+        os.path.join(bands_root, "b9")
+    )
     compact_band_index(spark, root)
     after = [os.path.basename(p) for p in committed_versions(bands_root, 10**9)]
     assert after == ["c9"], after
     # union keeps duplicate rows (documented-harmless); the SET is unchanged
     assert (
-        spark.read.parquet(os.path.join(bands_root, "c9")).distinct().count()
+        read_bands(spark, [os.path.join(bands_root, "c9")]).distinct().count()
         == distinct_before
     )
 
