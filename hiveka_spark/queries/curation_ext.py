@@ -687,15 +687,19 @@ def _ivfpq_trained_oracle(
     n_cent: int = 64,
     stride: int = 7,
     n_iters: int = 4,
+    train_cells_iters: int = 0,
 ) -> str:
     """Replay of ivfpq_topk with TRAINED PQ codebooks
     (similarity.train_pq_codebooks at ``n_iters`` Lloyd passes): stride
     seeds -> per-(vec, sub) argmin assignment -> truncating-integer-division
     component means -> empty-cell keep, unrolled one CTE block per pass —
     the x52-oracle discipline applied to the per-subspace codebook trainer.
-    Cells stay stride-seeded (the operator's documented posture: coarse
-    pruning is codebook-insensitive; training the cells rebalances probes
-    and measurably LOWERS recall on this uniform corpus)."""
+    By default cells stay stride-seeded (x61's posture: at LOW probe
+    budgets training the cells rebalances probes and measurably LOWERS
+    recall on this uniform corpus); ``train_cells_iters`` replays
+    train_ivf_centroids for the coarse stage too (:func:`_trained_cells_sql`)
+    — the x77 fully-trained serving configuration, where the 12-probe
+    budget turns the rebalance into a coverage win."""
     d2 = (
         "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}) AS BIGINT)"
@@ -723,13 +727,17 @@ def _ivfpq_trained_oracle(
     pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
                   FROM {prev} p LEFT JOIN trnew{j} n USING (sub, code))""")
     final = f"pcents{n_iters}"
+    if train_cells_iters:
+        cells_sql = _trained_cells_sql(cell_stride, n_cells, train_cells_iters)
+    else:
+        cells_sql = f"""ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells})"""
     return f"""
     WITH q AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
                FROM embeddings),
     v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
-    ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
-               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells}),
+    {cells_sql},
     crank AS (SELECT vec_id, cell, r FROM (
                 SELECT v.vec_id, c.cell,
                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1298,6 +1306,18 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
                JOIN ev v ON v.vec_id = p.neighbor_id
                JOIN ev q ON q.vec_id = p.query_id)
              WHERE rn <= {k}),
+    pool_full AS (SELECT query_id, neighbor_id
+                  FROM ({_ivfpq_trained_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE,
+                                               n_iters=2, train_cells_iters=1)})),
+    rrfull AS (SELECT query_id, neighbor_id FROM (
+                 SELECT p.query_id, p.neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                           ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                    p.neighbor_id) AS rn
+                 FROM pool_full p
+                 JOIN ev v ON v.vec_id = p.neighbor_id
+                 JOIN ev q ON q.vec_id = p.query_id)
+               WHERE rn <= {k}),
     spine AS (
       SELECT 'ivf_exact' AS arm, CAST(np AS BIGINT) AS n_probe,
              CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
@@ -1317,6 +1337,10 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
       UNION ALL
       SELECT 'ivfpq_trained_rerank', {_X77_MAX_PROBE},
              CAST((SELECT COUNT(*) FROM rrtr JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_fully_trained', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rrfull JOIN exact USING (query_id, neighbor_id))
                   AS BIGINT))
     SELECT arm, n_probe, hits, CAST({denom} AS BIGINT) AS denom,
            CAST(hits * 1000000 // {denom} AS BIGINT) AS recall_micro
@@ -1347,17 +1371,26 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     + n_probe=12 + ADC pool + exact rerank — certified as ONE
     configuration (ivfpq_trained_rerank, 0.88 vs 0.82 untrained), with
     the coarse Lloyd pass replayed bit-for-bit inside the oracle
-    (_trained_cells_sql).  One candidates join serves all four stride IVF
-    arms (probe_rank is carried, arms are filters); each ADC pool is
-    computed once and consumed by its adc/rerank consumers; the trained
-    centroid frame is checkpointed once and consumed by both trained
-    arms.  Every number is integer-exact (hits, denom, recall in
-    micro-units) — the driver hash-certifies the curve itself."""
+    (_trained_cells_sql).  (d) round 10: the END-TO-END-trained
+    configuration — trained cells AND trained PQ codebooks
+    (train_pq_codebooks, 2 passes; swept 1/2/4 -> 0.86/0.88/0.86) under
+    the same pool+rerank shape (ivfpq_fully_trained, 0.88), with BOTH
+    trainings replayed in the oracle (_ivfpq_trained_oracle,
+    train_cells_iters=1) — quantifying that with exact rerank the pool's
+    COVERAGE (cells) is what binds, not ADC ordering.  One candidates
+    join serves all four stride IVF arms (probe_rank is carried, arms
+    are filters); each ADC pool is computed once and consumed by its
+    adc/rerank consumers; the trained centroid frame is checkpointed once
+    and consumed by all three trained arms.  Every number is
+    integer-exact (hits, denom, recall in micro-units) — the driver
+    hash-certifies the curve itself."""
     from hiveka_spark.operators.similarity import (
         exact_rerank,
+        ivf_cell_stage,
         ivf_exact_candidates,
         ivfpq_topk,
         train_ivf_centroids,
+        train_pq_codebooks,
         with_quantized_norm,
     )
 
@@ -1450,14 +1483,50 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
         )
     )
+    # ONE trained coarse stage (corpus cell assignment + probe sets)
+    # shared by both trained ADC pools — the ivf_cell_stage seam, so the
+    # corpus-sized assignment pass is paid once, not per index
+    tstage = ivf_cell_stage(
+        e, qs, "vec_id", "embedding",
+        n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+        cell_centroids=tcents,
+    )
     pool_tr = ivfpq_topk(
         e, qs, "vec_id", "embedding",
         k=_X77_POOL, n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
-        m=16, dim=64, n_centroids=64, centroid_stride=7, cell_centroids=tcents,
+        m=16, dim=64, n_centroids=64, centroid_stride=7, cell_stage=tstage,
     )
     arm_frames.append(
         exact_rerank(e, qs, pool_tr, "vec_id", "embedding", k=k).select(
             F.lit("ivfpq_trained_rerank").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
+
+    # FULLY-trained serving configuration (round-9 verdict item 7): trained
+    # coarse cells AND trained PQ codebooks (train_pq_codebooks — the x61
+    # seam) under the same 12-probe + 32-pool + exact-rerank shape, so the
+    # end-to-end-trained recommendation is certified inside the same
+    # sweep; the whole double training replays in the oracle
+    # (_ivfpq_trained_oracle with train_cells_iters=1).  Codebook passes
+    # swept 1/2/4 -> recall 0.86/0.88/0.86 at sf0.01: 2 passes matches
+    # the trained-cells config's 0.88 and the sweep's non-monotone tail
+    # is the honest measurement (deeper ADC training re-orders the pool
+    # without adding coverage — rerank is already exact).
+    cbs = train_pq_codebooks(
+        e, "vec_id", "embedding", m=16, dim=64,
+        n_centroids=64, centroid_stride=7, n_iters=2,
+    ).localCheckpoint(eager=True)
+    pool_full = ivfpq_topk(
+        e, qs, "vec_id", "embedding",
+        k=_X77_POOL, n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+        m=16, dim=64, n_centroids=64, cell_stage=tstage, codebooks=cbs,
+    )
+    arm_frames.append(
+        exact_rerank(e, qs, pool_full, "vec_id", "embedding", k=k).select(
+            F.lit("ivfpq_fully_trained").alias("arm"),
             F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
             "query_id",
             "neighbor_id",
@@ -1479,6 +1548,7 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ivfpq_rerank", _X77_MAX_PROBE),
             ("ivf_trained", _X77_MAX_PROBE),
             ("ivfpq_trained_rerank", _X77_MAX_PROBE),
+            ("ivfpq_fully_trained", _X77_MAX_PROBE),
         ],
         "arm string, n_probe bigint",
     )

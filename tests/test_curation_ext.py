@@ -433,6 +433,8 @@ def test_ann_recall_curve_monotone_and_rerank_recovers(spark):
     curve = [rows[("ivf_exact", p)] for p in (1, 4, 8, 12)]
     assert curve == sorted(curve), curve
     assert rows[("ivfpq_rerank", 12)] >= rows[("ivfpq_adc", 12)]
+    # the round-10 end-to-end-trained configuration rides the same sweep
+    assert ("ivfpq_fully_trained", 12) in rows
     assert all(0 <= v <= 1_000_000 for v in rows.values())
 
 
