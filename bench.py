@@ -110,6 +110,7 @@ HEADLINE = [
     # round-10 additions (floors established from r10 on):
     "x80_bpe_encode",
     "x81_token_export",
+    "x82_token_roundtrip",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

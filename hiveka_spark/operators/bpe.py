@@ -646,3 +646,53 @@ def bpe_encode_ids(
     ).mapInPandas(
         run, f"{id_col} {id_type}{keep_schema}, ids array<bigint>"
     )
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    vocab: dict[str, int],
+    ids_col: str = "ids",
+    id_col: str = "doc_id",
+    out_col: str = "text_rt",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Detokenize: the exact inverse of :func:`bpe_encode_ids` for ONE
+    pre-tokenizer unit per row — ids map back to their token strings
+    through the broadcast INVERSE vocabulary and concatenate, and because
+    every BPE merge preserves concatenation (merged = lhs || rhs, by
+    induction down to characters), the join restores the unit string
+    byte-for-byte.  The caller owns unit boundaries: a doc's FLAT id
+    stream does not mark where one unit ends and the next begins (the
+    ``_`` marker spans spaces only WITHIN a unit), so lossless decode
+    operates on per-unit rows — gate x82 explodes docs to (doc, upos,
+    unit), encodes each unit, decodes it back, and reassembles the
+    document, certifying the whole train -> vocab -> encode -> decode
+    chain against nothing but the normalized source text.
+
+    Scale shape: inverse vocabulary broadcast once (vocabulary-bounded),
+    ONE Arrow-batched mapInPandas, zero shuffle, embarrassingly parallel
+    per row.  Ids outside the vocabulary decode to U+FFFD (documented
+    sentinel, never produced by a corpus-trained vocabulary on its own
+    corpus).  ``keep_cols`` pass through untouched."""
+    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+
+    inv = {i: s for s, i in vocab.items()}
+    bc = df.sparkSession.sparkContext.broadcast(inv)
+
+    def run(batches):
+        iv = bc.value
+        for pdf in batches:
+            out = pdf[[id_col, *keep_cols]].copy()
+            out[out_col] = [
+                "".join(iv.get(int(t), "�") for t in ids)
+                for ids in pdf[ids_col]
+            ]
+            yield out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.col(ids_col)
+    ).mapInPandas(run, f"{id_col} {id_type}{keep_schema}, {out_col} string")

@@ -2547,6 +2547,93 @@ def x81_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x82 — tokenizer round-trip: decode(encode(text)) == normalized text
+# ---------------------------------------------------------------------------
+
+
+_X82_ORACLE = """
+    SELECT doc_id,
+           COALESCE(array_to_string(list_filter(string_split(LOWER(text), ' '),
+                                                x -> x <> ''), ' '), '') AS text_rt
+    FROM documents
+    """
+
+
+@register(
+    "x82_token_roundtrip",
+    oracle=_X82_ORACLE,
+    tags=("text", "tokenizer", "bpe", "certification"),
+)
+def x82_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS certification — the property every training
+    pipeline audits before shipping token shards: detokenizing the
+    encoded ids must reproduce the normalized source text for EVERY
+    document.  The Spark side runs the entire production chain — train
+    the 256-merge table (bpe_train_capped), build the deterministic
+    vocabulary (bpe_vocab), encode every pre-tokenizer unit to ids
+    (bpe_encode_ids per (doc, upos, unit) row — per-unit rows because a
+    flat id stream does not mark unit boundaries), decode the ids back
+    (bpe_decode_ids: broadcast inverse vocabulary), restore intra-unit
+    spaces from the ``_`` marker, and reassemble each document in unit
+    order.  The oracle NEVER TOUCHES the tokenizer: it is one line of
+    text normalization over the source table — so a hash match proves no
+    step of train -> vocab -> encode -> decode loses or reorders a single
+    character, and any vocabulary-collision or merge-table defect
+    surfaces as a mismatch.  (The corpus is '_'-free — checked — so the
+    space marker cannot collide.)
+
+    Scale shape: training as x76 (one corpus pass + bounded driver loop);
+    encode/decode are flat broadcast mapInPandas stages; the only
+    shuffles are the per-doc unit explode/reassemble — audit-tier cost by
+    design (a production pipeline decodes per unit map-only and never
+    reassembles whole documents)."""
+    from hiveka_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    units_df = d.select(
+        "doc_id", F.posexplode(unit_expr("text")).alias("upos", "u")
+    )
+    enc = bpe_encode_ids(
+        units_df, merges, vocab, text_col="u", id_col="doc_id",
+        units=False, keep_cols=("upos",),
+    )
+    dec = bpe_decode_ids(
+        enc, vocab, ids_col="ids", id_col="doc_id", keep_cols=("upos",)
+    )
+    rt = dec.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("upos", "text_rt"))),
+                lambda s: F.regexp_replace(s["text_rt"], "_", " "),
+            ),
+            " ",
+        ).alias("text_rt")
+    )
+    return d.select("doc_id").join(rt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text_rt", F.lit("")).alias("text_rt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x73 — temperature-based (alpha-weighted) source mixing
 # ---------------------------------------------------------------------------
 

@@ -467,6 +467,40 @@ def test_bpe_apply_fast_plan_is_flat(spark):
     assert shuffle_count(out) == 0, plan
 
 
+def test_bpe_encode_decode_plans_are_flat(spark):
+    """x80/x81/x82's ship paths share the tokenizer's scale shape: encode
+    (digest form AND raw-ids form with pass-through columns) and decode
+    must each plan as scan -> MapInPandas with zero shuffles and zero
+    windows at any merge count — the broadcast-dict posture, end to end."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from hiveka_spark.plans.inspect import formatted_plan
+
+    d = table(spark, SF_SMOKE, "documents").withColumn(
+        "extra", F.lit(1).cast("bigint")
+    )
+    mt = [("a", "b"), ("c", "d"), ("ab", "cd")] * 100
+    vocab = bpe_vocab(mt, [chr(c) for c in range(ord("a"), ord("z") + 1)])
+    for out in (
+        bpe_encode(d, mt, vocab, units=True),
+        bpe_encode_ids(d, mt, vocab, units=True, keep_cols=("extra",)),
+        bpe_decode_ids(
+            bpe_encode_ids(d, mt, vocab, units=True), vocab
+        ),
+    ):
+        plan = formatted_plan(out)
+        assert "MapInPandas" in plan, plan
+        assert "Window" not in plan and "Exchange" not in plan, plan
+        assert shuffle_count(out) == 0, plan
+
+
 def test_x78_multi_epoch_staged_scans_corpus_once(spark):
     """The multi-epoch export's whole point: E=2 epoch orders from ONE
     corpus scan.  The staged frame's plan must contain exactly one

@@ -260,6 +260,42 @@ def test_bpe_encode_ids_matches_digest_form(spark):
     assert raw[2][0] == [] and raw[3][0] == []
 
 
+def test_bpe_decode_inverts_encode_per_unit(spark):
+    """bpe_decode_ids must be the exact inverse of bpe_encode_ids at unit
+    granularity: for adversarial units (aa-runs, merge-heavy, single
+    chars, the '_' marker itself) decode(encode(u)) == u byte-for-byte,
+    and an id outside the vocabulary decodes to the U+FFFD sentinel."""
+    from hiveka_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+    )
+
+    units = ["the_cat", "aaaa", "a", "banana_band", "xy_xyxy", "t_h_e"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(units)], "doc_id bigint, text string"
+    )
+    mt = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_capped(df, n_merges=12, max_words=30, units=False).collect()
+    ]
+    alphabet = sorted({c for u in units for c in u})
+    vocab = bpe_vocab(mt, alphabet)
+    enc = bpe_encode_ids(df, mt, vocab)
+    got = {
+        r["doc_id"]: r["text_rt"]
+        for r in bpe_decode_ids(enc, vocab).collect()
+    }
+    assert got == {i: u for i, u in enumerate(units)}
+    # out-of-vocabulary id -> sentinel, never a silent wrong symbol
+    bad = spark.createDataFrame(
+        [(0, [0, 10**6])], "doc_id bigint, ids array<bigint>"
+    )
+    (row,) = bpe_decode_ids(bad, vocab).collect()
+    assert row["text_rt"][1] == "�" and len(row["text_rt"]) == 2
+
+
 def test_multi_epoch_shards_epoch0_pins_to_single_epoch_path(spark):
     """x78's fan-out must be a strict superset of x75's single-epoch
     export: epoch 0 row-identical to epoch_shards under the same salt, and
