@@ -272,7 +272,19 @@ class TransactionalKafkaSink:
                 self._producer,
                 "org.apache.kafka.clients.producer.ProducerRecord",
             )
-        except Exception:  # Janino drift: keep the slow-but-correct path
+        except Exception as exc:  # Janino drift: keep the slow-but-correct path
+            # loud, not silent (round-10 verdict #3): a live deployment
+            # falling back to one py4j crossing PER RECORD is a ~100x
+            # produce-throughput cliff that must show up in driver logs
+            import warnings
+
+            warnings.warn(
+                "TransactionalKafkaSink: chunk-sender compilation failed "
+                f"({exc!r}); falling back to per-record py4j sends — "
+                "expect ~100x slower produce",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             self._sender = None
 
     # ---------------------------------------------------------------- state

@@ -127,3 +127,28 @@ def test_jvm_chunk_sender_missing_send_raises(spark):
     obj = jvm.java.util.ArrayList()  # add() exists, send() does not
     with pytest.raises(Exception):
         compile_chunk_sender(jvm, obj, "HivekaFakeRecord")
+
+
+def test_sink_warns_on_janino_fallback(spark, monkeypatch):
+    """When chunk-sender compilation fails, the sink must WARN before
+    reverting to per-record py4j sends (round-10 verdict #3): the slow
+    path is correct but ~100x slower, and a live deployment needs the
+    cliff in its driver logs, not a silent revert."""
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig
+    from hiveka_spark.streaming import kafka_txn as KT
+
+    monkeypatch.setattr(KT, "kafka_available", lambda s: True)
+    monkeypatch.setattr(KT, "_jvm_producer", lambda s, b, t: object())
+
+    def boom(jvm, producer, record_class):
+        raise RuntimeError("janino drift")
+
+    monkeypatch.setattr(KT, "compile_chunk_sender", boom)
+    cfg = KafkaTableConfig(
+        bootstrap_servers="fake:9092",
+        whitelist_topics=["t"],
+        ddl="doc_id BIGINT",
+    )
+    with pytest.warns(RuntimeWarning, match="per-record py4j sends"):
+        sink = KT.TransactionalKafkaSink(spark, cfg, "t", "txn-warn-test")
+    assert sink._sender is None
