@@ -476,9 +476,13 @@ def bpe_apply_fast(
 
 _DIGEST_MOD = 2147483647  # 2^31 - 1, shared with sampling.rolling_digest
 
+_BYTE_BASE = 256  # byte-fallback mode: ids 0..255 are reserved raw UTF-8 bytes
+
 
 def bpe_vocab(
-    merge_table: list[tuple[str, str]], alphabet: list[str]
+    merge_table: list[tuple[str, str]],
+    alphabet: list[str],
+    byte_fallback: bool = False,
 ) -> dict[str, int]:
     """Deterministic token-string -> id vocabulary: the sorted base
     alphabet takes ids 0..B-1, then each merge's merged string (in rank
@@ -486,12 +490,23 @@ def bpe_vocab(
     two merges can produce the SAME string from different splits (e.g.
     ('ab','c') and ('a','bc') both make 'abc') and a vocabulary is keyed
     by the string (the HF-tokenizer convention: first creation wins).
-    The unknown id is ``len(vocab)`` (one past the last assigned)."""
-    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    The unknown id is ``len(vocab)`` (one past the last assigned).
+
+    ``byte_fallback`` (the GPT-2/SentencePiece serving posture — round-10
+    verdict #2): ids 0..255 are RESERVED for raw UTF-8 bytes and every
+    token string shifts up by 256, so the vocabulary never collides with
+    the byte range and no placeholder key strings exist (byte ids are
+    implicit, keyed by value < 256, not by a ``<0xAB>`` string that a
+    pathological corpus token could collide with).  Encoding a character
+    the alphabet never saw emits its UTF-8 bytes as ids 0..255 instead of
+    a lossy shared unk — round-trip then holds on ANY input, not just the
+    training corpus (gate x83)."""
+    base = _BYTE_BASE if byte_fallback else 0
+    vocab = {ch: base + i for i, ch in enumerate(sorted(alphabet))}
     for a, b in merge_table:
         m = a + b
         if m not in vocab:
-            vocab[m] = len(vocab)
+            vocab[m] = base + len(vocab)
     return vocab
 
 
@@ -502,6 +517,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     units: bool = False,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """The tokenizer's SHIP artifact: per doc the full token-ID sequence,
     certified as (<id_col>, n_tokens, ids_digest) where ``ids_digest`` is
@@ -524,18 +540,26 @@ def bpe_encode(
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
+    bf = byte_fallback
 
     def run(batches):
         rk, vc = bc.value
-        unk = len(vc)
+        unk = len(vc) + (_BYTE_BASE if bf else 0)
         memo: dict[str, tuple[int, ...]] = {}
 
         def unit_ids(u: str) -> tuple[int, ...]:
             ids = memo.get(u)
             if ids is None:
-                ids = memo[u] = tuple(
-                    vc.get(s, unk) for s in _merge_unit(list(u), rk)
-                )
+                out: list[int] = []
+                for s in _merge_unit(list(u), rk):
+                    i = vc.get(s)
+                    if i is not None:
+                        out.append(i)
+                    elif bf:
+                        out.extend(s.encode("utf-8"))
+                    else:
+                        out.append(unk)
+                ids = memo[u] = tuple(out)
             return ids
 
         for pdf in batches:
@@ -579,6 +603,7 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     units: bool = False,
     keep_cols: tuple[str, ...] = (),
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """The RAW token-ID artifact (`array<bigint>` per doc) — what a
     training job actually reads, where :func:`bpe_encode` ships the
@@ -589,7 +614,12 @@ def bpe_encode_ids(
     for such docs.  ``keep_cols`` pass through the Arrow batches
     untouched — the export path carries shard/shard_pos this way, so
     tokenized shards need no id-keyed corpus re-join (the x75
-    discipline).  Invariants vs :func:`bpe_encode` (pinned in
+    discipline).  ``byte_fallback`` (vocab from ``bpe_vocab(...,
+    byte_fallback=True)``): an out-of-vocabulary SYMBOL — necessarily a
+    single character, since every merge's product is in the vocabulary by
+    construction — encodes as its UTF-8 bytes at ids 0..255 instead of
+    the shared unk, so encode is lossless on text the training corpus
+    never saw (gate x83).  Invariants vs :func:`bpe_encode` (pinned in
     tests/test_operators.py): size(ids) == n_tokens and the 31-ary fold
     of ids == ids_digest, doc by doc."""
     import pandas as pd
@@ -597,18 +627,26 @@ def bpe_encode_ids(
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
+    bf = byte_fallback
 
     def run(batches):
         rk, vc = bc.value
-        unk = len(vc)
+        unk = len(vc) + (_BYTE_BASE if bf else 0)
         memo: dict[str, tuple[int, ...]] = {}
 
         def unit_ids(u: str) -> tuple[int, ...]:
             ids = memo.get(u)
             if ids is None:
-                ids = memo[u] = tuple(
-                    vc.get(s, unk) for s in _merge_unit(list(u), rk)
-                )
+                out: list[int] = []
+                for s in _merge_unit(list(u), rk):
+                    i = vc.get(s)
+                    if i is not None:
+                        out.append(i)
+                    elif bf:
+                        out.extend(s.encode("utf-8"))
+                    else:
+                        out.append(unk)
+                ids = memo[u] = tuple(out)
             return ids
 
         for pdf in batches:
@@ -655,6 +693,7 @@ def bpe_decode_ids(
     id_col: str = "doc_id",
     out_col: str = "text_rt",
     keep_cols: tuple[str, ...] = (),
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Detokenize: the exact inverse of :func:`bpe_encode_ids` for ONE
     pre-tokenizer unit per row — ids map back to their token strings
@@ -673,20 +712,41 @@ def bpe_decode_ids(
     ONE Arrow-batched mapInPandas, zero shuffle, embarrassingly parallel
     per row.  Ids outside the vocabulary decode to U+FFFD (documented
     sentinel, never produced by a corpus-trained vocabulary on its own
-    corpus).  ``keep_cols`` pass through untouched."""
+    corpus).  ``byte_fallback``: ids 0..255 are raw UTF-8 bytes
+    (:func:`bpe_vocab` with ``byte_fallback=True``); maximal byte RUNS
+    decode as one UTF-8 sequence, so multi-byte characters emitted by the
+    encoder's fallback reassemble exactly (gate x83 certifies the full
+    loop on out-of-corpus text).  ``keep_cols`` pass through untouched."""
     import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
 
     inv = {i: s for s, i in vocab.items()}
     bc = df.sparkSession.sparkContext.broadcast(inv)
+    bf = byte_fallback
 
     def run(batches):
         iv = bc.value
+
+        def detok(ids) -> str:
+            if not bf:
+                return "".join(iv.get(int(t), "�") for t in ids)
+            parts: list[str] = []
+            buf = bytearray()
+            for t in ids:
+                t = int(t)
+                if t < _BYTE_BASE:
+                    buf.append(t)
+                    continue
+                if buf:
+                    parts.append(buf.decode("utf-8", errors="replace"))
+                    buf = bytearray()
+                parts.append(iv.get(t, "�"))
+            if buf:
+                parts.append(buf.decode("utf-8", errors="replace"))
+            return "".join(parts)
+
         for pdf in batches:
             out = pdf[[id_col, *keep_cols]].copy()
-            out[out_col] = [
-                "".join(iv.get(int(t), "�") for t in ids)
-                for ids in pdf[ids_col]
-            ]
+            out[out_col] = [detok(ids) for ids in pdf[ids_col]]
             yield out
 
     id_type = df.schema[id_col].dataType.simpleString()

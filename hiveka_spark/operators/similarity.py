@@ -419,6 +419,17 @@ def train_pq_codebooks(
         "sub",
         *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
     )
+    return _pq_train_loop(c_sub, cents, dsub, n_iters)
+
+
+def _pq_train_loop(
+    c_sub: DataFrame, cents: DataFrame, dsub: int, n_iters: int
+) -> DataFrame:
+    """The per-subspace Lloyd loop of :func:`train_pq_codebooks`, factored
+    so the residual-encoding path (:func:`ivfpq_residual_topk`) trains its
+    codebooks over RESIDUAL subvectors with the byte-identical update rule
+    (broadcast assignment join, map-side-combinable argmin, truncating-
+    integer-division means, empty-cell keep)."""
     for _ in range(n_iters):
         assigned = (
             c_sub.join(F.broadcast(cents), "sub")
@@ -940,6 +951,162 @@ def ivfpq_topk(
     scored = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").cast("bigint").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_d2", "rank")
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    m: int = 16,
+    dim: int = 64,
+    n_centroids: int = 64,
+    centroid_stride: int = 7,
+    cell_centroids: DataFrame | None = None,
+    train_iters: int = 0,
+) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — the standard FAISS IVFPQ refinement
+    (Jégou et al. 2011 §IV): PQ codes quantize ``vector - cell_centroid``
+    instead of the raw vector.  Residuals concentrate around the origin
+    (the coarse quantizer has already absorbed the cell's mean), so a
+    fixed code budget spends its centroids on a much tighter distribution
+    — the standard recall win at the same index size.
+
+    The asymmetry this buys costs one thing: the query's residual DEPENDS
+    ON THE PROBED CELL, so the ADC lookup table is keyed per (query,
+    cell, sub, code) — |Q| * n_probe * m * n_centroids rows, still
+    broadcast-sized at any corpus scale (it never touches the corpus).
+    Corpus-side the shape is ivfpq_topk's exactly: centroids broadcast,
+    ONE corpus pass assigns cells and carries the residual out of the
+    same argmin (the centroid vector rides the min(struct) comparator
+    behind the already-decisive (cd2, cell) prefix), codes come from a
+    broadcast codebook join + map-side-combinable argmin, scoring is a
+    broadcast-LUT equi-join over the probed cells.  No all-pairs product,
+    no corpus shuffle beyond the keyed aggregates.
+
+    ``cell_centroids``: trained coarse quantizer (train_ivf_centroids's
+    (cell, _cv) shape).  ``train_iters``: Lloyd passes for the RESIDUAL
+    codebooks (seeded from the same deterministic stride rows, trained by
+    the byte-identical :func:`_pq_train_loop` update) — 0 ships the
+    stride-seeded codebooks.  All arithmetic is bigint squared-L2
+    (residual components are bounded by 2x the quantized range ~4e4, so
+    per-subspace squares stay well inside int64), and a DuckDB oracle
+    replays cell choice, residuals, codebooks, codes, and ADC sums
+    bit-for-bit (gate x84)."""
+    dsub = dim // m
+
+    v = corpus.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if _scan_parallelism(v, target) < target:
+        v = v.repartition(target, F.col("_id"))  # same guard as pq_topk
+    qv = queries.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    ccents = (
+        cell_centroids.select("cell", "_cv")
+        if cell_centroids is not None
+        else _stride_cells(v, cell_stride, n_cells)
+    )
+
+    # corpus: cell assignment + residual out of ONE argmin — (cd2, cell) is
+    # already a total order per _id (cells are distinct), so the trailing
+    # _qv/_cv fields never compare; residual = qv - centroid(cell)
+    corp_res = (
+        v.crossJoin(F.broadcast(ccents))
+        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
+        .groupBy("_id")
+        .agg(F.min(F.struct("cd2", "cell", "_qv", "_cv")).alias("mc"))
+        .select(
+            "_id",
+            F.col("mc.cell").alias("cell"),
+            F.zip_with("mc._qv", "mc._cv", lambda a, b: a - b).alias("_rv"),
+        )
+    )
+    # queries: per probed cell, the query's residual AGAINST THAT CELL
+    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    q_res = (
+        qv.crossJoin(F.broadcast(ccents))
+        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select(
+            F.col("_id").alias("query_id"),
+            "cell",
+            F.zip_with("_qv", "_cv", lambda a, b: a - b).alias("_rv"),
+        )
+    )
+
+    def res_subs(df: DataFrame, id_in: str) -> DataFrame:
+        """(id, cell, sub, sv_0..sv_{dsub-1}) from a residual frame."""
+        return df.select(
+            F.col(id_in),
+            "cell",
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("bigint").alias("sub"),
+                            *[
+                                F.element_at("_rv", s * dsub + i + 1).alias(f"sv_{i}")
+                                for i in range(dsub)
+                            ],
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ),
+        )
+
+    c_sub = res_subs(corp_res, "_id")
+    # residual codebooks: deterministic stride seeds over the RESIDUAL
+    # subvectors, optionally Lloyd-trained over the same rows (the shared
+    # _pq_train_loop — byte-identical update rule to train_pq_codebooks)
+    rcents = c_sub.filter(
+        (F.col("_id") % centroid_stride == 0)
+        & (F.col("_id") / centroid_stride < n_centroids)
+    ).select(
+        (F.col("_id") / centroid_stride).cast("bigint").alias("code"),
+        "sub",
+        *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
+    )
+    if train_iters:
+        rcents = _pq_train_loop(c_sub.drop("cell"), rcents, dsub, train_iters)
+    rcents = rcents.localCheckpoint(eager=True)  # consumed by encode AND LUT
+
+    codes = (
+        c_sub.join(F.broadcast(rcents), "sub")
+        .withColumn("d2", _pq_d2(dsub, "sv_", "cv_"))
+        .groupBy("_id", "cell", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("mc"))
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            "cell",
+            "sub",
+            F.col("mc.code").alias("code"),
+        )
+    )
+    lut = (
+        res_subs(q_res, "query_id")
+        .join(F.broadcast(rcents), "sub")
+        .select(
+            "query_id", "cell", "sub", "code",
+            _pq_d2(dsub, "sv_", "cv_").alias("d2q"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2q").cast("bigint").alias("approx_d2"))

@@ -145,6 +145,50 @@ def test_pq_is_lazy_no_corpus_action(spark):
     pq_topk(corpus, corpus, k=5)  # must not raise
 
 
+def test_ivfpq_residual_exact_duplicate_achieves_min_distance(spark):
+    """Residual encoding keeps PQ's floor property: an exact duplicate of
+    the query lands in the query's own cell with the query's own residual,
+    picks the LUT-minimal code in every subspace, and its ADC distance is
+    the global minimum (other cells' candidates score against a far query
+    residual on this clustered corpus)."""
+    from hiveka_spark.operators.similarity import ivfpq_residual_topk
+
+    corpus = _clustered_corpus(spark)
+    dup = corpus.filter(F.col("vec_id") == 0).select(
+        F.lit(240).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = corpus.unionByName(dup)
+    q = corpus.filter(F.col("vec_id") == 0)
+    top = ivfpq_residual_topk(
+        corpus, q, k=241, n_cells=8, n_probe=8, cell_stride=30,
+        m=16, dim=64, n_centroids=8, centroid_stride=30,
+    )
+    rows = {r.neighbor_id: r.approx_d2 for r in top.collect()}
+    assert 240 in rows
+    assert rows[240] == min(rows.values())
+
+
+def test_ivfpq_residual_clustered_recall_and_determinism(spark):
+    """On clustered data the residual top-k stays within the query's
+    cluster (residuals concentrate once the coarse quantizer absorbs the
+    cluster mean), and re-building the whole index (incl. the trained
+    residual codebooks) reproduces the identical result set."""
+    from hiveka_spark.operators.similarity import ivfpq_residual_topk
+
+    corpus = _clustered_corpus(spark)
+    q = corpus.filter(F.col("vec_id").isin(0, 30, 60))
+    kw = dict(
+        k=5, n_cells=8, n_probe=2, cell_stride=30,
+        m=16, dim=64, n_centroids=8, centroid_stride=30, train_iters=1,
+    )
+    rows = ivfpq_residual_topk(corpus, q, **kw).collect()
+    assert len(rows) == 15
+    in_cluster = sum(1 for r in rows if r.neighbor_id // 30 == r.query_id // 30)
+    assert in_cluster / len(rows) >= 0.8
+    again = ivfpq_residual_topk(corpus, q, **kw).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
 # ------------------------------------------------------------ x49 pHash
 
 
