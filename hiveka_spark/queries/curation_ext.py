@@ -777,6 +777,115 @@ def _ivfpq_trained_oracle(
     """
 
 
+def _ivfpq_residual_oracle(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    cell_stride: int = 31,
+    m: int = 16,
+    dsub: int = 4,
+    n_cent: int = 64,
+    stride: int = 7,
+    dim: int = 64,
+    train_cells_iters: int = 0,
+    n_iters: int = 0,
+) -> str:
+    """Replay of similarity.ivfpq_residual_topk — IVFPQ with RESIDUAL
+    encoding: after the (optionally trained) coarse assignment, PQ
+    quantizes ``vector - cell_centroid``; the query's residual depends on
+    the probed cell, so the ADC LUT is keyed per (query, cell, sub,
+    code).  Codebooks are stride-seeded over the residual subvectors and
+    optionally Lloyd-trained ``n_iters`` passes with the same
+    truncating-integer-division update as the raw-vector trainer."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    cell_d2 = d2.format(a="v.qvd", b="c.cvd")
+    pq_d2 = d2.format(a="s.sv", b="c.cv")
+    qq_d2 = d2.format(a="q.sv", b="c.cv")
+    if train_cells_iters:
+        cells_sql = _trained_cells_sql(cell_stride, n_cells, train_cells_iters)
+    else:
+        cells_sql = f"""ccents AS (SELECT CAST(vec_id // {cell_stride} AS BIGINT) AS cell, qvd AS cvd
+               FROM v0 WHERE vec_id % {cell_stride} = 0 AND vec_id // {cell_stride} < {n_cells})"""
+    train = []
+    for j in range(1, n_iters + 1):
+        prev = "rcents0" if j == 1 else f"rcents{j - 1}"
+        train.append(f"""
+    rtasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
+                  FROM rsub s JOIN {prev} c USING (sub)),
+    rtbest{j} AS (SELECT vec_id, sub, svq, code
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                     ORDER BY d2, code) AS r
+                        FROM rtasgn{j})
+                  WHERE r = 1),
+    rtupd{j} AS (SELECT sub, code, i,
+                        CAST(SUM(svq[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
+                 FROM rtbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
+                 GROUP BY sub, code, i),
+    rtnew{j} AS (SELECT sub, code,
+                        list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+                 FROM rtupd{j} GROUP BY sub, code),
+    rcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
+                  FROM {prev} p LEFT JOIN rtnew{j} n USING (sub, code))""")
+    final = f"rcents{n_iters}"
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    v0 AS (SELECT vec_id, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM q),
+    {cells_sql},
+    crank AS (SELECT vec_id, cell, r FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {cell_d2}, c.cell) AS r
+                FROM v0 v CROSS JOIN ccents c)),
+    corpcell AS (SELECT vec_id, cell FROM crank WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM crank WHERE r <= {n_probe} AND vec_id < 10),
+    cres AS (SELECT v.vec_id, cc.cell,
+                    list_transform(range(1, {dim + 1}),
+                      i -> v.qv[CAST(i AS INT)] - CAST(c.cvd[CAST(i AS INT)] AS BIGINT)) AS rv
+             FROM corpcell cc JOIN v0 v USING (vec_id) JOIN ccents c USING (cell)),
+    qres AS (SELECT p.query_id, p.cell,
+                    list_transform(range(1, {dim + 1}),
+                      i -> v.qv[CAST(i AS INT)] - CAST(c.cvd[CAST(i AS INT)] AS BIGINT)) AS rv
+             FROM probes p JOIN v0 v ON v.vec_id = p.query_id
+             JOIN ccents c ON c.cell = p.cell),
+    rsub AS (SELECT vec_id, cell, CAST(s AS BIGINT) AS sub,
+                    rv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)] AS svq,
+                    list_transform(rv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                   x -> CAST(x AS DOUBLE)) AS sv
+             FROM cres CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    rcents0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+                FROM rsub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    {",".join(train) + "," if train else ""}
+    rasgn AS (SELECT s.vec_id, s.cell, s.sub, c.code, {pq_d2} AS d2
+              FROM rsub s JOIN {final} c USING (sub)),
+    rcodes AS (SELECT vec_id, cell, sub, code
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                  ORDER BY d2, code) AS r FROM rasgn)
+               WHERE r = 1),
+    qsub AS (SELECT query_id, cell, CAST(s AS BIGINT) AS sub,
+                    list_transform(rv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                   x -> CAST(x AS DOUBLE)) AS sv
+             FROM qres CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    rlut AS (SELECT q.query_id, q.cell, q.sub, c.code, {qq_d2} AS d2q
+             FROM qsub q JOIN {final} c USING (sub)),
+    rscored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                       CAST(SUM(l.d2q) AS BIGINT) AS approx_d2
+                FROM rcodes c
+                JOIN rlut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+                WHERE l.query_id <> c.vec_id
+                GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_d2, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY approx_d2, neighbor_id) AS rn
+          FROM rscored)
+    WHERE rn <= {k}
+    """
+
+
 @register("x55_ivfpq_ann", oracle=_ivfpq_oracle(), tags=("similarity", "ann", "ivf", "pq"))
 def x55_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ stacked approximate top-5 — the FAISS IVFPQ composition and
@@ -1205,11 +1314,13 @@ _X77_POOL = 32
 
 
 def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
-    """Exact L2 ground truth + every arm replayed: the IVF-exact candidate
-    table once at the max probe budget (arms are probe_rank filters over
-    it, exactly like the operator), the IVFPQ ADC pool via the x55 oracle
-    at k=pool/n_probe=12, and the rerank arm re-scoring that pool with
-    exact d2."""
+    """Exact L2 ground truth + every UNTRAINED arm replayed: the IVF-exact
+    candidate table once at the max probe budget (arms are probe_rank
+    filters over it, exactly like the operator), the IVFPQ ADC pool via
+    the x55 oracle at k=pool/n_probe=12, and the rerank arm re-scoring
+    that pool with exact d2.  The trained/residual arms live in x84's
+    oracle (round-10 verdict #4: the curve and the training certification
+    have different change frequencies and are now separate gates)."""
     d2 = (
         "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}) AS BIGINT)"
@@ -1271,53 +1382,6 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
              JOIN ev v ON v.vec_id = p.neighbor_id
              JOIN ev q ON q.vec_id = p.query_id)
            WHERE rn <= {k}),
-    v0 AS (SELECT eq.vec_id, eq.qv, ev.qvd FROM eq JOIN ev USING (vec_id)),
-    {_trained_cells_sql(cell_stride, n_cells, 1, out_name="tcents")},
-    tcrank AS (SELECT vec_id, cell, r FROM (
-                 SELECT v.vec_id, c.cell,
-                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                           ORDER BY {d2.format(a="v.qvd", b="c.cvd")},
-                                                    c.cell) AS r
-                 FROM ev v CROSS JOIN tcents c)),
-    tcorp AS (SELECT vec_id, cell FROM tcrank WHERE r = 1),
-    tprobe AS (SELECT vec_id AS query_id, cell FROM tcrank
-               WHERE r <= {_X77_MAX_PROBE} AND vec_id < 10),
-    tcand AS (SELECT p.query_id, cc.vec_id AS neighbor_id,
-                     {d2.format(a="q.qvd", b="v.qvd")} AS d2
-              FROM tprobe p
-              JOIN tcorp cc USING (cell)
-              JOIN ev v ON v.vec_id = cc.vec_id
-              JOIN ev q ON q.vec_id = p.query_id
-              WHERE p.query_id <> cc.vec_id),
-    ttop AS (SELECT query_id, neighbor_id FROM (
-               SELECT query_id, neighbor_id,
-                      ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY d2, neighbor_id) AS rn
-               FROM tcand)
-             WHERE rn <= {k}),
-    pool_tr AS (SELECT query_id, neighbor_id
-                FROM ({_ivfpq_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE, train_cells_iters=1)})),
-    rrtr AS (SELECT query_id, neighbor_id FROM (
-               SELECT p.query_id, p.neighbor_id,
-                      ROW_NUMBER() OVER (PARTITION BY p.query_id
-                                         ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
-                                                  p.neighbor_id) AS rn
-               FROM pool_tr p
-               JOIN ev v ON v.vec_id = p.neighbor_id
-               JOIN ev q ON q.vec_id = p.query_id)
-             WHERE rn <= {k}),
-    pool_full AS (SELECT query_id, neighbor_id
-                  FROM ({_ivfpq_trained_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE,
-                                               n_iters=2, train_cells_iters=1)})),
-    rrfull AS (SELECT query_id, neighbor_id FROM (
-                 SELECT p.query_id, p.neighbor_id,
-                        ROW_NUMBER() OVER (PARTITION BY p.query_id
-                                           ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
-                                                    p.neighbor_id) AS rn
-                 FROM pool_full p
-                 JOIN ev v ON v.vec_id = p.neighbor_id
-                 JOIN ev q ON q.vec_id = p.query_id)
-               WHERE rn <= {k}),
     spine AS (
       SELECT 'ivf_exact' AS arm, CAST(np AS BIGINT) AS n_probe,
              CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
@@ -1329,18 +1393,6 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
       UNION ALL
       SELECT 'ivfpq_rerank', {_X77_MAX_PROBE},
              CAST((SELECT COUNT(*) FROM rr JOIN exact USING (query_id, neighbor_id))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivf_trained', {_X77_MAX_PROBE},
-             CAST((SELECT COUNT(*) FROM ttop JOIN exact USING (query_id, neighbor_id))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivfpq_trained_rerank', {_X77_MAX_PROBE},
-             CAST((SELECT COUNT(*) FROM rrtr JOIN exact USING (query_id, neighbor_id))
-                  AS BIGINT)
-      UNION ALL
-      SELECT 'ivfpq_fully_trained', {_X77_MAX_PROBE},
-             CAST((SELECT COUNT(*) FROM rrfull JOIN exact USING (query_id, neighbor_id))
                   AS BIGINT))
     SELECT arm, n_probe, hits, CAST({denom} AS BIGINT) AS denom,
            CAST(hits * 1000000 // {denom} AS BIGINT) AS recall_micro
@@ -1356,41 +1408,30 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
 def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-grade ANN recall, certified as a measured CURVE: x61 showed
     recall@5 = 0.40-0.42 for the compressed indexes at n_probe=4 — this
-    entry certifies both knobs that buy it back.  (a) IVF with EXACT
-    in-cell distances swept over n_probe (1/4/8/12 of 16 cells): loss is
-    coarse-probe misses only, so the curve is monotone — measured 0.24 /
-    0.56 / 0.70 / 0.84 at sf0.01, with the 12-probe arm >= 0.8.  (b) the
-    two-stage serving shape: IVFPQ ADC generates a 32-candidate pool at
-    n_probe=12, exact bigint-L2 RERANKS it to top-5 (similarity.py::
-    exact_rerank) — 0.82 vs 0.46 for the same pool consumed ADC-only,
-    i.e. rerank recovers what quantization error gives up, bounded only
-    by pool coverage (the ivf_exact@12 arm).  (c) round 9: the TRAINED
-    coarse quantizer (train_ivf_centroids, 1 Lloyd pass — the x61 seam)
-    inside the same sweep: ivf_trained 0.90 vs 0.84 stride at the same
-    12-probe budget, and the full serving recommendation — trained cells
-    + n_probe=12 + ADC pool + exact rerank — certified as ONE
-    configuration (ivfpq_trained_rerank, 0.88 vs 0.82 untrained), with
-    the coarse Lloyd pass replayed bit-for-bit inside the oracle
-    (_trained_cells_sql).  (d) round 10: the END-TO-END-trained
-    configuration — trained cells AND trained PQ codebooks
-    (train_pq_codebooks, 2 passes; swept 1/2/4 -> 0.86/0.88/0.86) under
-    the same pool+rerank shape (ivfpq_fully_trained, 0.88), with BOTH
-    trainings replayed in the oracle (_ivfpq_trained_oracle,
-    train_cells_iters=1) — quantifying that with exact rerank the pool's
-    COVERAGE (cells) is what binds, not ADC ordering.  One candidates
-    join serves all four stride IVF arms (probe_rank is carried, arms
-    are filters); each ADC pool is computed once and consumed by its
-    adc/rerank consumers; the trained centroid frame is checkpointed once
-    and consumed by all three trained arms.  Every number is
+    entry certifies both UNTRAINED knobs that buy it back.  (a) IVF with
+    EXACT in-cell distances swept over n_probe (1/4/8/12 of 16 cells):
+    loss is coarse-probe misses only, so the curve is monotone — measured
+    0.24 / 0.56 / 0.70 / 0.84 at sf0.01, with the 12-probe arm >= 0.8.
+    (b) the two-stage serving shape: IVFPQ ADC generates a 32-candidate
+    pool at n_probe=12, exact bigint-L2 RERANKS it to top-5
+    (similarity.py::exact_rerank) — 0.82 vs 0.46 for the same pool
+    consumed ADC-only, i.e. rerank recovers what quantization error gives
+    up, bounded only by pool coverage (the ivf_exact@12 arm).  One
+    candidates join serves all four stride IVF arms (probe_rank is
+    carried, arms are filters); the ADC pool is computed once and
+    consumed by both its adc/rerank consumers.  Every number is
     integer-exact (hits, denom, recall in micro-units) — the driver
-    hash-certifies the curve itself."""
+    hash-certifies the curve itself.
+
+    Round 11 split this entry (round-10 verdict #4): the TRAINED arms
+    (trained cells, trained+fully-trained pool/rerank configurations, the
+    round-11 residual-encoding arm) now live in x84_ann_trained_cert —
+    the cheap per-round curve and the expensive training certification
+    have different change frequencies, so they carry separate floors."""
     from hiveka_spark.operators.similarity import (
         exact_rerank,
-        ivf_cell_stage,
         ivf_exact_candidates,
         ivfpq_topk,
-        train_ivf_centroids,
-        train_pq_codebooks,
         with_quantized_norm,
     )
 
@@ -1461,19 +1502,230 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # trained-coarse-quantizer arms: ONE Lloyd pass over the stride seeds
-    # (train_ivf_centroids — the x61-certified production seam), then the
-    # same exact-candidates path and the same ADC-pool + rerank serving
-    # shape, so the full recommendation (trained cells, n_probe=12,
-    # rerank) is certified as one configuration inside the same sweep
+    all_arms = arm_frames[0]
+    for f in arm_frames[1:]:
+        all_arms = all_arms.unionByName(f)
+    hits = (
+        all_arms.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("arm", "n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    spine = spark.createDataFrame(
+        [("ivf_exact", p) for p in _X77_PROBES]
+        + [
+            ("ivfpq_adc", _X77_MAX_PROBE),
+            ("ivfpq_rerank", _X77_MAX_PROBE),
+        ],
+        "arm string, n_probe bigint",
+    )
+    return spine.join(hits, ["arm", "n_probe"], "left").select(
+        "arm",
+        "n_probe",
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.lit(denom).cast("bigint").alias("denom"),
+        F.expr(f"coalesce(hits, 0) * 1000000 DIV {denom}")
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x84 — TRAINED ANN serving certification (split from x77) + residual arm
+# ---------------------------------------------------------------------------
+
+_X84_RES_POOL = 40  # residual ADC pool (vs _X77_POOL=32 for raw-vector ADC)
+
+
+def _x84_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
+    """Exact L2 ground truth + every TRAINED arm replayed: trained coarse
+    cells (one Lloyd pass, _trained_cells_sql), the trained and
+    fully-trained ADC pools via _ivfpq_oracle/_ivfpq_trained_oracle, and
+    the round-11 RESIDUAL-encoding pool via _ivfpq_residual_oracle — each
+    pool exact-reranked to top-k before scoring against the ground
+    truth."""
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    denom = 10 * k
+    return f"""
+    WITH eq AS (SELECT vec_id,
+                       list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+                FROM embeddings),
+    ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd FROM eq),
+    exact AS (SELECT query_id, neighbor_id FROM (
+                SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qr.vec_id
+                         ORDER BY {d2.format(a="qr.qvd", b="c.qvd")}, c.vec_id) AS rn
+                FROM ev qr JOIN ev c ON qr.vec_id <> c.vec_id
+                WHERE qr.vec_id < 10)
+              WHERE rn <= {k}),
+    v0 AS (SELECT eq.vec_id, eq.qv, ev.qvd FROM eq JOIN ev USING (vec_id)),
+    {_trained_cells_sql(cell_stride, n_cells, 1, out_name="tcents")},
+    tcrank AS (SELECT vec_id, cell, r FROM (
+                 SELECT v.vec_id, c.cell,
+                        ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                           ORDER BY {d2.format(a="v.qvd", b="c.cvd")},
+                                                    c.cell) AS r
+                 FROM ev v CROSS JOIN tcents c)),
+    tcorp AS (SELECT vec_id, cell FROM tcrank WHERE r = 1),
+    tprobe AS (SELECT vec_id AS query_id, cell FROM tcrank
+               WHERE r <= {_X77_MAX_PROBE} AND vec_id < 10),
+    tcand AS (SELECT p.query_id, cc.vec_id AS neighbor_id,
+                     {d2.format(a="q.qvd", b="v.qvd")} AS d2
+              FROM tprobe p
+              JOIN tcorp cc USING (cell)
+              JOIN ev v ON v.vec_id = cc.vec_id
+              JOIN ev q ON q.vec_id = p.query_id
+              WHERE p.query_id <> cc.vec_id),
+    ttop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY d2, neighbor_id) AS rn
+               FROM tcand)
+             WHERE rn <= {k}),
+    pool_tr AS (SELECT query_id, neighbor_id
+                FROM ({_ivfpq_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE, train_cells_iters=1)})),
+    rrtr AS (SELECT query_id, neighbor_id FROM (
+               SELECT p.query_id, p.neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                         ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                  p.neighbor_id) AS rn
+               FROM pool_tr p
+               JOIN ev v ON v.vec_id = p.neighbor_id
+               JOIN ev q ON q.vec_id = p.query_id)
+             WHERE rn <= {k}),
+    pool_full AS (SELECT query_id, neighbor_id
+                  FROM ({_ivfpq_trained_oracle(k=_X77_POOL, n_probe=_X77_MAX_PROBE,
+                                               n_iters=2, train_cells_iters=1)})),
+    rrfull AS (SELECT query_id, neighbor_id FROM (
+                 SELECT p.query_id, p.neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                           ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                    p.neighbor_id) AS rn
+                 FROM pool_full p
+                 JOIN ev v ON v.vec_id = p.neighbor_id
+                 JOIN ev q ON q.vec_id = p.query_id)
+               WHERE rn <= {k}),
+    pool_res AS (SELECT query_id, neighbor_id
+                 FROM ({_ivfpq_residual_oracle(k=_X84_RES_POOL, n_probe=_X77_MAX_PROBE,
+                                               train_cells_iters=1, n_iters=1)})),
+    rrres AS (SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, p.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                          ORDER BY {d2.format(a="q.qvd", b="v.qvd")},
+                                                   p.neighbor_id) AS rn
+                FROM pool_res p
+                JOIN ev v ON v.vec_id = p.neighbor_id
+                JOIN ev q ON q.vec_id = p.query_id)
+              WHERE rn <= {k}),
+    spine AS (
+      SELECT 'ivf_trained' AS arm, CAST({_X77_MAX_PROBE} AS BIGINT) AS n_probe,
+             CAST((SELECT COUNT(*) FROM ttop JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT) AS hits
+      UNION ALL
+      SELECT 'ivfpq_trained_rerank', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rrtr JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_fully_trained', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rrfull JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'ivfpq_residual_rerank', {_X77_MAX_PROBE},
+             CAST((SELECT COUNT(*) FROM rrres JOIN exact USING (query_id, neighbor_id))
+                  AS BIGINT))
+    SELECT arm, n_probe, hits, CAST({denom} AS BIGINT) AS denom,
+           CAST(hits * 1000000 // {denom} AS BIGINT) AS recall_micro
+    FROM spine
+    """
+
+
+@register(
+    "x84_ann_trained_cert",
+    oracle=_x84_oracle(),
+    tags=("similarity", "ann", "recall", "training", "residual", "certification"),
+)
+def x84_ann_trained_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED ANN serving certification — x77's expensive half, split out
+    (round-10 verdict #4) because it changes only when a TRAINER changes
+    while the stride curve is the cheap per-round regression probe.  Four
+    arms, all at the serving budget (16 cells, 12 probes, k=5):
+
+    - ivf_trained (0.90 at sf0.01): exact in-cell distances over cells
+      from ONE Lloyd pass (train_ivf_centroids) — the pool-coverage
+      ceiling every compressed arm is bounded by.
+    - ivfpq_trained_rerank (0.88): trained cells + raw-vector ADC pool
+      (32) + exact rerank — the round-9 serving recommendation.
+    - ivfpq_fully_trained (0.88): trained cells AND trained PQ codebooks
+      (train_pq_codebooks, 2 passes) under the same pool+rerank shape.
+    - ivfpq_residual_rerank (0.88, round 11): PQ codes over RESIDUALS
+      (vector - cell centroid; similarity.py::ivfpq_residual_topk — the
+      standard FAISS IVFPQ refinement), codebooks stride-seeded over the
+      residuals and Lloyd-trained 1 pass, ADC pool 40 + exact rerank.
+      On this near-uniform unit-sphere corpus (PQ's worst case: the
+      coarse centroids absorb little mass, so residuals are nearly as
+      hard as raw vectors) residual ADC ordering is slightly weaker per
+      pool slot — the honest measurement — and a 40-slot pool buys the
+      same 0.88 as the raw-vector configs at identical probe budget,
+      against the 0.90 coverage ceiling.
+
+    ALL trainings (coarse Lloyd pass, PQ codebook passes, residual
+    codebook pass) are replayed bit-for-bit in the DuckDB oracle.  The
+    trained centroid frame is checkpointed once and consumed by every
+    arm; the two raw-vector ADC pools share ONE ivf_cell_stage corpus
+    assignment; every number is integer-exact (hits, denom, micro-unit
+    recall), so the driver hash-certifies the configuration table
+    itself."""
+    from hiveka_spark.operators.similarity import (
+        exact_rerank,
+        ivf_cell_stage,
+        ivf_exact_candidates,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        with_quantized_norm,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    k = 5
+    denom = 10 * k
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    qv = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        c.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # consumed by all 4 arms
+    )
+    wk = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+
     tcents = train_ivf_centroids(
         e, "vec_id", "embedding", n_cells=16, cell_stride=31, n_iters=1
-    ).localCheckpoint(eager=True)  # consumed by both trained arms
+    ).localCheckpoint(eager=True)  # consumed by every arm
     cand_tr = ivf_exact_candidates(
         e, qs, "vec_id", "embedding",
         n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31, cell_centroids=tcents,
     )
-    arm_frames.append(
+    arm_frames = [
         cand_tr.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .select(
@@ -1482,10 +1734,10 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
         )
-    )
+    ]
     # ONE trained coarse stage (corpus cell assignment + probe sets)
-    # shared by both trained ADC pools — the ivf_cell_stage seam, so the
-    # corpus-sized assignment pass is paid once, not per index
+    # shared by both raw-vector ADC pools — the ivf_cell_stage seam, so
+    # the corpus-sized assignment pass is paid once, not per index
     tstage = ivf_cell_stage(
         e, qs, "vec_id", "embedding",
         n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
@@ -1504,17 +1756,10 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
         )
     )
-
-    # FULLY-trained serving configuration (round-9 verdict item 7): trained
-    # coarse cells AND trained PQ codebooks (train_pq_codebooks — the x61
-    # seam) under the same 12-probe + 32-pool + exact-rerank shape, so the
-    # end-to-end-trained recommendation is certified inside the same
-    # sweep; the whole double training replays in the oracle
-    # (_ivfpq_trained_oracle with train_cells_iters=1).  Codebook passes
-    # swept 1/2/4 -> recall 0.86/0.88/0.86 at sf0.01: 2 passes matches
-    # the trained-cells config's 0.88 and the sweep's non-monotone tail
+    # codebook passes swept 1/2/4 -> recall 0.86/0.88/0.86 at sf0.01 (r10):
+    # 2 passes matches the trained-cells config and the non-monotone tail
     # is the honest measurement (deeper ADC training re-orders the pool
-    # without adding coverage — rerank is already exact).
+    # without adding coverage — rerank is already exact)
     cbs = train_pq_codebooks(
         e, "vec_id", "embedding", m=16, dim=64,
         n_centroids=64, centroid_stride=7, n_iters=2,
@@ -1532,6 +1777,24 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
         )
     )
+    # residual arm: train_iters swept 0/1/2/4 -> rerank recall
+    # 0.80/0.86/0.84/0.84 at pool 32; pool swept 40/48/64 at 1 pass ->
+    # 0.88/0.88/0.90 — ship (1 pass, pool 40), the cheapest config that
+    # ties the raw-vector recommendations
+    pool_res = ivfpq_residual_topk(
+        e, qs, "vec_id", "embedding",
+        k=_X84_RES_POOL, n_cells=16, n_probe=_X77_MAX_PROBE, cell_stride=31,
+        m=16, dim=64, n_centroids=64, centroid_stride=7,
+        cell_centroids=tcents, train_iters=1,
+    )
+    arm_frames.append(
+        exact_rerank(e, qs, pool_res, "vec_id", "embedding", k=k).select(
+            F.lit("ivfpq_residual_rerank").alias("arm"),
+            F.lit(_X77_MAX_PROBE).cast("bigint").alias("n_probe"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
 
     all_arms = arm_frames[0]
     for f in arm_frames[1:]:
@@ -1542,13 +1805,11 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
     spine = spark.createDataFrame(
-        [("ivf_exact", p) for p in _X77_PROBES]
-        + [
-            ("ivfpq_adc", _X77_MAX_PROBE),
-            ("ivfpq_rerank", _X77_MAX_PROBE),
+        [
             ("ivf_trained", _X77_MAX_PROBE),
             ("ivfpq_trained_rerank", _X77_MAX_PROBE),
             ("ivfpq_fully_trained", _X77_MAX_PROBE),
+            ("ivfpq_residual_rerank", _X77_MAX_PROBE),
         ],
         "arm string, n_probe bigint",
     )
@@ -2634,6 +2895,152 @@ def x82_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x83 — byte-fallback round-trip on OUT-OF-CORPUS text: decode(encode(t)) == t
+# for text containing characters the training alphabet never saw
+# ---------------------------------------------------------------------------
+
+
+#: deterministic augmentation: two appended words carrying characters that
+#: do not exist in the (a-z only) training corpus — digits, '#', '!' and
+#: the multi-byte 'é' (2 UTF-8 bytes), 'µ' (2), '日' (3) — so the byte
+#: fallback provably fires on 1-, 2- and 3-byte sequences.  Derived from
+#: the source table (doc_id digits), so the oracle replays it verbatim.
+_X83_SUFFIX_A = " q7#"
+_X83_SUFFIX_B = " éµ日!"
+
+
+def _x83_oracle() -> str:
+    """Tokenizer-free oracle (the x82 discipline): the expected round-trip
+    is one line of text normalization over the AUGMENTED text, and the
+    expected fallback-byte count is pure character arithmetic — UTF-8
+    byte length of every augmented-text character outside the training
+    alphabet (corpus characters + the '_' unit joiner; the corpus is
+    '_'-free, checked in x82).  Neither column ever touches the BPE
+    machinery, so a hash match certifies the whole train -> byte-fallback
+    vocab -> encode -> decode chain against nothing but the source
+    table."""
+    return f"""
+    WITH alpha AS (
+      SELECT DISTINCT s FROM (
+        SELECT UNNEST(string_split(replace(LOWER(text), ' ', ''), '')) AS s
+        FROM documents)
+      UNION SELECT '_'),
+    aug AS (SELECT doc_id,
+                   COALESCE(text, '') || '{_X83_SUFFIX_A}'
+                     || CAST(doc_id AS VARCHAR) || '{_X83_SUFFIX_B}' AS t2
+            FROM documents),
+    norm AS (SELECT doc_id,
+                    array_to_string(list_filter(string_split(LOWER(t2), ' '),
+                                                x -> x <> ''), ' ') AS text_rt
+             FROM aug),
+    fb AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s IN (SELECT s FROM alpha) THEN 0
+                                ELSE octet_length(encode(s)) END) AS BIGINT)
+                    AS n_fallback_bytes
+           FROM (SELECT doc_id,
+                        UNNEST(string_split(replace(LOWER(t2), ' ', ''), '')) AS s
+                 FROM aug)
+           GROUP BY doc_id)
+    SELECT n.doc_id, n.text_rt, f.n_fallback_bytes,
+           CAST(0 AS BIGINT) AS n_unk
+    FROM norm n JOIN fb f USING (doc_id)
+    """
+
+
+@register(
+    "x83_token_roundtrip_fallback",
+    oracle=_x83_oracle(),
+    tags=("text", "tokenizer", "bpe", "byte-fallback", "certification"),
+)
+def x83_token_roundtrip_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness on text the training corpus NEVER SAW — the
+    round-10 verdict's #2 (x82's certificate covered the training corpus
+    only; a production pipeline tokenizes held-out text).  The vocabulary
+    is built with BYTE-LEVEL FALLBACK (operators/bpe.py::bpe_vocab
+    byte_fallback=True — the GPT-2/SentencePiece posture: ids 0..255
+    reserved for raw UTF-8 bytes, token strings shifted up), so an
+    out-of-alphabet character encodes as its UTF-8 bytes instead of a
+    lossy shared unk, and maximal byte runs decode back as one UTF-8
+    sequence.  The input is the corpus text deterministically AUGMENTED
+    with characters certain to be absent from the (a-z) training alphabet
+    — digits, '#', '!', plus 2- and 3-byte 'é'/'µ'/'日' — appended from
+    the source table itself so the oracle replays it exactly.  Emitted
+    per doc: the reassembled round-trip text, the fallback byte count
+    (must equal the augmentation's out-of-alphabet UTF-8 byte total —
+    proving the fallback FIRED and fired exactly where it should), and
+    the unk count (hash-pinned to 0: unk is never emitted).
+
+    Train/vocab/encode/decode chain and scale shape are x82's: one
+    corpus-pass training + bounded driver merge loop, alphabet collect
+    bounded by the corpus character set, encode/decode as flat broadcast
+    mapInPandas stages over per-(doc, unit) rows (a flat id stream does
+    not mark unit boundaries), unit reassembly as the one audit-tier
+    shuffle."""
+    from hiveka_spark.operators.bpe import (
+        _BYTE_BASE,
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet, byte_fallback=True)
+    unk = _BYTE_BASE + len(vocab)
+
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_X83_SUFFIX_A),
+            F.col("doc_id").cast("string"),
+            F.lit(_X83_SUFFIX_B),
+        ).alias("text"),
+    )
+    units_df = aug.select(
+        "doc_id", F.posexplode(unit_expr("text")).alias("upos", "u")
+    )
+    enc = bpe_encode_ids(
+        units_df, merges, vocab, text_col="u", id_col="doc_id",
+        units=False, keep_cols=("upos",), byte_fallback=True,
+    ).withColumns(
+        {
+            "n_fb": F.size(F.filter("ids", lambda x: x < F.lit(_BYTE_BASE)))
+            .cast("bigint"),
+            "n_unk": F.size(F.filter("ids", lambda x: x >= F.lit(unk)))
+            .cast("bigint"),
+        }
+    )
+    dec = bpe_decode_ids(
+        enc, vocab, ids_col="ids", id_col="doc_id",
+        keep_cols=("upos", "n_fb", "n_unk"), byte_fallback=True,
+    )
+    return dec.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("upos", "text_rt"))),
+                lambda s: F.regexp_replace(s["text_rt"], "_", " "),
+            ),
+            " ",
+        ).alias("text_rt"),
+        F.sum("n_fb").cast("bigint").alias("n_fallback_bytes"),
+        F.sum("n_unk").cast("bigint").alias("n_unk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # x73 — temperature-based (alpha-weighted) source mixing
 # ---------------------------------------------------------------------------
 
@@ -2998,3 +3405,130 @@ def x78_multi_epoch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# x85 — multi-epoch TOKEN manifest: per-(epoch, shard) ids_digest over the
+# concatenated token stream, from ONE tokenize pass
+# ---------------------------------------------------------------------------
+
+
+def _x85_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of tokenize-once-manifest-per-epoch: the x80 train/vocab/
+    apply machinery gives every doc's ordered token-id sequence; shard and
+    shard_pos replay x78's per-epoch salted assignment; and each
+    (epoch, shard) ids_digest is ONE flat ordered 31-ary fold over the
+    concatenated token stream (ORDER BY shard_pos, upos, pos) — the flat
+    twin of the Spark side's per-doc affine composition, so a match
+    certifies the composition algebra across the epoch fan-out too."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat(e.salt, CAST(d.doc_id AS VARCHAR))")
+    salts = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_X78_EPOCH_SALTS))
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    shards AS (
+      SELECT epoch, doc_id, CAST(hh % {_X78_SHARDS} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X78_SHARDS}
+                                ORDER BY hh, doc_id) AS shard_pos
+      FROM (SELECT e.epoch, d.doc_id, {h} AS hh
+            FROM documents d CROSS JOIN (VALUES {salts}) e(epoch, salt))),
+    toks AS (
+      SELECT s.epoch, s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT epoch, shard,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY shard_pos, upos, pos)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM toks GROUP BY epoch, shard),
+    dcount AS (SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM shards GROUP BY epoch, shard)
+    SELECT CAST(d.epoch AS BIGINT) AS epoch, d.shard, d.n_docs,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(t.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM dcount d LEFT JOIN tokagg t ON t.epoch = d.epoch AND t.shard = d.shard
+    """
+
+
+def x85_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregate staged frame for x85 — split out so
+    tests/test_plans.py can assert the tokenizer's mapInPandas appears
+    exactly ONCE in the physical plan for E=2 epochs (the whole point:
+    per-doc token digests are epoch-invariant, so one tokenize pass
+    serves every epoch; only slim (doc_id, digest, len) rows fan out)."""
+    from hiveka_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.sampling import multi_epoch_shards
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+    enc = bpe_encode(d, merges, vocab, "text", "doc_id", units=True)
+    return multi_epoch_shards(
+        enc, "doc_id", _X78_EPOCH_SALTS, _X78_SHARDS,
+        keep_cols=("n_tokens", "ids_digest"),
+    )
+
+
+@register(
+    "x85_multi_epoch_token_manifest",
+    oracle=_x85_oracle(),
+    tags=("training-prep", "export", "tokenizer", "manifest", "multi-epoch",
+          "certification"),
+)
+def x85_multi_epoch_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-level certification composed with the multi-epoch export
+    (round-10 verdict #5a): x78's per-(epoch, shard) manifests gain an
+    ``ids_digest`` over the shard's ENTIRE concatenated token-ID stream —
+    one number per (epoch, shard) certifying every token id, its
+    position, and the stream length a multi-epoch training job would
+    consume — WITHOUT tokenizing per epoch.  Per-doc (ids_digest,
+    n_tokens) pairs are epoch-INVARIANT, so the corpus is tokenized
+    exactly once (x80's flat broadcast mapInPandas; plan-asserted single
+    tokenize in tests/test_plans.py) and only slim 24-byte rows ride the
+    epoch fan-out (multi_epoch_shards posexplode) into the one
+    (epoch, shard)-keyed exchange; shard digests then compose from the
+    per-doc pairs with the affine 31^len rule (composed_order_digest —
+    bounded 64-row segment buffers, broadcast power table, the token
+    stream is never exploded).  The DuckDB oracle folds each
+    (epoch, shard)'s flat token stream in (shard_pos, upos, pos) order,
+    so the composition algebra is certified against a structurally
+    different computation for BOTH epochs."""
+    from hiveka_spark.operators.sampling import composed_order_digest
+
+    staged = x85_staged(spark, sf_dir)
+    counts = staged.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    digests = composed_order_digest(
+        staged, ("epoch", "shard"), "shard_pos", "ids_digest", "n_tokens",
+        out_col="ids_digest", seg_size=64,
+    )
+    return counts.join(digests, ["epoch", "shard"]).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.col("ids_digest").cast("bigint").alias("ids_digest"),
+    )

@@ -1297,3 +1297,254 @@ def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed = sink.produce_sink.committed_batches()
     assert len(committed) >= 3, f"expected >=3 curated micro-batches, got {committed}"
     return read_compacted(spark, cfg_out, broker=broker)
+
+
+# ---------------------------------------------------------------------------
+# s24 — token-certified manifest of the LIVE curated topic
+# ---------------------------------------------------------------------------
+
+
+def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+    from hiveka_spark.operators.text import EN_STOPWORDS
+    from hiveka_spark.queries.curation_ext import (
+        _BPE_VOCAB_CTES,
+        _X76_MAX_WORDS,
+        _X76_MERGES,
+        _bpe_apply_ctes,
+    )
+    from hiveka_spark.queries.extensions import _EVAL_SOURCES
+
+    k = 3
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    evals = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    machinery = D.minhash_machinery_sql(32, 8, k, tok_cte="tok")
+    jac = D.jaccard_pairs_sql("cand", "pairs", 0.8)
+    hh = portable_hash60_sql("concat('tokc_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
+    {_BPE_VOCAB_CTES},
+    tok AS (SELECT doc_id,
+                   list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+            FROM documents WHERE source NOT IN ({evals})),
+    evtok AS (SELECT doc_id,
+                     list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+              FROM documents WHERE source IN ({evals})),
+    evsh AS (SELECT DISTINCT array_to_string(ws[i:i+{k - 1}], ' ') AS s
+             FROM (SELECT ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - {k - 1}, 1))) AS i
+                   FROM evtok)),
+    {machinery},
+    gf AS (SELECT doc_id,
+                  CAST(LEN(ws) AS BIGINT) AS n_words,
+                  CAST(FLOOR(list_sum(list_transform(ws, w -> LENGTH(w))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS mean_word_len,
+                  CAST(FLOOR(LEN(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) * 1.0
+                             / GREATEST(LEN(ws), 1) * 10000.0) AS BIGINT) / 10000.0
+                    AS alpha_frac,
+                  CAST(LEN(list_intersect(list_distinct(ws), {stop_sql})) AS BIGINT)
+                    AS n_stop_distinct
+           FROM tok),
+    gq AS (SELECT doc_id FROM gf
+           WHERE n_words BETWEEN 15 AND 5000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND alpha_frac >= 0.7 AND n_stop_distinct >= 2),
+    hits AS (SELECT m.doc_id,
+                    COUNT(*) AS n_sh,
+                    SUM(CASE WHEN m.s IN (SELECT s FROM evsh) THEN 1 ELSE 0 END) AS n_hit
+             FROM sh m JOIN gq USING (doc_id)
+             GROUP BY m.doc_id),
+    bflag AS (SELECT doc_id FROM hits WHERE n_hit * 100 >= {contain_pct} * n_sh),
+    part AS (SELECT d.doc_id
+             FROM documents d JOIN gq USING (doc_id)
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM bflag)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                         AND a.doc_id < b.doc_id
+             JOIN part pa ON pa.doc_id = a.doc_id
+             JOIN part pb ON pb.doc_id = b.doc_id),
+    {jac},
+    curated AS (SELECT p.doc_id FROM part p
+                WHERE p.doc_id NOT IN (SELECT id_b FROM pairs)),
+    shards AS (
+      SELECT doc_id, CAST(hh % {n_shards} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % {n_shards} ORDER BY hh, doc_id)
+               AS shard_pos
+      FROM (SELECT doc_id, {hh} AS hh FROM curated)),
+    toks AS (
+      SELECT s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY shard_pos, upos, pos)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM toks GROUP BY shard),
+    dcount AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM shards GROUP BY shard)
+    SELECT d.shard, d.n_docs,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(t.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM dcount d LEFT JOIN tokagg t ON t.shard = d.shard
+    """
+
+
+@register(
+    "s24_curated_token_manifest",
+    oracle=_s24_oracle(),
+    tags=("streaming", "pipeline", "kafka", "tokenizer", "manifest",
+          "certification"),
+)
+def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level certification of the LIVE curated corpus (round-10
+    verdict #5b) — x81's token-certified manifest applied to s23's
+    streaming output instead of a batch export: the full curation
+    pipeline runs (Avro ingest topic -> Gopher -> containment decontam ->
+    band-index near-dup dedup -> compacted curated topic, with the
+    payload carrying TEXT so the topic is self-contained), the compacted
+    topic is read back under log-compaction semantics, the read-back text
+    is tokenized with the x76 tokenizer (trained on the full source
+    corpus, one corpus pass), sharded by the x71 zero-coordination
+    recipe, and manifested per shard as (n_docs, n_tokens, ids_digest)
+    where ids_digest covers the shard's ENTIRE concatenated token stream.
+    One hash therefore certifies every curation decision, the produce
+    framing, compaction convergence, the decode, AND every token id a
+    training job would read off the live topic.
+
+    The DuckDB oracle replays the whole composition from the source
+    table: the s23 batch-equivalent curated set, the x76 training
+    recursion, the rank-joined apply recursion, and a flat ordered fold
+    per shard — it never sees the broker, the wire format, or the Spark
+    tokenizer.
+
+    Scale shape: the curation stages are s23's (per-batch zero-shuffle
+    rules + bucket-pruned index probes); tokenize-and-manifest is x81's
+    (merge table + vocab broadcast once, flat mapInPandas, shard/shard_pos
+    pass-through, per-doc digests folded JVM-side, affine composition —
+    the token stream is never exploded)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        composed_order_digest,
+        epoch_shards,
+    )
+    from hiveka_spark.queries.curation_ext import _X76_MAX_WORDS, _X76_MERGES
+    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.curation import (
+        StreamCurationSink,
+        curated_topic_config,
+        read_compacted,
+    )
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+
+    broker = SimBroker(scratch_dir(prefix="gate_s24broker_"))
+    cfg_in = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=["docs_raw24"],
+        ddl="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    broker.create_topic("docs_raw24", partitions=4)
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        "doc_id", "text", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    write_kafka(raw, cfg_in, "docs_raw24", key_col="doc_id", broker=broker)
+
+    cfg_out = curated_topic_config("sim://gate", "docs_curated24", with_text=True)
+    broker.create_topic("docs_curated24", partitions=4)
+
+    typed = decode_wire(
+        broker.stream(spark, "docs_raw24", max_files_per_trigger=1), cfg_in
+    ).select("doc_id", "text", "lang", "n_chars")
+
+    sink = StreamCurationSink(
+        scratch_dir(prefix="gate_s24state_"),
+        KafkaStreamSink(
+            cfg_out, "docs_curated24", scratch_dir(prefix="gate_s24commits_"),
+            broker=broker, key_col="doc_id", tombstone_col="_tombstone",
+        ),
+        bitset, ev_sh,
+        num_perm=32, bands=8, k=3, threshold=0.8,
+        bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+        payload_cols=("text", "lang", "n_chars"),
+    )
+    q = (
+        typed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s24_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cur = read_compacted(
+        spark, cfg_out, broker=broker, payload_cols=("text", "lang", "n_chars")
+    )
+
+    # tokenizer trained on the full SOURCE corpus (the x76/x81 posture —
+    # one corpus pass; the curated set is a subset, so its units are in
+    # the trained alphabet by construction)
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    staged = epoch_shards(cur, "doc_id", "tokc_", 8, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges, vocab, "text", "doc_id",
+        units=True, keep_cols=("shard", "shard_pos"),
+    )
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    per_doc = toks.select(
+        "shard",
+        "shard_pos",
+        F.aggregate(
+            "ids",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % p,
+        ).alias("dd"),
+        F.size("ids").cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumed by counts AND digests
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    digests = composed_order_digest(
+        per_doc, "shard", "shard_pos", "dd", "n_tok",
+        out_col="ids_digest", seg_size=64,
+    )
+    return counts.join(digests, "shard").select(
+        "shard", "n_docs", "n_tokens",
+        F.col("ids_digest").cast("bigint").alias("ids_digest"),
+    )

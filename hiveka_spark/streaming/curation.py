@@ -110,6 +110,7 @@ class StreamCurationSink:
         bloom_h: int = 3,
         contain_pct: int = 50,
         compact_after: int | None = None,
+        payload_cols: tuple[str, ...] = ("lang", "n_chars"),
     ) -> None:
         self.state_root = state_root
         self.produce_sink = produce_sink
@@ -119,6 +120,11 @@ class StreamCurationSink:
         self.threshold = threshold
         self.bloom_m, self.bloom_h = bloom_m, bloom_h
         self.contain_pct = contain_pct
+        # payload columns produced alongside doc_id (must match the produce
+        # sink's DDL; tombstones carry typed NULLs for every one).  The s24
+        # token-manifest pipeline carries ("text", "lang", "n_chars") so the
+        # curated topic is self-contained for downstream tokenization.
+        self.payload_cols = payload_cols
         # auto-compaction policy for the dedup band index (the s19/x70
         # knob): fold bands+sh into one c{top} segment whenever the
         # committed version count reaches this, between micro-batches
@@ -138,10 +144,11 @@ class StreamCurationSink:
         # the survivors; participants are checkpointed once so the three
         # downstream consumers (shingle write, band write, produce) don't
         # re-run tokenization — bounded by one micro-batch.
+        keep_cols = ["doc_id", "text", *[c for c in self.payload_cols if c != "text"]]
         g = (
             with_gopher_rules(batch_df)
             .filter(F.col("keep") == 1)
-            .select("doc_id", "text", "lang", "n_chars")
+            .select(*keep_cols)
         )
         # the flag rule is CONTAINMENT, not any-hit: a doc is contaminated
         # iff >= contain_pct% of its distinct shingles are eval shingles
@@ -224,16 +231,25 @@ class StreamCurationSink:
         batch_ids = part.select("doc_id")
         losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         drops_here = losers.join(batch_ids, "doc_id", "semi")
+        payload = [
+            F.col(c).cast("bigint").alias(c) if c == "n_chars" else F.col(c)
+            for c in self.payload_cols
+        ]
+        payload_types = {
+            c: "bigint" if c == "n_chars" else part.schema[c].dataType.simpleString()
+            for c in self.payload_cols
+        }
         tombstones = losers.join(batch_ids, "doc_id", "anti").select(
             "doc_id",
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("bigint").alias("n_chars"),
+            *[
+                F.lit(None).cast(payload_types[c]).alias(c)
+                for c in self.payload_cols
+            ],
             F.lit(True).alias("_tombstone"),
         )
         kept = part.join(drops_here, "doc_id", "left_anti").select(
             "doc_id",
-            "lang",
-            F.col("n_chars").cast("bigint").alias("n_chars"),
+            *payload,
             F.lit(False).alias("_tombstone"),
         )
         self.produce_sink(kept.unionByName(tombstones), batch_id)
@@ -249,19 +265,27 @@ class StreamCurationSink:
             compact_band_index(s, self.state_root, before=batch_id)
 
 
-def curated_topic_config(bootstrap: str, topic: str) -> KafkaTableConfig:
+def curated_topic_config(
+    bootstrap: str, topic: str, with_text: bool = False
+) -> KafkaTableConfig:
     """Table config for the compacted curated topic (upsert payload schema
     shared by the sink and the read-back; deletes are wire-level
-    tombstones — null value — not a payload field)."""
+    tombstones — null value — not a payload field).  ``with_text``: carry
+    the document text in the payload (the s24 token-manifest pipeline,
+    where the curated topic must be self-contained for tokenization)."""
+    text = "text STRING, " if with_text else ""
     return KafkaTableConfig(
         bootstrap_servers=bootstrap,
         whitelist_topics=[topic],
-        ddl="doc_id BIGINT, lang STRING, n_chars BIGINT",
+        ddl=f"doc_id BIGINT, {text}lang STRING, n_chars BIGINT",
     )
 
 
 def read_compacted(
-    spark: SparkSession, cfg: KafkaTableConfig, broker=None
+    spark: SparkSession,
+    cfg: KafkaTableConfig,
+    broker=None,
+    payload_cols: tuple[str, ...] = ("lang", "n_chars"),
 ) -> DataFrame:
     """Read a curated topic back under LOG-COMPACTION semantics: for each
     KEY the LAST record (by offset; keys are routed to one partition, so
@@ -297,4 +321,10 @@ def read_compacted(
         .drop("_rn")
     )
     dec = decode_wire(last, cfg)
-    return dec.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return dec.select(
+        "doc_id",
+        *[
+            F.col(c).cast("bigint").alias(c) if c == "n_chars" else F.col(c)
+            for c in payload_cols
+        ],
+    )

@@ -517,3 +517,26 @@ def test_x78_multi_epoch_staged_scans_corpus_once(spark):
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert shuffle_count(staged) == 1, plan
+
+
+def test_x85_multi_epoch_token_manifest_tokenizes_once(spark):
+    """The token manifest's multi-epoch composition (x85): per-doc token
+    digests are epoch-invariant, so the tokenizer's mapInPandas must
+    appear exactly ONCE in the staged plan for E=2 epochs — the epoch
+    fan-out (a Generate over the slim per-doc digest rows) happens ABOVE
+    the tokenize, never below it, and the corpus parquet is scanned once
+    on the tokenize path.  No SinglePartition, no hidden global sort."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.curation_ext import x85_staged
+
+    staged = x85_staged(spark, SF_SMOKE)
+    plan = formatted_plan(staged)
+    # count detail-section node headers (each operator once, like
+    # shuffle_count): ONE tokenize pass serving E=2 epochs
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
+    assert "Generate" in plan, plan  # posexplode fan-out, not a union
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert shuffle_count(staged) == 1, plan  # the (epoch, shard) exchange
