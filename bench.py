@@ -111,6 +111,12 @@ HEADLINE = [
     "x80_bpe_encode",
     "x81_token_export",
     "x82_token_roundtrip",
+    # round-11 additions (floors established from r11 on; x77 re-floored —
+    # its trained arms split into x84):
+    "x83_token_roundtrip_fallback",
+    "x84_ann_trained_cert",
+    "x85_multi_epoch_token_manifest",
+    "s24_curated_token_manifest",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
