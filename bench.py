@@ -117,6 +117,7 @@ HEADLINE = [
     "x84_ann_trained_cert",
     "x85_multi_epoch_token_manifest",
     "s24_curated_token_manifest",
+    "x86_tokenizer_artifact",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -2562,27 +2562,36 @@ def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-#: vocabulary + final-iteration token-id CTEs shared by the encode-side
-#: oracles (x80 digest form, x81 token-certified export): the
-#: deterministic vocabulary (sorted corpus-unit alphabet ids 0..B-1, then
-#: merged strings in first-creation rank order — two merges CAN produce
-#: the same string from different splits, so ids key on the string, min
-#: rank wins) and unit_syms, each distinct unit's ordered token ids.
-_BPE_VOCAB_CTES = """
+def _bpe_vocab_ctes(id_base: int = 0) -> str:
+    """Vocabulary + final-iteration token-id CTEs shared by the encode-side
+    oracles (x80 digest form, x81 token-certified export, x86 artifact):
+    the deterministic vocabulary (sorted corpus-unit alphabet ids
+    base..base+B-1, then merged strings in first-creation rank order — two
+    merges CAN produce the same string from different splits, so ids key
+    on the string, min rank wins) and unit_syms, each distinct unit's
+    ordered token ids.  ``id_base``: 0 for the plain vocabulary, 256 for
+    the byte-fallback ship vocabulary (ids 0..255 reserved raw bytes —
+    operators/bpe.py::bpe_vocab byte_fallback=True)."""
+    return f"""
     alpha AS (SELECT DISTINCT s
               FROM (SELECT UNNEST(string_split(u, '')) AS s FROM units)),
-    vocab0 AS (SELECT s AS sym, ROW_NUMBER() OVER (ORDER BY s) - 1 AS id FROM alpha),
+    vocab0 AS (SELECT s AS sym,
+                      ROW_NUMBER() OVER (ORDER BY s) - 1 + {id_base} AS id
+               FROM alpha),
     vmerge AS (SELECT merged, MIN(merge_rank) AS mr FROM merges GROUP BY merged),
     vocab AS (SELECT sym, CAST(id AS BIGINT) AS id FROM vocab0
               UNION ALL
               SELECT merged AS sym,
-                     CAST((SELECT COUNT(*) FROM alpha) - 1
+                     CAST((SELECT COUNT(*) FROM alpha) - 1 + {id_base}
                           + ROW_NUMBER() OVER (ORDER BY mr) AS BIGINT) AS id
               FROM vmerge),
     unit_syms AS (
       SELECT ap.w AS u, ap.pos, v.id
       FROM ap JOIN vocab v ON v.sym = ap.s
       WHERE ap.it = (SELECT MAX(merge_rank) FROM merges))"""
+
+
+_BPE_VOCAB_CTES = _bpe_vocab_ctes()
 
 
 def _bpe_encode_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
@@ -3532,3 +3541,192 @@ def x85_multi_epoch_token_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         "n_tokens",
         F.col("ids_digest").cast("bigint").alias("ids_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x86 — tokenizer SHIP ARTIFACT: persist merges + byte-fallback vocabulary,
+# reload, and certify the reloaded tokenizer byte-for-byte
+# ---------------------------------------------------------------------------
+
+
+def _x86_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of train -> persist -> reload -> encode: the merge/vocab
+    digests are ordered 31-ary folds over portable_hash60 of each row's
+    canonical rendering (rank:lhs:rhs by rank; id:token by id), derived
+    from the SAME training recursion the artifact was written from; the
+    enc_s* rows replay x81's shard fold with the byte-fallback id base
+    (+256).  The oracle never sees the parquet artifact — a digest match
+    therefore proves the written-and-reloaded tables are bit-identical to
+    the derivation AND that the reloaded tokenizer encodes every document
+    identically."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    mh = portable_hash60_sql("concat(CAST(merge_rank AS VARCHAR), ':', a, ':', b)")
+    vh = portable_hash60_sql("concat(CAST(id AS VARCHAR), ':', sym)")
+    sh = portable_hash60_sql("concat('art0_', CAST(doc_id AS VARCHAR))")
+    fold = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}),"
+        " (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_bpe_vocab_ctes(256)},
+    mdig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    {fold.format(lst=f"list({mh} ORDER BY merge_rank)")} AS digest
+             FROM merges),
+    vdig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    {fold.format(lst=f"list({vh} ORDER BY id)")} AS digest
+             FROM vocab),
+    shards AS (
+      SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+               AS shard_pos
+      FROM (SELECT doc_id, {sh} AS hh FROM documents)),
+    toks AS (
+      SELECT s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT shard,
+             {fold.format(lst="list(id ORDER BY shard_pos, upos, pos)")} AS digest
+      FROM toks GROUP BY shard),
+    dcount AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM shards GROUP BY shard)
+    SELECT 'merges' AS part, n_rows, digest FROM mdig
+    UNION ALL
+    SELECT 'vocab', n_rows, digest FROM vdig
+    UNION ALL
+    SELECT concat('enc_s', CAST(d.shard AS VARCHAR)), d.n_rows,
+           CAST(COALESCE(t.digest, 0) AS BIGINT) AS digest
+    FROM dcount d LEFT JOIN tokagg t ON t.shard = d.shard
+    """
+
+
+@register(
+    "x86_tokenizer_artifact",
+    oracle=_x86_oracle(),
+    tags=("text", "tokenizer", "bpe", "export", "artifact", "certification"),
+)
+def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer as a SHIPPED, RELOADABLE artifact — the tokenizer.json
+    of this pipeline: train the x76 merge table, build the byte-fallback
+    ship vocabulary (x83's serving posture — ids 0..255 reserved raw
+    bytes), persist BOTH as parquet (merges: rank/lhs/rhs; vocab:
+    token/id), read them back, and certify the round trip three ways from
+    the READ-BACK frames only:
+
+    - 'merges' / 'vocab' rows: ordered 31-ary digests over
+      portable_hash60 of each reloaded row's canonical rendering — any
+      lost/reordered/corrupted row or id changes the digest the oracle
+      derives from the training recursion itself (the oracle never sees
+      the parquet).
+    - 'enc_s0'..'enc_s7' rows: the RELOADED tables drive a full corpus
+      encode (bpe_encode_ids byte_fallback over x71 hash shards), and
+      each shard's whole-token-stream digest must equal the oracle's
+      fold of the from-scratch derivation — so the artifact is certified
+      BEHAVIOR-preserving, not just byte-preserving.
+
+    Scale shape: the artifact is vocabulary-bounded (~32k rows at real
+    vocab sizes — the merge/vocab digests fold in one bounded buffer by
+    construction); the encode check is x81's flat mapInPandas + affine
+    shard composition; the only corpus-sized work is the one training
+    pass and the one encode pass."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        composed_order_digest,
+        epoch_shards,
+        rolling_digest,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet, byte_fallback=True)
+
+    art_dir = scratch_dir(prefix="gate_x86art_")
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string",
+    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
+    spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
+    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
+
+    # reload — everything downstream uses ONLY the read-back artifact
+    mback = spark.read.parquet(f"{art_dir}/merges")
+    vback = spark.read.parquet(f"{art_dir}/vocab")
+    merges2 = [
+        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
+    ]
+    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
+
+    mdig = mback.select(
+        "merge_rank",
+        portable_hash60(
+            F.concat(
+                F.col("merge_rank").cast("string"), F.lit(":"),
+                F.col("lhs"), F.lit(":"), F.col("rhs"),
+            )
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("merge_rank", "hv").alias("digest"),
+    ).select(F.lit("merges").alias("part"), "n_rows", "digest")
+    vdig = vback.select(
+        "id",
+        portable_hash60(
+            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("token"))
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("id", "hv").alias("digest"),
+    ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
+
+    staged = epoch_shards(d, "doc_id", "art0_", 8, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges2, vocab2, "text", "doc_id",
+        units=True, keep_cols=("shard", "shard_pos"), byte_fallback=True,
+    )
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    per_doc = toks.select(
+        "shard",
+        "shard_pos",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("dd"),
+        F.size("ids").cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumed by counts AND digests
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    digests = composed_order_digest(
+        per_doc, "shard", "shard_pos", "dd", "n_tok",
+        out_col="digest", seg_size=64,
+    )
+    enc = counts.join(digests, "shard").select(
+        F.concat(F.lit("enc_s"), F.col("shard").cast("string")).alias("part"),
+        "n_rows",
+        F.col("digest").cast("bigint").alias("digest"),
+    )
+    out = mdig.unionByName(vdig).unionByName(enc).localCheckpoint(eager=True)
+    shutil.rmtree(art_dir, ignore_errors=True)
+    return out

@@ -477,9 +477,24 @@ def test_ann_recall_curve_monotone_and_rerank_recovers(spark):
     curve = [rows[("ivf_exact", p)] for p in (1, 4, 8, 12)]
     assert curve == sorted(curve), curve
     assert rows[("ivfpq_rerank", 12)] >= rows[("ivfpq_adc", 12)]
-    # the round-10 end-to-end-trained configuration rides the same sweep
-    assert ("ivfpq_fully_trained", 12) in rows
     assert all(0 <= v <= 1_000_000 for v in rows.values())
+    # the trained/residual configurations live in x84 since the round-11
+    # split; every arm must report, with recall in micro-units
+    trained = {
+        r["arm"]: r["recall_micro"]
+        for r in REGISTRY["x84_ann_trained_cert"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(trained) == {
+        "ivf_trained",
+        "ivfpq_trained_rerank",
+        "ivfpq_fully_trained",
+        "ivfpq_residual_rerank",
+    }
+    assert all(0 <= v <= 1_000_000 for v in trained.values())
+    # trained-cells exact candidates are every compressed arm's coverage
+    # ceiling at the same probe budget
+    assert trained["ivf_trained"] >= trained["ivfpq_trained_rerank"]
+    assert trained["ivf_trained"] >= trained["ivfpq_residual_rerank"]
 
 
 def test_exact_rerank_of_full_pool_equals_exact_topk(spark):

@@ -205,6 +205,18 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
         return ivfpq_topk(emb, q, k=5)
 
+    def ivfpq_residual_e2e():
+        # x84's residual arm end-to-end: cell assign carrying the residual,
+        # residual codebook encode, per-(query, cell) LUT ADC for a FIXED
+        # 10-query set.  Same linear-build contract as ivfpq_e2e; the LUT
+        # is n_probe x larger but still query-side constant — the ratio
+        # between the two probes measures the residual asymmetry's cost.
+        from hiveka_spark.operators.similarity import ivfpq_residual_topk
+
+        emb = replicate(table(spark, sf_dir, "embeddings"), n, ["vec_id"])
+        q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+        return ivfpq_residual_topk(emb, q, k=5)
+
     return [
         ("q01_agg_scan", q01),
         ("join_lineitem_orders", join_agg),
@@ -221,6 +233,7 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         ("phash_banding", phash_banding),
         ("kmeans_two_rounds", kmeans_two_rounds),
         ("ivfpq_e2e", ivfpq_e2e),
+        ("ivfpq_residual_e2e", ivfpq_residual_e2e),
     ]
 
 
