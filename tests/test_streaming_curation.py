@@ -343,3 +343,56 @@ def test_arrival_order_convergence_with_real_tombstones(spark, tmp_path):
     # descending delivery makes some smaller partner arrive AFTER its dup
     # was produced -> at least one real retraction on the wire
     assert tombstone_counts[1] >= 1, "descending order produced no tombstone"
+
+
+def test_text_payload_round_trips_and_tombstones_stay_keyed(spark, tmp_path):
+    """The payload_cols seam (s24's text-carrying curated topic): the
+    compacted read-back must return every kept doc's text BYTE-IDENTICAL
+    to the source (the property the token manifest depends on), retraction
+    tombstones must still be key-set/value-NULL wire records, and the kept
+    id set must equal the default-payload pipeline's batch answer (the
+    payload is along for the ride — it must not change any decision)."""
+    raw, bitset, ev_sh = _fixtures(spark)
+    expected = _rowset(_expected_batch_answer(raw, bitset, ev_sh))
+    cfg_out = curated_topic_config("sim://test", "docs_curated", with_text=True)
+
+    broker = SimBroker(str(tmp_path / "broker_txt"))
+    broker.create_topic("docs_curated", partitions=4)
+    from pyspark.sql import Window
+
+    # descending delivery so at least one retraction fires with text payload
+    ordered = raw.withColumn(
+        "_bucket", F.ntile(3).over(Window.orderBy(F.col("doc_id").desc()))
+    )
+    parts = [
+        ordered.filter(F.col("_bucket") == i + 1)
+        .drop("_bucket")
+        .localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    sink = StreamCurationSink(
+        str(tmp_path / "txt_state"),
+        KafkaStreamSink(
+            cfg_out, "docs_curated", str(tmp_path / "txt_commits"),
+            broker=broker, key_col="doc_id", tombstone_col="_tombstone",
+        ),
+        bitset, ev_sh,
+        num_perm=32, bands=8, k=3, threshold=0.8,
+        bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+        payload_cols=("text", "lang", "n_chars"),
+    )
+    for i, p in enumerate(parts):
+        sink(p, i)
+
+    cur = read_compacted(
+        spark, cfg_out, broker=broker, payload_cols=("text", "lang", "n_chars")
+    )
+    assert _rowset(cur.select("doc_id", "lang", "n_chars")) == expected
+    src = {r["doc_id"]: r["text"] for r in raw.collect()}
+    for r in cur.collect():
+        assert r["text"] == src[r["doc_id"]], r["doc_id"]
+    wire = broker.scan(spark, "docs_curated")
+    assert wire.filter(F.col("value").isNull()).count() >= 1
+    assert wire.filter(
+        F.col("value").isNull() & F.col("key").isNull()
+    ).count() == 0, "tombstones must carry a key"
