@@ -118,6 +118,7 @@ HEADLINE = [
     "x85_multi_epoch_token_manifest",
     "s24_curated_token_manifest",
     "x86_tokenizer_artifact",
+    "x87_packed_examples",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

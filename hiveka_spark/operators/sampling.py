@@ -466,6 +466,112 @@ def composed_order_digest(
     )
 
 
+def pack_token_examples(
+    toks: DataFrame,
+    context_len: int,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+    ids_col: str = "ids",
+    out_digest: str = "ids_digest",
+) -> DataFrame:
+    """Pack per-doc token-ID arrays into FIXED-LENGTH training examples —
+    the final trainer-facing step (GPT-style packing): within each shard,
+    the docs' token streams concatenate in ``pos_col`` order and slice
+    into consecutive ``context_len``-token examples; documents span
+    example boundaries (no padding, no discarded tokens; the one trailing
+    example per shard may be short).  Returns one MANIFEST row per
+    example: (shard, ex_idx, n_tokens, n_docs, <out_digest>) where the
+    digest is the 31-ary rolling hash of the example's exact token ids in
+    order — what certifies the examples a training job materializes.
+
+    Scale shape — the token stream is NEVER exploded to rows:
+
+    1. one cumulative-sum window per shard (ordered by ``pos_col``) gives
+       each doc's global token offset — slim rows, one exchange;
+    2. each doc emits one row per example it OVERLAPS (``transform`` over
+       sequence(first_ex, last_ex), then explode): row count is
+       O(n_docs + n_tokens/context_len), not O(n_tokens); the slice's
+       digest is a JVM array fold over ``slice(ids, ...)``;
+    3. per (shard, ex_idx), slices compose with the affine rule
+       digest(A||B) = digest(A)*31^len(B) + digest(B) (mod p) in slice
+       order — every slice is >= 1 token so an example has at most
+       ``context_len`` slices, a bounded aggregation buffer by
+       construction; 31^len comes from a broadcast (context_len+1)-row
+       power table.
+
+    Docs with empty ``ids`` are dropped AFTER the offset window (they
+    shift nothing) so the example math never sees a zero-length span.
+    Pinned equal to a flat per-token fold in tests/test_sampling.py."""
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    C = context_len
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(ids_col).cast("bigint")
+    t = (
+        toks.select(
+            F.col(shard_col).alias("_shard"),
+            F.col(ids_col).alias("_ids"),
+            n_tok.alias("_n"),
+            (F.sum(n_tok).over(w) - n_tok).alias("_off"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+    k0 = F.floor(F.col("_off") / C).cast("bigint")
+    k1 = F.floor((F.col("_off") + F.col("_n") - 1) / C).cast("bigint")
+    slices = F.transform(
+        F.sequence(k0, k1),
+        lambda k: F.struct(
+            k.alias("ex_idx"),
+            F.greatest(k * C, F.col("_off")).alias("s"),
+            (
+                F.least((k + 1) * C, F.col("_off") + F.col("_n"))
+                - F.greatest(k * C, F.col("_off"))
+            ).alias("len"),
+        ),
+    )
+    e = t.select("_shard", "_off", "_ids", F.explode(slices).alias("sl")).select(
+        F.col("_shard"),
+        F.col("sl.ex_idx").alias("_ex"),
+        F.col("sl.s").alias("_s"),
+        F.col("sl.len").cast("bigint").alias("_len"),
+        F.aggregate(
+            F.slice(
+                "_ids",
+                (F.col("sl.s") - F.col("_off") + 1).cast("int"),
+                F.col("sl.len").cast("int"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % p,
+        ).alias("_d"),
+    )
+    pow_tbl = toks.sparkSession.createDataFrame(
+        [(n, pow(31, n, _DIGEST_MOD)) for n in range(C + 1)], "_len bigint, _pw bigint"
+    )
+    return (
+        e.join(F.broadcast(pow_tbl), "_len")
+        .groupBy("_shard", "_ex")
+        .agg(
+            F.sum("_len").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_s", "_d", "_pw"))),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * x["_pw"] + x["_d"]) % p,
+            ).alias(out_digest),
+        )
+        .select(
+            F.col("_shard").alias(shard_col),
+            F.col("_ex").alias("ex_idx"),
+            "n_tokens",
+            "n_docs",
+            out_digest,
+        )
+    )
+
+
 def epoch_shards(
     df: DataFrame,
     id_col: str,

@@ -3730,3 +3730,101 @@ def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mdig.unionByName(vdig).unionByName(enc).localCheckpoint(eager=True)
     shutil.rmtree(art_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x87 — packed fixed-length training examples, digest-certified per example
+# ---------------------------------------------------------------------------
+
+_X87_CONTEXT = 128
+_X87_SHARDS = 8
+
+
+def _x87_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """Replay of tokenize -> shard -> concatenate -> slice: every token
+    gets its global rank within the shard (shard_pos, upos, pos order),
+    ex_idx = (rank-1) // C, and each example's digest is the flat ordered
+    fold of its token ids — the token-exploded twin of the Spark side's
+    never-exploded slice composition, so a hash match certifies the
+    offset window, the slice boundaries, and the affine composition all
+    at once."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('pack0_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    shards AS (
+      SELECT doc_id, CAST(hh % {_X87_SHARDS} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % {_X87_SHARDS}
+                                ORDER BY hh, doc_id) AS shard_pos
+      FROM (SELECT doc_id, {h} AS hh FROM documents)),
+    seq AS (
+      SELECT s.shard, s.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY s.shard
+                                ORDER BY s.shard_pos, du.upos, us.pos) AS rn
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u)
+    SELECT shard, CAST((rn - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list(id ORDER BY rn)),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS ids_digest
+    FROM seq GROUP BY shard, ex_idx
+    """
+
+
+@register(
+    "x87_packed_examples",
+    oracle=_x87_oracle(),
+    tags=("training-prep", "export", "tokenizer", "packing", "certification"),
+)
+def x87_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed FIXED-LENGTH training examples — the last trainer-facing step
+    of the export chain (docs -> tokens -> shards -> context-length
+    examples): within each shard the docs' token streams concatenate in
+    shard_pos order and slice into consecutive 128-token examples,
+    documents spanning example boundaries (GPT-style packing — no
+    padding, no dropped tokens, one short trailing example per shard),
+    each example manifested as (n_tokens, n_docs, ids_digest).
+
+    Scale shape (operators/sampling.py::pack_token_examples): tokenization
+    is the flat x79 mapInPandas; the token stream is NEVER exploded to
+    rows — one cumulative-sum window gives per-doc offsets, each doc
+    emits one row per example it overlaps (O(n_docs + n_tokens/C) rows),
+    slice digests are JVM array folds, and per-example digests compose
+    with the affine 31^len rule in a buffer bounded by C slices.  The
+    DuckDB oracle is the token-exploded twin: global rank per token,
+    (rank-1)//C grouping, flat ordered fold — so a match certifies offset
+    math, slice boundaries, and the composition algebra at once."""
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.sampling import epoch_shards, pack_token_examples
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    staged = epoch_shards(d, "doc_id", "pack0_", _X87_SHARDS, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges, vocab, "text", "doc_id",
+        units=True, keep_cols=("shard", "shard_pos"),
+    )
+    return pack_token_examples(toks, _X87_CONTEXT)

@@ -353,3 +353,56 @@ def test_segmented_digest_multi_column_group(spark):
     got = {(r["epoch"], r["shard"], r["order_digest"]) for r in seg.collect()}
     want = {(r["epoch"], r["shard"], r["order_digest"]) for r in one.collect()}
     assert got == want
+
+
+def test_pack_token_examples_equals_flat_reference(spark):
+    """pack_token_examples must equal the naive flat pack: concatenate the
+    shard's id stream in shard_pos order, slice into C-token windows, fold
+    each window's digest per token.  The fixture forces every edge: docs
+    spanning example boundaries, a doc longer than C (contributing to 3+
+    examples), empty-ids docs interleaved (must shift nothing), multiple
+    shards, and trailing partial examples."""
+    from hiveka_spark.operators.sampling import _DIGEST_MOD, pack_token_examples
+
+    C = 8
+    rows = [
+        # (shard, shard_pos, ids)
+        (0, 1, [1, 2, 3]),
+        (0, 2, []),                       # empty: shifts nothing
+        (0, 3, list(range(10, 30))),      # 20 tokens: spans 3+ examples
+        (0, 4, [7]),
+        (1, 1, [5] * 8),                  # exactly one full example
+        (1, 2, [6, 6, 6]),                # trailing partial
+        (2, 1, []),                       # all-empty shard: no examples
+    ]
+    df = spark.createDataFrame(
+        rows, "shard bigint, shard_pos bigint, ids array<bigint>"
+    )
+    got = {
+        (r["shard"], r["ex_idx"]): (r["n_tokens"], r["n_docs"], r["ids_digest"])
+        for r in pack_token_examples(df, C).collect()
+    }
+
+    want = {}
+    for shard in (0, 1, 2):
+        stream, doc_of = [], []
+        for _, _, ids in sorted(
+            (r for r in rows if r[0] == shard), key=lambda r: r[1]
+        ):
+            stream.extend(ids)
+            doc_of.extend([id(ids)] * len(ids))
+        for k in range(0, (len(stream) + C - 1) // C):
+            win = stream[k * C : (k + 1) * C]
+            d = 0
+            for x in win:
+                d = (d * 31 + x) % _DIGEST_MOD
+            want[(shard, k)] = (
+                len(win),
+                len(set(doc_of[k * C : (k + 1) * C])),
+                d,
+            )
+    assert got == want
+    # doc-boundary spanning actually happened: some example covers >1 doc,
+    # and the 20-token doc alone fills at least one example (n_docs == 1)
+    assert any(v[1] > 1 for v in got.values())
+    assert any(v[1] == 1 and v[0] == C for v in got.values())
