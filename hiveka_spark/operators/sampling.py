@@ -499,6 +499,14 @@ def pack_token_examples(
        construction; 31^len comes from a broadcast (context_len+1)-row
        power table.
 
+    Each row also carries ``starts_digest`` — the digest of the sorted
+    0-based WITHIN-EXAMPLE positions where a document STARTS (each
+    position folded as pos+1 so an empty set, digest 0, is distinct from
+    a boundary at position 0): the attention-mask / loss-reset metadata a
+    trainer needs to stop attention from crossing document boundaries
+    inside a packed example.  An example wholly inside one long document
+    has starts_digest 0.
+
     Docs with empty ``ids`` are dropped AFTER the offset window (they
     shift nothing) so the example math never sees a zero-length span.
     Pinned equal to a flat per-token fold in tests/test_sampling.py."""
@@ -546,6 +554,12 @@ def pack_token_examples(
             F.lit(0).cast("bigint"),
             lambda acc, x: (acc * 31 + x) % p,
         ).alias("_d"),
+        # within-example position of a DOC START (this slice is the doc's
+        # first iff its global start equals the doc offset); NULL otherwise
+        F.when(
+            F.col("sl.s") == F.col("_off"),
+            (F.col("sl.s") - F.col("sl.ex_idx") * C).cast("bigint"),
+        ).alias("_bstart"),
     )
     pow_tbl = toks.sparkSession.createDataFrame(
         [(n, pow(31, n, _DIGEST_MOD)) for n in range(C + 1)], "_len bigint, _pw bigint"
@@ -561,6 +575,11 @@ def pack_token_examples(
                 F.lit(0).cast("bigint"),
                 lambda acc, x: (acc * x["_pw"] + x["_d"]) % p,
             ).alias(out_digest),
+            F.aggregate(
+                F.array_sort(F.collect_list("_bstart")),  # nulls dropped
+                F.lit(0).cast("bigint"),
+                lambda acc, x: (acc * 31 + x + 1) % p,
+            ).alias("starts_digest"),
         )
         .select(
             F.col("_shard").alias(shard_col),
@@ -568,6 +587,7 @@ def pack_token_examples(
             "n_tokens",
             "n_docs",
             out_digest,
+            "starts_digest",
         )
     )
 

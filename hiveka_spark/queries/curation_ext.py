@@ -3765,15 +3765,27 @@ def _x87_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) ->
                                 ORDER BY s.shard_pos, du.upos, us.pos) AS rn
       FROM shards s
       JOIN docunits du ON du.doc_id = s.doc_id
-      JOIN unit_syms us ON us.u = du.u)
-    SELECT shard, CAST((rn - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                         list(id ORDER BY rn)),
-                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
-             AS ids_digest
-    FROM seq GROUP BY shard, ex_idx
+      JOIN unit_syms us ON us.u = du.u),
+    d0 AS (SELECT shard, doc_id, MIN(rn) AS r0 FROM seq GROUP BY shard, doc_id),
+    sd AS (SELECT shard, CAST((r0 - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                list((r0 - 1) % {_X87_CONTEXT} + 1
+                                                     ORDER BY r0)),
+                                   (acc, x) -> (acc * 31 + x) % 2147483647)
+                       AS BIGINT) AS starts_digest
+           FROM d0 GROUP BY shard, CAST((r0 - 1) // {_X87_CONTEXT} AS BIGINT)),
+    ex AS (
+      SELECT shard, CAST((rn - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY rn)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY shard, ex_idx)
+    SELECT e.shard, e.ex_idx, e.n_tokens, e.n_docs, e.ids_digest,
+           CAST(COALESCE(sd.starts_digest, 0) AS BIGINT) AS starts_digest
+    FROM ex e LEFT JOIN sd ON sd.shard = e.shard AND sd.ex_idx = e.ex_idx
     """
 
 
@@ -3789,7 +3801,11 @@ def x87_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_pos order and slice into consecutive 128-token examples,
     documents spanning example boundaries (GPT-style packing — no
     padding, no dropped tokens, one short trailing example per shard),
-    each example manifested as (n_tokens, n_docs, ids_digest).
+    each example manifested as (n_tokens, n_docs, ids_digest,
+    starts_digest) — the last being the digest of the sorted
+    within-example positions where a document STARTS, the attention-mask
+    / loss-reset metadata a trainer consumes alongside the ids (0 for an
+    example wholly inside one long document).
 
     Scale shape (operators/sampling.py::pack_token_examples): tokenization
     is the flat x79 mapInPandas; the token stream is NEVER exploded to

@@ -379,16 +379,20 @@ def test_pack_token_examples_equals_flat_reference(spark):
         rows, "shard bigint, shard_pos bigint, ids array<bigint>"
     )
     got = {
-        (r["shard"], r["ex_idx"]): (r["n_tokens"], r["n_docs"], r["ids_digest"])
+        (r["shard"], r["ex_idx"]): (
+            r["n_tokens"], r["n_docs"], r["ids_digest"], r["starts_digest"]
+        )
         for r in pack_token_examples(df, C).collect()
     }
 
     want = {}
     for shard in (0, 1, 2):
-        stream, doc_of = [], []
+        stream, doc_of, doc_starts = [], [], []
         for _, _, ids in sorted(
             (r for r in rows if r[0] == shard), key=lambda r: r[1]
         ):
+            if ids:
+                doc_starts.append(len(stream))
             stream.extend(ids)
             doc_of.extend([id(ids)] * len(ids))
         for k in range(0, (len(stream) + C - 1) // C):
@@ -396,12 +400,21 @@ def test_pack_token_examples_equals_flat_reference(spark):
             d = 0
             for x in win:
                 d = (d * 31 + x) % _DIGEST_MOD
+            sd = 0
+            for g in doc_starts:
+                if k * C <= g < k * C + len(win):
+                    sd = (sd * 31 + (g - k * C) + 1) % _DIGEST_MOD
             want[(shard, k)] = (
                 len(win),
                 len(set(doc_of[k * C : (k + 1) * C])),
                 d,
+                sd,
             )
     assert got == want
+    # boundary metadata is non-trivial: at least one example has no doc
+    # start inside it (mid-long-doc) and one has a start past position 0
+    assert any(v[3] == 0 for v in got.values())
+    assert any(v[3] not in (0, 1) for v in got.values())
     # doc-boundary spanning actually happened: some example covers >1 doc,
     # and the 20-token doc alone fills at least one example (n_docs == 1)
     assert any(v[1] > 1 for v in got.values())
