@@ -119,6 +119,7 @@ HEADLINE = [
     "s24_curated_token_manifest",
     "x86_tokenizer_artifact",
     "x87_packed_examples",
+    "x88_packed_export",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

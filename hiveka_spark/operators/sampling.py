@@ -466,6 +466,108 @@ def composed_order_digest(
     )
 
 
+def _example_slice_rows(
+    toks: DataFrame,
+    C: int,
+    shard_col: str,
+    pos_col: str,
+    ids_col: str,
+) -> DataFrame:
+    """The shared slice stage of example packing: per-doc offsets from one
+    cumulative-sum window per shard, then ONE row per (doc, overlapped
+    example) — (_shard, _ex, _s global slice start, _len, _sl the actual
+    id slice, _bstart within-example doc-start position or NULL).  Row
+    count is O(n_docs + n_tokens/C); the token stream is never exploded
+    to per-token rows.  Consumed by :func:`pack_token_examples` (digests
+    only — folds _sl away before any shuffle) and
+    :func:`pack_token_example_rows` (ships _sl: the physical export)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(ids_col).cast("bigint")
+    t = (
+        toks.select(
+            F.col(shard_col).alias("_shard"),
+            F.col(ids_col).alias("_ids"),
+            n_tok.alias("_n"),
+            (F.sum(n_tok).over(w) - n_tok).alias("_off"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+    k0 = F.floor(F.col("_off") / C).cast("bigint")
+    k1 = F.floor((F.col("_off") + F.col("_n") - 1) / C).cast("bigint")
+    slices = F.transform(
+        F.sequence(k0, k1),
+        lambda k: F.struct(
+            k.alias("ex_idx"),
+            F.greatest(k * C, F.col("_off")).alias("s"),
+            (
+                F.least((k + 1) * C, F.col("_off") + F.col("_n"))
+                - F.greatest(k * C, F.col("_off"))
+            ).alias("len"),
+        ),
+    )
+    return t.select("_shard", "_off", "_ids", F.explode(slices).alias("sl")).select(
+        F.col("_shard"),
+        F.col("sl.ex_idx").alias("_ex"),
+        F.col("sl.s").alias("_s"),
+        F.col("sl.len").cast("bigint").alias("_len"),
+        F.slice(
+            "_ids",
+            (F.col("sl.s") - F.col("_off") + 1).cast("int"),
+            F.col("sl.len").cast("int"),
+        ).alias("_sl"),
+        # within-example position of a DOC START (this slice is the doc's
+        # first iff its global start equals the doc offset); NULL otherwise
+        F.when(
+            F.col("sl.s") == F.col("_off"),
+            (F.col("sl.s") - F.col("sl.ex_idx") * C).cast("bigint"),
+        ).alias("_bstart"),
+    )
+
+
+def pack_token_example_rows(
+    toks: DataFrame,
+    context_len: int,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """The PHYSICAL counterpart of :func:`pack_token_examples`: one row per
+    packed example carrying the ACTUAL data a trainer reads — (shard,
+    ex_idx, ids: the example's context_len token ids in order, starts:
+    sorted within-example doc-start positions for attention masking,
+    n_docs) — where pack_token_examples ships only the certifying
+    digests.  Same slice stage (:func:`_example_slice_rows`); here the
+    exchange necessarily carries the token slices because the ids ARE the
+    output, and the per-example reassembly buffer is bounded by
+    context_len ids by construction (every slice is >= 1 token).  The
+    trailing example per shard may be short."""
+    e = _example_slice_rows(toks, context_len, shard_col, pos_col, ids_col)
+    return (
+        e.groupBy("_shard", "_ex")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_s", "_sl"))),
+                    lambda x: x["_sl"],
+                )
+            ).alias("ids"),
+            F.array_sort(F.collect_list("_bstart")).alias("starts"),  # nulls dropped
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("_shard").alias(shard_col),
+            F.col("_ex").alias("ex_idx"),
+            "ids",
+            "starts",
+            "n_docs",
+        )
+    )
+
+
 def pack_token_examples(
     toks: DataFrame,
     context_len: int,
@@ -512,54 +614,17 @@ def pack_token_examples(
     Pinned equal to a flat per-token fold in tests/test_sampling.py."""
     p = F.lit(_DIGEST_MOD).cast("bigint")
     C = context_len
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(pos_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n_tok = F.size(ids_col).cast("bigint")
-    t = (
-        toks.select(
-            F.col(shard_col).alias("_shard"),
-            F.col(ids_col).alias("_ids"),
-            n_tok.alias("_n"),
-            (F.sum(n_tok).over(w) - n_tok).alias("_off"),
-        )
-        .filter(F.col("_n") > 0)
-    )
-    k0 = F.floor(F.col("_off") / C).cast("bigint")
-    k1 = F.floor((F.col("_off") + F.col("_n") - 1) / C).cast("bigint")
-    slices = F.transform(
-        F.sequence(k0, k1),
-        lambda k: F.struct(
-            k.alias("ex_idx"),
-            F.greatest(k * C, F.col("_off")).alias("s"),
-            (
-                F.least((k + 1) * C, F.col("_off") + F.col("_n"))
-                - F.greatest(k * C, F.col("_off"))
-            ).alias("len"),
-        ),
-    )
-    e = t.select("_shard", "_off", "_ids", F.explode(slices).alias("sl")).select(
-        F.col("_shard"),
-        F.col("sl.ex_idx").alias("_ex"),
-        F.col("sl.s").alias("_s"),
-        F.col("sl.len").cast("bigint").alias("_len"),
+    e = _example_slice_rows(toks, C, shard_col, pos_col, ids_col).select(
+        "_shard",
+        "_ex",
+        "_s",
+        "_len",
+        # fold the slice to its digest BEFORE the shuffle: the exchange
+        # carries 16-byte digests, never token bytes
         F.aggregate(
-            F.slice(
-                "_ids",
-                (F.col("sl.s") - F.col("_off") + 1).cast("int"),
-                F.col("sl.len").cast("int"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % p,
+            "_sl", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
         ).alias("_d"),
-        # within-example position of a DOC START (this slice is the doc's
-        # first iff its global start equals the doc offset); NULL otherwise
-        F.when(
-            F.col("sl.s") == F.col("_off"),
-            (F.col("sl.s") - F.col("sl.ex_idx") * C).cast("bigint"),
-        ).alias("_bstart"),
+        "_bstart",
     )
     pow_tbl = toks.sparkSession.createDataFrame(
         [(n, pow(31, n, _DIGEST_MOD)) for n in range(C + 1)], "_len bigint, _pw bigint"

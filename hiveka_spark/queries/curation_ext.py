@@ -3844,3 +3844,92 @@ def x87_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         units=True, keep_cols=("shard", "shard_pos"),
     )
     return pack_token_examples(toks, _X87_CONTEXT)
+
+
+# ---------------------------------------------------------------------------
+# x88 — PHYSICAL packed-dataset export: write the actual examples, read them
+# back, certify every token and boundary from the shipped bytes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x88_packed_export",
+    oracle=_x87_oracle(),
+    tags=("training-prep", "export", "tokenizer", "packing", "certification"),
+)
+def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed dataset as a SHIPPED artifact — x87's physical
+    counterpart and the terminal file a trainer opens: the same
+    train -> tokenize -> shard -> pack chain, but the packer emits the
+    ACTUAL example rows (ids: the 128 token ids in order; starts: the
+    within-example doc-start positions for attention masking; n_docs —
+    operators/sampling.py::pack_token_example_rows), which are physically
+    written as shard-partitioned parquet and READ BACK; the manifest —
+    (n_tokens, n_docs, ids_digest, starts_digest) per example — is then
+    derived ENTIRELY from the read-back arrays, and the oracle is x87's
+    from-scratch derivation verbatim.  A hash match therefore certifies
+    that the bytes on disk — every token id, its position, every
+    boundary mark — are exactly the packing of the source corpus; any
+    write/read corruption, dropped example, or mis-sliced boundary
+    mismatches.
+
+    Scale shape: identical to x87 up to the pack; the packer's exchange
+    necessarily carries the token slices (the ids ARE the output — the
+    write's own volume, not overhead) with per-example reassembly
+    buffers bounded by context_len; the read-back digests are JVM array
+    folds, map-only.  Scratch export dir deleted eagerly (bench
+    reruns)."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        unit_expr,
+    )
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        epoch_shards,
+        pack_token_example_rows,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    staged = epoch_shards(d, "doc_id", "pack0_", _X87_SHARDS, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges, vocab, "text", "doc_id",
+        units=True, keep_cols=("shard", "shard_pos"),
+    )
+    packed = pack_token_example_rows(toks, _X87_CONTEXT)
+    out_dir = scratch_dir(prefix="gate_x88export_")
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    manifest = back.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "ex_idx",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        "n_docs",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("ids_digest"),
+        F.aggregate(
+            "starts", F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x + 1) % p,
+        ).alias("starts_digest"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest

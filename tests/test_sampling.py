@@ -419,3 +419,53 @@ def test_pack_token_examples_equals_flat_reference(spark):
     # and the 20-token doc alone fills at least one example (n_docs == 1)
     assert any(v[1] > 1 for v in got.values())
     assert any(v[1] == 1 and v[0] == C for v in got.values())
+
+
+def test_pack_token_example_rows_matches_digest_form(spark):
+    """The physical packer (actual ids + starts arrays) must agree with the
+    digest manifest row-for-row: folding each emitted example's ids/starts
+    reproduces pack_token_examples' digests, sizes match n_tokens, and
+    every example except a shard's last is exactly context_len tokens."""
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        pack_token_example_rows,
+        pack_token_examples,
+    )
+
+    C = 8
+    rows = [
+        (0, 1, [1, 2, 3]),
+        (0, 2, []),
+        (0, 3, list(range(10, 30))),
+        (0, 4, [7]),
+        (1, 1, [5] * 8),
+        (1, 2, [6, 6, 6]),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard bigint, shard_pos bigint, ids array<bigint>"
+    )
+    dig = {
+        (r["shard"], r["ex_idx"]): r
+        for r in pack_token_examples(df, C).collect()
+    }
+    phys = {
+        (r["shard"], r["ex_idx"]): r
+        for r in pack_token_example_rows(df, C).collect()
+    }
+    assert set(dig) == set(phys)
+    last_ex = {}
+    for (s, k) in phys:
+        last_ex[s] = max(last_ex.get(s, -1), k)
+    for key, r in phys.items():
+        d = 0
+        for x in r["ids"]:
+            d = (d * 31 + x) % _DIGEST_MOD
+        sd = 0
+        for wpos in r["starts"]:
+            sd = (sd * 31 + wpos + 1) % _DIGEST_MOD
+        assert d == dig[key]["ids_digest"], key
+        assert sd == dig[key]["starts_digest"], key
+        assert len(r["ids"]) == dig[key]["n_tokens"], key
+        assert r["n_docs"] == dig[key]["n_docs"], key
+        if key[1] != last_ex[key[0]]:
+            assert len(r["ids"]) == C, key
