@@ -224,7 +224,12 @@ def main() -> None:
             if missing_floor:
                 out["missing_floor"] = missing_floor
             prefixes = [n.split("_", 1)[0] for n in ratios]
-            assert len(set(prefixes)) == len(prefixes), "prefix collision"
+            if len(set(prefixes)) != len(prefixes):
+                # explicit raise, not assert: under python -O an assert
+                # vanishes and the dict below would silently drop one of
+                # the colliding entries from the durable tail record —
+                # the exact truncation failure mode this block prevents
+                raise RuntimeError(f"ratio-prefix collision in HEADLINE: {prefixes}")
             out["ratios"] = {
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }

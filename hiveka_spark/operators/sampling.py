@@ -486,7 +486,10 @@ def _example_slice_rows(
         .orderBy(pos_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.size(ids_col).cast("bigint")
+    # NULL ids must behave exactly like [] (size() of NULL is -1 under
+    # non-ANSI Spark — unguarded it would shift every LATER doc's offset
+    # in the shard back by one and mis-slice all subsequent examples)
+    n_tok = F.coalesce(F.size(ids_col), F.lit(0)).cast("bigint")
     t = (
         toks.select(
             F.col(shard_col).alias("_shard"),

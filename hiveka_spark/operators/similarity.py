@@ -329,11 +329,14 @@ def ivf_topk(
     )
 
 
-def _pq_sub_from_qv(df: DataFrame, out_id: str, m: int, dsub: int) -> DataFrame:
-    """(id, sub, sv_0..sv_{dsub-1}) from a frame already carrying the
-    quantized array as ``_qv`` and the id as ``_id`` — shared by
-    _pq_subvectors and ivfpq_topk so the subspace-extraction expression
-    exists exactly once."""
+def _pq_sub_from_qv(
+    df: DataFrame, out_id: str, m: int, dsub: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *keep, sub, sv_0..sv_{dsub-1}) from a frame already carrying the
+    (quantized or residual) array as ``_qv`` and the id as ``_id`` — shared
+    by _pq_subvectors, ivfpq_topk, and ivfpq_residual_topk so the
+    subspace-extraction expression exists exactly once.  ``keep`` columns
+    (the residual path carries the cell id) pass through untouched."""
     subs = F.array(
         *[
             F.struct(
@@ -346,7 +349,7 @@ def _pq_sub_from_qv(df: DataFrame, out_id: str, m: int, dsub: int) -> DataFrame:
             for s in range(m)
         ]
     )
-    return df.select(F.col("_id").alias(out_id), F.inline(subs))
+    return df.select(F.col("_id").alias(out_id), *keep, F.inline(subs))
 
 
 def _pq_subvectors(
@@ -1049,24 +1052,17 @@ def ivfpq_residual_topk(
     )
 
     def res_subs(df: DataFrame, id_in: str) -> DataFrame:
-        """(id, cell, sub, sv_0..sv_{dsub-1}) from a residual frame."""
-        return df.select(
-            F.col(id_in),
-            "cell",
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).cast("bigint").alias("sub"),
-                            *[
-                                F.element_at("_rv", s * dsub + i + 1).alias(f"sv_{i}")
-                                for i in range(dsub)
-                            ],
-                        )
-                        for s in range(m)
-                    ]
-                )
+        """(id, cell, sub, sv_0..sv_{dsub-1}) from a residual frame — the
+        shared extraction (:func:`_pq_sub_from_qv`) over the residual
+        array, carrying the cell id through."""
+        return _pq_sub_from_qv(
+            df.select(
+                F.col(id_in).alias("_id"), "cell", F.col("_rv").alias("_qv")
             ),
+            id_in,
+            m,
+            dsub,
+            keep=("cell",),
         )
 
     c_sub = res_subs(corp_res, "_id")
@@ -1082,8 +1078,14 @@ def ivfpq_residual_topk(
         *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
     )
     if train_iters:
+        # the loop's final iteration already eagerly checkpoints, so both
+        # consumers below reuse ONE materialized codebook frame
         rcents = _pq_train_loop(c_sub.drop("cell"), rcents, dsub, train_iters)
-    rcents = rcents.localCheckpoint(eager=True)  # consumed by encode AND LUT
+    # untrained (train_iters=0): rcents stays a lazy stride filter consumed
+    # by both joins — the same unshared-pcents shape as ivfpq_topk, keeping
+    # plan construction job-free (laziness contract, pinned in tests; a
+    # lazy localCheckpoint is NOT job-free under AQE — it materializes the
+    # upstream broadcast while translating the plan to an RDD)
 
     codes = (
         c_sub.join(F.broadcast(rcents), "sub")

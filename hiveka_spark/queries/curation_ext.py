@@ -1400,6 +1400,61 @@ def _x77_oracle(k: int = 5, n_cells: int = 16, cell_stride: int = 31) -> str:
     """
 
 
+
+def _ann_exact_topk(e, qs, k: int):
+    """Exact bigint-L2 ground-truth top-k (broadcast query set, (d2,
+    neighbor_id) tie-break), checkpointed — consumed by every arm of the
+    recall gates x77 and x84, existing ONCE so the ground-truth definition
+    cannot drift between the split halves."""
+    from hiveka_spark.operators.similarity import with_quantized_norm
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    qv = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        c.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ann_recall_table(spark, arm_frames, exact, spine_rows, denom: int):
+    """Union the arm frames, score hits against the exact ground truth, and
+    left-join onto the declared spine so silent arms report 0 — the shared
+    tail of the recall gates (integer-exact hits/denom/micro recall)."""
+    all_arms = arm_frames[0]
+    for f in arm_frames[1:]:
+        all_arms = all_arms.unionByName(f)
+    hits = (
+        all_arms.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("arm", "n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    spine = spark.createDataFrame(spine_rows, "arm string, n_probe bigint")
+    return spine.join(hits, ["arm", "n_probe"], "left").select(
+        "arm",
+        "n_probe",
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        F.lit(denom).cast("bigint").alias("denom"),
+        F.expr(f"coalesce(hits, 0) * 1000000 DIV {denom}")
+        .cast("bigint")
+        .alias("recall_micro"),
+    )
+
+
 @register(
     "x77_ann_recall_curve",
     oracle=_x77_oracle(),
@@ -1432,7 +1487,6 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_rerank,
         ivf_exact_candidates,
         ivfpq_topk,
-        with_quantized_norm,
     )
 
     e = table(spark, sf_dir, "embeddings")
@@ -1440,27 +1494,7 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
     denom = 10 * k
 
-    c = with_quantized_norm(e, "embedding").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
-    )
-    qv = with_quantized_norm(qs, "embedding").select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        c.crossJoin(F.broadcast(qv))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # consumed by all 6 arms
-    )
+    exact = _ann_exact_topk(e, qs, k)  # consumed by all arms
 
     cand = ivf_exact_candidates(
         e, qs, "vec_id", "embedding",
@@ -1502,30 +1536,13 @@ def x77_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    all_arms = arm_frames[0]
-    for f in arm_frames[1:]:
-        all_arms = all_arms.unionByName(f)
-    hits = (
-        all_arms.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("arm", "n_probe")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-    )
-    spine = spark.createDataFrame(
+    return _ann_recall_table(
+        spark,
+        arm_frames,
+        exact,
         [("ivf_exact", p) for p in _X77_PROBES]
-        + [
-            ("ivfpq_adc", _X77_MAX_PROBE),
-            ("ivfpq_rerank", _X77_MAX_PROBE),
-        ],
-        "arm string, n_probe bigint",
-    )
-    return spine.join(hits, ["arm", "n_probe"], "left").select(
-        "arm",
-        "n_probe",
-        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
-        F.lit(denom).cast("bigint").alias("denom"),
-        F.expr(f"coalesce(hits, 0) * 1000000 DIV {denom}")
-        .cast("bigint")
-        .alias("recall_micro"),
+        + [("ivfpq_adc", _X77_MAX_PROBE), ("ivfpq_rerank", _X77_MAX_PROBE)],
+        denom,
     )
 
 
@@ -1687,7 +1704,6 @@ def x84_ann_trained_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_topk,
         train_ivf_centroids,
         train_pq_codebooks,
-        with_quantized_norm,
     )
 
     e = table(spark, sf_dir, "embeddings")
@@ -1695,27 +1711,7 @@ def x84_ann_trained_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
     denom = 10 * k
 
-    c = with_quantized_norm(e, "embedding").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
-    )
-    qv = with_quantized_norm(qs, "embedding").select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        c.crossJoin(F.broadcast(qv))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # consumed by all 4 arms
-    )
+    exact = _ann_exact_topk(e, qs, k)  # consumed by all arms
     wk = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
 
     tcents = train_ivf_centroids(
@@ -1796,31 +1792,17 @@ def x84_ann_trained_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    all_arms = arm_frames[0]
-    for f in arm_frames[1:]:
-        all_arms = all_arms.unionByName(f)
-    hits = (
-        all_arms.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("arm", "n_probe")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-    )
-    spine = spark.createDataFrame(
+    return _ann_recall_table(
+        spark,
+        arm_frames,
+        exact,
         [
             ("ivf_trained", _X77_MAX_PROBE),
             ("ivfpq_trained_rerank", _X77_MAX_PROBE),
             ("ivfpq_fully_trained", _X77_MAX_PROBE),
             ("ivfpq_residual_rerank", _X77_MAX_PROBE),
         ],
-        "arm string, n_probe bigint",
-    )
-    return spine.join(hits, ["arm", "n_probe"], "left").select(
-        "arm",
-        "n_probe",
-        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
-        F.lit(denom).cast("bigint").alias("denom"),
-        F.expr(f"coalesce(hits, 0) * 1000000 DIV {denom}")
-        .cast("bigint")
-        .alias("recall_micro"),
+        denom,
     )
 
 
@@ -2337,6 +2319,30 @@ def x72_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X76_MERGES = 256
 _X76_MAX_WORDS = 400
 
+def _trained_merge_vocab(d, byte_fallback: bool = False):
+    """Train the x76 merge table over ``d`` and build the deterministic
+    vocabulary — the shared preamble of every tokenizer gate (x80-x88,
+    s24), existing ONCE so the training constants and the alphabet
+    collection cannot drift between gates.  Both collects are bounded:
+    n_merges merge rows, corpus-character-set alphabet.  Returns
+    (merges, vocab)."""
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_expr
+
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    alphabet = [
+        r["s"]
+        for r in d.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()  # bounded: the corpus character set
+    ]
+    return merges, bpe_vocab(merges, alphabet, byte_fallback=byte_fallback)
+
+
+
 
 def _bpe_train_ctes(n_merges: int, max_words: int) -> str:
     """The shared WITH RECURSIVE body replaying bpe_train_capped (the
@@ -2650,26 +2656,10 @@ def x80_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table + vocabulary broadcast once (vocabulary-bounded), one
     Arrow-batched mapInPandas, zero shuffle; the alphabet collect is
     bounded by the corpus character set."""
-    from hiveka_spark.operators.bpe import (
-        bpe_encode,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
     return bpe_encode(d, merges, vocab, "text", "doc_id", units=True)
 
 
@@ -2752,12 +2742,7 @@ def x81_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation.  Scratch export dir deleted eagerly (bench reruns)."""
     import shutil
 
-    from hiveka_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
         composed_order_digest,
@@ -2765,18 +2750,7 @@ def x81_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
 
     staged = epoch_shards(d, "doc_id", "tok0_", 8, keep_cols=("text",))
     toks = bpe_encode_ids(
@@ -2860,24 +2834,11 @@ def x82_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.operators.bpe import (
         bpe_decode_ids,
         bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
         unit_expr,
     )
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
 
     units_df = d.select(
         "doc_id", F.posexplode(unit_expr("text")).alias("upos", "u")
@@ -2989,24 +2950,11 @@ def x83_token_roundtrip_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BYTE_BASE,
         bpe_decode_ids,
         bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
         unit_expr,
     )
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet, byte_fallback=True)
+    merges, vocab = _trained_merge_vocab(d, byte_fallback=True)
     unk = _BYTE_BASE + len(vocab)
 
     aug = d.select(
@@ -3471,27 +3419,11 @@ def x85_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly ONCE in the physical plan for E=2 epochs (the whole point:
     per-doc token digests are epoch-invariant, so one tokenize pass
     serves every epoch; only slim (doc_id, digest, len) rows fan out)."""
-    from hiveka_spark.operators.bpe import (
-        bpe_encode,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode
     from hiveka_spark.operators.sampling import multi_epoch_shards
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
     enc = bpe_encode(d, merges, vocab, "text", "doc_id", units=True)
     return multi_epoch_shards(
         enc, "doc_id", _X78_EPOCH_SALTS, _X78_SHARDS,
@@ -3634,12 +3566,7 @@ def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass and the one encode pass."""
     import shutil
 
-    from hiveka_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.dedup import portable_hash60
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
@@ -3649,18 +3576,7 @@ def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet, byte_fallback=True)
+    merges, vocab = _trained_merge_vocab(d, byte_fallback=True)
 
     art_dir = scratch_dir(prefix="gate_x86art_")
     spark.createDataFrame(
@@ -3816,27 +3732,11 @@ def x87_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is the token-exploded twin: global rank per token,
     (rank-1)//C grouping, flat ordered fold — so a match certifies offset
     math, slice boundaries, and the composition algebra at once."""
-    from hiveka_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import epoch_shards, pack_token_examples
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
 
     staged = epoch_shards(d, "doc_id", "pack0_", _X87_SHARDS, keep_cols=("text",))
     toks = bpe_encode_ids(
@@ -3881,12 +3781,7 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns)."""
     import shutil
 
-    from hiveka_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
         epoch_shards,
@@ -3894,18 +3789,7 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
 
     staged = epoch_shards(d, "doc_id", "pack0_", _X87_SHARDS, keep_cols=("text",))
     toks = bpe_encode_ids(

@@ -1430,18 +1430,13 @@ def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token stream is never exploded)."""
     from hiveka_spark.catalog import table
     from hiveka_spark.operators import dedup as D
-    from hiveka_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train_capped,
-        bpe_vocab,
-        unit_expr,
-    )
+    from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
         composed_order_digest,
         epoch_shards,
     )
-    from hiveka_spark.queries.curation_ext import _X76_MAX_WORDS, _X76_MERGES
+    from hiveka_spark.queries.curation_ext import _trained_merge_vocab
     from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
     from hiveka_spark.sources.kafka_io import (
         KafkaTableConfig,
@@ -1507,18 +1502,7 @@ def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer trained on the full SOURCE corpus (the x76/x81 posture —
     # one corpus pass; the curated set is a subset, so its units are in
     # the trained alphabet by construction)
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
-    alphabet = [
-        r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
-        .distinct()
-        .collect()  # bounded: the corpus character set
-    ]
-    vocab = bpe_vocab(merges, alphabet)
+    merges, vocab = _trained_merge_vocab(d)
 
     staged = epoch_shards(cur, "doc_id", "tokc_", 8, keep_cols=("text",))
     toks = bpe_encode_ids(

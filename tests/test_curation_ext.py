@@ -145,6 +145,27 @@ def test_pq_is_lazy_no_corpus_action(spark):
     pq_topk(corpus, corpus, k=5)  # must not raise
 
 
+def test_ivfpq_residual_is_lazy_no_corpus_action(spark):
+    """Building the residual-IVFPQ plan must trigger no Spark action (the
+    pq_topk laziness contract): the residual codebook checkpoint is LAZY,
+    so composing the operator into a larger plan stays job-free."""
+    from hiveka_spark.operators.similarity import ivfpq_residual_topk
+
+    def poison(batches):
+        raise RuntimeError("corpus scanned at plan-construction time")
+        yield  # pragma: no cover
+
+    corpus = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=1) for _ in range(64)]).alias("embedding"),
+        )
+        .mapInPandas(poison, "vec_id long, embedding array<double>")
+    )
+    ivfpq_residual_topk(corpus, corpus, k=5)  # must not raise
+
+
 def test_ivfpq_residual_exact_duplicate_achieves_min_distance(spark):
     """Residual encoding keeps PQ's floor property: an exact duplicate of
     the query lands in the query's own cell with the query's own residual,

@@ -369,6 +369,7 @@ def test_pack_token_examples_equals_flat_reference(spark):
         # (shard, shard_pos, ids)
         (0, 1, [1, 2, 3]),
         (0, 2, []),                       # empty: shifts nothing
+        (0, 5, None),                     # NULL ids: must also shift nothing
         (0, 3, list(range(10, 30))),      # 20 tokens: spans 3+ examples
         (0, 4, [7]),
         (1, 1, [5] * 8),                  # exactly one full example
@@ -391,6 +392,7 @@ def test_pack_token_examples_equals_flat_reference(spark):
         for _, _, ids in sorted(
             (r for r in rows if r[0] == shard), key=lambda r: r[1]
         ):
+            ids = ids or []
             if ids:
                 doc_starts.append(len(stream))
             stream.extend(ids)
