@@ -471,3 +471,63 @@ def test_pack_token_example_rows_matches_digest_form(spark):
         assert r["n_docs"] == dig[key]["n_docs"], key
         if key[1] != last_ex[key[0]]:
             assert len(r["ids"]) == C, key
+
+
+def test_pack_token_examples_property_random_corpora(spark):
+    """Hypothesis sweep of the packer against the flat reference: random
+    shard layouts, doc lengths (incl. empty and None), and context sizes —
+    the boundary arithmetic (offsets, slice starts/lengths, boundary
+    positions, trailing partials) must match the naive pack everywhere."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hiveka_spark.operators.sampling import _DIGEST_MOD, pack_token_examples
+
+    docs = st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(min_value=0, max_value=500), max_size=17),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=docs, c=st.integers(min_value=1, max_value=9))
+    def run(docs, c):
+        rows = [(i % 2, i, ids) for i, ids in enumerate(docs)]
+        df = spark.createDataFrame(
+            rows, "shard bigint, shard_pos bigint, ids array<bigint>"
+        )
+        got = {
+            (r["shard"], r["ex_idx"]): (
+                r["n_tokens"], r["n_docs"], r["ids_digest"], r["starts_digest"]
+            )
+            for r in pack_token_examples(df, c).collect()
+        }
+        want = {}
+        for shard in (0, 1):
+            stream, owner, starts = [], [], []
+            for _, pos, ids in sorted(
+                (r for r in rows if r[0] == shard), key=lambda r: r[1]
+            ):
+                ids = ids or []
+                if ids:
+                    starts.append(len(stream))
+                stream.extend(ids)
+                owner.extend([pos] * len(ids))
+            for k in range((len(stream) + c - 1) // c):
+                win = stream[k * c : (k + 1) * c]
+                d = 0
+                for x in win:
+                    d = (d * 31 + x) % _DIGEST_MOD
+                sd = 0
+                for g in starts:
+                    if k * c <= g < k * c + len(win):
+                        sd = (sd * 31 + (g - k * c) + 1) % _DIGEST_MOD
+                want[(shard, k)] = (
+                    len(win), len(set(owner[k * c : (k + 1) * c])), d, sd
+                )
+        assert got == want
+
+    run()
