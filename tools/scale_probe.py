@@ -217,6 +217,24 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
         return ivfpq_residual_topk(emb, q, k=5)
 
+    def pack_examples():
+        # x87's packer isolated from tokenization: synthetic per-doc id
+        # arrays (~48 tokens/doc, 64 shards) packed into 512-token example
+        # manifests.  The never-explode contract means work tracks the
+        # (doc + example) row count linearly; the cumsum window and the
+        # (shard, ex) aggregate are the only exchanges.
+        from hiveka_spark.operators.sampling import pack_token_examples
+
+        docs = spark.range(1000 * n).select(
+            F.pmod(F.col("id"), F.lit(64)).alias("shard"),
+            F.col("id").alias("shard_pos"),
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.col("id"), F.lit(32)) + 32).cast("int")),
+                lambda i: F.pmod(F.col("id") * 31 + i, F.lit(50000)),
+            ).alias("ids"),
+        )
+        return pack_token_examples(docs, 512)
+
     return [
         ("q01_agg_scan", q01),
         ("join_lineitem_orders", join_agg),
@@ -234,6 +252,7 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         ("kmeans_two_rounds", kmeans_two_rounds),
         ("ivfpq_e2e", ivfpq_e2e),
         ("ivfpq_residual_e2e", ivfpq_residual_e2e),
+        ("pack_examples_manifest", pack_examples),
     ]
 
 
