@@ -179,10 +179,46 @@ def main() -> None:
         remeasured[name] = obs
         timings[name] = min(obs)
 
-    total = round(sum(timings.values()), 3)
+    out, missing_floor = build_artifact(
+        timings, first_pass, remeasured, base, sf_dir, headline=HEADLINE
+    )
+    print(json.dumps(out))
+    if missing_floor:
+        print(
+            "ERROR: HEADLINE entries without a BENCH_BASELINE.json floor: "
+            + ", ".join(missing_floor),
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+def build_artifact(
+    timings: dict[str, float],
+    first_pass: dict[str, float],
+    remeasured: dict[str, list[float]],
+    base: dict[str, float],
+    sf_dir: str,
+    headline: list[str] | None = None,
+) -> tuple[dict, list[str]]:
+    """Assemble the one-line JSON artifact.  KEY ORDER IS LOAD-BEARING
+    (round-10 verdict #1): the driver's durable BENCH_r{N}.json keeps only
+    the LAST 2000 chars of the printed line, and by r10 the full-name
+    ratio map had grown past that window — q01-q39's ratios fell out of
+    the record.  So the full-name maps (queries seconds, baseline_ratios)
+    come FIRST (complete in any local run, truncated in the durable
+    tail), and the line ENDS with a block sized to stay inside 2000 chars
+    for a ~150-entry suite: summary stats, missing_floor, a COMPACT ratio
+    map keyed by each entry's unique "q01"/"x81"/"s23" prefix at 2
+    decimals (~12 chars/entry), and flagged_over_2x last.  The tail
+    property itself is pinned in tests/test_bench_artifact.py.
+
+    Returns (artifact, missing_floor); a non-empty missing_floor is the
+    caller's hard-error signal (round-9 verdict: new entries must land
+    WITH their floor in the same commit)."""
+    names = headline if headline is not None else HEADLINE
     out = {
         "metric": "headline_suite_wall",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
@@ -193,22 +229,7 @@ def main() -> None:
         # (everything else); record the uniform single-shot total alongside
         # so the two protocols are separable in the artifact.
         out["value_single_shot"] = round(sum(first_pass.values()), 3)
-    # Per-query ratios vs the recorded baseline floor, emitted INTO the
-    # artifact: suite wall-clock swings ~25% with machine load between
-    # rounds, so ratios (and the >2x flag list) are the regression signal —
-    # same math as tools/bench_compare.py, carried in the record itself.
-    #
-    # KEY ORDER IS LOAD-BEARING (round-10 verdict #1): the driver's durable
-    # BENCH_r{N}.json keeps only the LAST 2000 chars of this line, and by
-    # r10 the full-name ratio map had grown past that window — q01-q39's
-    # ratios fell out of the record.  So the full-name maps (queries
-    # seconds, baseline_ratios) print FIRST (head — complete in any local
-    # run, truncated in the durable tail), and the tail ends with a block
-    # sized to stay inside 2000 chars forever: the summary stats,
-    # missing_floor, a COMPACT ratio map keyed by each entry's unique
-    # "q01"/"x81"/"s23" prefix at 2 decimals (~12 chars/entry — room for a
-    # ~150-entry suite), and flagged_over_2x last.
-    missing_floor = [n for n in HEADLINE if n not in base] if base else []
+    missing_floor = [n for n in names if n not in base] if base else []
     if base:
         ratios = {
             name: round(sec / base[name], 3)
@@ -234,21 +255,9 @@ def main() -> None:
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }
             out["flagged_over_2x"] = sorted(n for n, r in ratios.items() if r > 2.0)
-    # Self-enforcing guard (round-9 verdict: x78/s23 in r8 and x80 in r9 all
-    # shipped without a floor, so bench_compare could never flag them): a
-    # HEADLINE entry with no recorded floor is a hard error, not an info
-    # line — new entries must land WITH their min-of-3-idle floor in the
-    # same commit.  The artifact still prints so the run is inspectable.
     if missing_floor and "missing_floor" not in out:
         out["missing_floor"] = missing_floor
-    print(json.dumps(out))
-    if missing_floor:
-        print(
-            "ERROR: HEADLINE entries without a BENCH_BASELINE.json floor: "
-            + ", ".join(missing_floor),
-            file=sys.stderr,
-        )
-        sys.exit(1)
+    return out, missing_floor
 
 
 if __name__ == "__main__":

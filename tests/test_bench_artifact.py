@@ -1,0 +1,82 @@
+"""The bench artifact's durable-tail contract (round-10 verdict #1): the
+driver keeps only the LAST 2000 chars of bench.py's one printed JSON line,
+so the complete per-query ratio signal and the summary stats must live at
+the END of the line — at the current suite size AND with generous headroom.
+These tests exercise bench.build_artifact directly with synthetic timings
+(no Spark), so the guard runs in milliseconds on every pytest invocation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bench import HEADLINE, build_artifact
+
+
+def _synthetic(names):
+    timings = {n: 1.0 + (i % 7) / 10 for i, n in enumerate(names)}
+    base = {n: 1.0 for n in names}
+    return timings, base
+
+
+def _tail_keys(out: dict, keep: int = 2000) -> str:
+    line = json.dumps(out)
+    return line[-keep:]
+
+
+def test_tail_contains_every_ratio_and_summary_at_current_size():
+    """For the REAL headline list: every entry's compact ratio, the summary
+    stats, and the flag list must all survive the 2000-char tail."""
+    timings, base = _synthetic(HEADLINE)
+    out, missing = build_artifact(timings, dict(timings), {}, base, "sf")
+    assert not missing
+    tail = _tail_keys(out)
+    for n in HEADLINE:
+        prefix = n.split("_", 1)[0]
+        assert f'"{prefix}":' in tail, f"ratio for {n} fell out of the tail"
+    for key in ("ratio_mean", "ratio_median", "ratio_worst", "flagged_over_2x"):
+        assert f'"{key}"' in tail, key
+
+
+def test_tail_holds_with_headroom_for_growth():
+    """The same property at ~150 entries — the documented design budget —
+    so suite growth can't silently reintroduce the r10 truncation."""
+    names = (
+        [f"q{i:02d}_synthetic_relational_entry_name" for i in range(60)]
+        + [f"x{i:02d}_synthetic_extension_entry_name" for i in range(60)]
+        + [f"s{i:02d}_synthetic_streaming_entry_name" for i in range(30)]
+    )
+    timings, base = _synthetic(names)
+    out, _ = build_artifact(timings, dict(timings), {}, base, "sf", headline=names)
+    tail = _tail_keys(out)
+    for n in names:
+        prefix = n.split("_", 1)[0]
+        assert f'"{prefix}":' in tail, f"{n} fell out at 150 entries"
+    assert '"flagged_over_2x"' in tail
+
+
+def test_missing_floor_reported_and_prefix_collision_raises():
+    names = ["q01_a", "q02_b", "x01_c"]
+    timings, base = _synthetic(names)
+    del base["x01_c"]
+    out, missing = build_artifact(
+        timings, dict(timings), {}, base, "sf", headline=names
+    )
+    assert missing == ["x01_c"] and out["missing_floor"] == ["x01_c"]
+
+    dup = ["q01_a", "q01_b"]
+    timings2, base2 = _synthetic(dup)
+    with pytest.raises(RuntimeError, match="prefix collision"):
+        build_artifact(timings2, dict(timings2), {}, base2, "sf", headline=dup)
+
+
+def test_flagged_entries_survive_at_the_very_end():
+    names = [f"x{i:02d}_entry" for i in range(40)]
+    timings, base = _synthetic(names)
+    timings[names[0]] = 10.0  # 10x the floor -> flagged
+    out, _ = build_artifact(timings, dict(timings), {}, base, "sf", headline=names)
+    line = json.dumps(out)
+    assert line.rstrip("}").rstrip("]").endswith(names[0]) or names[0] in line[-200:]
+    assert out["flagged_over_2x"] == [names[0]]
