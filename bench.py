@@ -120,6 +120,7 @@ HEADLINE = [
     "x86_tokenizer_artifact",
     "x87_packed_examples",
     "x88_packed_export",
+    "x89_multi_epoch_packed",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -466,23 +466,32 @@ def composed_order_digest(
     )
 
 
+def _group_cols(shard_col) -> list[str]:
+    """Packing group key: a single shard column or a composite (the
+    multi-epoch path groups by (epoch, shard))."""
+    return [shard_col] if isinstance(shard_col, str) else list(shard_col)
+
+
 def _example_slice_rows(
     toks: DataFrame,
     C: int,
-    shard_col: str,
+    shard_col,
     pos_col: str,
     ids_col: str,
 ) -> DataFrame:
     """The shared slice stage of example packing: per-doc offsets from one
-    cumulative-sum window per shard, then ONE row per (doc, overlapped
-    example) — (_shard, _ex, _s global slice start, _len, _sl the actual
+    cumulative-sum window per group, then ONE row per (doc, overlapped
+    example) — (*group, _ex, _s global slice start, _len, _sl the actual
     id slice, _bstart within-example doc-start position or NULL).  Row
     count is O(n_docs + n_tokens/C); the token stream is never exploded
-    to per-token rows.  Consumed by :func:`pack_token_examples` (digests
-    only — folds _sl away before any shuffle) and
-    :func:`pack_token_example_rows` (ships _sl: the physical export)."""
+    to per-token rows.  ``shard_col`` may be a single column or a
+    composite key (multi-epoch: (epoch, shard)).  Consumed by
+    :func:`pack_token_examples` (digests only — folds _sl away before any
+    shuffle) and :func:`pack_token_example_rows` (ships _sl: the physical
+    export)."""
+    group = _group_cols(shard_col)
     w = (
-        Window.partitionBy(shard_col)
+        Window.partitionBy(*group)
         .orderBy(pos_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -492,7 +501,7 @@ def _example_slice_rows(
     n_tok = F.coalesce(F.size(ids_col), F.lit(0)).cast("bigint")
     t = (
         toks.select(
-            F.col(shard_col).alias("_shard"),
+            *[F.col(g) for g in group],
             F.col(ids_col).alias("_ids"),
             n_tok.alias("_n"),
             (F.sum(n_tok).over(w) - n_tok).alias("_off"),
@@ -512,8 +521,8 @@ def _example_slice_rows(
             ).alias("len"),
         ),
     )
-    return t.select("_shard", "_off", "_ids", F.explode(slices).alias("sl")).select(
-        F.col("_shard"),
+    return t.select(*group, "_off", "_ids", F.explode(slices).alias("sl")).select(
+        *group,
         F.col("sl.ex_idx").alias("_ex"),
         F.col("sl.s").alias("_s"),
         F.col("sl.len").cast("bigint").alias("_len"),
@@ -548,9 +557,10 @@ def pack_token_example_rows(
     output, and the per-example reassembly buffer is bounded by
     context_len ids by construction (every slice is >= 1 token).  The
     trailing example per shard may be short."""
+    group = _group_cols(shard_col)
     e = _example_slice_rows(toks, context_len, shard_col, pos_col, ids_col)
     return (
-        e.groupBy("_shard", "_ex")
+        e.groupBy(*group, "_ex")
         .agg(
             F.flatten(
                 F.transform(
@@ -562,7 +572,7 @@ def pack_token_example_rows(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
         .select(
-            F.col("_shard").alias(shard_col),
+            *group,
             F.col("_ex").alias("ex_idx"),
             "ids",
             "starts",
@@ -617,8 +627,9 @@ def pack_token_examples(
     Pinned equal to a flat per-token fold in tests/test_sampling.py."""
     p = F.lit(_DIGEST_MOD).cast("bigint")
     C = context_len
+    group = _group_cols(shard_col)
     e = _example_slice_rows(toks, C, shard_col, pos_col, ids_col).select(
-        "_shard",
+        *group,
         "_ex",
         "_s",
         "_len",
@@ -634,7 +645,7 @@ def pack_token_examples(
     )
     return (
         e.join(F.broadcast(pow_tbl), "_len")
-        .groupBy("_shard", "_ex")
+        .groupBy(*group, "_ex")
         .agg(
             F.sum("_len").cast("bigint").alias("n_tokens"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -650,7 +661,7 @@ def pack_token_examples(
             ).alias("starts_digest"),
         )
         .select(
-            F.col("_shard").alias(shard_col),
+            *group,
             F.col("_ex").alias("ex_idx"),
             "n_tokens",
             "n_docs",

@@ -3817,3 +3817,107 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# x89 — multi-epoch packed examples: each epoch's packing from ONE tokenize
+# ---------------------------------------------------------------------------
+
+
+def _x89_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """x87's oracle lifted over the epoch fan-out: per-epoch salted shard
+    assignment (x78's recipe), global token rank within (epoch, shard),
+    (rank-1)//C example grouping, flat ordered folds for both digests."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat(e.salt, CAST(d.doc_id AS VARCHAR))")
+    salts = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_X78_EPOCH_SALTS))
+    C = _X87_CONTEXT
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    shards AS (
+      SELECT epoch, doc_id, CAST(hh % {_X87_SHARDS} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X87_SHARDS}
+                                ORDER BY hh, doc_id) AS shard_pos
+      FROM (SELECT e.epoch, d.doc_id, {h} AS hh
+            FROM documents d CROSS JOIN (VALUES {salts}) e(epoch, salt))),
+    seq AS (
+      SELECT s.epoch, s.shard, s.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY s.epoch, s.shard
+                                ORDER BY s.shard_pos, du.upos, us.pos) AS rn
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    d0 AS (SELECT epoch, shard, doc_id, MIN(rn) AS r0 FROM seq
+           GROUP BY epoch, shard, doc_id),
+    sd AS (SELECT epoch, shard, CAST((r0 - 1) // {C} AS BIGINT) AS ex_idx,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                list((r0 - 1) % {C} + 1
+                                                     ORDER BY r0)),
+                                   (acc, x) -> (acc * 31 + x) % 2147483647)
+                       AS BIGINT) AS starts_digest
+           FROM d0 GROUP BY epoch, shard, CAST((r0 - 1) // {C} AS BIGINT)),
+    ex AS (
+      SELECT epoch, shard, CAST((rn - 1) // {C} AS BIGINT) AS ex_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY rn)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY epoch, shard, ex_idx)
+    SELECT CAST(e.epoch AS BIGINT) AS epoch, e.shard, e.ex_idx, e.n_tokens,
+           e.n_docs, e.ids_digest,
+           CAST(COALESCE(sd.starts_digest, 0) AS BIGINT) AS starts_digest
+    FROM ex e LEFT JOIN sd ON sd.epoch = e.epoch AND sd.shard = e.shard
+                          AND sd.ex_idx = e.ex_idx
+    """
+
+
+@register(
+    "x89_multi_epoch_packed",
+    oracle=_x89_oracle(),
+    tags=("training-prep", "export", "tokenizer", "packing", "multi-epoch",
+          "certification"),
+)
+def x89_multi_epoch_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed fixed-length examples for EVERY training epoch from ONE
+    tokenize pass — the last cell of the export matrix ({single,
+    multi-epoch} x {doc manifests x75/x78, token manifests x81/x85,
+    packed examples x87/x89}): each epoch's shard order differs, so its
+    examples genuinely differ (boundaries cut the stream differently) and
+    must be re-packed per epoch — but the per-doc token arrays are
+    epoch-INVARIANT, so the corpus is tokenized exactly once
+    (bpe_encode_ids on the source docs) and the ids arrays ride the
+    multi_epoch_shards posexplode fan-out into the one (epoch, shard)
+    exchange, E-copying token bytes only because E epochs of examples are
+    being produced (the x78 payload argument).  Packing is x87's
+    never-explode pipeline over the composite (epoch, shard) group key;
+    output manifests every example as (epoch, shard, ex_idx, n_tokens,
+    n_docs, ids_digest, starts_digest).  The oracle re-derives both
+    epochs' packings token-by-token from the source table."""
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.sampling import (
+        multi_epoch_shards,
+        pack_token_examples,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = _trained_merge_vocab(d)
+    enc = bpe_encode_ids(d, merges, vocab, "text", "doc_id", units=True)
+    staged = multi_epoch_shards(
+        enc, "doc_id", _X78_EPOCH_SALTS, _X87_SHARDS, keep_cols=("ids",)
+    )
+    packed = pack_token_examples(
+        staged, _X87_CONTEXT, shard_col=("epoch", "shard")
+    )
+    return packed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "shard",
+        "ex_idx",
+        "n_tokens",
+        "n_docs",
+        "ids_digest",
+        "starts_digest",
+    )

@@ -531,3 +531,30 @@ def test_pack_token_examples_property_random_corpora(spark):
         assert got == want
 
     run()
+
+
+def test_pack_token_examples_composite_group_equals_per_group(spark):
+    """The composite (epoch, shard) group key (x89) must equal running the
+    single-key packer on each epoch's slice independently."""
+    from hiveka_spark.operators.sampling import pack_token_examples
+
+    C = 4
+    rows = []
+    for ep in (0, 1):
+        # different orders per epoch: reversed positions in epoch 1
+        for i in range(5):
+            pos = i if ep == 0 else 5 - i
+            rows.append((ep, i % 2, pos, [ep * 100 + i * 3 + j for j in range(i + 1)]))
+    df = spark.createDataFrame(
+        rows, "epoch bigint, shard bigint, shard_pos bigint, ids array<bigint>"
+    )
+    combined = {
+        (r["epoch"], r["shard"], r["ex_idx"]): tuple(r)[3:]
+        for r in pack_token_examples(df, C, shard_col=("epoch", "shard")).collect()
+    }
+    split = {}
+    for ep in (0, 1):
+        part = df.filter(F.col("epoch") == ep).drop("epoch")
+        for r in pack_token_examples(part, C).collect():
+            split[(ep, r["shard"], r["ex_idx"])] = tuple(r)[2:]
+    assert combined == split and combined
