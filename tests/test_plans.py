@@ -540,3 +540,22 @@ def test_x85_multi_epoch_token_manifest_tokenizes_once(spark):
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert shuffle_count(staged) == 1, plan  # the (epoch, shard) exchange
+
+
+def test_x89_multi_epoch_packed_tokenizes_once_one_exchange(spark):
+    """x89's whole point: E=2 epochs of packed examples from ONE tokenize
+    pass (single MapInPandas) and ONE exchange — the cumsum window's hash
+    partitioning on (epoch, shard) must satisfy the example-grouping
+    distribution, so the groupBy adds no second shuffle."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    packed = REGISTRY["x89_multi_epoch_packed"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(packed)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
+    assert "Generate" in plan, plan  # posexplode fan-out, not a union
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(packed) == 1, plan  # window + groupBy share it
