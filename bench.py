@@ -213,6 +213,17 @@ def build_artifact(
     decimals (~12 chars/entry), and flagged_over_2x last.  The tail
     property itself is pinned in tests/test_bench_artifact.py.
 
+    Tail degradation order is deliberate: flagged_over_2x is LAST (and
+    compact — prefixes, not full names, so a regression storm costs ~7
+    chars per flagged entry instead of ~28) and the summary stats sit
+    just before it, so in a catastrophic many-flagged round the signal
+    that gets partially cut is the per-entry ratio map's FRONT, never the
+    flag list or the stats.  Budget arithmetic: ~12 chars per compact
+    ratio + ~7 per flagged prefix + ~120 of stats — everything fits to
+    ~130 entries with a 20-entry flag storm (pinned in
+    tests/test_bench_artifact.py, including the everything-flagged case
+    at the current size).
+
     Returns (artifact, missing_floor); a non-empty missing_floor is the
     caller's hard-error signal (round-9 verdict: new entries must land
     WITH their floor in the same commit)."""
@@ -255,7 +266,12 @@ def build_artifact(
             out["ratios"] = {
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }
-            out["flagged_over_2x"] = sorted(n for n, r in ratios.items() if r > 2.0)
+            # prefixes, not full names: a many-flagged regression round
+            # must not blow the 2000-char tail that carries the ratio map
+            # (full names are recoverable from the ratios/queries keys)
+            out["flagged_over_2x"] = sorted(
+                n.split("_", 1)[0] for n, r in ratios.items() if r > 2.0
+            )
     if missing_floor and "missing_floor" not in out:
         out["missing_floor"] = missing_floor
     return out, missing_floor

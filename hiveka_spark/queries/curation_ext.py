@@ -2321,7 +2321,7 @@ _X76_MAX_WORDS = 400
 
 def _trained_merge_vocab(d, byte_fallback: bool = False):
     """Train the x76 merge table over ``d`` and build the deterministic
-    vocabulary — the shared preamble of every tokenizer gate (x80-x88,
+    vocabulary — the shared preamble of every tokenizer gate (x80-x89,
     s24), existing ONCE so the training constants and the alphabet
     collection cannot drift between gates.  Both collects are bounded:
     n_merges merge rows, corpus-character-set alphabet.  Returns
@@ -3656,53 +3656,87 @@ _X87_CONTEXT = 128
 _X87_SHARDS = 8
 
 
-def _x87_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
-    """Replay of tokenize -> shard -> concatenate -> slice: every token
-    gets its global rank within the shard (shard_pos, upos, pos order),
-    ex_idx = (rank-1) // C, and each example's digest is the flat ordered
-    fold of its token ids — the token-exploded twin of the Spark side's
-    never-exploded slice composition, so a hash match certifies the
-    offset window, the slice boundaries, and the affine composition all
-    at once."""
+def _packing_oracle(
+    epoch_salts: tuple[str, ...] | None,
+    salt: str = "pack0_",
+    n_merges: int = _X76_MERGES,
+    max_words: int = _X76_MAX_WORDS,
+    n_shards: int = 8,
+    C: int = 128,
+) -> str:
+    """ONE packing-oracle builder serving x87 (epoch_salts=None: single
+    shard space) and x89 (per-epoch salted fan-out) so the packing digest
+    contract — global token rank, (rank-1)//C example grouping, the flat
+    ids fold, the (r0-1)%C+1 starts fold — exists in exactly one SQL
+    text and cannot drift between the single- and multi-epoch gates.
+    The token-exploded twin of the Spark side's never-exploded slice
+    composition: a hash match certifies the offset window, the slice
+    boundaries, and the affine composition at once."""
     from hiveka_spark.operators.dedup import portable_hash60_sql
 
-    h = portable_hash60_sql("concat('pack0_', CAST(doc_id AS VARCHAR))")
+    if epoch_salts is None:
+        g = ""  # no epoch column
+        h = portable_hash60_sql(f"concat('{salt}', CAST(doc_id AS VARCHAR))")
+        shards = f"""shards AS (
+      SELECT doc_id, CAST(hh % {n_shards} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % {n_shards}
+                                ORDER BY hh, doc_id) AS shard_pos
+      FROM (SELECT doc_id, {h} AS hh FROM documents))"""
+        sel_group = "e.shard"
+        out_epoch = ""
+    else:
+        g = "epoch, "
+        h = portable_hash60_sql("concat(e.salt, CAST(d.doc_id AS VARCHAR))")
+        salts = ", ".join(f"({i}, '{sv}')" for i, sv in enumerate(epoch_salts))
+        shards = f"""shards AS (
+      SELECT epoch, doc_id, CAST(hh % {n_shards} AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY epoch, hh % {n_shards}
+                                ORDER BY hh, doc_id) AS shard_pos
+      FROM (SELECT e.epoch, d.doc_id, {h} AS hh
+            FROM documents d CROSS JOIN (VALUES {salts}) e(epoch, salt)))"""
+        sel_group = "CAST(e.epoch AS BIGINT) AS epoch, e.shard"
+        out_epoch = "sd.epoch = e.epoch AND "
+    gs = g.replace("epoch, ", "s.epoch, ") if g else ""
     return f"""
     WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
     {_BPE_VOCAB_CTES},
-    shards AS (
-      SELECT doc_id, CAST(hh % {_X87_SHARDS} AS BIGINT) AS shard,
-             ROW_NUMBER() OVER (PARTITION BY hh % {_X87_SHARDS}
-                                ORDER BY hh, doc_id) AS shard_pos
-      FROM (SELECT doc_id, {h} AS hh FROM documents)),
+    {shards},
     seq AS (
-      SELECT s.shard, s.doc_id, us.id,
-             ROW_NUMBER() OVER (PARTITION BY s.shard
+      SELECT {gs}s.shard, s.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY {gs}s.shard
                                 ORDER BY s.shard_pos, du.upos, us.pos) AS rn
       FROM shards s
       JOIN docunits du ON du.doc_id = s.doc_id
       JOIN unit_syms us ON us.u = du.u),
-    d0 AS (SELECT shard, doc_id, MIN(rn) AS r0 FROM seq GROUP BY shard, doc_id),
-    sd AS (SELECT shard, CAST((r0 - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
+    d0 AS (SELECT {g}shard, doc_id, MIN(rn) AS r0 FROM seq
+           GROUP BY {g}shard, doc_id),
+    sd AS (SELECT {g}shard, CAST((r0 - 1) // {C} AS BIGINT) AS ex_idx,
                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                                list((r0 - 1) % {_X87_CONTEXT} + 1
+                                                list((r0 - 1) % {C} + 1
                                                      ORDER BY r0)),
                                    (acc, x) -> (acc * 31 + x) % 2147483647)
                        AS BIGINT) AS starts_digest
-           FROM d0 GROUP BY shard, CAST((r0 - 1) // {_X87_CONTEXT} AS BIGINT)),
+           FROM d0 GROUP BY {g}shard, CAST((r0 - 1) // {C} AS BIGINT)),
     ex AS (
-      SELECT shard, CAST((rn - 1) // {_X87_CONTEXT} AS BIGINT) AS ex_idx,
+      SELECT {g}shard, CAST((rn - 1) // {C} AS BIGINT) AS ex_idx,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                                            list(id ORDER BY rn)),
                               (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
                AS ids_digest
-      FROM seq GROUP BY shard, ex_idx)
-    SELECT e.shard, e.ex_idx, e.n_tokens, e.n_docs, e.ids_digest,
+      FROM seq GROUP BY {g}shard, ex_idx)
+    SELECT {sel_group}, e.ex_idx, e.n_tokens, e.n_docs, e.ids_digest,
            CAST(COALESCE(sd.starts_digest, 0) AS BIGINT) AS starts_digest
-    FROM ex e LEFT JOIN sd ON sd.shard = e.shard AND sd.ex_idx = e.ex_idx
+    FROM ex e LEFT JOIN sd ON {out_epoch}sd.shard = e.shard
+                          AND sd.ex_idx = e.ex_idx
     """
+
+
+def _x87_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """x87's packing replay — see :func:`_packing_oracle`."""
+    return _packing_oracle(None, n_merges=n_merges, max_words=max_words,
+                           n_shards=_X87_SHARDS, C=_X87_CONTEXT)
 
 
 @register(
@@ -3825,54 +3859,12 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x89_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
-    """x87's oracle lifted over the epoch fan-out: per-epoch salted shard
-    assignment (x78's recipe), global token rank within (epoch, shard),
-    (rank-1)//C example grouping, flat ordered folds for both digests."""
-    from hiveka_spark.operators.dedup import portable_hash60_sql
-
-    h = portable_hash60_sql("concat(e.salt, CAST(d.doc_id AS VARCHAR))")
-    salts = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_X78_EPOCH_SALTS))
-    C = _X87_CONTEXT
-    return f"""
-    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
-    {_BPE_VOCAB_CTES},
-    shards AS (
-      SELECT epoch, doc_id, CAST(hh % {_X87_SHARDS} AS BIGINT) AS shard,
-             ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X87_SHARDS}
-                                ORDER BY hh, doc_id) AS shard_pos
-      FROM (SELECT e.epoch, d.doc_id, {h} AS hh
-            FROM documents d CROSS JOIN (VALUES {salts}) e(epoch, salt))),
-    seq AS (
-      SELECT s.epoch, s.shard, s.doc_id, us.id,
-             ROW_NUMBER() OVER (PARTITION BY s.epoch, s.shard
-                                ORDER BY s.shard_pos, du.upos, us.pos) AS rn
-      FROM shards s
-      JOIN docunits du ON du.doc_id = s.doc_id
-      JOIN unit_syms us ON us.u = du.u),
-    d0 AS (SELECT epoch, shard, doc_id, MIN(rn) AS r0 FROM seq
-           GROUP BY epoch, shard, doc_id),
-    sd AS (SELECT epoch, shard, CAST((r0 - 1) // {C} AS BIGINT) AS ex_idx,
-                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                                list((r0 - 1) % {C} + 1
-                                                     ORDER BY r0)),
-                                   (acc, x) -> (acc * 31 + x) % 2147483647)
-                       AS BIGINT) AS starts_digest
-           FROM d0 GROUP BY epoch, shard, CAST((r0 - 1) // {C} AS BIGINT)),
-    ex AS (
-      SELECT epoch, shard, CAST((rn - 1) // {C} AS BIGINT) AS ex_idx,
-             CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                           list(id ORDER BY rn)),
-                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
-               AS ids_digest
-      FROM seq GROUP BY epoch, shard, ex_idx)
-    SELECT CAST(e.epoch AS BIGINT) AS epoch, e.shard, e.ex_idx, e.n_tokens,
-           e.n_docs, e.ids_digest,
-           CAST(COALESCE(sd.starts_digest, 0) AS BIGINT) AS starts_digest
-    FROM ex e LEFT JOIN sd ON sd.epoch = e.epoch AND sd.shard = e.shard
-                          AND sd.ex_idx = e.ex_idx
-    """
+    """x87's packing replay lifted over the per-epoch salted fan-out —
+    the SAME digest contract text via :func:`_packing_oracle`."""
+    return _packing_oracle(
+        _X78_EPOCH_SALTS, n_merges=n_merges, max_words=max_words,
+        n_shards=_X87_SHARDS, C=_X87_CONTEXT,
+    )
 
 
 @register(

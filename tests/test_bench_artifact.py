@@ -73,10 +73,44 @@ def test_missing_floor_reported_and_prefix_collision_raises():
 
 
 def test_flagged_entries_survive_at_the_very_end():
+    """flagged_over_2x (compact prefixes) is the LAST key of the line, so
+    a regression's flag always survives the tail regardless of suite
+    size."""
     names = [f"x{i:02d}_entry" for i in range(40)]
     timings, base = _synthetic(names)
     timings[names[0]] = 10.0  # 10x the floor -> flagged
     out, _ = build_artifact(timings, dict(timings), {}, base, "sf", headline=names)
     line = json.dumps(out)
-    assert line.rstrip("}").rstrip("]").endswith(names[0]) or names[0] in line[-200:]
-    assert out["flagged_over_2x"] == [names[0]]
+    assert out["flagged_over_2x"] == ["x00"]
+    assert line.index('"flagged_over_2x"') > line.index('"ratios"')
+    assert "x00" in line[-60:]
+
+
+def test_tail_survives_a_flag_storm():
+    """The round-10 truncation failure mode under ADVERSE conditions: at
+    the current suite size with EVERY entry flagged, and at a 130-entry
+    suite with a 20-entry flag storm, the tail must still carry every
+    compact ratio, the summary stats, and the full flag list — the
+    degradation order (ratios cut first, flags/stats never) is the
+    design."""
+    # current size, everything flagged
+    timings, base = _synthetic(HEADLINE)
+    timings = {n: 3.0 for n in timings}  # all 3x -> all flagged
+    out, _ = build_artifact(timings, dict(timings), {}, base, "sf")
+    tail = _tail_keys(out)
+    for n in HEADLINE:
+        assert f'"{n.split("_", 1)[0]}"' in tail, n
+    assert len(out["flagged_over_2x"]) == len(HEADLINE)
+    for key in ("ratio_mean", "ratio_worst"):
+        assert f'"{key}"' in tail
+
+    # 130-entry budget with a 20-entry storm
+    names = [f"x{i:03d}_synthetic_extension_entry" for i in range(130)]
+    timings, base = _synthetic(names)
+    for n in names[:20]:
+        timings[n] = 5.0
+    out, _ = build_artifact(timings, dict(timings), {}, base, "sf", headline=names)
+    tail = _tail_keys(out)
+    for n in names:
+        assert f'"{n.split("_", 1)[0]}":' in tail, n
+    assert '"ratio_mean"' in tail and len(out["flagged_over_2x"]) == 20

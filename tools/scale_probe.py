@@ -222,10 +222,13 @@ def probes(spark: SparkSession, sf_dir: str, n: int):
         # arrays (~48 tokens/doc, 64 shards) packed into 512-token example
         # manifests.  The never-explode contract means work tracks the
         # (doc + example) row count linearly; the cumsum window and the
-        # (shard, ex) aggregate are the only exchanges.
+        # (shard, ex) aggregate are the only exchanges.  64k docs/unit so
+        # the 64x point (~4M docs / ~200M tokens) is work-dominated — at
+        # 1k docs/unit the whole curve sat inside Spark's fixed job costs
+        # and certified nothing.
         from hiveka_spark.operators.sampling import pack_token_examples
 
-        docs = spark.range(1000 * n).select(
+        docs = spark.range(64_000 * n).select(
             F.pmod(F.col("id"), F.lit(64)).alias("shard"),
             F.col("id").alias("shard_pos"),
             F.transform(
