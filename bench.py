@@ -133,12 +133,27 @@ _REMEASURE_OVER = 1.2
 _REMEASURE_TRIES = 2
 
 
+def _check_prefix_unique(names) -> None:
+    """The durable-tail ratio map keys entries by their "q01"/"x81"
+    prefix; a collision would silently drop one entry from the record.
+    Validated BEFORE any query runs (an error after the multi-minute
+    suite has been measured discards all timings)."""
+    prefixes = [n.split("_", 1)[0] for n in names]
+    if len(set(prefixes)) != len(prefixes):
+        dupes = sorted({p for p in prefixes if prefixes.count(p) > 1})
+        raise RuntimeError(
+            f"ratio-prefix collision across benched entries (HEADLINE + "
+            f"baseline floors): {dupes}"
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
     from hiveka_spark.session import get_spark
 
     _ensure_loaded()
+    _check_prefix_unique(HEADLINE)
     spark = get_spark("hiveka-bench")
     spark.conf.set("spark.sql.ansi.enabled", spark.conf.get("spark.sql.ansi.enabled"))
 
@@ -256,13 +271,12 @@ def build_artifact(
             out["ratio_worst"] = max(vals)
             if missing_floor:
                 out["missing_floor"] = missing_floor
-            prefixes = [n.split("_", 1)[0] for n in ratios]
-            if len(set(prefixes)) != len(prefixes):
-                # explicit raise, not assert: under python -O an assert
-                # vanishes and the dict below would silently drop one of
-                # the colliding entries from the durable tail record —
-                # the exact truncation failure mode this block prevents
-                raise RuntimeError(f"ratio-prefix collision in HEADLINE: {prefixes}")
+            # backstop of main()'s up-front _check_prefix_unique (which
+            # runs before any query is measured); explicit raise, not
+            # assert: under python -O an assert vanishes and the dict
+            # below would silently drop one of the colliding entries from
+            # the durable tail record
+            _check_prefix_unique(list(ratios))
             out["ratios"] = {
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }

@@ -479,6 +479,21 @@ _DIGEST_MOD = 2147483647  # 2^31 - 1, shared with sampling.rolling_digest
 _BYTE_BASE = 256  # byte-fallback mode: ids 0..255 are reserved raw UTF-8 bytes
 
 
+def _check_fallback_vocab(vocab: dict[str, int], byte_fallback: bool) -> None:
+    """``byte_fallback=True`` is only meaningful against a vocabulary built
+    with ``bpe_vocab(..., byte_fallback=True)`` — a legacy vocabulary
+    assigns legitimate TOKEN ids in 0..255, which the fallback paths would
+    silently reinterpret as raw UTF-8 bytes (encode would also emit byte
+    ids that collide with real tokens).  Cheap invariant, checked once per
+    call at plan-build time, never per row."""
+    if byte_fallback and vocab and min(vocab.values()) < _BYTE_BASE:
+        raise ValueError(
+            "byte_fallback=True requires a byte-fallback vocabulary "
+            "(bpe_vocab(..., byte_fallback=True)): ids 0..255 are reserved "
+            f"for raw bytes, but this vocab assigns id {min(vocab.values())}"
+        )
+
+
 def bpe_vocab(
     merge_table: list[tuple[str, str]],
     alphabet: list[str],
@@ -537,6 +552,7 @@ def bpe_encode(
     vocab -> tokenize -> digest end-to-end in DuckDB."""
     import pandas as pd
 
+    _check_fallback_vocab(vocab, byte_fallback)
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
@@ -624,6 +640,7 @@ def bpe_encode_ids(
     of ids == ids_digest, doc by doc."""
     import pandas as pd
 
+    _check_fallback_vocab(vocab, byte_fallback)
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
@@ -719,6 +736,7 @@ def bpe_decode_ids(
     loop on out-of-corpus text).  ``keep_cols`` pass through untouched."""
     import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
 
+    _check_fallback_vocab(vocab, byte_fallback)
     inv = {i: s for s, i in vocab.items()}
     bc = df.sparkSession.sparkContext.broadcast(inv)
     bf = byte_fallback

@@ -485,7 +485,11 @@ def _example_slice_rows(
     id slice, _bstart within-example doc-start position or NULL).  Row
     count is O(n_docs + n_tokens/C); the token stream is never exploded
     to per-token rows.  ``shard_col`` may be a single column or a
-    composite key (multi-epoch: (epoch, shard)).  Consumed by
+    composite key (multi-epoch: (epoch, shard)).  Pinned invariant: a
+    SINGLE document's ids array holds < 2^31 tokens (the within-doc slice
+    start/length feed F.slice as int — array indices are 32-bit in Spark,
+    so this is the engine's own per-array bound, not an extra
+    restriction; GLOBAL offsets/counts stay bigint).  Consumed by
     :func:`pack_token_examples` (digests only — folds _sl away before any
     shuffle) and :func:`pack_token_example_rows` (ships _sl: the physical
     export)."""

@@ -886,6 +886,31 @@ def test_bpe_byte_fallback_roundtrip_on_unseen_chars(spark):
     assert got0[3] == "���" and got0[0] == "the"
 
 
+def test_bpe_byte_fallback_rejects_legacy_vocab(spark):
+    """byte_fallback=True against a vocabulary built WITHOUT byte_fallback
+    must raise, not silently reinterpret legitimate token ids 0..255 as
+    raw UTF-8 bytes (round-11 advice)."""
+    import pytest
+
+    from hiveka_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    mt = [("a", "b")]
+    legacy = bpe_vocab(mt, ["a", "b"], byte_fallback=False)
+    df = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="byte-fallback vocabulary"):
+        bpe_encode_ids(df, mt, legacy, byte_fallback=True)
+    with pytest.raises(ValueError, match="byte-fallback vocabulary"):
+        bpe_encode(df, mt, legacy, byte_fallback=True)
+    enc = bpe_encode_ids(df, mt, legacy)  # legacy pairing stays valid
+    with pytest.raises(ValueError, match="byte-fallback vocabulary"):
+        bpe_decode_ids(enc, legacy, byte_fallback=True)
+
+
 def test_bpe_train_max_words_cap(spark):
     """The 100 TB vocab cap: training on the top-K words only must equal
     the reference restricted to those words."""
