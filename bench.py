@@ -121,6 +121,8 @@ HEADLINE = [
     "x87_packed_examples",
     "x88_packed_export",
     "x89_multi_epoch_packed",
+    # round-12 additions (floors established from r12 on):
+    "x91_byte_exact_roundtrip",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

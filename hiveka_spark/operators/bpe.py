@@ -30,10 +30,58 @@ the DuckDB oracle replay every merge bit-for-bit (gate x72).
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 from hiveka_spark.operators.text import tokens
+
+# ---------------------------------------------------------------------------
+# Byte-exact (normalize=False) pre-tokenizer — the SentencePiece marker
+# convention.  The NORMALIZED mode (tokens()/unit_expr: lowercase + collapse
+# whitespace runs) is the compact certification surface; a production LLM
+# pipeline trains on case-preserved bytes, so the raw mode makes whitespace
+# TOKEN CONTENT: every space becomes U+2581 '▁', and units are the maximal
+# marker-run + non-marker-run spans — a PARTITION of the marked text (every
+# character lands in exactly one unit), so concatenating decoded units and
+# mapping '▁' back to ' ' restores the input byte-for-byte, case, runs of
+# spaces and all (gate x91).  Reserved-character contract (SentencePiece's
+# own): input text must not itself contain U+2581 — a literal marker is
+# indistinguishable from a space after marking and decodes as one.
+# ---------------------------------------------------------------------------
+
+_SP_MARKER = "▁"  # '▁'
+#: maximal marker-run followed by a non-marker run, or a trailing marker run;
+#: valid in Java regex, Python re, and RE2/DuckDB — the oracles replay it
+_SP_UNIT_PATTERN = f"{_SP_MARKER}*[^{_SP_MARKER}]+|{_SP_MARKER}+"
+_SP_RE = re.compile(_SP_UNIT_PATTERN)
+
+
+def sp_units(col: Column | str) -> Column:
+    """JVM-side byte-exact pre-tokenizer units of a text column (see module
+    comment): spaces -> '▁', then the partition regex.  NULL text -> NULL
+    (explodes to no rows, like :func:`~hiveka_spark.operators.text.tokens`);
+    empty text -> empty array."""
+    marked = F.regexp_replace(col if isinstance(col, Column) else F.col(col), " ", _SP_MARKER)
+    return F.regexp_extract_all(marked, F.lit(_SP_UNIT_PATTERN), 0)
+
+
+def _sp_pretokenize(text: str) -> list[str]:
+    """Python twin of :func:`sp_units` for the Arrow-batched encode paths —
+    same marking, same partition regex, pinned equal in tests."""
+    return _SP_RE.findall(text.replace(" ", _SP_MARKER))
+
+
+def sp_unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq) over byte-exact units (:func:`sp_units`) — the raw-mode
+    counterpart of :func:`unit_freq`, same one-pass map-side-combinable
+    shape."""
+    return (
+        docs.select(F.explode(sp_units(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
 
 
 def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -268,6 +316,7 @@ def bpe_train_capped(
     n_merges: int = 256,
     max_words: int = 400,
     units: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """The PRODUCTION BPE trainer — real-vocab-capable: ONE distributed
     corpus-sized pass reduces the corpus to its unit-frequency table
@@ -282,8 +331,17 @@ def bpe_train_capped(
     driver-bottleneck failure mode at real vocab sizes; it remains the
     certification twin, property-pinned equal in tests).  Gate x76 runs
     this at 256 merges with every merge replayed by a DuckDB recursive-CTE
-    oracle."""
-    wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
+    oracle.
+
+    ``normalize=False`` (the byte-exact mode, gate x91): the word table is
+    built over :func:`sp_units` — case preserved, whitespace as '▁' token
+    content — instead of the lowercased/collapsed ``tokens()`` stream;
+    ``units`` is ignored (the marker units already span their leading
+    spaces).  The merge loop itself is symbol-agnostic either way."""
+    if not normalize:
+        wf = sp_unit_freq(docs, text_col)
+    else:
+        wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
     capped = wf.orderBy(F.desc("freq"), "w").limit(max_words)
     rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
     merges = _train_python(rows, n_merges)
@@ -533,6 +591,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     units: bool = False,
     byte_fallback: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """The tokenizer's SHIP artifact: per doc the full token-ID sequence,
     certified as (<id_col>, n_tokens, ids_digest) where ``ids_digest`` is
@@ -553,9 +612,15 @@ def bpe_encode(
     import pandas as pd
 
     _check_fallback_vocab(vocab, byte_fallback)
+    if not normalize and units:
+        raise ValueError(
+            "units=True is the normalized-mode pair joiner; byte-exact "
+            "(normalize=False) pre-tokenizes with sp_units instead"
+        )
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
+    raw = not normalize
     bf = byte_fallback
 
     def run(batches):
@@ -584,16 +649,19 @@ def bpe_encode(
                 if text is None or not isinstance(text, str):
                     out.append((did, 0, 0))
                     continue
-                ws = [w for w in text.split(" ") if w]
-                if use_units:
-                    us = [
-                        ws[2 * i] + "_" + ws[2 * i + 1]
-                        if 2 * i + 1 < len(ws)
-                        else ws[2 * i]
-                        for i in range((len(ws) + 1) // 2)
-                    ]
+                if raw:
+                    us = _sp_pretokenize(text)
                 else:
-                    us = ws
+                    ws = [w for w in text.split(" ") if w]
+                    if use_units:
+                        us = [
+                            ws[2 * i] + "_" + ws[2 * i + 1]
+                            if 2 * i + 1 < len(ws)
+                            else ws[2 * i]
+                            for i in range((len(ws) + 1) // 2)
+                        ]
+                    else:
+                        us = ws
                 n, dig = 0, 0
                 for u in us:
                     for tid in unit_ids(u):
@@ -604,10 +672,12 @@ def bpe_encode(
                 out, columns=[id_col, "n_tokens", "ids_digest"]
             )
 
-    # same JVM-side lowercase + derived id type as bpe_apply_fast
+    # same JVM-side lowercase + derived id type as bpe_apply_fast;
+    # byte-exact mode ships the column untouched (case/whitespace preserved)
     id_type = docs.schema[id_col].dataType.simpleString()
+    text_expr = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     return docs.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias(text_col)
+        F.col(id_col), text_expr.alias(text_col)
     ).mapInPandas(run, f"{id_col} {id_type}, n_tokens bigint, ids_digest bigint")
 
 
@@ -620,6 +690,7 @@ def bpe_encode_ids(
     units: bool = False,
     keep_cols: tuple[str, ...] = (),
     byte_fallback: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """The RAW token-ID artifact (`array<bigint>` per doc) — what a
     training job actually reads, where :func:`bpe_encode` ships the
@@ -641,9 +712,15 @@ def bpe_encode_ids(
     import pandas as pd
 
     _check_fallback_vocab(vocab, byte_fallback)
+    if not normalize and units:
+        raise ValueError(
+            "units=True is the normalized-mode pair joiner; byte-exact "
+            "(normalize=False) pre-tokenizes with sp_units instead"
+        )
     rank = {(a, b): i for i, (a, b) in enumerate(merge_table)}
     bc = docs.sparkSession.sparkContext.broadcast((rank, dict(vocab)))
     use_units = units
+    raw = not normalize
     bf = byte_fallback
 
     def run(batches):
@@ -672,16 +749,19 @@ def bpe_encode_ids(
                 if text is None or not isinstance(text, str):
                     seqs.append([])
                     continue
-                ws = [w for w in text.split(" ") if w]
-                if use_units:
-                    us = [
-                        ws[2 * i] + "_" + ws[2 * i + 1]
-                        if 2 * i + 1 < len(ws)
-                        else ws[2 * i]
-                        for i in range((len(ws) + 1) // 2)
-                    ]
+                if raw:
+                    us = _sp_pretokenize(text)
                 else:
-                    us = ws
+                    ws = [w for w in text.split(" ") if w]
+                    if use_units:
+                        us = [
+                            ws[2 * i] + "_" + ws[2 * i + 1]
+                            if 2 * i + 1 < len(ws)
+                            else ws[2 * i]
+                            for i in range((len(ws) + 1) // 2)
+                        ]
+                    else:
+                        us = ws
                 seq: list[int] = []
                 for u in us:
                     seq.extend(unit_ids(u))
@@ -694,10 +774,11 @@ def bpe_encode_ids(
     keep_schema = "".join(
         f", {c} {docs.schema[c].dataType.simpleString()}" for c in keep_cols
     )
+    text_expr = F.lower(F.col(text_col)) if normalize else F.col(text_col)
     return docs.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.lower(F.col(text_col)).alias(text_col),
+        text_expr.alias(text_col),
     ).mapInPandas(
         run, f"{id_col} {id_type}{keep_schema}, ids array<bigint>"
     )
@@ -711,6 +792,7 @@ def bpe_decode_ids(
     out_col: str = "text_rt",
     keep_cols: tuple[str, ...] = (),
     byte_fallback: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """Detokenize: the exact inverse of :func:`bpe_encode_ids` for ONE
     pre-tokenizer unit per row — ids map back to their token strings
@@ -740,6 +822,7 @@ def bpe_decode_ids(
     inv = {i: s for s, i in vocab.items()}
     bc = df.sparkSession.sparkContext.broadcast(inv)
     bf = byte_fallback
+    raw = not normalize
 
     def run(batches):
         iv = bc.value
@@ -762,9 +845,14 @@ def bpe_decode_ids(
                 parts.append(buf.decode("utf-8", errors="replace"))
             return "".join(parts)
 
+        def finish(s: str) -> str:
+            # byte-exact mode: '▁' (token content OR reassembled fallback
+            # bytes) maps back to the space it stood for
+            return s.replace(_SP_MARKER, " ") if raw else s
+
         for pdf in batches:
             out = pdf[[id_col, *keep_cols]].copy()
-            out[out_col] = [detok(ids) for ids in pdf[ids_col]]
+            out[out_col] = [finish(detok(ids)) for ids in pdf[ids_col]]
             yield out
 
     id_type = df.schema[id_col].dataType.simpleString()

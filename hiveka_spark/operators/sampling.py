@@ -110,6 +110,45 @@ def temperature_mix(
     """
     assert alpha_is_half, "alpha=0.5 (sqrt) is the engine-exact contract"
     d = docs.select(F.col(id_col), F.col(source_col).alias("source"), F.col(token_col))
+    rates = temperature_rates(docs, id_col, source_col, token_col, budget_pct)
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(sample_bucket(id_col) < F.col("rate_pct"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum(token_col).cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "src_tokens",
+            "share_micro",
+            "budget_tokens",
+            "rate_pct",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+def temperature_rates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    token_col: str = "n_tok",
+    budget_pct: int = 40,
+) -> DataFrame:
+    """The RATE TABLE half of :func:`temperature_mix` — (source,
+    src_tokens, w_int, share_micro, budget_tokens, rate_pct), broadcast-
+    sized (one row per source) — factored out so composition gates (x90)
+    can apply the alpha=0.5 keep-rate predicate to their own surviving
+    frontier without also computing the report's kept-stats aggregate.
+    All arithmetic is the bigint-exact decomposition documented on
+    temperature_mix."""
+    d = docs.select(F.col(id_col), F.col(source_col).alias("source"), F.col(token_col))
     per_src = d.groupBy("source").agg(F.sum(token_col).cast("bigint").alias("src_tokens"))
     per_src = per_src.withColumn(
         "w_int", F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000.0).cast("bigint")
@@ -145,27 +184,7 @@ def temperature_mix(
         )
         .select("source", "src_tokens", "w_int", "share_micro", "budget_tokens", "rate_pct")
     )
-    kept = (
-        d.join(F.broadcast(rates), "source")
-        .filter(sample_bucket(id_col) < F.col("rate_pct"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.sum(token_col).cast("bigint").alias("kept_tokens"),
-        )
-    )
-    return (
-        rates.join(kept, "source", "left")
-        .select(
-            "source",
-            "src_tokens",
-            "share_micro",
-            "budget_tokens",
-            "rate_pct",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-        )
-    )
+    return rates
 
 
 def pack_chunks(

@@ -72,15 +72,16 @@ def _jaccard_pairs_cte(cand: str, out: str) -> str:
     return D.jaccard_pairs_sql(cand, out, _THRESH)
 
 
-def _x60_oracle() -> str:
+def _curation_stage_ctes() -> str:
+    """Stage 1-5 CTE text shared by the x60 and x90 oracles — ingest,
+    Gopher rules, exact dedup, MinHash near-dup dedup, fuzzy eval
+    decontamination — ending at the decontaminated training split ``n5``.
+    One SQL text so the composed replays cannot drift."""
     from hiveka_spark.operators.text import EN_STOPWORDS
 
     stop_sql = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     evals = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
-    cores = ", ".join(f"'{s}'" for s in CORE_SOURCES)
-    weight = f"(CASE WHEN source IN ({cores}) THEN {_CORE_WEIGHT} ELSE {_TAIL_WEIGHT} END)"
-    return f"""
-    WITH ing AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+    return f"""ing AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
     tok AS (SELECT doc_id, source,
                    list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
             FROM ing),
@@ -126,7 +127,15 @@ def _x60_oracle() -> str:
               JOIN evald v ON v.doc_id = b.doc_id),
     {_jaccard_pairs_cte("cand5", "pairs5")},
     n5 AS (SELECT * FROM train
-           WHERE doc_id NOT IN (SELECT id_a FROM pairs5)),
+           WHERE doc_id NOT IN (SELECT id_a FROM pairs5))"""
+
+
+def _x60_oracle() -> str:
+    evals = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
+    cores = ", ".join(f"'{s}'" for s in CORE_SOURCES)
+    weight = f"(CASE WHEN source IN ({cores}) THEN {_CORE_WEIGHT} ELSE {_TAIL_WEIGHT} END)"
+    return f"""
+    WITH {_curation_stage_ctes()},
     -- stage 6: source mixing to a token budget (x34's rate formula)
     ntok AS (SELECT t.doc_id, t.source, t.ws, CAST(LEN(t.ws) AS BIGINT) AS n_tok
              FROM tok t JOIN n5 USING (doc_id)),

@@ -922,3 +922,87 @@ def test_bpe_train_max_words_cap(spark):
     # top-2 words by (freq desc, w asc): aa (3), bb (2)
     want, _ = _ref_bpe(["aa aa aa bb bb"], 2)
     assert got == [tuple(m) for m in want]
+
+
+def test_sp_units_twin_and_byte_exact_roundtrip(spark):
+    """Byte-exact (normalize=False) mode: the JVM sp_units pre-tokenizer
+    equals its Python twin inside the encode paths, units PARTITION the
+    marked text, and decode(encode(text)) == RAW text byte-for-byte —
+    case, runs of spaces, leading/trailing whitespace — with byte
+    fallback covering held-out characters (round-11 verdict #2)."""
+    from hiveka_spark.operators.bpe import (
+        _SP_MARKER,
+        _sp_pretokenize,
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        sp_units,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "The cat Sat  ON the mat"), (1, "the   CATTLE rattles")],
+        "doc_id bigint, text string",
+    )
+    mt = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_capped(
+            train, n_merges=10, max_words=50, normalize=False
+        ).collect()
+    ]
+    alpha = [
+        r["s"]
+        for r in train.select(F.explode(sp_units("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    assert _SP_MARKER in alpha  # whitespace IS token content in raw mode
+    vocab = bpe_vocab(mt, alpha, byte_fallback=True)
+
+    texts = [
+        (0, "The cat Sat  ON the mat"),
+        (1, "  leading AND   trailing  "),
+        (2, "UnSeen é日 Mix!  q"),
+        (3, "no_spaces_here"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    # twin equality: JVM sp_units == Python _sp_pretokenize, and the units
+    # partition the marked text (concatenation restores it)
+    for r in df.select("doc_id", "text", sp_units("text").alias("us")).collect():
+        py = _sp_pretokenize(r["text"])
+        assert list(r["us"]) == py
+        assert "".join(py) == r["text"].replace(" ", _SP_MARKER)
+
+    units_df = df.select("doc_id", F.posexplode(sp_units("text")).alias("upos", "u"))
+    enc = bpe_encode_ids(
+        units_df, mt, vocab, text_col="u", id_col="doc_id",
+        normalize=False, keep_cols=("upos",), byte_fallback=True,
+    )
+    dec = bpe_decode_ids(
+        enc, vocab, ids_col="ids", id_col="doc_id",
+        keep_cols=("upos",), byte_fallback=True, normalize=False,
+    )
+    got = {
+        r["doc_id"]: r["rt"]
+        for r in dec.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("upos", "text_rt"))),
+                    lambda s: s["text_rt"],
+                ),
+                "",
+            ).alias("rt")
+        )
+        .collect()
+    }
+    assert got == {i: t for i, t in texts}
+
+    # normalize=False composes only with sp_units, never the pair joiner
+    import pytest
+
+    with pytest.raises(ValueError, match="normalized-mode pair joiner"):
+        bpe_encode_ids(df, mt, vocab, normalize=False, units=True,
+                       byte_fallback=True)
