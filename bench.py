@@ -123,6 +123,7 @@ HEADLINE = [
     "x89_multi_epoch_packed",
     # round-12 additions (floors established from r12 on):
     "x91_byte_exact_roundtrip",
+    "x90_training_run",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

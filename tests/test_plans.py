@@ -559,3 +559,38 @@ def test_x89_multi_epoch_packed_tokenizes_once_one_exchange(spark):
     assert "Generate" in plan, plan  # posexplode fan-out, not a union
     assert "SinglePartition" not in plan, plan
     assert shuffle_count(packed) == 1, plan  # window + groupBy share it
+
+
+def test_x90_single_tokenize_no_stage_recomputation(spark):
+    """The capstone training run (x90) must keep its composed plan honest:
+    exactly ONE tokenize mapInPandas serves the packed export, every
+    stage frontier is read from cache (no corpus recomputation at a stage
+    boundary — the x60 lesson extended through the trainer half), and no
+    SinglePartition exchange sneaks in anywhere."""
+    import re
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.dedup import dedup_cache_scope
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.pipeline_e2e import build_training_export
+
+    with dedup_cache_scope() as scope:
+        packed = build_training_export(spark, SF_SMOKE, scope)
+        packed.count()  # materialize the caches, as the real write does
+        plan = formatted_plan(packed)
+        assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
+        # kept frontier (and everything upstream) reads from cache; the
+        # corpus parquet appears at most once in the whole composed plan
+        assert plan.count("documents.parquet") <= 1, plan
+        assert plan.count("InMemoryTableScan") >= 1, plan
+        # the only SinglePartition exchanges allowed are the rate table's
+        # grand-total aggregates (input: one row per SOURCE, ~20 rows —
+        # bounded by construction); every corpus-sized exchange must be
+        # hash partitioned.  The formatted detail section shows each
+        # operator once under its ^(n) header.
+        single = re.findall(
+            r"^\(\d+\) Exchange\n(?:Input.*\n)?Arguments: SinglePartition",
+            plan, re.M,
+        )
+        assert len(single) <= 2, plan
+        assert len(scope) >= 7  # ing,e,n4,train,n5,kept + shingle machinery
