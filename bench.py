@@ -124,6 +124,7 @@ HEADLINE = [
     # round-12 additions (floors established from r12 on):
     "x91_byte_exact_roundtrip",
     "x90_training_run",
+    "s25_live_packed_examples",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

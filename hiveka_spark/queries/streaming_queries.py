@@ -1304,16 +1304,87 @@ def s23_stream_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
+def _live_curated_docs(spark: SparkSession, d: DataFrame, tag: str) -> DataFrame:
+    """Run the FULL live curation pipeline over the source corpus ``d`` and
+    return the curated docs READ BACK from the compacted topic — the
+    shared streaming preamble of the live token-certification gates (s24
+    manifest, s25 packing): Avro ingest topic -> s23 StreamCurationSink
+    (Gopher -> Bloom containment decontamination -> band-index near-dup
+    dedup, real tombstones) -> log-compacted curated topic carrying TEXT
+    in the payload -> ``read_compacted``.  ``tag`` isolates topics,
+    scratch dirs, and checkpoints per gate."""
     from hiveka_spark.operators import dedup as D
-    from hiveka_spark.operators.dedup import portable_hash60_sql
-    from hiveka_spark.operators.text import EN_STOPWORDS
-    from hiveka_spark.queries.curation_ext import (
-        _BPE_VOCAB_CTES,
-        _X76_MAX_WORDS,
-        _X76_MERGES,
-        _bpe_apply_ctes,
+    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        write_kafka,
     )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.curation import (
+        StreamCurationSink,
+        curated_topic_config,
+        read_compacted,
+    )
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+
+    raw_topic, cur_topic = f"docs_raw{tag}", f"docs_curated{tag}"
+    broker = SimBroker(scratch_dir(prefix=f"gate_s{tag}broker_"))
+    cfg_in = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=[raw_topic],
+        ddl="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    broker.create_topic(raw_topic, partitions=4)
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        "doc_id", "text", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    write_kafka(raw, cfg_in, raw_topic, key_col="doc_id", broker=broker)
+
+    cfg_out = curated_topic_config("sim://gate", cur_topic, with_text=True)
+    broker.create_topic(cur_topic, partitions=4)
+
+    typed = decode_wire(
+        broker.stream(spark, raw_topic, max_files_per_trigger=1), cfg_in
+    ).select("doc_id", "text", "lang", "n_chars")
+
+    sink = StreamCurationSink(
+        scratch_dir(prefix=f"gate_s{tag}state_"),
+        KafkaStreamSink(
+            cfg_out, cur_topic, scratch_dir(prefix=f"gate_s{tag}commits_"),
+            broker=broker, key_col="doc_id", tombstone_col="_tombstone",
+        ),
+        bitset, ev_sh,
+        num_perm=32, bands=8, k=3, threshold=0.8,
+        bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+        payload_cols=("text", "lang", "n_chars"),
+    )
+    q = (
+        typed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix=f"ckpt_s{tag}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return read_compacted(
+        spark, cfg_out, broker=broker, payload_cols=("text", "lang", "n_chars")
+    )
+
+
+def _s23_curation_ctes(contain_pct: int = 50) -> str:
+    """The batch-equivalent CTE text of the s23 streaming curation chain
+    (Gopher -> containment decontamination -> near-dup dedup), ending at
+    the ``curated`` doc-id set — shared by the s24 token-manifest oracle
+    and the s25 live-packing oracle so the convergence contract exists in
+    exactly one SQL text."""
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.operators.text import EN_STOPWORDS
     from hiveka_spark.queries.extensions import _EVAL_SOURCES
 
     k = 3
@@ -1321,11 +1392,7 @@ def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
     evals = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
     machinery = D.minhash_machinery_sql(32, 8, k, tok_cte="tok")
     jac = D.jaccard_pairs_sql("cand", "pairs", 0.8)
-    hh = portable_hash60_sql("concat('tokc_', CAST(doc_id AS VARCHAR))")
-    return f"""
-    WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
-    {_BPE_VOCAB_CTES},
-    tok AS (SELECT doc_id,
+    return f"""tok AS (SELECT doc_id,
                    list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
             FROM documents WHERE source NOT IN ({evals})),
     evtok AS (SELECT doc_id,
@@ -1367,7 +1434,23 @@ def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
              JOIN part pb ON pb.doc_id = b.doc_id),
     {jac},
     curated AS (SELECT p.doc_id FROM part p
-                WHERE p.doc_id NOT IN (SELECT id_b FROM pairs)),
+                WHERE p.doc_id NOT IN (SELECT id_b FROM pairs))"""
+
+
+def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+    from hiveka_spark.queries.curation_ext import (
+        _BPE_VOCAB_CTES,
+        _X76_MAX_WORDS,
+        _X76_MERGES,
+        _bpe_apply_ctes,
+    )
+
+    hh = portable_hash60_sql("concat('tokc_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
+    {_BPE_VOCAB_CTES},
+    {_s23_curation_ctes(contain_pct)},
     shards AS (
       SELECT doc_id, CAST(hh % {n_shards} AS BIGINT) AS shard,
              ROW_NUMBER() OVER (PARTITION BY hh % {n_shards} ORDER BY hh, doc_id)
@@ -1429,7 +1512,6 @@ def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass-through, per-doc digests folded JVM-side, affine composition —
     the token stream is never exploded)."""
     from hiveka_spark.catalog import table
-    from hiveka_spark.operators import dedup as D
     from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
@@ -1437,67 +1519,9 @@ def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_shards,
     )
     from hiveka_spark.queries.curation_ext import _trained_merge_vocab
-    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
-    from hiveka_spark.sources.kafka_io import (
-        KafkaTableConfig,
-        decode_wire,
-        write_kafka,
-    )
-    from hiveka_spark.sources.kafka_sim import SimBroker
-    from hiveka_spark.streaming.curation import (
-        StreamCurationSink,
-        curated_topic_config,
-        read_compacted,
-    )
-    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
 
     d = table(spark, sf_dir, "documents")
-    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
-    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
-    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
-
-    broker = SimBroker(scratch_dir(prefix="gate_s24broker_"))
-    cfg_in = KafkaTableConfig(
-        bootstrap_servers="sim://gate",
-        whitelist_topics=["docs_raw24"],
-        ddl="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
-    )
-    broker.create_topic("docs_raw24", partitions=4)
-    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
-        "doc_id", "text", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
-    )
-    write_kafka(raw, cfg_in, "docs_raw24", key_col="doc_id", broker=broker)
-
-    cfg_out = curated_topic_config("sim://gate", "docs_curated24", with_text=True)
-    broker.create_topic("docs_curated24", partitions=4)
-
-    typed = decode_wire(
-        broker.stream(spark, "docs_raw24", max_files_per_trigger=1), cfg_in
-    ).select("doc_id", "text", "lang", "n_chars")
-
-    sink = StreamCurationSink(
-        scratch_dir(prefix="gate_s24state_"),
-        KafkaStreamSink(
-            cfg_out, "docs_curated24", scratch_dir(prefix="gate_s24commits_"),
-            broker=broker, key_col="doc_id", tombstone_col="_tombstone",
-        ),
-        bitset, ev_sh,
-        num_perm=32, bands=8, k=3, threshold=0.8,
-        bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
-        payload_cols=("text", "lang", "n_chars"),
-    )
-    q = (
-        typed.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir(prefix="ckpt_s24_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    cur = read_compacted(
-        spark, cfg_out, broker=broker, payload_cols=("text", "lang", "n_chars")
-    )
+    cur = _live_curated_docs(spark, d, tag="24")
 
     # tokenizer trained on the full SOURCE corpus (the x76/x81 posture —
     # one corpus pass; the curated set is a subset, so its units are in
@@ -1532,3 +1556,89 @@ def s24_curated_token_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "n_docs", "n_tokens",
         F.col("ids_digest").cast("bigint").alias("ids_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s25 — PACKED training examples off the LIVE curated topic: s24's pipeline
+# composed with x87's packer — the last composition cell (live × packed)
+# ---------------------------------------------------------------------------
+
+
+def _s25_oracle(contain_pct: int = 50) -> str:
+    """s23's batch-equivalent curation text (shared ``_s23_curation_ctes``)
+    + the shared packing replay (``curation_ext._packing_oracle``) with
+    shards built over the CURATED survivor set — so a hash match proves
+    the examples packed off the live topic equal, token for token and
+    boundary for boundary, the batch x87 packing of the same surviving
+    docs (the convergence contract, in one SQL text)."""
+    from hiveka_spark.queries.curation_ext import (
+        _X87_CONTEXT,
+        _X87_SHARDS,
+        _packing_oracle,
+    )
+
+    return _packing_oracle(
+        None, salt="pack25_", n_shards=_X87_SHARDS, C=_X87_CONTEXT,
+        src="curated", extra_ctes=_s23_curation_ctes(contain_pct),
+    )
+
+
+def s25_packed(cur: DataFrame, d: DataFrame) -> DataFrame:
+    """The LAZY tokenize-and-pack plan over a curated docs frame — exposed
+    separately from the gate so tests can pin its shape (ONE tokenize
+    mapInPandas per refresh, x87's one-exchange packing) without running
+    the broker half.  ``d`` is the full source corpus the tokenizer
+    trains on (the x76/x81 posture — the curated set is a subset, so its
+    units are in the trained alphabet by construction)."""
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.sampling import epoch_shards, pack_token_examples
+    from hiveka_spark.queries.curation_ext import (
+        _X87_CONTEXT,
+        _X87_SHARDS,
+        _trained_merge_vocab,
+    )
+
+    merges, vocab = _trained_merge_vocab(d)
+    # tokenize FIRST (zero-shuffle mapInPandas), then shard: the ids ride
+    # the one shard exchange as payload and the packer's window + groupBy
+    # share that partitioning — ONE exchange total (the x89 ordering;
+    # sharding before tokenizing costs a second exchange because
+    # MapInPandas does not preserve its child's partitioning)
+    enc = bpe_encode_ids(cur, merges, vocab, "text", "doc_id", units=True)
+    staged = epoch_shards(enc, "doc_id", "pack25_", _X87_SHARDS, keep_cols=("ids",))
+    return pack_token_examples(staged, _X87_CONTEXT)
+
+
+@register(
+    "s25_live_packed_examples",
+    oracle=_s25_oracle(),
+    tags=("streaming", "kafka", "curation", "tokenizer", "packing",
+          "training-prep", "certification"),
+)
+def s25_live_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training examples packed off the LIVE curated topic —
+    the last composition cell (round-11 verdict #3: live × packed): the
+    full s23 curation pipeline runs (ingest topic -> Gopher -> Bloom
+    containment decontamination -> band-index near-dup dedup ->
+    compacted curated topic carrying TEXT), the topic is read back under
+    log-compaction semantics, the read-back text is tokenized ONCE
+    (x79's flat broadcast mapInPandas), sharded (x71 recipe), and packed
+    into 128-token examples (x87's never-explode slice composition),
+    each manifested as (shard, ex_idx, n_tokens, n_docs, ids_digest,
+    starts_digest).  ONE hash therefore certifies the actual training
+    examples a job would consume off the live stream: every curation
+    decision, the produce framing, compaction convergence, the decode,
+    every token id and position, and every attention-mask boundary —
+    AND that they equal the batch x87 packing of the same surviving docs
+    (the oracle derives the batch curated set and packs it from
+    scratch; plan shape pinned in tests/test_plans.py).
+
+    Scale shape: curation is s23's (per-batch zero-shuffle rules +
+    bucket-pruned index probes); tokenize is one broadcast mapInPandas;
+    packing never explodes the token stream (O(n_docs + n_tokens/C)
+    slice rows, digests folded before the one exchange)."""
+    from hiveka_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    cur = _live_curated_docs(spark, d, tag="25")
+    return s25_packed(cur, d)

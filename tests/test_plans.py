@@ -594,3 +594,24 @@ def test_x90_single_tokenize_no_stage_recomputation(spark):
         )
         assert len(single) <= 2, plan
         assert len(scope) >= 7  # ing,e,n4,train,n5,kept + shingle machinery
+
+
+def test_s25_live_packed_tokenizes_once_one_exchange(spark):
+    """The live-packing composition (s25) keeps x87's scale shape per
+    refresh: ONE tokenize mapInPandas over the read-back curated docs and
+    ONE exchange for the packing (the cumsum window's hash partitioning
+    satisfies the example grouping) — asserted on the lazy tokenize-and-
+    pack plan, which is the per-refresh unit of work."""
+    import re
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.streaming_queries import s25_packed
+
+    d = table(spark, SF_SMOKE, "documents")
+    cur = d.select("doc_id", "text")  # stands in for read_compacted output
+    packed = s25_packed(cur, d)
+    plan = formatted_plan(packed)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert shuffle_count(packed) == 1, plan
