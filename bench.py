@@ -125,6 +125,8 @@ HEADLINE = [
     "x91_byte_exact_roundtrip",
     "x90_training_run",
     "s25_live_packed_examples",
+    "x92_audio_pcm16_stereo",
+    "x93_example_order",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

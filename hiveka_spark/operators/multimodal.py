@@ -436,3 +436,54 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
 
     return df.mapInPandas(run, schema)
+
+
+def synthesize_pcm16_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Build an audio media table of GENUINE 16-bit STEREO RIFF/WAVE
+    containers (stdlib ``wave`` writer) — the arm :func:`synthesize_wav_media`
+    (8-bit mono) leaves untested: signed little-endian int16 samples,
+    interleaved channels, 4-byte frames.  Frame f / channel c carries
+    sample ((id * 31 + (2f + c) * 7) % 65536) - 32768 over
+    n_frames = id % 300 + 50 at 8 kHz — pure integer arithmetic, so a SQL
+    oracle replays every decoded sample (gate x92), while the decode still
+    exercises the real codec end to end (header, sampwidth=2, channel
+    de-interleave, negative-sample sign handling)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            recs = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = mid % 300 + 50
+                samples = np.array(
+                    [((mid * 31 + i * 7) % 65536) - 32768 for i in range(nf * 2)],
+                    dtype=np.int16,
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(2)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())  # little-endian int16
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "content": buf.getvalue(),
+                        "meta": {
+                            "media_type": "audio",
+                            "format": "wav",
+                            "width": None,
+                            "height": None,
+                            "n_frames": nf,
+                            "sample_rate": 8000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["media_id", "content", "meta"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )

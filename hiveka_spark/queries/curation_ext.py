@@ -3809,6 +3809,12 @@ def x87_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle is the token-exploded twin: global rank per token,
     (rank-1)//C grouping, flat ordered fold — so a match certifies offset
     math, slice boundaries, and the composition algebra at once."""
+    return _x87_packed(spark, sf_dir)
+
+
+def _x87_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x87's packed-example manifest frame — shared with the example-order
+    gate (x93), which consumes the SAME example set."""
     from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import epoch_shards, pack_token_examples
 
@@ -4106,3 +4112,126 @@ def x91_byte_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_fb").cast("bigint").alias("n_fallback_bytes"),
         F.sum("n_unk").cast("bigint").alias("n_unk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x93 — example-level training ORDER: SGD consumption order over the packed
+# set, deterministic and epoch-varying, zero global coordination
+# ---------------------------------------------------------------------------
+
+_X93_ORDER_SHARDS = 4
+_X93_EPOCH_SALTS = ("ord0_", "ord1_")
+
+
+def _x93_oracle() -> str:
+    """x87's full packing replay wrapped as a CTE, then the order chain in
+    plain SQL: per epoch salt, each example hashes to an order-shard and a
+    within-shard position under the (hash, shard, ex_idx) total order, and
+    the shard's order digest folds the examples' ids_digest values in
+    position order — so a hash match certifies WHICH examples are
+    consumed, in WHAT order, for EVERY epoch."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    salts = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_X93_EPOCH_SALTS))
+    hh = portable_hash60_sql(
+        "concat(salt, CAST(shard AS VARCHAR), ':', CAST(ex_idx AS VARCHAR))"
+    )
+    return f"""
+    WITH m AS MATERIALIZED ({_x87_oracle()}),
+    t AS (SELECT e.epoch, e.salt, m.shard, m.ex_idx, m.ids_digest
+          FROM m CROSS JOIN (VALUES {salts}) e(epoch, salt)),
+    s AS (SELECT CAST(epoch AS BIGINT) AS epoch,
+                 CAST(hh % {_X93_ORDER_SHARDS} AS BIGINT) AS ex_shard,
+                 ids_digest,
+                 ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X93_ORDER_SHARDS}
+                                    ORDER BY hh, shard, ex_idx) AS pos
+          FROM (SELECT *, {hh} AS hh FROM t))
+    SELECT epoch, ex_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list(ids_digest ORDER BY pos)),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS order_digest
+    FROM s GROUP BY epoch, ex_shard
+    """
+
+
+@register(
+    "x93_example_order",
+    oracle=_x93_oracle(),
+    tags=("training-prep", "ordering", "packing", "multi-epoch",
+          "certification"),
+)
+def x93_example_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-level training ORDER (round-11 verdict #4): the packed-set
+    manifests certify example CONTENT, but a trainer consumes examples in
+    some order, and SGD pipelines deliberately shuffle it per epoch —
+    consuming in (shard, ex_idx) order would replay corpus order.  This
+    applies the x71 ``epoch_shards`` zero-coordination recipe at EXAMPLE
+    granularity: per epoch salt, example (shard, ex_idx) hashes to an
+    order-shard (pmod) and a within-shard position under the (hash, shard,
+    ex_idx) total order — deterministic and byte-replayable from the salt
+    alone, epoch-varying by construction, NO global sort anywhere (the
+    rank window partitions by (epoch, ex_shard); plan pinned in
+    tests/test_plans.py).  Emits per (epoch, order-shard): the example
+    count and the ORDER DIGEST — the 31-ary fold of the examples'
+    ids_digest values in consumption order — so one hash certifies which
+    examples a job reads and in exactly what order, composing with x87's
+    content certificates.
+
+    Scale shape: input is the example MANIFEST (n_tokens/C rows, not
+    tokens); the epoch fan-out is a generator explode; the one exchange is
+    the (epoch, ex_shard) hash partition; digests fold segmented
+    (bounded buffers, `segmented_order_digest`)."""
+    from hiveka_spark.operators.sampling import segmented_order_digest
+
+    s = _x93_ranked(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # slim manifest-level rows (E * n_tokens/C), consumed by counts AND digests
+    counts = s.groupBy("epoch", "ex_shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples")
+    )
+    digests = segmented_order_digest(
+        s, ("epoch", "ex_shard"), "pos", "ids_digest",
+        out_col="order_digest", seg_size=64,
+    )
+    return counts.join(digests, ["epoch", "ex_shard"]).select(
+        "epoch", "ex_shard", "n_examples",
+        F.col("order_digest").cast("bigint").alias("order_digest"),
+    )
+
+
+def _x93_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY per-epoch example ranking (epoch, ex_shard, pos,
+    ids_digest, ...) — exposed so tests can pin the plan shape (one
+    tokenize MapInPandas, no SinglePartition) before the gate's
+    checkpoint hides the upstream plan (the x65 situation)."""
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    packed = _x87_packed(spark, sf_dir)
+    epochs = F.array(
+        *[
+            F.struct(F.lit(i).alias("epoch"), F.lit(s).alias("salt"))
+            for i, s in enumerate(_X93_EPOCH_SALTS)
+        ]
+    )
+    t = packed.select(
+        "shard", "ex_idx", "ids_digest", F.explode(epochs).alias("e")
+    ).select(
+        F.col("e.epoch").cast("bigint").alias("epoch"),
+        portable_hash60(
+            F.concat(
+                F.col("e.salt"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("ex_idx").cast("string"),
+            )
+        ).alias("hh"),
+        "shard",
+        "ex_idx",
+        "ids_digest",
+    ).withColumn(
+        "ex_shard", F.pmod(F.col("hh"), F.lit(_X93_ORDER_SHARDS)).cast("bigint")
+    )
+    w = Window.partitionBy("epoch", "ex_shard").orderBy("hh", "shard", "ex_idx")
+    return t.withColumn("pos", F.row_number().over(w))

@@ -1742,3 +1742,55 @@ def x68_containment_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     return D.containment_decontamination(
         tr, ev, "doc_id", "text", k=3, threshold=_X68_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# x92 — 16-bit STEREO PCM through the real stdlib wave codec (x44 covers
+# 8-bit mono; this arm exercises signed samples, sampwidth=2, interleave)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x92_audio_pcm16_stereo",
+    # Sample (2f+c) of clip id is ((id*31 + (2f+c)*7) % 65536) - 32768 over
+    # nf = id % 300 + 50 stereo frames: byte_len = 44-byte canonical PCM
+    # header + nf*4 data bytes; mean_abs = sum(|s|) // (nf*2) over ALL
+    # interleaved samples (exactly what decode_audio_features computes from
+    # the de-interleaved (nf, 2) array).
+    oracle="""
+    WITH b AS (SELECT doc_id, CAST(doc_id % 300 + 50 AS BIGINT) AS nf
+               FROM documents),
+    v AS (SELECT doc_id, nf,
+                 ABS(((doc_id * 31 + idx * 7) % 65536) - 32768) AS a
+          FROM (SELECT doc_id, nf, UNNEST(range(0, nf * 2)) AS idx FROM b))
+    SELECT doc_id AS media_id,
+           CAST(44 + nf * 4 AS BIGINT) AS byte_len,
+           nf AS n_samples,
+           CAST(2 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(SUM(a) // (nf * 2) AS BIGINT) AS mean_abs
+    FROM v GROUP BY doc_id, nf
+    """,
+    tags=("multimodal", "audio", "mapinpandas", "codec"),
+)
+def x92_audio_pcm16_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec audio arm x44 leaves untested (round-11 verdict #7):
+    genuine 16-bit STEREO RIFF/WAVE containers — signed little-endian
+    int16 samples, interleaved channels — written by the stdlib ``wave``
+    module from pure integer arithmetic and decoded back through the SAME
+    probed real codec (`available_codecs()['audio']`: header parse,
+    sampwidth=2 dtype dispatch, (nf, 2) de-interleave).  Every decoded
+    sample is a closed-form function of (doc_id, index), so the DuckDB
+    oracle replays byte length, frame count, channel count, rate, and the
+    integer mean |sample| without ever seeing a container.  Negative
+    samples make the int64-upcast in the feature fold load-bearing
+    (|−32768| overflows int16).  Scale shape: zero shuffle — two chained
+    Arrow-batched mapInPandas stages, embarrassingly parallel per clip."""
+    from hiveka_spark.operators.multimodal import (
+        decode_audio_features,
+        synthesize_pcm16_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_pcm16_media(d, "doc_id")
+    return decode_audio_features(media)

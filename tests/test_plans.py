@@ -615,3 +615,26 @@ def test_s25_live_packed_tokenizes_once_one_exchange(spark):
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
     assert "SinglePartition" not in plan, plan
     assert shuffle_count(packed) == 1, plan
+
+
+def test_x93_example_order_no_global_sort(spark):
+    """The example-order gate must derive its per-epoch consumption order
+    with ZERO global coordination: the rank window partitions by
+    (epoch, ex_shard) — never a partitionBy-less window (Exchange
+    SinglePartition, the classic scale killer) — the epoch fan-out is a
+    generator explode over MANIFEST rows (one tokenize MapInPandas total,
+    inherited from x87), and digests fold segmented."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    from hiveka_spark.queries.curation_ext import _x93_ranked
+
+    # the lazy ranked frame (the gate checkpoints it, which hides the
+    # upstream plan — the x65 situation)
+    ranked = _x93_ranked(spark, SF_SMOKE)
+    plan = formatted_plan(ranked)
+    assert "SinglePartition" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
+    assert "Generate" in plan, plan  # epoch fan-out is an explode
