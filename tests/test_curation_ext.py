@@ -561,3 +561,94 @@ def test_exact_rerank_of_full_pool_equals_exact_topk(spark):
         .collect()
     }
     assert got == want and len(want) == 25
+
+
+def test_ivfpq_residual_beats_raw_on_planted_clusters(spark):
+    """The recall advantage residual encoding EXISTS FOR, pinned on a
+    fixture that can show it (round-11 verdict #6: the near-uniform-sphere
+    embeddings table is PQ's worst case and cannot detect a regression
+    that erases the win): 4 planted clusters with large inter-center
+    distances and small within-cluster residuals.  Raw PQ must spread its
+    8 centroids per subspace across 4 distant clumps (~2 per clump —
+    coarse within-clump resolution, and WITHIN-clump order is exactly
+    what distinguishes true neighbors here); residual PQ spends all 8 on
+    the one residual clump around the origin.  Measured on this fixture
+    at the SAME (m, n_centroids, n_probe, train_iters, cell_centroids)
+    budget: recall@5 raw 0.55 -> residual 1.00.  Both runs deterministic;
+    generous floors guard fixture drift, the strict > pins the advantage."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        quantized,
+        train_pq_codebooks,
+        with_quantized_norm,
+    )
+
+    DIM, NCLU, PER, M, NCENT = 16, 4, 64, 4, 8
+
+    def center(j, d):
+        return ((j * 7 + d * 13) % 5 - 2) * 4.0  # components in {-8..8}
+
+    def resid(i, d):
+        return (((i * 31 + d * 7) % 11) - 5) * 0.01  # within-cluster ±0.05
+
+    corpus = spark.createDataFrame(
+        [
+            (i, [center(i % NCLU, d) + resid(i, d) for d in range(DIM)])
+            for i in range(NCLU * PER)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    qs = corpus.filter(F.col("vec_id") < 8)
+    # both arms get the TRUE centers as the coarse quantizer and probe all
+    # cells, so the comparison isolates the PQ encoding
+    cells = spark.createDataFrame(
+        [(j, [center(j, d) for d in range(DIM)]) for j in range(NCLU)],
+        "cell bigint, cv array<float>",
+    ).select("cell", quantized("cv").alias("_cv"))
+
+    c = with_quantized_norm(corpus, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    q = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qqvec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+
+    kw = dict(
+        k=6, n_cells=NCLU, n_probe=NCLU, m=M, dim=DIM, n_centroids=NCENT,
+        centroid_stride=7, cell_centroids=cells,
+    )
+
+    def recall(df):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.filter(F.col("query_id") != F.col("neighbor_id")).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    cb = train_pq_codebooks(
+        corpus, m=M, dim=DIM, n_centroids=NCENT, centroid_stride=7, n_iters=2
+    )
+    r_raw = recall(ivfpq_topk(corpus, qs, codebooks=cb, **kw))
+    r_res = recall(ivfpq_residual_topk(corpus, qs, train_iters=2, **kw))
+    assert r_res > r_raw, f"residual {r_res} <= raw {r_raw}"
+    assert r_res >= 0.9  # measured 1.00
+    assert r_raw <= 0.8  # measured 0.55: raw genuinely struggles here
