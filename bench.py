@@ -127,6 +127,7 @@ HEADLINE = [
     "s25_live_packed_examples",
     "x92_audio_pcm16_stereo",
     "x93_example_order",
+    "x94_byte_exact_artifact",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

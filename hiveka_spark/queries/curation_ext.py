@@ -2344,7 +2344,12 @@ def _trained_merge_vocab(d, byte_fallback: bool = False):
 
 
 
-def _bpe_train_ctes(n_merges: int, max_words: int) -> str:
+#: DuckDB twin of operators/bpe.py::sp_units — the byte-exact pre-tokenizer
+#: (spaces -> U+2581, maximal marker/non-marker runs); same regex text
+_SP_UNITS_SQL = "regexp_extract_all(replace({col}, ' ', '\u2581'), '\u2581*[^\u2581]+|\u2581+')"
+
+
+def _bpe_train_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
     """The shared WITH RECURSIVE body replaying bpe_train_capped (the
     capped space-spanning-unit frequency table ``uf`` + the merge-loop
     recursion ``r``) — used by both the training gate (x76) and the
@@ -2354,15 +2359,26 @@ def _bpe_train_ctes(n_merges: int, max_words: int) -> str:
     recursive form has CONSTANT depth at any merge count, which is the
     whole point of the real-vocab gates.  uf is MATERIALIZED: DuckDB
     inlines plain CTEs, and re-expanding the corpus scan down the
-    recursion is an exponential blowup."""
-    return f"""uf AS MATERIALIZED (
-      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    recursion is an exponential blowup.
+
+    ``raw``: byte-exact mode (x91/x94) — units come from the marker
+    pre-tokenizer (:data:`_SP_UNITS_SQL`, case preserved) instead of the
+    lowercased '_'-joined pairs; the merge recursion itself is
+    symbol-agnostic and identical in both modes."""
+    if raw:
+        units_src = f"""(
+        SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
+        FROM documents)"""
+    else:
+        units_src = f"""(
         SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
                       i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
                                 ELSE toks[2*i+1] END)) AS u
         FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
               FROM documents)
-        WHERE LEN(toks) > 0)
+        WHERE LEN(toks) > 0)"""
+    return f"""uf AS MATERIALIZED (
+      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM {units_src}
       GROUP BY u ORDER BY freq DESC, w LIMIT {max_words}),
     r AS (
       SELECT CAST(0 AS BIGINT) AS it, w, freq,
@@ -2453,20 +2469,24 @@ def x76_bpe_train_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_apply_ctes(n_merges: int, max_words: int) -> str:
+def _bpe_apply_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
     """Shared CTE chain for the tokenize gates (x79/x80): the x76 training
     recursion, the derived merge table, per-doc ORDERED unit occurrences
     (upos — the in-doc position, needed by x80's order digest), the
     distinct-unit set, and the APPLY recursion ``ap`` — at iteration j the
     pair comes from the merge table row merge_rank = j (an equi-join, not
     an argmax), the application recipe byte-identical to training's
-    (greedy leftmost; aa-run parity)."""
-    return f"""{_bpe_train_ctes(n_merges, max_words)},
-    merges AS MATERIALIZED (
-      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b, MIN(a) || MIN(b) AS merged
-      FROM r WHERE it >= 1 GROUP BY it),
-    docunits AS MATERIALIZED (
-      SELECT doc_id, upos, u FROM (
+    (greedy leftmost; aa-run parity).  ``raw``: byte-exact pre-tokenizer
+    for both the training reduction and docunits (x94)."""
+    if raw:
+        docunits_src = f"""(
+        SELECT doc_id,
+               UNNEST(range(1, LEN(us) + 1)) AS upos,
+               UNNEST(us) AS u
+        FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
+              FROM documents))"""
+    else:
+        docunits_src = f"""(
         SELECT doc_id,
                UNNEST(range(1, LEN(us) + 1)) AS upos,
                UNNEST(us) AS u
@@ -2477,7 +2497,13 @@ def _bpe_apply_ctes(n_merges: int, max_words: int) -> str:
               FROM (SELECT doc_id,
                            list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
                     FROM documents)
-              WHERE LEN(toks) > 0))),
+              WHERE LEN(toks) > 0))"""
+    return f"""{_bpe_train_ctes(n_merges, max_words, raw=raw)},
+    merges AS MATERIALIZED (
+      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b, MIN(a) || MIN(b) AS merged
+      FROM r WHERE it >= 1 GROUP BY it),
+    docunits AS MATERIALIZED (
+      SELECT doc_id, upos, u FROM {docunits_src}),
     units AS MATERIALIZED (SELECT DISTINCT u FROM docunits),
     ap AS (
       SELECT CAST(0 AS BIGINT) AS it, u AS w, CAST(pos AS BIGINT) AS pos, s
@@ -4235,3 +4261,193 @@ def _x93_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("epoch", "ex_shard").orderBy("hh", "shard", "ex_idx")
     return t.withColumn("pos", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# x94 — the BYTE-EXACT tokenizer as a SHIPPED, RELOADABLE artifact: x86's
+# certification depth for the x91 serving mode
+# ---------------------------------------------------------------------------
+
+
+def _x94_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """x86's artifact replay in the byte-exact mode: the SAME digest
+    contract (merge/vocab row digests from the training recursion, meta
+    row, per-shard encode digests from the apply recursion) over the
+    RAW-mode machinery — `_bpe_apply_ctes(raw=True)` trains and applies
+    over marker units (case preserved, whitespace token content), and the
+    meta hash pins norm_mode='byte_exact'.  The oracle never sees the
+    parquet artifact or the Spark tokenizer."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    mh = portable_hash60_sql("concat(CAST(merge_rank AS VARCHAR), ':', a, ':', b)")
+    vh = portable_hash60_sql("concat(CAST(id AS VARCHAR), ':', sym)")
+    sh = portable_hash60_sql("concat('rawart0_', CAST(doc_id AS VARCHAR))")
+    meta_h = portable_hash60_sql("concat('byte_exact', ':', 'true')")
+    fold = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}),"
+        " (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words, raw=True)},
+    {_bpe_vocab_ctes(256)},
+    mdig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    {fold.format(lst=f"list({mh} ORDER BY merge_rank)")} AS digest
+             FROM merges),
+    vdig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    {fold.format(lst=f"list({vh} ORDER BY id)")} AS digest
+             FROM vocab),
+    shards AS (
+      SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+               AS shard_pos
+      FROM (SELECT doc_id, {sh} AS hh FROM documents)),
+    toks AS (
+      SELECT s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT shard,
+             {fold.format(lst="list(id ORDER BY shard_pos, upos, pos)")} AS digest
+      FROM toks GROUP BY shard),
+    dcount AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM shards GROUP BY shard)
+    SELECT 'merges' AS part, n_rows, digest FROM mdig
+    UNION ALL
+    SELECT 'vocab', n_rows, digest FROM vdig
+    UNION ALL
+    SELECT 'meta', CAST(1 AS BIGINT), {meta_h}
+    UNION ALL
+    SELECT concat('enc_s', CAST(d.shard AS VARCHAR)), d.n_rows,
+           CAST(COALESCE(t.digest, 0) AS BIGINT) AS digest
+    FROM dcount d LEFT JOIN tokagg t ON t.shard = d.shard
+    """
+
+
+@register(
+    "x94_byte_exact_artifact",
+    oracle=_x94_oracle(),
+    tags=("text", "tokenizer", "bpe", "byte-exact", "export", "artifact",
+          "certification"),
+)
+def x94_byte_exact_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-exact tokenizer (x91's serving mode) shipped with x86's
+    certification depth: train in normalize=False mode (marker units,
+    case preserved), persist merges + byte-fallback vocabulary + the
+    one-row meta table (norm_mode='byte_exact') as parquet, RELOAD, and
+    certify from the read-back frames only — merge/vocab/meta row digests
+    against the oracle's raw-mode training recursion, plus a full corpus
+    encode DRIVEN BY THE RELOADED TABLES whose per-shard token-stream
+    digests must match the from-scratch raw-mode apply recursion.  The
+    artifact is therefore certified behavior-preserving in the mode a
+    production pipeline actually ships (case/whitespace-preserving), and
+    a job that reloads it can READ its contract instead of guessing
+    (round-11 verdict #2's last clause, completed for both modes).
+
+    Scale shape: identical to x86 — vocabulary-bounded artifact and
+    digest folds, one corpus-pass training, one flat mapInPandas encode
+    pass, affine shard composition."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        composed_order_digest,
+        epoch_shards,
+        rolling_digest,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = _trained_merge_vocab_raw(d)
+
+    art_dir = scratch_dir(prefix="gate_x94art_")
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string",
+    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
+    spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
+    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
+    spark.createDataFrame(
+        [("byte_exact", True)], "norm_mode string, byte_fallback boolean"
+    ).write.mode("overwrite").parquet(f"{art_dir}/meta")
+
+    # reload — everything downstream uses ONLY the read-back artifact
+    mback = spark.read.parquet(f"{art_dir}/merges")
+    vback = spark.read.parquet(f"{art_dir}/vocab")
+    meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
+    if (meta["norm_mode"], bool(meta["byte_fallback"])) != ("byte_exact", True):
+        raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
+    merges2 = [
+        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
+    ]
+    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
+
+    mdig = mback.select(
+        "merge_rank",
+        portable_hash60(
+            F.concat(
+                F.col("merge_rank").cast("string"), F.lit(":"),
+                F.col("lhs"), F.lit(":"), F.col("rhs"),
+            )
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("merge_rank", "hv").alias("digest"),
+    ).select(F.lit("merges").alias("part"), "n_rows", "digest")
+    vdig = vback.select(
+        "id",
+        portable_hash60(
+            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("token"))
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("id", "hv").alias("digest"),
+    ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
+    mtdig = spark.createDataFrame(
+        [(meta["norm_mode"], bool(meta["byte_fallback"]))],
+        "norm_mode string, byte_fallback boolean",
+    ).select(
+        F.lit("meta").alias("part"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        portable_hash60(
+            F.concat(
+                F.col("norm_mode"), F.lit(":"),
+                F.col("byte_fallback").cast("string"),
+            )
+        ).alias("digest"),
+    )
+
+    staged = epoch_shards(d, "doc_id", "rawart0_", 8, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges2, vocab2, "text", "doc_id",
+        keep_cols=("shard", "shard_pos"), byte_fallback=True, normalize=False,
+    )
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    per_doc = toks.select(
+        "shard",
+        "shard_pos",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("dd"),
+        F.size("ids").cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumed by counts AND digests
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    digests = composed_order_digest(
+        per_doc, "shard", "shard_pos", "dd", "n_tok",
+        out_col="digest", seg_size=64,
+    )
+    enc = counts.join(digests, "shard").select(
+        F.concat(F.lit("enc_s"), F.col("shard").cast("string")).alias("part"),
+        "n_rows",
+        F.col("digest").cast("bigint").alias("digest"),
+    )
+    out = (
+        mdig.unionByName(vdig).unionByName(mtdig).unionByName(enc)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(art_dir, ignore_errors=True)
+    return out
