@@ -337,8 +337,16 @@ def bpe_train_capped(
     built over :func:`sp_units` — case preserved, whitespace as '▁' token
     content — instead of the lowercased/collapsed ``tokens()`` stream;
     ``units`` is ignored (the marker units already span their leading
-    spaces).  The merge loop itself is symbol-agnostic either way."""
+    spaces).  The merge loop itself is symbol-agnostic either way; like
+    the encode paths, combining units=True with normalize=False raises —
+    a silent mode mismatch at train time would only surface at encode
+    time (or never, against the wrong-mode merge table)."""
     if not normalize:
+        if units:
+            raise ValueError(
+                "units=True is the normalized-mode pair joiner; byte-exact "
+                "(normalize=False) training uses sp_units — pass units=False"
+            )
         wf = sp_unit_freq(docs, text_col)
     else:
         wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)

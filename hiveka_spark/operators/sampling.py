@@ -694,6 +694,29 @@ def pack_token_examples(
     )
 
 
+def read_back_example_manifest(back: DataFrame) -> DataFrame:
+    """Per-example manifest derived ENTIRELY from physically written and
+    READ-BACK packed example rows (the x88 certification discipline;
+    shared by x88 and the x90 capstone so the digest contract — 31-ary
+    ids fold; starts folded as pos+1, matching the oracle's (r0-1)%C+1 —
+    exists in exactly one place): (shard, ex_idx, n_tokens, n_docs,
+    ids_digest, starts_digest).  Map-only JVM array folds."""
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    return back.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "ex_idx",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        "n_docs",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("ids_digest"),
+        F.aggregate(
+            "starts", F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x + 1) % p,
+        ).alias("starts_digest"),
+    )
+
+
 def epoch_shards(
     df: DataFrame,
     id_col: str,

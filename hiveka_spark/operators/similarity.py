@@ -416,7 +416,7 @@ def train_pq_codebooks(
     c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub)
     cents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
-        & (F.col("_id") < F.lit(centroid_stride) * n_centroids)
+        & (F.col("_id") < F.lit(centroid_stride * n_centroids))
     ).select(
         F.expr(f"_id DIV {centroid_stride}").cast("bigint").alias("code"),
         "sub",
@@ -488,7 +488,7 @@ def _stride_cells(v: DataFrame, cell_stride: int, n_cells: int) -> DataFrame:
     """Deterministic stride-seeded cell centroids (cell, _cv) off a
     (_id, _qv) frame — the shared untrained coarse quantizer."""
     return v.filter(
-        (F.col("_id") % cell_stride == 0) & (F.col("_id") < F.lit(cell_stride) * n_cells)
+        (F.col("_id") % cell_stride == 0) & (F.col("_id") < F.lit(cell_stride * n_cells))
     ).select(
         F.expr(f"_id DIV {cell_stride}").cast("bigint").alias("cell"),
         F.col("_qv").alias("_cv"),
@@ -800,7 +800,7 @@ def pq_topk(
     else:
         cents = c_sub.filter(
             (F.col("_id") % centroid_stride == 0)
-            & (F.col("_id") < F.lit(centroid_stride) * n_centroids)
+            & (F.col("_id") < F.lit(centroid_stride * n_centroids))
         ).select(
             F.expr(f"_id DIV {centroid_stride}").cast("bigint").alias("code"),
             "sub",
@@ -908,7 +908,7 @@ def ivfpq_topk(
     else:
         pcents = sub_cols(v, "_id").filter(
             (F.col("_id") % centroid_stride == 0)
-            & (F.col("_id") < F.lit(centroid_stride) * n_centroids)
+            & (F.col("_id") < F.lit(centroid_stride * n_centroids))
         ).select(
             F.expr(f"_id DIV {centroid_stride}").cast("bigint").alias("code"),
             "sub",
@@ -1071,7 +1071,7 @@ def ivfpq_residual_topk(
     # _pq_train_loop — byte-identical update rule to train_pq_codebooks)
     rcents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
-        & (F.col("_id") < F.lit(centroid_stride) * n_centroids)
+        & (F.col("_id") < F.lit(centroid_stride * n_centroids))
     ).select(
         F.expr(f"_id DIV {centroid_stride}").cast("bigint").alias("code"),
         "sub",

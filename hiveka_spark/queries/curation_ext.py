@@ -3507,6 +3507,131 @@ def x85_multi_epoch_token_manifest(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def _tokenizer_artifact_gate(
+    spark: SparkSession,
+    merges: list,
+    vocab: dict,
+    norm_mode: str,
+    salt: str,
+    scratch_prefix: str,
+    d,
+    **encode_kwargs,
+) -> DataFrame:
+    """The persist -> reload -> certify body shared by the tokenizer
+    artifact gates (x86 normalized, x94 byte-exact) so the certification
+    contract — canonical row renderings, digest folds, the meta check,
+    the reloaded-encode shard digests, scratch cleanup — exists ONCE:
+    writes merges/vocab/meta parquet, reloads, digests the read-back
+    frames, and drives a full corpus encode with the RELOADED tables
+    (``encode_kwargs`` select the pre-tokenizer mode)."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        composed_order_digest,
+        epoch_shards,
+        rolling_digest,
+    )
+
+    art_dir = scratch_dir(prefix=scratch_prefix)
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string",
+    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
+    spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
+    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
+    # the artifact's CONTRACT rides with it (round-11 verdict #2): a one-row
+    # meta table naming the normalization mode ('normalized': lowercase +
+    # whitespace-collapse pre-tokenizer; 'byte_exact': the x91 sp_units
+    # mode) and the id layout — a reloaded tokenizer knows what text
+    # transform it was trained under instead of the caller guessing
+    spark.createDataFrame(
+        [(norm_mode, True)], "norm_mode string, byte_fallback boolean"
+    ).write.mode("overwrite").parquet(f"{art_dir}/meta")
+
+    # reload — everything downstream uses ONLY the read-back artifact
+    mback = spark.read.parquet(f"{art_dir}/merges")
+    vback = spark.read.parquet(f"{art_dir}/vocab")
+    meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
+    if (meta["norm_mode"], bool(meta["byte_fallback"])) != (norm_mode, True):
+        raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
+    merges2 = [
+        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
+    ]
+    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
+
+    mdig = mback.select(
+        "merge_rank",
+        portable_hash60(
+            F.concat(
+                F.col("merge_rank").cast("string"), F.lit(":"),
+                F.col("lhs"), F.lit(":"), F.col("rhs"),
+            )
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("merge_rank", "hv").alias("digest"),
+    ).select(F.lit("merges").alias("part"), "n_rows", "digest")
+    vdig = vback.select(
+        "id",
+        portable_hash60(
+            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("token"))
+        ).alias("hv"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rolling_digest("id", "hv").alias("digest"),
+    ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
+    mtdig = spark.createDataFrame(
+        [(meta["norm_mode"], bool(meta["byte_fallback"]))],
+        "norm_mode string, byte_fallback boolean",
+    ).select(
+        F.lit("meta").alias("part"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        portable_hash60(
+            F.concat(
+                F.col("norm_mode"), F.lit(":"),
+                F.col("byte_fallback").cast("string"),
+            )
+        ).alias("digest"),
+    )
+
+    staged = epoch_shards(d, "doc_id", salt, 8, keep_cols=("text",))
+    toks = bpe_encode_ids(
+        staged, merges2, vocab2, "text", "doc_id",
+        keep_cols=("shard", "shard_pos"), byte_fallback=True, **encode_kwargs,
+    )
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    per_doc = toks.select(
+        "shard",
+        "shard_pos",
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("dd"),
+        F.size("ids").cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # consumed by counts AND digests
+    counts = per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    digests = composed_order_digest(
+        per_doc, "shard", "shard_pos", "dd", "n_tok",
+        out_col="digest", seg_size=64,
+    )
+    enc = counts.join(digests, "shard").select(
+        F.concat(F.lit("enc_s"), F.col("shard").cast("string")).alias("part"),
+        "n_rows",
+        F.col("digest").cast("bigint").alias("digest"),
+    )
+    out = (
+        mdig.unionByName(vdig).unionByName(mtdig).unionByName(enc)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(art_dir, ignore_errors=True)
+    return out
+
+
 def _x86_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
     """Replay of train -> persist -> reload -> encode: the merge/vocab
     digests are ordered 31-ary folds over portable_hash60 of each row's
@@ -3596,116 +3721,12 @@ def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); the encode check is x81's flat mapInPandas + affine
     shard composition; the only corpus-sized work is the one training
     pass and the one encode pass."""
-    import shutil
-
-    from hiveka_spark.operators.bpe import bpe_encode_ids
-    from hiveka_spark.operators.dedup import portable_hash60
-    from hiveka_spark.operators.sampling import (
-        _DIGEST_MOD,
-        composed_order_digest,
-        epoch_shards,
-        rolling_digest,
-    )
-
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab(d, byte_fallback=True)
-
-    art_dir = scratch_dir(prefix="gate_x86art_")
-    spark.createDataFrame(
-        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_rank bigint, lhs string, rhs string",
-    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
-    spark.createDataFrame(
-        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
-    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
-    # the artifact's CONTRACT rides with it (round-11 verdict #2): a one-row
-    # meta table naming the normalization mode ('normalized': lowercase +
-    # whitespace-collapse pre-tokenizer; 'byte_exact': the x91 sp_units
-    # mode) and the id layout — a reloaded tokenizer knows what text
-    # transform it was trained under instead of the caller guessing
-    spark.createDataFrame(
-        [("normalized", True)], "norm_mode string, byte_fallback boolean"
-    ).write.mode("overwrite").parquet(f"{art_dir}/meta")
-
-    # reload — everything downstream uses ONLY the read-back artifact
-    mback = spark.read.parquet(f"{art_dir}/merges")
-    vback = spark.read.parquet(f"{art_dir}/vocab")
-    meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
-    if (meta["norm_mode"], bool(meta["byte_fallback"])) != ("normalized", True):
-        raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
-    merges2 = [
-        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
-    ]
-    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
-    mtdig = spark.createDataFrame(
-        [(meta["norm_mode"], bool(meta["byte_fallback"]))],
-        "norm_mode string, byte_fallback boolean",
-    ).select(
-        F.lit("meta").alias("part"),
-        F.lit(1).cast("bigint").alias("n_rows"),
-        portable_hash60(
-            F.concat(
-                F.col("norm_mode"), F.lit(":"),
-                F.col("byte_fallback").cast("string"),
-            )
-        ).alias("digest"),
+    return _tokenizer_artifact_gate(
+        spark, merges, vocab, "normalized", "art0_", "gate_x86art_", d,
+        units=True,
     )
-
-    mdig = mback.select(
-        "merge_rank",
-        portable_hash60(
-            F.concat(
-                F.col("merge_rank").cast("string"), F.lit(":"),
-                F.col("lhs"), F.lit(":"), F.col("rhs"),
-            )
-        ).alias("hv"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        rolling_digest("merge_rank", "hv").alias("digest"),
-    ).select(F.lit("merges").alias("part"), "n_rows", "digest")
-    vdig = vback.select(
-        "id",
-        portable_hash60(
-            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("token"))
-        ).alias("hv"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        rolling_digest("id", "hv").alias("digest"),
-    ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
-
-    staged = epoch_shards(d, "doc_id", "art0_", 8, keep_cols=("text",))
-    toks = bpe_encode_ids(
-        staged, merges2, vocab2, "text", "doc_id",
-        units=True, keep_cols=("shard", "shard_pos"), byte_fallback=True,
-    )
-    p = F.lit(_DIGEST_MOD).cast("bigint")
-    per_doc = toks.select(
-        "shard",
-        "shard_pos",
-        F.aggregate(
-            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
-        ).alias("dd"),
-        F.size("ids").cast("bigint").alias("n_tok"),
-    ).localCheckpoint(eager=True)  # consumed by counts AND digests
-    counts = per_doc.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
-    digests = composed_order_digest(
-        per_doc, "shard", "shard_pos", "dd", "n_tok",
-        out_col="digest", seg_size=64,
-    )
-    enc = counts.join(digests, "shard").select(
-        F.concat(F.lit("enc_s"), F.col("shard").cast("string")).alias("part"),
-        "n_rows",
-        F.col("digest").cast("bigint").alias("digest"),
-    )
-    out = (
-        mdig.unionByName(vdig).unionByName(mtdig).unionByName(enc)
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(art_dir, ignore_errors=True)
-    return out
-
 
 # ---------------------------------------------------------------------------
 # x87 — packed fixed-length training examples, digest-certified per example
@@ -3892,9 +3913,9 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hiveka_spark.operators.bpe import bpe_encode_ids
     from hiveka_spark.operators.sampling import (
-        _DIGEST_MOD,
         epoch_shards,
         pack_token_example_rows,
+        read_back_example_manifest,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -3910,20 +3931,7 @@ def x88_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
     back = spark.read.parquet(out_dir)
-    p = F.lit(_DIGEST_MOD).cast("bigint")
-    manifest = back.select(
-        F.col("shard").cast("bigint").alias("shard"),
-        "ex_idx",
-        F.size("ids").cast("bigint").alias("n_tokens"),
-        "n_docs",
-        F.aggregate(
-            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
-        ).alias("ids_digest"),
-        F.aggregate(
-            "starts", F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x + 1) % p,
-        ).alias("starts_digest"),
-    ).localCheckpoint(eager=True)
+    manifest = read_back_example_manifest(back).localCheckpoint(eager=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
 
@@ -4048,7 +4056,7 @@ def _trained_merge_vocab_raw(d):
 
     mt = bpe_train_capped(
         d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
-        normalize=False,
+        units=False, normalize=False,
     )
     merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
     alphabet = [
@@ -4347,107 +4355,10 @@ def x94_byte_exact_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to x86 — vocabulary-bounded artifact and
     digest folds, one corpus-pass training, one flat mapInPandas encode
     pass, affine shard composition."""
-    import shutil
-
-    from hiveka_spark.operators.bpe import bpe_encode_ids
-    from hiveka_spark.operators.dedup import portable_hash60
-    from hiveka_spark.operators.sampling import (
-        _DIGEST_MOD,
-        composed_order_digest,
-        epoch_shards,
-        rolling_digest,
-    )
-
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab_raw(d)
-
-    art_dir = scratch_dir(prefix="gate_x94art_")
-    spark.createDataFrame(
-        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_rank bigint, lhs string, rhs string",
-    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
-    spark.createDataFrame(
-        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
-    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
-    spark.createDataFrame(
-        [("byte_exact", True)], "norm_mode string, byte_fallback boolean"
-    ).write.mode("overwrite").parquet(f"{art_dir}/meta")
-
-    # reload — everything downstream uses ONLY the read-back artifact
-    mback = spark.read.parquet(f"{art_dir}/merges")
-    vback = spark.read.parquet(f"{art_dir}/vocab")
-    meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
-    if (meta["norm_mode"], bool(meta["byte_fallback"])) != ("byte_exact", True):
-        raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
-    merges2 = [
-        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
-    ]
-    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
-
-    mdig = mback.select(
-        "merge_rank",
-        portable_hash60(
-            F.concat(
-                F.col("merge_rank").cast("string"), F.lit(":"),
-                F.col("lhs"), F.lit(":"), F.col("rhs"),
-            )
-        ).alias("hv"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        rolling_digest("merge_rank", "hv").alias("digest"),
-    ).select(F.lit("merges").alias("part"), "n_rows", "digest")
-    vdig = vback.select(
-        "id",
-        portable_hash60(
-            F.concat(F.col("id").cast("string"), F.lit(":"), F.col("token"))
-        ).alias("hv"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        rolling_digest("id", "hv").alias("digest"),
-    ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
-    mtdig = spark.createDataFrame(
-        [(meta["norm_mode"], bool(meta["byte_fallback"]))],
-        "norm_mode string, byte_fallback boolean",
-    ).select(
-        F.lit("meta").alias("part"),
-        F.lit(1).cast("bigint").alias("n_rows"),
-        portable_hash60(
-            F.concat(
-                F.col("norm_mode"), F.lit(":"),
-                F.col("byte_fallback").cast("string"),
-            )
-        ).alias("digest"),
+    return _tokenizer_artifact_gate(
+        spark, merges, vocab, "byte_exact", "rawart0_", "gate_x94art_", d,
+        normalize=False,
     )
 
-    staged = epoch_shards(d, "doc_id", "rawart0_", 8, keep_cols=("text",))
-    toks = bpe_encode_ids(
-        staged, merges2, vocab2, "text", "doc_id",
-        keep_cols=("shard", "shard_pos"), byte_fallback=True, normalize=False,
-    )
-    p = F.lit(_DIGEST_MOD).cast("bigint")
-    per_doc = toks.select(
-        "shard",
-        "shard_pos",
-        F.aggregate(
-            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
-        ).alias("dd"),
-        F.size("ids").cast("bigint").alias("n_tok"),
-    ).localCheckpoint(eager=True)  # consumed by counts AND digests
-    counts = per_doc.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
-    digests = composed_order_digest(
-        per_doc, "shard", "shard_pos", "dd", "n_tok",
-        out_col="digest", seg_size=64,
-    )
-    enc = counts.join(digests, "shard").select(
-        F.concat(F.lit("enc_s"), F.col("shard").cast("string")).alias("part"),
-        "n_rows",
-        F.col("digest").cast("bigint").alias("digest"),
-    )
-    out = (
-        mdig.unionByName(vdig).unionByName(mtdig).unionByName(enc)
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(art_dir, ignore_errors=True)
-    return out

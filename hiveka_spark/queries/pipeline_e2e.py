@@ -534,16 +534,16 @@ def build_training_export(
         scope,
     )
     # stage 7 — tokenizer (trained on the persisted ingested corpus) +
-    # ONE tokenize pass over the survivors, shard/shard_pos riding the
-    # Arrow batches as payload
+    # ONE tokenize pass over the survivors.  Tokenize BEFORE sharding (the
+    # x89/s25 ordering): MapInPandas does not preserve its child's
+    # partitioning, so shard-then-tokenize would pay a second corpus-sized
+    # exchange; tokenizing first lets the ids ride the ONE shard exchange
+    # and the packer's window + groupBy share that partitioning
     merges, vocab = _trained_merge_vocab(fr["ing"])
-    staged = epoch_shards(kept, "doc_id", "x90pack_", _X90_SHARDS, keep_cols=("text",))
-    toks = bpe_encode_ids(
-        staged, merges, vocab, "text", "doc_id",
-        units=True, keep_cols=("shard", "shard_pos"),
-    )
+    enc = bpe_encode_ids(kept, merges, vocab, "text", "doc_id", units=True)
+    staged = epoch_shards(enc, "doc_id", "x90pack_", _X90_SHARDS, keep_cols=("ids",))
     # stage 8 — fixed-length packing, physical example rows
-    return pack_token_example_rows(toks, _X90_CONTEXT)
+    return pack_token_example_rows(staged, _X90_CONTEXT)
 
 
 @register(
@@ -576,7 +576,7 @@ def x90_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_plans.py."""
     import shutil
 
-    from hiveka_spark.operators.sampling import _DIGEST_MOD
+    from hiveka_spark.operators.sampling import read_back_example_manifest
 
     out_dir = scratch_dir(prefix="gate_x90export_")
     with D.dedup_cache_scope() as scope:
@@ -584,19 +584,6 @@ def x90_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
     back = spark.read.parquet(out_dir)
-    p = F.lit(_DIGEST_MOD).cast("bigint")
-    manifest = back.select(
-        F.col("shard").cast("bigint").alias("shard"),
-        "ex_idx",
-        F.size("ids").cast("bigint").alias("n_tokens"),
-        "n_docs",
-        F.aggregate(
-            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
-        ).alias("ids_digest"),
-        F.aggregate(
-            "starts", F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x + 1) % p,
-        ).alias("starts_digest"),
-    ).localCheckpoint(eager=True)
+    manifest = read_back_example_manifest(back).localCheckpoint(eager=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest

@@ -947,7 +947,7 @@ def test_sp_units_twin_and_byte_exact_roundtrip(spark):
     mt = [
         (r["lhs"], r["rhs"])
         for r in bpe_train_capped(
-            train, n_merges=10, max_words=50, normalize=False
+            train, n_merges=10, max_words=50, units=False, normalize=False
         ).collect()
     ]
     alpha = [
@@ -1000,9 +1000,13 @@ def test_sp_units_twin_and_byte_exact_roundtrip(spark):
     }
     assert got == {i: t for i, t in texts}
 
-    # normalize=False composes only with sp_units, never the pair joiner
+    # normalize=False composes only with sp_units, never the pair joiner —
+    # on the encode path AND at train time (a silent train-time mismatch
+    # would only surface at encode time)
     import pytest
 
     with pytest.raises(ValueError, match="normalized-mode pair joiner"):
         bpe_encode_ids(df, mt, vocab, normalize=False, units=True,
                        byte_fallback=True)
+    with pytest.raises(ValueError, match="normalized-mode pair joiner"):
+        bpe_train_capped(train, n_merges=2, normalize=False, units=True)

@@ -569,7 +569,6 @@ def test_x90_single_tokenize_no_stage_recomputation(spark):
     SinglePartition exchange sneaks in anywhere."""
     import re
 
-    from hiveka_spark.catalog import table
     from hiveka_spark.operators.dedup import dedup_cache_scope
     from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries.pipeline_e2e import build_training_export
@@ -627,8 +626,6 @@ def test_x93_example_order_no_global_sort(spark):
     import re
 
     from hiveka_spark.plans.inspect import formatted_plan
-    from hiveka_spark.queries import REGISTRY, _ensure_loaded
-
     from hiveka_spark.queries.curation_ext import _x93_ranked
 
     # the lazy ranked frame (the gate checkpoints it, which hides the
