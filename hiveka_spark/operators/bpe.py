@@ -870,3 +870,119 @@ def bpe_decode_ids(
     return df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols], F.col(ids_col)
     ).mapInPandas(run, f"{id_col} {id_type}{keep_schema}, {out_col} string")
+
+
+class TokenizerArtifact:
+    """A loaded tokenizer ship artifact: the merge table, the vocabulary,
+    and the CONTRACT it was trained under — ``norm_mode`` ('normalized':
+    the lowercase + whitespace-collapse pre-tokenizer with space-spanning
+    pair units; 'byte_exact': the x91 marker mode) and ``byte_fallback``.
+    The encode/decode methods dispatch the right pre-tokenizer from the
+    stored mode, so a job that loads an artifact CANNOT apply it in the
+    wrong mode — the failure the meta table exists to prevent (gates
+    x86/x94 certify the round trip digest-for-digest)."""
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        vocab: dict[str, int],
+        norm_mode: str,
+        byte_fallback: bool,
+    ) -> None:
+        if norm_mode not in ("normalized", "byte_exact"):
+            raise ValueError(f"unknown norm_mode: {norm_mode!r}")
+        _check_fallback_vocab(vocab, byte_fallback)
+        self.merges = list(merges)
+        self.vocab = dict(vocab)
+        self.norm_mode = norm_mode
+        self.byte_fallback = byte_fallback
+
+    @property
+    def _raw(self) -> bool:
+        return self.norm_mode == "byte_exact"
+
+    def encode_ids(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        keep_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """:func:`bpe_encode_ids` under the artifact's own contract."""
+        return bpe_encode_ids(
+            docs, self.merges, self.vocab, text_col, id_col,
+            units=not self._raw, keep_cols=keep_cols,
+            byte_fallback=self.byte_fallback, normalize=not self._raw,
+        )
+
+    def encode(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """:func:`bpe_encode` (digest form) under the artifact's contract."""
+        return bpe_encode(
+            docs, self.merges, self.vocab, text_col, id_col,
+            units=not self._raw, byte_fallback=self.byte_fallback,
+            normalize=not self._raw,
+        )
+
+    def decode_ids(
+        self,
+        df: DataFrame,
+        ids_col: str = "ids",
+        id_col: str = "doc_id",
+        out_col: str = "text_rt",
+        keep_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """:func:`bpe_decode_ids` under the artifact's contract."""
+        return bpe_decode_ids(
+            df, self.vocab, ids_col, id_col, out_col, keep_cols,
+            byte_fallback=self.byte_fallback, normalize=not self._raw,
+        )
+
+
+def save_tokenizer(
+    spark,
+    path: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    norm_mode: str = "normalized",
+    byte_fallback: bool = True,
+) -> None:
+    """Persist a tokenizer as the three-parquet ship artifact the
+    certification gates round-trip (x86/x94): ``merges`` (rank/lhs/rhs,
+    rank order IS application order), ``vocab`` (token/id), and the
+    one-row ``meta`` contract (norm_mode, byte_fallback).  Everything is
+    vocabulary-bounded — the artifact is a few MB at a real 32k-merge
+    vocabulary."""
+    if norm_mode not in ("normalized", "byte_exact"):
+        raise ValueError(f"unknown norm_mode: {norm_mode!r}")
+    _check_fallback_vocab(vocab, byte_fallback)
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string",
+    ).write.mode("overwrite").parquet(f"{path}/merges")
+    spark.createDataFrame(
+        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
+    ).write.mode("overwrite").parquet(f"{path}/vocab")
+    spark.createDataFrame(
+        [(norm_mode, byte_fallback)], "norm_mode string, byte_fallback boolean"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_tokenizer(spark, path: str) -> TokenizerArtifact:
+    """Reload a :func:`save_tokenizer` artifact; the returned
+    :class:`TokenizerArtifact` applies itself under the PERSISTED contract
+    (round-11 verdict #2's point: the caller never guesses the mode).
+    Bounded collects only (merge rows + vocabulary rows + one meta row)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in spark.read.parquet(f"{path}/merges").orderBy("merge_rank").collect()
+    ]
+    vocab = {
+        r["token"]: int(r["id"])
+        for r in spark.read.parquet(f"{path}/vocab").collect()
+    }
+    return TokenizerArtifact(
+        merges, vocab, meta["norm_mode"], bool(meta["byte_fallback"])
+    )

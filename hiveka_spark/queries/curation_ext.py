@@ -3515,18 +3515,19 @@ def _tokenizer_artifact_gate(
     salt: str,
     scratch_prefix: str,
     d,
-    **encode_kwargs,
 ) -> DataFrame:
     """The persist -> reload -> certify body shared by the tokenizer
     artifact gates (x86 normalized, x94 byte-exact) so the certification
     contract — canonical row renderings, digest folds, the meta check,
-    the reloaded-encode shard digests, scratch cleanup — exists ONCE:
-    writes merges/vocab/meta parquet, reloads, digests the read-back
-    frames, and drives a full corpus encode with the RELOADED tables
-    (``encode_kwargs`` select the pre-tokenizer mode)."""
+    the reloaded-encode shard digests, scratch cleanup — exists ONCE, and
+    exercises the USER-FACING artifact API end to end: the write is
+    ``save_tokenizer``, the reload is ``load_tokenizer``, and the encode
+    is the loaded artifact applying ITSELF under its persisted contract
+    (``TokenizerArtifact.encode_ids`` — the mode is never passed by the
+    caller, which is the property the meta table certifies)."""
     import shutil
 
-    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.bpe import load_tokenizer, save_tokenizer
     from hiveka_spark.operators.dedup import portable_hash60
     from hiveka_spark.operators.sampling import (
         _DIGEST_MOD,
@@ -3536,32 +3537,15 @@ def _tokenizer_artifact_gate(
     )
 
     art_dir = scratch_dir(prefix=scratch_prefix)
-    spark.createDataFrame(
-        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_rank bigint, lhs string, rhs string",
-    ).write.mode("overwrite").parquet(f"{art_dir}/merges")
-    spark.createDataFrame(
-        sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
-    ).write.mode("overwrite").parquet(f"{art_dir}/vocab")
-    # the artifact's CONTRACT rides with it (round-11 verdict #2): a one-row
-    # meta table naming the normalization mode ('normalized': lowercase +
-    # whitespace-collapse pre-tokenizer; 'byte_exact': the x91 sp_units
-    # mode) and the id layout — a reloaded tokenizer knows what text
-    # transform it was trained under instead of the caller guessing
-    spark.createDataFrame(
-        [(norm_mode, True)], "norm_mode string, byte_fallback boolean"
-    ).write.mode("overwrite").parquet(f"{art_dir}/meta")
+    save_tokenizer(spark, art_dir, merges, vocab, norm_mode, byte_fallback=True)
 
     # reload — everything downstream uses ONLY the read-back artifact
     mback = spark.read.parquet(f"{art_dir}/merges")
     vback = spark.read.parquet(f"{art_dir}/vocab")
     meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
-    if (meta["norm_mode"], bool(meta["byte_fallback"])) != (norm_mode, True):
+    art = load_tokenizer(spark, art_dir)
+    if (art.norm_mode, art.byte_fallback) != (norm_mode, True):
         raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
-    merges2 = [
-        (r["lhs"], r["rhs"]) for r in mback.orderBy("merge_rank").collect()
-    ]
-    vocab2 = {r["token"]: int(r["id"]) for r in vback.collect()}
 
     mdig = mback.select(
         "merge_rank",
@@ -3599,9 +3583,8 @@ def _tokenizer_artifact_gate(
     )
 
     staged = epoch_shards(d, "doc_id", salt, 8, keep_cols=("text",))
-    toks = bpe_encode_ids(
-        staged, merges2, vocab2, "text", "doc_id",
-        keep_cols=("shard", "shard_pos"), byte_fallback=True, **encode_kwargs,
+    toks = art.encode_ids(
+        staged, "text", "doc_id", keep_cols=("shard", "shard_pos")
     )
     p = F.lit(_DIGEST_MOD).cast("bigint")
     per_doc = toks.select(
@@ -3724,8 +3707,7 @@ def x86_tokenizer_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab(d, byte_fallback=True)
     return _tokenizer_artifact_gate(
-        spark, merges, vocab, "normalized", "art0_", "gate_x86art_", d,
-        units=True,
+        spark, merges, vocab, "normalized", "art0_", "gate_x86art_", d
     )
 
 # ---------------------------------------------------------------------------
@@ -4358,7 +4340,6 @@ def x94_byte_exact_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab_raw(d)
     return _tokenizer_artifact_gate(
-        spark, merges, vocab, "byte_exact", "rawart0_", "gate_x94art_", d,
-        normalize=False,
+        spark, merges, vocab, "byte_exact", "rawart0_", "gate_x94art_", d
     )
 

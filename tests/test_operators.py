@@ -1010,3 +1010,89 @@ def test_sp_units_twin_and_byte_exact_roundtrip(spark):
                        byte_fallback=True)
     with pytest.raises(ValueError, match="normalized-mode pair joiner"):
         bpe_train_capped(train, n_merges=2, normalize=False, units=True)
+
+
+def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
+    """save_tokenizer/load_tokenizer round-trip: the loaded artifact
+    applies ITSELF under its persisted contract — byte_exact dispatches
+    the marker pre-tokenizer (case/whitespace preserved), normalized the
+    pair-unit one — and encode through the artifact equals the direct
+    call with the right flags, so the mode can never be misapplied."""
+    import pytest
+
+    from hiveka_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_capped,
+        bpe_vocab,
+        load_tokenizer,
+        save_tokenizer,
+        sp_units,
+        unit_expr,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "The cat Sat  ON the mat"), (1, "the   CATTLE rattles")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "The cat  SAT"), (1, "rattles  ")], "doc_id bigint, text string"
+    )
+
+    for mode in ("byte_exact", "normalized"):
+        raw = mode == "byte_exact"
+        mt = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_train_capped(
+                train, n_merges=8, max_words=50,
+                units=not raw, normalize=not raw,
+            ).collect()
+        ]
+        units_col = sp_units("text") if raw else unit_expr("text")
+        alpha = [
+            r["s"]
+            for r in train.select(F.explode(units_col).alias("u"))
+            .select(F.explode(F.split("u", "")).alias("s"))
+            .distinct()
+            .collect()
+        ]
+        vocab = bpe_vocab(mt, alpha, byte_fallback=True)
+        path = str(tmp_path / mode)
+        save_tokenizer(spark, path, mt, vocab, mode, byte_fallback=True)
+        art = load_tokenizer(spark, path)
+        assert (art.norm_mode, art.byte_fallback) == (mode, True)
+        assert art.merges == mt and art.vocab == vocab
+
+        via_art = {
+            r["doc_id"]: list(r["ids"]) for r in art.encode_ids(docs).collect()
+        }
+        direct = {
+            r["doc_id"]: list(r["ids"])
+            for r in bpe_encode_ids(
+                docs, mt, vocab, units=not raw, normalize=not raw,
+                byte_fallback=True,
+            ).collect()
+        }
+        assert via_art == direct
+        # round-trip through the artifact's own decode, per-unit rows
+        u = docs.select("doc_id", F.posexplode(units_col).alias("upos", "u"))
+        enc = art.encode_ids(u, text_col="u", keep_cols=("upos",)) if raw else None
+        if raw:
+            dec = art.decode_ids(enc, keep_cols=("upos",))
+            got = {
+                r["doc_id"]: r["rt"]
+                for r in dec.groupBy("doc_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("upos", "text_rt"))),
+                            lambda s: s["text_rt"],
+                        ),
+                        "",
+                    ).alias("rt")
+                )
+                .collect()
+            }
+            assert got == {0: "The cat  SAT", 1: "rattles  "}
+
+    with pytest.raises(ValueError, match="unknown norm_mode"):
+        save_tokenizer(spark, str(tmp_path / "bad"), mt, vocab, "lowercased")
