@@ -591,7 +591,10 @@ def pack_token_example_rows(
                     lambda x: x["_sl"],
                 )
             ).alias("ids"),
-            F.array_sort(F.collect_list("_bstart")).alias("starts"),  # nulls dropped
+            # array_compact makes the NULL handling explicit: collect_list
+            # drops NULLs today, but boundary metadata must not silently
+            # corrupt if that engine behavior ever changes (r11 verdict #3)
+            F.array_sort(F.array_compact(F.collect_list("_bstart"))).alias("starts"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
         .select(
@@ -678,7 +681,9 @@ def pack_token_examples(
                 lambda acc, x: (acc * x["_pw"] + x["_d"]) % p,
             ).alias(out_digest),
             F.aggregate(
-                F.array_sort(F.collect_list("_bstart")),  # nulls dropped
+                # explicit NULL removal — same rationale as the physical
+                # packer's starts column (collect_list drops NULLs today)
+                F.array_sort(F.array_compact(F.collect_list("_bstart"))),
                 F.lit(0).cast("bigint"),
                 lambda acc, x: (acc * 31 + x + 1) % p,
             ).alias("starts_digest"),
