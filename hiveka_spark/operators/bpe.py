@@ -872,12 +872,21 @@ def bpe_decode_ids(
     ).mapInPandas(run, f"{id_col} {id_type}{keep_schema}, {out_col} string")
 
 
+#: the full pre-tokenizer contract, one string: 'normalized' = lowercase +
+#: whitespace collapse + space-spanning PAIR units (the x76/x86 production
+#: config); 'normalized_words' = same normalization, bare WORD units (the
+#: word_freq branch — a distinct contract: the pair joiner never appears);
+#: 'byte_exact' = the x91 marker mode (case/whitespace preserved)
+_NORM_MODES = ("normalized", "normalized_words", "byte_exact")
+
+
 class TokenizerArtifact:
     """A loaded tokenizer ship artifact: the merge table, the vocabulary,
-    and the CONTRACT it was trained under — ``norm_mode`` ('normalized':
-    the lowercase + whitespace-collapse pre-tokenizer with space-spanning
-    pair units; 'byte_exact': the x91 marker mode) and ``byte_fallback``.
-    The encode/decode methods dispatch the right pre-tokenizer from the
+    and the CONTRACT it was trained under — ``norm_mode`` (one of
+    :data:`_NORM_MODES`; the mode encodes BOTH the normalization and the
+    unit shape, because a pair-unit table applied over word units — or
+    vice versa — mis-tokenizes silently) and ``byte_fallback``.  The
+    encode/decode methods dispatch the right pre-tokenizer from the
     stored mode, so a job that loads an artifact CANNOT apply it in the
     wrong mode — the failure the meta table exists to prevent (gates
     x86/x94 certify the round trip digest-for-digest)."""
@@ -889,7 +898,7 @@ class TokenizerArtifact:
         norm_mode: str,
         byte_fallback: bool,
     ) -> None:
-        if norm_mode not in ("normalized", "byte_exact"):
+        if norm_mode not in _NORM_MODES:
             raise ValueError(f"unknown norm_mode: {norm_mode!r}")
         _check_fallback_vocab(vocab, byte_fallback)
         self.merges = list(merges)
@@ -901,6 +910,10 @@ class TokenizerArtifact:
     def _raw(self) -> bool:
         return self.norm_mode == "byte_exact"
 
+    @property
+    def _units(self) -> bool:
+        return self.norm_mode == "normalized"
+
     def encode_ids(
         self,
         docs: DataFrame,
@@ -911,7 +924,7 @@ class TokenizerArtifact:
         """:func:`bpe_encode_ids` under the artifact's own contract."""
         return bpe_encode_ids(
             docs, self.merges, self.vocab, text_col, id_col,
-            units=not self._raw, keep_cols=keep_cols,
+            units=self._units, keep_cols=keep_cols,
             byte_fallback=self.byte_fallback, normalize=not self._raw,
         )
 
@@ -921,7 +934,7 @@ class TokenizerArtifact:
         """:func:`bpe_encode` (digest form) under the artifact's contract."""
         return bpe_encode(
             docs, self.merges, self.vocab, text_col, id_col,
-            units=not self._raw, byte_fallback=self.byte_fallback,
+            units=self._units, byte_fallback=self.byte_fallback,
             normalize=not self._raw,
         )
 
@@ -940,6 +953,28 @@ class TokenizerArtifact:
         )
 
 
+def _artifact_token(
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    norm_mode: str,
+    byte_fallback: bool,
+) -> str:
+    """Deterministic content token pairing the artifact's tables with its
+    contract — written to ``meta`` first and to ``commit`` LAST, so a save
+    that dies between the per-table overwrites leaves a token MISMATCH
+    that :func:`load_tokenizer` turns into a loud error instead of a
+    silently mis-paired artifact (old contract over new tables)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"{norm_mode}:{byte_fallback}".encode())
+    for a, b in merges:
+        h.update(f"|{a}\x00{b}".encode())
+    for tok, i in sorted(vocab.items(), key=lambda kv: kv[1]):
+        h.update(f"|{i}\x00{tok}".encode())
+    return h.hexdigest()
+
+
 def save_tokenizer(
     spark,
     path: str,
@@ -948,15 +983,24 @@ def save_tokenizer(
     norm_mode: str = "normalized",
     byte_fallback: bool = True,
 ) -> None:
-    """Persist a tokenizer as the three-parquet ship artifact the
-    certification gates round-trip (x86/x94): ``merges`` (rank/lhs/rhs,
-    rank order IS application order), ``vocab`` (token/id), and the
-    one-row ``meta`` contract (norm_mode, byte_fallback).  Everything is
-    vocabulary-bounded — the artifact is a few MB at a real 32k-merge
+    """Persist a tokenizer as the ship artifact the certification gates
+    round-trip (x86/x94): ``merges`` (rank/lhs/rhs, rank order IS
+    application order), ``vocab`` (token/id), the one-row ``meta``
+    contract (norm_mode, byte_fallback, content token), and a ``commit``
+    marker carrying the same token written LAST — parquet overwrites are
+    not atomic across tables, so a save that dies mid-way leaves
+    meta/commit tokens disagreeing and :func:`load_tokenizer` fails
+    loudly instead of applying a stale contract to new tables.
+    Everything is vocabulary-bounded — a few MB at a real 32k-merge
     vocabulary."""
-    if norm_mode not in ("normalized", "byte_exact"):
+    if norm_mode not in _NORM_MODES:
         raise ValueError(f"unknown norm_mode: {norm_mode!r}")
     _check_fallback_vocab(vocab, byte_fallback)
+    token = _artifact_token(merges, vocab, norm_mode, byte_fallback)
+    spark.createDataFrame(
+        [(norm_mode, byte_fallback, token)],
+        "norm_mode string, byte_fallback boolean, content_token string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank bigint, lhs string, rhs string",
@@ -965,15 +1009,17 @@ def save_tokenizer(
         sorted(vocab.items(), key=lambda kv: kv[1]), "token string, id bigint"
     ).write.mode("overwrite").parquet(f"{path}/vocab")
     spark.createDataFrame(
-        [(norm_mode, byte_fallback)], "norm_mode string, byte_fallback boolean"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+        [(token,)], "content_token string"
+    ).write.mode("overwrite").parquet(f"{path}/commit")
 
 
 def load_tokenizer(spark, path: str) -> TokenizerArtifact:
     """Reload a :func:`save_tokenizer` artifact; the returned
     :class:`TokenizerArtifact` applies itself under the PERSISTED contract
     (round-11 verdict #2's point: the caller never guesses the mode).
-    Bounded collects only (merge rows + vocabulary rows + one meta row)."""
+    Verifies the torn-save guard: the reloaded tables' content token must
+    equal BOTH the meta row's and the commit marker's.  Bounded collects
+    only (merge rows + vocabulary rows + two one-row tables)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     merges = [
         (r["lhs"], r["rhs"])
@@ -983,6 +1029,16 @@ def load_tokenizer(spark, path: str) -> TokenizerArtifact:
         r["token"]: int(r["id"])
         for r in spark.read.parquet(f"{path}/vocab").collect()
     }
+    commit = spark.read.parquet(f"{path}/commit").collect()[0]["content_token"]
+    expect = _artifact_token(
+        merges, vocab, meta["norm_mode"], bool(meta["byte_fallback"])
+    )
+    if not (meta["content_token"] == commit == expect):
+        raise RuntimeError(
+            f"torn or corrupted tokenizer artifact at {path}: meta/commit/"
+            "content tokens disagree (a save died mid-overwrite, or the "
+            "tables were modified outside save_tokenizer)"
+        )
     return TokenizerArtifact(
         merges, vocab, meta["norm_mode"], bool(meta["byte_fallback"])
     )

@@ -3540,12 +3540,15 @@ def _tokenizer_artifact_gate(
     save_tokenizer(spark, art_dir, merges, vocab, norm_mode, byte_fallback=True)
 
     # reload — everything downstream uses ONLY the read-back artifact
+    # (load_tokenizer itself re-reads + torn-save-verifies the meta row, so
+    # the art fields ARE the read-back meta; no second meta scan)
     mback = spark.read.parquet(f"{art_dir}/merges")
     vback = spark.read.parquet(f"{art_dir}/vocab")
-    meta = spark.read.parquet(f"{art_dir}/meta").collect()[0]
     art = load_tokenizer(spark, art_dir)
     if (art.norm_mode, art.byte_fallback) != (norm_mode, True):
-        raise RuntimeError(f"tokenizer artifact meta corrupted: {meta}")
+        raise RuntimeError(
+            f"tokenizer artifact meta corrupted: {(art.norm_mode, art.byte_fallback)}"
+        )
 
     mdig = mback.select(
         "merge_rank",
@@ -3569,7 +3572,7 @@ def _tokenizer_artifact_gate(
         rolling_digest("id", "hv").alias("digest"),
     ).select(F.lit("vocab").alias("part"), "n_rows", "digest")
     mtdig = spark.createDataFrame(
-        [(meta["norm_mode"], bool(meta["byte_fallback"]))],
+        [(art.norm_mode, art.byte_fallback)],
         "norm_mode string, byte_fallback boolean",
     ).select(
         F.lit("meta").alias("part"),

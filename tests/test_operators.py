@@ -1029,6 +1029,7 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
         sp_units,
         unit_expr,
     )
+    from hiveka_spark.operators.text import tokens
 
     train = spark.createDataFrame(
         [(0, "The cat Sat  ON the mat"), (1, "the   CATTLE rattles")],
@@ -1038,16 +1039,22 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
         [(0, "The cat  SAT"), (1, "rattles  ")], "doc_id bigint, text string"
     )
 
-    for mode in ("byte_exact", "normalized"):
+    for mode in ("byte_exact", "normalized", "normalized_words"):
         raw = mode == "byte_exact"
+        units = mode == "normalized"
         mt = [
             (r["lhs"], r["rhs"])
             for r in bpe_train_capped(
                 train, n_merges=8, max_words=50,
-                units=not raw, normalize=not raw,
+                units=units, normalize=not raw,
             ).collect()
         ]
-        units_col = sp_units("text") if raw else unit_expr("text")
+        if raw:
+            units_col = sp_units("text")
+        elif units:
+            units_col = unit_expr("text")
+        else:
+            units_col = tokens("text")
         alpha = [
             r["s"]
             for r in train.select(F.explode(units_col).alias("u"))
@@ -1068,15 +1075,15 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
         direct = {
             r["doc_id"]: list(r["ids"])
             for r in bpe_encode_ids(
-                docs, mt, vocab, units=not raw, normalize=not raw,
+                docs, mt, vocab, units=units, normalize=not raw,
                 byte_fallback=True,
             ).collect()
         }
         assert via_art == direct
         # round-trip through the artifact's own decode, per-unit rows
-        u = docs.select("doc_id", F.posexplode(units_col).alias("upos", "u"))
-        enc = art.encode_ids(u, text_col="u", keep_cols=("upos",)) if raw else None
         if raw:
+            u = docs.select("doc_id", F.posexplode(units_col).alias("upos", "u"))
+            enc = art.encode_ids(u, text_col="u", keep_cols=("upos",))
             dec = art.decode_ids(enc, keep_cols=("upos",))
             got = {
                 r["doc_id"]: r["rt"]
@@ -1096,3 +1103,14 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown norm_mode"):
         save_tokenizer(spark, str(tmp_path / "bad"), mt, vocab, "lowercased")
+
+    # torn-save guard: new meta written but the commit marker (written
+    # LAST) still carries the previous save's token -> loud error, never a
+    # stale contract applied to new tables
+    path = str(tmp_path / "normalized_words")
+    spark.createDataFrame(
+        [("normalized", True, "stale")],
+        "norm_mode string, byte_fallback boolean, content_token string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(RuntimeError, match="torn or corrupted"):
+        load_tokenizer(spark, path)
