@@ -128,6 +128,7 @@ HEADLINE = [
     "x92_audio_pcm16_stereo",
     "x93_example_order",
     "x94_byte_exact_artifact",
+    "x95_incremental_token_export",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -2349,7 +2349,9 @@ def _trained_merge_vocab(d, byte_fallback: bool = False):
 _SP_UNITS_SQL = "regexp_extract_all(replace({col}, ' ', '\u2581'), '\u2581*[^\u2581]+|\u2581+')"
 
 
-def _bpe_train_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
+def _bpe_train_ctes(
+    n_merges: int, max_words: int, raw: bool = False, train_src: str = "documents"
+) -> str:
     """The shared WITH RECURSIVE body replaying bpe_train_capped (the
     capped space-spanning-unit frequency table ``uf`` + the merge-loop
     recursion ``r``) — used by both the training gate (x76) and the
@@ -2364,18 +2366,20 @@ def _bpe_train_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
     ``raw``: byte-exact mode (x91/x94) — units come from the marker
     pre-tokenizer (:data:`_SP_UNITS_SQL`, case preserved) instead of the
     lowercased '_'-joined pairs; the merge recursion itself is
-    symbol-agnostic and identical in both modes."""
+    symbol-agnostic and identical in both modes.  ``train_src``: the table
+    the TRAINING reduction scans (x95 trains on the frozen v1 subset while
+    tokenizing every version)."""
     if raw:
         units_src = f"""(
         SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
-        FROM documents)"""
+        FROM {train_src})"""
     else:
         units_src = f"""(
         SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
                       i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
                                 ELSE toks[2*i+1] END)) AS u
         FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
-              FROM documents)
+              FROM {train_src})
         WHERE LEN(toks) > 0)"""
     return f"""uf AS MATERIALIZED (
       SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM {units_src}
@@ -2469,7 +2473,9 @@ def x76_bpe_train_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_apply_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
+def _bpe_apply_ctes(
+    n_merges: int, max_words: int, raw: bool = False, train_src: str = "documents"
+) -> str:
     """Shared CTE chain for the tokenize gates (x79/x80): the x76 training
     recursion, the derived merge table, per-doc ORDERED unit occurrences
     (upos — the in-doc position, needed by x80's order digest), the
@@ -2498,7 +2504,7 @@ def _bpe_apply_ctes(n_merges: int, max_words: int, raw: bool = False) -> str:
                            list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
                     FROM documents)
               WHERE LEN(toks) > 0))"""
-    return f"""{_bpe_train_ctes(n_merges, max_words, raw=raw)},
+    return f"""{_bpe_train_ctes(n_merges, max_words, raw=raw, train_src=train_src)},
     merges AS MATERIALIZED (
       SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b, MIN(a) || MIN(b) AS merged
       FROM r WHERE it >= 1 GROUP BY it),
@@ -2594,7 +2600,9 @@ def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_vocab_ctes(id_base: int = 0) -> str:
+def _bpe_vocab_ctes(
+    id_base: int = 0, alpha_units: str = "units", unk: bool = False
+) -> str:
     """Vocabulary + final-iteration token-id CTEs shared by the encode-side
     oracles (x80 digest form, x81 token-certified export, x86 artifact):
     the deterministic vocabulary (sorted corpus-unit alphabet ids
@@ -2603,10 +2611,21 @@ def _bpe_vocab_ctes(id_base: int = 0) -> str:
     on the string, min rank wins) and unit_syms, each distinct unit's
     ordered token ids.  ``id_base``: 0 for the plain vocabulary, 256 for
     the byte-fallback ship vocabulary (ids 0..255 reserved raw bytes —
-    operators/bpe.py::bpe_vocab byte_fallback=True)."""
+    operators/bpe.py::bpe_vocab byte_fallback=True).  ``alpha_units``:
+    the unit CTE the ALPHABET derives from — x95 freezes the vocabulary
+    on version 1's units while tokenizing every version.  ``unk``: map
+    symbols OUTSIDE the vocabulary to the unknown id COUNT(vocab)+base
+    (LEFT JOIN + COALESCE) instead of inner-join-dropping them — the
+    plain-vocabulary unk contract of operators/bpe.py::bpe_encode."""
+    if unk:
+        join = "LEFT JOIN vocab v ON v.sym = ap.s"
+        idsel = f"COALESCE(v.id, (SELECT COUNT(*) FROM vocab) + {id_base})"
+    else:
+        join = "JOIN vocab v ON v.sym = ap.s"
+        idsel = "v.id"
     return f"""
     alpha AS (SELECT DISTINCT s
-              FROM (SELECT UNNEST(string_split(u, '')) AS s FROM units)),
+              FROM (SELECT UNNEST(string_split(u, '')) AS s FROM {alpha_units})),
     vocab0 AS (SELECT s AS sym,
                       ROW_NUMBER() OVER (ORDER BY s) - 1 + {id_base} AS id
                FROM alpha),
@@ -2618,8 +2637,8 @@ def _bpe_vocab_ctes(id_base: int = 0) -> str:
                           + ROW_NUMBER() OVER (ORDER BY mr) AS BIGINT) AS id
               FROM vmerge),
     unit_syms AS (
-      SELECT ap.w AS u, ap.pos, v.id
-      FROM ap JOIN vocab v ON v.sym = ap.s
+      SELECT ap.w AS u, ap.pos, CAST({idsel} AS BIGINT) AS id
+      FROM ap {join}
       WHERE ap.it = (SELECT MAX(merge_rank) FROM merges))"""
 
 
@@ -4346,3 +4365,175 @@ def x94_byte_exact_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, merges, vocab, "byte_exact", "rawart0_", "gate_x94art_", d
     )
 
+
+
+# ---------------------------------------------------------------------------
+# x95 — INCREMENTAL token export: a new corpus version is tokenized alone;
+# shard manifests compose from persisted per-doc manifests — old text is
+# never re-read, nothing is ever re-tokenized (the x70 posture for exports)
+# ---------------------------------------------------------------------------
+
+#: version split: v2 is "the new drop", v1 the frozen base the tokenizer
+#: trained on.  Derived from doc_id so the oracle replays it verbatim.
+_X95_V2_PRED = "doc_id % 3 = 0"
+
+
+def _x95_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    """From-scratch replay of the incremental export's FINAL state: the
+    tokenizer trains on the v1 subset only (train_src seam), the
+    vocabulary's alphabet is FROZEN on v1's units (alpha_units seam) with
+    the unk contract for symbols v2 introduces (unk seam), every version's
+    docs tokenize under that frozen table, and shards fold the union —
+    so a hash match certifies that composing persisted v1 manifests with
+    a v2-only tokenize pass equals tokenizing everything from scratch."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    hh = portable_hash60_sql("concat('tokv_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words,
+                                    train_src=f"(SELECT * FROM documents WHERE NOT ({_X95_V2_PRED}))")},
+    v1u AS (SELECT DISTINCT u FROM docunits WHERE NOT ({_X95_V2_PRED})),
+    {_bpe_vocab_ctes(alpha_units="v1u", unk=True)},
+    shards AS (
+      SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+               AS shard_pos
+      FROM (SELECT doc_id, {hh} AS hh FROM documents)),
+    toks AS (
+      SELECT s.shard, s.shard_pos, du.upos, us.pos, us.id
+      FROM shards s
+      JOIN docunits du ON du.doc_id = s.doc_id
+      JOIN unit_syms us ON us.u = du.u),
+    tokagg AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(id ORDER BY shard_pos, upos, pos)),
+                              (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest,
+             CAST(SUM(CASE WHEN id = (SELECT COUNT(*) FROM vocab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+      FROM toks GROUP BY shard),
+    dcount AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM shards GROUP BY shard)
+    SELECT d.shard, d.n_docs,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(t.ids_digest, 0) AS BIGINT) AS ids_digest,
+           CAST(COALESCE(t.n_unk, 0) AS BIGINT) AS n_unk
+    FROM dcount d LEFT JOIN tokagg t ON t.shard = d.shard
+    """
+
+
+def x95_doc_manifest(docs, merges: list, vocab: dict) -> "DataFrame":
+    """Per-doc token manifest of ONE corpus version under a frozen
+    tokenizer — (doc_id, n_tokens, ids_digest, n_unk), derived JVM-side
+    from the encode's ids array (the x86 per_doc shape).  This is the
+    row an incremental export PERSISTS per version; later versions never
+    touch this version's text again."""
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.operators.sampling import _DIGEST_MOD
+
+    unk = len(vocab)
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    enc = bpe_encode_ids(docs, merges, vocab, "text", "doc_id", units=True)
+    return enc.select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % p
+        ).alias("ids_digest"),
+        F.size(F.filter("ids", lambda x: x == F.lit(unk))).cast("bigint")
+        .alias("n_unk"),
+    )
+
+
+@register(
+    "x95_incremental_token_export",
+    oracle=_x95_oracle(),
+    tags=("training-prep", "export", "tokenizer", "incremental",
+          "certification", "scale"),
+)
+def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL token export — the x70 never-re-read-old-versions
+    posture applied to the tokenize/export path, the operation that makes
+    corpus drops affordable at 100 TB (a pipeline must not re-tokenize
+    100 TB because 1 TB arrived):
+
+    1. The tokenizer trains ONCE, on version 1, and is frozen (the
+       production posture — x86/x94 ship it; symbols a later version
+       introduces map to the deterministic unk id, SURFACED per shard as
+       ``n_unk`` so drift of new drops away from the frozen vocabulary is
+       an observable metric, not a silent corruption).
+    2. Each version is tokenized ALONE (v1 at backfill, v2 at its drop —
+       the v2 pass's scan is filter-pushed to v2 rows) and persists slim
+       per-doc manifests (doc_id, n_tokens, ids_digest, n_unk).
+    3. The current shard manifest composes from the PERSISTED manifests
+       of all versions — x71 hash shards + the affine digest composition
+       — reading NO text column and running NO tokenizer (both
+       plan-asserted in tests/test_plans.py).
+
+    The oracle re-derives the final state from scratch (v1-trained
+    recursion via the train_src seam, v1-frozen alphabet via the
+    alpha_units seam, unk via LEFT JOIN), so a hash match certifies that
+    the incremental composition equals full retokenization — per shard:
+    (n_docs, n_tokens, ids_digest, n_unk)."""
+    import shutil
+
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_expr
+    from hiveka_spark.operators.sampling import (
+        composed_order_digest,
+        epoch_shards,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    v2_pred = F.expr(_X95_V2_PRED)
+    v1, v2 = d.filter(~v2_pred), d.filter(v2_pred)
+
+    # frozen tokenizer: trained on v1, alphabet from v1's units, plain
+    # vocabulary (unk contract — n_unk below measures what v2 introduces)
+    mt = bpe_train_capped(
+        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+    alphabet = [
+        r["s"]
+        for r in v1.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    store = scratch_dir(prefix="gate_x95store_")
+    # version backfill, then the incremental drop — each version's text is
+    # read exactly once, at ITS OWN tokenize pass
+    x95_doc_manifest(v1, merges, vocab).write.mode("overwrite").parquet(
+        f"{store}/v=1"
+    )
+    x95_doc_manifest(v2, merges, vocab).write.mode("overwrite").parquet(
+        f"{store}/v=2"
+    )
+
+    # current shard manifest: PERSISTED manifests only — no text, no
+    # tokenizer (the plan-asserted claim)
+    man = spark.read.parquet(f"{store}/v=1", f"{store}/v=2")
+    staged = epoch_shards(
+        man, "doc_id", "tokv_", 8, keep_cols=("n_tokens", "ids_digest", "n_unk")
+    )
+    counts = staged.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_unk").cast("bigint").alias("n_unk"),
+    )
+    digests = composed_order_digest(
+        staged.withColumnRenamed("ids_digest", "dd"),
+        "shard", "shard_pos", "dd", "n_tokens",
+        out_col="ids_digest", seg_size=64,
+    )
+    out = counts.join(digests, "shard").select(
+        "shard", "n_docs", "n_tokens",
+        F.col("ids_digest").cast("bigint").alias("ids_digest"),
+        "n_unk",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -635,3 +635,61 @@ def test_x93_example_order_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
     assert "Generate" in plan, plan  # epoch fan-out is an explode
+
+
+def test_x95_incremental_export_never_rereads_or_retokenizes(spark, tmp_path):
+    """The incremental token export's two scale claims, on the plans that
+    make them: (a) a version drop's tokenize pass reads ONLY its own
+    version (the version predicate is pushed to the parquet scan) with
+    one MapInPandas; (b) the CURRENT shard manifest composes from the
+    persisted per-doc manifests — its plan contains NO text column and NO
+    tokenizer at all (the x70 'old text never re-read' posture, extended
+    to 'nothing is ever re-tokenized')."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_expr
+    from hiveka_spark.operators.sampling import composed_order_digest, epoch_shards
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.curation_ext import _X95_V2_PRED, x95_doc_manifest
+
+    d = table(spark, SF_SMOKE, "documents")
+    v2_pred = F.expr(_X95_V2_PRED)
+    v1, v2 = d.filter(~v2_pred), d.filter(v2_pred)
+    mt = bpe_train_capped(v1, "text", n_merges=8, max_words=60, units=True)
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+    alphabet = [
+        r["s"]
+        for r in v1.select(F.explode(unit_expr("text")).alias("u"))
+        .select(F.explode(F.split("u", "")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    vocab = bpe_vocab(merges, alphabet)
+
+    # (a) the v2 drop's pass: version predicate pushed, one tokenize
+    drop_plan = formatted_plan(x95_doc_manifest(v2, merges, vocab))
+    assert "PushedFilters" in drop_plan and "doc_id" in drop_plan, drop_plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", drop_plan, re.M)) == 1, drop_plan
+
+    # (b) the compose pass over the persisted store
+    store = str(tmp_path / "store")
+    x95_doc_manifest(v1, merges, vocab).write.parquet(f"{store}/v=1")
+    x95_doc_manifest(v2, merges, vocab).write.parquet(f"{store}/v=2")
+    man = spark.read.parquet(f"{store}/v=1", f"{store}/v=2")
+    staged = epoch_shards(
+        man, "doc_id", "tokv_", 8, keep_cols=("n_tokens", "ids_digest", "n_unk")
+    )
+    digests = composed_order_digest(
+        staged.withColumnRenamed("ids_digest", "dd"),
+        "shard", "shard_pos", "dd", "n_tokens",
+        out_col="ids_digest", seg_size=64,
+    )
+    compose_plan = formatted_plan(digests)
+    assert "MapInPandas" not in compose_plan, compose_plan  # no tokenizer
+    assert "text" not in re.findall(
+        r"ReadSchema: \S+", compose_plan
+    ).__str__(), compose_plan  # no text column read anywhere
+    assert "documents.parquet" not in compose_plan, compose_plan
