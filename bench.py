@@ -129,6 +129,8 @@ HEADLINE = [
     "x93_example_order",
     "x94_byte_exact_artifact",
     "x95_incremental_token_export",
+    # round-13 additions (floors established from r13 on):
+    "s26_live_incremental_tokens",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
@@ -161,7 +163,18 @@ def main() -> None:
     from hiveka_spark.session import get_spark
 
     _ensure_loaded()
-    _check_prefix_unique(HEADLINE)
+    # the up-front check must cover the SAME name set build_artifact folds
+    # into the ratios map — HEADLINE plus every baseline-floor entry
+    # (round-12 advice): a collision surfacing only in build_artifact's
+    # backstop would discard the whole multi-minute suite's timings
+    base_keys: list[str] = []
+    pre_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    if os.path.exists(pre_path):
+        with open(pre_path) as fh:
+            base_keys = list(json.load(fh).get("queries", {}))
+    _check_prefix_unique(sorted(set(HEADLINE) | set(base_keys)))
     spark = get_spark("hiveka-bench")
     spark.conf.set("spark.sql.ansi.enabled", spark.conf.get("spark.sql.ansi.enabled"))
 

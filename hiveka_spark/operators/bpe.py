@@ -42,43 +42,66 @@ from hiveka_spark.operators.text import tokens
 # convention.  The NORMALIZED mode (tokens()/unit_expr: lowercase + collapse
 # whitespace runs) is the compact certification surface; a production LLM
 # pipeline trains on case-preserved bytes, so the raw mode makes whitespace
-# TOKEN CONTENT: every space becomes U+2581 '▁', and units are the maximal
-# marker-run + non-marker-run spans — a PARTITION of the marked text (every
-# character lands in exactly one unit), so concatenating decoded units and
-# mapping '▁' back to ' ' restores the input byte-for-byte, case, runs of
-# spaces and all (gate x91).  Reserved-character contract (SentencePiece's
-# own): input text must not itself contain U+2581 — a literal marker is
-# indistinguishable from a space after marking and decodes as one.
+# TOKEN CONTENT: spaces become U+2581 '▁' inside the BPE symbol stream, and
+# units are a PARTITION of the RAW text (every character lands in exactly one
+# unit), so concatenating decoded units restores the input byte-for-byte —
+# case, runs of spaces and all (gate x91).
+#
+# Reserved-marker handling (round-12 verdict #1): the partition regex is cut
+# over the RAW text with space and '▁' as DISTINCT classes, so a literal
+# U+2581 in input stays distinguishable from a space-derived marker — literal
+# marker runs become their own pure-'▁' units (no other unit can contain the
+# marker), and the encode paths route them through the BYTE FALLBACK (the ids
+# carry the marker's own UTF-8 bytes, which decode reassembles VERBATIM while
+# vocabulary tokens map '▁' back to ' ').  decode(encode(t)) == t therefore
+# holds on EVERY input; without byte_fallback there is no lossless channel for
+# a literal marker, so the encode paths raise loudly instead of corrupting.
 # ---------------------------------------------------------------------------
 
-_SP_MARKER = "▁"  # '▁'
-#: maximal marker-run followed by a non-marker run, or a trailing marker run;
-#: valid in Java regex, Python re, and RE2/DuckDB — the oracles replay it
-_SP_UNIT_PATTERN = f"{_SP_MARKER}*[^{_SP_MARKER}]+|{_SP_MARKER}+"
+_SP_MARKER = "▁"  # U+2581
+#: partition of the RAW text: (space-run +) non-space-non-marker run, a pure
+#: trailing space run, or a pure literal-marker run.  For marker-free text
+#: this cuts exactly where the old marked-text pattern ('▁*[^▁]+|▁+') did.
+#: Every alternative that matches at a position is also the longest there, so
+#: leftmost-first (Java/Python) and leftmost-longest engines agree; valid in
+#: Java regex, Python re, and RE2/DuckDB — the oracles replay it.
+_SP_UNIT_PATTERN = f" *[^ {_SP_MARKER}]+| +|{_SP_MARKER}+"
 _SP_RE = re.compile(_SP_UNIT_PATTERN)
 
 
 def sp_units(col: Column | str) -> Column:
     """JVM-side byte-exact pre-tokenizer units of a text column (see module
-    comment): spaces -> '▁', then the partition regex.  NULL text -> NULL
-    (explodes to no rows, like :func:`~hiveka_spark.operators.text.tokens`);
-    empty text -> empty array."""
-    marked = F.regexp_replace(col if isinstance(col, Column) else F.col(col), " ", _SP_MARKER)
-    return F.regexp_extract_all(marked, F.lit(_SP_UNIT_PATTERN), 0)
+    comment): the raw-text partition regex — spaces are preserved in the
+    unit strings ('▁' in a unit always means a LITERAL input marker; the
+    space -> '▁' mapping happens inside the consumers, per unit).  NULL
+    text -> NULL (explodes to no rows, like
+    :func:`~hiveka_spark.operators.text.tokens`); empty text -> empty
+    array."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.regexp_extract_all(c, F.lit(_SP_UNIT_PATTERN), 0)
 
 
 def _sp_pretokenize(text: str) -> list[str]:
     """Python twin of :func:`sp_units` for the Arrow-batched encode paths —
-    same marking, same partition regex, pinned equal in tests."""
-    return _SP_RE.findall(text.replace(" ", _SP_MARKER))
+    same partition regex over the raw text, pinned equal in tests."""
+    return _SP_RE.findall(text)
+
+
+def sp_mark(col: Column | str) -> Column:
+    """space -> '▁' inside a unit string (JVM side) — the symbol-stream form
+    BPE trains on and applies to.  Identity on literal-marker units."""
+    return F.translate(col if isinstance(col, Column) else F.col(col), " ", _SP_MARKER)
 
 
 def sp_unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(w, freq) over byte-exact units (:func:`sp_units`) — the raw-mode
-    counterpart of :func:`unit_freq`, same one-pass map-side-combinable
-    shape."""
+    """(w, freq) over byte-exact units (:func:`sp_units`, space-marked via
+    :func:`sp_mark`) — the raw-mode counterpart of :func:`unit_freq`, same
+    one-pass map-side-combinable shape.  A literal input marker counts like
+    the space it is indistinguishable from in the SYMBOL stream — training
+    statistics only; the encode paths never look it up (byte fallback)."""
     return (
-        docs.select(F.explode(sp_units(text_col)).alias("w"))
+        docs.select(F.explode(sp_units(text_col)).alias("u"))
+        .select(sp_mark("u").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -546,18 +569,52 @@ _BYTE_BASE = 256  # byte-fallback mode: ids 0..255 are reserved raw UTF-8 bytes
 
 
 def _check_fallback_vocab(vocab: dict[str, int], byte_fallback: bool) -> None:
-    """``byte_fallback=True`` is only meaningful against a vocabulary built
-    with ``bpe_vocab(..., byte_fallback=True)`` — a legacy vocabulary
-    assigns legitimate TOKEN ids in 0..255, which the fallback paths would
-    silently reinterpret as raw UTF-8 bytes (encode would also emit byte
-    ids that collide with real tokens).  Cheap invariant, checked once per
-    call at plan-build time, never per row."""
-    if byte_fallback and vocab and min(vocab.values()) < _BYTE_BASE:
+    """The ``byte_fallback`` flag and the vocabulary's id layout must agree
+    (round-12 advice — both directions): ``byte_fallback=True`` against a
+    legacy vocabulary would silently reinterpret legitimate TOKEN ids
+    0..255 as raw UTF-8 bytes, and ``byte_fallback=False`` against a
+    fallback-built vocabulary (every id >= 256 by construction) would hand
+    OOV symbols the WRONG unk id (len(vocab) instead of 256+len(vocab))
+    and render any byte id as U+FFFD at decode.  Cheap invariant, checked
+    once per call at plan-build time, never per row."""
+    if not vocab:
+        return
+    lo = min(vocab.values())
+    if byte_fallback and lo < _BYTE_BASE:
         raise ValueError(
             "byte_fallback=True requires a byte-fallback vocabulary "
             "(bpe_vocab(..., byte_fallback=True)): ids 0..255 are reserved "
-            f"for raw bytes, but this vocab assigns id {min(vocab.values())}"
+            f"for raw bytes, but this vocab assigns id {lo}"
         )
+    if not byte_fallback and lo >= _BYTE_BASE:
+        raise ValueError(
+            "byte_fallback=False against a byte-fallback vocabulary (its "
+            f"lowest id is {lo} >= {_BYTE_BASE}, i.e. it was built with "
+            "bpe_vocab(..., byte_fallback=True)): the unk id and the 0..255 "
+            "byte range would both be misread — pass byte_fallback=True"
+        )
+
+
+def _raw_unit_ids(u: str, unit_ids, bf: bool):
+    """Token ids for ONE raw pre-tokenizer unit (byte-exact mode): a pure
+    literal-marker run — the only unit shape that can contain '▁', by the
+    partition pattern — goes through the BYTE FALLBACK verbatim (its own
+    UTF-8 bytes, which decode reassembles without the marker -> space
+    mapping), so a literal U+2581 round-trips byte-for-byte instead of
+    silently becoming a space (round-12 verdict #1); every other unit is
+    space-marked and BPE-encoded through the memoized ``unit_ids``.
+    Without byte fallback there is no lossless channel for the literal
+    marker, so encode refuses loudly rather than corrupting."""
+    if u and u[0] == _SP_MARKER:
+        if not bf:
+            raise ValueError(
+                "byte-exact mode: input contains the reserved marker U+2581 "
+                "'▁' and byte_fallback=False leaves no lossless channel for "
+                "it — pass byte_fallback=True (literal markers then "
+                "round-trip through byte ids) or strip it upstream"
+            )
+        return u.encode("utf-8")  # 3 byte ids per literal marker
+    return unit_ids(u.replace(" ", _SP_MARKER))
 
 
 def bpe_vocab(
@@ -645,7 +702,14 @@ def bpe_encode(
                     if i is not None:
                         out.append(i)
                     elif bf:
-                        out.extend(s.encode("utf-8"))
+                        # raw mode: an OOV '▁' SYMBOL stands for a space the
+                        # per-unit marking produced (literal markers never
+                        # reach the vocab path — _raw_unit_ids routes them),
+                        # so fall back to the byte of the character it
+                        # stands for; decode then restores the space
+                        out.extend(
+                            (" " if raw and s == _SP_MARKER else s).encode("utf-8")
+                        )
                     else:
                         out.append(unk)
                 ids = memo[u] = tuple(out)
@@ -672,7 +736,7 @@ def bpe_encode(
                         us = ws
                 n, dig = 0, 0
                 for u in us:
-                    for tid in unit_ids(u):
+                    for tid in _raw_unit_ids(u, unit_ids, bf) if raw else unit_ids(u):
                         n += 1
                         dig = (dig * 31 + tid) % _DIGEST_MOD
                 out.append((did, n, dig))
@@ -714,7 +778,12 @@ def bpe_encode_ids(
     single character, since every merge's product is in the vocabulary by
     construction — encodes as its UTF-8 bytes at ids 0..255 instead of
     the shared unk, so encode is lossless on text the training corpus
-    never saw (gate x83).  Invariants vs :func:`bpe_encode` (pinned in
+    never saw (gate x83).  In byte-exact mode a literal input U+2581
+    additionally routes through the fallback verbatim
+    (:func:`_raw_unit_ids`) — decode(encode(t)) == t on EVERY input, and
+    without the fallback a marker-bearing doc raises instead of silently
+    corrupting (round-12 verdict #1; gate x91 certifies on marker-bearing
+    augmented text).  Invariants vs :func:`bpe_encode` (pinned in
     tests/test_operators.py): size(ids) == n_tokens and the 31-ary fold
     of ids == ids_digest, doc by doc."""
     import pandas as pd
@@ -745,7 +814,14 @@ def bpe_encode_ids(
                     if i is not None:
                         out.append(i)
                     elif bf:
-                        out.extend(s.encode("utf-8"))
+                        # raw mode: an OOV '▁' SYMBOL stands for a space the
+                        # per-unit marking produced (literal markers never
+                        # reach the vocab path — _raw_unit_ids routes them),
+                        # so fall back to the byte of the character it
+                        # stands for; decode then restores the space
+                        out.extend(
+                            (" " if raw and s == _SP_MARKER else s).encode("utf-8")
+                        )
                     else:
                         out.append(unk)
                 ids = memo[u] = tuple(out)
@@ -772,7 +848,7 @@ def bpe_encode_ids(
                         us = ws
                 seq: list[int] = []
                 for u in us:
-                    seq.extend(unit_ids(u))
+                    seq.extend(_raw_unit_ids(u, unit_ids, bf) if raw else unit_ids(u))
                 seqs.append(seq)
             out = pdf[[id_col, *keep_cols]].copy()
             out["ids"] = seqs
@@ -835,9 +911,18 @@ def bpe_decode_ids(
     def run(batches):
         iv = bc.value
 
+        def tok(t: int) -> str:
+            # byte-exact mode: '▁' in a VOCABULARY token is space the
+            # marking produced — map it back per token; byte-fallback
+            # chunks (below) decode VERBATIM, which is what lets a literal
+            # input U+2581 (encoded as its own bytes by _raw_unit_ids)
+            # survive the round trip instead of becoming a space
+            s = iv.get(t, "�")
+            return s.replace(_SP_MARKER, " ") if raw else s
+
         def detok(ids) -> str:
             if not bf:
-                return "".join(iv.get(int(t), "�") for t in ids)
+                return "".join(tok(int(t)) for t in ids)
             parts: list[str] = []
             buf = bytearray()
             for t in ids:
@@ -848,19 +933,14 @@ def bpe_decode_ids(
                 if buf:
                     parts.append(buf.decode("utf-8", errors="replace"))
                     buf = bytearray()
-                parts.append(iv.get(t, "�"))
+                parts.append(tok(t))
             if buf:
                 parts.append(buf.decode("utf-8", errors="replace"))
             return "".join(parts)
 
-        def finish(s: str) -> str:
-            # byte-exact mode: '▁' (token content OR reassembled fallback
-            # bytes) maps back to the space it stood for
-            return s.replace(_SP_MARKER, " ") if raw else s
-
         for pdf in batches:
             out = pdf[[id_col, *keep_cols]].copy()
-            out[out_col] = [finish(detok(ids)) for ids in pdf[ids_col]]
+            out[out_col] = [detok(ids) for ids in pdf[ids_col]]
             yield out
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -963,15 +1043,32 @@ def _artifact_token(
     contract — written to ``meta`` first and to ``commit`` LAST, so a save
     that dies between the per-table overwrites leaves a token MISMATCH
     that :func:`load_tokenizer` turns into a loud error instead of a
-    silently mis-paired artifact (old contract over new tables)."""
+    silently mis-paired artifact (old contract over new tables).
+
+    Every field is LENGTH-PREFIXED before hashing (round-12 advice):
+    tokens come from corpus text and can contain any character, so a
+    separator-based concatenation could make two different (merges, vocab)
+    pairs hash identically; the length prefix makes the byte stream an
+    unambiguous encoding of the field sequence."""
     import hashlib
 
     h = hashlib.sha256()
-    h.update(f"{norm_mode}:{byte_fallback}".encode())
+
+    def field(s: str) -> None:
+        b = s.encode()
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+
+    field(norm_mode)
+    field(str(byte_fallback))
+    h.update(len(merges).to_bytes(4, "big"))
     for a, b in merges:
-        h.update(f"|{a}\x00{b}".encode())
+        field(a)
+        field(b)
+    h.update(len(vocab).to_bytes(4, "big"))
     for tok, i in sorted(vocab.items(), key=lambda kv: kv[1]):
-        h.update(f"|{i}\x00{tok}".encode())
+        field(str(i))
+        field(tok)
     return h.hexdigest()
 
 

@@ -2346,7 +2346,10 @@ def _trained_merge_vocab(d, byte_fallback: bool = False):
 
 #: DuckDB twin of operators/bpe.py::sp_units — the byte-exact pre-tokenizer
 #: (spaces -> U+2581, maximal marker/non-marker runs); same regex text
-_SP_UNITS_SQL = "regexp_extract_all(replace({col}, ' ', '\u2581'), '\u2581*[^\u2581]+|\u2581+')"
+#: raw-text partition (spaces preserved; literal U+2581 runs are their own
+#: units) \u2014 space -> '\u2581' mapping happens per unit in the consumers, exactly
+#: like operators/bpe.py::sp_units / sp_mark
+_SP_UNITS_SQL = "regexp_extract_all({col}, ' *[^ \u2581]+| +|\u2581+')"
 
 
 def _bpe_train_ctes(
@@ -2370,9 +2373,13 @@ def _bpe_train_ctes(
     the TRAINING reduction scans (x95 trains on the frozen v1 subset while
     tokenizing every version)."""
     if raw:
+        # per-unit space -> '▁' (sp_mark twin); a corpus-borne literal
+        # marker would count as the space it is indistinguishable from in
+        # the SYMBOL stream — same as the Spark side's sp_unit_freq
         units_src = f"""(
-        SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
-        FROM {train_src})"""
+        SELECT replace(u, ' ', '▁') AS u
+        FROM (SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
+              FROM {train_src}))"""
     else:
         units_src = f"""(
         SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
@@ -2485,12 +2492,18 @@ def _bpe_apply_ctes(
     (greedy leftmost; aa-run parity).  ``raw``: byte-exact pre-tokenizer
     for both the training reduction and docunits (x94)."""
     if raw:
+        # mapped (sp_mark) units — what the Spark encode paths feed the
+        # merge machinery.  Corpus-borne LITERAL markers (which Spark
+        # routes through byte-fallback ids) are certified by x91's
+        # tokenizer-free oracle on marker-bearing augmented text; the sf
+        # corpus this replay runs on contains none.
         docunits_src = f"""(
-        SELECT doc_id,
-               UNNEST(range(1, LEN(us) + 1)) AS upos,
-               UNNEST(us) AS u
-        FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
-              FROM documents))"""
+        SELECT doc_id, upos, replace(u, ' ', '▁') AS u
+        FROM (SELECT doc_id,
+                     UNNEST(range(1, LEN(us) + 1)) AS upos,
+                     UNNEST(us) AS u
+              FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
+                    FROM documents)))"""
     else:
         docunits_src = f"""(
         SELECT doc_id,
@@ -4011,22 +4024,32 @@ def x89_multi_epoch_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministic augmentation exercising everything the normalized mode
 #: destroys — mixed case, double/triple spaces, leading/trailing space runs —
 #: plus digits/punctuation/2- and 3-byte characters certain to be absent from
-#: (or rare in) the training alphabet so the byte fallback provably fires.
-#: Derived from the source table (doc_id digits) so the oracle replays it.
+#: (or rare in) the training alphabet so the byte fallback provably fires,
+#: AND (round-12 verdict #1) a literal reserved marker U+2581 '▁' (single and
+#: a run, space- and letter-adjacent) plus a 4-byte astral character '🦀' —
+#: the two inputs the previous fixtures could not see: the literal marker now
+#: round-trips through its own byte-fallback ids instead of silently decoding
+#: as a space, and the astral char pins surrogate-pair handling through the
+#: Java-regex pre-tokenizer.  Derived from the source table (doc_id digits)
+#: so the oracle replays it.
 _X91_SUFFIX_A = " The  QUICK   brown-Fox #"
-_X91_SUFFIX_B = "  Zw7!  éµ日  "
+_X91_SUFFIX_B = "  Zw7!  éµ日 ▁a▁▁ 🦀  "
 
 
 def _x91_oracle() -> str:
     """Tokenizer-free oracle (the x82/x83 discipline): the expected
     round-trip is the augmented RAW text VERBATIM — no normalization line
     at all, which is the whole point — and the expected fallback-byte
-    count is pure character arithmetic: UTF-8 byte length of every
-    augmented-text character outside the training alphabet.  The alphabet
-    is the character set of the MARKED corpus (spaces -> U+2581 '▁'):
-    byte-exact units partition the marked text, so their characters are
-    exactly its characters.  Neither column ever touches the BPE
-    machinery."""
+    count is pure character arithmetic over the RAW augmented text: a
+    literal U+2581 '▁' ALWAYS falls back by rule (3 bytes — its own UTF-8,
+    regardless of the alphabet, which contains '▁' from corpus spaces); a
+    space falls back (1 byte) only if the marker it maps to is outside the
+    alphabet; any other character falls back by its UTF-8 byte length when
+    outside the alphabet (the 4-byte '🦀' contributes 4).  The alphabet is
+    the character set of the MARKED corpus (spaces -> '▁'): training units
+    partition the raw text and are space-marked before the symbol split,
+    so their characters are exactly its characters.  Neither column ever
+    touches the BPE machinery."""
     return f"""
     WITH alpha AS (
       SELECT DISTINCT s FROM (
@@ -4037,11 +4060,13 @@ def _x91_oracle() -> str:
                      || CAST(doc_id AS VARCHAR) || '{_X91_SUFFIX_B}' AS t2
             FROM documents),
     fb AS (SELECT doc_id,
-                  CAST(SUM(CASE WHEN s IN (SELECT s FROM alpha) THEN 0
-                                ELSE octet_length(encode(s)) END) AS BIGINT)
+                  CAST(SUM(CASE
+                    WHEN s = '▁' THEN 3
+                    WHEN (CASE WHEN s = ' ' THEN '▁' ELSE s END)
+                         IN (SELECT s FROM alpha) THEN 0
+                    ELSE octet_length(encode(s)) END) AS BIGINT)
                     AS n_fallback_bytes
-           FROM (SELECT doc_id,
-                        UNNEST(string_split(replace(t2, ' ', '▁'), '')) AS s
+           FROM (SELECT doc_id, UNNEST(string_split(t2, '')) AS s
                  FROM aug)
            GROUP BY doc_id)
     SELECT a.doc_id, a.t2 AS text_rt, f.n_fallback_bytes,
@@ -4056,7 +4081,7 @@ def _trained_merge_vocab_raw(d):
     (case preserved, whitespace as '▁' token content).  Same bounded
     collects; always builds the byte-fallback ship vocabulary (the raw
     mode exists for serving, where held-out characters are a given)."""
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, sp_units
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, sp_mark, sp_units
 
     mt = bpe_train_capped(
         d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
@@ -4066,7 +4091,7 @@ def _trained_merge_vocab_raw(d):
     alphabet = [
         r["s"]
         for r in d.select(F.explode(sp_units("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
+        .select(F.explode(F.split(sp_mark("u"), "")).alias("s"))
         .distinct()
         .collect()  # bounded: the corpus character set (incl. '▁')
     ]
