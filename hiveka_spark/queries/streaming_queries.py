@@ -1437,7 +1437,9 @@ def _s23_curation_ctes(contain_pct: int = 50) -> str:
                 WHERE p.doc_id NOT IN (SELECT id_b FROM pairs))"""
 
 
-def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
+def _s24_oracle(
+    contain_pct: int = 50, n_shards: int = 8, salt: str = "tokc_"
+) -> str:
     from hiveka_spark.operators.dedup import portable_hash60_sql
     from hiveka_spark.queries.curation_ext import (
         _BPE_VOCAB_CTES,
@@ -1446,7 +1448,7 @@ def _s24_oracle(contain_pct: int = 50, n_shards: int = 8) -> str:
         _bpe_apply_ctes,
     )
 
-    hh = portable_hash60_sql("concat('tokc_', CAST(doc_id AS VARCHAR))")
+    hh = portable_hash60_sql(f"concat('{salt}', CAST(doc_id AS VARCHAR))")
     return f"""
     WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
     {_BPE_VOCAB_CTES},
@@ -1642,3 +1644,210 @@ def s25_live_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     cur = _live_curated_docs(spark, d, tag="25")
     return s25_packed(cur, d)
+
+
+# ---------------------------------------------------------------------------
+# s26 — INCREMENTAL token manifests off the LIVE curated topic: the last
+# matrix cell (live × incremental) — new compacted-topic batches tokenize
+# ALONE (x95's posture on s24/s25's input); prior batches' text is never
+# re-read (offset-pruned delta consume), deletions compose at manifest level
+# ---------------------------------------------------------------------------
+
+
+def s26_compose(man: DataFrame, alive: DataFrame) -> DataFrame:
+    """The LAZY manifest-composition plan — persisted per-batch doc
+    manifests LEFT SEMI joined to the topic's live key set (a key
+    tombstoned AFTER it was manifested drops out here, at manifest level —
+    no text, no tokenizer), then x71 hash shards + the affine digest
+    composition.  Exposed separately from the gate so tests can pin the
+    no-re-read/no-re-tokenize claims on this exact plan
+    (tests/test_plans.py)."""
+    from hiveka_spark.operators.sampling import composed_order_digest, epoch_shards
+
+    live = man.join(alive, "doc_id", "leftsemi")
+    staged = epoch_shards(
+        live, "doc_id", "tokc26_", 8, keep_cols=("n_tokens", "ids_digest")
+    )
+    counts = staged.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    digests = composed_order_digest(
+        staged.withColumnRenamed("ids_digest", "dd"),
+        "shard", "shard_pos", "dd", "n_tokens",
+        out_col="ids_digest", seg_size=64,
+    )
+    return counts.join(digests, "shard").select(
+        "shard", "n_docs", "n_tokens",
+        F.col("ids_digest").cast("bigint").alias("ids_digest"),
+    )
+
+
+@register(
+    "s26_live_incremental_tokens",
+    oracle=_s24_oracle(salt="tokc26_"),
+    tags=("streaming", "kafka", "curation", "tokenizer", "incremental",
+          "manifest", "certification", "scale"),
+)
+def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live × incremental (round-12 verdict #5, the last open matrix
+    cell): s24 certifies the live curated topic's tokens by re-tokenizing
+    the WHOLE topic at each refresh; x95 certifies incremental token
+    export over BATCH corpus versions.  This gate composes the two
+    postures — the curated topic refreshes across corpus drops and each
+    refresh tokenizes ONLY what the refresh added:
+
+    1. Drop 1 (the x95 version predicate's complement) is ingested and
+       curated live (s23's full chain: Avro topic -> Gopher -> Bloom
+       containment decontam -> band-index near-dup dedup -> compacted
+       curated topic carrying TEXT); the snapshot read-back tokenizes
+       under the frozen tokenizer (trained once on the full source corpus
+       — the s24 posture; freeze-before-drop semantics with an unk
+       contract is x95's own certificate) and persists slim per-doc
+       manifests (doc_id, n_tokens, ids_digest).
+    2. Drop 2 arrives on the SAME topic; fresh sink objects resume the
+       same checkpoint/state/commit roots (the pinned kill-and-resume
+       contract), so the band index carries over and tombstones retract
+       drop-1 docs that lose to smaller-id drop-2 arrivals.
+    3. The refresh consumes the topic's NEW OFFSETS ONLY
+       (``read_compacted(start_offsets=...)`` — the A8 offset-resume
+       contract as a batch delta read; prior batches' payloads are pruned
+       at the scan), anti-joins already-manifested keys, tokenizes just
+       those docs, and persists the delta manifest.
+    4. The current shard manifest composes from PERSISTED manifests LEFT
+       SEMI the live key set — tombstoned keys die at manifest level; no
+       text column, no tokenizer anywhere in the plan (both
+       plan-asserted in tests/test_plans.py on :func:`s26_compose`).
+
+    The oracle is s24's from-scratch replay (batch curated set of the
+    FULL corpus + the x76 training recursion + apply recursion + ordered
+    shard folds) under this gate's shard salt — a hash match certifies
+    that incremental manifest composition across live refreshes equals
+    re-deriving everything from scratch: every curation decision of both
+    drops, compaction convergence including cross-drop tombstones, the
+    delta-consume boundary, and every token id.
+
+    Scale shape: curation is s23's per-batch shape; each refresh's
+    tokenize is ONE flat mapInPandas over the DELTA only (at 100 TB +
+    1 TB drops this is the difference between affordable and not — the
+    x70/x95 posture now holding on the live serving path); the compose
+    reads manifest rows only."""
+    import shutil
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.queries.curation_ext import (
+        _X95_V2_PRED,
+        _trained_merge_vocab,
+        x95_doc_manifest,
+    )
+    from hiveka_spark.queries.extensions import _BLOOM_H, _BLOOM_M, _EVAL_SOURCES
+    from hiveka_spark.sources.kafka_io import (
+        KafkaTableConfig,
+        decode_wire,
+        read_kafka_batch,
+        write_kafka,
+    )
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.curation import (
+        StreamCurationSink,
+        curated_topic_config,
+        read_compacted,
+    )
+    from hiveka_spark.streaming.kafka_sink import KafkaStreamSink
+
+    d = table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    ev_sh = D.eval_shingle_set(ev, "text", k=3).localCheckpoint(eager=True)
+    bitset = D.build_bloom_bitset(ev_sh, _BLOOM_M, _BLOOM_H)
+
+    raw_topic, cur_topic = "docs_raw26", "docs_curated26"
+    broker = SimBroker(scratch_dir(prefix="gate_s26broker_"))
+    cfg_in = KafkaTableConfig(
+        bootstrap_servers="sim://gate",
+        whitelist_topics=[raw_topic],
+        ddl="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    broker.create_topic(raw_topic, partitions=4)
+    cfg_out = curated_topic_config("sim://gate", cur_topic, with_text=True)
+    broker.create_topic(cur_topic, partitions=4)
+
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES)).select(
+        "doc_id", "text", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    drop2 = F.expr(_X95_V2_PRED)
+    roots = {
+        k: scratch_dir(prefix=f"gate_s26{k}_")
+        for k in ("state", "commits", "ckpt")
+    }
+
+    def run_stream() -> None:
+        # FRESH sink + query objects every call; only the on-disk roots
+        # (checkpoint offsets, band-index state, commit markers, broker
+        # log) carry over — the pinned kill-and-resume posture
+        sink = StreamCurationSink(
+            roots["state"],
+            KafkaStreamSink(
+                cfg_out, cur_topic, roots["commits"], broker=broker,
+                key_col="doc_id", tombstone_col="_tombstone",
+            ),
+            bitset, ev_sh,
+            num_perm=32, bands=8, k=3, threshold=0.8,
+            bloom_m=_BLOOM_M, bloom_h=_BLOOM_H,
+            payload_cols=("text", "lang", "n_chars"),
+        )
+        typed = decode_wire(
+            broker.stream(spark, raw_topic, max_files_per_trigger=1), cfg_in
+        ).select("doc_id", "text", "lang", "n_chars")
+        q = (
+            typed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", roots["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # tokenizer frozen BEFORE any drop (one corpus pass, the s24 posture)
+    merges, vocab = _trained_merge_vocab(d)
+    store = scratch_dir(prefix="gate_s26store_")
+
+    # ---- refresh 1: drop 1 ingested, curated, snapshot fully tokenized
+    write_kafka(raw.filter(~drop2), cfg_in, raw_topic, key_col="doc_id", broker=broker)
+    run_stream()
+    snap1 = read_compacted(
+        spark, cfg_out, broker=broker, payload_cols=("text", "lang", "n_chars")
+    )
+    x95_doc_manifest(
+        snap1.select("doc_id", "text"), merges, vocab
+    ).write.mode("overwrite").parquet(f"{store}/b=1")
+    # per-partition next-unconsumed offset — the A8 resume watermark
+    hwm = {
+        int(r["partition"]): int(r["hi"]) + 1
+        for r in read_kafka_batch(spark, cfg_out, broker=broker)
+        .groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+    }  # bounded: one row per topic partition
+
+    # ---- refresh 2: drop 2 arrives, stream resumes, DELTA-only tokenize
+    write_kafka(raw.filter(drop2), cfg_in, raw_topic, key_col="doc_id", broker=broker)
+    run_stream()
+    delta = read_compacted(
+        spark, cfg_out, broker=broker,
+        payload_cols=("text", "lang", "n_chars"), start_offsets=hwm,
+    )
+    known = spark.read.parquet(f"{store}/b=1").select("doc_id")
+    new_docs = delta.join(known, "doc_id", "left_anti").select("doc_id", "text")
+    x95_doc_manifest(new_docs, merges, vocab).write.mode("overwrite").parquet(
+        f"{store}/b=2"
+    )
+
+    # ---- compose: persisted manifests × live keys, nothing else
+    alive = read_compacted(spark, cfg_out, broker=broker, payload_cols=()).select(
+        "doc_id"
+    )
+    man = spark.read.parquet(f"{store}/b=1", f"{store}/b=2").select(
+        "doc_id", "n_tokens", "ids_digest"
+    )
+    out = s26_compose(man, alive).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -286,6 +286,7 @@ def read_compacted(
     cfg: KafkaTableConfig,
     broker=None,
     payload_cols: tuple[str, ...] = ("lang", "n_chars"),
+    start_offsets: dict[int, int] | None = None,
 ) -> DataFrame:
     """Read a curated topic back under LOG-COMPACTION semantics: for each
     KEY the LAST record (by offset; keys are routed to one partition, so
@@ -306,13 +307,36 @@ def read_compacted(
     ``key_col``) are dropped up front rather than silently collapsing
     into one shared window partition where all but one would vanish.
 
-    Scale shape: one scan of the topic, one key-keyed window (the
-    max-offset argmax), then Avro decode of only the survivors."""
+    ``start_offsets`` (the INCREMENTAL-consumer posture, gate s26): a
+    {partition: first_unconsumed_offset} map — only records AT OR PAST
+    their partition's start offset participate, i.e. the records appended
+    since the caller's last read (the A8 offset-resume contract applied to
+    a batch read-back).  Last-per-key over the NEW suffix alone is sound
+    because offsets only grow: a key's newest record overall either IS in
+    the suffix (upsert -> it is the delta row; tombstone -> the key is
+    dropped here and dies in the caller's live-key join) or the key had no
+    new records and is not in the delta at all.  Prior batches' payloads
+    are therefore NEVER re-read — the offset predicate prunes them at the
+    scan.
+
+    Scale shape: one scan of the topic (offset-pruned in delta mode), one
+    key-keyed window (the max-offset argmax), then Avro decode of only
+    the survivors."""
     from pyspark.sql import Window
 
     wire = read_kafka_batch(spark, cfg, broker=broker).filter(
         F.col("key").isNotNull()
     )
+    if start_offsets is not None:
+        start = F.create_map(
+            *[F.lit(x) for kv in start_offsets.items() for x in kv]
+        )
+        wire = wire.filter(
+            F.col("offset")
+            >= F.coalesce(
+                F.element_at(start, F.col("partition").cast("int")), F.lit(0)
+            )
+        )
     w = Window.partitionBy("key").orderBy(F.col("offset").desc())
     last = (
         wire.withColumn("_rn", F.row_number().over(w))

@@ -693,3 +693,73 @@ def test_x95_incremental_export_never_rereads_or_retokenizes(spark, tmp_path):
         r"ReadSchema: \S+", compose_plan
     ).__str__(), compose_plan  # no text column read anywhere
     assert "documents.parquet" not in compose_plan, compose_plan
+
+def test_s26_compose_never_rereads_or_retokenizes(spark, tmp_path):
+    """The live×incremental gate's compose plan (s26_compose) holds x95's
+    two scale claims against the LIVE key set: persisted manifests LEFT
+    SEMI the topic's alive keys, sharded and digest-composed — NO text
+    column, NO tokenizer (MapInPandas), NO document scan anywhere; and
+    the delta read's offset predicate sits on the wire scan (prior
+    batches' payloads are pruned before decode)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.streaming_queries import s26_compose
+
+    man = spark.createDataFrame(
+        [(i, 10 + i, 1234 + i) for i in range(20)],
+        "doc_id bigint, n_tokens bigint, ids_digest bigint",
+    )
+    store = str(tmp_path / "man")
+    man.write.parquet(store)
+    man_p = spark.read.parquet(store)
+    alive = spark.createDataFrame(
+        [(i,) for i in range(0, 20, 2)], "doc_id bigint"
+    )
+    out = s26_compose(man_p, alive)
+    plan = formatted_plan(out)
+    assert "MapInPandas" not in plan, plan  # no tokenizer
+    assert "text" not in re.findall(r"ReadSchema: \S+", plan).__str__(), plan
+    assert "documents.parquet" not in plan, plan
+    # semantic spot-check: only alive keys contribute
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == 10
+
+    # the delta consume prunes old offsets BEFORE the compaction window +
+    # decode: the filter must reference offset and the per-partition map
+    from hiveka_spark.sources.kafka_io import KafkaTableConfig, write_kafka
+    from hiveka_spark.sources.kafka_sim import SimBroker
+    from hiveka_spark.streaming.curation import curated_topic_config, read_compacted
+
+    broker = SimBroker(str(tmp_path / "broker"))
+    cfg = curated_topic_config("sim://test", "t26", with_text=True)
+    broker.create_topic("t26", partitions=2)
+    rows = spark.createDataFrame(
+        [(i, f"text {i}", "en", 7) for i in range(8)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    write_kafka(rows, cfg, "t26", key_col="doc_id", broker=broker)
+    full = read_compacted(spark, cfg, broker=broker, payload_cols=("text",))
+    hwm = {
+        int(r["partition"]): int(r["hi"]) + 1
+        for r in __import__("hiveka_spark.sources.kafka_io", fromlist=["read_kafka_batch"])
+        .read_kafka_batch(spark, cfg, broker=broker)
+        .groupBy("partition").agg(F.max("offset").alias("hi")).collect()
+    }
+    assert full.count() == 8
+    # nothing new past the watermark -> empty delta
+    assert read_compacted(
+        spark, cfg, broker=broker, payload_cols=("text",), start_offsets=hwm
+    ).count() == 0
+    # append two more keys + a tombstone-shaped overwrite, delta sees ONLY them
+    more = spark.createDataFrame(
+        [(100, "new a", "en", 5), (101, "new b", "en", 5), (3, "text 3", "en", 7)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    write_kafka(more, cfg, "t26", key_col="doc_id", broker=broker)
+    delta = read_compacted(
+        spark, cfg, broker=broker, payload_cols=("text",), start_offsets=hwm
+    )
+    got = {r["doc_id"] for r in delta.collect()}
+    assert got == {100, 101, 3}, got
