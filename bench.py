@@ -131,6 +131,8 @@ HEADLINE = [
     "x95_incremental_token_export",
     # round-13 additions (floors established from r13 on):
     "s26_live_incremental_tokens",
+    "x96_substring_dup_spans",
+    "x97_substring_dedup_rewrite",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

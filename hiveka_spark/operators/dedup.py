@@ -1017,3 +1017,186 @@ def shingle_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): REPEATED SPANS, not whole-document dups —
+# the dedup family's missing granularity (boilerplate paragraphs, license
+# headers, quoted chunks repeat across otherwise-distinct documents).  The
+# reference implementation builds a corpus-wide suffix array on one big
+# machine; the Spark-native equivalent is the length-L word-window form: a
+# span is duplicated iff some L-word window inside it occurs >= 2 times
+# anywhere in the corpus.  That is one explode (bounded Lx row blowup, the
+# honest cost), one map-side-combinable hash count, one equi-join back, and
+# a per-doc gaps-and-islands merge — every stage shuffles on a key, nothing
+# is all-pairs, and window hashes are 60-bit portable so the whole chain
+# carries a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _window_occurrences(
+    docs: DataFrame, text_col: str, id_col: str, min_len: int
+) -> tuple[DataFrame, DataFrame]:
+    """((doc, n_words), (doc, pos0, h)): every length-``min_len`` word
+    window's 0-based start position and portable hash.  Tokenization is the
+    family's normalized tokens(); the two-step projection keeps the HOF off
+    re-tokenization (see _shingle_sets)."""
+    from hiveka_spark.operators.text import tokens
+
+    L = min_len
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
+    )
+    # greatest(-1, 0): F.size(NULL) is -1 under non-ANSI Spark — NULL-text
+    # docs must report 0 words (row parity with the oracle's COALESCE)
+    toks = toks.select(
+        "doc", "ws",
+        F.greatest(F.size("ws"), F.lit(0)).cast("bigint").alias("n_words"),
+    )
+    ws = F.col("ws")
+    starts = F.when(
+        F.size(ws) >= L, F.sequence(F.lit(1), F.size(ws) - L + 1)
+    ).otherwise(F.array().cast("array<int>"))  # sequence() counts DOWN past the end
+    occ = toks.select(
+        "doc",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    (i - 1).cast("bigint").alias("pos0"),
+                    portable_hash60(F.array_join(F.slice(ws, i, L), " ")).alias("h"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc", F.col("o.pos0").alias("pos0"), F.col("o.h").alias("h"))
+    return toks.select("doc", "n_words"), occ
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """Per-doc MAXIMAL duplicated spans: merge overlapping duplicated
+    windows (gaps-and-islands: a window starting at or before the running
+    span end extends it; a window starting exactly one past the end is a
+    new span — identical rule in the SQL oracle) and report, per document,
+    ``n_words``, ``n_dup_spans``, ``dup_words`` (positions covered by any
+    duplicated window), and ``dup_frac_q`` (floor-quantized 1e-4).  Every
+    document comes back (LEFT join row parity; NULL/short text -> zeros).
+
+    Scale shape: occurrence explode is Lx the word count (map-only); the
+    duplicate test is ONE hash-keyed count aggregate (map-side combinable —
+    at 100 TB this is the shuffle, and it carries 16-byte rows, not text);
+    the island merge runs per doc (window over the doc's duplicated starts
+    only).  Nothing is all-pairs; memory per task is bounded by the
+    longest single document.  Gate x96."""
+    from pyspark.sql import Window
+
+    L = min_len
+    sizes, occ = _window_occurrences(docs, text_col, id_col, L)
+    dup_h = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    starts = occ.join(dup_h.select("h"), "h").select("doc", "pos0")
+    w = Window.partitionBy("doc").orderBy("pos0")
+    prev_end = F.max(F.col("pos0") + L - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = starts.withColumn(
+        "new_isl",
+        F.when(F.col("pos0") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn("isl", F.sum("new_isl").over(w))
+    spans = isl.groupBy("doc", "isl").agg(
+        F.min("pos0").alias("s"),
+        F.max(F.col("pos0") + L - 1).alias("e"),
+    )
+    per_doc = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_words"),
+    )
+    return sizes.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_words",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce("dup_words", F.lit(0)).cast("bigint").alias("dup_words"),
+        (
+            F.floor(
+                F.coalesce("dup_words", F.lit(0))
+                * 10000.0
+                / F.greatest("n_words", F.lit(1))
+            )
+        ).cast("bigint").alias("dup_frac_q"),
+    )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """Keep-first substring REMOVAL (the Lee et al. rewrite): for every
+    duplicated window hash the GLOBAL first occurrence — argmin (doc, pos0)
+    under the portable total order — is kept; every word position covered
+    by any NON-first occurrence is removed, in the first-occurrence's own
+    document too (later self-repeats are duplicates).  Emits per doc:
+    ``n_words``, ``kept_words``, ``removed_words``, and ``clean_md5`` (md5
+    of the kept words joined by single spaces — the certified rewrite
+    artifact; empty docs hash the empty string).
+
+    Scale shape adds to :func:`substring_dup_spans`: the argmin is the same
+    hash-keyed aggregate carrying a (doc, pos0) struct; coverage is an
+    explode of L positions per non-first occurrence, distinct-ed per doc
+    (never corpus-wide); the rewrite is one per-doc ordered fold over kept
+    word rows (the x82 reassembly shape).  Gate x97."""
+    from pyspark.sql import Window  # noqa: F401  (parity with spans op)
+
+    L = min_len
+    sizes, occ = _window_occurrences(docs, text_col, id_col, L)
+    agg = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc", "pos0")).alias("first"),
+    ).filter(F.col("cnt") >= 2)
+    nonfirst = (
+        occ.join(agg, "h")
+        .filter(
+            ~((F.col("doc") == F.col("first.doc")) & (F.col("pos0") == F.col("first.pos0")))
+        )
+        .select("doc", "pos0")
+    )
+    covered = nonfirst.select(
+        "doc",
+        F.explode(F.sequence(F.col("pos0"), F.col("pos0") + L - 1)).alias("wpos"),
+    ).distinct()
+    from hiveka_spark.operators.text import tokens
+
+    words = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
+    ).select("doc", F.posexplode("ws").alias("wpos", "w"))
+    kept = words.join(covered, ["doc", "wpos"], "left_anti")
+    per = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    # LEFT join from the per-doc size frame: a doc whose words are ALL
+    # removed (fully duplicated, non-first) still comes back, as does a
+    # NULL/empty doc — both with kept_words 0 and md5('')
+    return sizes.join(per, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_words",
+        F.coalesce("kept_words", F.lit(0)).cast("bigint").alias("kept_words"),
+        (F.col("n_words") - F.coalesce("kept_words", F.lit(0)))
+        .cast("bigint").alias("removed_words"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -1794,3 +1794,139 @@ def x92_audio_pcm16_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     media = synthesize_pcm16_media(d, "doc_id")
     return decode_audio_features(media)
+
+
+# ---------------------------------------------------------------------------
+# x96/x97 — exact SUBSTRING dedup (Lee et al. 2022): repeated spans, the
+# dedup granularity between exact-document (x01) and near-document (x02-x05)
+# ---------------------------------------------------------------------------
+
+_X96_L = 10  # minimum duplicated span length, in words (the paper's 50
+#              BPE-token threshold scaled to this corpus's short docs)
+
+
+def _x96_tok_occ_ctes(L: int = _X96_L) -> str:
+    """Shared CTE text: normalized tokens + every length-L word window's
+    (doc, 0-based start, portable hash) — the DuckDB twin of
+    operators/dedup.py::_window_occurrences."""
+    h = D.portable_hash60_sql(f"array_to_string(ws[i:i+{L - 1}], ' ')")
+    return f"""tok AS (SELECT doc_id,
+                   list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+            FROM documents),
+    occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos0, {h} AS h
+            FROM (SELECT doc_id, ws,
+                         UNNEST(range(1, GREATEST(LEN(ws) - {L} + 1, 0) + 1)) AS i
+                  FROM tok))"""
+
+
+def _x96_oracle(L: int = _X96_L) -> str:
+    return f"""
+    WITH {_x96_tok_occ_ctes(L)},
+    duph AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+    starts AS (SELECT doc_id, pos0 FROM occ WHERE h IN (SELECT h FROM duph)),
+    marked AS (
+      SELECT doc_id, pos0,
+             CASE WHEN pos0 > COALESCE(MAX(pos0 + {L} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos0
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM starts),
+    isl AS (SELECT doc_id, pos0,
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos0) AS isl
+            FROM marked),
+    spans AS (SELECT doc_id, isl, MIN(pos0) AS s, MAX(pos0 + {L} - 1) AS e
+              FROM isl GROUP BY doc_id, isl),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                  CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+           FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(LEN(t.ws), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(pd.dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(FLOOR(COALESCE(pd.dup_words, 0) * 10000.0
+                      / GREATEST(COALESCE(LEN(t.ws), 0), 1)) AS BIGINT) AS dup_frac_q
+    FROM tok t LEFT JOIN pd USING (doc_id)
+    """
+
+
+@register(
+    "x96_substring_dup_spans",
+    oracle=_x96_oracle(),
+    tags=("dedup", "substring", "text", "training-prep", "scale"),
+)
+def x96_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the dedup family's
+    missing granularity: boilerplate paragraphs, license headers, and
+    quoted chunks repeat across otherwise-distinct documents, which
+    document-level dedup (x01-x05) cannot see.  The corpus's planted
+    near-dup clusters naturally share long word runs (~45 docs carry
+    length-10 repeated windows at gate scale), and each doc reports its
+    maximal duplicated spans (overlap-merged), duplicated word count, and
+    quantized duplicated fraction.
+
+    The reference implementation builds a corpus-wide suffix array on one
+    big machine; this is the Spark-native length-L window form: one
+    bounded Lx explode (map-only), ONE hash-keyed count aggregate
+    (map-side combinable, 16-byte rows — at 100 TB this is the only
+    corpus-sized shuffle and it never carries text), an equi-join back,
+    and a per-doc gaps-and-islands merge.  Nothing is all-pairs.  Window
+    hashes are the portable 60-bit md5 form, so the DuckDB oracle replays
+    the entire chain including the island merge."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.substring_dup_spans(d, "text", "doc_id", min_len=_X96_L)
+
+
+def _x97_oracle(L: int = _X96_L) -> str:
+    return f"""
+    WITH {_x96_tok_occ_ctes(L)},
+    occ2 AS (SELECT doc_id, pos0,
+                    COUNT(*) OVER (PARTITION BY h) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos0) AS rn
+             FROM occ),
+    nonfirst AS (SELECT doc_id, pos0 FROM occ2 WHERE cnt >= 2 AND rn > 1),
+    covered AS (SELECT DISTINCT doc_id, pos0 + j AS wpos
+                FROM (SELECT doc_id, pos0, UNNEST(range(0, {L})) AS j
+                      FROM nonfirst)),
+    words AS (SELECT doc_id, UNNEST(range(1, LEN(ws) + 1)) - 1 AS wpos,
+                     UNNEST(ws) AS w
+              FROM tok),
+    kept AS (SELECT w.doc_id, w.wpos, w.w FROM words w
+             WHERE NOT EXISTS (SELECT 1 FROM covered c
+                               WHERE c.doc_id = w.doc_id AND c.wpos = w.wpos)),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_words,
+                  md5(string_agg(w, ' ' ORDER BY wpos)) AS clean_md5
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(LEN(t.ws), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(pd.kept_words, 0) AS BIGINT) AS kept_words,
+           CAST(COALESCE(LEN(t.ws), 0) - COALESCE(pd.kept_words, 0) AS BIGINT)
+             AS removed_words,
+           COALESCE(pd.clean_md5, md5('')) AS clean_md5
+    FROM tok t LEFT JOIN pd USING (doc_id)
+    """
+
+
+@register(
+    "x97_substring_dedup_rewrite",
+    oracle=_x97_oracle(),
+    tags=("dedup", "substring", "text", "training-prep", "certification"),
+)
+def x97_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring REMOVAL — the rewrite half of Lee et al. 2022:
+    for every duplicated length-L window the GLOBAL first occurrence
+    (argmin (doc_id, pos0)) survives; every word position covered by a
+    non-first occurrence is removed, including later self-repeats inside
+    the first-occurrence's own document.  Emits per doc the kept/removed
+    word counts and the md5 of the rewritten text (kept words joined by
+    single spaces) — the certified artifact a training pipeline would
+    actually feed downstream, hash-pinned against a DuckDB replay of the
+    same argmin/coverage/reassembly chain.
+
+    Scale shape on top of x96: the argmin rides the same hash-keyed
+    aggregate (a 16-byte (doc, pos0) struct per window); coverage is an
+    Lx explode of NON-FIRST occurrences only, distinct-ed per doc; the
+    rewrite is one per-doc ordered fold over kept word rows (the x82
+    reassembly shape — memory bounded by the longest single document)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.substring_dedup_rewrite(d, "text", "doc_id", min_len=_X96_L)

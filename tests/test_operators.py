@@ -1240,3 +1240,56 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(RuntimeError, match="torn or corrupted"):
         load_tokenizer(spark, path)
+
+
+def test_substring_dedup_spans_and_rewrite(spark):
+    """Exact substring dedup (Lee et al. 2022) on a hand-computed fixture,
+    L=3: overlap-merged span extents, the self-repeat case (a doc made of
+    one repeated trigram collapses to its first period), keep-first
+    removal ordered by the global (doc, pos0) argmin, and row parity for
+    NULL and too-short docs."""
+    import hashlib
+
+    from hiveka_spark.operators.dedup import (
+        substring_dedup_rewrite,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x a b c d y"),
+            (2, "p q r p q r p q r"),
+            (3, "a b c z z"),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    spans = {
+        r["doc_id"]: (r["n_words"], r["n_dup_spans"], r["dup_words"], r["dup_frac_q"])
+        for r in substring_dup_spans(docs, min_len=3).collect()
+    }
+    assert spans == {
+        0: (6, 1, 4, 6666),   # windows at 0,1 merge -> span [0,3]
+        1: (6, 1, 4, 6666),   # windows at 1,2 merge -> span [1,4]
+        2: (9, 1, 9, 10000),  # every window duplicated -> whole doc
+        3: (5, 1, 3, 6000),   # 'a b c' 3rd occurrence
+        4: (0, 0, 0, 0),
+        5: (1, 0, 0, 0),
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    rw = {
+        r["doc_id"]: (r["n_words"], r["kept_words"], r["removed_words"], r["clean_md5"])
+        for r in substring_dedup_rewrite(docs, min_len=3).collect()
+    }
+    assert rw == {
+        0: (6, 6, 0, md5("a b c d e f")),  # holds every first occurrence
+        1: (6, 2, 4, md5("x y")),
+        2: (9, 3, 6, md5("p q r")),        # self-repeats removed past period 1
+        3: (5, 2, 3, md5("z z")),
+        4: (0, 0, 0, md5("")),
+        5: (1, 1, 0, md5("short")),
+    }
