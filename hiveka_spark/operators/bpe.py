@@ -595,6 +595,39 @@ def _check_fallback_vocab(vocab: dict[str, int], byte_fallback: bool) -> None:
         )
 
 
+def _make_unit_ids(rk, vc, bf: bool, raw: bool, unk: int):
+    """Per-task memoized unit -> token-id encoder shared by
+    :func:`bpe_encode` and :func:`bpe_encode_ids` (ONE definition — the
+    x91 losslessness contract depends on the digest path and the ids path
+    encoding identically, so the logic must not fork).  OOV symbols are
+    single characters by construction (every merge's product is in the
+    vocabulary); with ``bf`` they fall back to UTF-8 bytes — in raw mode
+    an OOV '▁' SYMBOL stands for the space the per-unit marking produced
+    (literal markers never reach here; :func:`_raw_unit_ids` routes
+    them), so it falls back to the byte of the space it stands for and
+    decode restores it."""
+    memo: dict[str, tuple[int, ...]] = {}
+
+    def unit_ids(u: str) -> tuple[int, ...]:
+        ids = memo.get(u)
+        if ids is None:
+            out: list[int] = []
+            for s in _merge_unit(list(u), rk):
+                i = vc.get(s)
+                if i is not None:
+                    out.append(i)
+                elif bf:
+                    out.extend(
+                        (" " if raw and s == _SP_MARKER else s).encode("utf-8")
+                    )
+                else:
+                    out.append(unk)
+            ids = memo[u] = tuple(out)
+        return ids
+
+    return unit_ids
+
+
 def _raw_unit_ids(u: str, unit_ids, bf: bool):
     """Token ids for ONE raw pre-tokenizer unit (byte-exact mode): a pure
     literal-marker run — the only unit shape that can contain '▁', by the
@@ -691,29 +724,7 @@ def bpe_encode(
     def run(batches):
         rk, vc = bc.value
         unk = len(vc) + (_BYTE_BASE if bf else 0)
-        memo: dict[str, tuple[int, ...]] = {}
-
-        def unit_ids(u: str) -> tuple[int, ...]:
-            ids = memo.get(u)
-            if ids is None:
-                out: list[int] = []
-                for s in _merge_unit(list(u), rk):
-                    i = vc.get(s)
-                    if i is not None:
-                        out.append(i)
-                    elif bf:
-                        # raw mode: an OOV '▁' SYMBOL stands for a space the
-                        # per-unit marking produced (literal markers never
-                        # reach the vocab path — _raw_unit_ids routes them),
-                        # so fall back to the byte of the character it
-                        # stands for; decode then restores the space
-                        out.extend(
-                            (" " if raw and s == _SP_MARKER else s).encode("utf-8")
-                        )
-                    else:
-                        out.append(unk)
-                ids = memo[u] = tuple(out)
-            return ids
+        unit_ids = _make_unit_ids(rk, vc, bf, raw, unk)
 
         for pdf in batches:
             out = []
@@ -803,29 +814,7 @@ def bpe_encode_ids(
     def run(batches):
         rk, vc = bc.value
         unk = len(vc) + (_BYTE_BASE if bf else 0)
-        memo: dict[str, tuple[int, ...]] = {}
-
-        def unit_ids(u: str) -> tuple[int, ...]:
-            ids = memo.get(u)
-            if ids is None:
-                out: list[int] = []
-                for s in _merge_unit(list(u), rk):
-                    i = vc.get(s)
-                    if i is not None:
-                        out.append(i)
-                    elif bf:
-                        # raw mode: an OOV '▁' SYMBOL stands for a space the
-                        # per-unit marking produced (literal markers never
-                        # reach the vocab path — _raw_unit_ids routes them),
-                        # so fall back to the byte of the character it
-                        # stands for; decode then restores the space
-                        out.extend(
-                            (" " if raw and s == _SP_MARKER else s).encode("utf-8")
-                        )
-                    else:
-                        out.append(unk)
-                ids = memo[u] = tuple(out)
-            return ids
+        unit_ids = _make_unit_ids(rk, vc, bf, raw, unk)
 
         for pdf in batches:
             seqs: list[list[int]] = []
@@ -959,6 +948,12 @@ def bpe_decode_ids(
 #: 'byte_exact' = the x91 marker mode (case/whitespace preserved)
 _NORM_MODES = ("normalized", "normalized_words", "byte_exact")
 
+#: ship-artifact layout/token-scheme version: bumped when the persisted
+#: schema or the content-token encoding changes (2 = length-prefixed token
+#: fields + format column; 1 = the round-11/12 separator-concat scheme,
+#: which carried no format column)
+_ARTIFACT_FORMAT = 2
+
 
 class TokenizerArtifact:
     """A loaded tokenizer ship artifact: the merge table, the vocabulary,
@@ -1049,7 +1044,10 @@ def _artifact_token(
     tokens come from corpus text and can contain any character, so a
     separator-based concatenation could make two different (merges, vocab)
     pairs hash identically; the length prefix makes the byte stream an
-    unambiguous encoding of the field sequence."""
+    unambiguous encoding of the field sequence.  The format version is
+    hashed in AND persisted in meta, so an artifact written under an
+    older token scheme fails load with a FORMAT error, never a
+    misleading 'torn or corrupted' one."""
     import hashlib
 
     h = hashlib.sha256()
@@ -1059,6 +1057,7 @@ def _artifact_token(
         h.update(len(b).to_bytes(4, "big"))
         h.update(b)
 
+    field(str(_ARTIFACT_FORMAT))
     field(norm_mode)
     field(str(byte_fallback))
     h.update(len(merges).to_bytes(4, "big"))
@@ -1095,8 +1094,9 @@ def save_tokenizer(
     _check_fallback_vocab(vocab, byte_fallback)
     token = _artifact_token(merges, vocab, norm_mode, byte_fallback)
     spark.createDataFrame(
-        [(norm_mode, byte_fallback, token)],
-        "norm_mode string, byte_fallback boolean, content_token string",
+        [(norm_mode, byte_fallback, token, _ARTIFACT_FORMAT)],
+        "norm_mode string, byte_fallback boolean, content_token string, "
+        "format int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
@@ -1118,6 +1118,14 @@ def load_tokenizer(spark, path: str) -> TokenizerArtifact:
     equal BOTH the meta row's and the commit marker's.  Bounded collects
     only (merge rows + vocabulary rows + two one-row tables)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    fmt = meta["format"] if "format" in meta.__fields__ else 1
+    if fmt != _ARTIFACT_FORMAT:
+        raise RuntimeError(
+            f"tokenizer artifact at {path} has format version {fmt}; this "
+            f"build reads format {_ARTIFACT_FORMAT} — re-save it with this "
+            "build's save_tokenizer (the content-token scheme changed, so "
+            "the torn-save check cannot validate cross-format artifacts)"
+        )
     merges = [
         (r["lhs"], r["rhs"])
         for r in spark.read.parquet(f"{path}/merges").orderBy("merge_rank").collect()

@@ -1152,8 +1152,6 @@ def substring_dedup_rewrite(
     explode of L positions per non-first occurrence, distinct-ed per doc
     (never corpus-wide); the rewrite is one per-doc ordered fold over kept
     word rows (the x82 reassembly shape).  Gate x97."""
-    from pyspark.sql import Window  # noqa: F401  (parity with spans op)
-
     L = min_len
     sizes, occ = _window_occurrences(docs, text_col, id_col, L)
     agg = occ.groupBy("h").agg(

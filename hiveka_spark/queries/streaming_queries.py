@@ -1656,7 +1656,10 @@ def s25_live_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s26_compose(man: DataFrame, alive: DataFrame) -> DataFrame:
     """The LAZY manifest-composition plan — persisted per-batch doc
-    manifests LEFT SEMI joined to the topic's live key set (a key
+    manifests reduced to the LATEST batch per key (min(struct) argmax
+    carrier on the ``batch`` column: a key re-upserted with different
+    payload in a later refresh takes its re-tokenized manifest row, never
+    a stale one), LEFT SEMI joined to the topic's live key set (a key
     tombstoned AFTER it was manifested drops out here, at manifest level —
     no text, no tokenizer), then x71 hash shards + the affine digest
     composition.  Exposed separately from the gate so tests can pin the
@@ -1664,7 +1667,14 @@ def s26_compose(man: DataFrame, alive: DataFrame) -> DataFrame:
     (tests/test_plans.py)."""
     from hiveka_spark.operators.sampling import composed_order_digest, epoch_shards
 
-    live = man.join(alive, "doc_id", "leftsemi")
+    latest = man.groupBy("doc_id").agg(
+        F.max(F.struct("batch", "n_tokens", "ids_digest")).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.ids_digest").alias("ids_digest"),
+    )
+    live = latest.join(alive, "doc_id", "leftsemi")
     staged = epoch_shards(
         live, "doc_id", "tokc26_", 8, keep_cols=("n_tokens", "ids_digest")
     )
@@ -1712,10 +1722,12 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. The refresh consumes the topic's NEW OFFSETS ONLY
        (``read_compacted(start_offsets=...)`` — the A8 offset-resume
        contract as a batch delta read; prior batches' payloads are pruned
-       at the scan), anti-joins already-manifested keys, tokenizes just
-       those docs, and persists the delta manifest.
-    4. The current shard manifest composes from PERSISTED manifests LEFT
-       SEMI the live key set — tombstoned keys die at manifest level; no
+       at the scan), tokenizes exactly the delta's upserts, and persists
+       the batch-stamped delta manifest (re-upserted keys re-manifest, so
+       a payload overwrite can never serve a stale row).
+    4. The current shard manifest composes from PERSISTED manifests —
+       latest batch per key, LEFT SEMI the live key set — so payload
+       overwrites AND tombstones both resolve at manifest level; no
        text column, no tokenizer anywhere in the plan (both
        plan-asserted in tests/test_plans.py on :func:`s26_compose`).
 
@@ -1820,7 +1832,9 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x95_doc_manifest(
         snap1.select("doc_id", "text"), merges, vocab
-    ).write.mode("overwrite").parquet(f"{store}/b=1")
+    ).withColumn("batch", F.lit(1)).write.mode("overwrite").parquet(
+        f"{store}/b=1"
+    )
     # per-partition next-unconsumed offset — the A8 resume watermark
     hwm = {
         int(r["partition"]): int(r["hi"]) + 1
@@ -1831,22 +1845,25 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- refresh 2: drop 2 arrives, stream resumes, DELTA-only tokenize
     write_kafka(raw.filter(drop2), cfg_in, raw_topic, key_col="doc_id", broker=broker)
     run_stream()
+    # EVERY delta upsert re-manifests (not just unseen keys): compaction
+    # permits a later refresh to overwrite a key's payload, and the compose
+    # takes the latest batch per key, so a re-upserted doc can never serve
+    # a stale manifest row.  Still delta-sized — the cost is the refresh's
+    # upserts, never the corpus.
     delta = read_compacted(
         spark, cfg_out, broker=broker,
         payload_cols=("text", "lang", "n_chars"), start_offsets=hwm,
-    )
-    known = spark.read.parquet(f"{store}/b=1").select("doc_id")
-    new_docs = delta.join(known, "doc_id", "left_anti").select("doc_id", "text")
-    x95_doc_manifest(new_docs, merges, vocab).write.mode("overwrite").parquet(
-        f"{store}/b=2"
-    )
+    ).select("doc_id", "text")
+    x95_doc_manifest(delta, merges, vocab).withColumn(
+        "batch", F.lit(2)
+    ).write.mode("overwrite").parquet(f"{store}/b=2")
 
     # ---- compose: persisted manifests × live keys, nothing else
     alive = read_compacted(spark, cfg_out, broker=broker, payload_cols=()).select(
         "doc_id"
     )
     man = spark.read.parquet(f"{store}/b=1", f"{store}/b=2").select(
-        "doc_id", "n_tokens", "ids_digest"
+        "doc_id", "batch", "n_tokens", "ids_digest"
     )
     out = s26_compose(man, alive).localCheckpoint(eager=True)
     shutil.rmtree(store, ignore_errors=True)

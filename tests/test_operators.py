@@ -1233,12 +1233,25 @@ def test_tokenizer_artifact_save_load_mode_dispatch(spark, tmp_path):
     # torn-save guard: new meta written but the commit marker (written
     # LAST) still carries the previous save's token -> loud error, never a
     # stale contract applied to new tables
+    from hiveka_spark.operators.bpe import _ARTIFACT_FORMAT
+
     path = str(tmp_path / "normalized_words")
     spark.createDataFrame(
-        [("normalized", True, "stale")],
-        "norm_mode string, byte_fallback boolean, content_token string",
+        [("normalized", True, "stale", _ARTIFACT_FORMAT)],
+        "norm_mode string, byte_fallback boolean, content_token string, "
+        "format int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(RuntimeError, match="torn or corrupted"):
+        load_tokenizer(spark, path)
+
+    # format guard: an artifact saved under the OLD token scheme (no
+    # format column, or an older version) fails with a FORMAT error, not
+    # a misleading corruption one
+    spark.createDataFrame(
+        [("normalized", True, "whatever")],
+        "norm_mode string, byte_fallback boolean, content_token string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(RuntimeError, match="format version 1"):
         load_tokenizer(spark, path)
 
 

@@ -709,8 +709,12 @@ def test_s26_compose_never_rereads_or_retokenizes(spark, tmp_path):
     from hiveka_spark.queries.streaming_queries import s26_compose
 
     man = spark.createDataFrame(
-        [(i, 10 + i, 1234 + i) for i in range(20)],
-        "doc_id bigint, n_tokens bigint, ids_digest bigint",
+        # batch 1 manifests every key; batch 2 RE-manifests keys 0 and 2
+        # (a compaction payload overwrite) — the compose must take the
+        # latest batch per key, never a stale row
+        [(i, 1, 10 + i, 1234 + i) for i in range(20)]
+        + [(0, 2, 100, 9999), (2, 2, 100, 8888)],
+        "doc_id bigint, batch int, n_tokens bigint, ids_digest bigint",
     )
     store = str(tmp_path / "man")
     man.write.parquet(store)
@@ -723,8 +727,11 @@ def test_s26_compose_never_rereads_or_retokenizes(spark, tmp_path):
     assert "MapInPandas" not in plan, plan  # no tokenizer
     assert "text" not in re.findall(r"ReadSchema: \S+", plan).__str__(), plan
     assert "documents.parquet" not in plan, plan
-    # semantic spot-check: only alive keys contribute
-    assert out.agg(F.sum("n_docs")).collect()[0][0] == 10
+    # semantic spot-check: only alive keys contribute, and the re-upserted
+    # keys carry their BATCH-2 token counts (100 each), not the stale ones
+    agg = out.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+    assert agg[0] == 10
+    assert agg[1] == 200 + sum(10 + i for i in range(4, 20, 2)), agg[1]
 
     # the delta consume prunes old offsets BEFORE the compaction window +
     # decode: the filter must reference offset and the per-partition map

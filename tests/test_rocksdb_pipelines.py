@@ -31,14 +31,18 @@ from .conftest import SF_SMOKE
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
-#: the real stateful pipelines (registry names); everything else in the
-#: streaming surface is stateless per micro-batch or covered transitively
+#: the real stateful pipelines (registry names) and whether their state
+#: lives in the streaming CHECKPOINT (writeStream stateful operators — the
+#: provider-format assertion is REQUIRED there) or in operator-owned
+#: parquet stores (foreachBatch band indexes — provider-independent by
+#: design, so no checkpoint state files exist to inspect).  Everything
+#: else in the streaming surface is stateless per micro-batch.
 GATES = [
-    "s07_stateful_funnel",
-    "s08_stateful_running_stats",
-    "s11_transform_with_state",
-    "s19_stream_minhash_dedup",
-    "s23_stream_curation_e2e",
+    ("s07_stateful_funnel", True),
+    ("s08_stateful_running_stats", True),
+    ("s11_transform_with_state", True),
+    ("s19_stream_minhash_dedup", False),
+    ("s23_stream_curation_e2e", False),
 ]
 
 
@@ -59,8 +63,8 @@ def _ckpt_state_files(since: set[str]) -> set[str]:
     return out
 
 
-@pytest.mark.parametrize("gate", GATES)
-def test_pipeline_provider_agnostic(spark, gate):
+@pytest.mark.parametrize("gate,ckpt_state", GATES)
+def test_pipeline_provider_agnostic(spark, gate, ckpt_state):
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -84,11 +88,23 @@ def test_pipeline_provider_agnostic(spark, gate):
             f"{gate}: provider changed the answer — "
             f"missing={set(control) - set(rocks)} extra={set(rocks) - set(control)}"
         )
-        if files:  # gates with writeStream state (foreachBatch-only gates
-            # keep their state in operator dirs, not the checkpoint)
+        if ckpt_state:
+            # writeStream stateful gate: state files MUST exist (an empty
+            # set means the ckpt_* discovery broke — fail, don't skip) and
+            # MUST be RocksDB-format
+            assert files, (
+                f"{gate}: no checkpoint state files found under "
+                f"{tempfile.gettempdir()}/ckpt_* — the scratch-dir layout "
+                "assumption broke; the provider-format check would be vacuous"
+            )
             assert any(
                 f.endswith((".sst", ".zip", ".changelog")) for f in files
             ), files
+            assert not any(f.endswith(".delta") for f in files), files
+        else:
+            # foreachBatch gate: state lives in operator-owned parquet
+            # stores; any checkpoint state files that DO appear must still
+            # be RocksDB-format
             assert not any(f.endswith(".delta") for f in files), files
     finally:
         for k in state_store_conf("rocksdb"):
