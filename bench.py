@@ -133,6 +133,7 @@ HEADLINE = [
     "s26_live_incremental_tokens",
     "x96_substring_dup_spans",
     "x97_substring_dedup_rewrite",
+    "x98_bpe_vocab_extension",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -255,7 +255,9 @@ def bpe_train(
 
 
 def _train_python(
-    wf: list[tuple[str, int]], n_merges: int
+    wf: list[tuple[str, int]],
+    n_merges: int,
+    base_merges: list[tuple[str, str]] | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Driver-local BPE merge loop with INCREMENTAL pair counts — the
     classic fast trainer (pair->words occurrence index + lazy max-heap),
@@ -264,12 +266,26 @@ def _train_python(
     Semantics are bit-identical to the distributed loop: argmax over
     (count DESC, lhs ASC, rhs ASC), greedy leftmost application (the
     left-to-right scan IS the even-offset-within-run rule for aa pairs).
-    """
+
+    ``base_merges`` (vocabulary EXTENSION, gate x98): training CONTINUES
+    from a frozen base table — each word's symbol state starts at the
+    base tokenizer's apply output (:func:`_merge_unit`, rank order)
+    instead of characters, and the returned ranks are 1..n_merges
+    RELATIVE to the base (callers offset by len(base_merges)).  On the
+    same word table this is exactly equivalent to training
+    len(base)+n_merges at once (property-pinned in tests): the
+    incremental pair counts ARE the loop state."""
     import heapq
     from collections import defaultdict
 
     freq = dict(wf)
-    vocab: dict[str, list[str]] = {w: list(w) for w, _ in wf}
+    if base_merges:
+        base_rank = {(a, b): i for i, (a, b) in enumerate(base_merges)}
+        vocab: dict[str, list[str]] = {
+            w: _merge_unit(list(w), base_rank) for w, _ in wf
+        }
+    else:
+        vocab = {w: list(w) for w, _ in wf}
     pair_counts: dict[tuple[str, str], int] = defaultdict(int)
     occ: dict[tuple[str, str], set[str]] = defaultdict(set)
     for w, syms in vocab.items():
@@ -378,6 +394,50 @@ def bpe_train_capped(
     merges = _train_python(rows, n_merges)
     return docs.sparkSession.createDataFrame(
         merges,
+        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def bpe_train_continue(
+    docs: DataFrame,
+    base_merges: list[tuple[str, str]],
+    text_col: str = "text",
+    n_more: int = 64,
+    max_words: int = 400,
+    units: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """VOCABULARY EXTENSION — continued BPE training (gate x98): the
+    production alternative to x95's frozen-unk posture when a new corpus
+    version drifts (a domain drop full of code, a new language).  The
+    base merge table stays FROZEN and new merges append after it, so
+    every existing token id is stable — a checkpointed model extends its
+    embedding matrix instead of retraining, and previously tokenized
+    data stays valid.
+
+    Same scale shape as :func:`bpe_train_capped` over the NEW version
+    only: one corpus pass to its capped unit-frequency table, then the
+    driver-local incremental loop — seeded from the base tokenizer's
+    APPLY output per unit (``_train_python(base_merges=...)``), which is
+    both the correct continuation state and exactly what the DuckDB
+    oracle replays (base training recursion -> rank-joined apply over
+    the new version's units -> seeded training recursion).  Returned
+    ``merge_rank`` continues after the base (len(base)+1 ...)."""
+    if not normalize and units:
+        raise ValueError(
+            "units=True is the normalized-mode pair joiner; byte-exact "
+            "(normalize=False) training uses sp_units — pass units=False"
+        )
+    if not normalize:
+        wf = sp_unit_freq(docs, text_col)
+    else:
+        wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
+    capped = wf.orderBy(F.desc("freq"), "w").limit(max_words)
+    rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
+    merges = _train_python(rows, n_more, base_merges=base_merges)
+    off = len(base_merges)
+    return docs.sparkSession.createDataFrame(
+        [(r + off, a, b, m, c) for (r, a, b, m, c) in merges],
         "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     )
 

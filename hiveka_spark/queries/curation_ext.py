@@ -2388,18 +2388,29 @@ def _bpe_train_ctes(
         FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
               FROM {train_src})
         WHERE LEN(toks) > 0)"""
+    base_rows = """(SELECT w, freq,
+                   UNNEST(range(1, LEN(string_split(w, '')) + 1)) AS pos,
+                   UNNEST(string_split(w, '')) AS s
+            FROM uf)"""
     return f"""uf AS MATERIALIZED (
       SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM {units_src}
       GROUP BY u ORDER BY freq DESC, w LIMIT {max_words}),
-    r AS (
+    {_bpe_train_rec("r", base_rows, n_merges)}"""
+
+
+def _bpe_train_rec(name: str, base_rows: str, n_merges: int) -> str:
+    """The training RECURSION alone, name-parameterized so a query can run
+    it twice (x98 vocabulary extension: a second recursion continues
+    training from a base-merges-applied symbol state).  ``base_rows`` is
+    any source of (w, freq, pos, s) rows — the it=0 symbol state; the
+    step is the argmax-train-apply recipe, byte-identical to the original
+    inline text (x76's certified machinery)."""
+    return f"""{name} AS (
       SELECT CAST(0 AS BIGINT) AS it, w, freq,
              CAST(pos AS BIGINT) AS pos, s,
              CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
              CAST(NULL AS BIGINT) AS c
-      FROM (SELECT w, freq,
-                   UNNEST(range(1, LEN(string_split(w, '')) + 1)) AS pos,
-                   UNNEST(string_split(w, '')) AS s
-            FROM uf)
+      FROM {base_rows}
       UNION ALL
       SELECT it, w, freq,
              ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
@@ -2427,7 +2438,7 @@ def _bpe_train_ctes(
                               OVER (PARTITION BY s, nxt) AS pc
                   FROM (SELECT it, w, freq, pos, s,
                                LEAD(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
-                        FROM r WHERE it < {n_merges})
+                        FROM {name} WHERE it < {n_merges})
                 ) q0 WINDOW win AS (ORDER BY (nxt IS NULL) ASC, pc DESC, s ASC, nxt ASC)
               ) q1 WHERE b IS NOT NULL
             ) q2
@@ -4562,3 +4573,122 @@ def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x98 — VOCABULARY EXTENSION: continued BPE training across corpus versions
+# (base merges frozen, new merges appended — token ids stay stable)
+# ---------------------------------------------------------------------------
+
+_X98_MORE = 64  # merges appended on top of the 256-merge v1 base
+
+
+def _x98_oracle(
+    n_base: int = _X76_MERGES,
+    n_more: int = _X98_MORE,
+    max_words: int = _X76_MAX_WORDS,
+) -> str:
+    """Three chained recursions, all from the shared builders: (1) the v1
+    base training recursion (``_bpe_train_ctes`` with the train_src seam —
+    x95's frozen-base posture); (2) a freq-carrying APPLY recursion that
+    replays the base merges rank-by-rank over the NEW version's capped
+    unit table (the continuation's it=0 symbol state — exactly what
+    ``_train_python(base_merges=...)`` seeds from); (3) the training
+    recursion AGAIN (``_bpe_train_rec``, name-parameterized) seeded from
+    (2)'s final state for ``n_more`` argmax steps.  A row match therefore
+    certifies every appended merge: the pair chosen, its count over the
+    new version, and the order."""
+    v2_units = f"""(
+        SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
+                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
+                                ELSE toks[2*i+1] END)) AS u
+        FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+              FROM documents WHERE ({_X95_V2_PRED}))
+        WHERE LEN(toks) > 0)"""
+    seeded = f"(SELECT w, freq, pos, s FROM apf WHERE it = {n_base})"
+    return f"""
+    WITH RECURSIVE {_bpe_train_ctes(n_base, max_words,
+                                    train_src=f"(SELECT * FROM documents WHERE NOT ({_X95_V2_PRED}))")},
+    merges AS MATERIALIZED (
+      SELECT it AS merge_rank, MIN(a) AS a, MIN(b) AS b
+      FROM r WHERE it >= 1 GROUP BY it),
+    uf2 AS MATERIALIZED (
+      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM {v2_units}
+      GROUP BY u ORDER BY freq DESC, w LIMIT {max_words}),
+    apf AS (
+      SELECT CAST(0 AS BIGINT) AS it, w, freq, CAST(pos AS BIGINT) AS pos, s
+      FROM (SELECT w, freq,
+                   UNNEST(range(1, LEN(string_split(w, '')) + 1)) AS pos,
+                   UNNEST(string_split(w, '')) AS s
+            FROM uf2)
+      UNION ALL
+      SELECT it, w, freq,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN is_left THEN a || b ELSE s END AS s
+      FROM (
+        SELECT *, COALESCE(LAG(is_left) OVER (PARTITION BY w ORDER BY pos), FALSE)
+                    AS consumed
+        FROM (
+          SELECT *, CASE WHEN a = b
+                         THEN COALESCE(isa = 1 AND nxt = a
+                               AND (ROW_NUMBER() OVER (PARTITION BY w, isa, grp
+                                                       ORDER BY pos) - 1) % 2 = 0, FALSE)
+                         ELSE COALESCE(s = a AND nxt = b, FALSE) END AS is_left
+          FROM (
+            SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY w, isa ORDER BY pos) AS grp
+            FROM (
+              SELECT *, CASE WHEN s = a THEN 1 ELSE 0 END AS isa
+              FROM (
+                SELECT p.it + 1 AS it, p.w, p.freq, p.pos, p.s,
+                       LEAD(p.s) OVER (PARTITION BY p.w ORDER BY p.pos) AS nxt,
+                       m.a, m.b
+                FROM apf p JOIN merges m ON m.merge_rank = p.it + 1
+              ) q0
+            ) q1
+          ) q2
+        ) q3
+      ) q4 WHERE NOT consumed
+    ),
+    {_bpe_train_rec("r2", seeded, n_more)}
+    SELECT it + {n_base} AS merge_rank, MIN(a) AS lhs, MIN(b) AS rhs,
+           MIN(a) || MIN(b) AS merged, CAST(MIN(c) AS BIGINT) AS pair_count
+    FROM r2 WHERE it >= 1 GROUP BY it ORDER BY merge_rank
+    """
+
+
+@register(
+    "x98_bpe_vocab_extension",
+    oracle=_x98_oracle(),
+    tags=("text", "tokenizer", "bpe", "incremental", "training-prep",
+          "scale"),
+)
+def x98_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continued BPE training across corpus versions — VOCABULARY
+    EXTENSION, the production alternative to x95's frozen-unk posture
+    when a new drop genuinely drifts (a code-heavy domain, a new
+    language): the v1 base merge table stays FROZEN (every existing
+    token id, and therefore every previously tokenized shard and every
+    checkpointed embedding row, stays valid) and ``n_more`` new merges
+    train on the NEW version only, appended after the base ranks.
+
+    Scale shape: the v2 pass is one corpus-sized reduction over the NEW
+    version only (filter-pushed — v1 text is never re-read, the x95
+    discipline at TRAIN time), the capped unit table bounds the driver
+    loop, and the continuation seeds from the base tokenizer's apply
+    output per unit — O(new-version) total, independent of the frozen
+    corpus.  The oracle replays base training, the rank-joined apply
+    over v2's units, and the seeded continuation recursion, certifying
+    every appended merge row-for-row; equivalence of continue-vs-train-
+    longer on a fixed corpus is property-pinned in tests."""
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_train_continue
+
+    d = table(spark, sf_dir, "documents")
+    v2_pred = F.expr(_X95_V2_PRED)
+    v1, v2 = d.filter(~v2_pred), d.filter(v2_pred)
+    base_mt = bpe_train_capped(
+        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    base = [(r["lhs"], r["rhs"]) for r in base_mt.collect()]  # bounded: n_base
+    return bpe_train_continue(
+        v2, base, "text", n_more=_X98_MORE, max_words=_X76_MAX_WORDS, units=True
+    )

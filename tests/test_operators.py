@@ -1306,3 +1306,23 @@ def test_substring_dedup_spans_and_rewrite(spark):
         4: (0, 0, 0, md5("")),
         5: (1, 1, 0, md5("short")),
     }
+
+
+def test_bpe_train_continue_equals_train_longer():
+    """Vocabulary extension's defining property: on a FIXED word table,
+    training B merges then continuing with N more (seeded from the base
+    apply state) is bit-identical to training B+N at once — the
+    incremental pair counts ARE the loop state.  Pure driver-local, runs
+    the real _train_python both ways."""
+    from hiveka_spark.operators.bpe import _train_python
+
+    wf = [
+        ("the_cat", 50), ("the_dog", 40), ("a_cat", 30), ("catalog", 20),
+        ("dogged", 15), ("aaaa", 12), ("the_the", 9), ("banana", 7),
+    ]
+    for B, N in ((4, 4), (8, 4), (1, 10), (0, 6)):
+        full = _train_python(wf, B + N)
+        base = _train_python(wf, B)
+        cont = _train_python(wf, N, base_merges=[(a, b) for _, a, b, _, _ in base])
+        stitched = base + [(r + B, a, b, m, c) for (r, a, b, m, c) in cont]
+        assert stitched == full, (B, N, stitched, full)
