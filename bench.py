@@ -134,6 +134,7 @@ HEADLINE = [
     "x96_substring_dup_spans",
     "x97_substring_dedup_rewrite",
     "x98_bpe_vocab_extension",
+    "x99_incremental_substring_dedup",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -1093,14 +1093,25 @@ def substring_dup_spans(
     the island merge runs per doc (window over the doc's duplicated starts
     only).  Nothing is all-pairs; memory per task is bounded by the
     longest single document.  Gate x96."""
-    from pyspark.sql import Window
-
     L = min_len
     sizes, occ = _window_occurrences(docs, text_col, id_col, L)
     dup_h = occ.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= 2
     )
     starts = occ.join(dup_h.select("h"), "h").select("doc", "pos0")
+    return _dup_span_stats(sizes, starts, L, id_col)
+
+
+def _dup_span_stats(
+    sizes: DataFrame, starts: DataFrame, L: int, id_col: str
+) -> DataFrame:
+    """Per-doc span stats from duplicated window STARTS — the
+    gaps-and-islands overlap merge + LEFT-join row parity tail shared by
+    :func:`substring_dup_spans` (one-shot, x96) and the incremental
+    :func:`~hiveka_spark.operators.incremental.substring_index_update`
+    (x99): the two differ only in HOW a window is judged duplicated."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc").orderBy("pos0")
     prev_end = F.max(F.col("pos0") + L - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -258,3 +258,88 @@ def minhash_index_update(
         .select("id_a", "id_b", "jaccard")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental SUBSTRING dedup (the x70 posture for the x96 window family):
+# a new corpus version's duplicated-span report against EVERYTHING ingested
+# so far, without ever re-reading old text — prior versions exist only as a
+# persisted (window-hash, count) store.
+# ---------------------------------------------------------------------------
+
+
+def substring_index_update(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_root: str,
+    version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """Ingest corpus ``version`` into the persisted window-count store and
+    return ITS docs' duplicated-span report — per doc (n_words,
+    n_dup_spans, dup_words, dup_frac_q), where a window is duplicated iff
+    its occurrence count across THIS version plus every prior committed
+    version is >= 2 (exactly the one-shot :func:`~hiveka_spark.operators.
+    dedup.substring_dup_spans` rule over the union — gate x99's oracle
+    pins the equality).  ``docs`` must contain only the new version's
+    documents.
+
+    The production question this answers at 100 TB: "how much of this
+    1 TB drop is copies of text we already hold?" — without re-reading,
+    re-tokenizing, or re-hashing the 100 TB (the store carries 16-byte
+    (hash, count) rows, no text column anywhere — the same structural
+    no-reprocess proof as the MinHash index above).
+
+    Scale shape per update: one window pass over the NEW docs only (Lx
+    map-only explode), one map-side-combinable count aggregate persisted
+    as this version's store segment, one hash-keyed equi-join of the new
+    version's distinct hashes against the prior segments' summed counts,
+    and the per-doc island merge.  Store growth is linear in distinct
+    windows; segments fold like the band index (read-side SUM — a
+    compaction pass folding b-dirs is the same
+    ``streaming.neardup.compact_band_index`` recipe when dir counts
+    matter)."""
+    from hiveka_spark.operators.dedup import _dup_span_stats, _window_occurrences
+
+    wc_root = os.path.join(state_root, "wc")
+    complete = committed_versions(wc_root, 10**9) if os.path.isdir(wc_root) else []
+    if complete and version <= max(
+        int(os.path.basename(p)[1:]) for p in complete
+    ):
+        raise ValueError(
+            "window-count store already holds version "
+            f"b{max(int(os.path.basename(p)[1:]) for p in complete)}; pass a "
+            "higher version (or a fresh state_root)"
+        )
+
+    sizes, occ = _window_occurrences(docs, text_col, id_col, min_len)
+    # occ feeds BOTH the segment write and the starts probe: checkpoint it
+    # so the new version's tokenize/window pass runs once (bounded: Lx the
+    # new version's word count — never the corpus)
+    occ = occ.localCheckpoint(eager=True)
+    # this version's segment: written once, then re-read from disk so the
+    # probe below runs off the index — the same no-recompute rule future
+    # versions get
+    occ.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).write.mode("overwrite").parquet(os.path.join(wc_root, f"b{version}"))
+    own = spark.read.parquet(os.path.join(wc_root, f"b{version}"))
+
+    if complete:
+        prior = (
+            spark.read.parquet(*complete)
+            .groupBy("h")
+            .agg(F.sum("cnt").cast("bigint").alias("prior_cnt"))
+        )
+        total = own.join(prior, "h", "left").select(
+            "h",
+            (F.col("cnt") + F.coalesce("prior_cnt", F.lit(0))).alias("total"),
+        )
+    else:
+        total = own.select("h", F.col("cnt").alias("total"))
+    dup_h = total.filter(F.col("total") >= 2).select("h")
+
+    starts = occ.join(dup_h, "h").select("doc", "pos0")
+    return _dup_span_stats(sizes, starts, min_len, id_col)

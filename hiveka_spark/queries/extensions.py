@@ -1930,3 +1930,58 @@ def x97_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly shape — memory bounded by the longest single document)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.substring_dedup_rewrite(d, "text", "doc_id", min_len=_X96_L)
+
+
+#: the x95/x98 version split, duplicated here because curation_ext imports
+#: THIS module (tests pin the two constants equal)
+_X99_V2_PRED = "doc_id % 3 = 0"
+
+
+def _x99_oracle(L: int = _X96_L) -> str:
+    """x96's from-scratch replay over the FULL corpus (window counts see
+    both versions), final report restricted to the new drop's docs — the
+    certificate that the incremental store-composed report equals full
+    recomputation for the documents it claims to cover."""
+    base = _x96_oracle(L).rstrip()
+    return base + f"\n    WHERE ({_X99_V2_PRED})\n    "
+
+
+@register(
+    "x99_incremental_substring_dedup",
+    oracle=_x99_oracle(),
+    tags=("dedup", "substring", "incremental", "training-prep", "scale"),
+)
+def x99_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup (x96's window family under the x70
+    never-re-read posture — the matrix cell substring × incremental):
+    version 1 backfills a persisted (window-hash, count) store; the new
+    drop (the x95 version predicate) then reports its duplicated spans
+    against EVERYTHING ingested so far by joining its own window counts
+    with the store's — v1's text is never re-read, re-tokenized, or
+    re-hashed (the store carries 16-byte hash/count rows, no text column
+    anywhere — plan-asserted in tests/test_plans.py).  This is the
+    100 TB drop question for boilerplate: "how much of this 1 TB is
+    copies of spans we already hold?" at drop-sized cost.
+
+    The oracle recomputes x96 from scratch over the UNION and restricts
+    the report to the drop's docs — a hash match certifies the
+    incremental judgment (prior-count composition, within-drop
+    duplicates, island merge extents) equals full recomputation."""
+    import shutil
+
+    from hiveka_spark.operators.incremental import substring_index_update
+    from hiveka_spark.scratch import scratch_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2_pred = F.expr(_X99_V2_PRED)
+    store = scratch_dir(prefix="gate_x99store_")
+    # backfill: v1 ingested (its report is the backfill's own byproduct)
+    substring_index_update(
+        spark, d.filter(~v2_pred), store, 1, min_len=_X96_L
+    ).count()
+    # the drop: v2 reports against store + itself
+    out = substring_index_update(
+        spark, d.filter(v2_pred), store, 2, min_len=_X96_L
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(store, ignore_errors=True)
+    return out

@@ -232,3 +232,43 @@ def test_auto_compaction_policy_bounds_version_dirs(spark, tmp_path):
             docs, "doc_id", "text", num_perm=32, bands=8, verify_threshold=0.8
         )
         assert _pairs(acc) == _pairs(oneshot) and _pairs(acc)
+
+
+def test_substring_index_update_cross_version_and_guard(spark, tmp_path):
+    """Incremental substring dedup: a v2 doc repeating a v1 span is flagged
+    dup against the STORE (v1 text absent from the probe), within-v2
+    repeats are flagged, novel v2 text is not, and a stale version id is
+    rejected."""
+    import pytest
+
+    from hiveka_spark.operators.incremental import substring_index_update
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id bigint, text string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (10, "x alpha beta gamma delta y"),   # repeats a v1 window
+            (11, "p q r s t"),                    # novel
+            (12, "u v w z u v w z"),              # repeats within itself
+        ],
+        "doc_id bigint, text string",
+    )
+    store = str(tmp_path / "store")
+    substring_index_update(spark, v1, store, 1, min_len=4).count()
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_words"])
+        for r in substring_index_update(spark, v2, store, 2, min_len=4).collect()
+    }
+    # doc 10: windows 'alpha beta gamma delta' (pos 1) matches v1 doc 1's
+    # window at pos 0 -> one 4-word span
+    assert out[10] == (1, 4)
+    assert out[11] == (0, 0)
+    # doc 12: 'u v w z' at pos 0 and 4 (cnt 2 within the version) plus the
+    # overlapping bridging windows ('v w z u' etc. occur once) -> spans
+    # from the two duplicated starts, non-overlapping -> 2 spans, 8 words
+    assert out[12] == (2, 8)
+
+    with pytest.raises(ValueError, match="already holds version"):
+        substring_index_update(spark, v2, store, 2, min_len=4)

@@ -770,3 +770,36 @@ def test_s26_compose_never_rereads_or_retokenizes(spark, tmp_path):
     )
     got = {r["doc_id"] for r in delta.collect()}
     assert got == {100, 101, 3}, got
+
+
+def test_x99_incremental_substring_never_rereads(spark, tmp_path):
+    """The incremental substring report's scale claims: (a) the drop's
+    probe plan reads NO text column from prior versions — priors enter
+    only as the persisted (h, cnt) store segments; (b) the version split
+    constant duplicated in extensions.py (circular-import break) matches
+    x95/x98's."""
+    import re
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.incremental import substring_index_update
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries.curation_ext import _X95_V2_PRED
+    from hiveka_spark.queries.extensions import _X99_V2_PRED
+
+    assert _X99_V2_PRED == _X95_V2_PRED
+
+    import pyspark.sql.functions as F
+
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pred = F.expr(_X99_V2_PRED)
+    store = str(tmp_path / "store")
+    substring_index_update(spark, d.filter(~pred), store, 1, min_len=10).count()
+    out = substring_index_update(spark, d.filter(pred), store, 2, min_len=10)
+    plan = formatted_plan(out)
+    # the only text read is the drop's own (filter-pushed documents scan);
+    # prior versions appear exclusively as the wc parquet segments
+    schemas = re.findall(r"ReadSchema: \S+", plan)
+    text_scans = [s for s in schemas if "text" in s]
+    assert len(text_scans) <= 1, schemas  # the drop's own scan at most
+    assert "b1" not in "".join(s for s in schemas if "text" in s), schemas
+    assert "MapInPandas" not in plan, plan
