@@ -356,6 +356,7 @@ def bpe_train_capped(
     max_words: int = 400,
     units: bool = True,
     normalize: bool = True,
+    base_merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The PRODUCTION BPE trainer — real-vocab-capable: ONE distributed
     corpus-sized pass reduces the corpus to its unit-frequency table
@@ -379,7 +380,12 @@ def bpe_train_capped(
     spaces).  The merge loop itself is symbol-agnostic either way; like
     the encode paths, combining units=True with normalize=False raises —
     a silent mode mismatch at train time would only surface at encode
-    time (or never, against the wrong-mode merge table)."""
+    time (or never, against the wrong-mode merge table).
+
+    ``base_merges``: CONTINUE training from a frozen base table
+    (:func:`bpe_train_continue` is the documented entry point) — the
+    loop seeds from the base apply state and returned ranks are offset
+    past the base."""
     if not normalize:
         if units:
             raise ValueError(
@@ -391,9 +397,10 @@ def bpe_train_capped(
         wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
     capped = wf.orderBy(F.desc("freq"), "w").limit(max_words)
     rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
-    merges = _train_python(rows, n_merges)
+    merges = _train_python(rows, n_merges, base_merges=base_merges)
+    off = len(base_merges or [])
     return docs.sparkSession.createDataFrame(
-        merges,
+        [(r + off, a, b, m, c) for (r, a, b, m, c) in merges],
         "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     )
 
@@ -422,23 +429,15 @@ def bpe_train_continue(
     both the correct continuation state and exactly what the DuckDB
     oracle replays (base training recursion -> rank-joined apply over
     the new version's units -> seeded training recursion).  Returned
-    ``merge_rank`` continues after the base (len(base)+1 ...)."""
-    if not normalize and units:
-        raise ValueError(
-            "units=True is the normalized-mode pair joiner; byte-exact "
-            "(normalize=False) training uses sp_units — pass units=False"
-        )
-    if not normalize:
-        wf = sp_unit_freq(docs, text_col)
-    else:
-        wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
-    capped = wf.orderBy(F.desc("freq"), "w").limit(max_words)
-    rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
-    merges = _train_python(rows, n_more, base_merges=base_merges)
-    off = len(base_merges)
-    return docs.sparkSession.createDataFrame(
-        [(r + off, a, b, m, c) for (r, a, b, m, c) in merges],
-        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    ``merge_rank`` continues after the base (len(base)+1 ...).
+
+    Thin wrapper over :func:`bpe_train_capped` (its ``base_merges``
+    seam) so the reduction/cap/collect logic exists once — a round-13
+    review point: a fork here would silently split the train and
+    continue paths."""
+    return bpe_train_capped(
+        docs, text_col, n_merges=n_more, max_words=max_words,
+        units=units, normalize=normalize, base_merges=base_merges,
     )
 
 

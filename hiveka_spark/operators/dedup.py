@@ -1036,41 +1036,56 @@ def shingle_containment_pairs(
 
 
 def _window_occurrences(
-    docs: DataFrame, text_col: str, id_col: str, min_len: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """((doc, n_words), (doc, pos0, h)): every length-``min_len`` word
     window's 0-based start position and portable hash.  Tokenization is the
     family's normalized tokens(); the two-step projection keeps the HOF off
-    re-tokenization (see _shingle_sets)."""
+    re-tokenization (see _shingle_sets).  Both frames derive from ONE
+    combined (doc, n_words, windows) projection; ``checkpoint`` eagerly
+    materializes it so consumers of BOTH frames tokenize the input exactly
+    once (the incremental update's posture — a 1 TB drop must not pay two
+    text scans); the one-shot gates leave it lazy (their single-action
+    plans pay one scan per branch, the documented small trade)."""
     from hiveka_spark.operators.text import tokens
 
     L = min_len
     toks = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
     )
-    # greatest(-1, 0): F.size(NULL) is -1 under non-ANSI Spark — NULL-text
-    # docs must report 0 words (row parity with the oracle's COALESCE)
-    toks = toks.select(
-        "doc", "ws",
-        F.greatest(F.size("ws"), F.lit(0)).cast("bigint").alias("n_words"),
-    )
     ws = F.col("ws")
     starts = F.when(
         F.size(ws) >= L, F.sequence(F.lit(1), F.size(ws) - L + 1)
     ).otherwise(F.array().cast("array<int>"))  # sequence() counts DOWN past the end
-    occ = toks.select(
-        "doc",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    (i - 1).cast("bigint").alias("pos0"),
-                    portable_hash60(F.array_join(F.slice(ws, i, L), " ")).alias("h"),
-                ),
-            )
-        ).alias("o"),
-    ).select("doc", F.col("o.pos0").alias("pos0"), F.col("o.h").alias("h"))
-    return toks.select("doc", "n_words"), occ
+    # greatest(-1, 0): F.size(NULL) is -1 under non-ANSI Spark — NULL-text
+    # docs must report 0 words (row parity with the oracle's COALESCE)
+    n_words = F.greatest(F.size(ws), F.lit(0)).cast("bigint").alias("n_words")
+    windows = F.transform(
+        starts,
+        lambda i: F.struct(
+            (i - 1).cast("bigint").alias("pos0"),
+            portable_hash60(F.array_join(F.slice(ws, i, L), " ")).alias("h"),
+        ),
+    )
+    if checkpoint:
+        combined = toks.select("doc", n_words, windows.alias("os")).localCheckpoint(
+            eager=True
+        )
+        sizes = combined.select("doc", "n_words")
+        occ = combined.select("doc", F.explode("os").alias("o"))
+    else:
+        # lazy path: sizes stays a slim projection OFF the token frame —
+        # routing it through the combined projection defeats column
+        # pruning (the sizes branch would hash every window just to read
+        # n_words; measured 2.6x on x96)
+        sizes = toks.select("doc", n_words)
+        occ = toks.select("doc", F.explode(windows).alias("o"))
+    occ = occ.select("doc", F.col("o.pos0").alias("pos0"), F.col("o.h").alias("h"))
+    return sizes, occ
 
 
 def substring_dup_spans(

@@ -314,11 +314,14 @@ def substring_index_update(
             "higher version (or a fresh state_root)"
         )
 
-    sizes, occ = _window_occurrences(docs, text_col, id_col, min_len)
-    # occ feeds BOTH the segment write and the starts probe: checkpoint it
-    # so the new version's tokenize/window pass runs once (bounded: Lx the
-    # new version's word count — never the corpus)
-    occ = occ.localCheckpoint(eager=True)
+    # checkpoint=True: the combined (doc, n_words, windows) frame is
+    # materialized once, so the segment write, the starts probe, AND the
+    # final report join all read it — the new version's text is tokenized
+    # exactly once per update (bounded: Lx the new version's word count —
+    # never the corpus)
+    sizes, occ = _window_occurrences(
+        docs, text_col, id_col, min_len, checkpoint=True
+    )
     # this version's segment: written once, then re-read from disk so the
     # probe below runs off the index — the same no-recompute rule future
     # versions get

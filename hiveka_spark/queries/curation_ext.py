@@ -2372,22 +2372,7 @@ def _bpe_train_ctes(
     symbol-agnostic and identical in both modes.  ``train_src``: the table
     the TRAINING reduction scans (x95 trains on the frozen v1 subset while
     tokenizing every version)."""
-    if raw:
-        # per-unit space -> '▁' (sp_mark twin); a corpus-borne literal
-        # marker would count as the space it is indistinguishable from in
-        # the SYMBOL stream — same as the Spark side's sp_unit_freq
-        units_src = f"""(
-        SELECT replace(u, ' ', '▁') AS u
-        FROM (SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
-              FROM {train_src}))"""
-    else:
-        units_src = f"""(
-        SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
-                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
-                                ELSE toks[2*i+1] END)) AS u
-        FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
-              FROM {train_src})
-        WHERE LEN(toks) > 0)"""
+    units_src = _units_src_sql(train_src, raw)
     base_rows = """(SELECT w, freq,
                    UNNEST(range(1, LEN(string_split(w, '')) + 1)) AS pos,
                    UNNEST(string_split(w, '')) AS s
@@ -2396,6 +2381,28 @@ def _bpe_train_ctes(
       SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM {units_src}
       GROUP BY u ORDER BY freq DESC, w LIMIT {max_words}),
     {_bpe_train_rec("r", base_rows, n_merges)}"""
+
+
+def _units_src_sql(train_src: str, raw: bool = False) -> str:
+    """Pre-tokenizer unit source (one row per unit occurrence) — ONE
+    definition shared by the training reduction (`_bpe_train_ctes`) and
+    the x98 continuation's v2 unit table, so the unit expression can
+    never drift between gates.  ``raw``: per-unit space -> '▁' (sp_mark
+    twin); a corpus-borne literal marker counts as the space it is
+    indistinguishable from in the SYMBOL stream — same as the Spark
+    side's sp_unit_freq."""
+    if raw:
+        return f"""(
+        SELECT replace(u, ' ', '▁') AS u
+        FROM (SELECT UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
+              FROM {train_src}))"""
+    return f"""(
+        SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
+                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
+                                ELSE toks[2*i+1] END)) AS u
+        FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+              FROM {train_src})
+        WHERE LEN(toks) > 0)"""
 
 
 def _bpe_train_rec(name: str, base_rows: str, n_merges: int) -> str:
@@ -4598,14 +4605,12 @@ def _x98_oracle(
     (2)'s final state for ``n_more`` argmax steps.  A row match therefore
     certifies every appended merge: the pair chosen, its count over the
     new version, and the order."""
-    v2_units = f"""(
-        SELECT UNNEST(list_transform(range(0, CAST(CEIL(LEN(toks)/2.0) AS BIGINT)),
-                      i -> CASE WHEN 2*i+2 <= LEN(toks) THEN toks[2*i+1] || '_' || toks[2*i+2]
-                                ELSE toks[2*i+1] END)) AS u
-        FROM (SELECT list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
-              FROM documents WHERE ({_X95_V2_PRED}))
-        WHERE LEN(toks) > 0)"""
-    seeded = f"(SELECT w, freq, pos, s FROM apf WHERE it = {n_base})"
+    v2_units = _units_src_sql(f"documents WHERE ({_X95_V2_PRED})")
+    # seed from apf's FINAL state (MAX(it)), not the constant n_base: if
+    # base training exhausted its pairs early, r stops at it=k < n_base,
+    # apf stops at k too, and the constant would select zero rows —
+    # silently diverging from bpe_train_continue's early-stop handling
+    seeded = "(SELECT w, freq, pos, s FROM apf WHERE it = (SELECT MAX(it) FROM apf))"
     return f"""
     WITH RECURSIVE {_bpe_train_ctes(n_base, max_words,
                                     train_src=f"(SELECT * FROM documents WHERE NOT ({_X95_V2_PRED}))")},
@@ -4650,7 +4655,8 @@ def _x98_oracle(
       ) q4 WHERE NOT consumed
     ),
     {_bpe_train_rec("r2", seeded, n_more)}
-    SELECT it + {n_base} AS merge_rank, MIN(a) AS lhs, MIN(b) AS rhs,
+    SELECT it + (SELECT MAX(it) FROM apf) AS merge_rank,
+           MIN(a) AS lhs, MIN(b) AS rhs,
            MIN(a) || MIN(b) AS merged, CAST(MIN(c) AS BIGINT) AS pair_count
     FROM r2 WHERE it >= 1 GROUP BY it ORDER BY merge_rank
     """
@@ -4688,7 +4694,12 @@ def x98_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_mt = bpe_train_capped(
         v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
     )
-    base = [(r["lhs"], r["rhs"]) for r in base_mt.collect()]  # bounded: n_base
+    base = [
+        (r["lhs"], r["rhs"])
+        for r in base_mt.orderBy("merge_rank").collect()  # bounded: n_base;
+        # explicit order — rank-sensitive seeding must not rely on the
+        # LocalRelation's incidental row order (round-13 review)
+    ]
     return bpe_train_continue(
         v2, base, "text", n_more=_X98_MORE, max_words=_X76_MAX_WORDS, units=True
     )

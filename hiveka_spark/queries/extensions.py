@@ -1975,10 +1975,10 @@ def x99_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     v2_pred = F.expr(_X99_V2_PRED)
     store = scratch_dir(prefix="gate_x99store_")
-    # backfill: v1 ingested (its report is the backfill's own byproduct)
-    substring_index_update(
-        spark, d.filter(~v2_pred), store, 1, min_len=_X96_L
-    ).count()
+    # backfill: v1 ingested — the segment write is eager inside the update;
+    # the returned v1 REPORT frame is lazy and deliberately never executed
+    # (forcing it would run a full island-merge job just to discard it)
+    substring_index_update(spark, d.filter(~v2_pred), store, 1, min_len=_X96_L)
     # the drop: v2 reports against store + itself
     out = substring_index_update(
         spark, d.filter(v2_pred), store, 2, min_len=_X96_L

@@ -1667,16 +1667,20 @@ def s26_compose(man: DataFrame, alive: DataFrame) -> DataFrame:
     (tests/test_plans.py)."""
     from hiveka_spark.operators.sampling import composed_order_digest, epoch_shards
 
-    latest = man.groupBy("doc_id").agg(
+    # semi-join FIRST: aliveness is per key (batch-independent), so
+    # filtering before the latest-per-key aggregate is result-identical
+    # and keeps tombstoned keys' ever-growing manifest history out of the
+    # groupBy shuffle
+    live_man = man.join(alive, "doc_id", "leftsemi")
+    latest = live_man.groupBy("doc_id").agg(
         F.max(F.struct("batch", "n_tokens", "ids_digest")).alias("m")
     ).select(
         "doc_id",
         F.col("m.n_tokens").alias("n_tokens"),
         F.col("m.ids_digest").alias("ids_digest"),
     )
-    live = latest.join(alive, "doc_id", "leftsemi")
     staged = epoch_shards(
-        live, "doc_id", "tokc26_", 8, keep_cols=("n_tokens", "ids_digest")
+        latest, "doc_id", "tokc26_", 8, keep_cols=("n_tokens", "ids_digest")
     )
     counts = staged.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
