@@ -135,6 +135,7 @@ HEADLINE = [
     "x97_substring_dedup_rewrite",
     "x98_bpe_vocab_extension",
     "x99_incremental_substring_dedup",
+    "x100_dsir_selection",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

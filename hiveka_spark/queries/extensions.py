@@ -28,6 +28,7 @@ from hiveka_spark.operators import similarity as S
 from hiveka_spark.operators.asof import asof_join
 from hiveka_spark.operators.text import (
     EN_STOPWORDS,
+    tokens as word_tokens,
     LANG_MARKERS,
     SENTIMENT_NEG,
     SENTIMENT_POS,
@@ -1985,3 +1986,115 @@ def x99_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     ).localCheckpoint(eager=True)
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x100 — DSIR-style importance selection (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): pick the raw-pool docs
+# whose unigram distribution looks most like a TARGET domain
+# ---------------------------------------------------------------------------
+
+_X100_K = 100  # selection budget (docs)
+
+
+def _x100_oracle(K: int = _X100_K) -> str:
+    evals = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    return f"""
+    WITH tw AS (SELECT UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+                FROM documents WHERE source IN ({evals})),
+    sw AS (SELECT doc_id, UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+           FROM documents WHERE source NOT IN ({evals})),
+    tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tc FROM tw GROUP BY w),
+    sc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS sc FROM sw GROUP BY w),
+    vocab AS (SELECT COALESCE(tc.w, sc.w) AS w,
+                     COALESCE(tc.tc, 0) AS tc, COALESCE(sc.sc, 0) AS sc
+              FROM tc FULL OUTER JOIN sc ON tc.w = sc.w),
+    consts AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM vocab) AS nt,
+                      (SELECT COALESCE(SUM(sc), 0) FROM vocab) AS ns,
+                      (SELECT COUNT(*) FROM vocab) AS v),
+    lr AS (SELECT w,
+                  CAST(FLOOR(10000.0 * (ln(tc + 1) - ln(nt + v)
+                                        - ln(sc + 1) + ln(ns + v))) AS BIGINT) AS lr_q
+           FROM vocab CROSS JOIN consts),
+    ds AS (SELECT s.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(l.lr_q) AS BIGINT) AS sum_lr
+           FROM sw s JOIN lr l ON l.w = s.w
+           GROUP BY s.doc_id),
+    scored AS (SELECT doc_id, n_words, sum_lr,
+                      CAST(FLOOR(sum_lr * 10000.0 / n_words) AS BIGINT) AS score_q
+               FROM ds)
+    SELECT doc_id, n_words, sum_lr, score_q
+    FROM scored ORDER BY score_q DESC, doc_id LIMIT {K}
+    """
+
+
+@register(
+    "x100_dsir_selection",
+    oracle=_x100_oracle(),
+    tags=("curation", "sampling", "training-prep", "quality", "scale"),
+)
+def x100_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): rank the raw pool by
+    unigram importance log-ratios against a TARGET domain (here the eval
+    sources stand in as the domain sample — the same fixture convention
+    the decontamination gates use) and keep the top-K.  Per selected doc:
+    (n_words, sum_lr, score_q) where lr is the add-one-smoothed
+    log(p_target/p_raw) per word, floor-quantized 1e-4 BEFORE the per-doc
+    sum (integer arithmetic from there on, so the engines can never drift
+    on accumulated float error — only a per-word ln within 1e-12 of a
+    quantization boundary could differ, the established q15/floor4 trade),
+    and score_q is the quantized per-word mean.  Ties break on doc_id —
+    fully deterministic selection.
+
+    Scale shape: two map-side-combinable word-count aggregates (target is
+    domain-SAMPLE-sized, tiny; raw is the corpus pass), one FULL OUTER
+    vocab join (vocabulary-bounded), the scoring join of corpus words
+    against the broadcast-sized log-ratio table, one per-doc aggregate,
+    and a TakeOrdered top-K (per-partition top-K + K-row merge — never a
+    global sort).  The LM "training" is exactly the hashed-unigram
+    posture of the paper at n=1; no Python in the plan."""
+    d = table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+
+    def wc(df):
+        return (
+            df.select(F.explode(word_tokens("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    tc = wc(tgt).withColumnRenamed("c", "tc")
+    sc = wc(raw).withColumnRenamed("c", "sc")
+    vocab = tc.join(sc, "w", "full_outer").select(
+        "w",
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+        F.coalesce("sc", F.lit(0)).alias("sc"),
+    )
+    nt, ns, v = vocab.agg(
+        F.sum("tc"), F.sum("sc"), F.count(F.lit(1))
+    ).collect()[0]  # bounded: three scalars
+    lr = vocab.select(
+        "w",
+        F.floor(
+            10000.0
+            * (
+                F.log(F.col("tc") + 1)
+                - F.lit(float(__import__("math").log(nt + v)))
+                - F.log(F.col("sc") + 1)
+                + F.lit(float(__import__("math").log(ns + v)))
+            )
+        ).cast("bigint").alias("lr_q"),
+    )
+    words = raw.select("doc_id", F.explode(word_tokens("text")).alias("w"))
+    ds = words.join(lr, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("lr_q").cast("bigint").alias("sum_lr"),
+    )
+    scored = ds.select(
+        "doc_id", "n_words", "sum_lr",
+        F.floor(F.col("sum_lr") * 10000.0 / F.col("n_words"))
+        .cast("bigint").alias("score_q"),
+    )
+    return scored.orderBy(F.desc("score_q"), "doc_id").limit(_X100_K)

@@ -807,3 +807,18 @@ def test_x99_incremental_substring_never_rereads(spark, tmp_path):
     locations = re.findall(r"Location:.*", plan)
     assert any("/wc/" in loc for loc in locations), locations  # store probed
     assert "MapInPandas" not in plan, plan
+
+
+def test_x100_dsir_takeordered_and_broadcast(spark):
+    """DSIR selection: top-K must compile to TakeOrderedAndProject (never a
+    global sort), the log-ratio table joins broadcast, and nothing goes
+    cartesian."""
+    from hiveka_spark.plans.inspect import formatted_plan, has_broadcast_join
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x100_dsir_selection"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
