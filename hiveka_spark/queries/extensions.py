@@ -2047,50 +2047,67 @@ def x100_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score_q is the quantized per-word mean.  Ties break on doc_id —
     fully deterministic selection.
 
-    Scale shape: two map-side-combinable word-count aggregates (target is
-    domain-SAMPLE-sized, tiny; raw is the corpus pass), one FULL OUTER
-    vocab join (vocabulary-bounded), the scoring join of corpus words
-    against the broadcast-sized log-ratio table, one per-doc aggregate,
-    and a TakeOrdered top-K (per-partition top-K + K-row merge — never a
-    global sort).  The LM "training" is exactly the hashed-unigram
-    posture of the paper at n=1; no Python in the plan."""
+    Scale shape: ONE per-(doc, word) count pass over the raw pool serves
+    both the unigram LM and the per-doc scoring sums (the shared exchange
+    is canonical-identical in both branches, so AQE reuses the shuffle
+    stage at runtime — ReusedExchange asserted on the EXECUTED plan — and
+    raw text is scanned once); the target sample's count is the canonical
+    `word_freq` pass
+    (domain-sample-sized, tiny); the vocab join is FULL OUTER and
+    vocabulary-bounded, the smoothing constants fold in-plan as a one-row
+    broadcast cross join (no driver collect; an empty corpus degrades to
+    an empty result like the oracle), the scoring join broadcasts the
+    log-ratio table by construction, and the top-K is TakeOrdered
+    (per-partition top-K + K-row merge — never a global sort).  The LM
+    "training" is exactly the hashed-unigram posture of the paper at
+    n=1; no Python in the plan."""
+    from hiveka_spark.operators.bpe import word_freq
+
     d = table(spark, sf_dir, "documents")
     tgt = d.filter(F.col("source").isin(*_EVAL_SOURCES))
     raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
 
-    def wc(df):
-        return (
-            df.select(F.explode(word_tokens("text")).alias("w"))
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-
-    tc = wc(tgt).withColumnRenamed("c", "tc")
-    sc = wc(raw).withColumnRenamed("c", "sc")
+    # ONE per-(doc, w) count pass serves BOTH the raw-pool unigram counts
+    # and the per-doc scoring sums — its exchange is plan-identical in the
+    # two branches, so Spark reuses it (ReusedExchange, plan-asserted) and
+    # the raw text is scanned once
+    dw = (
+        raw.select("doc_id", F.explode(word_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tc = word_freq(tgt).withColumnRenamed("freq", "tc")  # the canonical pass
+    sc = dw.groupBy("w").agg(F.sum("c").cast("bigint").alias("sc"))
     vocab = tc.join(sc, "w", "full_outer").select(
         "w",
         F.coalesce("tc", F.lit(0)).alias("tc"),
         F.coalesce("sc", F.lit(0)).alias("sc"),
     )
-    nt, ns, v = vocab.agg(
-        F.sum("tc"), F.sum("sc"), F.count(F.lit(1))
-    ).collect()[0]  # bounded: three scalars
-    lr = vocab.select(
+    # smoothing constants fold IN-PLAN (one-row cross join, the oracle's own
+    # shape): no driver collect, and an empty/all-NULL corpus degrades to an
+    # empty result exactly like the oracle instead of a scalar crash
+    consts = vocab.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"),
+        F.coalesce(F.sum("sc"), F.lit(0)).alias("ns"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(consts)).select(
         "w",
         F.floor(
             10000.0
             * (
                 F.log(F.col("tc") + 1)
-                - F.lit(float(__import__("math").log(nt + v)))
+                - F.log(F.col("nt") + F.col("v"))
                 - F.log(F.col("sc") + 1)
-                + F.lit(float(__import__("math").log(ns + v)))
+                + F.log(F.col("ns") + F.col("v"))
             )
         ).cast("bigint").alias("lr_q"),
     )
-    words = raw.select("doc_id", F.explode(word_tokens("text")).alias("w"))
-    ds = words.join(lr, "w").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("lr_q").cast("bigint").alias("sum_lr"),
+    # scoring join: lr is vocabulary-bounded — broadcast by construction,
+    # never a corpus-side shuffle (plan-asserted)
+    ds = dw.join(F.broadcast(lr), "w").groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.col("lr_q")).cast("bigint").alias("sum_lr"),
     )
     scored = ds.select(
         "doc_id", "n_words", "sum_lr",

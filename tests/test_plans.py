@@ -810,15 +810,25 @@ def test_x99_incremental_substring_never_rereads(spark, tmp_path):
 
 
 def test_x100_dsir_takeordered_and_broadcast(spark):
-    """DSIR selection: top-K must compile to TakeOrderedAndProject (never a
-    global sort), the log-ratio table joins broadcast, and nothing goes
-    cartesian."""
-    from hiveka_spark.plans.inspect import formatted_plan, has_broadcast_join
+    """DSIR selection: top-K must compile to TakeOrderedAndProject (never
+    a global sort); the SCORING join must be a BroadcastHashJoin (a full
+    outer vocab join can never broadcast-hash in Spark, so any BHJ in
+    this plan IS the scoring join — the corpus side never shuffles for
+    it); the shared per-(doc, w) exchange must be REUSED at runtime (AQE
+    stage reuse — static formatted plans don't show it, so this asserts
+    on the EXECUTED plan after a collect; one raw text scan serves LM
+    counts and scoring); nothing goes cartesian."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
     df = REGISTRY["x100_dsir_selection"].fn(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
-    assert has_broadcast_join(df)
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M), plan
     assert "CartesianProduct" not in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
