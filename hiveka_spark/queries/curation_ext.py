@@ -4703,3 +4703,203 @@ def x98_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_continue(
         v2, base, "text", n_more=_X98_MORE, max_words=_X76_MAX_WORDS, units=True
     )
+
+
+# ---------------------------------------------------------------------------
+# x101 — UniMax language-balanced budget allocation (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+_X101_EPOCH_CAP = 2  # E: max epochs any language may repeat (UniMax's cap)
+_X101_BUDGET_PCT = 160  # training budget B as % of total corpus chars
+_X101_DIGEST_MOD = 1000000007  # keeps the order-insensitive digest SUM < 2^63
+
+
+def _x101_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('unimax_', CAST(doc_id AS VARCHAR))")
+    hd = portable_hash60_sql("CAST(doc_id AS VARCHAR)")
+    E, P, M = _X101_EPOCH_CAP, _X101_BUDGET_PCT, _X101_DIGEST_MOD
+    return f"""
+    WITH c AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS c_chars
+               FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(c_chars) * {P} // 100 AS BIGINT) AS b FROM c),
+    rk AS (SELECT lang, c_chars, CAST(c_chars * {E} AS BIGINT) AS cap_chars,
+                  CAST(ROW_NUMBER() OVER (ORDER BY c_chars, lang) AS BIGINT) AS rnk,
+                  CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+                  CAST(COALESCE(SUM(c_chars * {E}) OVER (
+                        ORDER BY c_chars, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS capsum_prev
+           FROM c),
+    ind AS (SELECT rk.*, b,
+                   CASE WHEN cap_chars * (n_langs - rnk + 1) + capsum_prev <= b
+                        THEN 1 ELSE 0 END AS ok
+            FROM rk CROSS JOIN tot),
+    cp AS (SELECT *, CAST(MIN(ok) OVER (ORDER BY rnk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS is_capped
+           FROM ind),
+    k2 AS (SELECT CAST(COALESCE(SUM(CASE WHEN is_capped = 1 THEN cap_chars END), 0)
+                       AS BIGINT) AS capped_total,
+                  CAST(SUM(CASE WHEN is_capped = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unc
+           FROM cp),
+    q AS (SELECT lang, c_chars, cap_chars, is_capped,
+                 CAST(CASE WHEN is_capped = 1 THEN cap_chars * 10000
+                      ELSE (b - capped_total) * 10000 // n_unc END AS BIGINT) AS quota_hi
+          FROM cp CROSS JOIN k2),
+    ep AS (SELECT lang, c_chars, cap_chars, is_capped, quota_hi,
+                  CAST(quota_hi // (c_chars * 10000) AS BIGINT) AS full_epochs,
+                  CAST((quota_hi % (c_chars * 10000)) // 10000 AS BIGINT) AS frac_chars
+           FROM q),
+    sel AS (SELECT d.lang, d.doc_id, d.n_chars,
+                   CAST(COALESCE(SUM(d.n_chars) OVER (
+                         PARTITION BY d.lang ORDER BY {h}, d.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_prev
+            FROM documents d),
+    ag AS (SELECT s.lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_frac_docs,
+                  CAST(SUM(s.n_chars) AS BIGINT) AS sel_chars,
+                  CAST(SUM({hd} % {M}) AS BIGINT) AS sel_digest
+           FROM sel s JOIN ep USING (lang)
+           WHERE s.cum_prev + s.n_chars <= ep.frac_chars
+           GROUP BY s.lang)
+    SELECT ep.lang, c_chars, cap_chars, is_capped, quota_hi, full_epochs,
+           frac_chars,
+           CAST(COALESCE(n_frac_docs, 0) AS BIGINT) AS n_frac_docs,
+           CAST(COALESCE(sel_chars, 0) AS BIGINT) AS sel_chars,
+           CAST(COALESCE(sel_digest, 0) AS BIGINT) AS sel_digest
+    FROM ep LEFT JOIN ag USING (lang)
+    """
+
+
+@register(
+    "x101_unimax_allocation",
+    oracle=_x101_oracle(),
+    tags=("sampling", "mixing", "multilingual", "training-prep", "scale"),
+)
+def x101_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced sampling (Chung et al. 2023): given a total
+    training budget B (chars) and an epoch cap E, allocate per-language
+    budgets by the paper's greedy water-filling — languages ascending by
+    size either take their full cap c*E or, once the uniform share of the
+    remaining budget drops below the cap, EVERY remaining language takes
+    that equal share (the share is invariant from the pivot on, so the
+    greedy has the closed form used here: a language is capped iff
+    cap * langs_remaining + capped_prefix_sum <= B, a cumulative-AND over
+    the size-ascending order).  Complements x73 (temperature mixing):
+    UniMax never repeats a language more than E epochs, the property
+    alpha-sampling cannot guarantee.  Per language this emits the
+    allocation (quota_hi, char*1e-4 units — all bigint DIV arithmetic, no
+    float normalization), the whole-corpus repeat count (full_epochs), and
+    the FRACTIONAL epoch materialized as a deterministic hash-order char-
+    budget prefix (x57's salted-md5 discipline), certified by doc count,
+    char fill, and an order-insensitive mod-sum digest of the selected ids.
+
+    Scale shape: one map-side-combinable per-language count; the
+    allocation windows run on the LANGUAGE table (rows = n_langs, bounded
+    ~100 — the unpartitioned window is bounded by construction, never
+    corpus-sized); quotas broadcast back onto the corpus; the fractional
+    prefix is one per-language window cumsum (for a FEW huge languages
+    you'd pre-filter with x57's hash-prefix bound before the sort — same
+    documented posture).  No driver collect anywhere."""
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    E, P, M = _X101_EPOCH_CAP, _X101_BUDGET_PCT, _X101_DIGEST_MOD
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    c = d.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("c_chars"))
+    tot = c.agg(
+        F.expr(f"CAST(SUM(c_chars) * {P} DIV 100 AS BIGINT)").alias("b")
+    )
+    # allocation windows: the frame is the LANGUAGE table (n_langs rows,
+    # bounded) — a single-partition window here is bounded by construction
+    w_rank = Window.orderBy("c_chars", "lang")
+    rk = (
+        c.withColumn("cap_chars", (F.col("c_chars") * E).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(
+            Window.partitionBy()).cast("bigint"))
+        .withColumn(
+            "capsum_prev",
+            F.coalesce(
+                F.sum("cap_chars").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    ind = rk.crossJoin(F.broadcast(tot)).withColumn(
+        "ok",
+        F.when(
+            F.col("cap_chars") * (F.col("n_langs") - F.col("rnk") + 1)
+            + F.col("capsum_prev")
+            <= F.col("b"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cp = ind.withColumn(
+        "is_capped",
+        F.min("ok").over(
+            Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    k2 = cp.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped") == 1, F.col("cap_chars"))), F.lit(0)
+        ).cast("bigint").alias("capped_total"),
+        F.sum(F.when(F.col("is_capped") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_unc"),
+    )
+    ep = (
+        cp.crossJoin(F.broadcast(k2))
+        .withColumn(
+            "quota_hi",
+            F.when(
+                F.col("is_capped") == 1, F.col("cap_chars") * F.lit(10000)
+            ).otherwise(
+                F.expr("(b - capped_total) * 10000 DIV n_unc")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "full_epochs",
+            F.expr("quota_hi DIV (c_chars * 10000)").cast("bigint"),
+        )
+        .withColumn(
+            "frac_chars",
+            F.expr("(quota_hi % (c_chars * 10000)) DIV 10000").cast("bigint"),
+        )
+        .select("lang", "c_chars", "cap_chars", "is_capped", "quota_hi",
+                "full_epochs", "frac_chars")
+    )
+    # fractional epoch: deterministic hash-order char-budget prefix per lang
+    hv = portable_hash60(
+        F.concat(F.lit("unimax_"), F.col("doc_id").cast("string"))
+    )
+    w_sel = (
+        Window.partitionBy("lang")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sel = (
+        d.withColumn("hv", hv)
+        .withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("n_chars").over(w_sel), F.lit(0)).cast("bigint"),
+        )
+        .join(F.broadcast(ep.select("lang", "frac_chars")), "lang")
+        .filter(F.col("cum_prev") + F.col("n_chars") <= F.col("frac_chars"))
+    )
+    ag = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frac_docs"),
+        F.sum("n_chars").cast("bigint").alias("sel_chars"),
+        F.sum(portable_hash60(F.col("doc_id")) % M)
+        .cast("bigint").alias("sel_digest"),
+    )
+    return ep.join(ag, "lang", "left").select(
+        "lang", "c_chars", "cap_chars", "is_capped", "quota_hi",
+        "full_epochs", "frac_chars",
+        F.coalesce("n_frac_docs", F.lit(0)).cast("bigint").alias("n_frac_docs"),
+        F.coalesce("sel_chars", F.lit(0)).cast("bigint").alias("sel_chars"),
+        F.coalesce("sel_digest", F.lit(0)).cast("bigint").alias("sel_digest"),
+    )
