@@ -2115,3 +2115,145 @@ def x100_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("score_q"),
     )
     return scored.orderBy(F.desc("score_q"), "doc_id").limit(_X100_K)
+
+
+# ---------------------------------------------------------------------------
+# x102 — CCNet-style LM bucketing (Wenzek et al. 2020): head / middle / tail
+# ---------------------------------------------------------------------------
+
+
+def _x102_oracle() -> str:
+    evals = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    return f"""
+    WITH tw AS (SELECT UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+                FROM documents WHERE source IN ({evals})),
+    sw AS (SELECT doc_id, lang,
+                  UNNEST(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+           FROM documents WHERE source NOT IN ({evals})),
+    tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tc FROM tw GROUP BY w),
+    sc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS sc FROM sw GROUP BY w),
+    vocab AS (SELECT COALESCE(tc.w, sc.w) AS w, COALESCE(tc.tc, 0) AS tc
+              FROM tc FULL OUTER JOIN sc ON tc.w = sc.w),
+    consts AS (SELECT (SELECT COALESCE(SUM(tc), 0) FROM vocab) AS nt,
+                      (SELECT COUNT(*) FROM vocab) AS v),
+    lp AS (SELECT w,
+                  CAST(FLOOR(10000.0 * (ln(tc + 1) - ln(nt + v))) AS BIGINT) AS lp_q
+           FROM vocab CROSS JOIN consts),
+    ds AS (SELECT s.doc_id, MIN(s.lang) AS lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(l.lp_q) AS BIGINT) AS sum_lp
+           FROM sw s JOIN lp l ON l.w = s.w
+           GROUP BY s.doc_id),
+    scored AS (SELECT doc_id, lang, n_words, sum_lp,
+                      CAST(FLOOR(sum_lp * 10000.0 / n_words) AS BIGINT) AS score_q
+               FROM ds),
+    dist AS (SELECT lang, score_q, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM scored GROUP BY lang, score_q),
+    cum AS (SELECT lang, score_q,
+                   CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY score_q DESC)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM dist),
+    cuts AS (SELECT lang,
+                    MAX(CASE WHEN 3 * cum >= n THEN score_q END) AS head_cut,
+                    MAX(CASE WHEN 3 * cum >= 2 * n THEN score_q END) AS tail_cut
+             FROM cum GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.n_words, s.sum_lp, s.score_q,
+           CASE WHEN s.score_q >= c.head_cut THEN 'head'
+                WHEN s.score_q >= c.tail_cut THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    """
+
+
+@register(
+    "x102_lm_quality_buckets",
+    oracle=_x102_oracle(),
+    tags=("curation", "quality", "lm", "training-prep", "scale"),
+)
+def x102_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020):
+    score every raw-pool document by its mean per-word log-probability
+    under a TARGET-domain unigram LM (add-one smoothed, trained on the
+    eval sources — the stand-in for CCNet's Wikipedia LM; CCNet's 5-gram
+    KenLM is approximated at n=1, the same honest posture as x100's DSIR
+    estimator), then split each LANGUAGE into head / middle / tail
+    thirds — the dataset partition CCNet ships and pretraining recipes
+    consume (keep head+middle, drop tail).
+
+    Bucketing is CUTOFF-based, not rank-based, exactly like CCNet's
+    published percentile thresholds: head_cut(lang) is the largest score
+    s with |{{score >= s}}| >= ceil(n/3) (ties make buckets minimally
+    larger, never smaller).  That choice is what makes the operator
+    scale: the cutoffs come from windows over the (lang, distinct score)
+    AGGREGATE — corpus-sized data is never globally sorted; the corpus
+    touches one groupBy(doc) pass, one broadcast-join against the
+    score-quantized LM table, and one broadcast-join against the
+    per-language cutoffs.  The per-(doc, word) count pass is shared
+    between the LM's corpus-side vocabulary and the per-doc scoring sums
+    (the x100 shared-exchange discipline).  All arithmetic after the
+    per-word ln is bigint (lp quantized 1e-4 BEFORE the per-doc sum)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin(*_EVAL_SOURCES))
+    raw = d.filter(~F.col("source").isin(*_EVAL_SOURCES))
+
+    dw = (
+        raw.select("doc_id", "lang", F.explode(word_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    from hiveka_spark.operators.bpe import word_freq
+
+    tc = word_freq(tgt).withColumnRenamed("freq", "tc")
+    sc = dw.groupBy("w").agg(F.sum("c").cast("bigint").alias("sc"))
+    vocab = tc.join(sc, "w", "full_outer").select(
+        "w", F.coalesce("tc", F.lit(0)).alias("tc")
+    )
+    consts = vocab.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lp = vocab.crossJoin(F.broadcast(consts)).select(
+        "w",
+        F.floor(
+            10000.0 * (F.log(F.col("tc") + 1) - F.log(F.col("nt") + F.col("v")))
+        ).cast("bigint").alias("lp_q"),
+    )
+    ds = dw.join(F.broadcast(lp), "w").groupBy("doc_id").agg(
+        F.min("lang").alias("lang"),
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("c") * F.col("lp_q")).cast("bigint").alias("sum_lp"),
+    )
+    scored = ds.select(
+        "doc_id", "lang", "n_words", "sum_lp",
+        F.floor(F.col("sum_lp") * 10000.0 / F.col("n_words"))
+        .cast("bigint").alias("score_q"),
+    )
+    # cutoffs from the (lang, DISTINCT score) aggregate — never a
+    # corpus-sized sort; the window input is score-cardinality-bounded
+    dist = scored.groupBy("lang", "score_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("lang").orderBy(F.desc("score_q"))
+    cum = dist.select(
+        "lang", "score_q",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).cast("bigint").alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(3 * F.col("cum") >= F.col("n"), F.col("score_q")))
+        .alias("head_cut"),
+        F.max(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("score_q")))
+        .alias("tail_cut"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "n_words", "sum_lp", "score_q",
+        F.when(F.col("score_q") >= F.col("head_cut"), F.lit("head"))
+        .when(F.col("score_q") >= F.col("tail_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
