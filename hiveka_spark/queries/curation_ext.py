@@ -4903,3 +4903,105 @@ def x101_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sel_chars", F.lit(0)).cast("bigint").alias("sel_chars"),
         F.coalesce("sel_digest", F.lit(0)).cast("bigint").alias("sel_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x103 — best-fit whole-document packing (Ding et al. 2024)
+# ---------------------------------------------------------------------------
+
+_X103_CAP = 192  # bin capacity (word tokens)
+_X103_GROUP = 32  # docs per pack-group (the production shard seam)
+
+
+def _x103_oracle() -> str:
+    C, G = _X103_CAP, _X103_GROUP
+    return f"""
+    WITH RECURSIVE lens AS (
+      SELECT doc_id, CAST(doc_id // {G} AS BIGINT) AS g,
+             CAST(LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS len
+      FROM documents),
+    ord AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY g
+                           ORDER BY len DESC, doc_id) AS BIGINT) AS i
+            FROM lens),
+    rec AS (
+      SELECT g, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS rem,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS len,
+             CAST(NULL AS BIGINT) AS bin
+      FROM (SELECT DISTINCT g FROM ord) gg
+      UNION ALL
+      SELECT o.g, o.i,
+             CASE WHEN list_min(list_filter(r.rem, x -> x >= o.len)) IS NULL
+                  THEN list_append(r.rem, GREATEST({C} - o.len, 0))
+                  ELSE list_transform(r.rem, (x, ix) ->
+                         CASE WHEN ix = list_position(r.rem,
+                                  list_min(list_filter(r.rem, x2 -> x2 >= o.len)))
+                              THEN x - o.len ELSE x END)
+             END AS rem,
+             o.doc_id, o.len,
+             CASE WHEN list_min(list_filter(r.rem, x -> x >= o.len)) IS NULL
+                  THEN CAST(LEN(r.rem) + 1 AS BIGINT)
+                  ELSE CAST(list_position(r.rem,
+                           list_min(list_filter(r.rem, x -> x >= o.len)))
+                       AS BIGINT)
+             END AS bin
+      FROM rec r JOIN ord o ON o.g = r.g AND o.i = r.i + 1)
+    SELECT g, doc_id, len, bin FROM rec WHERE doc_id IS NOT NULL
+    """
+
+
+@register(
+    "x103_bestfit_packing",
+    oracle=_x103_oracle(),
+    tags=("training-prep", "packing", "chunking", "scale"),
+)
+def x103_bestfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing WHOLE-document packing (Ding et al. 2024,
+    "Fewer Truncations Improve Language Modeling"): documents are never
+    split — each goes, longest first, into the open bin with the
+    smallest remaining capacity that still fits (ties: lowest bin id),
+    else opens a new bin; an oversized doc gets a bin of its own.  The
+    paper's alternative to x87's fixed-length GPT packing (which slices
+    across document boundaries) and x25's first-fit heuristic: BFD is
+    the classic 11/9-OPT bin-packing approximation, so padding waste is
+    near-optimal while every training example keeps whole documents.
+
+    Scale shape: packing runs per PACK-GROUP of {_X103_GROUP} consecutive
+    docs (the production seam is a shard — exactly how the paper applies
+    it; group size bounds both the Arrow batch and the oracle's
+    recursion), via ONE groupBy exchange into an applyInPandas whose
+    per-group loop is O(docs x bins) on <= {_X103_GROUP} rows.  The
+    oracle replays the LOOP ITSELF: a recursive CTE carries each group's
+    bin-remainder LIST as state, one unrolled step per rank, advancing
+    every group in parallel rows — assignment certified row-for-row,
+    not just aggregate waste."""
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.expr(f"CAST(doc_id DIV {_X103_GROUP} AS BIGINT)").alias("g"),
+        F.size(tokens("text")).cast("bigint").alias("len"),
+    )
+    C = _X103_CAP
+
+    def _bfd(pdf):
+        pdf = pdf.sort_values(["len", "doc_id"], ascending=[False, True])
+        rem: list[int] = []
+        bins: list[int] = []
+        for ln in pdf["len"]:
+            best_i = -1
+            best_v = None
+            for idx, rv in enumerate(rem):
+                if rv >= ln and (best_v is None or rv < best_v):
+                    best_v, best_i = rv, idx
+            if best_i < 0:
+                rem.append(max(C - int(ln), 0))
+                bins.append(len(rem))
+            else:
+                rem[best_i] -= int(ln)
+                bins.append(best_i + 1)
+        out = pdf[["g", "doc_id", "len"]].copy()
+        out["bin"] = bins
+        return out
+
+    return d.groupBy("g").applyInPandas(
+        _bfd, "g bigint, doc_id bigint, len bigint, bin bigint"
+    )
