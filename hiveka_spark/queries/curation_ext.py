@@ -5005,3 +5005,91 @@ def x103_bestfit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("g").applyInPandas(
         _bfd, "g bigint, doc_id bigint, len bigint, bin bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# x104 — tokenizer fertility / compression evaluation per language
+# ---------------------------------------------------------------------------
+
+
+def _x104_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    unit_tok AS (
+      SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w),
+    pd AS (
+      SELECT d.doc_id, MIN(d.lang) AS lang,
+             CAST(MIN(d.n_chars) AS BIGINT) AS n_chars,
+             CAST(MIN(LEN(list_filter(string_split(LOWER(d.text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_words,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tok
+      FROM documents d
+      LEFT JOIN docunits du ON du.doc_id = d.doc_id
+      LEFT JOIN unit_tok t ON t.u = du.u
+      GROUP BY d.doc_id)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) * 10000
+             // CAST(SUM(n_tok) AS BIGINT) AS chars_per_token_q,
+           CAST(SUM(n_tok) AS BIGINT) * 10000
+             // CAST(SUM(n_words) AS BIGINT) AS fertility_q
+    FROM pd GROUP BY lang
+    """
+
+
+@register(
+    "x104_tokenizer_fertility",
+    oracle=_x104_oracle(),
+    tags=("text", "tokenizer", "bpe", "evaluation", "multilingual"),
+)
+def x104_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression evaluation per language (Rust et
+    al. 2021, "How Good is Your Tokenizer?"): after training the x76
+    merge table, report per language the corpus-level FERTILITY (BPE
+    tokens per word — the standard multilingual-tokenizer equity metric;
+    a language with outsized fertility pays more sequence length per
+    unit of text) and the compression ratio (chars per token).  This is
+    the evaluation table a tokenizer-training run publishes alongside
+    the artifact (x86) — it decides whether a vocabulary extension (x98)
+    is warranted for an under-served language.
+
+    Scale shape: training is x76's one-pass + bounded driver finish;
+    scoring is bpe_apply_fast's zero-shuffle Arrow mapInPandas; per-doc
+    metadata joins the counts on the id key (equi-join, both sides
+    id-partitioned), then one map-side-combinable per-language rollup.
+    Ratios are bigint DIV on the language-level SUMS (never per-doc
+    floats), so the oracle — which replays training AND application
+    recursively — matches on integer arithmetic alone."""
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+
+    d = table(spark, sf_dir, "documents")
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    counts = bpe_apply_fast(d, merges, "text", "doc_id", units=True)
+    meta = d.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.coalesce(F.size(tokens("text")), F.lit(0)).cast("bigint").alias("n_words"),
+    )
+    per_lang = (
+        meta.join(counts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return per_lang.select(
+        "lang", "n_docs", "sum_chars", "sum_words", "sum_tokens",
+        F.expr("sum_chars * 10000 DIV sum_tokens")
+        .cast("bigint").alias("chars_per_token_q"),
+        F.expr("sum_tokens * 10000 DIV sum_words")
+        .cast("bigint").alias("fertility_q"),
+    )
