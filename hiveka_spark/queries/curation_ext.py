@@ -5093,3 +5093,130 @@ def x104_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_tokens * 10000 DIV sum_words")
         .cast("bigint").alias("fertility_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x105 — fill-in-the-middle (FIM) example transformation (Bavarian et al.
+# 2022, "Efficient Training of Language Models to Fill in the Middle")
+# ---------------------------------------------------------------------------
+
+_X105_RATE_PCT = 50  # FIM application rate (the paper's 50% default)
+
+
+def _x105_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h1 = portable_hash60_sql("concat('fima_', CAST(doc_id AS VARCHAR))")
+    h2 = portable_hash60_sql("concat('fimb_', CAST(doc_id AS VARCHAR))")
+    h3 = portable_hash60_sql("concat('fimr_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    seqs AS MATERIALIZED (
+      SELECT du.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY du.doc_id
+                                ORDER BY du.upos, us.pos) AS ti
+      FROM docunits du JOIN unit_syms us ON us.u = du.u),
+    idl AS (SELECT doc_id, list(id ORDER BY ti) AS ids FROM seqs GROUP BY doc_id),
+    allids AS (SELECT d.doc_id, COALESCE(i.ids, CAST([] AS BIGINT[])) AS ids
+               FROM documents d LEFT JOIN idl i USING (doc_id)),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    pts AS (SELECT doc_id, ids, CAST(LEN(ids) AS BIGINT) AS n,
+                   CAST({h1} % (LEN(ids) + 1) AS BIGINT) AS p1,
+                   CAST({h2} % (LEN(ids) + 1) AS BIGINT) AS p2,
+                   CAST(CASE WHEN {h3} % 100 < {_X105_RATE_PCT}
+                             THEN 1 ELSE 0 END AS BIGINT) AS fim_applied
+            FROM allids),
+    sp AS (SELECT doc_id, ids, n, fim_applied,
+                  LEAST(p1, p2) AS lo, GREATEST(p1, p2) AS hi
+           FROM pts),
+    o AS (SELECT doc_id, n, fim_applied, lo, hi,
+                 CASE WHEN fim_applied = 1
+                      THEN [v + 1] || ids[1:lo] || [v + 2] || ids[hi+1:n]
+                           || [v + 3] || ids[lo+1:hi]
+                      ELSE ids END AS out
+          FROM sp CROSS JOIN vv)
+    SELECT doc_id, n AS n_tokens, fim_applied, lo, hi,
+           CAST(LEN(out) AS BIGINT) AS n_out,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), out),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS out_digest
+    FROM o
+    """
+
+
+@register(
+    "x105_fim_transform",
+    oracle=_x105_oracle(),
+    tags=("training-prep", "tokenizer", "fim", "transform", "certification"),
+)
+def x105_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transformation (Bavarian et al. 2022):
+    for a hash-selected {_X105_RATE_PCT}% of documents, the token-id
+    sequence is split at two hash-derived points into (prefix, middle,
+    suffix) and re-emitted in PSM order — <PRE> prefix <SUF> suffix
+    <MID> middle — with three sentinel ids appended after the vocabulary
+    (unk is len(vocab), sentinels are +1/+2/+3, so no collision with any
+    token or the unk).  The paper's key property — FIM is a data-level
+    transform that costs nothing at the model — maps here to a pure
+    column expression: document-level split points and the apply
+    decision come from the salted portable hash (reproducible across
+    runs AND engines, the x57 discipline), never RNG state.
+
+    Scale shape: rides x80's encode (broadcast merge table + vocabulary,
+    one Arrow mapInPandas, zero shuffle); the transform itself is
+    JVM-side array slicing/concat on the ids column and the certificate
+    is the 31-ary positional fold (F.aggregate — no Python, no shuffle).
+    The oracle replays train -> vocabulary -> encode -> split -> PSM
+    reassembly -> digest, certifying every transformed sequence's
+    content AND order."""
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = _trained_merge_vocab(d)
+    v = len(vocab)
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+
+    enc = bpe_encode_ids(d, merges, vocab, "text", "doc_id", units=True)
+
+    def h(salt: str):
+        return portable_hash60(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+        )
+
+    n = F.size("ids").cast("bigint")
+    pts = enc.select(
+        "doc_id", "ids",
+        n.alias("n"),
+        (h("fima_") % (n + 1)).cast("bigint").alias("p1"),
+        (h("fimb_") % (n + 1)).cast("bigint").alias("p2"),
+        F.when(h("fimr_") % 100 < _X105_RATE_PCT, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("fim_applied"),
+    ).select(
+        "doc_id", "ids", "n", "fim_applied",
+        F.least("p1", "p2").alias("lo"),
+        F.greatest("p1", "p2").alias("hi"),
+    )
+    lo, hi, nn = F.col("lo"), F.col("hi"), F.col("n")
+    psm = F.concat(
+        F.array(F.lit(v + 1).cast("bigint")),
+        F.slice("ids", F.lit(1), lo),
+        F.array(F.lit(v + 2).cast("bigint")),
+        F.slice("ids", hi + 1, nn - hi),
+        F.array(F.lit(v + 3).cast("bigint")),
+        F.slice("ids", lo + 1, hi - lo),
+    )
+    out = pts.withColumn(
+        "out", F.when(F.col("fim_applied") == 1, psm).otherwise(F.col("ids"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "fim_applied", "lo", "hi",
+        F.size("out").cast("bigint").alias("n_out"),
+        F.aggregate(
+            "out",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+        ).cast("bigint").alias("out_digest"),
+    )
