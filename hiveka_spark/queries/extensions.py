@@ -2257,3 +2257,94 @@ def x102_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("score_q") >= F.col("tail_cut"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x106 — leakage-safe train/val/test split (duplicate-cluster-aware)
+# ---------------------------------------------------------------------------
+
+_X106_TRAIN_PCT = 80
+_X106_VAL_PCT = 90  # train < 80 <= val < 90 <= test
+
+
+def _x106_oracle() -> str:
+    h = D.portable_hash60_sql("concat('split_', CAST(cluster_rep AS VARCHAR))")
+    return f"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM (SELECT doc_id, ws, UNNEST(generate_series(1, GREATEST(LEN(ws) - 2, 1))) AS i
+                 FROM w)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 10000.0) AS BIGINT) / 10000.0
+                    >= 0.8),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u),
+    assigned AS (SELECT d.doc_id,
+                        CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster_rep
+                 FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+    SELECT doc_id, cluster_rep,
+           CASE WHEN {h} % 100 < {_X106_TRAIN_PCT} THEN 'train'
+                WHEN {h} % 100 < {_X106_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@register(
+    "x106_leakage_safe_split",
+    oracle=_x106_oracle(),
+    tags=("curation", "dedup", "split", "training-prep", "certification"),
+)
+def x106_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split: a naive per-doc hash
+    split leaks — near-duplicate pairs land in different splits and the
+    eval set scores memorization (the contamination x24/x41/x68 hunt
+    AFTER the fact).  Here the split key is the near-dup CLUSTER: exact
+    word-3-gram Jaccard pairs (x02's lossless prefix-filtered pipeline)
+    -> connected components (large-star/small-star, O(log n) rounds) ->
+    every doc hashes to train/val/test by its cluster representative
+    (singletons by their own id), so an entire duplicate cluster moves
+    as one unit and NO near-dup pair can straddle a split boundary — by
+    construction, and pinned by a property test.
+
+    Scale shape: the component labels table is dup-population-sized
+    (typically a few % of the corpus), equi-joined back on the id key;
+    the split decision is a JVM hash expression on cluster_rep —
+    adding/removing unrelated documents never reshuffles an existing
+    cluster's split (stable under corpus growth, the x57 determinism
+    discipline).  80/10/10 by salted md5, engine-portable."""
+    from hiveka_spark.operators.clustering import connected_components_star
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    labels, _ = connected_components_star(pairs.select("id_a", "id_b"))
+    assigned = (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").cast("bigint").alias("cluster_rep"),
+        )
+    )
+    hb = D.portable_hash60(
+        F.concat(F.lit("split_"), F.col("cluster_rep").cast("string"))
+    ) % 100
+    return assigned.select(
+        "doc_id", "cluster_rep",
+        F.when(hb < _X106_TRAIN_PCT, F.lit("train"))
+        .when(hb < _X106_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
+    )

@@ -202,3 +202,26 @@ def test_x64_entity_decode_order_not_double_unescaped(spark):
     )
     got = df.select(txt.alias("t")).collect()[0]["t"]
     assert got == "a &lt; b and x & y", got
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """x106's core invariant: no near-dup pair (the x02 Jaccard >= 0.8
+    pipeline, the same edge set the split clusters on) may cross a split
+    boundary, and every split label is one of train/val/test."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators import dedup as D
+    from hiveka_spark.queries.extensions import x106_leakage_safe_split
+
+    sf = "/root/testdata/sf0.001"
+    out = x106_leakage_safe_split(spark, sf)
+    d = table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    a = out.withColumnRenamed("doc_id", "id_a").select("id_a", F.col("split").alias("sa"))
+    b = out.withColumnRenamed("doc_id", "id_b").select("id_b", F.col("split").alias("sb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    assert joined.count() > 0  # the fixture plants near-dups
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
