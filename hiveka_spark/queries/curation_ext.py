@@ -4808,7 +4808,15 @@ def x101_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     E, P, M = _X101_EPOCH_CAP, _X101_BUDGET_PCT, _X101_DIGEST_MOD
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    c = d.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("c_chars"))
+    # ONE corpus pass produces the language table; eagerly checkpointed
+    # (bounded: n_langs rows) so the many tiny allocation branches below
+    # (tot/rk/k2/ep cross-reference it) never replay the corpus aggregate —
+    # without this the single-action plan re-plans the scan per branch
+    c = (
+        d.groupBy("lang")
+        .agg(F.sum("n_chars").cast("bigint").alias("c_chars"))
+        .localCheckpoint(eager=True)
+    )
     tot = c.agg(
         F.expr(f"CAST(SUM(c_chars) * {P} DIV 100 AS BIGINT)").alias("b")
     )

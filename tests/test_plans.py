@@ -832,3 +832,43 @@ def test_x100_dsir_takeordered_and_broadcast(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_x101_unimax_bounded_plan(spark):
+    """UniMax: after the checkpointed language table, the final plan must
+    touch the corpus exactly once more (the fractional-prefix selection) —
+    the allocation arithmetic runs on LocalTableScan-sized data; quotas
+    reach the corpus via broadcast, never a corpus-side shuffle join."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x101_unimax_allocation"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 1, f"expected 1 corpus scan post-checkpoint, got {scans}:\n{plan}"
+    assert re.search(r"BroadcastExchange", plan), plan
+
+
+def test_x102_lm_buckets_shared_exchange(spark):
+    """CCNet bucketing: the per-(doc, word) count exchange feeds the LM
+    vocabulary AND the per-doc scoring sums — canonical-identical
+    branches, so AQE must reuse the stage at runtime (one corpus
+    explode+count, the x100 discipline); the cutoff join must broadcast
+    (cuts is language-bounded); nothing cartesian."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x102_lm_quality_buckets"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"^\(\d+\) BroadcastHashJoin", plan, re.M), plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
