@@ -136,6 +136,12 @@ HEADLINE = [
     "x98_bpe_vocab_extension",
     "x99_incremental_substring_dedup",
     "x100_dsir_selection",
+    "x101_unimax_allocation",
+    "x102_lm_quality_buckets",
+    "x103_bestfit_packing",
+    "x104_tokenizer_fertility",
+    "x105_fim_transform",
+    "x106_leakage_safe_split",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

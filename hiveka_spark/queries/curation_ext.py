@@ -5228,3 +5228,147 @@ def x105_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
         ).cast("bigint").alias("out_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x107 — in-context related-document packing (Shi et al. 2024, "In-Context
+# Pretraining: Language Modeling Beyond Document Boundaries")
+# ---------------------------------------------------------------------------
+
+_X107_K = 8  # kmeans cells (the x52 oracle-replayed configuration)
+_X107_STRIDE = 61
+_X107_SEG = 64  # docs per within-cell segment (window + packing bound)
+_X107_BUDGET = 256  # context-window token budget per packed chunk
+
+
+def _x107_oracle(
+    k: int = _X107_K,
+    stride: int = _X107_STRIDE,
+    seg: int = _X107_SEG,
+    budget: int = _X107_BUDGET,
+) -> str:
+    return f"""
+    WITH {_kmeans_assign_ctes(k, stride)},
+    dl AS (SELECT doc_id AS vec_id,
+                  CAST(COALESCE(LEN(list_filter(string_split(LOWER(text), ' '),
+                                                x -> x <> '')), 0) AS BIGINT) AS len
+           FROM documents),
+    r AS (SELECT a2.vec_id, a2.cell, q.qv, dl.len,
+                 ROW_NUMBER() OVER (PARTITION BY a2.cell
+                                    ORDER BY a2.d2, a2.vec_id) AS crank
+          FROM a2 JOIN q USING (vec_id) JOIN dl USING (vec_id)),
+    s AS (SELECT *, CAST((crank - 1) // {seg} AS BIGINT) AS seg FROM r),
+    c AS (SELECT cell, seg, vec_id, len, qv,
+                 CAST((SUM(len) OVER (PARTITION BY cell, seg ORDER BY crank
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - len) // {budget} AS BIGINT) AS chunk,
+                 LEAD(qv) OVER (PARTITION BY cell, seg ORDER BY crank) AS nqv,
+                 LEAD(qv) OVER (PARTITION BY cell, seg ORDER BY vec_id) AS aqv
+          FROM s),
+    d AS (SELECT cell, seg, len, chunk,
+                 CASE WHEN nqv IS NULL THEN NULL
+                      ELSE CAST(list_dot_product(
+                               list_transform(qv, x -> CAST(x AS DOUBLE)),
+                               list_transform(nqv, x -> CAST(x AS DOUBLE)))
+                           AS BIGINT) END AS rel_dot,
+                 CASE WHEN aqv IS NULL THEN NULL
+                      ELSE CAST(list_dot_product(
+                               list_transform(qv, x -> CAST(x AS DOUBLE)),
+                               list_transform(aqv, x -> CAST(x AS DOUBLE)))
+                           AS BIGINT) END AS arr_dot
+          FROM c)
+    SELECT cell, seg,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks,
+           CAST(SUM(len) AS BIGINT) AS sum_len,
+           CAST(COUNT(rel_dot) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(rel_dot), 0) AS BIGINT) AS rel_adj_dot,
+           CAST(COALESCE(SUM(arr_dot), 0) AS BIGINT) AS arr_adj_dot
+    FROM d GROUP BY cell, seg
+    """
+
+
+@register(
+    "x107_related_packing",
+    oracle=_x107_oracle(),
+    tags=("training-prep", "packing", "clustering", "similarity"),
+)
+def x107_related_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context related-document packing (Shi et al. 2024, "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"): instead
+    of packing context windows from documents in arrival order, group
+    RELATED documents into the same window — the paper shows LMs trained
+    on semantically-coherent windows use long context better.  The
+    scalable surrogate for the paper's greedy nearest-neighbor chain is
+    cluster-then-order: k-means cells over the embeddings (x52's
+    oracle-replayed Lloyd), within each cell a distance-to-centroid
+    order, then x25's cumulative-sum token packing over that order.  The
+    certificate carries the claim's own evidence: per (cell, segment),
+    the summed adjacent-pair dot product under the RELATED order
+    (rel_adj_dot) next to the same docs' ARRIVAL order (arr_adj_dot) —
+    related adjacency should dominate at the corpus level.
+
+    Scale shape: assignment never shuffles the corpus (k-row centroid
+    broadcast); the related order is the distributed range-sort rank
+    (global_order_rank — NO per-cell single-reducer window; within-cell
+    rank = global pos minus a broadcast k-row per-cell offset); every
+    window after that is bounded by the {_X107_SEG}-doc segment, the
+    production shard seam (adjacent pairs across segment boundaries are
+    excluded — bounded loss, exactly the per-buffer locality the paper's
+    sharded implementation accepts).  Quantized-int dots (QUANT=1e4,
+    dim 64: |dot| < 2^36) are summed, never divided, so the oracle —
+    which replays Lloyd, the order, the packing, and both adjacency
+    channels — matches on bigint arithmetic alone.
+    """
+    from hiveka_spark.operators.clustering import kmeans_lloyd
+    from hiveka_spark.operators.sampling import global_order_rank
+    from hiveka_spark.operators.similarity import quantized
+
+    e = table(spark, sf_dir, "embeddings")
+    asgn = kmeans_lloyd(
+        e, "vec_id", "embedding", k=_X107_K, n_assign=2,
+        centroid_stride=_X107_STRIDE,
+    )
+    qv = e.select("vec_id", quantized("embedding").alias("qv"))
+    dl = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.coalesce(F.size(tokens("text")), F.lit(0)).cast("bigint").alias("len"),
+    )
+    t = asgn.join(qv, "vec_id").join(dl, "vec_id")
+    ranked = global_order_rank(t, ["cell", "d2", "vec_id"], "pos")
+    cell_off = ranked.groupBy("cell").agg(F.min("pos").alias("_off"))  # k rows
+    r = (
+        ranked.join(F.broadcast(cell_off), "cell")
+        .withColumn("crank", (F.col("pos") - F.col("_off") + 1).cast("bigint"))
+        .withColumn(
+            "seg", F.expr(f"CAST((crank - 1) DIV {_X107_SEG} AS BIGINT)")
+        )
+    )
+    w_rel = Window.partitionBy("cell", "seg").orderBy("crank")
+    w_arr = Window.partitionBy("cell", "seg").orderBy("vec_id")
+    cum = Window.partitionBy("cell", "seg").orderBy("crank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cum_before = F.sum("len").over(cum) - F.col("len")
+    c = r.select(
+        "cell", "seg", "len",
+        F.floor(cum_before / F.lit(_X107_BUDGET)).cast("bigint").alias("chunk"),
+        dot(F.col("qv"), F.lead("qv").over(w_rel)).alias("rel_dot"),
+        dot(F.col("qv"), F.lead("qv").over(w_arr)).alias("arr_dot"),
+    )
+    return c.groupBy("cell", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("chunk").cast("bigint").alias("n_chunks"),
+        F.sum("len").cast("bigint").alias("sum_len"),
+        F.count("rel_dot").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("rel_dot"), F.lit(0)).cast("bigint").alias("rel_adj_dot"),
+        F.coalesce(F.sum("arr_dot"), F.lit(0)).cast("bigint").alias("arr_adj_dot"),
+    )

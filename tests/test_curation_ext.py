@@ -652,3 +652,38 @@ def test_ivfpq_residual_beats_raw_on_planted_clusters(spark):
     assert r_res > r_raw, f"residual {r_res} <= raw {r_raw}"
     assert r_res >= 0.9  # measured 1.00
     assert r_raw <= 0.8  # measured 0.55: raw genuinely struggles here
+
+
+# ------------------------------------------------- x107 related packing
+
+
+def test_x107_related_order_dominates_arrival(spark):
+    """The operator's own claim at corpus level: adjacent pairs under the
+    related (cell, distance-to-centroid) order are more similar than the
+    same segments' arrival-order adjacency.  Dots are summed bigints, so
+    the comparison is exact."""
+    df = REGISTRY["x107_related_packing"].fn(spark, SF_SMOKE)
+    row = df.agg(
+        F.sum("rel_adj_dot").alias("rel"),
+        F.sum("arr_adj_dot").alias("arr"),
+        F.sum("n_pairs").alias("np"),
+        F.sum("n_docs").alias("nd"),
+    ).collect()[0]
+    assert row.nd > 0 and row.np > 0
+    assert row.rel >= row.arr
+
+
+def test_x107_packing_budget_contract(spark):
+    """x25's bounded-overflow contract holds per (cell, seg): every chunk's
+    preceding cumulative length is below (chunk+1)*budget, so a chunk
+    overflows by at most one document."""
+    from hiveka_spark.queries.curation_ext import _X107_BUDGET, _X107_SEG
+
+    df = REGISTRY["x107_related_packing"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    for r in rows:
+        assert 1 <= r.n_docs <= _X107_SEG
+        # n_chunks can never exceed n_docs, and covers sum_len at the
+        # bounded-overflow budget contract
+        assert 1 <= r.n_chunks <= r.n_docs
+        assert r.n_pairs == r.n_docs - 1
