@@ -5372,3 +5372,157 @@ def x107_related_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("rel_dot"), F.lit(0)).cast("bigint").alias("rel_adj_dot"),
         F.coalesce(F.sum("arr_dot"), F.lit(0)).cast("bigint").alias("arr_adj_dot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x108 — data-constrained repeat allocation (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models")
+# ---------------------------------------------------------------------------
+
+_X108_RMAX = 5  # epoch cap per source
+_X108_NUM, _X108_DEN = 3, 4  # per-epoch value retention (geometric surrogate)
+_X108_BUDGET_NUM, _X108_BUDGET_DEN = 5, 2  # B = 2.5x total unique tokens
+
+
+def _x108_oracle() -> str:
+    R, NUM, DEN = _X108_RMAX, _X108_NUM, _X108_DEN
+    BN, BD = _X108_BUDGET_NUM, _X108_BUDGET_DEN
+    from hiveka_spark.queries.pipeline_ext import _x45_oracle
+
+    # per-(source, content) uniqueness over the x45 keep flags
+    return f"""
+    WITH g AS ({_x45_oracle()}),
+    u AS (SELECT d.source, md5(d.text) AS h,
+                 CAST(MIN(g.n_words) AS BIGINT) AS n_words,
+                 CAST(MIN(g.keep) AS BIGINT) AS keep
+          FROM documents d JOIN g USING (doc_id)
+          GROUP BY d.source, md5(d.text)),
+    src AS (SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS u_tokens,
+                   CAST(SUM(keep) * 10000 // COUNT(*) AS BIGINT) AS q_pass_q
+            FROM u GROUP BY source),
+    b AS (SELECT CAST(SUM(u_tokens) * {BN} // {BD} AS BIGINT) AS budget FROM src),
+    cand AS (SELECT s.source, s.n_unique_docs, s.u_tokens, s.q_pass_q, r.r,
+                    CAST(s.q_pass_q
+                         * CAST(pow({NUM}, r.r - 1) AS BIGINT)
+                         * CAST(pow({DEN}, {R} - r.r) AS BIGINT) AS BIGINT) AS mv,
+                    CAST(CAST(pow({NUM}, r.r - 1) AS BIGINT)
+                         * CAST(pow({DEN}, {R} - r.r) AS BIGINT) AS BIGINT) AS wt
+             FROM src s CROSS JOIN (SELECT UNNEST(range(1, {R + 1})) AS r) r),
+    tk AS (SELECT *,
+                  SUM(u_tokens) OVER (ORDER BY mv DESC, source, r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cand),
+    sel AS (SELECT t.*, CASE WHEN t.cum <= b.budget THEN 1 ELSE 0 END AS taken
+            FROM tk t CROSS JOIN b)
+    SELECT source,
+           CAST(MIN(n_unique_docs) AS BIGINT) AS n_unique_docs,
+           CAST(MIN(u_tokens) AS BIGINT) AS u_tokens,
+           CAST(MIN(q_pass_q) AS BIGINT) AS q_pass_q,
+           CAST(COALESCE(SUM(taken), 0) AS BIGINT) AS n_epochs,
+           CAST(COALESCE(SUM(taken), 0) * MIN(u_tokens) AS BIGINT) AS alloc_tokens,
+           CAST(MIN(u_tokens) * COALESCE(SUM(taken * wt), 0) * 10000
+                // CAST(pow({DEN}, {R} - 1) AS BIGINT) AS BIGINT) AS eff_tokens_q
+    FROM sel GROUP BY source
+    """
+
+
+@register(
+    "x108_repeat_allocation",
+    oracle=_x108_oracle(),
+    tags=("training-prep", "mixing", "budget", "dedup"),
+)
+def x108_repeat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023): when
+    the token budget exceeds the unique data, decide WHICH sources to
+    repeat and how many epochs each — the paper's finding that repeating
+    quality-filtered data beats adding unfiltered data, as an operator.
+    The value of source s's r-th epoch decays geometrically
+    ({_X108_NUM}/{_X108_DEN} per extra epoch — the engine-exact rational
+    surrogate of the paper's fitted decay) and is weighted by the
+    source's quality q_s (fraction of UNIQUE docs passing the x45 Gopher
+    rules, micro-units): greedy maximization = take candidates (s, r) in
+    (q_s * {_X108_NUM}^(r-1) * {_X108_DEN}^(RMAX-r)) descending order
+    while the cumulative unique-token cost fits the budget (a prefix rule
+    — the value score is strictly decreasing in r per source, so epoch r
+    is never taken before r-1; complements x101, which balances LANGUAGES
+    uniformly under a cap with no quality term).  Per source: unique
+    tokens (exact-dedup by md5 within source — the paper's repeats are of
+    DEDUPED data), the quality weight, epochs allocated, raw tokens
+    consumed, and the effective fresh-token equivalent (eff_tokens_q,
+    decay-weighted, micro-units).
+
+    Scale shape: ONE corpus pass (md5-keyed dedup aggregate — the shuffle
+    carries 16-byte hashes + counts, never text) into a source-keyed
+    rollup; the allocation windows run on the CANDIDATE table (n_sources
+    x RMAX rows, bounded ~100 — x101's bounded-by-construction posture);
+    everything after is arithmetic on that table.  All bigint (pass
+    fractions and effective tokens are DIV-quantized), so the DuckDB
+    oracle replays dedup, quality, scoring, and the greedy prefix
+    bit-for-bit."""
+    from hiveka_spark.operators.text import with_gopher_rules
+
+    R, NUM, DEN = _X108_RMAX, _X108_NUM, _X108_DEN
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    g = with_gopher_rules(d).select(
+        "source", F.md5("text").alias("h"), "n_words", "keep"
+    )
+    u = g.groupBy("source", "h").agg(
+        F.min("n_words").cast("bigint").alias("n_words"),
+        F.min("keep").cast("bigint").alias("keep"),
+    )
+    src = (
+        u.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+            F.sum("n_words").cast("bigint").alias("u_tokens"),
+            F.expr("CAST(SUM(keep) * 10000 DIV COUNT(*) AS BIGINT)")
+            .alias("q_pass_q"),
+        )
+        # bounded (n_sources rows); checkpointed so the budget branch and
+        # the candidate fan-out never replay the corpus aggregate (x101)
+        .localCheckpoint(eager=True)
+    )
+    b = src.agg(
+        F.expr(
+            f"CAST(SUM(u_tokens) * {_X108_BUDGET_NUM}"
+            f" DIV {_X108_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget")
+    )
+    rr = spark.range(1, R + 1).select(F.col("id").cast("bigint").alias("r"))
+    wt = F.expr(
+        f"CAST(CAST(pow({NUM}, r - 1) AS BIGINT)"
+        f" * CAST(pow({DEN}, {R} - r) AS BIGINT) AS BIGINT)"
+    )
+    cand = src.crossJoin(F.broadcast(rr)).select(
+        "source", "n_unique_docs", "u_tokens", "q_pass_q", "r",
+        (F.col("q_pass_q") * wt).cast("bigint").alias("mv"),
+        wt.alias("wt"),
+    )
+    # allocation window: the frame is the candidate table (n_sources * RMAX
+    # rows, bounded) — single-partition window bounded by construction
+    w = Window.orderBy(F.desc("mv"), "source", "r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = (
+        cand.withColumn("cum", F.sum("u_tokens").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(b))
+        .withColumn(
+            "taken",
+            F.when(F.col("cum") <= F.col("budget"), 1).otherwise(0)
+            .cast("bigint"),
+        )
+    )
+    return sel.groupBy("source").agg(
+        F.min("n_unique_docs").cast("bigint").alias("n_unique_docs"),
+        F.min("u_tokens").cast("bigint").alias("u_tokens"),
+        F.min("q_pass_q").cast("bigint").alias("q_pass_q"),
+        F.coalesce(F.sum("taken"), F.lit(0)).cast("bigint").alias("n_epochs"),
+        (F.coalesce(F.sum("taken"), F.lit(0)) * F.min("u_tokens"))
+        .cast("bigint").alias("alloc_tokens"),
+        F.expr(
+            f"CAST(MIN(u_tokens) * COALESCE(SUM(taken * wt), 0) * 10000"
+            f" DIV CAST(pow({DEN}, {R} - 1) AS BIGINT) AS BIGINT)"
+        ).alias("eff_tokens_q"),
+    )

@@ -687,3 +687,30 @@ def test_x107_packing_budget_contract(spark):
         # bounded-overflow budget contract
         assert 1 <= r.n_chunks <= r.n_docs
         assert r.n_pairs == r.n_docs - 1
+
+
+# ------------------------------------------------- x108 repeat allocation
+
+
+def test_x108_allocation_invariants(spark):
+    """Budget respected exactly; epochs capped; higher-quality sources never
+    get fewer epochs than strictly-lower-quality ones (the greedy's value
+    score is strictly ordered by q at every r)."""
+    from hiveka_spark.queries.curation_ext import (
+        _X108_BUDGET_DEN, _X108_BUDGET_NUM, _X108_RMAX,
+    )
+
+    rows = REGISTRY["x108_repeat_allocation"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    total_unique = sum(r.u_tokens for r in rows)
+    budget = total_unique * _X108_BUDGET_NUM // _X108_BUDGET_DEN
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r.n_epochs <= _X108_RMAX
+        assert r.alloc_tokens == r.n_epochs * r.u_tokens
+        # effective value never exceeds raw tokens spent (decay <= 1)
+        assert r.eff_tokens_q <= r.alloc_tokens * 10000
+    by_q = sorted(rows, key=lambda r: (-r.q_pass_q, r.source))
+    for a, b in zip(by_q, by_q[1:]):
+        if a.q_pass_q > b.q_pass_q:
+            assert a.n_epochs >= b.n_epochs
