@@ -5526,3 +5526,156 @@ def x108_repeat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV CAST(pow({DEN}, {R} - 1) AS BIGINT) AS BIGINT)"
         ).alias("eff_tokens_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x109 — mid-epoch RESUME certification: restart at step k consumes exactly
+# the remaining examples, certified by affine digest composition
+# ---------------------------------------------------------------------------
+
+
+def _x109_oracle() -> str:
+    """x93's order chain, then per (epoch, order-shard): fold the full /
+    prefix / suffix digest lists, recompute 31^suffix_len mod p by an
+    iterative fold, and certify the affine identity
+    full == (prefix * 31^len(suffix) + suffix) mod p in-oracle."""
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    salts = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_X93_EPOCH_SALTS))
+    hh = portable_hash60_sql(
+        "concat(salt, CAST(shard AS VARCHAR), ':', CAST(ex_idx AS VARCHAR))"
+    )
+
+    def fold(lst: str) -> str:
+        return (
+            f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), {lst}),"
+            f" (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)"
+        )
+
+    pw = (
+        "CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),"
+        " list_transform(range(CAST(n_examples - k_resume AS BIGINT)),"
+        " y -> CAST(31 AS BIGINT))),"
+        " (acc, x) -> (acc * x) % 2147483647) AS BIGINT)"
+    )
+    return f"""
+    WITH m AS MATERIALIZED ({_x87_oracle()}),
+    t AS (SELECT e.epoch, e.salt, m.shard, m.ex_idx, m.ids_digest
+          FROM m CROSS JOIN (VALUES {salts}) e(epoch, salt)),
+    s AS (SELECT CAST(epoch AS BIGINT) AS epoch,
+                 CAST(hh % {_X93_ORDER_SHARDS} AS BIGINT) AS ex_shard,
+                 ids_digest,
+                 ROW_NUMBER() OVER (PARTITION BY epoch, hh % {_X93_ORDER_SHARDS}
+                                    ORDER BY hh, shard, ex_idx) AS pos
+          FROM (SELECT *, {hh} AS hh FROM t)),
+    w AS (SELECT epoch, ex_shard, ids_digest, pos,
+                 CAST(COUNT(*) OVER (PARTITION BY epoch, ex_shard) AS BIGINT) AS n
+          FROM s),
+    g AS (SELECT epoch, ex_shard,
+                 CAST(MIN(n) AS BIGINT) AS n_examples,
+                 CAST(MIN(n) // 2 AS BIGINT) AS k_resume,
+                 {fold("list(ids_digest ORDER BY pos)")} AS order_digest,
+                 {fold("list(ids_digest ORDER BY pos) FILTER (pos <= n // 2)")}
+                   AS prefix_digest,
+                 {fold("list(ids_digest ORDER BY pos) FILTER (pos > n // 2)")}
+                   AS suffix_digest
+          FROM w GROUP BY epoch, ex_shard)
+    SELECT epoch, ex_shard, n_examples, k_resume,
+           order_digest, prefix_digest, suffix_digest,
+           CAST((prefix_digest * {pw} + suffix_digest) % 2147483647 AS BIGINT)
+             AS composed_digest,
+           CAST(CASE WHEN (prefix_digest * {pw} + suffix_digest) % 2147483647
+                          = order_digest THEN 1 ELSE 0 END AS BIGINT)
+             AS resume_ok
+    FROM g
+    """
+
+
+@register(
+    "x109_resume_manifest",
+    oracle=_x109_oracle(),
+    tags=("training-prep", "ordering", "certification", "resume"),
+)
+def x109_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-epoch RESUME certification: a crashed training job restarts at
+    step k and must consume exactly the remaining examples in the same
+    order — without replaying the consumed prefix.  Because x93's order
+    digest is linear mod p, it composes over any contiguous split:
+    digest(full) == (digest(prefix) * 31^len(suffix) + digest(suffix))
+    mod p.  Per (epoch, order-shard) this emits the full-epoch digest,
+    the prefix digest at the resume point k = n DIV 2 (what the crashed
+    run's checkpoint recorded), the suffix digest the RESTARTED run
+    computes over only the rows it reads (pos > k — no prefix re-read),
+    the affine composition, and resume_ok — so checkpoint + restart
+    together reproduce the full-run certificate or fail loudly.
+
+    Scale shape: everything runs on the example MANIFEST (n_tokens/C
+    rows); prefix/suffix digests are `segmented_order_digest` folds over
+    pos-filtered frames (bounded buffers; no reindex needed — the affine
+    fold is split-invariant over any strictly-increasing pos); the
+    carry 31^len(suffix) comes from a broadcast power table over the
+    bounded distinct suffix lengths (driver pow, the
+    composed_order_digest posture).  The oracle replays packing, the
+    epoch order, all three digests, AND the composition identity."""
+    from hiveka_spark.operators.sampling import (
+        _DIGEST_MOD,
+        segmented_order_digest,
+    )
+
+    s = _x93_ranked(spark, sf_dir).localCheckpoint(eager=True)
+    counts = s.groupBy("epoch", "ex_shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples")
+    )
+    k_tbl = counts.select(
+        "epoch", "ex_shard", "n_examples",
+        F.expr("CAST(n_examples DIV 2 AS BIGINT)").alias("k_resume"),
+    )
+    t = s.join(F.broadcast(k_tbl), ["epoch", "ex_shard"])
+    full = segmented_order_digest(
+        s, ("epoch", "ex_shard"), "pos", "ids_digest",
+        out_col="order_digest", seg_size=64,
+    )
+    pre = segmented_order_digest(
+        t.filter(F.col("pos") <= F.col("k_resume")),
+        ("epoch", "ex_shard"), "pos", "ids_digest",
+        out_col="prefix_digest", seg_size=64,
+    )
+    suf = segmented_order_digest(
+        t.filter(F.col("pos") > F.col("k_resume")),
+        ("epoch", "ex_shard"), "pos", "ids_digest",
+        out_col="suffix_digest", seg_size=64,
+    )
+    j = (
+        k_tbl.join(full, ["epoch", "ex_shard"])
+        .join(pre, ["epoch", "ex_shard"], "left")
+        .join(suf, ["epoch", "ex_shard"], "left")
+        .select(
+            "epoch", "ex_shard", "n_examples", "k_resume",
+            "order_digest",
+            F.coalesce("prefix_digest", F.lit(0)).cast("bigint")
+            .alias("prefix_digest"),
+            F.coalesce("suffix_digest", F.lit(0)).cast("bigint")
+            .alias("suffix_digest"),
+            (F.col("n_examples") - F.col("k_resume")).alias("_slen"),
+        )
+    )
+    # 31^suffix_len mod p: bounded distinct lengths (one per shard row)
+    slens = sorted(
+        int(r[0]) for r in j.select("_slen").distinct().collect()
+    )
+    pow_tbl = spark.createDataFrame(
+        [(n, pow(31, n, _DIGEST_MOD)) for n in slens] or [(0, 1)],
+        "_slen bigint, _pw bigint",
+    )
+    p = F.lit(_DIGEST_MOD).cast("bigint")
+    out = j.join(F.broadcast(pow_tbl), "_slen").withColumn(
+        "composed_digest",
+        ((F.col("prefix_digest") * F.col("_pw") + F.col("suffix_digest")) % p)
+        .cast("bigint"),
+    )
+    return out.select(
+        "epoch", "ex_shard", "n_examples", "k_resume",
+        "order_digest", "prefix_digest", "suffix_digest", "composed_digest",
+        F.when(F.col("composed_digest") == F.col("order_digest"), 1)
+        .otherwise(0).cast("bigint").alias("resume_ok"),
+    )

@@ -714,3 +714,32 @@ def test_x108_allocation_invariants(spark):
     for a, b in zip(by_q, by_q[1:]):
         if a.q_pass_q > b.q_pass_q:
             assert a.n_epochs >= b.n_epochs
+
+
+# ------------------------------------------------- x109 resume manifest
+
+
+def test_x109_resume_composition_holds(spark):
+    """Every shard's composed (prefix, suffix) digest equals the full-epoch
+    order digest — the identity a restarted trainer relies on — and the
+    resume point is the documented n DIV 2."""
+    rows = REGISTRY["x109_resume_manifest"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.resume_ok == 1
+        assert r.composed_digest == r.order_digest
+        assert r.k_resume == r.n_examples // 2
+
+
+def test_x109_detects_suffix_tamper(spark):
+    """A tampered suffix (one example's digest changed) breaks the
+    composition: recompute composed with a perturbed suffix digest and
+    check it no longer matches — the identity is not vacuous."""
+    rows = REGISTRY["x109_resume_manifest"].fn(spark, SF_SMOKE).collect()
+    p = 2147483647
+    r = next(x for x in rows if x.n_examples - x.k_resume >= 1)
+    bad_suffix = (r.suffix_digest + 1) % p
+    composed_bad = (
+        r.prefix_digest * pow(31, r.n_examples - r.k_resume, p) + bad_suffix
+    ) % p
+    assert composed_bad != r.order_digest
