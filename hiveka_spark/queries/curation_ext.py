@@ -5679,3 +5679,109 @@ def x109_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("composed_digest") == F.col("order_digest"), 1)
         .otherwise(0).cast("bigint").alias("resume_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x110 — length-grouped batching: padding-waste certification (Morishita
+# et al. 2017, "An Empirical Study of Mini-Batch Creation Strategies for
+# Neural Machine Translation")
+# ---------------------------------------------------------------------------
+
+_X110_BATCH = 16  # examples per batch (pad-to-longest within batch)
+
+
+def _x110_oracle(b: int = _X110_BATCH) -> str:
+    return f"""
+    WITH dl AS (SELECT doc_id,
+                       CAST(COALESCE(LEN(list_filter(string_split(LOWER(text), ' '),
+                                                     x -> x <> '')), 0) AS BIGINT)
+                         AS len
+                FROM documents),
+    r AS (SELECT doc_id, len,
+                 CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {b} AS BIGINT)
+                   AS arr_batch,
+                 CAST((ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) - 1) // {b}
+                      AS BIGINT) AS lg_batch
+          FROM dl),
+    pol AS (SELECT 'arrival' AS policy, arr_batch AS batch, len FROM r
+            UNION ALL
+            SELECT 'length_grouped' AS policy, lg_batch AS batch, len FROM r),
+    per AS (SELECT policy, batch,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len) AS BIGINT) AS sum_len,
+                   CAST(COUNT(*) * MAX(len) AS BIGINT) AS padded
+            FROM pol GROUP BY policy, batch)
+    SELECT policy,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(sum_len) AS BIGINT) AS sum_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+           CAST(SUM(padded) - SUM(sum_len) AS BIGINT) AS pad_waste,
+           CAST(SUM(sum_len) * 10000 // SUM(padded) AS BIGINT) AS utilization_q
+    FROM per GROUP BY policy
+    """
+
+
+@register(
+    "x110_length_batching",
+    oracle=_x110_oracle(),
+    tags=("training-prep", "batching", "efficiency"),
+)
+def x110_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (Morishita et al. 2017; the
+    LengthGroupedSampler every trainer ships): batches padded to their
+    longest member waste compute proportional to within-batch length
+    spread, so grouping similar-length examples into the same batch cuts
+    padding FLOPs — this certifies exactly how much, on this corpus.
+    Both policies are materialized side by side: arrival order (batch =
+    doc rank DIV {_X110_BATCH}) vs length-grouped (rank under
+    (len DESC, doc_id)); per policy the report carries batch count, real
+    tokens, padded tokens (ragged last batch: count * max, not b * max),
+    absolute waste, and DIV-quantized utilization — length-grouped
+    utilization should dominate, pinned in tests.
+
+    Scale shape: both ranks are ONE distributed range-sort each
+    (global_order_rank — no single-reducer window), the per-batch rollup
+    is a map-side-combinable keyed aggregate (batch ids are dense
+    bigints), and the policy report is a 2-row table.  All-integer
+    arithmetic, so the oracle replays both policies exactly."""
+    from hiveka_spark.operators.sampling import global_order_rank
+
+    b = _X110_BATCH
+    dl = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).cast("bigint").alias("len"),
+    )
+    arr = global_order_rank(dl, ["doc_id"], "arr_pos")
+    lg = global_order_rank(
+        arr.withColumn("_neg", (-F.col("len")).cast("bigint")),
+        ["_neg", "doc_id"],
+        "lg_pos",
+    )
+    r = lg.select(
+        "len",
+        F.expr(f"CAST((arr_pos - 1) DIV {b} AS BIGINT)").alias("arr_batch"),
+        F.expr(f"CAST((lg_pos - 1) DIV {b} AS BIGINT)").alias("lg_batch"),
+    )
+    pol = r.select(
+        F.lit("arrival").alias("policy"), F.col("arr_batch").alias("batch"), "len"
+    ).unionByName(
+        r.select(
+            F.lit("length_grouped").alias("policy"),
+            F.col("lg_batch").alias("batch"), "len",
+        )
+    )
+    per = pol.groupBy("policy", "batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("sum_len"),
+        (F.count(F.lit(1)) * F.max("len")).cast("bigint").alias("padded"),
+    )
+    return per.groupBy("policy").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+        F.sum("sum_len").cast("bigint").alias("sum_tokens"),
+        F.sum("padded").cast("bigint").alias("padded_tokens"),
+        (F.sum("padded") - F.sum("sum_len")).cast("bigint").alias("pad_waste"),
+        F.expr("CAST(SUM(sum_len) * 10000 DIV SUM(padded) AS BIGINT)")
+        .alias("utilization_q"),
+    )

@@ -743,3 +743,22 @@ def test_x109_detects_suffix_tamper(spark):
         r.prefix_digest * pow(31, r.n_examples - r.k_resume, p) + bad_suffix
     ) % p
     assert composed_bad != r.order_digest
+
+
+# ------------------------------------------------- x110 length batching
+
+
+def test_x110_length_grouping_cuts_padding(spark):
+    """The operator's claim: length-grouped batches waste no more padding
+    than arrival batches on the same corpus, with identical token totals."""
+    rows = {r.policy: r for r in
+            REGISTRY["x110_length_batching"].fn(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"arrival", "length_grouped"}
+    a, g = rows["arrival"], rows["length_grouped"]
+    assert a.n_docs == g.n_docs and a.sum_tokens == g.sum_tokens
+    assert a.n_batches == g.n_batches
+    assert g.pad_waste <= a.pad_waste
+    assert g.utilization_q >= a.utilization_q
+    for r in (a, g):
+        assert r.padded_tokens == r.sum_tokens + r.pad_waste
+        assert r.padded_tokens >= r.sum_tokens
