@@ -5785,3 +5785,71 @@ def x110_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(sum_len) * 10000 DIV SUM(padded) AS BIGINT)")
         .alias("utilization_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x111 — frequent n-gram motif mining (corpus-wide repeated-phrase report)
+# ---------------------------------------------------------------------------
+
+_X111_N = 5  # words per gram
+_X111_TOPK = 40
+
+
+def _x111_oracle(n: int = _X111_N, topk: int = _X111_TOPK) -> str:
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(LOWER(text), ' '), x -> x <> '')
+                        AS ws
+               FROM documents),
+    gr AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+           FROM (SELECT doc_id, ws,
+                        UNNEST(generate_series(1, GREATEST(LEN(ws) - {n - 1}, 1)))
+                          AS i
+                 FROM w)),
+    dg AS (SELECT gram, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM gr GROUP BY gram, doc_id),
+    st AS (SELECT gram,
+                  CAST(COUNT(*) AS BIGINT) AS df,
+                  CAST(SUM(c) AS BIGINT) AS tf
+           FROM dg GROUP BY gram)
+    SELECT gram, df, tf
+    FROM st ORDER BY df DESC, tf DESC, gram LIMIT {topk}
+    """
+
+
+@register(
+    "x111_frequent_ngrams",
+    oracle=_x111_oracle(),
+    tags=("text", "boilerplate", "dedup", "metrics"),
+)
+def x111_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-phrase mining: the top-{_X111_TOPK}
+    {_X111_N}-word grams by document frequency (ties: total occurrences,
+    then gram) — the discovery pass that FEEDS boilerplate removal (x31)
+    and substring dedup (x96): before setting a repeated-chunk threshold
+    you look at what actually repeats (license headers, navigation
+    chrome, template sentences — Lee et al. 2022 §5's memorized-
+    boilerplate motifs).  Emits (gram, df, tf); df != tf separates
+    cross-document boilerplate from within-document repetition (x29's
+    signal).
+
+    Scale shape: the gram explode is map-only; the (gram, doc) pre-
+    aggregate collapses within-doc repeats BEFORE the gram-keyed rollup
+    (both map-side combinable — the first shuffle's rows are already
+    deduplicated mass), and the top-K is TakeOrderedAndProject (never a
+    global sort).  Degenerate short docs follow word_ngrams' whole-text
+    single-gram convention, mirrored in the oracle."""
+    from hiveka_spark.operators.dedup import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    gr = d.select(
+        "doc_id", F.explode(word_ngrams("text", _X111_N)).alias("gram")
+    )
+    dg = gr.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    st = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tf"),
+    )
+    return st.orderBy(F.desc("df"), F.desc("tf"), "gram").limit(_X111_TOPK)
