@@ -1872,3 +1872,137 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = s26_compose(man, alive).localCheckpoint(eager=True)
     shutil.rmtree(store, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# s27 — LIVE tokenizer-fertility drift monitor: x104's per-language
+# fertility as a restart-safe streaming SERVING TABLE (s21's mechanism)
+# ---------------------------------------------------------------------------
+
+
+def _s27_oracle() -> str:
+    """x104's training + application recursion, reduced to the MERGEABLE
+    per-language sums the streaming sink maintains (no chars column —
+    fertility is the drift metric a tokenizer-health dashboard watches),
+    with the final ratio computed from the summed values exactly as the
+    gate computes it from the drained snapshot."""
+    from hiveka_spark.queries.curation_ext import (
+        _X76_MAX_WORDS,
+        _X76_MERGES,
+        _bpe_apply_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
+    unit_tok AS (
+      SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w),
+    pd AS (
+      SELECT d.doc_id, MIN(d.lang) AS lang,
+             CAST(MIN(LEN(list_filter(string_split(LOWER(d.text), ' '),
+                                      x -> x <> ''))) AS BIGINT) AS n_words,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tok
+      FROM documents d
+      LEFT JOIN docunits du ON du.doc_id = d.doc_id
+      LEFT JOIN unit_tok t ON t.u = du.u
+      GROUP BY d.doc_id)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tok) AS BIGINT) * 10000
+             // CAST(SUM(n_words) AS BIGINT) AS fertility_q
+    FROM pd GROUP BY lang
+    """
+
+
+@register(
+    "s27_stream_fertility_drift",
+    oracle=_s27_oracle(),
+    tags=("streaming", "upsert", "tokenizer", "evaluation", "serving-table"),
+)
+def s27_stream_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE tokenizer-drift monitor: per-language fertility (x104's
+    equity metric) of a FROZEN production tokenizer over the incoming
+    document stream, maintained as a restart-safe serving table — the
+    dashboard that tells you when the live mix has drifted away from the
+    corpus the tokenizer was trained on (a language's fertility climbing
+    means its text is being shredded into ever more tokens, the signal
+    that a vocabulary extension (x98) is due).  The tokenizer trains
+    ONCE, before the stream starts (the frozen-v1 posture of x95/s26);
+    each micro-batch tokenizes only its own docs (broadcast merge table,
+    flat Arrow mapInPandas, zero shuffle) and reduces to per-language
+    (n_docs, sum_words, sum_tokens) — MERGEABLE sums, s21's
+    VersionedUpsertSink discipline (disk-derived predecessor, queryable
+    parquet snapshot at every batch boundary, restart-safe) — and the
+    fertility ratio is computed from the drained sums, never averaged
+    across batches.  4 real micro-batches; the drained snapshot must
+    equal x104's batch derivation, which the DuckDB oracle replays
+    (training recursion + application + per-language rollup)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.text import tokens
+    from hiveka_spark.queries.curation_ext import _X76_MAX_WORDS, _X76_MERGES
+    from hiveka_spark.streaming.upsert import VersionedUpsertSink
+
+    src_dir = scratch_dir(prefix="gate_s27src_")
+    state_root = scratch_dir(prefix="gate_s27state_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # frozen v1 tokenizer: trained on the batch corpus BEFORE the stream
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+
+    d.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def batch_reduce(batch_df: DataFrame) -> DataFrame:
+        counts = bpe_apply_fast(batch_df, merges, "text", "doc_id", units=True)
+        meta = batch_df.select(
+            "doc_id", "lang",
+            F.coalesce(F.size(tokens("text")), F.lit(0)).cast("bigint")
+            .alias("n_words"),
+        )
+        return (
+            meta.join(counts, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_words").cast("bigint").alias("sum_words"),
+                F.sum("n_bpe_tokens").cast("bigint").alias("sum_tokens"),
+            )
+        )
+
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(b)
+            .groupBy("lang")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_words").cast("bigint").alias("sum_words"),
+                F.sum("sum_tokens").cast("bigint").alias("sum_tokens"),
+            )
+        )
+
+    sink = VersionedUpsertSink(state_root, batch_reduce, merge)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s27_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sink.latest_path()
+    assert final is not None
+    snap = spark.read.parquet(final)
+    return snap.select(
+        "lang", "n_docs", "sum_words", "sum_tokens",
+        F.expr("CAST(sum_tokens * 10000 DIV sum_words AS BIGINT)")
+        .alias("fertility_q"),
+    )
