@@ -142,6 +142,12 @@ HEADLINE = [
     "x104_tokenizer_fertility",
     "x105_fim_transform",
     "x106_leakage_safe_split",
+    "x107_related_packing",
+    "x108_repeat_allocation",
+    "x109_resume_manifest",
+    "x110_length_batching",
+    "x111_frequent_ngrams",
+    "s27_stream_fertility_drift",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
