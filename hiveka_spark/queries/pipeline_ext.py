@@ -825,3 +825,132 @@ def x46_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return shingle_novelty(d, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# x112 — unique-secret detection + scrub (memorization-risk mitigation:
+# Carlini et al. 2021, "Extracting Training Data from Large Language
+# Models"; the detect-secrets pass of The Stack, Kocetkov et al. 2022)
+# ---------------------------------------------------------------------------
+
+_X112_MIN_LEN = 16  # candidate-secret minimum length
+_X112_MARK = "[SECRET]"
+
+
+def _x112_oracle(min_len: int = _X112_MIN_LEN) -> str:
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat(' sk0', md5(CAST(doc_id AS VARCHAR)))
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN ' SHARED0000token00001' ELSE '' END) AS text
+      FROM documents),
+    w AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM aug),
+    cand AS (SELECT DISTINCT doc_id, w FROM w
+             WHERE LENGTH(w) >= {min_len}
+               AND regexp_matches(w, '[A-Za-z]')
+               AND regexp_matches(w, '[0-9]')
+               AND regexp_matches(w, '^[A-Za-z0-9_-]+$')),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM cand GROUP BY w),
+    per AS (SELECT c.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_secrets,
+                   list(c.w ORDER BY c.w) FILTER (f.df = 1) AS secrets
+            FROM cand c JOIN dfreq f USING (w)
+            GROUP BY c.doc_id)
+    SELECT a.doc_id,
+           CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(p.n_secrets, 0) AS BIGINT) AS n_secrets,
+           md5(list_reduce(
+                 list_prepend(a.text, COALESCE(p.secrets, CAST([] AS VARCHAR[]))),
+                 (acc, s) -> replace(acc, s, '{_X112_MARK}'))) AS scrubbed_md5
+    FROM aug a LEFT JOIN per p USING (doc_id)
+    """
+
+
+@register(
+    "x112_secret_scrub",
+    oracle=_x112_oracle(),
+    tags=("privacy", "pii", "memorization", "quality"),
+)
+def x112_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-secret detection and scrubbing — the memorization-risk pass
+    (Carlini et al. 2021; The Stack's detect-secrets step): a long
+    mixed-alphanumeric token that occurs in EXACTLY ONE document
+    corpus-wide is the extraction-attack surface (an API key, a session
+    token) — df=1 is what makes it a secret rather than jargon, which
+    x28's pattern-only PII pass cannot distinguish.  The gate synthesizes
+    its own ground truth (the x49/x64 pattern): every doc_id % 3 == 0 doc
+    gains a unique planted key, every doc_id % 5 == 0 doc a SHARED
+    candidate token (df > 1), so the df=1 filter provably separates the
+    two.  Emits per doc the candidate count, the unique-secret count,
+    and the md5 of the SCRUBBED text (each secret replaced by
+    '{_X112_MARK}' in sorted order — the certified downstream artifact),
+    with LEFT-join row parity for secret-free docs.
+
+    Scale shape: candidate extraction is a zero-shuffle filter (length +
+    two character-class rlikes + charset anchor — no lookahead, so Java
+    regex and RE2/DuckDB agree); the frequency table aggregates the
+    (doc, candidate) DISTINCT pairs (candidate-population-sized, a tiny
+    fraction of the corpus — never full text); the scrub is a per-row
+    fold over the doc's own sorted secret list.  Case-sensitive tokens
+    throughout (secrets are case-sensitive)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" sk0"), F.md5(F.col("doc_id").cast("string"))),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" SHARED0000token00001"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ws = aug.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("w"),
+    )
+    cand = (
+        ws.filter(
+            (F.length("w") >= _X112_MIN_LEN)
+            & F.col("w").rlike("[A-Za-z]")
+            & F.col("w").rlike("[0-9]")
+            & F.col("w").rlike("^[A-Za-z0-9_-]+$")
+        )
+        .distinct()
+    )
+    dfreq = cand.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    per = (
+        cand.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_secrets"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("df") == 1, F.col("w")))
+            ).alias("secrets"),
+        )
+    )
+    out = aug.join(per, "doc_id", "left")
+    scrub = F.aggregate(
+        F.coalesce(F.col("secrets"), F.array().cast("array<string>")),
+        F.col("text"),
+        lambda acc, s: F.replace(acc, s, F.lit(_X112_MARK)),
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_secrets", F.lit(0)).cast("bigint").alias("n_secrets"),
+        F.md5(scrub).alias("scrubbed_md5"),
+    )

@@ -225,3 +225,26 @@ def test_leakage_safe_split_no_pair_straddles(spark):
     assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"}
+
+
+# ------------------------------------------------- x112 secret scrub
+
+
+def test_x112_planted_secrets_separate(spark):
+    """Every planted unique key (doc_id % 3 == 0) is detected as a secret;
+    the planted SHARED token (doc_id % 5 == 0) is a candidate but never a
+    secret — df=1 is the separating rule."""
+    from .conftest import SF_SMOKE
+    from hiveka_spark.queries import REGISTRY
+
+    rows = {r.doc_id: r for r in
+            REGISTRY["x112_secret_scrub"].fn(spark, SF_SMOKE).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        if doc_id % 3 == 0:
+            assert r.n_secrets >= 1
+        if doc_id % 5 == 0:
+            assert r.n_candidates >= 1
+        if doc_id % 5 == 0 and doc_id % 3 != 0:
+            assert r.n_secrets == 0
+        assert r.n_secrets <= r.n_candidates
