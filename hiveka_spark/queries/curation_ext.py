@@ -5853,3 +5853,114 @@ def x111_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("tf"),
     )
     return st.orderBy(F.desc("df"), F.desc("tf"), "gram").limit(_X111_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# x113 — repeat-materialized mixture stream: x108's allocation turned into
+# the actual certified training order (allocation -> stream composition)
+# ---------------------------------------------------------------------------
+
+_X113_SHARDS = 4
+_X113_SALT = "mix113_"
+
+
+def _x113_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    hh = portable_hash60_sql(
+        f"concat('{_X113_SALT}', CAST(epoch AS VARCHAR), ':',"
+        f" CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+    WITH alloc AS ({_x108_oracle()}),
+    rep AS (SELECT source, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY source, md5(text)),
+    stream AS (SELECT r.doc_id, r.source, e.epoch
+               FROM rep r
+               JOIN alloc a ON a.source = r.source
+               JOIN (SELECT UNNEST(range(1, {_X108_RMAX + 1})) AS epoch) e
+                 ON e.epoch <= a.n_epochs),
+    s AS (SELECT doc_id, source, epoch,
+                 CAST(hh % {_X113_SHARDS} AS BIGINT) AS ex_shard,
+                 ROW_NUMBER() OVER (PARTITION BY hh % {_X113_SHARDS}
+                                    ORDER BY hh, source, epoch, doc_id) AS pos
+          FROM (SELECT *, {hh} AS hh FROM stream))
+    SELECT ex_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list(doc_id ORDER BY pos)),
+                            (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+             AS order_digest
+    FROM s GROUP BY ex_shard
+    """
+
+
+@register(
+    "x113_mixture_stream",
+    oracle=_x113_oracle(),
+    tags=("training-prep", "mixing", "ordering", "certification"),
+)
+def x113_mixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-materialized mixture stream: the missing link between the
+    ALLOCATION tables (x101/x108 say how many epochs of each source) and
+    the ORDER/PACKING certificates (x65/x93 certify one corpus's order)
+    — a trainer consumes the allocation as an actual interleaved stream
+    of repeated documents, and this materializes and certifies it.  Each
+    source's UNIQUE docs (exact-dedup representative: min doc_id per
+    (source, md5) — the same unique set x108 budgeted) appear once per
+    allocated epoch; every (epoch, doc) occurrence hashes independently
+    to an order-shard and position (epoch in the salt — repeats of a doc
+    land in unrelated places, never adjacent, the x93 recipe), and the
+    per-shard order digest certifies exactly which occurrences a job
+    reads and in what order.  Interleaving across sources is automatic:
+    the hash order is source-blind, so a shard's stream mixes sources in
+    allocation proportion without a scheduler.
+
+    Scale shape: the allocation is x108's (bounded candidate-table
+    windows); the epoch fan-out is a broadcast join against the
+    {_X108_RMAX}-row epoch range (no corpus-side explode buffers); the
+    one exchange is the order-shard hash partition; digests fold
+    segmented (bounded buffers).  The DuckDB oracle embeds x108's full
+    oracle as a CTE and replays dedup, allocation, fan-out, order, and
+    digest."""
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import segmented_order_digest
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rep = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.min("doc_id").cast("bigint").alias("doc_id")
+    ).select("source", "doc_id")
+    alloc = x108_repeat_allocation(spark, sf_dir).select("source", "n_epochs")
+    epochs = spark.range(1, _X108_RMAX + 1).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    stream = (
+        rep.join(F.broadcast(alloc), "source")
+        .join(F.broadcast(epochs), F.col("epoch") <= F.col("n_epochs"))
+        .select("doc_id", "source", "epoch")
+    )
+    hh = portable_hash60(
+        F.concat(
+            F.lit(_X113_SALT),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    t = stream.withColumn("hh", hh).withColumn(
+        "ex_shard", F.pmod(F.col("hh"), F.lit(_X113_SHARDS)).cast("bigint")
+    )
+    w = Window.partitionBy("ex_shard").orderBy("hh", "source", "epoch", "doc_id")
+    s = t.withColumn("pos", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = s.groupBy("ex_shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_distinct_docs"),
+    )
+    digests = segmented_order_digest(
+        s, "ex_shard", "pos", "doc_id", out_col="order_digest", seg_size=64
+    )
+    return counts.join(digests, "ex_shard").select(
+        "ex_shard", "n_rows", "n_distinct_docs",
+        F.col("order_digest").cast("bigint").alias("order_digest"),
+    )

@@ -762,3 +762,24 @@ def test_x110_length_grouping_cuts_padding(spark):
     for r in (a, g):
         assert r.padded_tokens == r.sum_tokens + r.pad_waste
         assert r.padded_tokens >= r.sum_tokens
+
+
+# ------------------------------------------------- x113 mixture stream
+
+
+def test_x113_stream_matches_allocation(spark):
+    """The materialized stream's total rows equal the allocation's summed
+    (unique docs x epochs); each doc appears at most RMAX times; shards
+    are non-empty and every shard mixes repeats."""
+    from hiveka_spark.queries.curation_ext import (
+        _X113_SHARDS, x108_repeat_allocation,
+    )
+
+    alloc = {r.source: r for r in
+             x108_repeat_allocation(spark, SF_SMOKE).collect()}
+    rows = REGISTRY["x113_mixture_stream"].fn(spark, SF_SMOKE).collect()
+    expected = sum(r.n_unique_docs * r.n_epochs for r in alloc.values())
+    assert sum(r.n_rows for r in rows) == expected
+    assert len(rows) == _X113_SHARDS
+    for r in rows:
+        assert r.n_rows >= r.n_distinct_docs >= 1
