@@ -2348,3 +2348,73 @@ def x106_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hb < _X106_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test")).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x114 — quality-signal agreement: rule-based (x45) x LM-based (x102)
+# contingency — the filter-calibration table (Wenzek et al. 2020 §5;
+# Penedo et al. 2024's FineWeb ensemble-filter comparisons)
+# ---------------------------------------------------------------------------
+
+
+def _x114_oracle() -> str:
+    from hiveka_spark.queries.pipeline_ext import _x45_oracle
+
+    return f"""
+    WITH lmq AS ({_x102_oracle()}),
+    gq AS ({_x45_oracle()}),
+    j AS (SELECT g.keep, l.bucket, g.n_words
+          FROM lmq l JOIN gq g USING (doc_id)),
+    ct AS (SELECT keep, bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_words) AS BIGINT) AS sum_words
+           FROM j GROUP BY keep, bucket),
+    tot AS (SELECT keep, CAST(SUM(n_docs) AS BIGINT) AS kt
+            FROM ct GROUP BY keep)
+    SELECT ct.keep, ct.bucket, ct.n_docs, ct.sum_words,
+           CAST(ct.n_docs * 10000 // t.kt AS BIGINT) AS pct_of_keep_q
+    FROM ct JOIN tot t USING (keep)
+    """
+
+
+@register(
+    "x114_quality_agreement",
+    oracle=_x114_oracle(),
+    tags=("curation", "quality", "lm", "calibration"),
+)
+def x114_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter CALIBRATION: the contingency between the two
+    families of quality signals every pipeline runs — rule-based (x45's
+    Gopher keep flag) and model-based (x102's CCNet LM tercile) — per
+    (keep, bucket): doc count, token mass, and each cell's share of its
+    keep-group (micro-units).  This is the table you read before
+    composing filters (Wenzek et al. 2020 compare exactly these two;
+    FineWeb's ablations do the ensemble version): if keep=1 docs are not
+    LM-head-heavy, the rule chain and the LM disagree about this corpus
+    and thresholds need revisiting BEFORE a training run bakes them in.
+
+    Scale shape: both signals are existing certified operators (zero-
+    shuffle rules; x102's shared-exchange LM scoring with cutoffs from
+    the (lang, distinct score) aggregate); the agreement join is id-
+    keyed; the contingency is a 6-row table and its keep-group shares a
+    2-row broadcast join.  The oracle embeds BOTH gates' oracles as CTEs
+    — one SQL text replays rules, LM training, scoring, bucketing, and
+    the contingency."""
+    from hiveka_spark.operators.text import with_gopher_rules
+
+    lm = x102_lm_quality_buckets(spark, sf_dir).select("doc_id", "bucket")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    gq = with_gopher_rules(d).select("doc_id", "keep", "n_words")
+    ct = (
+        lm.join(gq, "doc_id")
+        .groupBy("keep", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+        )
+    )
+    tot = ct.groupBy("keep").agg(F.sum("n_docs").cast("bigint").alias("kt"))
+    return ct.join(F.broadcast(tot), "keep").select(
+        "keep", "bucket", "n_docs", "sum_words",
+        F.expr("CAST(n_docs * 10000 DIV kt AS BIGINT)").alias("pct_of_keep_q"),
+    )

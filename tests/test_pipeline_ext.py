@@ -248,3 +248,25 @@ def test_x112_planted_secrets_separate(spark):
         if doc_id % 5 == 0 and doc_id % 3 != 0:
             assert r.n_secrets == 0
         assert r.n_secrets <= r.n_candidates
+
+
+# ------------------------------------------------- x114 quality agreement
+
+
+def test_x114_contingency_partitions_raw_pool(spark):
+    """Cells partition the raw pool (doc counts sum to x102's row count),
+    shares within each keep-group sum to ~10000 (DIV truncation), and
+    every cell is a valid (keep, bucket) pair."""
+    from .conftest import SF_SMOKE
+    from hiveka_spark.queries import REGISTRY
+
+    rows = REGISTRY["x114_quality_agreement"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    n_scored = REGISTRY["x102_lm_quality_buckets"].fn(spark, SF_SMOKE).count()
+    assert sum(r.n_docs for r in rows) == n_scored
+    for keep in {r.keep for r in rows}:
+        cells = [r for r in rows if r.keep == keep]
+        s = sum(r.pct_of_keep_q for r in cells)
+        assert 10000 - len(cells) < s <= 10000
+    assert all(r.keep in (0, 1) and r.bucket in ("head", "middle", "tail")
+               for r in rows)
