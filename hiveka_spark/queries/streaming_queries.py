@@ -2006,3 +2006,142 @@ def s27_stream_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum_tokens * 10000 DIV sum_words AS BIGINT)")
         .alias("fertility_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s28 — LIVE unique-secret report with RETRACTION: x112's df=1 rule over a
+# stream, where later arrivals can demote a reported secret
+# ---------------------------------------------------------------------------
+
+
+def _s28_oracle() -> str:
+    from hiveka_spark.queries.pipeline_ext import _X112_MIN_LEN
+
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat(' sk0', md5(CAST(doc_id AS VARCHAR)))
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN ' SHARED0000token00001' ELSE '' END) AS text
+      FROM documents),
+    w AS (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+          FROM aug),
+    cand AS (SELECT DISTINCT doc_id, w FROM w
+             WHERE LENGTH(w) >= {_X112_MIN_LEN}
+               AND regexp_matches(w, '[A-Za-z]')
+               AND regexp_matches(w, '[0-9]')
+               AND regexp_matches(w, '^[A-Za-z0-9_-]+$')),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM cand GROUP BY w)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_secrets
+    FROM cand c JOIN dfreq f USING (w)
+    GROUP BY c.doc_id
+    """
+
+
+@register(
+    "s28_stream_secret_retraction",
+    oracle=_s28_oracle(),
+    tags=("streaming", "privacy", "memorization", "upsert", "retraction"),
+)
+def s28_stream_secret_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE unique-secret monitoring with RETRACTION — the property that
+    makes x112's df=1 rule genuinely incremental: a token reported as a
+    secret after batch N is DEMOTED when batch N+1 delivers its second
+    occurrence, so the report must be derivable from accumulated state,
+    never from per-batch emissions (an append-only alert stream could
+    never take an alert back).  The state is the DISTINCT candidate-pair
+    set (doc_id, token) — candidate-population-sized, a tiny fraction of
+    the corpus, never text — maintained by the restart-safe
+    VersionedUpsertSink (union-distinct merge, disk-derived predecessor);
+    the secret report (per candidate-bearing doc: n_candidates,
+    n_secrets) derives from the CURRENT snapshot's frequency table at
+    read time, so retraction is automatic and every intermediate
+    snapshot is a consistent point-in-time report (the mid-stream
+    demotion is pinned in tests/test_streaming.py).  Same planted
+    ground truth as x112 (unique keys vs a shared token whose
+    occurrences arrive in different micro-batches); the DuckDB oracle
+    replays the batch rule over the full corpus."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.queries.pipeline_ext import _X112_MIN_LEN
+    from hiveka_spark.streaming.upsert import VersionedUpsertSink
+
+    src_dir = scratch_dir(prefix="gate_s28src_")
+    state_root = scratch_dir(prefix="gate_s28state_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" sk0"), F.md5(F.col("doc_id").cast("string"))),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" SHARED0000token00001"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def batch_reduce(batch_df: DataFrame) -> DataFrame:
+        ws = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            ).alias("w"),
+        )
+        return (
+            ws.filter(
+                (F.length("w") >= _X112_MIN_LEN)
+                & F.col("w").rlike("[A-Za-z]")
+                & F.col("w").rlike("[0-9]")
+                & F.col("w").rlike("^[A-Za-z0-9_-]+$")
+            )
+            .distinct()
+        )
+
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        return prev.unionByName(b).distinct()
+
+    sink = VersionedUpsertSink(state_root, batch_reduce, merge)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s28_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sink.latest_path()
+    assert final is not None
+    return secret_report(spark.read.parquet(final))
+
+
+def secret_report(pairs: DataFrame) -> DataFrame:
+    """Point-in-time secret report from a candidate-pair snapshot: the
+    df=1 derivation s28 applies to EVERY committed version (retraction =
+    the same derivation over a later snapshot)."""
+    dfreq = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        pairs.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_secrets"),
+        )
+    )

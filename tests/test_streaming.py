@@ -440,3 +440,29 @@ def test_foreachbatch_upsert_merges_across_real_batches(spark, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+# ------------------------------------------- s28 secret retraction
+
+
+def test_s28_retraction_demotes_on_second_occurrence(spark):
+    """The point-in-time derivation retracts: a token unique after batch 1
+    is a secret in that snapshot, and stops being one once batch 2
+    delivers its second occurrence — same doc rows, demoted count."""
+    from hiveka_spark.queries.streaming_queries import secret_report
+
+    b1 = spark.createDataFrame(
+        [(1, "SharedKey123456789"), (1, "UniqueKeyAAA111BBB222")],
+        "doc_id long, w string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "SharedKey123456789")], "doc_id long, w string"
+    )
+    snap1 = {r.doc_id: r for r in secret_report(b1).collect()}
+    assert snap1[1].n_candidates == 2 and snap1[1].n_secrets == 2
+    snap2 = {
+        r.doc_id: r
+        for r in secret_report(b1.unionByName(b2).distinct()).collect()
+    }
+    assert snap2[1].n_candidates == 2 and snap2[1].n_secrets == 1
+    assert snap2[2].n_secrets == 0
