@@ -5964,3 +5964,90 @@ def x113_mixture_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ex_shard", "n_rows", "n_distinct_docs",
         F.col("order_digest").cast("bigint").alias("order_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x115 — vocabulary utilization report (Gowda & May 2020, "Finding the
+# Optimal Vocabulary Size for Neural Machine Translation")
+# ---------------------------------------------------------------------------
+
+
+def _x115_oracle(n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS) -> str:
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    mass0 AS (SELECT us.id, CAST(COUNT(*) AS BIGINT) AS m
+              FROM docunits du JOIN unit_syms us ON us.u = du.u
+              GROUP BY us.id),
+    per AS (SELECT CAST(LENGTH(v.sym) AS BIGINT) AS sym_len,
+                   COALESCE(m.m, 0) AS m
+            FROM vocab v LEFT JOIN mass0 m USING (id)),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS t FROM per)
+    SELECT sym_len,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+           CAST(SUM(m) AS BIGINT) AS mass,
+           CAST(SUM(m) * 10000 // t.t AS BIGINT) AS mass_share_q
+    FROM per CROSS JOIN tot t GROUP BY sym_len, t.t
+    """
+
+
+@register(
+    "x115_vocab_utilization",
+    oracle=_x115_oracle(),
+    tags=("tokenizer", "bpe", "evaluation", "vocabulary"),
+)
+def x115_vocab_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary UTILIZATION of the trained tokenizer (Gowda & May 2020:
+    vocabulary size should be set where token-frequency mass is still
+    well-distributed — oversized vocabularies carry dead and
+    starved-embedding tokens): per symbol LENGTH, how many vocabulary
+    entries exist, how many are actually used by the corpus
+    tokenization, their total token mass, and the mass share
+    (micro-units).  Dead long merges (n_vocab >> n_used at high sym_len)
+    mean n_merges overshot this corpus; heavy single-char mass means it
+    undershot — the table that sizes the x76/x98 training knobs.
+
+    Scale shape: usage NEVER tokenizes the corpus again and never
+    explodes the token stream — the distinct-unit table (zipfian-
+    bounded) is encoded once (broadcast merges, one bounded Arrow
+    mapInPandas), each unit's ids explode weighted by the unit's corpus
+    frequency (one map-side-combinable id-keyed aggregate), and the
+    vocabulary join is a broadcast of the vocab-sized table.  The
+    oracle replays training, the per-unit apply, and the mass rollup
+    from docunits x unit_syms."""
+    from hiveka_spark.operators.bpe import bpe_encode_ids, unit_freq
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = _trained_merge_vocab(d)
+    uf = unit_freq(d, "text").withColumn("uid", F.col("w"))
+    enc = bpe_encode_ids(
+        uf, merges, vocab, text_col="w", id_col="uid", keep_cols=("freq",)
+    )
+    mass0 = (
+        enc.select(F.explode("ids").alias("id"), "freq")
+        .groupBy("id")
+        .agg(F.sum("freq").cast("bigint").alias("m"))
+    )
+    vdf = spark.createDataFrame(
+        [(s, i) for s, i in vocab.items()], "sym string, id bigint"
+    )
+    per = vdf.join(mass0, "id", "left").select(
+        F.length("sym").cast("bigint").alias("sym_len"),
+        F.coalesce("m", F.lit(0)).cast("bigint").alias("m"),
+    )
+    tot = per.agg(F.sum("m").cast("bigint").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("sym_len", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_used"),
+            F.sum("m").cast("bigint").alias("mass"),
+        )
+        .select(
+            "sym_len", "n_vocab", "n_used", "mass",
+            F.expr("CAST(mass * 10000 DIV t AS BIGINT)").alias("mass_share_q"),
+        )
+    )

@@ -783,3 +783,19 @@ def test_x113_stream_matches_allocation(spark):
     assert len(rows) == _X113_SHARDS
     for r in rows:
         assert r.n_rows >= r.n_distinct_docs >= 1
+
+
+# ------------------------------------------------- x115 vocab utilization
+
+
+def test_x115_mass_and_usage_invariants(spark):
+    """Mass shares sum to ~10000; used never exceeds vocab; single-char
+    symbols exist (the alphabet) and some multi-char merges carry mass
+    (training actually engaged on this corpus)."""
+    rows = REGISTRY["x115_vocab_utilization"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    s = sum(r.mass_share_q for r in rows)
+    assert 10000 - len(rows) < s <= 10000
+    assert all(0 <= r.n_used <= r.n_vocab for r in rows)
+    assert any(r.sym_len == 1 for r in rows)
+    assert any(r.sym_len > 1 and r.mass > 0 for r in rows)
