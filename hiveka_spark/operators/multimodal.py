@@ -487,3 +487,50 @@ def synthesize_pcm16_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         run, MEDIA_SCHEMA
     )
+
+
+AUDIO_SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("prefix_hex", StringType()),
+    ]
+)
+
+
+def audio_prefix_signature(
+    df: DataFrame,
+    prefix_bytes: int = 64,
+    decoder: Callable[[bytes, dict | None], "tuple[np.ndarray, int]"] | None = None,
+) -> DataFrame:
+    """Content-derived audio fingerprint: the hex of the first
+    ``prefix_bytes`` DECODED samples (through the real codec — container
+    bytes never enter the key, so a re-containerized or length-trimmed
+    copy of the same recording keys identically while any byte-level
+    container diff would not).  The audio-side analog of x49's image
+    content hash; clips shorter than the prefix key on their full
+    decoded payload."""
+    decoder = decoder or available_codecs()["audio"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                content = bytes(content)
+                arr, _rate = decoder(content, dict(meta) if meta is not None else None)
+                arr = np.asarray(arr).reshape(-1)
+                pre = arr[:prefix_bytes].astype(np.uint8).tobytes()
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "n_samples": int(arr.shape[0]),
+                        "prefix_hex": pre.hex(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SIGNATURE_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, AUDIO_SIGNATURE_SCHEMA)

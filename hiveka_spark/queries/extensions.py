@@ -2418,3 +2418,76 @@ def x114_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep", "bucket", "n_docs", "sum_words",
         F.expr("CAST(n_docs * 10000 DIV kt AS BIGINT)").alias("pct_of_keep_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x116 — audio content dedup through the REAL codec: decoded-prefix
+# fingerprint groups trimmed/extended copies of the same recording
+# ---------------------------------------------------------------------------
+
+_X116_GROUP = 7  # clips per planted recording group
+
+
+def _x116_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(doc_id // {_X116_GROUP} AS BIGINT) AS gid,
+             CAST(doc_id % 400 + 100 AS BIGINT) AS n
+      FROM documents),
+    k AS (SELECT doc_id, n,
+                 concat(sha256(CAST(gid AS VARCHAR)),
+                        sha256(CAST(gid AS VARCHAR))) AS prefix_hex
+          FROM b)
+    SELECT prefix_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dups,
+           CAST(SUM(n) AS BIGINT) AS sum_samples
+    FROM k GROUP BY prefix_hex
+    """
+
+
+@register(
+    "x116_audio_prefix_dedup",
+    oracle=_x116_oracle(),
+    tags=("multimodal", "audio", "dedup", "mapinpandas"),
+)
+def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio content dedup with a REAL codec in the loop (the audio-side
+    x49): clips are keyed by the hex of their first 64 DECODED samples —
+    container bytes never enter the key, so trimmed or extended copies
+    of the same recording (different RIFF lengths, same PCM prefix)
+    group together while any byte-level container comparison would not.
+    The fixture plants its own ground truth: every {_X116_GROUP}
+    consecutive docs synthesize clips from the same source digest at
+    DIFFERENT lengths (n = doc_id % 400 + 100), so each group is a
+    planted duplicate cluster the exact-container hash cannot see.
+    Per fingerprint: clip count, keep-first keeper, dup count, total
+    samples.
+
+    Scale shape: synth and decode are Arrow-batched mapInPandas through
+    the stdlib wave codec (real RIFF parse, x44's discipline); the dedup
+    is ONE hash aggregate on the 128-hex-char key — x01's shape, the
+    shuffle carries fingerprints, never audio bytes.  The oracle replays
+    the digest-tiling arithmetic: the decoded 64-sample prefix of a
+    sha256-tiled payload is the digest twice, so prefix_hex ==
+    concat(sha256(gid), sha256(gid)) — certified without the oracle
+    ever seeing a container."""
+    from hiveka_spark.operators.multimodal import (
+        audio_prefix_signature,
+        synthesize_wav_media,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"CAST(doc_id DIV {_X116_GROUP} AS STRING)").alias("text"),
+    )
+    media = synthesize_wav_media(d, "doc_id", "text")
+    sig = audio_prefix_signature(media, prefix_bytes=64)
+    return sig.groupBy("prefix_hex").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.min("media_id").cast("bigint").alias("keeper_id"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dups"),
+        F.sum("n_samples").cast("bigint").alias("sum_samples"),
+    )

@@ -209,3 +209,24 @@ def test_video_real_path_raises_without_ffmpeg(spark):
     )
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         M.sample_video_frames(media, every_n=2, fake=False).collect()
+
+
+def test_x116_prefix_groups_trimmed_copies(spark):
+    """Clips synthesized from the same source digest at different lengths
+    share a prefix fingerprint; different sources never collide; keep-first
+    keeper is the group's min id."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+    from hiveka_spark.queries.extensions import _X116_GROUP
+
+    _ensure_loaded()
+    from .conftest import SF_SMOKE
+
+    rows = REGISTRY["x116_audio_prefix_dedup"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    # full groups have exactly _X116_GROUP members despite distinct lengths
+    full = [r for r in rows if r.n_clips == _X116_GROUP]
+    assert full
+    for r in rows:
+        assert r.n_dups == r.n_clips - 1
+        assert r.keeper_id % _X116_GROUP == 0 or r.n_clips < _X116_GROUP
+        assert len(r.prefix_hex) == 128
