@@ -148,6 +148,12 @@ HEADLINE = [
     "x110_length_batching",
     "x111_frequent_ngrams",
     "s27_stream_fertility_drift",
+    "x112_secret_scrub",
+    "x113_mixture_stream",
+    "x114_quality_agreement",
+    "x115_vocab_utilization",
+    "x116_audio_prefix_dedup",
+    "s28_stream_secret_retraction",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
