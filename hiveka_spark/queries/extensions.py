@@ -2413,6 +2413,10 @@ def x114_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("sum_words"),
         )
     )
+    # the share branch re-references ct's subtree: static plan counts double,
+    # but the single action reuses the contingency exchange at runtime
+    # (ReusedExchange pinned on the executed plan in tests/test_plans.py —
+    # the x100/x102 posture; an eager checkpoint here measured SLOWER)
     tot = ct.groupBy("keep").agg(F.sum("n_docs").cast("bigint").alias("kt"))
     return ct.join(F.broadcast(tot), "keep").select(
         "keep", "bucket", "n_docs", "sum_words",

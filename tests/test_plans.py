@@ -872,3 +872,25 @@ def test_x102_lm_buckets_shared_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_x114_agreement_reuses_contingency(spark):
+    """Quality calibration: the keep-group share branch re-references the
+    contingency subtree — static plan counts double, but the single
+    action must REUSE the shared exchange at runtime (executed-plan
+    assertion, the x100/x102 posture; an eager checkpoint measured
+    slower); the share join broadcasts (tot is 2 rows); nothing
+    cartesian."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x114_quality_agreement"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastExchange", plan), plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
