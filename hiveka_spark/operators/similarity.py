@@ -1293,3 +1293,119 @@ def semantic_dedup(
             F.col("m.cosine").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index: persisted per-version cell segments under FROZEN
+# centroids — the ANN-side never-re-read posture (x70/x95's for similarity)
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, qvec, qnorm2): each vector's nearest frozen cell (cosine
+    argmax, ties to the lower cell id — ivf_topk's exact rule) PLUS its
+    quantized vector and norm, i.e. the inverted-list PAYLOAD: an IVF
+    index stores the vectors, so serving never returns to the source
+    table.  Centroids broadcast; the corpus never shuffles."""
+    v = with_quantized_norm(corpus, vec_col)
+    cents = _cell_centroids(v, corpus, id_col, vec_col, 0, None, centroids)
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos",
+        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "cell", "qvec", "qnorm2")
+    )
+
+
+def ivf_index_update(
+    spark,
+    vecs: DataFrame,
+    root: str,
+    version: int,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append one corpus version's vectors to the persisted IVF index as a
+    directory-partitioned segment (``root/v=<version>``): the drop is
+    assigned against the FROZEN centroid frame and written with its
+    quantized payload — earlier versions' vectors are never re-read, the
+    x70 index-update contract for the similarity surface.  (Centroid
+    drift is an observable: compare per-cell occupancy across segments;
+    when a cell bloats, retrain offline and REBUILD — frozen parameters
+    are what make the increment valid, exactly like x95's frozen
+    tokenizer.)"""
+    ivf_assign(vecs, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v={version}")
+
+
+def ivf_index_topk(
+    spark,
+    root: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k served FROM THE PERSISTED INDEX: the corpus side is the
+    read-back union of all committed segments (partition-discovered
+    ``v=*`` dirs) — the source embeddings table never appears in the
+    probe plan.  Same probe/score/rank semantics as :func:`ivf_topk`
+    (equi-join on cell, floor-quantized cosine, deterministic ties)."""
+    index = spark.read.parquet(root).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.col("qvec").alias("cvec"),
+        F.col("qnorm2").alias("cn2"),
+    )
+    v = with_quantized_norm(queries, vec_col)
+    cents = _cell_centroids(v, queries, id_col, vec_col, 0, None, centroids)
+    scored_c = v.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos",
+        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    qs = (
+        scored_c.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("qqvec"),
+            F.col("qnorm2").alias("qn2"),
+            "cell",
+        )
+    )
+    scored = (
+        index.join(F.broadcast(qs), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor(
+                cosine_expr(
+                    F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")
+                )
+                * 10000.0
+            )
+            / 10000.0,
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2495,3 +2495,116 @@ def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dups"),
         F.sum("n_samples").cast("bigint").alias("sum_samples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x117 — INCREMENTAL IVF index across corpus versions (ANN x incremental)
+# ---------------------------------------------------------------------------
+
+_X117_STRIDE = 31
+_X117_CELLS = 8
+_X117_PROBE = 3
+_X117_CAND_LIM = 31 * 64  # candidate-id window bounding the centroid rank
+
+
+def _x117_oracle(
+    k: int = 5,
+    n_cells: int = _X117_CELLS,
+    n_probe: int = _X117_PROBE,
+    stride: int = _X117_STRIDE,
+    lim: int = _X117_CAND_LIM,
+) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
+                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                   list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+           FROM q),
+    cc AS (SELECT vec_id, qvd, n2,
+                  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+           FROM nn
+           WHERE vec_id % {stride} = 0 AND vec_id < {lim} AND vec_id % 7 <> 0),
+    cents AS (SELECT cell, qvd AS cvd, n2 AS cn2 FROM cc WHERE cell < {n_cells}),
+    assign AS (SELECT vec_id, qvd, n2, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, cell) AS c_rank
+               FROM (SELECT nn.vec_id, nn.qvd, nn.n2, c.cell,
+                            list_dot_product(nn.qvd, c.cvd)
+                              / (sqrt(nn.n2) * sqrt(c.cn2)) AS c_cos
+                     FROM nn CROSS JOIN cents c)),
+    corpus AS (SELECT vec_id AS neighbor_id, qvd, n2, cell FROM assign WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS query_id, qvd, n2, cell
+               FROM assign WHERE c_rank <= {n_probe} AND vec_id < 10),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             CAST(FLOOR((list_dot_product(p.qvd, c.qvd)
+                         / (sqrt(p.n2) * sqrt(c.n2))) * 10000.0) AS BIGINT) / 10000.0
+               AS cosine
+      FROM probes p JOIN corpus c ON p.cell = c.cell AND c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register(
+    "x117_incremental_ivf",
+    oracle=_x117_oracle(),
+    tags=("similarity", "ann", "ivf", "incremental", "versioned-corpus"),
+)
+def x117_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF serving across corpus versions — the ANN-side
+    never-re-read posture (x70's for dedup, x95's for tokens): v1
+    vectors (vec_id % 7 != 0) are assigned to FROZEN centroids and
+    persisted as an index segment carrying their quantized payload; the
+    v2 drop lands later and appends its own segment against the SAME
+    centroids — v1 embeddings are never re-read (an IVF index stores
+    the vectors, so serving reads only committed segments: the probe
+    plan's corpus side is the read-back ``v=*`` union, asserted in
+    tests).  Frozen parameters are what make the increment valid —
+    exactly x95's frozen tokenizer; drift shows up as per-cell occupancy
+    skew across segments, and the fix is an offline retrain + REBUILD,
+    never a silent partial re-assignment.
+
+    Centroids: the first {_X117_CELLS} stride-{_X117_STRIDE} vectors
+    that belong to v1 (dense rank over a FIXED candidate-id window of
+    {_X117_CAND_LIM} — the rank window is bounded by construction, and
+    the provenance constraint matters: parameters may not peek at a
+    version that hasn't arrived).  The DuckDB oracle replays the
+    one-shot IVF answer over the FULL corpus under the same frozen
+    centroids — the convergence contract: incremental serving must
+    equal from-scratch serving."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_index_update,
+        ivf_topk,  # noqa: F401  (the one-shot twin, equality-pinned in tests)
+    )
+    from hiveka_spark.scratch import scratch_dir
+
+    root = scratch_dir(prefix="gate_x117_")
+    e = table(spark, sf_dir, "embeddings")
+    cand = e.filter(
+        (F.col("vec_id") % _X117_STRIDE == 0)
+        & (F.col("vec_id") < _X117_CAND_LIM)
+        & (F.col("vec_id") % 7 != 0)
+    )
+    # bounded window: the candidate-id filter admits <= 64 rows
+    w = Window.orderBy("vec_id")
+    cents = (
+        cand.withColumn("cell", (F.row_number().over(w) - 1).cast("bigint"))
+        .filter(F.col("cell") < _X117_CELLS)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)  # frozen parameters (k-row table)
+    )
+    ivf_index_update(spark, e.filter(F.col("vec_id") % 7 != 0), root, 1, cents)
+    ivf_index_update(spark, e.filter(F.col("vec_id") % 7 == 0), root, 2, cents)
+    return ivf_index_topk(
+        spark, root, e.filter(F.col("vec_id") < 10), cents,
+        k=5, n_probe=_X117_PROBE,
+    ).localCheckpoint(eager=True)  # materialize before scratch cleanup

@@ -799,3 +799,53 @@ def test_x115_mass_and_usage_invariants(spark):
     assert all(0 <= r.n_used <= r.n_vocab for r in rows)
     assert any(r.sym_len == 1 for r in rows)
     assert any(r.sym_len > 1 and r.mass > 0 for r in rows)
+
+
+# ------------------------------------------------- x117 incremental IVF
+
+
+def test_x117_matches_one_shot_and_reads_index_only(spark):
+    """Convergence contract: serving from the two persisted segments equals
+    one-shot ivf_topk over the full corpus under the same frozen
+    centroids; and the probe plan's corpus side reads the INDEX parquet,
+    never the embeddings table."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_topk, ivf_index_update, ivf_topk,
+    )
+    from hiveka_spark.queries.curation_ext import scratch_dir
+    from hiveka_spark.queries.extensions import (
+        _X117_CAND_LIM, _X117_CELLS, _X117_PROBE, _X117_STRIDE,
+    )
+
+    root = scratch_dir(prefix="test_x117_")
+    e = table(spark, SF_SMOKE, "embeddings")
+    cand = e.filter(
+        (FF.col("vec_id") % _X117_STRIDE == 0)
+        & (FF.col("vec_id") < _X117_CAND_LIM)
+        & (FF.col("vec_id") % 7 != 0)
+    )
+    cents = (
+        cand.withColumn(
+            "cell", (FF.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("bigint")
+        )
+        .filter(FF.col("cell") < _X117_CELLS)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 7 != 0), root, 1, cents)
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 7 == 0), root, 2, cents)
+    q = e.filter(FF.col("vec_id") < 10)
+    inc = ivf_index_topk(spark, root, q, cents, k=5, n_probe=_X117_PROBE)
+    # the probe plan's only parquet scans are the index segments + queries
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    one = ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=_X117_CELLS,
+                   n_probe=_X117_PROBE, centroids=cents)
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b
+    assert "gate_x117_" in plan or "test_x117_" in plan, plan
