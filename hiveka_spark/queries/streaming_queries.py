@@ -2145,3 +2145,79 @@ def secret_report(pairs: DataFrame) -> DataFrame:
             .cast("bigint").alias("n_secrets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s29 — LIVE ANN index maintenance: micro-batches of embeddings append IVF
+# segments under frozen centroids; serving probes the accumulated index
+# (the live x ANN matrix cell: s19 is live dedup, x117 is batch-incremental
+# ANN — this is the streaming arm)
+# ---------------------------------------------------------------------------
+
+
+def _s29_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31
+) -> str:
+    from hiveka_spark.queries.extensions import _ann_ivf_oracle
+
+    return _ann_ivf_oracle(k, n_cells, n_probe, stride)
+
+
+@register(
+    "s29_stream_ivf_index",
+    oracle=_s29_oracle(),
+    tags=("streaming", "similarity", "ann", "ivf", "index-maintenance"),
+)
+def s29_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ANN index maintenance — embeddings arrive as a stream and the
+    IVF index grows with them: each micro-batch assigns its own vectors
+    to the FROZEN centroid frame (offline parameters, x15's
+    deterministic stride rule) and appends one segment directory with
+    the quantized payload; nothing earlier is re-read or re-assigned,
+    and after any batch the accumulated ``v=*`` union is a complete,
+    servable index (x117's serving path).  The convergence contract: a
+    query served from the drained index must equal one-shot ivf_topk
+    over the full corpus — the DuckDB oracle replays exactly that
+    (x15's oracle).
+
+    Scale shape: per batch one broadcast-centroid argmax (zero shuffle
+    on the batch side) + one segment write; serving is the equi-join on
+    cell over read-back segments.  4 real micro-batches via
+    maxFilesPerTrigger; batch-id-keyed segment dirs make replayed
+    batches overwrite idempotently (the s19 versioned-state
+    discipline)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import ivf_index_topk, ivf_index_update
+
+    src_dir = scratch_dir(prefix="gate_s29src_")
+    root = scratch_dir(prefix="gate_s29idx_")
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") / 31 < 16))
+        .select(
+            F.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"), "embedding"
+        )
+        .localCheckpoint(eager=True)  # frozen offline parameters (k rows)
+    )
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_update(spark, batch_df, root, batch_id, cents)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s29_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ivf_index_topk(
+        spark, root, e.filter(F.col("vec_id") < 10), cents, k=5, n_probe=4
+    ).localCheckpoint(eager=True)  # materialize before scratch cleanup
