@@ -2608,3 +2608,117 @@ def x117_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, e.filter(F.col("vec_id") < 10), cents,
         k=5, n_probe=_X117_PROBE,
     ).localCheckpoint(eager=True)  # materialize before scratch cleanup
+
+
+# ---------------------------------------------------------------------------
+# x118 — IVF occupancy drift report: the rebuild trigger for the frozen-
+# centroid incremental index (x117/s29)
+# ---------------------------------------------------------------------------
+
+
+def _x118_oracle(
+    n_cells: int = _X117_CELLS, stride: int = _X117_STRIDE,
+    lim: int = _X117_CAND_LIM,
+) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
+                  list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                   list_transform(qv, x -> CAST(x AS DOUBLE))) AS n2
+           FROM q),
+    cc AS (SELECT vec_id, qvd, n2,
+                  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell
+           FROM nn
+           WHERE vec_id % {stride} = 0 AND vec_id < {lim} AND vec_id % 7 <> 0),
+    cents AS (SELECT cell, qvd AS cvd, n2 AS cn2 FROM cc WHERE cell < {n_cells}),
+    assign AS (SELECT vec_id, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, cell) AS c_rank
+               FROM (SELECT nn.vec_id, c.cell,
+                            list_dot_product(nn.qvd, c.cvd)
+                              / (sqrt(nn.n2) * sqrt(c.cn2)) AS c_cos
+                     FROM nn CROSS JOIN cents c)),
+    a AS (SELECT vec_id, cell,
+                 CAST(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 2 END AS BIGINT)
+                   AS version
+          FROM assign WHERE c_rank = 1),
+    per AS (SELECT cell,
+                   CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_v1,
+                   CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_v2,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM a GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM per)
+    SELECT per.cell, per.n_v1, per.n_v2, per.n_total,
+           CAST(per.n_total * 10000 // (t.t // t.k) AS BIGINT) AS load_q,
+           CAST(CASE WHEN per.n_total * t.k > 2 * t.t THEN 1 ELSE 0 END
+                AS BIGINT) AS rebuild_flag
+    FROM per CROSS JOIN tot t
+    """
+
+
+@register(
+    "x118_ivf_occupancy_drift",
+    oracle=_x118_oracle(),
+    tags=("similarity", "ann", "ivf", "monitoring", "incremental"),
+)
+def x118_ivf_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF occupancy-drift report — the REBUILD TRIGGER for the frozen-
+    centroid incremental index (x117 batch, s29 live): frozen parameters
+    make increments valid, but a drifting corpus piles new vectors into
+    few cells, degrading probe selectivity until a retrain+rebuild pays
+    for itself.  Per cell: v1 and v2 member counts, total, load relative
+    to the mean cell (micro-units, bigint DIV), and the rebuild flag
+    (total > 2x mean — the FAISS imbalance-factor heuristic reduced to
+    an exact integer test: n_total * k > 2 * t avoids the division
+    entirely).
+
+    Scale shape: one broadcast-centroid argmax over the corpus (zero
+    corpus shuffle) + one cell-keyed count aggregate (k rows) + a 1-row
+    broadcast total.  The oracle replays assignment and every
+    threshold."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    cand = e.filter(
+        (F.col("vec_id") % _X117_STRIDE == 0)
+        & (F.col("vec_id") < _X117_CAND_LIM)
+        & (F.col("vec_id") % 7 != 0)
+    )
+    cents = (
+        cand.withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("bigint"),
+        )
+        .filter(F.col("cell") < _X117_CELLS)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    from hiveka_spark.operators.similarity import ivf_assign
+
+    a = ivf_assign(e, cents).select(
+        "vec_id", "cell",
+        F.when(F.col("vec_id") % 7 != 0, 1).otherwise(2)
+        .cast("bigint").alias("version"),
+    )
+    per = a.groupBy("cell").agg(
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_v1"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0))
+        .cast("bigint").alias("n_v2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    tot = per.agg(
+        F.sum("n_total").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cell", "n_v1", "n_v2", "n_total",
+        F.expr("CAST(n_total * 10000 DIV (t DIV k) AS BIGINT)").alias("load_q"),
+        F.when(F.col("n_total") * F.col("k") > 2 * F.col("t"), 1)
+        .otherwise(0).cast("bigint").alias("rebuild_flag"),
+    )
