@@ -2722,3 +2722,148 @@ def x118_ivf_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_total") * F.col("k") > 2 * F.col("t"), 1)
         .otherwise(0).cast("bigint").alias("rebuild_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x119 — distributed power iteration: top principal direction of the
+# embedding covariance, integer-exact (the PCA/whitening preprocessing of
+# Jegou et al. 2011's PQ pipelines; Halko et al. 2011 randomized SVD is the
+# many-components scale path)
+# ---------------------------------------------------------------------------
+
+_X119_DIM = 64
+_X119_ITERS = 3
+
+
+def _x119_oracle(dim: int = _X119_DIM) -> str:
+    # one matvec + deterministic integer rescale per iteration, unrolled
+    matvec = lambda vprev, w: (  # noqa: E731
+        f"{w} AS (SELECT ap.i, CAST(SUM(ap.a * {vprev}.val) AS BIGINT) AS wv"
+        f" FROM ap JOIN {vprev} ON ap.j = {vprev}.i GROUP BY ap.i)"
+    )
+    rescale = lambda w, v: (  # noqa: E731
+        f"{v} AS (SELECT i, CAST(wv * 10000 // GREATEST((SELECT MAX(ABS(wv))"
+        f" FROM {w}), 1) AS BIGINT) AS val FROM {w})"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    e AS (SELECT vec_id, g.i, qv[CAST(g.i AS INT)] AS v
+          FROM q CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i) g),
+    s AS (SELECT a.i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS sv
+          FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
+    m AS (SELECT i, CAST(SUM(v) AS BIGINT) AS mv FROM e GROUP BY i),
+    cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    amat AS (SELECT s.i, s.j,
+                    CAST(cn.n * s.sv - mi.mv * mj.mv AS BIGINT) AS a
+             FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+             CROSS JOIN cn),
+    ap AS (SELECT i, j,
+                  CAST(a // ((SELECT MAX(ABS(a)) FROM amat) // 10000 + 1)
+                       AS BIGINT) AS a
+           FROM amat),
+    v0 AS (SELECT i, CAST(1 AS BIGINT) AS val
+           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
+    {matvec("v0", "w1")}, {rescale("w1", "v1")},
+    {matvec("v1", "w2")}, {rescale("w2", "v2")},
+    {matvec("v2", "w3")}, {rescale("w3", "v3")}
+    SELECT CAST(i AS BIGINT) AS pos, val AS dir_q FROM v3
+    """
+
+
+@register(
+    "x119_power_iteration",
+    oracle=_x119_oracle(),
+    tags=("similarity", "linear-algebra", "iterative", "pca"),
+)
+def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POWER ITERATION over the embedding covariance — the
+    top-principal-direction probe that fronts PQ/OPQ preprocessing
+    (Jegou et al. 2011; rotate/whiten before subspace quantization) and
+    embedding-drift dashboards, as engine-exact iterative linear
+    algebra: the centered scatter n*S - m m^T is computed WITHOUT
+    centering the data (S = one (i,j)-keyed aggregate of per-row outer
+    products, m = one component sum — all bigint, no float
+    accumulation), rescaled once to ~1e4 magnitude by integer DIV, and
+    three matvec+rescale iterations run as 64-row joins — every
+    intermediate provably under 2^63, every step replayed by the
+    oracle's unrolled CTEs (the x52 discipline applied to linear
+    algebra instead of Lloyd).
+
+    Scale shape: ONE corpus pass builds S and m (the outer-product
+    explode is map-side pre-aggregated; dim^2 = {_X119_DIM * _X119_DIM}
+    result rows); everything after runs on dim-sized frames.  At much
+    larger n the n*S term needs a pre-DIV by n to stay in int64 — the
+    rescale step already in the chain is where that lands; many-
+    component variants go to Halko et al. randomized SVD with the same
+    aggregate shape."""
+    from hiveka_spark.operators.similarity import quantized
+
+    dim = _X119_DIM
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantized("embedding").alias("qv"))
+    comp = q.select(
+        "vec_id", F.posexplode("qv").alias("p0", "v")
+    ).select("vec_id", (F.col("p0") + 1).alias("i"), "v")
+    outer = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(1), F.lit(dim)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("qv", i.cast("int"))
+                                * F.element_at("qv", j.cast("int"))
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    s = outer.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("sv"))
+    m = comp.groupBy("i").agg(F.sum("v").cast("bigint").alias("mv"))
+    n = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    amat = (
+        s.join(m.select(F.col("i"), F.col("mv").alias("mi")), "i")
+        .join(
+            m.select(F.col("i").alias("j"), F.col("mv").alias("mj")), "j"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            (F.col("n") * F.col("sv") - F.col("mi") * F.col("mj"))
+            .cast("bigint").alias("a"),
+        )
+        # dim^2 rows; checkpointed so the max-abs branch and three matvec
+        # iterations never replay the corpus aggregate (the x101 posture)
+        .localCheckpoint(eager=True)
+    )
+    mx = amat.agg(F.max(F.abs(F.col("a"))).cast("bigint").alias("mx"))
+    ap = amat.crossJoin(F.broadcast(mx)).select(
+        "i", "j",
+        F.expr("CAST(a DIV (mx DIV 10000 + 1) AS BIGINT)").alias("a"),
+    ).localCheckpoint(eager=True)
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("bigint").alias("i"),
+        F.lit(1).cast("bigint").alias("val"),
+    )
+    for _ in range(_X119_ITERS):
+        w = (
+            ap.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("val")).cast("bigint").alias("wv"))
+        )
+        sc = w.agg(
+            F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1))
+            .cast("bigint").alias("s")
+        )
+        v = w.crossJoin(F.broadcast(sc)).select(
+            "i", F.expr("CAST(wv * 10000 DIV s AS BIGINT)").alias("val")
+        )
+    return v.select(F.col("i").alias("pos"), F.col("val").alias("dir_q"))

@@ -849,3 +849,35 @@ def test_x117_matches_one_shot_and_reads_index_only(spark):
     b = sorted(map(tuple, one.collect()))
     assert a == b
     assert "gate_x117_" in plan or "test_x117_" in plan, plan
+
+
+# ------------------------------------------------- x119 power iteration
+
+
+def test_x119_direction_is_dominant(spark):
+    """The returned direction's Rayleigh quotient on the true centered
+    covariance dominates both the start vector's and every axis
+    direction's — three integer iterations actually climbed."""
+    import numpy as np
+
+    from hiveka_spark.catalog import table
+
+    rows = REGISTRY["x119_power_iteration"].fn(spark, SF_SMOKE).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r.pos - 1] = r.dir_q
+    assert int(np.abs(v).max()) == 10000
+    emb = np.array(
+        [r.embedding for r in
+         table(spark, SF_SMOKE, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(emb * 10000)
+    c = np.cov(q.T, bias=True)
+
+    def rayleigh(x):
+        return float(x @ c @ x) / float(x @ x)
+
+    rv = rayleigh(v)
+    assert rv >= rayleigh(np.ones(64))
+    assert rv >= max(rayleigh(np.eye(64)[i]) for i in range(64)) * 0.99
