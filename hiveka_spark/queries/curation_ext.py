@@ -6051,3 +6051,146 @@ def x115_vocab_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(mass * 10000 DIV t AS BIGINT)").alias("mass_share_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x120 — deployment-pruned tokenizer: ship only the merges a serving corpus
+# exercises, with a behavior-preservation certificate
+# ---------------------------------------------------------------------------
+
+_X120_MOD = 25  # serving subset: doc_id % MOD == 0 (narrow enough that pruning bites)
+
+
+def _x120_oracle(
+    n_merges: int = _X76_MERGES, max_words: int = _X76_MAX_WORDS,
+    mod: int = _X120_MOD,
+) -> str:
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(n_merges, max_words)},
+    {_BPE_VOCAB_CTES},
+    lens AS (SELECT it, w, CAST(COUNT(*) AS BIGINT) AS L FROM ap GROUP BY it, w),
+    ucount AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS uc
+               FROM docunits WHERE doc_id % {mod} = 0 GROUP BY u),
+    fires AS (SELECT l1.it AS merge_rank,
+                     CAST(SUM((l0.L - l1.L) * uc.uc) AS BIGINT) AS fired
+              FROM lens l1
+              JOIN lens l0 ON l0.w = l1.w AND l0.it = l1.it - 1
+              JOIN ucount uc ON uc.u = l1.w
+              WHERE l1.it >= 1 GROUP BY l1.it),
+    np AS (SELECT CAST((SELECT COUNT(*) FROM merges)
+                       - COUNT(*) AS BIGINT) AS n_pruned
+           FROM fires WHERE fired > 0),
+    seqs AS MATERIALIZED (
+      SELECT du.doc_id, us.id,
+             ROW_NUMBER() OVER (PARTITION BY du.doc_id
+                                ORDER BY du.upos, us.pos) AS ti,
+             COUNT(*) OVER (PARTITION BY du.doc_id) AS n
+      FROM docunits du JOIN unit_syms us ON us.u = du.u
+      WHERE du.doc_id % {mod} = 0),
+    maxn AS MATERIALIZED (SELECT COALESCE(MAX(n), 0) AS m FROM seqs),
+    pw AS (SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v
+           UNION ALL
+           SELECT k + 1, (v * 31) % 2147483647 FROM pw
+           WHERE k < (SELECT m FROM maxn)),
+    dig AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(SUM((s.id * p.v) % 2147483647) % 2147483647 AS BIGINT)
+               AS ids_digest
+      FROM seqs s JOIN pw p ON p.k = s.n - s.ti
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(g.ids_digest, 0) AS BIGINT) AS ids_digest,
+           np.n_pruned
+    FROM documents d LEFT JOIN dig g ON g.doc_id = d.doc_id
+    CROSS JOIN np
+    WHERE d.doc_id % {mod} = 0
+    """
+
+
+@register(
+    "x120_pruned_tokenizer",
+    oracle=_x120_oracle(),
+    tags=("tokenizer", "bpe", "pruning", "certification", "serving"),
+)
+def x120_pruned_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-PRUNED tokenizer: a domain pipeline serving a narrower
+    corpus than the tokenizer was trained on ships only the merges that
+    corpus exercises (x115's dead-merge report, acted on) — valid
+    because the certified apply runs merges SEQUENTIALLY in rank order,
+    so a merge that fires zero times on the serving corpus is a no-op
+    pass and removing it cannot change any output; relative rank order
+    of the kept merges is preserved.  The certificate is the strongest
+    available: per-doc (n_tokens, ids_digest) computed with the PRUNED
+    table must equal the UNPRUNED oracle replay digest-for-digest (an
+    over-prune — removing a merge that fires — breaks the hashes
+    loudly), and n_pruned itself is oracle-checked from the apply
+    recursion's per-iteration symbol-count drops.
+
+    Scale shape: fire counting runs once per DISTINCT serving unit
+    (zipfian-bounded mapInPandas replaying the rank-order pass — the
+    per-unit loop is the _merge_unit semantics), weighted by unit
+    occurrence counts (one keyed aggregate); the pruned-table collect
+    is n_merges rows; the re-encode is the flat x80 path."""
+    from hiveka_spark.operators.bpe import bpe_encode_ids, unit_freq
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = _trained_merge_vocab(d)
+    sub = d.filter(F.col("doc_id") % _X120_MOD == 0)
+    uf = unit_freq(sub, "text")
+
+    bc = spark.sparkContext.broadcast(merges)
+
+    def count_fires(batches):
+        import pandas as pd
+
+        ms = bc.value
+        for pdf in batches:
+            ranks, cnts = [], []
+            for w, freq in zip(pdf["w"], pdf["freq"]):
+                syms = list(str(w))
+                for rank, (a, b) in enumerate(ms, 1):
+                    if len(syms) < 2:
+                        break
+                    new, i, c = [], 0, 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            new.append(a + b)
+                            i += 2
+                            c += 1
+                        else:
+                            new.append(syms[i])
+                            i += 1
+                    syms = new
+                    if c:
+                        ranks.append(rank)
+                        cnts.append(c * int(freq))
+            yield pd.DataFrame({"merge_rank": ranks, "fired": cnts})
+
+    fires = (
+        uf.mapInPandas(count_fires, "merge_rank bigint, fired bigint")
+        .groupBy("merge_rank")
+        .agg(F.sum("fired").cast("bigint").alias("fired"))
+    )
+    fired_ranks = {
+        int(r["merge_rank"]) for r in fires.filter(F.col("fired") > 0).collect()
+    }  # bounded: n_merges rows
+    kept = [mg for i, mg in enumerate(merges, 1) if i in fired_ranks]
+    n_pruned = len(merges) - len(kept)
+
+    enc = bpe_encode_ids(sub, kept, vocab, "text", "doc_id", units=True)
+    p = F.lit(2147483647).cast("bigint")
+    return enc.select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "ids", F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % p,
+        ).cast("bigint").alias("ids_digest"),
+        F.lit(n_pruned).cast("bigint").alias("n_pruned"),
+    )

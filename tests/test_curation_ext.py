@@ -881,3 +881,45 @@ def test_x119_direction_is_dominant(spark):
     rv = rayleigh(v)
     assert rv >= rayleigh(np.ones(64))
     assert rv >= max(rayleigh(np.eye(64)[i]) for i in range(64)) * 0.99
+
+
+# ------------------------------------------------- x120 pruned tokenizer
+
+
+def test_x120_pruning_bites_and_preserves_behavior(spark):
+    """The serving subset actually exercises fewer merges than trained
+    (n_pruned > 0 — the gate is not vacuous), and encoding the subset
+    with the FULL table gives identical digests doc-for-doc (the
+    preservation claim, checked Spark-side on top of the oracle)."""
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import bpe_encode_ids
+    from hiveka_spark.queries.curation_ext import (
+        _X120_MOD, _trained_merge_vocab,
+    )
+
+    out = {r.doc_id: r for r in
+           REGISTRY["x120_pruned_tokenizer"].fn(spark, SF_SMOKE).collect()}
+    assert out
+    n_pruned = next(iter(out.values())).n_pruned
+    assert n_pruned > 0
+    d = table(spark, SF_SMOKE, "documents")
+    merges, vocab = _trained_merge_vocab(d)
+    sub = d.filter(FF.col("doc_id") % _X120_MOD == 0)
+    p = FF.lit(2147483647).cast("bigint")
+    full = bpe_encode_ids(sub, merges, vocab, "text", "doc_id", units=True)
+    full_rows = {
+        r.doc_id: (r.n, r.dg)
+        for r in full.select(
+            "doc_id",
+            FF.size("ids").cast("bigint").alias("n"),
+            FF.aggregate(
+                "ids", FF.lit(0).cast("bigint"),
+                lambda acc, x: (acc * 31 + x) % p,
+            ).cast("bigint").alias("dg"),
+        ).collect()
+    }
+    assert set(full_rows) == set(out)
+    for doc_id, (n, dg) in full_rows.items():
+        assert (out[doc_id].n_tokens, out[doc_id].ids_digest) == (n, dg)
