@@ -165,6 +165,10 @@ HEADLINE = [
 _REMEASURE_OVER = 1.2
 _REMEASURE_TRIES = 2
 
+# Tail budget: flagged_over_2x lists at most this many (worst-first) —
+# see build_artifact; flagged_count always carries the true total.
+_FLAG_CAP = 16
+
 
 def _check_prefix_unique(names) -> None:
     """The durable-tail ratio map keys entries by their "q01"/"x81"
@@ -273,15 +277,16 @@ def build_artifact(
     property itself is pinned in tests/test_bench_artifact.py.
 
     Tail degradation order is deliberate: flagged_over_2x is LAST (and
-    compact — prefixes, not full names, so a regression storm costs ~7
-    chars per flagged entry instead of ~28) and the summary stats sit
-    just before it, so in a catastrophic many-flagged round the signal
-    that gets partially cut is the per-entry ratio map's FRONT, never the
-    flag list or the stats.  Budget arithmetic: ~12 chars per compact
-    ratio + ~7 per flagged prefix + ~120 of stats — everything fits to
-    ~130 entries with a 20-entry flag storm (pinned in
-    tests/test_bench_artifact.py, including the everything-flagged case
-    at the current size).
+    compact — prefixes, not full names, CAPPED at the _FLAG_CAP worst
+    offenders with flagged_count carrying the true total; the full
+    flagged set is recoverable from the ratios map as every prefix over
+    2.0) and the summary stats sit just before the ratio map, so in a
+    catastrophic many-flagged round the signal that gets partially cut
+    is the per-entry ratio map's FRONT, never the flag list or the
+    stats.  Budget arithmetic: ~13 chars per compact ratio + ~8 per
+    flagged prefix (capped) + ~120 of stats — everything fits to ~135
+    entries even with EVERYTHING flagged (pinned in
+    tests/test_bench_artifact.py at the current size).
 
     Returns (artifact, missing_floor); a non-empty missing_floor is the
     caller's hard-error signal (round-9 verdict: new entries must land
@@ -324,12 +329,19 @@ def build_artifact(
             out["ratios"] = {
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }
-            # prefixes, not full names: a many-flagged regression round
-            # must not blow the 2000-char tail that carries the ratio map
-            # (full names are recoverable from the ratios/queries keys)
-            out["flagged_over_2x"] = sorted(
-                n.split("_", 1)[0] for n, r in ratios.items() if r > 2.0
+            # prefixes, not full names, and CAPPED at the worst offenders:
+            # a many-flagged regression round must not blow the 2000-char
+            # tail that carries the ratio map (at 120+ entries an
+            # everything-flagged storm no longer fits uncapped — the full
+            # flagged set is recoverable from the ratios map as every
+            # prefix > 2.0, and flagged_count always carries the true
+            # total).  Worst ratio first, name tiebreak.
+            flagged = sorted(
+                ((r, n.split("_", 1)[0]) for n, r in ratios.items() if r > 2.0),
+                key=lambda t: (-t[0], t[1]),
             )
+            out["flagged_count"] = len(flagged)
+            out["flagged_over_2x"] = [p for _, p in flagged[:_FLAG_CAP]]
     if missing_floor and "missing_floor" not in out:
         out["missing_floor"] = missing_floor
     return out, missing_floor

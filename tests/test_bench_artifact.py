@@ -93,15 +93,21 @@ def test_tail_survives_a_flag_storm():
     compact ratio, the summary stats, and the full flag list — the
     degradation order (ratios cut first, flags/stats never) is the
     design."""
-    # current size, everything flagged
+    # current size, everything flagged: the flag list is capped at the
+    # worst offenders (full set recoverable from the ratios map), the
+    # true total rides flagged_count, and every ratio + the stats still
+    # fit the tail
+    from bench import _FLAG_CAP
+
     timings, base = _synthetic(HEADLINE)
     timings = {n: 3.0 for n in timings}  # all 3x -> all flagged
     out, _ = build_artifact(timings, dict(timings), {}, base, "sf")
     tail = _tail_keys(out)
     for n in HEADLINE:
         assert f'"{n.split("_", 1)[0]}"' in tail, n
-    assert len(out["flagged_over_2x"]) == len(HEADLINE)
-    for key in ("ratio_mean", "ratio_worst"):
+    assert out["flagged_count"] == len(HEADLINE)
+    assert len(out["flagged_over_2x"]) == min(_FLAG_CAP, len(HEADLINE))
+    for key in ("ratio_mean", "ratio_worst", "flagged_count"):
         assert f'"{key}"' in tail
 
     # 130-entry budget with a 20-entry storm
@@ -113,4 +119,9 @@ def test_tail_survives_a_flag_storm():
     tail = _tail_keys(out)
     for n in names:
         assert f'"{n.split("_", 1)[0]}":' in tail, n
-    assert '"ratio_mean"' in tail and len(out["flagged_over_2x"]) == 20
+    assert '"ratio_mean"' in tail
+    assert out["flagged_count"] == 20
+    # capped list carries the worst offenders (all tied at 5x -> name order)
+    assert out["flagged_over_2x"] == sorted(
+        n.split("_", 1)[0] for n in names[:20]
+    )[: len(out["flagged_over_2x"])]
