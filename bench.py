@@ -154,6 +154,11 @@ HEADLINE = [
     "x115_vocab_utilization",
     "x116_audio_prefix_dedup",
     "s28_stream_secret_retraction",
+    "x117_incremental_ivf",
+    "x118_ivf_occupancy_drift",
+    "x119_power_iteration",
+    "x120_pruned_tokenizer",
+    "s29_stream_ivf_index",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
