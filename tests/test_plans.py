@@ -894,3 +894,69 @@ def test_x114_agreement_reuses_contingency(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_x108_allocation_plan_bounded(spark):
+    """Repeat allocation: after the checkpointed source table, the final
+    plan runs entirely on bounded frames — zero parquet scans, no
+    cartesian product (the epoch fan-out and budget join are broadcast
+    nested loops over RMAX-row / 1-row frames by construction)."""
+    import re
+
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x108_repeat_allocation"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 0, f"expected 0 corpus scans post-checkpoint:\n{plan}"
+
+
+def test_x110_no_single_reducer_window(spark):
+    """Length batching: both policy ranks are the distributed range-sort
+    recipe — the plan must contain NO Window operator at all (a global
+    Window.orderBy would single-reducer the corpus) and no cartesian."""
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x110_length_batching"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+
+
+def test_x113_stream_no_corpus_explode(spark):
+    """Mixture stream: the epoch fan-out must reach the corpus as a
+    broadcast join (never a corpus-side explode/generator), and nothing
+    goes cartesian.  Asserted on the pre-checkpoint composition by
+    rebuilding the lazy stream plan."""
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.plans.inspect import formatted_plan
+    from hiveka_spark.queries import _ensure_loaded
+    from hiveka_spark.queries.curation_ext import (
+        _X108_RMAX, x108_repeat_allocation,
+    )
+
+    _ensure_loaded()
+    d = table(spark, SF_SMOKE, "documents").select("doc_id", "source", "text")
+    rep = d.groupBy("source", FF.md5("text").alias("h")).agg(
+        FF.min("doc_id").cast("bigint").alias("doc_id")
+    ).select("source", "doc_id")
+    alloc = x108_repeat_allocation(spark, SF_SMOKE).select("source", "n_epochs")
+    epochs = spark.range(1, _X108_RMAX + 1).select(
+        FF.col("id").cast("bigint").alias("epoch")
+    )
+    stream = (
+        rep.join(FF.broadcast(alloc), "source")
+        .join(FF.broadcast(epochs), FF.col("epoch") <= FF.col("n_epochs"))
+        .select("doc_id", "source", "epoch")
+    )
+    plan = formatted_plan(stream)
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan, plan  # no corpus-side explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
