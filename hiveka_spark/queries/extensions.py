@@ -2867,3 +2867,70 @@ def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", F.expr("CAST(wv * 10000 DIV s AS BIGINT)").alias("val")
         )
     return v.select(F.col("i").alias("pos"), F.col("val").alias("dir_q"))
+
+
+# ---------------------------------------------------------------------------
+# x121 — decontamination-detector AGREEMENT matrix: exact x bloom x
+# containment over one eval suite (method comparison, Brown et al. 2020
+# App. C's n-gram decontamination lineage)
+# ---------------------------------------------------------------------------
+
+
+def _x121_oracle() -> str:
+    return f"""
+    WITH blm AS ({_bloom_oracle()}),
+    cp AS ({_containment_decontam_oracle()}),
+    cids AS (SELECT DISTINCT train_id AS doc FROM cp)
+    SELECT CAST(CASE WHEN b.n_exact_hits > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_flag,
+           CAST(b.flagged AS BIGINT) AS bloom_flag,
+           CAST(CASE WHEN c.doc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS cont_flag,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_shingles) AS BIGINT) AS sum_shingles
+    FROM blm b LEFT JOIN cids c ON c.doc = b.doc
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "x121_decontam_agreement",
+    oracle=_x121_oracle(),
+    tags=("decontamination", "calibration", "bloom", "containment"),
+)
+def x121_decontam_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination-method AGREEMENT matrix — before trusting one
+    detector at 100 TB you measure where the tiers disagree on the same
+    eval suite (the methodology question since Brown et al. 2020's
+    App. C n-gram pass): per training doc, the EXACT shingle-membership
+    flag, the memory-bounded BLOOM flag (x62 — 32 KiB regardless of
+    suite size, but with false positives), and the one-sided CONTAINMENT
+    flag (x68 — catches quoted benchmarks symmetric measures miss),
+    rolled to the 8-cell contingency with doc counts and shingle mass.
+    Two structural facts the matrix certifies: Bloom has NO false
+    negatives (an (exact=1, bloom=0) cell can never be populated —
+    test-pinned), and its false-positive mass is exactly the
+    (exact=0, bloom=1) cells — the operating-cost readout for the 32 KiB
+    memory bound.
+
+    Scale shape: both inputs are existing certified gates (x62's pure
+    map probe; x68's broadcast eval postings); the agreement join is
+    id-keyed on the flagged-population side, and the contingency is an
+    8-row rollup.  The oracle embeds BOTH gates' oracles as CTEs."""
+    bl = x62_bloom_decontamination(spark, sf_dir)
+    cont = (
+        x68_containment_decontamination(spark, sf_dir)
+        .select(F.col("train_id").alias("doc"))
+        .distinct()
+        .withColumn("c1", F.lit(1).cast("bigint"))
+    )
+    j = bl.join(cont, "doc", "left")
+    return j.groupBy(
+        F.when(F.col("n_exact_hits") > 0, 1).otherwise(0)
+        .cast("bigint").alias("exact_flag"),
+        F.col("flagged").cast("bigint").alias("bloom_flag"),
+        F.coalesce("c1", F.lit(0)).cast("bigint").alias("cont_flag"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("sum_shingles"),
+    )

@@ -270,3 +270,20 @@ def test_x114_contingency_partitions_raw_pool(spark):
         assert 10000 - len(cells) < s <= 10000
     assert all(r.keep in (0, 1) and r.bucket in ("head", "middle", "tail")
                for r in rows)
+
+
+# ------------------------------------------------- x121 decontam agreement
+
+
+def test_x121_bloom_never_misses_exact(spark):
+    """The structural property the matrix certifies: no populated cell has
+    exact=1 with bloom=0 (Bloom filters have no false negatives), and the
+    (exact=0, bloom=1) cells are the measured false-positive mass."""
+    from .conftest import SF_SMOKE
+    from hiveka_spark.queries import REGISTRY
+
+    rows = REGISTRY["x121_decontam_agreement"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    assert not any(r.exact_flag == 1 and r.bloom_flag == 0 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert total > 0
