@@ -2934,3 +2934,95 @@ def x121_decontam_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_shingles").cast("bigint").alias("sum_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x122 — subpopulation drift along the principal axis: project embeddings
+# onto x119's direction, report per-label location/spread
+# ---------------------------------------------------------------------------
+
+_X122_S = 100000  # projection downscale before squaring (int64 headroom)
+
+
+def _x122_oracle(dim: int = _X119_DIM) -> str:
+    body = _x119_oracle(dim)
+    return f"""
+    WITH pr AS ({body}),
+    q AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    e AS (SELECT vec_id, label, g.i, qv[CAST(g.i AS INT)] AS v
+          FROM q CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i) g),
+    proj AS (SELECT e.vec_id, MIN(e.label) AS label,
+                    CAST(SUM(e.v * p.dir_q) AS BIGINT) AS pj
+             FROM e JOIN pr p ON p.pos = e.i GROUP BY e.vec_id),
+    sc AS (SELECT label, CAST(pj // {_X122_S} AS BIGINT) AS s FROM proj)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s,
+           CAST((COUNT(*) * SUM(s * s) - SUM(s) * SUM(s))
+                // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_s
+    FROM sc GROUP BY label
+    """
+
+
+@register(
+    "x122_principal_drift",
+    oracle=_x122_oracle(),
+    tags=("similarity", "monitoring", "pca", "drift"),
+)
+def x122_principal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subpopulation drift along the PRINCIPAL axis — the 1-D embedding
+    dashboard: project every vector onto x119's dominant direction and
+    report per label the count, location (integer mean), and spread
+    (integer population variance) of the projections.  Two labels whose
+    projection distributions separate along the top component are the
+    first thing a drift monitor should catch (the same reduction
+    FAISS-style pipelines use to sanity-check an embedding space before
+    committing to an index layout).  Projections are downscaled by
+    {_X122_S} before squaring so n * sum(s^2) stays in int64 at this
+    corpus; the variance uses the (n*Sxx - Sx^2) DIV n^2 integer form —
+    no float moments anywhere.
+
+    Scale shape: the direction comes from x119 (one corpus aggregate +
+    dim-sized iterations); the projection is a per-row dot against the
+    broadcast 64-row direction (zero corpus shuffle) and the report is
+    one label-keyed aggregate.  The oracle embeds x119's full unrolled
+    replay and recomputes every projection and both moments."""
+    from hiveka_spark.operators.similarity import quantized
+
+    # bounded driver handoff (64 rows — the centroid-collect posture):
+    # the direction becomes an array literal, so the projection is a
+    # per-row zip_with dot with ZERO corpus shuffle (a posexplode +
+    # pos-join + vec-keyed re-aggregate would exchange the whole corpus)
+    pr = x119_power_iteration(spark, sf_dir).collect()
+    dir_arr = F.array(
+        *[
+            F.lit(v).cast("bigint")
+            for _, v in sorted((r.pos, r.dir_q) for r in pr)
+        ]
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantized("embedding").alias("qv")
+    )
+    proj = e.select(
+        "label",
+        F.aggregate(
+            F.zip_with("qv", dir_arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("pj"),
+    )
+    sc = proj.select(
+        "label", F.expr(f"CAST(pj DIV {_X122_S} AS BIGINT)").alias("s")
+    )
+    return sc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("sum_s"),
+        F.expr("CAST(SUM(s) DIV COUNT(*) AS BIGINT)").alias("mean_s"),
+        F.expr(
+            "CAST((COUNT(*) * SUM(s * s) - SUM(s) * SUM(s))"
+            " DIV (COUNT(*) * COUNT(*)) AS BIGINT)"
+        ).alias("var_s"),
+    )

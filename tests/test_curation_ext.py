@@ -923,3 +923,38 @@ def test_x120_pruning_bites_and_preserves_behavior(spark):
     assert set(full_rows) == set(out)
     for doc_id, (n, dg) in full_rows.items():
         assert (out[doc_id].n_tokens, out[doc_id].ids_digest) == (n, dg)
+
+
+# ------------------------------------------------- x122 principal drift
+
+
+def test_x122_moments_match_numpy(spark):
+    """Integer mean/variance per label agree with float moments computed
+    from scratch (within DIV truncation), and counts cover the corpus."""
+    import numpy as np
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.queries.extensions import _X122_S, x119_power_iteration
+
+    rows = {r.label: r for r in
+            REGISTRY["x122_principal_drift"].fn(spark, SF_SMOKE).collect()}
+    assert rows
+    pr = x119_power_iteration(spark, SF_SMOKE).collect()
+    d = np.zeros(64)
+    for r in pr:
+        d[r.pos - 1] = r.dir_q
+    e = table(spark, SF_SMOKE, "embeddings").select(
+        "label", "embedding"
+    ).collect()
+    n_total = 0
+    by = {}
+    for r in e:
+        q = np.round(np.array(r.embedding, dtype=np.float64) * 10000)
+        by.setdefault(r.label, []).append(int(q @ d))
+        n_total += 1
+    assert sum(r.n for r in rows.values()) == n_total
+    for label, pjs in by.items():
+        # replicate Spark DIV truncation toward zero for the downscale
+        ss = [int(p / _X122_S) if p >= 0 else -((-p) // _X122_S) for p in pjs]
+        r = rows[label]
+        assert r.n == len(ss) and r.sum_s == sum(ss)
