@@ -159,6 +159,8 @@ HEADLINE = [
     "x119_power_iteration",
     "x120_pruned_tokenizer",
     "s29_stream_ivf_index",
+    "x121_decontam_agreement",
+    "x122_principal_drift",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
