@@ -6194,3 +6194,107 @@ def x120_pruned_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("ids_digest"),
         F.lit(n_pruned).cast("bigint").alias("n_pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x123 — dev-set CHURN across corpus versions: rank-k vs hash-threshold
+# selection stability (the held-out set must not silently rotate under
+# corpus growth)
+# ---------------------------------------------------------------------------
+
+_X123_K = 32  # rank policy: exact-k dev set
+_X123_PCT = 20  # threshold policy: h % 1000 < PCT (2%)
+
+
+def _x123_oracle(k: int = _X123_K, pct: int = _X123_PCT) -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("concat('dev_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH d AS (SELECT doc_id, {h} AS h FROM documents),
+    v1 AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+    r1 AS (SELECT doc_id FROM (SELECT doc_id,
+                                      ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+                               FROM v1) WHERE rn <= {k}),
+    rf AS (SELECT doc_id FROM (SELECT doc_id,
+                                      ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+                               FROM d) WHERE rn <= {k}),
+    t1 AS (SELECT doc_id FROM v1 WHERE h % 1000 < {pct}),
+    tf AS (SELECT doc_id FROM d WHERE h % 1000 < {pct}),
+    pol AS (
+      SELECT 'rank_k' AS policy,
+             (SELECT COUNT(*) FROM r1) AS n_v1,
+             (SELECT COUNT(*) FROM rf) AS n_full,
+             (SELECT COUNT(*) FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM rf))
+               AS n_evicted,
+             (SELECT COUNT(*) FROM rf WHERE doc_id NOT IN (SELECT doc_id FROM r1))
+               AS n_added
+      UNION ALL
+      SELECT 'threshold',
+             (SELECT COUNT(*) FROM t1),
+             (SELECT COUNT(*) FROM tf),
+             (SELECT COUNT(*) FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM tf)),
+             (SELECT COUNT(*) FROM tf WHERE doc_id NOT IN (SELECT doc_id FROM t1)))
+    SELECT policy, CAST(n_v1 AS BIGINT) AS n_v1, CAST(n_full AS BIGINT) AS n_full,
+           CAST(n_evicted AS BIGINT) AS n_evicted, CAST(n_added AS BIGINT) AS n_added
+    FROM pol
+    """
+
+
+@register(
+    "x123_devset_churn",
+    oracle=_x123_oracle(),
+    tags=("sampling", "versioned-corpus", "evaluation", "determinism"),
+)
+def x123_devset_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dev-set CHURN under corpus growth — the held-out-set stability
+    certificate: x57's exact-k hash-rank carve is deterministic for a
+    FIXED corpus, but when a new version lands, fresh docs with smaller
+    hashes ENTER the top-k and EVICT previously held-out docs — eval
+    numbers silently stop being comparable across corpus versions.  The
+    hash-THRESHOLD policy (keep iff h % 1000 < {_X123_PCT}) trades exact
+    size for monotone stability: a selected doc can never be evicted by
+    growth (membership depends only on the doc's own hash).  This gate
+    materializes both policies on v1 and on v1+v2 and reports
+    (n_v1, n_full, n_evicted, n_added) per policy — threshold's
+    n_evicted is structurally 0 (test-pinned), rank-k's is the measured
+    churn; the size drift is the price, quantified in the same row.
+
+    Scale shape: the threshold policy is a zero-shuffle predicate; the
+    rank policy is a TakeOrdered top-{_X123_K} (never a global sort);
+    the churn comparison is a k-row anti-join.  Everything hashes, so
+    the DuckDB oracle replays both policies and every count."""
+    from hiveka_spark.operators.dedup import portable_hash60
+
+    k = _X123_K
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_hash60(
+            F.concat(F.lit("dev_"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    v1 = d.filter(F.col("doc_id") % 7 != 0)
+
+    def rank_sel(df: DataFrame) -> DataFrame:
+        return df.orderBy("h", "doc_id").limit(k).select("doc_id")
+
+    def thr_sel(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("h") % 1000 < _X123_PCT).select("doc_id")
+
+    def row(policy: str, s1: DataFrame, sf: DataFrame) -> DataFrame:
+        ev = s1.join(sf, "doc_id", "left_anti")
+        ad = sf.join(s1, "doc_id", "left_anti")
+        return (
+            s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1"))
+            .crossJoin(sf.agg(F.count(F.lit(1)).cast("bigint").alias("n_full")))
+            .crossJoin(
+                ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_evicted"))
+            )
+            .crossJoin(ad.agg(F.count(F.lit(1)).cast("bigint").alias("n_added")))
+            .select(F.lit(policy).alias("policy"), "n_v1", "n_full",
+                    "n_evicted", "n_added")
+        )
+
+    return row("rank_k", rank_sel(v1), rank_sel(d)).unionByName(
+        row("threshold", thr_sel(v1), thr_sel(d))
+    )

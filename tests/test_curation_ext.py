@@ -958,3 +958,22 @@ def test_x122_moments_match_numpy(spark):
         ss = [int(p / _X122_S) if p >= 0 else -((-p) // _X122_S) for p in pjs]
         r = rows[label]
         assert r.n == len(ss) and r.sum_s == sum(ss)
+
+
+# ------------------------------------------------- x123 dev-set churn
+
+
+def test_x123_threshold_never_evicts(spark):
+    """The structural claim: threshold selection is monotone under corpus
+    growth (n_evicted == 0, adds only); rank-k keeps exact size on both
+    versions and its adds equal its evictions."""
+    rows = {r.policy: r for r in
+            REGISTRY["x123_devset_churn"].fn(spark, SF_SMOKE).collect()}
+    from hiveka_spark.queries.curation_ext import _X123_K
+
+    t = rows["threshold"]
+    assert t.n_evicted == 0
+    assert t.n_full >= t.n_v1
+    r = rows["rank_k"]
+    assert r.n_v1 == r.n_full == _X123_K
+    assert r.n_added == r.n_evicted
