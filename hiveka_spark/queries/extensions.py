@@ -3026,3 +3026,64 @@ def x122_principal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (COUNT(*) * COUNT(*)) AS BIGINT)"
         ).alias("var_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x124 — lexical-diversity report per source (type/token, hapax mass —
+# the Heaps/Zipf corpus-QC table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x124_lexical_diversity",
+    oracle="""
+    WITH w AS (SELECT source,
+                      UNNEST(list_filter(string_split(LOWER(text), ' '),
+                                         x -> x <> '')) AS w
+               FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM w GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) * 10000 // SUM(c) AS BIGINT) AS ttr_q,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS hapax_q,
+           CAST(MAX(c) AS BIGINT) AS top_word_count
+    FROM sw GROUP BY source
+    """,
+    tags=("text", "quality", "corpus-stats"),
+)
+def x124_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity report per source — the Heaps/Zipf corpus-QC
+    table: type/token ratio (low TTR at a given size = repetitive or
+    template-heavy source — the aggregate-level signal behind x29's
+    per-doc repetition filter), hapax fraction (high = noisy/OCR-ish
+    vocabulary; low = tight template vocabulary), and the hottest word's
+    count (a Zipf head check).  Ratios are bigint DIV micro-units on the
+    source-level sums.  Diversity collapses under boilerplate BEFORE
+    quality classifiers notice, so this is the first per-source number a
+    corpus card shows after raw counts (x50).
+
+    Scale shape: ONE (source, word)-keyed count (map-side combinable —
+    the word explode collapses before any shuffle leaves the task) and
+    one source rollup; no joins, no windows."""
+    d = table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(word_tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_hapax"),
+        F.expr("CAST(COUNT(*) * 10000 DIV SUM(c) AS BIGINT)").alias("ttr_q"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hapax_q"),
+        F.max("c").cast("bigint").alias("top_word_count"),
+    )
