@@ -161,6 +161,8 @@ HEADLINE = [
     "s29_stream_ivf_index",
     "x121_decontam_agreement",
     "x122_principal_drift",
+    "x123_devset_churn",
+    "x124_lexical_diversity",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
