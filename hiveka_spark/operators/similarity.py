@@ -1358,12 +1358,28 @@ def ivf_index_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF top-k served FROM THE PERSISTED INDEX: the corpus side is the
     read-back union of all committed segments (partition-discovered
     ``v=*`` dirs) — the source embeddings table never appears in the
     probe plan.  Same probe/score/rank semantics as :func:`ivf_topk`
-    (equi-join on cell, floor-quantized cosine, deterministic ties)."""
+    (equi-join on cell, floor-quantized cosine, deterministic ties).
+
+    ``broadcast_queries`` (default True) assumes a BOUNDED probe batch —
+    the online-serving contract, where queries x n_probe rows fit a
+    driver broadcast.  For offline bulk scoring with a corpus-sized
+    query table, pass False: the cell join then shuffles both sides on
+    ``cell`` instead of forcing the query table through a broadcast
+    (round-13 advice — a large batch would otherwise OOM the driver or
+    trip the broadcast size limit)."""
+    import glob as _glob
+
+    if not _glob.glob(f"{root.removeprefix('file:')}/v=*"):
+        raise FileNotFoundError(
+            f"ivf_index_topk: no committed index segments under {root!r} "
+            "(expected v=* dirs written by ivf_index_append)"
+        )
     index = spark.read.parquet(root).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
@@ -1388,7 +1404,7 @@ def ivf_index_topk(
         )
     )
     scored = (
-        index.join(F.broadcast(qs), "cell")
+        index.join(F.broadcast(qs) if broadcast_queries else qs, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",

@@ -2829,6 +2829,20 @@ def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = outer.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("sv"))
     m = comp.groupBy("i").agg(F.sum("v").cast("bigint").alias("mv"))
     n = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # int64-headroom guard (round-13 advice): |qv_k| <= 2e4 after 1e-4
+    # quantization of unit-ish embeddings, so |sv| <= n*4e8 and the
+    # centered term |n*sv| <= n^2*4e8 — under 2^63 only for n <= ~4.8e6.
+    # Fail LOUDLY past the bound instead of silently wrapping; the fix at
+    # that scale is the pre-DIV-by-n rescale noted below.  Bounded
+    # collect: one row.
+    n_rows = n.collect()[0]["n"]
+    if n_rows > 4_000_000:
+        raise ValueError(
+            f"x119_power_iteration: n={n_rows} rows exceeds the int64 "
+            "headroom of the uncentered n*S - m m^T form at 1e-4 "
+            "quantization (bound ~4e6); apply the pre-DIV-by-n rescale "
+            "before the centered-scatter join"
+        )
     amat = (
         s.join(m.select(F.col("i"), F.col("mv").alias("mi")), "i")
         .join(
