@@ -116,6 +116,7 @@ def _ensure_loaded() -> None:
             relational,
             relational_ext,
             streaming_queries,
+            tokenizer_ext,
         )
 
         _loaded = True

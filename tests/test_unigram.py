@@ -1,0 +1,133 @@
+"""Unigram-LM tokenizer family (operators/unigram.py, gates x125-x127)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hiveka_spark.operators.unigram import (
+    UNK_COST_Q,
+    _cost_table,
+    _em_counts,
+    _seed_counts,
+    _viterbi,
+    unigram_apply_fast,
+    unigram_train,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _brute_best(w: str, cost: dict[str, int], mpl: int):
+    """Exhaustive minimum path cost over ALL segmentations (pieces from the
+    vocab only) — the oracle for Viterbi optimality."""
+    best = {0: 0}
+    for j in range(1, len(w) + 1):
+        cands = []
+        for l in range(1, min(mpl, j) + 1):
+            c = cost.get(w[j - l : j])
+            if c is not None and (j - l) in best:
+                cands.append(best[j - l] + c)
+        if cands:
+            best[j] = min(cands)
+    return best.get(len(w))
+
+
+def test_viterbi_is_optimal_small_vocab():
+    cost = {"a": 5, "b": 7, "ab": 9, "ba": 4, "aba": 20, "bb": 3}
+    for w in ["a", "ab", "aba", "abba", "bababab", "aabb", "bbbbb"]:
+        segs = _viterbi(w, cost, 3)
+        assert "".join(segs) == w
+        assert sum(cost[p] for p in segs) == _brute_best(w, cost, 3)
+
+
+def test_viterbi_tie_prefers_longer_then_lex():
+    # two equal-cost paths: ('ab',) vs ('a','b') with cost(ab)=cost(a)+cost(b)
+    cost = {"a": 3, "b": 4, "ab": 7}
+    assert _viterbi("ab", cost, 2) == ["ab"]  # longer piece wins the tie
+    # equal cost, equal length at the same end position: lex-smaller piece
+    # ('xy' vs 'xz' can't collide on the same text; exercise via dp ties)
+    cost2 = {"x": 5, "y": 5, "xy": 10, "yy": 10}
+    segs = _viterbi("xyy", cost2, 2)
+    assert "".join(segs) == "xyy"
+
+
+def test_viterbi_unk_fallback_and_training_invariant():
+    cost = {"a": 2}
+    with pytest.raises(ValueError):
+        _viterbi("az", cost, 3)
+    segs = _viterbi("az", cost, 3, unk_chars=True)
+    assert segs == ["a", "z"]
+    # UNK is strictly worse than any trained cost at realistic Z
+    assert UNK_COST_Q > math.floor(1e6 * math.log(2**53))
+
+
+def test_cost_table_matches_duckdb_ln(duck):
+    counts = {"a": 914, "b": 13, "ab": 0, "xyz": 12345}
+    z = sum(c + 1 for c in counts.values())
+    got = _cost_table(counts)
+    for p, c in counts.items():
+        (dq,) = duck.sql(
+            f"SELECT CAST(FLOOR(1000000.0 * (ln(CAST({z} AS DOUBLE)) "
+            f"- ln(CAST({c + 1} AS DOUBLE)))) AS BIGINT)"
+        ).fetchone()
+        assert got[p] == dq, p
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab▁ x", min_size=0, max_size=24))
+def test_em_counts_cover_mass(text):
+    """Hard-EM counts from any unit set conserve the symbol mass: the sum of
+    len(piece)*count over the segmentation counts equals the weighted
+    character mass of the units."""
+    units = [(u.replace(" ", "▁"), 3) for u in text.split(" ") if u]
+    if not units:
+        return
+    seed = _seed_counts(units, 4)
+    out = _em_counts(units, seed, 4)
+    assert sum(len(p) * c for p, c in out.items()) == sum(
+        len(w) * f for w, f in units
+    )
+
+
+def test_train_apply_roundtrip_sf(spark):
+    from hiveka_spark.catalog import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train(d, "text", max_words=200, n_seed=64, keep_multi=32)
+    # chars first, then multi, each block piece-ascending; costs finite
+    pieces = [p for p, _c, _q in vocab]
+    n_char = sum(1 for p in pieces if len(p) == 1)
+    assert pieces[:n_char] == sorted(pieces[:n_char])
+    assert all(len(p) > 1 for p in pieces[n_char:])
+    assert pieces[n_char:] == sorted(pieces[n_char:])
+    out = unigram_apply_fast(d, vocab, "text", "doc_id").collect()
+    assert all(r.roundtrip_ok for r in out)
+    assert all(r.n_tokens >= 0 for r in out)
+    # NULL/empty text rows still come back (0 tokens)
+    assert len(out) == d.count()
+
+
+def test_apply_handles_oov_chars(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "aé▁\U0001f980c"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    vocab = [("a", 5, 100), ("b", 5, 100), ("c", 5, 100), ("ab", 5, 150)]
+    rows = {r.doc_id: r for r in unigram_apply_fast(df, vocab, "text", "doc_id").collect()}
+    assert rows[1].n_tokens == 2 and rows[1].roundtrip_ok  # ab + c
+    assert rows[2].roundtrip_ok  # OOV chars segment as UNK singles
+    # units: 'aé' -> a + é(UNK); '▁'(literal marker run) -> UNK; '🦀c' -> UNK + c
+    assert rows[2].n_tokens == 5
+    assert rows[3].n_tokens == 0 and rows[3].roundtrip_ok
+    assert rows[4].n_tokens == 0 and rows[4].roundtrip_ok
+
+
+def test_gate_constants_consistent():
+    from hiveka_spark.queries import tokenizer_ext as T
+
+    assert T._UG_KEEP_MULTI <= T._UG_SEED
+    assert T._UG_MAX_PIECE >= 2
