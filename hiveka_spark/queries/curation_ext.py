@@ -4921,10 +4921,14 @@ _X103_CAP = 192  # bin capacity (word tokens)
 _X103_GROUP = 32  # docs per pack-group (the production shard seam)
 
 
-def _x103_oracle() -> str:
+def _x103_ctes() -> str:
+    """The BFD-loop replay CTE chain (lens/ord/rec) shared by x103 (the
+    assignment gate) and x128 (the physical export): the recursive CTE
+    carries each pack-group's bin-remainder LIST as state, one unrolled
+    step per insertion rank — so the loop itself, not just aggregate
+    waste, is certified, and the two gates can never drift."""
     C, G = _X103_CAP, _X103_GROUP
-    return f"""
-    WITH RECURSIVE lens AS (
+    return f"""lens AS (
       SELECT doc_id, CAST(doc_id // {G} AS BIGINT) AS g,
              CAST(LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))
                   AS BIGINT) AS len
@@ -4953,7 +4957,12 @@ def _x103_oracle() -> str:
                            list_min(list_filter(r.rem, x -> x >= o.len)))
                        AS BIGINT)
              END AS bin
-      FROM rec r JOIN ord o ON o.g = r.g AND o.i = r.i + 1)
+      FROM rec r JOIN ord o ON o.g = r.g AND o.i = r.i + 1)"""
+
+
+def _x103_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_x103_ctes()}
     SELECT g, doc_id, len, bin FROM rec WHERE doc_id IS NOT NULL
     """
 
@@ -6298,3 +6307,119 @@ def x123_devset_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("rank_k", rank_sel(v1), rank_sel(d)).unionByName(
         row("threshold", thr_sel(v1), thr_sel(d))
     )
+
+
+# ---------------------------------------------------------------------------
+# x128 — PHYSICAL export of the best-fit-packed bins (x103's terminal
+# artifact, the x88 discipline applied to whole-document packing)
+# ---------------------------------------------------------------------------
+
+
+def _x128_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("w")
+    return f"""
+    WITH RECURSIVE {_x103_ctes()},
+    asg AS (SELECT g, i, doc_id, len, bin FROM rec WHERE doc_id IS NOT NULL),
+    w0 AS (SELECT doc_id,
+                  list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS ws
+           FROM documents),
+    wid AS (SELECT doc_id, wpos, {h} AS id FROM (
+        SELECT doc_id, UNNEST(range(1, LEN(ws) + 1)) AS wpos, UNNEST(ws) AS w
+        FROM w0)),
+    seq AS (SELECT a.g, a.bin, a.doc_id, w.id,
+                   ROW_NUMBER() OVER (PARTITION BY a.g, a.bin
+                                      ORDER BY a.i, w.wpos) AS rn
+            FROM asg a JOIN wid w ON w.doc_id = a.doc_id),
+    d0 AS (SELECT g, bin, doc_id, MIN(rn) AS r0 FROM seq GROUP BY g, bin, doc_id),
+    st AS (SELECT g, bin,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                list(r0 ORDER BY r0)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+                    AS starts_digest
+           FROM d0 GROUP BY g, bin),
+    ex AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                list(id ORDER BY rn)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+                    AS ids_digest
+           FROM seq GROUP BY g, bin)
+    SELECT e.g AS shard, CAST(e.bin AS BIGINT) AS ex_idx,
+           e.n_tokens, e.n_docs, e.ids_digest, s.starts_digest
+    FROM ex e JOIN st s ON s.g = e.g AND s.bin = e.bin
+    """
+
+
+@register(
+    "x128_bfd_export",
+    oracle=_x128_oracle(),
+    tags=("training-prep", "export", "packing", "certification"),
+)
+def x128_bfd_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The best-fit-packed dataset as a SHIPPED artifact — x103 emitted
+    bin ASSIGNMENTS only; this is its physical counterpart under x88's
+    read-back discipline, closing the packing-export matrix's last cell
+    ({fixed-length, whole-doc-BFD} x {assignment, physical export}).
+    Each (pack-group, bin) becomes an actual example row: the member
+    documents' word-id streams (portable 60-bit word hashes — the
+    engine-portable id space the dedup family already certifies)
+    concatenated in INSERTION order (len DESC, doc_id — exactly the BFD
+    loop's order), with 0-based doc-start positions for attention
+    masking.  Rows are physically written as shard-partitioned parquet,
+    READ BACK, and the manifest — (n_tokens, n_docs, ids_digest,
+    starts_digest) per bin — is derived ENTIRELY from the read-back
+    arrays (read_back_example_manifest, the exact digest contract x88
+    ships); the oracle re-derives every bin from the source table
+    through x103's recursive BFD-loop replay.  A hash match certifies
+    the bytes on disk are exactly the BFD packing: any dropped doc,
+    mis-ordered member, or boundary slip mismatches.
+
+    Scale shape: x103's one groupBy exchange into the bounded per-group
+    BFD loop; the example build is one more (g, bin) aggregate whose
+    payload is the ids themselves (the write's own volume); read-back
+    digests are JVM array folds, map-only.  Scratch dir deleted eagerly
+    (bench reruns)."""
+    import shutil
+
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import read_back_example_manifest
+
+    d = table(spark, sf_dir, "documents")
+    assign = x103_bestfit_packing(spark, sf_dir)
+    ids = d.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda w: portable_hash60(w)).alias("ids"),
+    )
+    joined = assign.join(ids, "doc_id").withColumn(
+        "nl", (-F.col("len")).cast("bigint")
+    )
+    per_bin = joined.groupBy("g", "bin").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("nl"), F.col("doc_id"), F.col("ids")))
+        ).alias("docs")
+    )
+    empty = F.expr("CAST(array() AS array<bigint>)")
+    packed = per_bin.select(
+        F.col("g").cast("bigint").alias("shard"),
+        F.col("bin").cast("bigint").alias("ex_idx"),
+        F.flatten(F.transform("docs", lambda s: s["ids"])).alias("ids"),
+        F.aggregate(
+            "docs",
+            F.struct(empty.alias("st"), F.lit(0).cast("bigint").alias("pos")),
+            lambda acc, s: F.struct(
+                F.concat(acc["st"], F.array(acc["pos"])).alias("st"),
+                (acc["pos"] + F.size(s["ids"])).cast("bigint").alias("pos"),
+            ),
+            lambda acc: acc["st"],
+        ).alias("starts"),
+        F.size("docs").cast("bigint").alias("n_docs"),
+    )
+    out_dir = scratch_dir(prefix="gate_x128export_")
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    manifest = read_back_example_manifest(back).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest
