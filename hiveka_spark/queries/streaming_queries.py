@@ -2221,3 +2221,65 @@ def s29_stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_topk(
         spark, root, e.filter(F.col("vec_id") < 10), cents, k=5, n_probe=4
     ).localCheckpoint(eager=True)  # materialize before scratch cleanup
+
+
+@register(
+    "s30_stream_substring_dedup",
+    oracle=None,  # set below — reuses x96's substring-span replay
+    tags=("streaming", "dedup", "substring", "incremental", "scale"),
+)
+def s30_stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING substring dedup — the live arm of the x96/x97/x99 family
+    and the last live x incremental matrix cell (round-13 verdict #4):
+    documents arrive in micro-batches; each batch window-hashes ITS text
+    only, appends a 16-byte-row (hash, count, first-occurrence) segment to
+    the persisted window-count store, probes the accumulated store, and
+    emits duplicated-window starts — including the RETRO emission of a
+    stored first occurrence the moment a later copy makes it a duplicate
+    (prior count exactly 1), which is what lets the union of per-batch
+    emissions converge to the one-shot batch answer without ever
+    re-reading earlier batches' text.  The fixture streams as 4 real
+    micro-batches (maxFilesPerTrigger=1); per-batch state is versioned-dir
+    overwrite, so checkpoint replay is idempotent (kill-and-resume pinned
+    in tests/test_streaming_neardup.py).
+
+    Convergence contract: the final per-doc span report (island merge over
+    all emitted starts) equals x96's one-shot answer over the whole corpus
+    — that IS the oracle (x96's DuckDB replay verbatim, the s19
+    discipline).
+
+    Scale shape per batch: one Lx map-only window pass over the batch, one
+    map-side-combinable count aggregate, one hash-keyed equi-join probe
+    carrying 16-byte rows — never text; the store grows linearly in
+    distinct windows and folds with the same c-dir compaction as the band
+    index."""
+    import os
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.queries.extensions import _X96_L
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        stream_substring_dedup,
+    )
+
+    state_root = scratch_dir(prefix="gate_s30state_")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    report = stream_substring_dedup(
+        spark, docs, n_batches=4, min_len=_X96_L, state_root=state_root
+    )
+    emitted = committed_versions(os.path.join(state_root, "starts"), 10**9)
+    assert len(emitted) >= 3, f"expected >=3 micro-batches, got {len(emitted)}"
+    return report
+
+
+def _set_s30_oracle() -> None:
+    from dataclasses import replace
+
+    from hiveka_spark.queries import REGISTRY
+    from hiveka_spark.queries.extensions import _x96_oracle
+
+    spec = REGISTRY["s30_stream_substring_dedup"]
+    REGISTRY["s30_stream_substring_dedup"] = replace(spec, oracle=_x96_oracle())
+
+
+_set_s30_oracle()

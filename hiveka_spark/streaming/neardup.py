@@ -317,3 +317,161 @@ def stream_minhash_dedup(
     emitted = committed_versions(pairs_root, 10**9)
     assert emitted, "no micro-batch emitted pairs output"
     return spark.read.parquet(*emitted).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Streaming SUBSTRING dedup over a persisted window-count store (gate s30) —
+# the live arm of x96/x99, completing the live x incremental matrix for the
+# substring family.
+# ---------------------------------------------------------------------------
+
+
+def make_substring_sink(state_root: str, min_len: int = 10):
+    """foreachBatch sink for :func:`stream_substring_dedup` — exposed so
+    the kill-and-resume test can wrap it (the s23 _CrashBefore pattern).
+
+    Store layout (the s16/s19 versioned-dir discipline, everything
+    overwrite-by-batch-id so checkpoint replay is idempotent):
+
+    - ``wc/b{id}``: this batch's window-count segment — per distinct
+      window hash (h, cnt, first_doc, first_pos).  The (doc, pos0) of the
+      FIRST occurrence rides the 16-byte count row precisely so a later
+      copy can RETRO-emit it: when a window's accumulated prior count is
+      exactly 1 and this batch brings another copy, the single earlier
+      occurrence becomes duplicated NOW and is emitted from the store —
+      without it, convergence to the one-shot x96 answer would be
+      impossible without re-reading old text (which this store exists to
+      avoid; x99's no-reprocess contract).
+    - ``starts/b{id}``: this batch's emitted duplicated-window starts
+      (doc, pos0).
+
+    Emission rule per batch (the occurrence-level analog of s19's
+    "a pair is discovered when the later doc arrives"):
+    1. every occurrence IN this batch of a window whose batch+prior
+       count >= 2, plus
+    2. the stored first occurrence of every window with prior count
+       EXACTLY 1 that this batch touches (prior >= 2 means those
+       occurrences were already emitted by earlier batches).
+    Together: every occurrence of every globally duplicated window is
+    emitted exactly once by the time the last batch commits, for ANY
+    split of the corpus into micro-batches."""
+    from hiveka_spark.operators.dedup import _window_occurrences
+
+    wc_root = os.path.join(state_root, "wc")
+    starts_root = os.path.join(state_root, "starts")
+    for p in (wc_root, starts_root):
+        os.makedirs(p, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # checkpoint=True: the batch is tokenized ONCE; the segment write
+        # and the starts probe both read the materialized frame
+        _sizes, occ = _window_occurrences(
+            batch_df, "text", "doc_id", min_len, checkpoint=True
+        )
+        occ.groupBy("h").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min(F.struct("doc", "pos0")).alias("first"),
+        ).select(
+            "h", "cnt",
+            F.col("first.doc").alias("first_doc"),
+            F.col("first.pos0").alias("first_pos"),
+        ).write.mode("overwrite").parquet(os.path.join(wc_root, f"b{batch_id}"))
+        own = s.read.parquet(os.path.join(wc_root, f"b{batch_id}"))
+
+        prior_dirs = committed_versions(wc_root, batch_id)
+        if prior_dirs:
+            prior = (
+                s.read.parquet(*prior_dirs)
+                .groupBy("h")
+                .agg(
+                    F.sum("cnt").cast("bigint").alias("pcnt"),
+                    F.min(
+                        F.struct(
+                            F.col("first_doc").alias("doc"),
+                            F.col("first_pos").alias("pos0"),
+                        )
+                    ).alias("pfirst"),
+                )
+            )
+            j = own.join(prior, "h", "left")
+            duph = j.filter(
+                F.col("cnt") + F.coalesce("pcnt", F.lit(0)) >= 2
+            ).select("h", "pcnt", "pfirst")
+            new_starts = occ.join(duph.select("h"), "h").select("doc", "pos0")
+            retro = duph.filter(F.col("pcnt") == 1).select(
+                F.col("pfirst.doc").alias("doc"),
+                F.col("pfirst.pos0").alias("pos0"),
+            )
+            starts_out = new_starts.unionByName(retro)
+        else:
+            duph0 = own.filter(F.col("cnt") >= 2).select("h")
+            starts_out = occ.join(duph0, "h").select("doc", "pos0")
+        starts_out.distinct().write.mode("overwrite").parquet(
+            os.path.join(starts_root, f"b{batch_id}")
+        )
+
+    return sink
+
+
+def stream_substring_dedup(
+    spark: SparkSession,
+    docs: DataFrame | None,
+    n_batches: int = 4,
+    min_len: int = 10,
+    state_root: str | None = None,
+    src_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    sink_fn=None,
+) -> DataFrame:
+    """Run ``docs`` (doc_id, text) through the streaming window-count
+    substring dedup as ``n_batches`` REAL micro-batches and return the
+    CONVERGED per-doc duplicated-span report — (doc_id, n_words,
+    n_dup_spans, dup_words, dup_frac_q), equal to the one-shot
+    :func:`~hiveka_spark.operators.dedup.substring_dup_spans` over the
+    whole corpus for any batch split (gate s30's oracle pins one split
+    against x96's DuckDB replay; the tests pin several splits against the
+    batch operator and kill-and-resume).
+
+    ``docs=None`` RESUMES on existing ``src_dir``/``checkpoint_dir``
+    without rewriting the source (rewriting would mint new file names and
+    desync the checkpoint's seen-file log).
+
+    Scale shape per batch: one Lx window pass over the BATCH only, one
+    map-side-combinable count aggregate persisted as the batch's 16-byte-
+    row segment, one hash-keyed probe of the accumulated store, and the
+    final report's island merge runs once per doc at read time.  Old text
+    is never re-read — the retro emission rides the store's stored first
+    occurrence.  Segment folding at long horizons is the same c-dir
+    compaction recipe as the band index."""
+    from hiveka_spark.operators.dedup import _dup_span_stats, _window_occurrences
+
+    src_dir = src_dir or scratch_dir(prefix="ssubstr_src_")
+    state_root = state_root or scratch_dir(prefix="ssubstr_state_")
+    checkpoint_dir = checkpoint_dir or scratch_dir(prefix="ckpt_ssubstr_")
+    if docs is not None:
+        docs.select("doc_id", "text").repartition(n_batches).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sink = sink_fn or make_substring_sink(state_root, min_len)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = committed_versions(os.path.join(state_root, "starts"), 10**9)
+    assert emitted, "no micro-batch emitted starts output"
+    starts = spark.read.parquet(*emitted).distinct()
+    sizes, _occ = _window_occurrences(
+        spark.read.parquet(src_dir), "text", "doc_id", min_len
+    )
+    return _dup_span_stats(sizes, starts, min_len, "doc_id")

@@ -260,3 +260,81 @@ def test_compaction_tmp_dir_is_invisible_and_recoverable(spark, tmp_path):
     after = committed_versions(bands_root, 10**9)
     assert len(after) == 1
     assert spark.read.parquet(*after).count() == rows_before
+
+
+# ---------------------------------------------------------------------------
+# Streaming SUBSTRING dedup (s30): split invariance + kill-and-resume
+# ---------------------------------------------------------------------------
+
+
+def _substr_rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_substring_stream_equals_batch_for_any_split(spark):
+    """The converged streaming report equals the one-shot batch operator
+    for several micro-batch splits (batch-split invariance — the retro
+    emission rule is what makes 1-batch == 2-batch == 5-batch)."""
+    from hiveka_spark.operators.dedup import substring_dup_spans
+    from hiveka_spark.streaming.neardup import stream_substring_dedup
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    expected = _substr_rowset(substring_dup_spans(docs, min_len=10))
+    for n in (1, 2, 5):
+        got = _substr_rowset(
+            stream_substring_dedup(spark, docs, n_batches=n, min_len=10)
+        )
+        assert got == expected, f"split into {n} batches diverged"
+
+
+def test_substring_stream_kill_and_resume(spark, tmp_path):
+    """Kill before batch 1 runs (batch 0 committed), resume with a FRESH
+    sink + query object on the same src/checkpoint/state roots: the
+    resumed run's converged report equals the uninterrupted control."""
+    from hiveka_spark.operators.dedup import substring_dup_spans
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        make_substring_sink,
+        stream_substring_dedup,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    expected = _substr_rowset(substring_dup_spans(docs, min_len=10))
+
+    state = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    class CrashBefore:
+        def __init__(self, inner, crash_on):
+            self.inner, self.crash_on, self.tripped = inner, crash_on, False
+
+        def __call__(self, batch_df, batch_id):
+            if batch_id == self.crash_on and not self.tripped:
+                self.tripped = True
+                raise RuntimeError("injected kill")
+            self.inner(batch_df, batch_id)
+
+    crash = CrashBefore(make_substring_sink(state, 10), crash_on=1)
+    try:
+        stream_substring_dedup(
+            spark, docs, n_batches=4, min_len=10,
+            state_root=state, src_dir=src, checkpoint_dir=ckpt, sink_fn=crash,
+        )
+        raise AssertionError("injected kill did not propagate")
+    except Exception as e:
+        assert "injected kill" in str(e) or crash.tripped
+
+    import os
+
+    committed = committed_versions(os.path.join(state, "starts"), 10**9)
+    assert len(committed) == 1, f"expected only batch 0 committed: {committed}"
+
+    # resume: docs=None (no source rewrite), fresh sink, same roots
+    got = _substr_rowset(
+        stream_substring_dedup(
+            spark, None, min_len=10,
+            state_root=state, src_dir=src, checkpoint_dir=ckpt,
+        )
+    )
+    assert got == expected
