@@ -2735,18 +2735,27 @@ _X119_DIM = 64
 _X119_ITERS = 3
 
 
-def _x119_oracle(dim: int = _X119_DIM) -> str:
-    # one matvec + deterministic integer rescale per iteration, unrolled
-    matvec = lambda vprev, w: (  # noqa: E731
-        f"{w} AS (SELECT ap.i, CAST(SUM(ap.a * {vprev}.val) AS BIGINT) AS wv"
+def _x119_matvec_sql(vprev: str, w: str) -> str:
+    """One unrolled integer matvec CTE (shared by x119 and x129)."""
+    return (
+        f"{w} AS MATERIALIZED (SELECT ap.i, CAST(SUM(ap.a * {vprev}.val) AS BIGINT) AS wv"
         f" FROM ap JOIN {vprev} ON ap.j = {vprev}.i GROUP BY ap.i)"
     )
-    rescale = lambda w, v: (  # noqa: E731
-        f"{v} AS (SELECT i, CAST(wv * 10000 // GREATEST((SELECT MAX(ABS(wv))"
+
+
+def _x119_rescale_sql(w: str, v: str) -> str:
+    """The deterministic max-abs-to-1e4 integer rescale CTE (// truncates
+    toward zero in DuckDB, matching Spark's DIV on negatives)."""
+    return (
+        f"{v} AS MATERIALIZED (SELECT i, CAST(wv * 10000 // GREATEST((SELECT MAX(ABS(wv))"
         f" FROM {w}), 1) AS BIGINT) AS val FROM {w})"
     )
-    return f"""
-    WITH q AS (SELECT vec_id,
+
+
+def _x119_scatter_ctes(dim: int = _X119_DIM) -> str:
+    """The centered-scatter replay CTEs (q/e/s/m/cn/amat/ap) shared by the
+    x119 and x129 oracles — the SQL twin of :func:`_x119_scatter`."""
+    return f"""q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     e AS (SELECT vec_id, g.i, qv[CAST(g.i AS INT)] AS v
@@ -2755,14 +2764,21 @@ def _x119_oracle(dim: int = _X119_DIM) -> str:
           FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
     m AS (SELECT i, CAST(SUM(v) AS BIGINT) AS mv FROM e GROUP BY i),
     cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
-    amat AS (SELECT s.i, s.j,
+    amat AS MATERIALIZED (SELECT s.i, s.j,
                     CAST(cn.n * s.sv - mi.mv * mj.mv AS BIGINT) AS a
              FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
              CROSS JOIN cn),
-    ap AS (SELECT i, j,
+    ap AS MATERIALIZED (SELECT i, j,
                   CAST(a // ((SELECT MAX(ABS(a)) FROM amat) // 10000 + 1)
                        AS BIGINT) AS a
-           FROM amat),
+           FROM amat)"""
+
+
+def _x119_oracle(dim: int = _X119_DIM) -> str:
+    # one matvec + deterministic integer rescale per iteration, unrolled
+    matvec, rescale = _x119_matvec_sql, _x119_rescale_sql
+    return f"""
+    WITH {_x119_scatter_ctes(dim)},
     v0 AS (SELECT i, CAST(1 AS BIGINT) AS val
            FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
     {matvec("v0", "w1")}, {rescale("w1", "v1")},
@@ -2798,6 +2814,45 @@ def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescale step already in the chain is where that lands; many-
     component variants go to Halko et al. randomized SVD with the same
     aggregate shape."""
+    dim = _X119_DIM
+    ap = _x119_scatter(spark, sf_dir)
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("bigint").alias("i"),
+        F.lit(1).cast("bigint").alias("val"),
+    )
+    for _ in range(_X119_ITERS):
+        v = _x119_rescale(_x119_matvec(ap, v))
+    return v.select(F.col("i").alias("pos"), F.col("val").alias("dir_q"))
+
+
+def _x119_matvec(ap: DataFrame, v: DataFrame) -> DataFrame:
+    """One dim-sized integer matvec w = A v (64-row join + keyed sum)."""
+    return (
+        ap.join(v.select(F.col("i").alias("j"), "val"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("a") * F.col("val")).cast("bigint").alias("wv"))
+    )
+
+
+def _x119_rescale(w: DataFrame) -> DataFrame:
+    """Deterministic integer rescale of a dim-sized vector to ~1e4
+    magnitude (max-abs to 10000, truncating DIV — DuckDB // agrees on
+    negatives: both truncate toward zero)."""
+    sc = w.agg(
+        F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1))
+        .cast("bigint").alias("s")
+    )
+    return w.crossJoin(F.broadcast(sc)).select(
+        "i", F.expr("CAST(wv * 10000 DIV s AS BIGINT)").alias("val")
+    )
+
+
+def _x119_scatter(spark: SparkSession, sf_dir: str):
+    """The rescaled centered-scatter matrix ``ap`` (i, j, a — dim^2 rows,
+    |a| <= ~1e4) shared by x119 (single top direction) and x129 (block
+    top-k): ONE corpus pass builds S and m, the int64-headroom guard and
+    the single integer rescale are applied here so the two gates can
+    never drift on the matrix they iterate."""
     from hiveka_spark.operators.similarity import quantized
 
     dim = _X119_DIM
@@ -2859,28 +2914,10 @@ def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     mx = amat.agg(F.max(F.abs(F.col("a"))).cast("bigint").alias("mx"))
-    ap = amat.crossJoin(F.broadcast(mx)).select(
+    return amat.crossJoin(F.broadcast(mx)).select(
         "i", "j",
         F.expr("CAST(a DIV (mx DIV 10000 + 1) AS BIGINT)").alias("a"),
     ).localCheckpoint(eager=True)
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("bigint").alias("i"),
-        F.lit(1).cast("bigint").alias("val"),
-    )
-    for _ in range(_X119_ITERS):
-        w = (
-            ap.join(v.select(F.col("i").alias("j"), "val"), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("a") * F.col("val")).cast("bigint").alias("wv"))
-        )
-        sc = w.agg(
-            F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1))
-            .cast("bigint").alias("s")
-        )
-        v = w.crossJoin(F.broadcast(sc)).select(
-            "i", F.expr("CAST(wv * 10000 DIV s AS BIGINT)").alias("val")
-        )
-    return v.select(F.col("i").alias("pos"), F.col("val").alias("dir_q"))
 
 
 # ---------------------------------------------------------------------------
@@ -3100,4 +3137,111 @@ def x124_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("hapax_q"),
         F.max("c").cast("bigint").alias("top_word_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x129 — BLOCK power iteration: top-k principal directions with per-step
+# integer Gram-Schmidt (x119 at width — the OPQ/whitening front at k > 1)
+# ---------------------------------------------------------------------------
+
+
+def _x129_oracle(dim: int = _X119_DIM, iters: int = _X119_ITERS) -> str:
+    matvec, rescale = _x119_matvec_sql, _x119_rescale_sql
+
+    def ortho(u2: str, v1: str, dots: str, o2: str) -> str:
+        """Integer Gram-Schmidt of rescaled u2 against rescaled v1:
+        o2 = u2 - (num * v1) // den with num = <u2, v1>, den = <v1, v1>
+        (// truncates toward zero in both engines)."""
+        return f"""{dots} AS MATERIALIZED (
+      SELECT CAST(SUM(a.val * b.val) AS BIGINT) AS num,
+             CAST(SUM(b.val * b.val) AS BIGINT) AS den
+      FROM {u2} a JOIN {v1} b USING (i)),
+    {o2} AS MATERIALIZED (
+      SELECT a.i, CAST(a.val - (d.num * b.val) // d.den AS BIGINT) AS wv
+      FROM {u2} a JOIN {v1} b USING (i) CROSS JOIN {dots} d)"""
+
+    steps = []
+    p1, p2 = "a0", "b0"
+    for t in range(1, iters + 1):
+        steps += [
+            matvec(p1, f"aw{t}"), rescale(f"aw{t}", f"a{t}"),
+            matvec(p2, f"bw{t}"), rescale(f"bw{t}", f"bu{t}"),
+            ortho(f"bu{t}", f"a{t}", f"bd{t}", f"bo{t}"),
+            rescale(f"bo{t}", f"b{t}"),
+        ]
+        p1, p2 = f"a{t}", f"b{t}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_x119_scatter_ctes(dim)},
+    a0 AS (SELECT i, CAST(1 AS BIGINT) AS val
+           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
+    b0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END AS BIGINT)
+                    AS val
+           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
+    {chain}
+    SELECT CAST(v1.i AS BIGINT) AS pos, v1.val AS dir1_q, v2.val AS dir2_q
+    FROM {p1} v1 JOIN {p2} v2 USING (i)
+    """
+
+
+@register(
+    "x129_block_power_iteration",
+    oracle=_x129_oracle(),
+    tags=("similarity", "linear-algebra", "iterative", "pca", "opq"),
+)
+def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK power iteration — x119 at width (round-13 verdict #6): the
+    TOP-2 principal directions of the embedding covariance via
+    simultaneous iteration with per-step integer Gram-Schmidt, the
+    orthogonalized basis an OPQ-style rotation front (Ge et al. 2014) for
+    x84's residual quantization arm and a 2-axis drift dashboard (x122's
+    projection table at k=2).  Same engine-exact arithmetic as x119: the
+    shared rescaled scatter (``_x119_scatter`` — one corpus pass, dim^2
+    rows, int64-guarded), then per iteration two dim-sized matvecs, the
+    max-abs-to-1e4 rescale, and the deflation step
+    v2 <- v2 - (<v2, v1> * v1) DIV <v1, v1> in truncating integer
+    division (DuckDB // agrees on negatives), every step unrolled in the
+    oracle.  Rescale-before-orthogonalize keeps every product under 2^63:
+    |num| <= dim * 1e8, |num * v1_i| <= dim * 1e12.
+
+    Scale shape: identical to x119 — the corpus is touched once for the
+    scatter; all iteration frames are dim-sized.  At dim >= ~1024 the
+    per-row dim^2 outer-product explode must move to per-PARTITION
+    Gramian accumulation (aggregate dim^2 cells per partition, not per
+    row) and k grows via Halko et al. randomized SVD on the same
+    aggregate shape — documented in SCALE.md (round-14 row)."""
+    dim = _X119_DIM
+    ap = _x119_scatter(spark, sf_dir)
+    v1 = spark.range(1, dim + 1).select(
+        F.col("id").cast("bigint").alias("i"),
+        F.lit(1).cast("bigint").alias("val"),
+    )
+    v2 = spark.range(1, dim + 1).select(
+        F.col("id").cast("bigint").alias("i"),
+        F.when(F.col("id") % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+        .cast("bigint").alias("val"),
+    )
+    for _ in range(_X119_ITERS):
+        v1 = _x119_rescale(_x119_matvec(ap, v1))
+        u2 = _x119_rescale(_x119_matvec(ap, v2))
+        dots = (
+            u2.join(v1.select("i", F.col("val").alias("u")), "i")
+            .agg(
+                F.sum(F.col("val") * F.col("u")).cast("bigint").alias("num"),
+                F.sum(F.col("u") * F.col("u")).cast("bigint").alias("den"),
+            )
+        )
+        v2 = _x119_rescale(
+            u2.join(v1.select("i", F.col("val").alias("u")), "i")
+            .crossJoin(F.broadcast(dots))
+            .select(
+                "i",
+                F.expr("CAST(val - (num * u) DIV den AS BIGINT)").alias("wv"),
+            )
+        )
+    return (
+        v1.select("i", F.col("val").alias("dir1_q"))
+        .join(v2.select("i", F.col("val").alias("dir2_q")), "i")
+        .select(F.col("i").alias("pos"), "dir1_q", "dir2_q")
     )

@@ -977,3 +977,44 @@ def test_x123_threshold_never_evicts(spark):
     r = rows["rank_k"]
     assert r.n_v1 == r.n_full == _X123_K
     assert r.n_added == r.n_evicted
+
+
+# ------------------------------------------------- x129 block power iteration
+
+
+def test_x129_block_directions_orthogonal_and_dominant(spark):
+    """The two returned directions are near-orthogonal (integer
+    Gram-Schmidt actually deflated), dir1 equals x119's single-direction
+    answer (same scatter, same iterations), and dir2's Rayleigh quotient
+    on the true centered covariance beats the mean axis direction —
+    i.e. the second component is signal, not residue."""
+    import numpy as np
+
+    from hiveka_spark.catalog import table
+
+    rows = REGISTRY["x129_block_power_iteration"].fn(spark, SF_SMOKE).collect()
+    v1, v2 = np.zeros(64), np.zeros(64)
+    for r in rows:
+        v1[r.pos - 1], v2[r.pos - 1] = r.dir1_q, r.dir2_q
+    assert int(np.abs(v1).max()) == 10000
+    assert int(np.abs(v2).max()) == 10000
+    cos = abs(float(v1 @ v2)) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert cos < 0.02, f"directions not orthogonal: |cos|={cos:.4f}"
+
+    x119 = {r.pos: r.dir_q for r in
+            REGISTRY["x119_power_iteration"].fn(spark, SF_SMOKE).collect()}
+    assert all(x119[r.pos] == r.dir1_q for r in rows)
+
+    emb = np.array(
+        [r.embedding for r in
+         table(spark, SF_SMOKE, "embeddings").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(emb * 10000)
+    c = np.cov(q.T, bias=True)
+
+    def rayleigh(x):
+        return float(x @ c @ x) / float(x @ x)
+
+    axes = [rayleigh(np.eye(64)[i]) for i in range(64)]
+    assert rayleigh(v2) >= float(np.mean(axes))
