@@ -163,6 +163,14 @@ HEADLINE = [
     "x122_principal_drift",
     "x123_devset_churn",
     "x124_lexical_diversity",
+    # round-14 additions (floors established from r14 on):
+    "x125_unigram_train",
+    "x126_unigram_tokenize",
+    "x127_tokenizer_family_fertility",
+    "x128_bfd_export",
+    "x129_block_power_iteration",
+    "s30_stream_substring_dedup",
+    "x130_unigram_artifact",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -254,3 +254,85 @@ def unigram_apply_fast(
     return docs.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, n_tokens bigint, roundtrip_ok boolean"
     )
+
+
+_ARTIFACT_FORMAT = 1
+
+
+def _unigram_token(vocab_rows: list[tuple[str, int, int]], max_piece_len: int) -> str:
+    """Deterministic content token pairing the artifact's vocab table with
+    its contract — written to ``meta`` first and to ``commit`` LAST (the
+    save_tokenizer torn-save discipline: a save that dies between the
+    per-table overwrites leaves a token mismatch load_unigram turns into
+    a loud error).  Every field is length-prefixed before hashing (the
+    round-12 lesson: pieces come from corpus text and can contain any
+    character, so separator concatenation is ambiguous)."""
+    import hashlib
+
+    h = hashlib.sha256()
+
+    def field(s: str) -> None:
+        b = s.encode()
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+
+    field(str(_ARTIFACT_FORMAT))
+    field(str(max_piece_len))
+    h.update(len(vocab_rows).to_bytes(4, "big"))
+    for p, cnt, cq in vocab_rows:
+        field(p)
+        field(str(cnt))
+        field(str(cq))
+    return h.hexdigest()
+
+
+def save_unigram(
+    spark,
+    path: str,
+    vocab_rows: list[tuple[str, int, int]],
+    max_piece_len: int = 5,
+) -> None:
+    """Persist a trained unigram-LM tokenizer as the ship artifact gate
+    x130 round-trips: ``vocab`` (piece_id/piece/cnt/cost_q — piece_id is
+    the x125 order, chars first then multi-char, each piece-ascending),
+    the one-row ``meta`` contract (max_piece_len + content token + format)
+    and a ``commit`` marker carrying the same token written LAST.
+    Everything is vocabulary-bounded."""
+    token = _unigram_token(vocab_rows, max_piece_len)
+    spark.createDataFrame(
+        [(max_piece_len, token, _ARTIFACT_FORMAT)],
+        "max_piece_len int, content_token string, format int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame(
+        [(i, p, cnt, cq) for i, (p, cnt, cq) in enumerate(vocab_rows)],
+        "piece_id bigint, piece string, cnt bigint, cost_q bigint",
+    ).write.mode("overwrite").parquet(f"{path}/vocab")
+    spark.createDataFrame(
+        [(token,)], "content_token string"
+    ).write.mode("overwrite").parquet(f"{path}/commit")
+
+
+def load_unigram(spark, path: str) -> tuple[list[tuple[str, int, int]], int]:
+    """Reload a :func:`save_unigram` artifact — returns (vocab_rows,
+    max_piece_len) with vocab_rows in piece_id order.  Verifies the
+    torn-save guard: the reloaded table's content token must equal BOTH
+    the meta row's and the commit marker's.  Bounded collects only."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta["format"] != _ARTIFACT_FORMAT:
+        raise RuntimeError(
+            f"unigram artifact at {path} has format {meta['format']}; this "
+            f"build reads format {_ARTIFACT_FORMAT}"
+        )
+    rows = [
+        (r["piece"], int(r["cnt"]), int(r["cost_q"]))
+        for r in spark.read.parquet(f"{path}/vocab").orderBy("piece_id").collect()
+    ]
+    commit = spark.read.parquet(f"{path}/commit").collect()[0]["content_token"]
+    expect = _unigram_token(rows, int(meta["max_piece_len"]))
+    if not (meta["content_token"] == commit == expect):
+        raise RuntimeError(
+            f"torn or corrupted unigram artifact at {path}: meta/commit/"
+            "content tokens disagree (a save died mid-overwrite, or the "
+            "tables were modified outside save_unigram)"
+        )
+    return rows, int(meta["max_piece_len"])

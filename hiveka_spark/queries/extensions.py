@@ -3223,8 +3223,13 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("val"),
     )
     for _ in range(_X119_ITERS):
-        v1 = _x119_rescale(_x119_matvec(ap, v1))
-        u2 = _x119_rescale(_x119_matvec(ap, v2))
+        # dim-sized eager checkpoints: v1/u2 are each referenced by several
+        # downstream branches per iteration (matvec, dots, the ortho join,
+        # the final select) — without truncation the lineage re-executes
+        # the 64-row join fan-out ~4x per iteration per reference
+        # (measured 47.6 s vs 4.4 s floored; the x101 posture)
+        v1 = _x119_rescale(_x119_matvec(ap, v1)).localCheckpoint(eager=True)
+        u2 = _x119_rescale(_x119_matvec(ap, v2)).localCheckpoint(eager=True)
         dots = (
             u2.join(v1.select("i", F.col("val").alias("u")), "i")
             .agg(
@@ -3239,7 +3244,7 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i",
                 F.expr("CAST(val - (num * u) DIV den AS BIGINT)").alias("wv"),
             )
-        )
+        ).localCheckpoint(eager=True)
     return (
         v1.select("i", F.col("val").alias("dir1_q"))
         .join(v2.select("i", F.col("val").alias("dir2_q")), "i")

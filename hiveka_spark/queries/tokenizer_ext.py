@@ -212,10 +212,13 @@ def x125_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x126_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {_ug_train_ctes()},
-    ug_du AS MATERIALIZED (
+def _ug_apply_ctes() -> str:
+    """The APPLY replay chain shared by x126/x127/x130: per-doc marked
+    units (ug_du), the distinct-unit set (ug_dus), the candidate cost
+    table with single-char UNK fallback rows (ug_appc), a third Viterbi
+    recursion over the distinct corpus units, and per-unit token counts
+    (ug_ut)."""
+    return f"""ug_du AS MATERIALIZED (
       SELECT doc_id, replace(u, ' ', '▁') AS u
       FROM (SELECT doc_id,
                    UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
@@ -231,7 +234,13 @@ def _x126_oracle() -> str:
       WHERE c NOT IN (SELECT piece FROM ug_vocab2)),
     {_ug_viterbi_ctes("ug_vit3", "ug_seg3", "ug_c3", "ug_appc", "ug_dus")},
     ug_ut AS (SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
-              FROM ug_seg3 WHERE pos > 0 GROUP BY w)
+              FROM ug_seg3 WHERE pos > 0 GROUP BY w)"""
+
+
+def _x126_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()}
     SELECT d.doc_id,
            CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tokens,
            CAST(1 AS BIGINT) AS roundtrip_ok
@@ -297,23 +306,7 @@ def _x127_oracle() -> str:
       SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
       FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w),
     {_ug_train_ctes()},
-    ug_du AS MATERIALIZED (
-      SELECT doc_id, replace(u, ' ', '▁') AS u
-      FROM (SELECT doc_id,
-                   UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
-            FROM documents)),
-    ug_dus AS MATERIALIZED (
-      SELECT DISTINCT u AS w, CAST(1 AS BIGINT) AS freq FROM ug_du),
-    ug_appc AS MATERIALIZED (
-      SELECT piece, pl, cq FROM ug_cost2
-      UNION ALL
-      SELECT c AS piece, CAST(1 AS BIGINT) AS pl,
-             CAST(40000000 AS BIGINT) AS cq
-      FROM (SELECT DISTINCT UNNEST(string_split(w, '')) AS c FROM ug_dus)
-      WHERE c NOT IN (SELECT piece FROM ug_vocab2)),
-    {_ug_viterbi_ctes("ug_vit3", "ug_seg3", "ug_c3", "ug_appc", "ug_dus")},
-    ug_ut AS (SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
-              FROM ug_seg3 WHERE pos > 0 GROUP BY w),
+    {_ug_apply_ctes()},
     words AS (
       SELECT doc_id, lang,
              CAST(LEN(list_filter(string_split(LOWER(text), ' '),
@@ -413,3 +406,151 @@ def x127_tokenizer_family_fertility(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("sum_tokens * 10000 DIV sum_words")
         .cast("bigint").alias("fertility_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x130 — unigram-LM tokenizer SHIP artifact: persist + reload + certify
+# ---------------------------------------------------------------------------
+
+
+def _x130_oracle() -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    hv = portable_hash60_sql(
+        "concat(CAST(piece_id AS VARCHAR), ':', piece, ':', "
+        "CAST(cost_q AS VARCHAR))"
+    )
+    ht = portable_hash60_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(n_tokens AS VARCHAR))"
+    )
+    fold = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list({h} ORDER BY {o})), "
+        "(acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)"
+    )
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece)
+                  - 1 AS BIGINT) AS piece_id,
+             v.piece, k.cq AS cost_q
+      FROM ug_vocab2 v JOIN ug_cost2 k ON k.piece = v.piece),
+    pd AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN ug_du du ON du.doc_id = d.doc_id
+      LEFT JOIN ug_ut t ON t.u = du.u
+      GROUP BY d.doc_id)
+    SELECT 'vocab' AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {fold.format(h=hv, o="piece_id")} AS digest
+    FROM vrows
+    UNION ALL
+    SELECT 'meta' AS part, CAST(1 AS BIGINT) AS n_rows,
+           {portable_hash60_sql(f"'{_UG_MAX_PIECE}'")} AS digest
+    UNION ALL
+    SELECT 'tok' AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {fold.format(h=ht, o="doc_id")} AS digest
+    FROM pd
+    """
+
+
+@register(
+    "x130_unigram_artifact",
+    oracle=_x130_oracle(),
+    tags=("text", "tokenizer", "unigram", "export", "artifact",
+          "certification"),
+)
+def x130_unigram_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM tokenizer as a SHIPPED, RELOADABLE artifact — x86's
+    discipline for the new family: train x125's vocabulary, persist it
+    (vocab: piece_id/piece/cnt/cost_q; one-row meta carrying the
+    max_piece_len contract + a length-prefixed sha256 content token; a
+    commit marker written LAST so a torn save fails loudly at load), read
+    it back, and certify from the READ-BACK frames only:
+
+    - 'vocab' row: ordered 31-ary digest over portable_hash60 of each
+      reloaded row's canonical rendering — any lost/reordered/corrupted
+      piece or cost changes the digest the oracle derives from the
+      training recursion itself (the oracle never sees the parquet).
+    - 'meta' row: the persisted max_piece_len contract (a reloaded
+      tokenizer knows its own candidate width — the caller never guesses).
+    - 'tok' row: the RELOADED vocabulary drives a full corpus tokenize
+      (unigram_apply_fast under the persisted max_piece_len) and the
+      per-doc token counts fold into one ordered digest the oracle
+      re-derives through the apply recursion — the artifact is certified
+      BEHAVIOR-preserving, not just byte-preserving.
+
+    Scale shape: the artifact is vocabulary-bounded; the tokenize check
+    is the one flat zero-shuffle corpus pass.  Scratch dir deleted
+    eagerly (bench reruns)."""
+    import shutil
+
+    from hiveka_spark.operators.dedup import portable_hash60
+    from hiveka_spark.operators.sampling import rolling_digest
+    from hiveka_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+        unigram_apply_fast,
+        unigram_train,
+    )
+    from hiveka_spark.scratch import scratch_dir
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    art_dir = scratch_dir(prefix="gate_x130art_")
+    save_unigram(spark, art_dir, vocab, _UG_MAX_PIECE)
+
+    vback = spark.read.parquet(f"{art_dir}/vocab")
+    loaded_rows, mpl = load_unigram(spark, art_dir)  # torn-save verified
+    if mpl != _UG_MAX_PIECE:
+        raise RuntimeError(f"unigram artifact meta corrupted: {mpl}")
+
+    vdig = (
+        vback.select(
+            "piece_id",
+            portable_hash60(
+                F.concat(
+                    F.col("piece_id").cast("string"), F.lit(":"),
+                    F.col("piece"), F.lit(":"),
+                    F.col("cost_q").cast("string"),
+                )
+            ).alias("hv"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            rolling_digest("piece_id", "hv").alias("digest"),
+        )
+        .select(F.lit("vocab").alias("part"), "n_rows", "digest")
+    )
+    mdig = spark.createDataFrame([(str(mpl),)], "m string").select(
+        F.lit("meta").alias("part"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        portable_hash60(F.col("m")).alias("digest"),
+    )
+    counts = unigram_apply_fast(d, loaded_rows, "text", "doc_id",
+                                max_piece_len=mpl)
+    tdig = (
+        counts.select(
+            "doc_id",
+            portable_hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    F.col("n_tokens").cast("string"),
+                )
+            ).alias("hv"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            rolling_digest("doc_id", "hv").alias("digest"),
+        )
+        .select(F.lit("tok").alias("part"), "n_rows", "digest")
+    )
+    out = vdig.unionByName(mdig).unionByName(tdig).localCheckpoint(eager=True)
+    shutil.rmtree(art_dir, ignore_errors=True)
+    return out

@@ -131,3 +131,28 @@ def test_gate_constants_consistent():
 
     assert T._UG_KEEP_MULTI <= T._UG_SEED
     assert T._UG_MAX_PIECE >= 2
+
+
+def test_unigram_artifact_roundtrip_and_torn_save(spark, tmp_path):
+    from hiveka_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+        unigram_train,
+    )
+    from hiveka_spark.catalog import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train(d, "text", max_words=100, n_seed=32, keep_multi=16)
+    path = str(tmp_path / "art")
+    save_unigram(spark, path, vocab, 5)
+    rows, mpl = load_unigram(spark, path)
+    assert rows == vocab and mpl == 5
+
+    # torn save: rewrite the vocab table without updating meta/commit
+    save_unigram(spark, str(tmp_path / "art2"), vocab[:-1], 5)
+    import shutil
+
+    shutil.rmtree(path + "/vocab")
+    shutil.copytree(str(tmp_path / "art2") + "/vocab", path + "/vocab")
+    with pytest.raises(RuntimeError, match="torn or corrupted"):
+        load_unigram(spark, path)
