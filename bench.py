@@ -171,6 +171,7 @@ HEADLINE = [
     "x129_block_power_iteration",
     "s30_stream_substring_dedup",
     "x130_unigram_artifact",
+    "x131_unigram_encode",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -336,3 +336,67 @@ def load_unigram(spark, path: str) -> tuple[list[tuple[str, int, int]], int]:
             "tables were modified outside save_unigram)"
         )
     return rows, int(meta["max_piece_len"])
+
+
+_DIGEST_MOD = 2147483647  # 2^31 - 1, shared with sampling.rolling_digest
+
+
+def unigram_encode_ids(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 5,
+) -> DataFrame:
+    """Per-doc unigram piece-ID encoding with a content-AND-order digest —
+    the x80 analog for the unigram family: each doc's marked units are
+    Viterbi-segmented under the trained costs, pieces map to their
+    artifact ids (``vocab_rows`` order IS the id space — piece i gets id
+    i; characters outside the vocabulary get the single UNK id
+    ``len(vocab_rows)``), and the doc's full token-ID sequence folds into
+    one 31-ary rolling digest (``(acc * 31 + id + 1) % p`` — the +1 keeps
+    id 0 non-absorbing, the starts-digest discipline).
+
+    Returns ``(<id_col>, n_tokens, ids_digest)`` for every input row
+    (NULL/empty text -> 0 tokens, digest 0).  Same flat shape as
+    :func:`unigram_apply_fast`: vocabulary broadcast once, ONE
+    Arrow-batched zero-shuffle mapInPandas, per-partition memo of each
+    distinct unit's id tuple."""
+    import pandas as pd
+
+    cost = {p: cq for p, _c, cq in vocab_rows}
+    pid = {p: i for i, (p, _c, _q) in enumerate(vocab_rows)}
+    unk_id = len(vocab_rows)
+    bc = docs.sparkSession.sparkContext.broadcast((cost, pid))
+    mpl = max_piece_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs, ids = bc.value
+        memo: dict[str, tuple[int, ...]] = {}
+
+        def unit_ids(u: str) -> tuple[int, ...]:
+            t = memo.get(u)
+            if t is None:
+                t = memo[u] = tuple(
+                    ids.get(p, unk_id) for p in _viterbi(u, cs, mpl, unk_chars=True)
+                )
+            return t
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str) or not text:
+                    out.append((did, 0, 0))
+                    continue
+                dig, n = 0, 0
+                for raw in _sp_pretokenize(text):
+                    for i in unit_ids(raw.replace(" ", _SP_MARKER)):
+                        dig = (dig * 31 + i + 1) % _DIGEST_MOD
+                        n += 1
+                out.append((did, n, dig))
+            yield pd.DataFrame(out, columns=[id_col, "n_tokens", "ids_digest"])
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, n_tokens bigint, ids_digest bigint"
+    )

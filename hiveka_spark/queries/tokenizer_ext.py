@@ -219,10 +219,12 @@ def _ug_apply_ctes() -> str:
     recursion over the distinct corpus units, and per-unit token counts
     (ug_ut)."""
     return f"""ug_du AS MATERIALIZED (
-      SELECT doc_id, replace(u, ' ', '▁') AS u
+      SELECT doc_id, upos, replace(u, ' ', '▁') AS u
       FROM (SELECT doc_id,
-                   UNNEST({_SP_UNITS_SQL.format(col="text")}) AS u
-            FROM documents)),
+                   UNNEST(range(1, LEN(us) + 1)) AS upos,
+                   UNNEST(us) AS u
+            FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
+                  FROM documents))),
     ug_dus AS MATERIALIZED (
       SELECT DISTINCT u AS w, CAST(1 AS BIGINT) AS freq FROM ug_du),
     ug_appc AS MATERIALIZED (
@@ -554,3 +556,79 @@ def x130_unigram_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = vdig.unionByName(mdig).unionByName(tdig).localCheckpoint(eager=True)
     shutil.rmtree(art_dir, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x131 — unigram token-ID encode artifact: per-doc content-AND-order digest
+# ---------------------------------------------------------------------------
+
+
+def _x131_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece)
+                  - 1 AS BIGINT) AS piece_id, v.piece
+      FROM ug_vocab2 v),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS unk_id FROM vrows),
+    upieces AS (
+      SELECT s.w, s.pos,
+             COALESCE(vr.piece_id, nv.unk_id) AS pid
+      FROM (SELECT w, pos,
+                   substr(w, pos - bp[pos] + 1, bp[pos]) AS piece
+            FROM ug_seg3 WHERE pos > 0) s
+      LEFT JOIN vrows vr ON vr.piece = s.piece
+      CROSS JOIN nv),
+    seq AS (
+      SELECT du.doc_id, up.pid,
+             ROW_NUMBER() OVER (PARTITION BY du.doc_id
+                                ORDER BY du.upos, up.pos) AS rn
+      FROM ug_du du JOIN upieces up ON up.w = du.u),
+    pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(pid + 1 ORDER BY rn)),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """
+
+
+@register(
+    "x131_unigram_encode",
+    oracle=_x131_oracle(),
+    tags=("text", "tokenizer", "unigram", "mapinpandas", "export",
+          "certification"),
+)
+def x131_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token-ID ENCODING with a per-doc content-AND-order digest —
+    x80's certificate for the new family, completing its parity with BPE
+    (train x125 / tokenize x126 / ship x130 / encode x131): every doc's
+    marked units Viterbi-segment under the trained costs, pieces map to
+    the ARTIFACT id space (x130's piece_id order; out-of-vocabulary
+    characters get the single UNK id = vocab size), and the doc's full
+    ordered ID sequence folds into one 31-ary rolling digest — so the
+    oracle's hash match certifies every token id AND its position, per
+    document, not just counts.  This is the table a downstream trainer
+    joins to validate a tokenized shard against the corpus.
+
+    Scale shape: one flat zero-shuffle Arrow mapInPandas (vocabulary
+    broadcast once, per-partition distinct-unit memo); the oracle replays
+    training, the apply recursion, the id assignment (including UNK), and
+    the per-doc ordered fold."""
+    from hiveka_spark.operators.unigram import unigram_encode_ids, unigram_train
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    return unigram_encode_ids(
+        d, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
+    )

@@ -156,3 +156,30 @@ def test_unigram_artifact_roundtrip_and_torn_save(spark, tmp_path):
     shutil.copytree(str(tmp_path / "art2") + "/vocab", path + "/vocab")
     with pytest.raises(RuntimeError, match="torn or corrupted"):
         load_unigram(spark, path)
+
+
+def test_encode_ids_consistent_with_apply_and_order_sensitive(spark):
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.unigram import unigram_encode_ids
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train(d, "text", max_words=200, n_seed=64, keep_multi=32)
+    enc = {r.doc_id: r for r in
+           unigram_encode_ids(d, vocab, "text", "doc_id").collect()}
+    app = {r.doc_id: r for r in
+           unigram_apply_fast(d, vocab, "text", "doc_id").collect()}
+    assert set(enc) == set(app)
+    for k in enc:
+        assert enc[k].n_tokens == app[k].n_tokens
+
+    # digest is ORDER-sensitive: two docs with the same tokens in a
+    # different order hash differently
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "bb aa")], "doc_id bigint, text string"
+    )
+    v2 = [("a", 5, 100), ("b", 5, 100), ("aa", 9, 90), ("bb", 9, 90),
+          ("▁", 3, 120), ("▁aa", 9, 80), ("▁bb", 9, 80)]
+    rows = {r.doc_id: r for r in
+            unigram_encode_ids(df, v2, "text", "doc_id").collect()}
+    assert rows[1].n_tokens == rows[2].n_tokens == 2
+    assert rows[1].ids_digest != rows[2].ids_digest
