@@ -18,6 +18,10 @@ mapInPandas shape.
 - x127 tokenizer-family fertility comparison: the x104 evaluation table
   with TWO families on the same corpus — the reason x104 exists finally
   has a second column.
+- x130 ship artifact: persist + reload + behavior-preserving tokenize
+  certification from read-back tables (x86's torn-save discipline).
+- x131 token-ID encode: per-doc content-AND-order digests over the
+  artifact id space with UNK fallback (x80's certificate).
 
 No reference analog (the reference is a Kafka scan layer); designed
 Spark-first from the public algorithm (Kudo 2018; Kudo & Richardson 2018).
