@@ -326,7 +326,8 @@ def stream_minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def make_substring_sink(state_root: str, min_len: int = 10):
+def make_substring_sink(state_root: str, min_len: int = 10,
+                        compact_after: int | None = None):
     """foreachBatch sink for :func:`stream_substring_dedup` — exposed so
     the kill-and-resume test can wrap it (the s23 _CrashBefore pattern).
 
@@ -410,6 +411,13 @@ def make_substring_sink(state_root: str, min_len: int = 10):
         starts_out.distinct().write.mode("overwrite").parquet(
             os.path.join(starts_root, f"b{batch_id}")
         )
+        if (
+            compact_after is not None
+            and len(committed_versions(wc_root, 10**9)) >= compact_after
+        ):
+            # before=batch_id: never fold THIS batch's dir (replay safety
+            # — compact_band_index's in-stream rule)
+            compact_window_counts(s, state_root, before=batch_id)
 
     return sink
 
@@ -423,6 +431,7 @@ def stream_substring_dedup(
     src_dir: str | None = None,
     checkpoint_dir: str | None = None,
     sink_fn=None,
+    compact_after: int | None = None,
 ) -> DataFrame:
     """Run ``docs`` (doc_id, text) through the streaming window-count
     substring dedup as ``n_batches`` REAL micro-batches and return the
@@ -459,7 +468,8 @@ def stream_substring_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    sink = sink_fn or make_substring_sink(state_root, min_len)
+    sink = sink_fn or make_substring_sink(state_root, min_len,
+                                          compact_after=compact_after)
     q = (
         stream.writeStream.foreachBatch(sink)
         .outputMode("append")
@@ -475,3 +485,53 @@ def stream_substring_dedup(
         spark.read.parquet(src_dir), "text", "doc_id", min_len
     )
     return _dup_span_stats(sizes, starts, min_len, "doc_id")
+
+
+def compact_window_counts(
+    spark: SparkSession, state_root: str, before: int = 10**9
+) -> None:
+    """Fold committed window-count segments (``wc/b{id}``, id < before)
+    into ONE compacted segment ``c{top}`` — :func:`compact_band_index`'s
+    recipe for the substring store, with one difference: the fold
+    AGGREGATES (per window hash: cnt = segment sum, first = min
+    (doc, pos) struct) instead of unioning, so the store stays one row
+    per distinct window.  Probe semantics are unchanged exactly because
+    the probe already computes this aggregate over segment rows — cnt
+    sums and the min-struct both commute with the fold (pinned by
+    tests/test_streaming_neardup.py).  Same crash ordering and in-stream
+    safety rules as the band compaction (publish c{top} atomically, pass
+    ``before = current batch id`` mid-stream)."""
+    import shutil
+
+    root = os.path.join(state_root, "wc")
+    dirs = committed_versions(root, before)
+    if len(dirs) <= 1:
+        return
+    top = max(int(os.path.basename(d)[1:]) for d in dirs)
+    target = os.path.join(root, f"c{top}")
+    if not os.path.exists(target):
+        tmp = os.path.join(root, "_compact_tmp")
+        (
+            spark.read.parquet(*dirs)
+            .groupBy("h")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("cnt"),
+                F.min(
+                    F.struct(
+                        F.col("first_doc").alias("doc"),
+                        F.col("first_pos").alias("pos0"),
+                    )
+                ).alias("first"),
+            )
+            .select(
+                "h", "cnt",
+                F.col("first.doc").alias("first_doc"),
+                F.col("first.pos0").alias("first_pos"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(tmp, target)
+    for d in dirs:
+        if os.path.abspath(d) != os.path.abspath(target):
+            shutil.rmtree(d)

