@@ -172,6 +172,8 @@ HEADLINE = [
     "s30_stream_substring_dedup",
     "x130_unigram_artifact",
     "x131_unigram_encode",
+    "x132_unigram_ambiguity",
+    "x133_unigram_sampled_encode",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -400,3 +400,198 @@ def unigram_encode_ids(
     return docs.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, n_tokens bigint, ids_digest bigint"
     )
+
+
+def _viterbi_nbest(
+    w: str, cost: dict[str, int], max_piece_len: int, unk_chars: bool = False
+) -> list[list[tuple[int, int, int]]]:
+    """Top-2 Viterbi DP (standard k-best, k=2): ``dp[j]`` holds up to two
+    entries ``(path_cost, piece_len, prev_rank)`` for the best and
+    second-best segmentations of ``w[:j]``, ranked by the deterministic
+    candidate order (cost ASC, piece length DESC, piece ASC, prev_rank
+    ASC) — the 1-best entry coincides exactly with :func:`_viterbi`'s
+    answer, and the rank-2 entry is the exact second-best PATH (two
+    distinct paths may share a cost; they are still distinct ranks).
+    This is the table subword regularization (Kudo 2018) samples from.
+
+    Exactness for k=2: the second-best global path's prefix at every
+    split point is itself a best or second-best prefix, so extending only
+    dp1/dp2 is lossless."""
+    n = len(w)
+    dp: list[list[tuple[int, int, int]] | None] = [[(0, 0, 0)]] + [None] * n
+    for j in range(1, n + 1):
+        cands: list[tuple[int, int, str, int, int]] = []
+        for l in range(1, min(max_piece_len, j) + 1):
+            piece = w[j - l : j]
+            c = cost.get(piece)
+            if c is None:
+                if l == 1 and unk_chars:
+                    c = UNK_COST_Q
+                else:
+                    continue
+            prev = dp[j - l]
+            if prev is None:
+                continue
+            for r, (pc, _pl, _pr) in enumerate(prev, start=1):
+                cands.append((pc + c, -l, piece, r, l))
+        if not cands:
+            raise ValueError(
+                f"unigram n-best Viterbi: position {j} of {w!r} has no "
+                "candidate piece"
+            )
+        cands.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+        dp[j] = [(cc, l, r) for cc, _nl, _p, r, l in cands[:2]]
+    return dp  # type: ignore[return-value]
+
+
+def _nbest_backtrace(
+    w: str, dp: list[list[tuple[int, int, int]]], rank: int
+) -> list[str]:
+    """Walk the rank-``rank`` path (1 or 2) out of a :func:`_viterbi_nbest`
+    table; raises IndexError if the unit has no rank-2 path."""
+    out: list[str] = []
+    j, r = len(w), rank
+    while j > 0:
+        _c, l, pr = dp[j][r - 1]
+        out.append(w[j - l : j])
+        j, r = j - l, pr
+    out.reverse()
+    return out
+
+
+def unigram_ambiguity(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]] | dict[str, int],
+    text_col: str = "text",
+    max_piece_len: int = 5,
+) -> DataFrame:
+    """Per DISTINCT corpus unit, the top-2 segmentation costs — the
+    SEGMENTATION-AMBIGUITY table subword regularization (Kudo 2018)
+    samples from: ``(u, n_occ, best_cost_q, second_cost_q, gap_q)``,
+    second/gap NULL when the unit admits only one path.  One unit-freq
+    aggregate (the only shuffle; zipfian-bounded output), then an
+    Arrow-batched mapInPandas running the k=2 Viterbi per distinct unit
+    with the vocabulary broadcast once."""
+    import pandas as pd
+
+    cost = (
+        dict(vocab_rows)
+        if isinstance(vocab_rows, dict)
+        else {p: cq for p, _c, cq in vocab_rows}
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(cost)
+    mpl = max_piece_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = bc.value
+        for pdf in batches:
+            out = []
+            for u, freq in zip(pdf["w"], pdf["freq"]):
+                dp = _viterbi_nbest(u, cs, mpl, unk_chars=True)
+                fin = dp[len(u)]
+                best = fin[0][0]
+                second = fin[1][0] if len(fin) > 1 else None
+                out.append(
+                    (u, int(freq), best, second,
+                     None if second is None else second - best)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["u", "n_occ", "best_cost_q", "second_cost_q",
+                         "gap_q"],
+            )
+
+    units = sp_unit_freq(docs, text_col)
+    return units.mapInPandas(
+        run,
+        "u string, n_occ bigint, best_cost_q bigint, "
+        "second_cost_q bigint, gap_q bigint",
+    )
+
+
+def unigram_sampled_encode(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 5,
+    rate_mod: int = 5,
+    salt: str = "sr_",
+) -> DataFrame:
+    """SUBWORD-REGULARIZATION sampled encoding (Kudo 2018): per unit
+    OCCURRENCE, a portable hash of ``(salt, doc_id, upos)`` decides —
+    deterministically, so the whole stream is oracle-replayable — whether
+    the occurrence takes its 1-best or its exact second-best segmentation
+    (1-in-``rate_mod`` occurrences sample rank 2; units with only one
+    path always take it).  This is the hash-derived stand-in for the
+    paper's multinomial sampling, the same determinism trade x105 made
+    for FIM: the training-diversity effect comes from WHICH occurrences
+    flip, not from true randomness.
+
+    Returns ``(<id_col>, n_tokens, n_sampled, ids_digest)`` — token count
+    of the sampled stream, how many occurrences took the alternate path,
+    and the per-doc content-AND-order digest over the artifact id space
+    (x131's fold; OOV chars get the UNK id).  NULL/empty text -> zeros.
+
+    Scale shape: one flat zero-shuffle Arrow mapInPandas; each distinct
+    unit's k=2 DP + both backtraces memoized per partition, so the
+    per-occurrence work is a hash and a dict hit."""
+    import hashlib
+
+    import pandas as pd
+
+    cost = {p: cq for p, _c, cq in vocab_rows}
+    pid = {p: i for i, (p, _c, _q) in enumerate(vocab_rows)}
+    unk_id = len(vocab_rows)
+    bc = docs.sparkSession.sparkContext.broadcast((cost, pid))
+    mpl, rm, sa = max_piece_len, rate_mod, salt
+
+    def h60(s: str) -> int:
+        # portable_hash60's Python twin (pinned equal in tests)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs, ids = bc.value
+        memo: dict[str, tuple[tuple[int, ...], tuple[int, ...] | None]] = {}
+
+        def unit_variants(u: str):
+            t = memo.get(u)
+            if t is None:
+                dp = _viterbi_nbest(u, cs, mpl, unk_chars=True)
+                i1 = tuple(
+                    ids.get(p, unk_id) for p in _nbest_backtrace(u, dp, 1)
+                )
+                i2 = None
+                if len(dp[len(u)]) > 1:
+                    i2 = tuple(
+                        ids.get(p, unk_id) for p in _nbest_backtrace(u, dp, 2)
+                    )
+                t = memo[u] = (i1, i2)
+            return t
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str) or not text:
+                    out.append((did, 0, 0, 0))
+                    continue
+                dig, n, ns = 0, 0, 0
+                for upos, raw in enumerate(_sp_pretokenize(text), start=1):
+                    i1, i2 = unit_variants(raw.replace(" ", _SP_MARKER))
+                    take = i1
+                    if i2 is not None and h60(f"{sa}{did}:{upos}") % rm == 0:
+                        take, ns = i2, ns + 1
+                    for i in take:
+                        dig = (dig * 31 + i + 1) % _DIGEST_MOD
+                        n += 1
+                out.append((did, n, ns, dig))
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_tokens", "n_sampled", "ids_digest"]
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_tokens bigint, n_sampled bigint, "
+        "ids_digest bigint",
+    )

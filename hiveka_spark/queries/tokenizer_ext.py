@@ -636,3 +636,226 @@ def x131_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_ids(
         d, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
     )
+
+
+# ---------------------------------------------------------------------------
+# x132 — segmentation-ambiguity table: top-2 Viterbi costs per distinct unit
+# (the table subword regularization samples from — Kudo 2018)
+# ---------------------------------------------------------------------------
+
+
+def _ug_viterbi2_ctes(vit: str, cost: str, units: str,
+                      mpl: int = _UG_MAX_PIECE) -> str:
+    """Top-2 (k-best, k=2) Viterbi DP as a recursive CTE — the SQL twin of
+    operators/unigram.py::_viterbi_nbest: per end position the candidate
+    set is (piece ending there) x (prev rank 1|2), ranked (cost ASC,
+    piece length DESC, piece ASC, prev_rank ASC); the rank-2 row rides
+    the rank-1 row via LEAD over the same window (aggregation is not
+    allowed in a recursive term; a window is — the x76 trick).  State per
+    unit: dp1/dp2 cost lists and bl1/bl2 backpointer lists, each entry
+    encoding ``piece_len * 2 + (prev_rank - 1)``."""
+    return f"""{vit} AS (
+      SELECT w, freq, CAST(0 AS BIGINT) AS pos,
+             [CAST(0 AS BIGINT)] AS dp1, [CAST(NULL AS BIGINT)] AS dp2,
+             CAST([] AS BIGINT[]) AS bl1, CAST([] AS BIGINT[]) AS bl2
+      FROM {units}
+      UNION ALL
+      SELECT w, freq, pos + 1 AS pos,
+             list_append(dp1, c1) AS dp1, list_append(dp2, c2) AS dp2,
+             list_append(bl1, e1) AS bl1, list_append(bl2, e2) AS bl2
+      FROM (
+        SELECT w, freq, pos, dp1, dp2, bl1, bl2,
+               cand_cost AS c1, pl * 2 + (pr - 1) AS e1,
+               LEAD(cand_cost) OVER win AS c2,
+               LEAD(pl * 2 + (pr - 1)) OVER win AS e2,
+               ROW_NUMBER() OVER win AS rn
+        FROM (
+          SELECT e.w, e.freq, e.pos, e.dp1, e.dp2, e.bl1, e.bl2,
+                 c.pl, c.piece, r.pr,
+                 CASE WHEN r.pr = 1 THEN e.dp1[e.pos + 2 - c.pl]
+                      ELSE e.dp2[e.pos + 2 - c.pl] END + c.cq AS cand_cost
+          FROM (
+            SELECT v.w, v.freq, v.pos, v.dp1, v.dp2, v.bl1, v.bl2,
+                   CAST(v.l AS BIGINT) AS l,
+                   substr(v.w, v.pos + 2 - v.l, v.l) AS cand
+            FROM (SELECT *, UNNEST(range(1, LEAST({mpl}, pos + 1) + 1)) AS l
+                  FROM {vit} WHERE pos < LEN(w)) v
+          ) e
+          JOIN {cost} c ON c.piece = e.cand AND c.pl = e.l
+          CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) r(pr)
+          WHERE (CASE WHEN r.pr = 1 THEN e.dp1[e.pos + 2 - c.pl]
+                      ELSE e.dp2[e.pos + 2 - c.pl] END) IS NOT NULL
+        ) q WINDOW win AS (PARTITION BY w
+                           ORDER BY cand_cost ASC, pl DESC, piece ASC,
+                                    pr ASC)
+      ) z WHERE rn = 1
+    )"""
+
+
+def _x132_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    ug_dufreq AS MATERIALIZED (
+      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM ug_du GROUP BY u),
+    {_ug_viterbi2_ctes("ug_vt2", "ug_appc", "ug_dufreq")}
+    SELECT w AS u, freq AS n_occ,
+           CAST(dp1[LEN(w) + 1] AS BIGINT) AS best_cost_q,
+           CAST(dp2[LEN(w) + 1] AS BIGINT) AS second_cost_q,
+           CAST(dp2[LEN(w) + 1] - dp1[LEN(w) + 1] AS BIGINT) AS gap_q
+    FROM ug_vt2 WHERE pos = LEN(w)
+    """
+
+
+@register(
+    "x132_unigram_ambiguity",
+    oracle=_x132_oracle(),
+    tags=("text", "tokenizer", "unigram", "nbest", "mapinpandas"),
+)
+def x132_unigram_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTATION-AMBIGUITY table — the top-2 Viterbi costs per distinct
+    corpus unit under the x125-trained vocabulary: best path cost,
+    second-best PATH cost (exact k-best, k=2 — two distinct paths may
+    share a cost and remain distinct ranks), and the quantized gap.  This
+    is the table subword regularization (Kudo 2018) samples from: a unit
+    with NULL second admits exactly one segmentation (nothing to sample);
+    a small gap marks near-ties where sampling actually diversifies
+    training.  x133 consumes exactly this DP to materialize the sampled
+    stream.
+
+    Scale shape: ONE unit-frequency aggregate (zipfian-bounded output —
+    x115's argument), then a flat Arrow mapInPandas running the k=2 DP
+    per distinct unit with the vocabulary broadcast once; the corpus text
+    is scanned once.  The oracle extends the Viterbi recursion to carry
+    dp1/dp2 + backpointer lists, the rank-2 candidate attached to the
+    rank-1 row via LEAD over the shared candidate window."""
+    from hiveka_spark.operators.unigram import unigram_ambiguity, unigram_train
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    return unigram_ambiguity(d, vocab, "text", max_piece_len=_UG_MAX_PIECE)
+
+
+# ---------------------------------------------------------------------------
+# x133 — subword-regularization SAMPLED encoding (Kudo 2018's training-time
+# segmentation sampling, hash-derived so the stream is oracle-replayable)
+# ---------------------------------------------------------------------------
+
+_X133_RATE_MOD = 5  # 1-in-5 ambiguous occurrences take the rank-2 path
+
+
+def _x133_oracle(rate_mod: int = _X133_RATE_MOD) -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        "concat('sr_', CAST(doc_id AS VARCHAR), ':', CAST(upos AS VARCHAR))"
+    )
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    ug_dufreq AS MATERIALIZED (
+      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM ug_du GROUP BY u),
+    {_ug_viterbi2_ctes("ug_vt2", "ug_appc", "ug_dufreq")},
+    fin AS MATERIALIZED (
+      SELECT w, dp2[LEN(w) + 1] AS c2, bl1, bl2
+      FROM ug_vt2 WHERE pos = LEN(w)),
+    walk AS (
+      SELECT f.w, CAST(s.sr AS BIGINT) AS sr, CAST(LEN(f.w) AS BIGINT) AS pos,
+             CAST(s.sr AS BIGINT) AS r, f.bl1, f.bl2
+      FROM fin f CROSS JOIN (VALUES (1), (2)) s(sr)
+      WHERE s.sr = 1 OR f.c2 IS NOT NULL
+      UNION ALL
+      SELECT w, sr, pos - e // 2 AS pos, e % 2 + 1 AS r, bl1, bl2
+      FROM (SELECT w, sr, pos,
+                   CASE WHEN r = 1 THEN bl1[pos] ELSE bl2[pos] END AS e,
+                   bl1, bl2
+            FROM walk WHERE pos > 0)),
+    upieces AS MATERIALIZED (
+      SELECT w, sr, pos,
+             substr(w, pos - e // 2 + 1, e // 2) AS piece
+      FROM (SELECT w, sr, pos,
+                   CASE WHEN r = 1 THEN bl1[pos] ELSE bl2[pos] END AS e
+            FROM walk WHERE pos > 0)),
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece)
+                  - 1 AS BIGINT) AS piece_id, v.piece
+      FROM ug_vocab2 v),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS unk_id FROM vrows),
+    choice AS MATERIALIZED (
+      SELECT du.doc_id, du.upos, du.u,
+             CASE WHEN f.c2 IS NOT NULL AND {h} % {rate_mod} = 0
+                  THEN 2 ELSE 1 END AS sr
+      FROM ug_du du JOIN fin f ON f.w = du.u),
+    seq AS (
+      SELECT c.doc_id, c.upos,
+             COALESCE(vr.piece_id, nv.unk_id) AS pid,
+             ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                                ORDER BY c.upos, p.pos) AS rn,
+             c.sr
+      FROM choice c
+      JOIN upieces p ON p.w = c.u AND p.sr = c.sr
+      LEFT JOIN vrows vr ON vr.piece = p.piece
+      CROSS JOIN nv),
+    pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(pid + 1 ORDER BY rn)),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY doc_id),
+    ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled
+           FROM choice WHERE sr = 2 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ns.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(pd.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM documents d
+    LEFT JOIN pd ON pd.doc_id = d.doc_id
+    LEFT JOIN ns ON ns.doc_id = d.doc_id
+    """
+
+
+@register(
+    "x133_unigram_sampled_encode",
+    oracle=_x133_oracle(),
+    tags=("text", "tokenizer", "unigram", "nbest", "sampling",
+          "mapinpandas"),
+)
+def x133_unigram_sampled_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-regularization SAMPLED encoding — the training-time
+    segmentation sampling that is the actual point of Kudo 2018, as a
+    certified deterministic stream: per unit OCCURRENCE a portable hash
+    of (doc, position) decides whether it takes its 1-best or its exact
+    second-best path (1-in-{_X133_RATE_MOD} of ambiguous occurrences —
+    the hash-derived stand-in for multinomial sampling, x105's FIM
+    determinism trade), and every doc reports its sampled token count,
+    how many occurrences flipped, and the content-AND-order digest over
+    the artifact id space.  A trainer consuming this stream gets genuine
+    segmentation diversity between docs (and between epochs, by salt)
+    while the oracle re-derives every flipped occurrence and every token
+    id from the source table.
+
+    Scale shape: one flat zero-shuffle Arrow mapInPandas (k=2 DP + both
+    backtraces memoized per distinct unit per partition; per-occurrence
+    work is a hash and a dict hit).  The oracle walks BOTH ranks'
+    backpointers per distinct unit (never per occurrence) and joins
+    occurrences to their chosen rank."""
+    from hiveka_spark.operators.unigram import (
+        unigram_sampled_encode,
+        unigram_train,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    return unigram_sampled_encode(
+        d, vocab, "text", "doc_id",
+        max_piece_len=_UG_MAX_PIECE, rate_mod=_X133_RATE_MOD,
+    )

@@ -183,3 +183,66 @@ def test_encode_ids_consistent_with_apply_and_order_sensitive(spark):
             unigram_encode_ids(df, v2, "text", "doc_id").collect()}
     assert rows[1].n_tokens == rows[2].n_tokens == 2
     assert rows[1].ids_digest != rows[2].ids_digest
+
+
+def _brute_paths(w, cost, mpl):
+    if not w:
+        yield []
+        return
+    for l in range(1, min(mpl, len(w)) + 1):
+        p = w[-l:]
+        if p in cost:
+            for rest in _brute_paths(w[:-l], cost, mpl):
+                yield rest + [p]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc", min_size=1, max_size=10))
+def test_nbest_second_cost_is_exact(w):
+    """The rank-2 DP cost equals the exact second-smallest path cost over
+    ALL segmentations (brute force), for arbitrary small units."""
+    from hiveka_spark.operators.unigram import _viterbi_nbest
+
+    cost = {"a": 5, "b": 7, "c": 6, "ab": 9, "bc": 10, "ca": 8,
+            "abc": 19, "aa": 11}
+    dp = _viterbi_nbest(w, cost, 3, unk_chars=True)
+    fin = dp[len(w)]
+    full = dict(cost)
+    # brute force must see UNK singles the DP can take
+    for ch in set(w) - set("abc"):
+        full[ch] = 40_000_000
+    costs = sorted(sum(full[p] for p in path)
+                   for path in _brute_paths(w, full, 3))
+    assert fin[0][0] == costs[0]
+    if len(fin) > 1:
+        assert fin[1][0] == costs[1]
+    else:
+        assert len(costs) == 1
+
+
+def test_sampled_encode_flips_and_differs(spark):
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_sampled_encode,
+    )
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train(d, "text", max_words=200, n_seed=64, keep_multi=32)
+    base = {r.doc_id: r for r in
+            unigram_encode_ids(d, vocab, "text", "doc_id").collect()}
+    samp = {r.doc_id: r for r in
+            unigram_sampled_encode(d, vocab, "text", "doc_id").collect()}
+    assert set(base) == set(samp)
+    flipped = [k for k in samp if samp[k].n_sampled > 0]
+    assert flipped, "sampling never fired"
+    # a doc with flips must differ from its 1-best stream in digest or count
+    diff = [k for k in flipped
+            if (samp[k].ids_digest, samp[k].n_tokens)
+            != (base[k].ids_digest, base[k].n_tokens)]
+    assert len(diff) >= len(flipped) * 9 // 10
+    # unflipped docs are byte-identical to the 1-best stream
+    for k in samp:
+        if samp[k].n_sampled == 0:
+            assert samp[k].ids_digest == base[k].ids_digest
+            assert samp[k].n_tokens == base[k].n_tokens
