@@ -174,6 +174,7 @@ HEADLINE = [
     "x131_unigram_encode",
     "x132_unigram_ambiguity",
     "x133_unigram_sampled_encode",
+    "x134_epoch_sampled_streams",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

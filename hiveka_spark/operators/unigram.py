@@ -595,3 +595,89 @@ def unigram_sampled_encode(
         f"{id_col} {id_type}, n_tokens bigint, n_sampled bigint, "
         "ids_digest bigint",
     )
+
+
+def unigram_epoch_sampled_encode(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]],
+    epoch_salts: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 5,
+    rate_mod: int = 5,
+) -> DataFrame:
+    """Multi-EPOCH subword-regularization streams from ONE DP pass: each
+    epoch's salt re-rolls the per-occurrence rank choice, so every epoch
+    trains on a genuinely different segmentation of the same corpus —
+    the paper's epoch-to-epoch diversity — while the k=2 DP and both
+    backtraces are computed once per distinct unit and shared across all
+    epochs (the x78/x89 one-pass multi-epoch discipline applied to
+    segmentation sampling).
+
+    Returns ``(epoch, <id_col>, n_tokens, n_sampled, ids_digest)`` —
+    E rows per doc."""
+    import hashlib
+
+    import pandas as pd
+
+    cost = {p: cq for p, _c, cq in vocab_rows}
+    pid = {p: i for i, (p, _c, _q) in enumerate(vocab_rows)}
+    unk_id = len(vocab_rows)
+    bc = docs.sparkSession.sparkContext.broadcast((cost, pid))
+    mpl, rm, salts = max_piece_len, rate_mod, tuple(epoch_salts)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs, ids = bc.value
+        memo: dict[str, tuple[tuple[int, ...], tuple[int, ...] | None]] = {}
+
+        def unit_variants(u: str):
+            t = memo.get(u)
+            if t is None:
+                dp = _viterbi_nbest(u, cs, mpl, unk_chars=True)
+                i1 = tuple(
+                    ids.get(p, unk_id) for p in _nbest_backtrace(u, dp, 1)
+                )
+                i2 = None
+                if len(dp[len(u)]) > 1:
+                    i2 = tuple(
+                        ids.get(p, unk_id) for p in _nbest_backtrace(u, dp, 2)
+                    )
+                t = memo[u] = (i1, i2)
+            return t
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str) or not text:
+                    for ep in range(len(salts)):
+                        out.append((ep, did, 0, 0, 0))
+                    continue
+                units = [
+                    unit_variants(raw.replace(" ", _SP_MARKER))
+                    for raw in _sp_pretokenize(text)
+                ]
+                for ep, sa in enumerate(salts):
+                    dig, n, ns = 0, 0, 0
+                    for upos, (i1, i2) in enumerate(units, start=1):
+                        take = i1
+                        if i2 is not None and h60(f"{sa}{did}:{upos}") % rm == 0:
+                            take, ns = i2, ns + 1
+                        for i in take:
+                            dig = (dig * 31 + i + 1) % _DIGEST_MOD
+                            n += 1
+                    out.append((ep, did, n, ns, dig))
+            yield pd.DataFrame(
+                out,
+                columns=["epoch", id_col, "n_tokens", "n_sampled",
+                         "ids_digest"],
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"epoch bigint, {id_col} {id_type}, n_tokens bigint, "
+        "n_sampled bigint, ids_digest bigint",
+    )

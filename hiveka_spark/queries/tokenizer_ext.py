@@ -859,3 +859,125 @@ def x133_unigram_sampled_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, vocab, "text", "doc_id",
         max_piece_len=_UG_MAX_PIECE, rate_mod=_X133_RATE_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# x134 — multi-EPOCH sampled streams: each epoch re-rolls the segmentation
+# sampling from one shared DP pass
+# ---------------------------------------------------------------------------
+
+_X134_SALTS = ("sre0_", "sre1_")
+
+
+def _x134_oracle(rate_mod: int = _X133_RATE_MOD) -> str:
+    from hiveka_spark.operators.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        "concat(e.salt, CAST(doc_id AS VARCHAR), ':', "
+        "CAST(upos AS VARCHAR))"
+    )
+    salts = ", ".join(f"({i}, '{sv}')" for i, sv in enumerate(_X134_SALTS))
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    ug_dufreq AS MATERIALIZED (
+      SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM ug_du GROUP BY u),
+    {_ug_viterbi2_ctes("ug_vt2", "ug_appc", "ug_dufreq")},
+    fin AS MATERIALIZED (
+      SELECT w, dp2[LEN(w) + 1] AS c2, bl1, bl2
+      FROM ug_vt2 WHERE pos = LEN(w)),
+    walk AS (
+      SELECT f.w, CAST(s.sr AS BIGINT) AS sr, CAST(LEN(f.w) AS BIGINT) AS pos,
+             CAST(s.sr AS BIGINT) AS r, f.bl1, f.bl2
+      FROM fin f CROSS JOIN (VALUES (1), (2)) s(sr)
+      WHERE s.sr = 1 OR f.c2 IS NOT NULL
+      UNION ALL
+      SELECT w, sr, pos - e // 2 AS pos, e % 2 + 1 AS r, bl1, bl2
+      FROM (SELECT w, sr, pos,
+                   CASE WHEN r = 1 THEN bl1[pos] ELSE bl2[pos] END AS e,
+                   bl1, bl2
+            FROM walk WHERE pos > 0)),
+    upieces AS MATERIALIZED (
+      SELECT w, sr, pos,
+             substr(w, pos - e // 2 + 1, e // 2) AS piece
+      FROM (SELECT w, sr, pos,
+                   CASE WHEN r = 1 THEN bl1[pos] ELSE bl2[pos] END AS e
+            FROM walk WHERE pos > 0)),
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece)
+                  - 1 AS BIGINT) AS piece_id, v.piece
+      FROM ug_vocab2 v),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS unk_id FROM vrows),
+    choice AS MATERIALIZED (
+      SELECT CAST(e.epoch AS BIGINT) AS epoch, du.doc_id, du.upos, du.u,
+             CASE WHEN f.c2 IS NOT NULL AND {h} % {rate_mod} = 0
+                  THEN 2 ELSE 1 END AS sr
+      FROM ug_du du
+      JOIN fin f ON f.w = du.u
+      CROSS JOIN (VALUES {salts}) e(epoch, salt)),
+    seq AS (
+      SELECT c.epoch, c.doc_id,
+             COALESCE(vr.piece_id, nv.unk_id) AS pid,
+             ROW_NUMBER() OVER (PARTITION BY c.epoch, c.doc_id
+                                ORDER BY c.upos, p.pos) AS rn
+      FROM choice c
+      JOIN upieces p ON p.w = c.u AND p.sr = c.sr
+      LEFT JOIN vrows vr ON vr.piece = p.piece
+      CROSS JOIN nv),
+    pd AS (
+      SELECT epoch, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(pid + 1 ORDER BY rn)),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY epoch, doc_id),
+    ns AS (SELECT epoch, doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled
+           FROM choice WHERE sr = 2 GROUP BY epoch, doc_id)
+    SELECT ep.epoch, d.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ns.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(pd.ids_digest, 0) AS BIGINT) AS ids_digest
+    FROM documents d
+    CROSS JOIN (VALUES {salts}) ep(epoch, salt)
+    LEFT JOIN pd ON pd.doc_id = d.doc_id AND pd.epoch = ep.epoch
+    LEFT JOIN ns ON ns.doc_id = d.doc_id AND ns.epoch = ep.epoch
+    """
+
+
+@register(
+    "x134_epoch_sampled_streams",
+    oracle=_x134_oracle(),
+    tags=("text", "tokenizer", "unigram", "nbest", "sampling",
+          "multi-epoch"),
+)
+def x134_epoch_sampled_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EPOCH subword-regularization streams — the epoch-to-epoch
+    segmentation diversity that is Kudo 2018's training recipe, from ONE
+    shared DP pass: each epoch's salt re-rolls the per-occurrence rank
+    choice (x133's hash-derived sampling), so the same corpus yields a
+    different certified token stream per epoch while the k=2 DP and both
+    backtraces are computed once per distinct unit (the x78/x89 one-pass
+    multi-epoch discipline applied to segmentation sampling).  Per
+    (epoch, doc): sampled token count, flip count, content-AND-order
+    digest.
+
+    Scale shape: one flat zero-shuffle Arrow mapInPandas emitting E rows
+    per doc — token bytes are E-copied only because E epochs of streams
+    are being produced (x78's payload argument); the oracle fans the
+    choice table out over a VALUES epoch list and re-derives every
+    flipped occurrence per epoch."""
+    from hiveka_spark.operators.unigram import (
+        unigram_epoch_sampled_encode,
+        unigram_train,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    return unigram_epoch_sampled_encode(
+        d, vocab, _X134_SALTS, "text", "doc_id",
+        max_piece_len=_UG_MAX_PIECE, rate_mod=_X133_RATE_MOD,
+    )

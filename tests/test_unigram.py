@@ -246,3 +246,22 @@ def test_sampled_encode_flips_and_differs(spark):
         if samp[k].n_sampled == 0:
             assert samp[k].ids_digest == base[k].ids_digest
             assert samp[k].n_tokens == base[k].n_tokens
+
+
+def test_epoch_sampled_streams_differ_across_epochs(spark):
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.unigram import unigram_epoch_sampled_encode
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train(d, "text", max_words=200, n_seed=64, keep_multi=32)
+    rows = unigram_epoch_sampled_encode(
+        d, vocab, ("sre0_", "sre1_"), "text", "doc_id"
+    ).collect()
+    by_ep = {}
+    for r in rows:
+        by_ep.setdefault(r.epoch, {})[r.doc_id] = (r.n_tokens, r.ids_digest)
+    assert set(by_ep) == {0, 1}
+    assert set(by_ep[0]) == set(by_ep[1])
+    diff = [k for k in by_ep[0] if by_ep[0][k] != by_ep[1][k]]
+    # the two epochs genuinely differ on a meaningful share of docs
+    assert len(diff) > len(by_ep[0]) // 10, f"only {len(diff)} docs differ"
