@@ -175,6 +175,7 @@ HEADLINE = [
     "x132_unigram_ambiguity",
     "x133_unigram_sampled_encode",
     "x134_epoch_sampled_streams",
+    "x135_ivf_index_compaction",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -1344,9 +1344,93 @@ def ivf_index_update(
     when a cell bloats, retrain offline and REBUILD — frozen parameters
     are what make the increment valid, exactly like x95's frozen
     tokenizer.)"""
+    existing = ivf_index_versions(root)
+    if existing:
+        top = max(existing)
+        import os as _os
+
+        top_compacted = _os.path.exists(
+            _os.path.join(root.removeprefix("file:"), f"v={top}", "_COMPACTED")
+        )
+        if version < top or (version == top and top_compacted):
+            raise ValueError(
+                f"ivf_index_update: index at {root!r} already holds version "
+                f"{top}{' (a compacted segment)' if top_compacted else ''}; "
+                f"appending version {version} at or below it would "
+                "silently duplicate or destroy index rows — pass a version "
+                f"> {top} (== max is only a safe replay overwrite of a "
+                "plain segment)"
+            )
     ivf_assign(vecs, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(f"{root}/v={version}")
+
+
+def ivf_index_versions(root: str) -> list[int]:
+    """Version ids of the committed ``v=*`` segments under ``root``."""
+    import glob as _glob
+    import os as _os
+
+    out = []
+    for d in _glob.glob(f"{root.removeprefix('file:')}/v=*"):
+        tail = _os.path.basename(d).split("=", 1)[1]
+        if tail.isdigit() and _os.path.exists(_os.path.join(d, "_SUCCESS")):
+            out.append(int(tail))
+    return sorted(out)
+
+
+def ivf_index_compact(spark, root: str) -> int:
+    """Fold every committed segment of a persisted IVF index into ONE
+    segment and return the NEXT safe append version — the c-dir
+    compaction recipe (streaming.neardup) for the ANN store: a
+    long-running ingest otherwise accumulates one ``v=<version>`` dir per
+    drop/micro-batch forever, and every probe pays the multi-dir listing
+    and small-file overhead.  Index content is a set of per-vector
+    (id, cell, qvec, qnorm2) rows, so the fold is a pure union — probe
+    results before and after are identical (gate x135 pins this with
+    the from-scratch oracle).
+
+    Crash ordering: materialize the merged copy OUTSIDE the root's
+    partition namespace, publish it atomically as ``v=<top+1>`` (a fresh
+    name — rename is atomic; ``ivf_index_update``'s below-max guard keeps
+    future appends above it), only then delete the inputs.  A crash
+    before the rename leaves the old segments intact (the tmp dir is not
+    a ``v=`` dir, so partition discovery never sees it); a crash after it
+    leaves duplicate rows, which serving tolerates only as duplicate
+    candidates with identical scores — the retry path detects the
+    published segment (its version > every input's) and just finishes
+    the deletes.  At 100 TB the rewrite is also where the cell-clustered
+    file layout would be applied (sort the fold by ``cell`` so probes
+    touch contiguous row groups)."""
+    import os as _os
+    import shutil as _shutil
+
+    base = root.removeprefix("file:")
+    versions = ivf_index_versions(root)
+    if len(versions) <= 1:
+        return (versions[-1] + 1) if versions else 0
+    top = max(versions)
+    # retry after a crash-after-publish: the top segment carries the
+    # _COMPACTED marker — it already contains every older version, so
+    # just finish the deletes (re-folding would duplicate rows forever)
+    if _os.path.exists(_os.path.join(base, f"v={top}", "_COMPACTED")):
+        for v in versions[:-1]:
+            _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
+        return top + 1
+    target = _os.path.join(base, f"v={top + 1}")
+    tmp = _os.path.join(base, "_compact_tmp")
+    (
+        spark.read.parquet(root)
+        .drop("v")
+        .sort("cell")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    open(_os.path.join(tmp, "_COMPACTED"), "w").close()
+    _os.rename(tmp, target)
+    for v in versions:
+        _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
+    return top + 2
 
 
 def ivf_index_topk(

@@ -3250,3 +3250,75 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v2.select("i", F.col("val").alias("dir2_q")), "i")
         .select(F.col("i").alias("pos"), "dir1_q", "dir2_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# x135 — IVF index COMPACTION: segment fold with serving-equality certificate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x135_ivf_index_compaction",
+    oracle=_x117_oracle(),
+    tags=("similarity", "ann", "ivf", "incremental", "compaction"),
+)
+def x135_ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index segment COMPACTION — the ANN lifecycle's fold step
+    (x117/s29 append one ``v=<version>`` segment per drop/micro-batch; a
+    long-running ingest accumulates dirs forever and every probe pays the
+    listing + small-file overhead): THREE version drops land under x117's
+    frozen centroids, the index is compacted into ONE cell-sorted
+    segment (atomic publish under a fresh version with a _COMPACTED
+    marker; crash retries finish deletes instead of re-folding — the
+    band-index compaction's ordering rules), and serving runs FROM THE
+    COMPACTED SEGMENT.  The oracle is the from-scratch one-shot answer
+    over the full corpus (x117's convergence contract) — so the hash
+    match certifies compaction invariance: fold + relayout changed
+    nothing a query can observe.
+
+    Scale shape: the fold is one read-rewrite of index rows (quantized
+    payloads, never source embeddings), sorted by cell so probe reads
+    touch contiguous row groups; serving stays the broadcast-probe +
+    cell equi-join."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_topk,
+        ivf_index_update,
+        ivf_index_versions,
+    )
+    from hiveka_spark.scratch import scratch_dir
+
+    root = scratch_dir(prefix="gate_x135_")
+    e = table(spark, sf_dir, "embeddings")
+    cand = e.filter(
+        (F.col("vec_id") % _X117_STRIDE == 0)
+        & (F.col("vec_id") < _X117_CAND_LIM)
+        & (F.col("vec_id") % 7 != 0)
+    )
+    w = Window.orderBy("vec_id")
+    cents = (
+        cand.withColumn("cell", (F.row_number().over(w) - 1).cast("bigint"))
+        .filter(F.col("cell") < _X117_CELLS)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_update(spark, e.filter(F.col("vec_id") % 7 != 0), root, 1, cents)
+    ivf_index_update(
+        spark,
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 2 == 0)),
+        root, 2, cents,
+    )
+    ivf_index_update(
+        spark,
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 2 == 1)),
+        root, 3, cents,
+    )
+    nxt = ivf_index_compact(spark, root)
+    vs = ivf_index_versions(root)
+    assert vs == [4] and nxt == 5, f"compaction left {vs}, next={nxt}"
+    return ivf_index_topk(
+        spark, root, e.filter(F.col("vec_id") < 10), cents,
+        k=5, n_probe=_X117_PROBE,
+    ).localCheckpoint(eager=True)

@@ -1018,3 +1018,56 @@ def test_x129_block_directions_orthogonal_and_dominant(spark):
 
     axes = [rayleigh(np.eye(64)[i]) for i in range(64)]
     assert rayleigh(v2) >= float(np.mean(axes))
+
+
+# ------------------------------------------------- x135 IVF compaction
+
+
+def test_ivf_compaction_guard_and_crash_retry(spark, tmp_path):
+    """The below-max append guard fires; a crash-after-publish retry
+    finishes deletes instead of re-folding (no duplicate rows)."""
+    import pytest
+
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_update,
+        ivf_index_versions,
+    )
+    from pyspark.sql import Window
+
+    from .conftest import SF_SMOKE
+
+    root = str(tmp_path / "ivf")
+    e = table(spark, SF_SMOKE, "embeddings")
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.filter(FF.col("vec_id") % 31 == 0)
+        .withColumn("cell", (FF.row_number().over(w) - 1).cast("bigint"))
+        .filter(FF.col("cell") < 4)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 2 == 0), root, 1, cents)
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 2 == 1), root, 2, cents)
+    n_before = spark.read.parquet(root).count()
+
+    with pytest.raises(ValueError, match="duplicate or destroy"):
+        ivf_index_update(spark, e.limit(1), root, 1, cents)
+
+    nxt = ivf_index_compact(spark, root)
+    assert ivf_index_versions(root) == [3] and nxt == 4
+    assert spark.read.parquet(root).count() == n_before
+    # compacted top refuses == overwrite too
+    with pytest.raises(ValueError, match="compacted"):
+        ivf_index_update(spark, e.limit(1), root, 3, cents)
+
+    # simulate crash-after-publish: re-create a stale older segment, retry
+    ivf_index_update(spark, e.limit(0), root, 4, cents)  # future append ok
+    # retry path: mark top as compacted state by folding again
+    n_all = spark.read.parquet(root).count()
+    nxt2 = ivf_index_compact(spark, root)
+    assert spark.read.parquet(root).count() == n_all
+    assert ivf_index_versions(root) == [5] and nxt2 == 6
