@@ -960,3 +960,36 @@ def test_x113_stream_no_corpus_explode(spark):
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan, plan  # no corpus-side explode
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# round-14: unigram family plan shapes
+
+
+def test_unigram_apply_gates_are_flat_zero_shuffle(spark):
+    """x126/x131/x133/x134's tokenize plans are the flat mapInPandas
+    two-node shape — zero Exchange, corpus scanned once (training's
+    bounded collects run at plan-BUILD time and are not part of the
+    returned plan)."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in (
+        "x126_unigram_tokenize",
+        "x131_unigram_encode",
+        "x133_unigram_sampled_encode",
+        "x134_epoch_sampled_streams",
+    ):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert shuffle_count(df) == 0, f"{name} plan shuffles"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, f"{name} not Arrow-batched"
+
+
+def test_x132_single_unit_aggregate(spark):
+    """x132's only shuffle is the distinct-unit frequency aggregate."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["x132_unigram_ambiguity"].fn(spark, SF_SMOKE)
+    assert shuffle_count(df) == 1
