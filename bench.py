@@ -176,6 +176,7 @@ HEADLINE = [
     "x133_unigram_sampled_encode",
     "x134_epoch_sampled_streams",
     "x135_ivf_index_compaction",
+    "x136_pq_reconstruction_error",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -677,6 +677,47 @@ def _ivfpq_oracle(
     """
 
 
+#: integer squared-L2 over DOUBLE lists (values are exact integers well
+#: under 2^53, so the cast is lossless) — shared by every PQ oracle
+_PQ_D2_SQL = (
+    "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}) AS BIGINT)"
+)
+
+
+def _pq_train_chain_sql(
+    dsub: int, stride: int, n_cent: int, m: int, n_iters: int
+) -> tuple[list[str], str]:
+    """The per-subspace Lloyd training chain (trasgn/trbest/trupd/trnew/
+    pcents blocks, one per pass) + the final codebook CTE name — factored
+    out of :func:`_ivfpq_trained_oracle` so the reconstruction-error gate
+    (x136) replays the IDENTICAL training text (stride seeds, argmin
+    ties (d2, code), truncating-integer-division means, empty-cell
+    keep).  Callers must provide the ``sub`` and ``pcents0`` CTEs."""
+    pq_d2 = _PQ_D2_SQL.format(a="s.sv", b="c.cv")
+    train = []
+    for j in range(1, n_iters + 1):
+        prev = "pcents0" if j == 1 else f"pcents{j - 1}"
+        train.append(f"""
+    trasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
+                  FROM sub s JOIN {prev} c USING (sub)),
+    trbest{j} AS (SELECT vec_id, sub, svq, code
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                     ORDER BY d2, code) AS r
+                        FROM trasgn{j})
+                  WHERE r = 1),
+    trupd{j} AS (SELECT sub, code, i,
+                        CAST(SUM(svq[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
+                 FROM trbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
+                 GROUP BY sub, code, i),
+    trnew{j} AS (SELECT sub, code,
+                        list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+                 FROM trupd{j} GROUP BY sub, code),
+    pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
+                  FROM {prev} p LEFT JOIN trnew{j} n USING (sub, code))""")
+    return train, f"pcents{n_iters}"
+
+
 def _ivfpq_trained_oracle(
     k: int = 5,
     n_cells: int = 16,
@@ -700,33 +741,10 @@ def _ivfpq_trained_oracle(
     train_ivf_centroids for the coarse stage too (:func:`_trained_cells_sql`)
     — the x77 fully-trained serving configuration, where the 12-probe
     budget turns the rebalance into a coverage win."""
-    d2 = (
-        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}) AS BIGINT)"
-    )
+    d2 = _PQ_D2_SQL
     cell_d2 = d2.format(a="v.qvd", b="c.cvd")
     pq_d2 = d2.format(a="s.sv", b="c.cv")
-    train = []
-    for j in range(1, n_iters + 1):
-        prev = "pcents0" if j == 1 else f"pcents{j - 1}"
-        train.append(f"""
-    trasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
-                  FROM sub s JOIN {prev} c USING (sub)),
-    trbest{j} AS (SELECT vec_id, sub, svq, code
-                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                                     ORDER BY d2, code) AS r
-                        FROM trasgn{j})
-                  WHERE r = 1),
-    trupd{j} AS (SELECT sub, code, i,
-                        CAST(SUM(svq[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
-                 FROM trbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
-                 GROUP BY sub, code, i),
-    trnew{j} AS (SELECT sub, code,
-                        list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
-                 FROM trupd{j} GROUP BY sub, code),
-    pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
-                  FROM {prev} p LEFT JOIN trnew{j} n USING (sub, code))""")
-    final = f"pcents{n_iters}"
+    train, final = _pq_train_chain_sql(dsub, stride, n_cent, m, n_iters)
     if train_cells_iters:
         cells_sql = _trained_cells_sql(cell_stride, n_cells, train_cells_iters)
     else:
@@ -6423,3 +6441,102 @@ def x128_bfd_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = read_back_example_manifest(back).localCheckpoint(eager=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# x136 — PQ reconstruction-error report: the quantization-quality table that
+# sizes the (m, k) codebook choice before an index build
+# ---------------------------------------------------------------------------
+
+_X136_M = 16
+_X136_DSUB = 4
+_X136_CENT = 64
+_X136_STRIDE = 7
+_X136_ITERS = 4
+
+
+def _x136_oracle(
+    m: int = _X136_M,
+    dsub: int = _X136_DSUB,
+    n_cent: int = _X136_CENT,
+    stride: int = _X136_STRIDE,
+    n_iters: int = _X136_ITERS,
+) -> str:
+    pq_d2 = _PQ_D2_SQL.format(a="s.sv", b="c.cv")
+    train, final = _pq_train_chain_sql(dsub, stride, n_cent, m, n_iters)
+    return f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+    sub AS (SELECT vec_id, CAST(s AS BIGINT) AS sub,
+                   qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)] AS svq,
+                   list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                                  x -> CAST(x AS DOUBLE)) AS sv
+            FROM q CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    pcents0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+                FROM sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    {",".join(train)},
+    asgn AS (SELECT s.vec_id, s.sub, c.code, {pq_d2} AS d2
+             FROM sub s JOIN {final} c USING (sub)),
+    best AS (SELECT vec_id, sub, code, d2
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                ORDER BY d2, code) AS r
+                   FROM asgn)
+             WHERE r = 1)
+    SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+           CAST(SUM(d2) AS BIGINT) AS total_d2,
+           CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2_q
+    FROM best GROUP BY sub
+    """
+
+
+@register(
+    "x136_pq_reconstruction_error",
+    oracle=_x136_oracle(),
+    tags=("similarity", "ann", "pq", "evaluation", "certification"),
+)
+def x136_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ RECONSTRUCTION-ERROR report — the quantization-quality table
+    (Jégou et al. 2011 §IV's distortion measure) a pipeline reads before
+    committing an index build: per subspace, the vector count, the number
+    of codewords actually USED (dead codes mean k is oversized or seeds
+    were unlucky), the total integer squared-L2 between each subvector
+    and its assigned trained codeword, and the mean (bigint DIV).  Rising
+    per-subspace distortion is what justifies more centroids, a finer
+    subspace split, or the residual/OPQ arms (x84, x129); x135's
+    compacted index inherits exactly this error.
+
+    Scale shape: codebook training is train_pq_codebooks' joint
+    broadcast-join Lloyd (all m subspaces per pass, map-side-combinable
+    argmin + one keyed update aggregate); the error pass is ONE broadcast
+    join of the m*{_X136_CENT}-row codebook frame against the subvector
+    rows and ONE m-row rollup — the corpus never shuffles.  The oracle
+    replays the full training via the SHARED chain builder
+    (:func:`_pq_train_chain_sql` — the same text x84/x77 certify against)
+    and re-derives every assignment and distance."""
+    from hiveka_spark.operators.similarity import (
+        _pq_d2,
+        _pq_subvectors,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(
+        e, m=_X136_M, dim=_X136_M * _X136_DSUB, n_centroids=_X136_CENT,
+        centroid_stride=_X136_STRIDE, n_iters=_X136_ITERS,
+    ).localCheckpoint(eager=True)  # bounded: m * n_centroids rows
+    c_sub = _pq_subvectors(e, "vec_id", "embedding", "_id", _X136_M, _X136_DSUB)
+    best = (
+        c_sub.join(F.broadcast(books), "sub")
+        .withColumn("d2", _pq_d2(_X136_DSUB, "sv_", "cv_"))
+        .groupBy("_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("sub", F.col("b.d2").alias("d2"), F.col("b.code").alias("code"))
+    )
+    return best.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("code").cast("bigint").alias("n_codes_used"),
+        F.sum("d2").cast("bigint").alias("total_d2"),
+        F.expr("SUM(d2) DIV COUNT(*)").cast("bigint").alias("mean_d2_q"),
+    )
