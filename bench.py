@@ -177,6 +177,7 @@ HEADLINE = [
     "x134_epoch_sampled_streams",
     "x135_ivf_index_compaction",
     "x136_pq_reconstruction_error",
+    "x137_unigram_corpus_likelihood",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -681,3 +681,64 @@ def unigram_epoch_sampled_encode(
         f"epoch bigint, {id_col} {id_type}, n_tokens bigint, "
         "n_sampled bigint, ids_digest bigint",
     )
+
+
+def unigram_score(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]] | dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 5,
+) -> DataFrame:
+    """Per-doc corpus LIKELIHOOD under the trained unigram LM (Kudo 2018
+    eq. 2, hard-EM form): the 1-best path's total integer micro-nat cost
+    is exactly -log P(doc) up to quantization, so ``(n_tokens,
+    cost_q_total)`` is the negative log-likelihood the EM training
+    maximized — the tokenizer doubles as a language model for data
+    scoring (the CCNet posture, Wenzek et al. 2020, at tokenizer level).
+    Returns ``(<id_col>, n_tokens, cost_q_total)``; NULL/empty -> zeros.
+
+    Same flat zero-shuffle mapInPandas shape as
+    :func:`unigram_apply_fast`; the memo carries (count, cost) per
+    distinct unit."""
+    import pandas as pd
+
+    cost = (
+        dict(vocab_rows)
+        if isinstance(vocab_rows, dict)
+        else {p: cq for p, _c, cq in vocab_rows}
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(cost)
+    mpl = max_piece_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = bc.value
+        memo: dict[str, tuple[int, int]] = {}
+
+        def unit_nc(u: str) -> tuple[int, int]:
+            t = memo.get(u)
+            if t is None:
+                pieces = _viterbi(u, cs, mpl, unk_chars=True)
+                t = memo[u] = (
+                    len(pieces),
+                    sum(cs.get(p, UNK_COST_Q) for p in pieces),
+                )
+            return t
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str) or not text:
+                    out.append((did, 0, 0))
+                    continue
+                n, cq = 0, 0
+                for raw in _sp_pretokenize(text):
+                    un, uc = unit_nc(raw.replace(" ", _SP_MARKER))
+                    n, cq = n + un, cq + uc
+                out.append((did, n, cq))
+            yield pd.DataFrame(out, columns=[id_col, "n_tokens", "cost_q_total"])
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, n_tokens bigint, cost_q_total bigint"
+    )

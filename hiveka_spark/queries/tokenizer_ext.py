@@ -981,3 +981,83 @@ def x134_epoch_sampled_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, vocab, _X134_SALTS, "text", "doc_id",
         max_piece_len=_UG_MAX_PIECE, rate_mod=_X133_RATE_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# x137 — per-source corpus likelihood under the trained unigram LM
+# ---------------------------------------------------------------------------
+
+
+def _x137_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    ug_uc AS (SELECT s.w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(MIN(v.dp[LEN(v.w) + 1]) AS BIGINT) AS cost_q
+              FROM ug_seg3 s
+              JOIN ug_vit3 v ON v.w = s.w AND v.pos = LEN(v.w)
+              WHERE s.pos > 0 GROUP BY s.w),
+    pd AS (
+      SELECT d.doc_id, MIN(d.source) AS source,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(t.cost_q), 0) AS BIGINT) AS cost_q_total
+      FROM documents d
+      LEFT JOIN ug_du du ON du.doc_id = d.doc_id
+      LEFT JOIN ug_uc t ON t.u = du.u
+      GROUP BY d.doc_id)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(cost_q_total) AS BIGINT) AS sum_cost_q,
+           CAST(SUM(cost_q_total) // GREATEST(SUM(n_tokens), 1) AS BIGINT)
+             AS nats_per_token_micro
+    FROM pd GROUP BY source
+    """
+
+
+@register(
+    "x137_unigram_corpus_likelihood",
+    oracle=_x137_oracle(),
+    tags=("text", "tokenizer", "unigram", "quality", "evaluation"),
+)
+def x137_unigram_corpus_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE corpus likelihood under the trained unigram LM — the
+    tokenizer doubling as a language model for data scoring (Kudo 2018
+    eq. 2's objective read back out; the CCNet per-source quality
+    posture, Wenzek et al. 2020, at tokenizer level): each doc's 1-best
+    path cost IS its quantized negative log-likelihood, and the
+    per-source mean micro-nats per token ranks sources by how well they
+    match the distribution the vocabulary was trained on — the cheap
+    first-pass quality signal before the word-LM machinery (x102), from
+    an artifact the pipeline already ships.
+
+    Scale shape: one flat zero-shuffle mapInPandas (per-unit (count,
+    cost) memoized), one id-keyed metadata join, one source-sized
+    rollup with bigint-DIV means on the source-level SUMS.  The oracle
+    reads each unit's cost off the apply recursion's final dp entry —
+    the same DP that certifies x126's counts."""
+    from hiveka_spark.operators.unigram import unigram_score, unigram_train
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    scored = unigram_score(
+        d, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
+    )
+    per = (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("cost_q_total").cast("bigint").alias("sum_cost_q"),
+        )
+    )
+    return per.select(
+        "source", "n_docs", "sum_tokens", "sum_cost_q",
+        F.expr("sum_cost_q DIV GREATEST(sum_tokens, 1)")
+        .cast("bigint").alias("nats_per_token_micro"),
+    )

@@ -265,3 +265,21 @@ def test_epoch_sampled_streams_differ_across_epochs(spark):
     diff = [k for k in by_ep[0] if by_ep[0][k] != by_ep[1][k]]
     # the two epochs genuinely differ on a meaningful share of docs
     assert len(diff) > len(by_ep[0]) // 10, f"only {len(diff)} docs differ"
+
+
+def test_unigram_score_matches_viterbi_cost(spark):
+    from hiveka_spark.operators.unigram import unigram_score
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "zz"), (3, None)], "doc_id bigint, text string"
+    )
+    vocab = [("a", 5, 100), ("b", 5, 110), ("▁", 3, 120), ("ab", 9, 150),
+             ("▁ab", 9, 140)]
+    rows = {r.doc_id: r for r in unigram_score(df, vocab, "text", "doc_id").collect()}
+    # 'ab ab' -> units 'ab', '▁ab' -> pieces ab + ▁ab = 150 + 140
+    assert rows[1].n_tokens == 2 and rows[1].cost_q_total == 290
+    # 'zz' -> two UNK singles
+    from hiveka_spark.operators.unigram import UNK_COST_Q
+
+    assert rows[2].n_tokens == 2 and rows[2].cost_q_total == 2 * UNK_COST_Q
+    assert rows[3].n_tokens == 0 and rows[3].cost_q_total == 0
