@@ -178,6 +178,7 @@ HEADLINE = [
     "x135_ivf_index_compaction",
     "x136_pq_reconstruction_error",
     "x137_unigram_corpus_likelihood",
+    "s31_stream_likelihood_drift",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -2283,3 +2283,119 @@ def _set_s30_oracle() -> None:
 
 
 _set_s30_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s31 — LIVE corpus-likelihood drift under a frozen unigram LM: x137 as a
+# restart-safe serving table (the live x unigram-family cell)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s31_stream_likelihood_drift",
+    oracle=None,  # set below — x137's batch replay
+    tags=("streaming", "upsert", "tokenizer", "unigram", "quality",
+          "serving-table"),
+)
+def s31_stream_likelihood_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE corpus-likelihood drift monitor — x137 as a restart-safe
+    serving table (s27's discipline for the unigram family): a FROZEN
+    production unigram LM (trained once, before the stream — the
+    frozen-v1 posture of x95/s26/s27) scores every arriving document's
+    1-best path cost, each micro-batch reduces ITS docs to per-source
+    (n_docs, sum_tokens, sum_cost_q) — MERGEABLE sums via the
+    VersionedUpsertSink (disk-derived predecessor, queryable snapshot at
+    every batch boundary) — and the dashboard ratio (micro-nats per
+    token) is computed from the drained sums, never averaged across
+    batches.  A source's likelihood climbing means the live mix has
+    drifted from the distribution the vocabulary was trained on — the
+    signal to retrain or extend (x98's decision input, at stream time).
+
+    4 real micro-batches; the drained snapshot must equal x137's batch
+    derivation over the whole corpus, which the DuckDB oracle replays
+    (training chain + apply recursion + per-source rollup)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.unigram import unigram_score, unigram_train
+    from hiveka_spark.queries.tokenizer_ext import (
+        _UG_KEEP_MULTI,
+        _UG_MAX_PIECE,
+        _UG_MAX_WORDS,
+        _UG_SEED,
+    )
+    from hiveka_spark.streaming.upsert import VersionedUpsertSink
+
+    src_dir = scratch_dir(prefix="gate_s31src_")
+    state_root = scratch_dir(prefix="gate_s31state_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+
+    d.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def batch_reduce(batch_df: DataFrame) -> DataFrame:
+        scored = unigram_score(
+            batch_df, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
+        )
+        return (
+            batch_df.select("doc_id", "source")
+            .join(scored, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                F.sum("cost_q_total").cast("bigint").alias("sum_cost_q"),
+            )
+        )
+
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(b)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("sum_tokens").cast("bigint").alias("sum_tokens"),
+                F.sum("sum_cost_q").cast("bigint").alias("sum_cost_q"),
+            )
+        )
+
+    sink = VersionedUpsertSink(state_root, batch_reduce, merge)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s31_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = sink.latest_path()
+    assert final is not None
+    snap = spark.read.parquet(final)
+    return snap.select(
+        "source", "n_docs", "sum_tokens", "sum_cost_q",
+        F.expr("sum_cost_q DIV GREATEST(sum_tokens, 1)")
+        .cast("bigint").alias("nats_per_token_micro"),
+    )
+
+
+def _set_s31_oracle() -> None:
+    from dataclasses import replace
+
+    from hiveka_spark.queries import REGISTRY
+    from hiveka_spark.queries.tokenizer_ext import _x137_oracle
+
+    spec = REGISTRY["s31_stream_likelihood_drift"]
+    REGISTRY["s31_stream_likelihood_drift"] = replace(
+        spec, oracle=_x137_oracle()
+    )
+
+
+_set_s31_oracle()
