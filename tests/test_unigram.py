@@ -283,3 +283,28 @@ def test_unigram_score_matches_viterbi_cost(spark):
 
     assert rows[2].n_tokens == 2 and rows[2].cost_q_total == 2 * UNK_COST_Q
     assert rows[3].n_tokens == 0 and rows[3].cost_q_total == 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=12),
+    st.sets(
+        st.text(alphabet="abcd", min_size=2, max_size=4), min_size=0,
+        max_size=8,
+    ),
+)
+def test_nbest_rank1_equals_plain_viterbi(w, multi):
+    """On random units and random multi-char vocabularies, the k-best DP's
+    rank-1 path is exactly the plain Viterbi path (same cost, same
+    pieces) — the two implementations can never drift."""
+    from hiveka_spark.operators.unigram import _nbest_backtrace, _viterbi_nbest
+
+    cost = {c: 100 + 7 * i for i, c in enumerate("abcd")}
+    for j, p in enumerate(sorted(multi)):
+        cost[p] = 150 + 13 * j
+    best = _viterbi(w, cost, 4, unk_chars=True)
+    dp = _viterbi_nbest(w, cost, 4, unk_chars=True)
+    assert _nbest_backtrace(w, dp, 1) == best
+    assert dp[len(w)][0][0] == sum(
+        cost.get(p, 40_000_000) for p in best
+    )
