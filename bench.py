@@ -179,6 +179,7 @@ HEADLINE = [
     "x136_pq_reconstruction_error",
     "x137_unigram_corpus_likelihood",
     "s31_stream_likelihood_drift",
+    "x138_unigram_byte_fallback",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -742,3 +742,82 @@ def unigram_score(
     return docs.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, n_tokens bigint, cost_q_total bigint"
     )
+
+
+def unigram_encode_bytes(
+    docs: DataFrame,
+    vocab_rows: list[tuple[str, int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 5,
+) -> DataFrame:
+    """BYTE-FALLBACK unigram encoding — the lossless OOV channel (x83's
+    posture for the unigram family): ids 0..255 are reserved raw UTF-8
+    bytes, trained pieces live at 256+piece_id; a Viterbi path piece
+    outside the vocabulary (only single chars can be, the coverage
+    floor) emits its UTF-8 bytes as individual ids instead of a lossy
+    UNK.  Decode is byte-exact by construction and CHECKED per unit:
+    the id stream is rebuilt to bytes (piece.encode() for ids >= 256,
+    the raw byte otherwise) and compared to the marked unit's UTF-8.
+
+    Returns ``(<id_col>, n_tokens, n_fallback_bytes, ids_digest,
+    roundtrip_ok)`` — token count INCLUDING byte ids, how many ids were
+    fallback bytes, the x131 order digest over the full id stream, and
+    the honest losslessness certificate.  Same flat zero-shuffle
+    mapInPandas shape; per-unit id tuples memoized."""
+    import pandas as pd
+
+    cost = {p: cq for p, _c, cq in vocab_rows}
+    pid = {p: 256 + i for i, (p, _c, _q) in enumerate(vocab_rows)}
+    bc = docs.sparkSession.sparkContext.broadcast((cost, pid))
+    mpl = max_piece_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs, ids = bc.value
+        memo: dict[str, tuple[tuple[int, ...], int, bool]] = {}
+
+        def unit_ids(u: str) -> tuple[tuple[int, ...], int, bool]:
+            t = memo.get(u)
+            if t is None:
+                out: list[int] = []
+                nfb = 0
+                for p in _viterbi(u, cs, mpl, unk_chars=True):
+                    i = ids.get(p)
+                    if i is None:
+                        bs = p.encode()
+                        out.extend(bs)
+                        nfb += len(bs)
+                    else:
+                        out.append(i)
+                back = b"".join(
+                    vocab_rows[i - 256][0].encode() if i >= 256 else bytes([i])
+                    for i in out
+                )
+                t = memo[u] = (tuple(out), nfb, back == u.encode())
+            return t
+
+        for pdf in batches:
+            out_rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or not isinstance(text, str) or not text:
+                    out_rows.append((did, 0, 0, 0, 1))
+                    continue
+                dig, n, nfb, ok = 0, 0, 0, True
+                for raw in _sp_pretokenize(text):
+                    t, f, o = unit_ids(raw.replace(" ", _SP_MARKER))
+                    for i in t:
+                        dig = (dig * 31 + i + 1) % _DIGEST_MOD
+                    n, nfb, ok = n + len(t), nfb + f, ok and o
+                out_rows.append((did, n, nfb, dig, 1 if ok else 0))
+            yield pd.DataFrame(
+                out_rows,
+                columns=[id_col, "n_tokens", "n_fallback_bytes",
+                         "ids_digest", "roundtrip_ok"],
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_tokens bigint, n_fallback_bytes bigint, "
+        "ids_digest bigint, roundtrip_ok bigint",
+    )

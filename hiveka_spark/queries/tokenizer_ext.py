@@ -216,19 +216,21 @@ def x125_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ug_apply_ctes() -> str:
-    """The APPLY replay chain shared by x126/x127/x130: per-doc marked
-    units (ug_du), the distinct-unit set (ug_dus), the candidate cost
-    table with single-char UNK fallback rows (ug_appc), a third Viterbi
-    recursion over the distinct corpus units, and per-unit token counts
-    (ug_ut)."""
+def _ug_apply_ctes(src: str = "documents") -> str:
+    """The APPLY replay chain shared by x126/x127/x130/x131/x137/x138:
+    per-doc marked units with positions (ug_du), the distinct-unit set
+    (ug_dus), the candidate cost table with single-char UNK fallback rows
+    (ug_appc), a third Viterbi recursion over the distinct corpus units,
+    and per-unit token counts (ug_ut).  ``src``: the (doc_id, text) table
+    the units come from — x138 applies the FROZEN vocabulary to augmented
+    out-of-corpus text while training stays on ``documents``."""
     return f"""ug_du AS MATERIALIZED (
       SELECT doc_id, upos, replace(u, ' ', '▁') AS u
       FROM (SELECT doc_id,
                    UNNEST(range(1, LEN(us) + 1)) AS upos,
                    UNNEST(us) AS u
             FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
-                  FROM documents))),
+                  FROM {src}))),
     ug_dus AS MATERIALIZED (
       SELECT DISTINCT u AS w, CAST(1 AS BIGINT) AS freq FROM ug_du),
     ug_appc AS MATERIALIZED (
@@ -1060,4 +1062,113 @@ def x137_unigram_corpus_likelihood(spark: SparkSession, sf_dir: str) -> DataFram
         "source", "n_docs", "sum_tokens", "sum_cost_q",
         F.expr("sum_cost_q DIV GREATEST(sum_tokens, 1)")
         .cast("bigint").alias("nats_per_token_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x138 — byte-fallback unigram encode on OUT-OF-CORPUS text (x83's lossless
+# OOV posture for the unigram family)
+# ---------------------------------------------------------------------------
+
+_X138_SUFFIX = " Ωé🦀"  # characters absent from the training alphabet
+
+
+def _x138_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ug_train_ctes()},
+    aug AS (SELECT doc_id,
+                   COALESCE(text, '') || '{_X138_SUFFIX}'
+                     || CAST(doc_id AS VARCHAR) AS text
+            FROM documents),
+    {_ug_apply_ctes(src="aug")},
+    vrows AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece)
+                  - 1 AS BIGINT) AS piece_id, v.piece
+      FROM ug_vocab2 v),
+    upieces AS MATERIALIZED (
+      SELECT w, pos, substr(w, pos - bp[pos] + 1, bp[pos]) AS piece
+      FROM ug_seg3 WHERE pos > 0),
+    pieceids AS MATERIALIZED (
+      SELECT up.w, up.pos, CAST(0 AS BIGINT) AS bj,
+             vr.piece_id + 256 AS pid
+      FROM upieces up JOIN vrows vr ON vr.piece = up.piece
+      UNION ALL
+      SELECT o.w, o.pos, CAST(o.j AS BIGINT) AS bj,
+             CAST(concat('0x', substring(hex(encode(o.piece)),
+                                         CAST(2 * o.j - 1 AS INT), 2))
+                  AS BIGINT) AS pid
+      FROM (SELECT u2.w, u2.pos, u2.piece,
+                   UNNEST(range(1, octet_length(encode(u2.piece)) + 1)) AS j
+            FROM upieces u2
+            WHERE u2.piece NOT IN (SELECT piece FROM ug_vocab2)) o),
+    seq AS (
+      SELECT du.doc_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY du.doc_id
+                                ORDER BY du.upos, p.pos, p.bj) AS rn
+      FROM ug_du du JOIN pieceids p ON p.w = du.u),
+    pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN pid < 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fallback_bytes,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           list(pid + 1 ORDER BY rn)),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+               AS ids_digest
+      FROM seq GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.n_fallback_bytes, 0) AS BIGINT)
+             AS n_fallback_bytes,
+           CAST(COALESCE(pd.ids_digest, 0) AS BIGINT) AS ids_digest,
+           CAST(1 AS BIGINT) AS roundtrip_ok
+    FROM aug a LEFT JOIN pd ON pd.doc_id = a.doc_id
+    """
+
+
+@register(
+    "x138_unigram_byte_fallback",
+    oracle=_x138_oracle(),
+    tags=("text", "tokenizer", "unigram", "byte-fallback", "certification"),
+)
+def x138_unigram_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FALLBACK unigram encoding certified on OUT-OF-CORPUS text —
+    x83's lossless-OOV posture for the unigram family, closing its last
+    asymmetry with BPE: ids 0..255 are reserved raw UTF-8 bytes, trained
+    pieces live at 256+, and every doc is augmented with characters
+    ABSENT from the training alphabet ('{_X138_SUFFIX.strip()}' — a
+    Greek capital, an accented Latin, a 4-byte astral) plus its own id
+    digits.  The vocabulary stays FROZEN on the original corpus (the
+    x95 posture: parameters may not peek at serving text); OOV chars
+    route through byte ids (2/3/4 per char by UTF-8 rule), decode is
+    rebuilt per unit from the id stream and byte-compared to the marked
+    unit (the honest certificate — oracle pins the expected all-1
+    column while n_tokens/n_fallback_bytes/ids_digest re-derive every
+    id and its position from the source table, the byte values via the
+    hex-of-encode arithmetic).
+
+    Scale shape: one flat zero-shuffle Arrow mapInPandas with per-unit
+    id tuples memoized; the oracle's only additions over x131 are the
+    augmented-text unit source and the per-byte explode of OOV
+    pieces."""
+    from hiveka_spark.operators.unigram import (
+        unigram_encode_bytes,
+        unigram_train,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_X138_SUFFIX),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return unigram_encode_bytes(
+        aug, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
     )

@@ -308,3 +308,22 @@ def test_nbest_rank1_equals_plain_viterbi(w, multi):
     assert dp[len(w)][0][0] == sum(
         cost.get(p, 40_000_000) for p in best
     )
+
+
+def test_byte_fallback_lossless_on_oov(spark):
+    from hiveka_spark.operators.unigram import unigram_encode_bytes
+
+    vocab = [("a", 5, 100), ("b", 5, 110), ("▁", 3, 120), ("ab", 9, 150)]
+    df = spark.createDataFrame(
+        [(1, "ab Ωé🦀"), (2, "ab"), (3, None)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in
+            unigram_encode_bytes(df, vocab, "text", "doc_id").collect()}
+    assert rows[1].roundtrip_ok == 1
+    # unit 'ab' -> piece id; unit '▁Ωé🦀' -> ▁(piece) + Ω(2B) + é(2B) + 🦀(4B)
+    assert rows[1].n_fallback_bytes == 8
+    assert rows[1].n_tokens == 1 + 1 + 8
+    assert rows[2].n_fallback_bytes == 0 and rows[2].roundtrip_ok == 1
+    assert rows[3].n_tokens == 0 and rows[3].roundtrip_ok == 1
+    # byte-level order sensitivity: ids_digest differs between docs
+    assert rows[1].ids_digest != rows[2].ids_digest
