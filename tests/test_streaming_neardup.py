@@ -363,3 +363,57 @@ def test_substring_stream_compaction_preserves_answer(spark, tmp_path):
     wc = os.path.join(state, "wc")
     names = sorted(os.listdir(wc))
     assert any(n.startswith("c") for n in names), names
+
+
+def test_substring_compaction_crash_retry_finishes_deletes(spark, tmp_path):
+    """A crash between the c-dir publish and the input deletes must not
+    re-fold on retry: the second call just finishes the deletes and the
+    folded counts stay exactly the segment sums (no duplication)."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        compact_window_counts,
+    )
+
+    wc = str(tmp_path / "state" / "wc")
+    os.makedirs(wc)
+    for b, rows in ((0, [(11, 1, 100, 0), (22, 2, 101, 3)]),
+                    (1, [(11, 2, 102, 5)])):
+        spark.createDataFrame(
+            rows, "h bigint, cnt bigint, first_doc bigint, first_pos bigint"
+        ).write.mode("overwrite").parquet(f"{wc}/b{b}")
+
+    # simulate crash-after-publish: build the fold by hand as c1 while the
+    # input dirs b0/b1 are still on disk (exactly the window between the
+    # atomic rename and the input deletes)
+    import shutil
+
+    agg = (
+        spark.read.parquet(f"{wc}/b0", f"{wc}/b1")
+        .groupBy("h")
+        .agg(
+            FF.sum("cnt").cast("bigint").alias("cnt"),
+            FF.min(FF.struct(FF.col("first_doc").alias("doc"),
+                             FF.col("first_pos").alias("pos0"))).alias("f"),
+        )
+        .select("h", "cnt", FF.col("f.doc").alias("first_doc"),
+                FF.col("f.pos0").alias("first_pos"))
+    )
+    agg.write.mode("overwrite").parquet(f"{wc}/_compact_tmp")
+    os.rename(f"{wc}/_compact_tmp", f"{wc}/c1")
+    assert len(committed_versions(wc, 10**9)) == 3  # b0, b1, c1 all visible
+
+    # retry: the target-exists guard must SKIP the fold (re-folding would
+    # union c1 with its own inputs and double every count) and just
+    # finish the deletes; the count equality below is the tripwire
+    compact_window_counts(spark, str(tmp_path / "state"))
+    dirs = committed_versions(wc, 10**9)
+    assert len(dirs) == 1 and os.path.basename(dirs[0]).startswith("c")
+    got = {r.h: (r.cnt, r.first_doc, r.first_pos)
+           for r in spark.read.parquet(dirs[0]).collect()}
+    assert got[11] == (3, 100, 0)   # 1 + 2, min first kept
+    assert got[22] == (2, 101, 3)
+    assert len(got) == 2
