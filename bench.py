@@ -180,6 +180,7 @@ HEADLINE = [
     "x137_unigram_corpus_likelihood",
     "s31_stream_likelihood_drift",
     "x138_unigram_byte_fallback",
+    "x139_bulk_knn_graph",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -269,6 +269,7 @@ def ivf_topk(
     n_probe: int = 4,
     centroid_stride: int | None = None,
     centroids: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around deterministic centroids; each query
@@ -282,6 +283,13 @@ def ivf_topk(
     broadcast centroid set, candidates come from an equi-join on cell id.
     Corpus-side work per query drops ~n_probe/n_cells; everything stays
     exact-integer so the DuckDB oracle replays it.
+
+    ``broadcast_queries`` (default True) is the online-serving contract —
+    a bounded probe batch rides a driver broadcast into the cell join.
+    For BULK scoring (kNN graph, query side corpus-sized — gate x139)
+    pass False: both sides then shuffle on ``cell``, which is the only
+    plan that survives a corpus-sized query table (round-13 advice,
+    same knob as ivf_index_topk).
     """
     v = with_quantized_norm(corpus, vec_col)
     cents = _cell_centroids(
@@ -309,7 +317,7 @@ def ivf_topk(
         F.col("qnorm2").alias("qn2"), "cell",
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q) if broadcast_queries else q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",

@@ -349,7 +349,8 @@ def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_oracle(
-    k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31,
+    query_pred: str = "vec_id < 10",
 ) -> str:
     return f"""
     WITH q AS (SELECT vec_id,
@@ -370,7 +371,7 @@ def _ann_ivf_oracle(
                      FROM nn CROSS JOIN cents c)),
     corpus AS (SELECT vec_id AS neighbor_id, qvd, n2, cell FROM assign WHERE c_rank = 1),
     probes AS (SELECT vec_id AS query_id, qvd, n2, cell
-               FROM assign WHERE c_rank <= {n_probe} AND vec_id < 10),
+               FROM assign WHERE c_rank <= {n_probe} AND {query_pred}),
     scored AS (
       SELECT p.query_id, c.neighbor_id,
              CAST(FLOOR((list_dot_product(p.qvd, c.qvd)
@@ -3322,3 +3323,41 @@ def x135_ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, e.filter(F.col("vec_id") < 10), cents,
         k=5, n_probe=_X117_PROBE,
     ).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# x139 — BULK kNN graph: every corpus vector's IVF top-k, on the
+# non-broadcast cell join (the corpus-sized-query serving path)
+# ---------------------------------------------------------------------------
+
+_X139_K = 3
+
+
+@register(
+    "x139_bulk_knn_graph",
+    oracle=_ann_ivf_oracle(k=_X139_K, query_pred="TRUE"),
+    tags=("similarity", "ann", "ivf", "knn-graph", "scale"),
+)
+def x139_bulk_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULK kNN GRAPH — every corpus vector's IVF top-{_X139_K}, the
+    edge list behind SemDeDup-style clustering, related-document packing
+    (x107), and graph-based curation at corpus scale.  The query side IS
+    the corpus, so this gate certifies the NON-broadcast serving path the
+    round-13 advice asked to expose (``ivf_topk(broadcast_queries=
+    False)``): both sides shuffle on ``cell`` — the only plan that
+    survives a corpus-sized query table, where the default
+    driver-broadcast contract would OOM.  Same probe/score/rank
+    semantics as x15 (the oracle is x15's replay with the probe
+    predicate opened to every vector), so the graph is certified
+    edge-for-edge.
+
+    Scale shape: one broadcast-centroid argmax per side, ONE cell-keyed
+    shuffle join (candidates per query ~ corpus * n_probe / n_cells),
+    per-query top-k window.  At 100 TB the cell join is exactly the
+    co-partitioned layout x135's cell-sorted compaction feeds."""
+    e = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, e, "vec_id", "embedding",
+        k=_X139_K, n_cells=16, n_probe=4, centroid_stride=31,
+        broadcast_queries=False,
+    )
