@@ -192,7 +192,11 @@ def bpe_train(
         # TakeOrderedAndProject (per-partition top-K then a K-row merge) —
         # never a single-partition sort of the uncapped vocabulary, which
         # is exactly the case max_words exists for
-        wf = wf.orderBy(F.desc("freq"), "w").limit(max_words)
+        # tie-break on UTF-8 bytes (= code-point order) so the cut line is
+        # oracle/driver-portable for astral units under any collation
+        wf = wf.orderBy(
+            F.desc("freq"), F.encode(F.col("w"), "UTF-8")
+        ).limit(max_words)
     syms = wf.select(
         "w", "freq", F.posexplode(F.split("w", "")).alias("pos", "s")
     ).localCheckpoint(eager=True)
@@ -395,7 +399,9 @@ def bpe_train_capped(
         wf = sp_unit_freq(docs, text_col)
     else:
         wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
-    capped = wf.orderBy(F.desc("freq"), "w").limit(max_words)
+    capped = wf.orderBy(
+        F.desc("freq"), F.encode(F.col("w"), "UTF-8")
+    ).limit(max_words)
     rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
     merges = _train_python(rows, n_merges, base_merges=base_merges)
     off = len(base_merges or [])

@@ -504,17 +504,19 @@ def audio_prefix_signature(
     decoder: Callable[[bytes, dict | None], "tuple[np.ndarray, int]"] | None = None,
 ) -> DataFrame:
     """Content-derived audio fingerprint: the hex of the first
-    ``prefix_bytes`` BYTES of the decoded PCM sample buffer (through the
-    real codec — container bytes never enter the key, so a
-    re-containerized or length-trimmed copy of the same recording keys
-    identically while any byte-level container diff would not).  The key
-    is taken from the raw sample bytes at the decoder's native width
-    (uint8 -> 1 byte/sample, int16 -> 2, int32 -> 4), so wider codecs
-    are LOSSLESS — distinct recordings can never collide on a truncated
-    low byte, and the same recording re-encoded at a different bit depth
-    intentionally keys differently (it is different PCM content).  The
-    audio-side analog of x49's image content hash; clips shorter than
-    the prefix key on their full decoded payload."""
+    ``prefix_bytes`` BYTES of the decoded PCM sample buffer NORMALIZED to
+    little-endian int32 (through the real codec — container bytes never
+    enter the key, so a re-containerized or length-trimmed copy of the
+    same recording keys identically while any byte-level container diff
+    would not).  The ``<i4`` normalization (round-14 advice) pins the
+    byte layout: raw ``arr.tobytes()`` depends on the decoder's native
+    dtype width AND the host's endianness, so the same recording decoded
+    on a big-endian executor (or via a codec returning a different
+    integer width for the same PCM values) would key differently across
+    a heterogeneous cluster.  Widening is injective, so the key stays
+    LOSSLESS — distinct recordings can never collide on a truncated low
+    byte.  The audio-side analog of x49's image content hash; clips
+    shorter than the prefix key on their full normalized payload."""
     decoder = decoder or available_codecs()["audio"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -526,10 +528,11 @@ def audio_prefix_signature(
                 content = bytes(content)
                 arr, _rate = decoder(content, dict(meta) if meta is not None else None)
                 arr = np.asarray(arr).reshape(-1)
-                # raw sample bytes, NOT a low-byte truncation: lossless at
-                # any decoder width (round-13 advice — int16 PCM must not
-                # collide on low bytes)
-                pre = arr.tobytes()[:prefix_bytes]
+                # fixed-width little-endian sample bytes, NOT a low-byte
+                # truncation (lossless at any decoder width — round-13
+                # advice) and NOT native layout (host/dtype-portable —
+                # round-14 advice)
+                pre = arr.astype("<i4").tobytes()[:prefix_bytes]
                 rows.append(
                     {
                         "media_id": int(media_id),

@@ -361,7 +361,13 @@ def _pq_sub_from_qv(
 
 
 def _pq_subvectors(
-    df: DataFrame, id_col: str, vec_col: str, out_id: str, m: int, dsub: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    m: int,
+    dsub: int,
+    rotate: list[tuple[list[int], int]] | None = None,
 ) -> DataFrame:
     """(id, sub, sv_0..sv_{dsub-1}): quantized dsub-slice per subspace as
     SCALAR columns, not an array — pair distances over them compile to
@@ -370,13 +376,14 @@ def _pq_subvectors(
     form measured ~5x faster on the encode join).  The quantized array is
     materialized ONCE per row first — element_at over the raw transform
     expression would re-evaluate the (interpreted) lambda once per
-    extracted component, m*dsub = dim times per row."""
-    return _pq_sub_from_qv(
-        df.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv")),
-        out_id,
-        m,
-        dsub,
-    )
+    extracted component, m*dsub = dim times per row.  ``rotate`` applies
+    an OPQ Householder chain (:func:`opq_householder_chain`) to the
+    quantized array before the subspace split — the rotation seam of the
+    PQ coding path (x140)."""
+    base = df.select(F.col(id_col).alias("_id"), quantized(vec_col).alias("_qv"))
+    if rotate:
+        base = _opq_apply(base, rotate)
+    return _pq_sub_from_qv(base, out_id, m, dsub)
 
 
 def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
@@ -392,6 +399,89 @@ def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
     return out.cast("bigint")
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division — Spark ``DIV`` / DuckDB ``//``
+    semantics (toward zero) for the driver-side rotation construction;
+    Python's ``//`` floors toward -inf and would drift on negatives."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def opq_householder_chain(
+    dirs: list[list[int]],
+) -> list[tuple[list[int], int]]:
+    """OPQ-style rotation front (Ge et al. 2014) from learned principal
+    directions — the Householder QR chain that maps direction ``j`` onto
+    coordinate axis ``j``, so the variance structure the directions carry
+    lands in the FIRST PQ subspaces instead of smearing across all of
+    them.  This is the consumer of x129's block-power-iteration basis
+    (round-14 verdict #1): ``dirs`` is the quantized (bigint) top-k
+    basis, extended to a full-dim orthogonal map by padding with the
+    identity on the untouched coordinates (each reflection only acts on
+    coordinates >= j).
+
+    Integer-exact and bounded (k reflections over dim-sized vectors,
+    driver-side — no corpus access), replayed verbatim by the x140
+    oracle: ``s_j = isqrt(sum of squares over coords >= j)`` (floor), the
+    reflector sign chosen AWAY from cancellation
+    (``u_j = v_j + sign(v_j) * s``), every division truncating.  Returns
+    ``[(u, <u,u>), ...]``; hand to the ``rotate=`` parameter of
+    :func:`train_pq_codebooks` / :func:`pq_topk`.  Each reflection
+    ``x -> x - (2 <x,u> u) DIV <u,u>`` is exactly orthogonal up to the
+    +-1 integer-truncation quantum per component, so rotated-space
+    distances track original-space distances to the same quantum."""
+    import math
+
+    chain: list[tuple[list[int], int]] = []
+
+    def reflect(v: list[int], u: list[int], uu: int) -> list[int]:
+        dot = sum(x * y for x, y in zip(v, u))
+        return [x - _trunc_div(2 * dot * uc, uu) for x, uc in zip(v, u)]
+
+    for j, v in enumerate(dirs):
+        v = [int(x) for x in v]
+        for u, uu in chain:
+            v = reflect(v, u, uu)
+        s = math.isqrt(sum(x * x for x in v[j:]))
+        sign = 1 if v[j] >= 0 else -1
+        u = [0] * j + [v[j] + sign * s] + v[j + 1 :]
+        uu = sum(x * x for x in u)
+        if uu == 0:
+            # direction already (numerically) zero past axis j: identity
+            continue
+        chain.append((u, uu))
+    return chain
+
+
+def _opq_apply(df: DataFrame, chain: list[tuple[list[int], int]]) -> DataFrame:
+    """Apply a Householder chain to the ``_qv`` column (bigint array) —
+    one staged select per reflection so the per-row dot product is
+    evaluated ONCE, not re-evaluated per component inside the zip_with
+    lambda.  Pure codegen-able integer arithmetic; the chain's u vectors
+    are dim-sized SQL array literals (bounded: k * dim values).
+    Headroom: |dot| <= dim * |qv| * |u| ~ 64 * 1e5 * 1e5 = 6.4e11;
+    2*dot*u <= ~1.3e17 < 2^63."""
+    for u, uu in chain:
+        u_sql = "array(" + ",".join(f"{int(c)}L" for c in u) + ")"
+        df = df.withColumn(
+            "_dot",
+            F.expr(
+                f"aggregate(zip_with(_qv, {u_sql}, (x, y) -> x * y), "
+                "0L, (a, x) -> a + x)"
+            ),
+        )
+        df = df.withColumn(
+            "_qv",
+            F.expr(
+                f"zip_with(_qv, {u_sql}, "
+                f"(x, u) -> x - (2 * _dot * u) DIV {int(uu)}L)"
+            ),
+        ).drop("_dot")
+    return df
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -401,6 +491,7 @@ def train_pq_codebooks(
     n_centroids: int = 64,
     centroid_stride: int = 7,
     n_iters: int = 4,
+    rotate: list[tuple[list[int], int]] | None = None,
 ) -> DataFrame:
     """Train per-subspace PQ codebooks with distributed Lloyd — the
     offline-codebook production posture pq_topk/ivfpq_topk document
@@ -418,10 +509,13 @@ def train_pq_codebooks(
 
     Returns (sub, code, cv_0..cv_{dsub-1}) — pq_topk/ivfpq_topk's
     ``codebooks`` shape.  Deterministic: stride seeds, integer means,
-    (d2, code)-ascending tie-breaks.
+    (d2, code)-ascending tie-breaks.  ``rotate`` (a Householder chain
+    from :func:`opq_householder_chain`) trains the codebooks in the
+    ROTATED space — the OPQ posture; serve with the same chain handed to
+    :func:`pq_topk`.
     """
     dsub = dim // m
-    c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub)
+    c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub, rotate)
     cents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
         & (F.col("_id") < F.lit(centroid_stride * n_centroids))
@@ -742,6 +836,7 @@ def pq_topk(
     n_centroids: int = 64,
     centroid_stride: int = 7,
     codebooks: DataFrame | None = None,
+    rotate: list[tuple[list[int], int]] | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (ADC — asymmetric distance
     computation): split each dim-``dim`` vector into ``m`` subvectors, encode
@@ -784,7 +879,10 @@ def pq_topk(
     dsub = dim // m
 
     def subvectors(df: DataFrame, out_id: str) -> DataFrame:
-        return _pq_subvectors(df, id_col, vec_col, out_id, m, dsub)
+        # rotate: OPQ Householder chain (opq_householder_chain) — corpus
+        # AND queries both map into the rotated space, so codes, the LUT,
+        # and ADC distances are all rotated-space quantities (x140)
+        return _pq_subvectors(df, id_col, vec_col, out_id, m, dsub, rotate)
 
     def d2_expr(a_prefix: str, b_prefix: str) -> Column:
         return _pq_d2(dsub, a_prefix, b_prefix)
@@ -1387,6 +1485,32 @@ def ivf_index_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+def ivf_index_segments(root: str) -> list[str]:
+    """Paths of the LIVE committed segments under ``root``: committed
+    (``_SUCCESS``-marked) ``v=*`` dirs with every version BELOW the newest
+    ``_COMPACTED`` segment shadowed — a compacted segment contains every
+    older version by construction, so reading both (possible in the crash
+    window between :func:`ivf_index_compact`'s atomic publish and its
+    input deletes) serves every index row twice, and the top-k
+    ``row_number`` rank would let a duplicated neighbor occupy two of the
+    k slots and evict a true neighbor (round-14 advice).  Serving and
+    compaction both read through this list, which also keeps
+    partially-written segments from a crashed append (no ``_SUCCESS``)
+    out of the plan — partition discovery over the raw root would fold
+    them in silently."""
+    import os as _os
+
+    base = root.removeprefix("file:")
+    versions = ivf_index_versions(root)
+    compacted = [
+        v
+        for v in versions
+        if _os.path.exists(_os.path.join(base, f"v={v}", "_COMPACTED"))
+    ]
+    floor = max(compacted) if compacted else -1
+    return [_os.path.join(base, f"v={v}") for v in versions if v >= floor]
+
+
 def ivf_index_compact(spark, root: str) -> int:
     """Fold every committed segment of a persisted IVF index into ONE
     segment and return the NEXT safe append version — the c-dir
@@ -1404,39 +1528,43 @@ def ivf_index_compact(spark, root: str) -> int:
     future appends above it), only then delete the inputs.  A crash
     before the rename leaves the old segments intact (the tmp dir is not
     a ``v=`` dir, so partition discovery never sees it); a crash after it
-    leaves duplicate rows, which serving tolerates only as duplicate
-    candidates with identical scores — the retry path detects the
-    published segment (its version > every input's) and just finishes
-    the deletes.  At 100 TB the rewrite is also where the cell-clustered
-    file layout would be applied (sort the fold by ``cell`` so probes
-    touch contiguous row groups)."""
+    is harmless because BOTH the fold and serving read through
+    :func:`ivf_index_segments`, which shadows every version below the
+    published ``_COMPACTED`` segment — the already-folded inputs are
+    never re-read (re-folding would bake duplicate rows in permanently,
+    and serving them would let a duplicated neighbor evict a true one
+    from the top-k rank — round-14 advice).  The retry path here just
+    finishes the deletes.  At 100 TB the rewrite is also where the
+    cell-clustered file layout would be applied (sort the fold by
+    ``cell`` so probes touch contiguous row groups)."""
     import os as _os
     import shutil as _shutil
 
     base = root.removeprefix("file:")
     versions = ivf_index_versions(root)
-    if len(versions) <= 1:
-        return (versions[-1] + 1) if versions else 0
-    top = max(versions)
-    # retry after a crash-after-publish: the top segment carries the
-    # _COMPACTED marker — it already contains every older version, so
-    # just finish the deletes (re-folding would duplicate rows forever)
-    if _os.path.exists(_os.path.join(base, f"v={top}", "_COMPACTED")):
-        for v in versions[:-1]:
+    live = ivf_index_segments(root)
+    live_versions = sorted(
+        int(_os.path.basename(d).split("=", 1)[1]) for d in live
+    )
+    # finish any crashed prior fold's deletes: versions shadowed by a
+    # committed _COMPACTED segment are already contained in it
+    for v in versions:
+        if v not in live_versions:
             _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
-        return top + 1
+    if len(live_versions) <= 1:
+        return (live_versions[-1] + 1) if live_versions else 0
+    top = max(live_versions)
     target = _os.path.join(base, f"v={top + 1}")
     tmp = _os.path.join(base, "_compact_tmp")
     (
-        spark.read.parquet(root)
-        .drop("v")
+        spark.read.parquet(*live)
         .sort("cell")
         .write.mode("overwrite")
         .parquet(tmp)
     )
     open(_os.path.join(tmp, "_COMPACTED"), "w").close()
     _os.rename(tmp, target)
-    for v in versions:
+    for v in live_versions:
         _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
     return top + 2
 
@@ -1453,8 +1581,11 @@ def ivf_index_topk(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF top-k served FROM THE PERSISTED INDEX: the corpus side is the
-    read-back union of all committed segments (partition-discovered
-    ``v=*`` dirs) — the source embeddings table never appears in the
+    read-back union of the LIVE committed segments
+    (:func:`ivf_index_segments` — ``_SUCCESS``-checked, versions below a
+    published ``_COMPACTED`` fold shadowed, so neither a half-written
+    append nor a compaction's crash window can duplicate or corrupt
+    served rows) — the source embeddings table never appears in the
     probe plan.  Same probe/score/rank semantics as :func:`ivf_topk`
     (equi-join on cell, floor-quantized cosine, deterministic ties).
 
@@ -1465,14 +1596,14 @@ def ivf_index_topk(
     ``cell`` instead of forcing the query table through a broadcast
     (round-13 advice — a large batch would otherwise OOM the driver or
     trip the broadcast size limit)."""
-    import glob as _glob
-
-    if not _glob.glob(f"{root.removeprefix('file:')}/v=*"):
+    segments = ivf_index_segments(root)
+    if not segments:
         raise FileNotFoundError(
             f"ivf_index_topk: no committed index segments under {root!r} "
-            "(expected v=* dirs written by ivf_index_append)"
+            "(expected _SUCCESS-marked v=* dirs written by "
+            "ivf_index_update)"
         )
-    index = spark.read.parquet(root).select(
+    index = spark.read.parquet(*segments).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         F.col("qvec").alias("cvec"),

@@ -169,7 +169,12 @@ def unigram_train(
     rows."""
     capped = (
         sp_unit_freq(docs, text_col)
-        .orderBy(F.desc("freq"), F.asc("w"))
+        # tie-break on the UTF-8 BYTES of w, not the string: byte order ==
+        # code-point order, matching the DuckDB oracle and the driver-local
+        # EM for astral (non-BMP) units regardless of session collation
+        # (Spark's default UTF8_BINARY already compares UTF-8 bytes — the
+        # encode() key pins that independent of spark.sql.collation.*)
+        .orderBy(F.desc("freq"), F.asc(F.encode(F.col("w"), "UTF-8")))
         .limit(max_words)
         .collect()  # bounded: max_words rows (the x76 cap discipline)
     )

@@ -686,36 +686,40 @@ _PQ_D2_SQL = (
 
 
 def _pq_train_chain_sql(
-    dsub: int, stride: int, n_cent: int, m: int, n_iters: int
+    dsub: int, stride: int, n_cent: int, m: int, n_iters: int,
+    prefix: str = "",
 ) -> tuple[list[str], str]:
     """The per-subspace Lloyd training chain (trasgn/trbest/trupd/trnew/
     pcents blocks, one per pass) + the final codebook CTE name — factored
     out of :func:`_ivfpq_trained_oracle` so the reconstruction-error gate
     (x136) replays the IDENTICAL training text (stride seeds, argmin
     ties (d2, code), truncating-integer-division means, empty-cell
-    keep).  Callers must provide the ``sub`` and ``pcents0`` CTEs."""
+    keep).  Callers must provide the ``{prefix}sub`` and
+    ``{prefix}pcents0`` CTEs.  ``prefix`` namespaces every CTE so two
+    chains (e.g. x140's raw vs rotated arms) compose in ONE oracle."""
     pq_d2 = _PQ_D2_SQL.format(a="s.sv", b="c.cv")
+    p = prefix
     train = []
     for j in range(1, n_iters + 1):
-        prev = "pcents0" if j == 1 else f"pcents{j - 1}"
+        prev = f"{p}pcents0" if j == 1 else f"{p}pcents{j - 1}"
         train.append(f"""
-    trasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
-                  FROM sub s JOIN {prev} c USING (sub)),
-    trbest{j} AS (SELECT vec_id, sub, svq, code
+    {p}trasgn{j} AS (SELECT s.vec_id, s.sub, s.svq, c.code, {pq_d2} AS d2
+                  FROM {p}sub s JOIN {prev} c USING (sub)),
+    {p}trbest{j} AS (SELECT vec_id, sub, svq, code
                   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                                      ORDER BY d2, code) AS r
-                        FROM trasgn{j})
+                        FROM {p}trasgn{j})
                   WHERE r = 1),
-    trupd{j} AS (SELECT sub, code, i,
+    {p}trupd{j} AS (SELECT sub, code, i,
                         CAST(SUM(svq[CAST(i AS INT)]) // COUNT(*) AS BIGINT) AS cval
-                 FROM trbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
+                 FROM {p}trbest{j} CROSS JOIN (SELECT UNNEST(range(1, {dsub + 1})) AS i)
                  GROUP BY sub, code, i),
-    trnew{j} AS (SELECT sub, code,
+    {p}trnew{j} AS (SELECT sub, code,
                         list_transform(list(cval ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
-                 FROM trupd{j} GROUP BY sub, code),
-    pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
-                  FROM {prev} p LEFT JOIN trnew{j} n USING (sub, code))""")
-    return train, f"pcents{n_iters}"
+                 FROM {p}trupd{j} GROUP BY sub, code),
+    {p}pcents{j} AS (SELECT p.sub, p.code, COALESCE(n.cv, p.cv) AS cv
+                  FROM {prev} p LEFT JOIN {p}trnew{j} n USING (sub, code))""")
+    return train, f"{p}pcents{n_iters}"
 
 
 def _ivfpq_trained_oracle(
@@ -6539,4 +6543,236 @@ def x136_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("code").cast("bigint").alias("n_codes_used"),
         F.sum("d2").cast("bigint").alias("total_d2"),
         F.expr("SUM(d2) DIV COUNT(*)").cast("bigint").alias("mean_d2_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x140 — OPQ-rotated PQ: consume the x129 basis in the PQ coding path and
+# certify the rotated-vs-raw distortion table (Ge et al. 2014)
+# ---------------------------------------------------------------------------
+
+_X140_M = 16
+_X140_DSUB = 4
+_X140_CENT = 64
+_X140_STRIDE = 7
+_X140_ITERS = 2
+
+
+def _x140_rotation_ctes(p1: str, p2: str, dim: int) -> str:
+    """SQL replay of :func:`~hiveka_spark.operators.similarity.
+    opq_householder_chain` + its corpus application: build the two
+    Householder reflectors from the x129 direction tables ``p1``/``p2``
+    (floor-isqrt with a one-step correction — exact for nn < ~2^40 since
+    IEEE sqrt is correctly rounded there; sign away from cancellation;
+    truncating //), then rotate every quantized corpus vector.  Produces
+    ``rq2`` (vec_id, qv) — the rotated twin of the scatter's ``q``.  A
+    zero reflector (uu = 0) is an identity both here (CASE guard
+    subtracts 0) and driver-side (the chain skips it)."""
+    isq = ("CASE WHEN (s0+1)*(s0+1) <= nn THEN s0+1 "
+           "WHEN s0*s0 > nn THEN s0-1 ELSE s0 END")
+    return f"""r1n AS (SELECT CAST(SUM(val*val) AS BIGINT) AS nn,
+                 CAST(MAX(CASE WHEN i = 1 THEN val END) AS BIGINT) AS vj
+          FROM {p1}),
+    r1q AS (SELECT vj, {isq} AS s
+            FROM (SELECT nn, vj,
+                         CAST(FLOOR(SQRT(CAST(nn AS DOUBLE))) AS BIGINT) AS s0
+                  FROM r1n)),
+    u1 AS MATERIALIZED (SELECT i,
+            CAST(CASE WHEN i = 1
+                 THEN val + (CASE WHEN r.vj >= 0 THEN 1 ELSE -1 END) * r.s
+                 ELSE val END AS BIGINT) AS u
+         FROM {p1} CROSS JOIN r1q r),
+    u1u AS (SELECT CAST(SUM(u*u) AS BIGINT) AS uu FROM u1),
+    p2d AS (SELECT CAST(SUM(a.val * b.u) AS BIGINT) AS dt
+            FROM {p2} a JOIN u1 b USING (i)),
+    p2r AS MATERIALIZED (SELECT a.i,
+            CAST(a.val - CASE WHEN w.uu = 0 THEN 0
+                 ELSE (2 * d.dt * b.u) // w.uu END AS BIGINT) AS val
+         FROM {p2} a JOIN u1 b USING (i) CROSS JOIN p2d d CROSS JOIN u1u w),
+    r2n AS (SELECT CAST(SUM(CASE WHEN i >= 2 THEN val*val ELSE 0 END)
+                        AS BIGINT) AS nn,
+                   CAST(MAX(CASE WHEN i = 2 THEN val END) AS BIGINT) AS vj
+            FROM p2r),
+    r2q AS (SELECT vj, {isq} AS s
+            FROM (SELECT nn, vj,
+                         CAST(FLOOR(SQRT(CAST(nn AS DOUBLE))) AS BIGINT) AS s0
+                  FROM r2n)),
+    u2 AS MATERIALIZED (SELECT i,
+            CAST(CASE WHEN i = 1 THEN 0
+                 WHEN i = 2
+                 THEN val + (CASE WHEN r.vj >= 0 THEN 1 ELSE -1 END) * r.s
+                 ELSE val END AS BIGINT) AS u
+         FROM p2r CROSS JOIN r2q r),
+    u2u AS (SELECT CAST(SUM(u*u) AS BIGINT) AS uu FROM u2),
+    u1l AS (SELECT list(u ORDER BY i) AS ul FROM u1),
+    u2l AS (SELECT list(u ORDER BY i) AS ul FROM u2),
+    rd1 AS MATERIALIZED (SELECT q.vec_id, q.qv,
+            CAST(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> q.qv[CAST(i AS INT)] * t.ul[CAST(i AS INT)]))
+                 AS BIGINT) AS dt
+          FROM q CROSS JOIN u1l t),
+    rq1 AS MATERIALIZED (SELECT vec_id,
+            list_transform(range(1, {dim + 1}),
+                 i -> CAST(qv[CAST(i AS INT)] -
+                      CASE WHEN w.uu = 0 THEN 0
+                      ELSE (2 * dt * t.ul[CAST(i AS INT)]) // w.uu END
+                      AS BIGINT)) AS qv
+          FROM rd1 CROSS JOIN u1l t CROSS JOIN u1u w),
+    rd2 AS MATERIALIZED (SELECT r.vec_id, r.qv,
+            CAST(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> r.qv[CAST(i AS INT)] * t.ul[CAST(i AS INT)]))
+                 AS BIGINT) AS dt
+          FROM rq1 r CROSS JOIN u2l t),
+    rq2 AS MATERIALIZED (SELECT vec_id,
+            list_transform(range(1, {dim + 1}),
+                 i -> CAST(qv[CAST(i AS INT)] -
+                      CASE WHEN w.uu = 0 THEN 0
+                      ELSE (2 * dt * t.ul[CAST(i AS INT)]) // w.uu END
+                      AS BIGINT)) AS qv
+          FROM rd2 CROSS JOIN u2l t CROSS JOIN u2u w)"""
+
+
+def _x140_arm_ctes(
+    p: str, src: str, m: int, dsub: int, n_cent: int, stride: int,
+    n_iters: int,
+) -> str:
+    """One distortion arm (x136's sub/pcents0/train/best/report chain)
+    namespaced by ``p`` over a (vec_id, qv) source CTE."""
+    pq_d2 = _PQ_D2_SQL.format(a="s.sv", b="c.cv")
+    train, final = _pq_train_chain_sql(dsub, stride, n_cent, m, n_iters, p)
+    return f"""{p}sub AS MATERIALIZED (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)] AS svq,
+               list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM {src} CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    {p}pcents0 AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+                FROM {p}sub
+                WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    {",".join(train)},
+    {p}asgn AS (SELECT s.vec_id, s.sub, c.code, {pq_d2} AS d2
+             FROM {p}sub s JOIN {final} c USING (sub)),
+    {p}best AS (SELECT vec_id, sub, d2
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                ORDER BY d2, code) AS r
+                   FROM {p}asgn)
+             WHERE r = 1),
+    {p}rep AS (SELECT sub, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(d2) AS BIGINT) AS total
+               FROM {p}best GROUP BY sub)"""
+
+
+def _x140_oracle(
+    m: int = _X140_M,
+    dsub: int = _X140_DSUB,
+    n_cent: int = _X140_CENT,
+    stride: int = _X140_STRIDE,
+    n_iters: int = _X140_ITERS,
+) -> str:
+    from hiveka_spark.queries.extensions import (
+        _X119_DIM,
+        _x119_scatter_ctes,
+        _x129_chain_ctes,
+    )
+
+    dim = _X119_DIM
+    chain, p1, p2 = _x129_chain_ctes(dim)
+    return f"""
+    WITH {_x119_scatter_ctes(dim)},
+    {chain},
+    {_x140_rotation_ctes(p1, p2, dim)},
+    {_x140_arm_ctes("raw", "q", m, dsub, n_cent, stride, n_iters)},
+    {_x140_arm_ctes("rot", "rq2", m, dsub, n_cent, stride, n_iters)}
+    SELECT CAST(a.sub AS BIGINT) AS sub,
+           CAST(a.n AS BIGINT) AS n_vecs,
+           CAST(a.total AS BIGINT) AS raw_total_d2,
+           CAST(b.total AS BIGINT) AS rot_total_d2,
+           CAST(a.total // a.n AS BIGINT) AS raw_mean_d2_q,
+           CAST(b.total // b.n AS BIGINT) AS rot_mean_d2_q
+    FROM rawrep a JOIN rotrep b USING (sub)
+    """
+
+
+@register(
+    "x140_opq_rotated_pq",
+    oracle=_x140_oracle(),
+    tags=("similarity", "ann", "pq", "opq", "certification"),
+)
+def x140_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ROTATED PQ distortion table — the consumer of x129's learned
+    basis (round-14 verdict #1, Ge et al. 2014): the top-2 principal
+    directions become a Householder rotation front
+    (:func:`~hiveka_spark.operators.similarity.opq_householder_chain`,
+    padded to dim by identity on the untouched coordinates), PQ codebooks
+    are trained in BOTH the raw and the rotated space with the identical
+    Lloyd recipe, and the gate reports x136's per-subspace reconstruction
+    error side by side — the table an index build reads to decide whether
+    the rotation pays for this corpus (on near-uniform unit-sphere
+    fixtures the delta is ~nil by construction; on clustered corpora the
+    rotation concentrates inter-cluster variance into the first
+    subspaces and the delta is large — pinned by the planted-cluster
+    recall/distortion tests in tests/test_opq.py).
+
+    Scale shape: the basis is x119/x129's one corpus pass + dim-sized
+    iterations; the rotation is a per-row map (two broadcast dim-vector
+    reflections, pure codegen integer arithmetic — no shuffle); each arm
+    is x136's broadcast-join Lloyd + one m-row rollup.  The oracle
+    replays EVERYTHING — scatter, three power iterations with
+    Gram-Schmidt, isqrt reflector construction, per-vector rotation, and
+    both training chains (namespaced via _pq_train_chain_sql's prefix) —
+    in one WITH chain."""
+    from hiveka_spark.operators.similarity import (
+        _pq_d2,
+        _pq_subvectors,
+        opq_householder_chain,
+        train_pq_codebooks,
+    )
+    from hiveka_spark.queries.extensions import x129_block_power_iteration
+
+    e = table(spark, sf_dir, "embeddings")
+    # bounded: dim rows — the learned basis, collected once
+    basis = sorted(
+        (r.pos, r.dir1_q, r.dir2_q)
+        for r in x129_block_power_iteration(spark, sf_dir).collect()
+    )
+    chain = opq_householder_chain(
+        [[b[1] for b in basis], [b[2] for b in basis]]
+    )
+    dim = _X140_M * _X140_DSUB
+
+    def arm(rotate, tag: str) -> DataFrame:
+        books = train_pq_codebooks(
+            e, m=_X140_M, dim=dim, n_centroids=_X140_CENT,
+            centroid_stride=_X140_STRIDE, n_iters=_X140_ITERS,
+            rotate=rotate,
+        ).localCheckpoint(eager=True)  # bounded: m * n_centroids rows
+        c_sub = _pq_subvectors(
+            e, "vec_id", "embedding", "_id", _X140_M, _X140_DSUB, rotate
+        )
+        best = (
+            c_sub.join(F.broadcast(books), "sub")
+            .withColumn("d2", _pq_d2(_X140_DSUB, "sv_", "cv_"))
+            .groupBy("_id", "sub")
+            .agg(F.min(F.struct("d2", "code")).alias("b"))
+            .select("sub", F.col("b.d2").alias("d2"))
+        )
+        return best.groupBy("sub").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{tag}_n"),
+            F.sum("d2").cast("bigint").alias(f"{tag}_total_d2"),
+            F.expr("SUM(d2) DIV COUNT(*)").cast("bigint")
+            .alias(f"{tag}_mean_d2_q"),
+        )
+
+    raw = arm(None, "raw")
+    rot = arm(chain, "rot")
+    return (
+        raw.join(rot, "sub")
+        .select(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("raw_n").alias("n_vecs"),
+            "raw_total_d2",
+            "rot_total_d2",
+            "raw_mean_d2_q",
+            "rot_mean_d2_q",
+        )
     )

@@ -2441,8 +2441,12 @@ def _x116_oracle() -> str:
              CAST(doc_id % 400 + 100 AS BIGINT) AS n
       FROM documents),
     k AS (SELECT doc_id, n,
-                 concat(sha256(CAST(gid AS VARCHAR)),
-                        sha256(CAST(gid AS VARCHAR))) AS prefix_hex
+                 -- 64 key bytes = the first 16 decoded uint8 samples
+                 -- widened to little-endian int32 (the engine's <i4
+                 -- normalization): each digest byte -> its hex + '000000'
+                 array_to_string(list_transform(range(0, 16),
+                     i -> substr(sha256(CAST(gid AS VARCHAR)), 2*i + 1, 2)
+                          || '000000'), '') AS prefix_hex
           FROM b)
     SELECT prefix_hex,
            CAST(COUNT(*) AS BIGINT) AS n_clips,
@@ -2460,7 +2464,8 @@ def _x116_oracle() -> str:
 )
 def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio content dedup with a REAL codec in the loop (the audio-side
-    x49): clips are keyed by the hex of their first 64 DECODED samples —
+    x49): clips are keyed by the hex of the first 64 bytes of their
+    DECODED samples normalized to little-endian int32 —
     container bytes never enter the key, so trimmed or extended copies
     of the same recording (different RIFF lengths, same PCM prefix)
     group together while any byte-level container comparison would not.
@@ -2475,10 +2480,11 @@ def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stdlib wave codec (real RIFF parse, x44's discipline); the dedup
     is ONE hash aggregate on the 128-hex-char key — x01's shape, the
     shuffle carries fingerprints, never audio bytes.  The oracle replays
-    the digest-tiling arithmetic: the decoded 64-sample prefix of a
-    sha256-tiled payload is the digest twice, so prefix_hex ==
-    concat(sha256(gid), sha256(gid)) — certified without the oracle
-    ever seeing a container."""
+    the digest-tiling arithmetic through the ``<i4`` key normalization:
+    the 64 key bytes are the first 16 decoded uint8 samples (= the first
+    16 bytes of sha256(gid)) each widened to 4 little-endian bytes, so
+    prefix_hex is the digest's first 16 hex pairs each suffixed
+    '000000' — certified without the oracle ever seeing a container."""
     from hiveka_spark.operators.multimodal import (
         audio_prefix_signature,
         synthesize_wav_media,
@@ -3147,7 +3153,14 @@ def x124_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x129_oracle(dim: int = _X119_DIM, iters: int = _X119_ITERS) -> str:
+def _x129_chain_ctes(
+    dim: int = _X119_DIM, iters: int = _X119_ITERS
+) -> tuple[str, str, str]:
+    """The x129 block-power-iteration CTE chain (a0/b0 seeds + the
+    per-iteration matvec/rescale/Gram-Schmidt blocks) WITHOUT the scatter
+    prefix or final select — shared by the x129 oracle and x140's OPQ
+    rotation front, which consumes the two direction tables it produces.
+    Returns ``(ctes_text, dir1_cte_name, dir2_cte_name)``."""
     matvec, rescale = _x119_matvec_sql, _x119_rescale_sql
 
     def ortho(u2: str, v1: str, dots: str, o2: str) -> str:
@@ -3162,7 +3175,13 @@ def _x129_oracle(dim: int = _X119_DIM, iters: int = _X119_ITERS) -> str:
       SELECT a.i, CAST(a.val - (d.num * b.val) // d.den AS BIGINT) AS wv
       FROM {u2} a JOIN {v1} b USING (i) CROSS JOIN {dots} d)"""
 
-    steps = []
+    steps = [
+        f"""a0 AS (SELECT i, CAST(1 AS BIGINT) AS val
+           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i))""",
+        f"""b0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END AS BIGINT)
+                    AS val
+           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i))""",
+    ]
     p1, p2 = "a0", "b0"
     for t in range(1, iters + 1):
         steps += [
@@ -3172,14 +3191,13 @@ def _x129_oracle(dim: int = _X119_DIM, iters: int = _X119_ITERS) -> str:
             rescale(f"bo{t}", f"b{t}"),
         ]
         p1, p2 = f"a{t}", f"b{t}"
-    chain = ",\n    ".join(steps)
+    return ",\n    ".join(steps), p1, p2
+
+
+def _x129_oracle(dim: int = _X119_DIM, iters: int = _X119_ITERS) -> str:
+    chain, p1, p2 = _x129_chain_ctes(dim, iters)
     return f"""
     WITH {_x119_scatter_ctes(dim)},
-    a0 AS (SELECT i, CAST(1 AS BIGINT) AS val
-           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
-    b0 AS (SELECT i, CAST(CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END AS BIGINT)
-                    AS val
-           FROM (SELECT UNNEST(range(1, {dim + 1})) AS i)),
     {chain}
     SELECT CAST(v1.i AS BIGINT) AS pos, v1.val AS dir1_q, v2.val AS dir2_q
     FROM {p1} v1 JOIN {p2} v2 USING (i)

@@ -97,6 +97,42 @@ def committed_versions(root: str, before: int) -> list[str]:
     ]
 
 
+def wc_committed_versions(root: str, before: int) -> list[str]:
+    """LIVE committed window-count store dirs: :func:`committed_versions`
+    with stale-delta SHADOWING — every dir (``b`` or older ``c``) whose id
+    is <= the max committed c-dir id is dropped unless it IS that c-dir,
+    because a c-dir by construction AGGREGATES every version <= its id.
+
+    Why the wc store needs this and the band index does not: the band
+    probe is distinct-on-pairs, so reading a folded b-dir alongside the
+    c-dir that contains it only duplicates rows it then distincts away.
+    The wc probe SUMS ``cnt`` — in the crash window between
+    :func:`compact_window_counts`' atomic c{top} publish and its input
+    deletes, summing both would double-count every folded window: a
+    window truly seen once gets pcnt=2, the pcnt==1 retro rule in
+    :func:`make_substring_sink` silently skips emitting its stored first
+    occurrence, and the replayed batch overwrites ``starts/b{id}`` with
+    the corrupted result permanently (round-14 advice).  Both the sink's
+    prior probe and the compactor read through this wrapper, so that
+    crash window costs only disk until the next fold finishes the
+    deletes."""
+    dirs = committed_versions(root, before)
+    cids = [
+        int(os.path.basename(d)[1:])
+        for d in dirs
+        if os.path.basename(d).startswith("c")
+    ]
+    if not cids:
+        return dirs
+    mc = max(cids)
+    return [
+        d
+        for d in dirs
+        if int(os.path.basename(d)[1:]) > mc
+        or os.path.basename(d) == f"c{mc}"
+    ]
+
+
 def compact_band_index(
     spark: SparkSession, state_root: str, before: int = 10**9
 ) -> None:
@@ -380,7 +416,7 @@ def make_substring_sink(state_root: str, min_len: int = 10,
         ).write.mode("overwrite").parquet(os.path.join(wc_root, f"b{batch_id}"))
         own = s.read.parquet(os.path.join(wc_root, f"b{batch_id}"))
 
-        prior_dirs = committed_versions(wc_root, batch_id)
+        prior_dirs = wc_committed_versions(wc_root, batch_id)
         if prior_dirs:
             prior = (
                 s.read.parquet(*prior_dirs)
@@ -413,7 +449,7 @@ def make_substring_sink(state_root: str, min_len: int = 10,
         )
         if (
             compact_after is not None
-            and len(committed_versions(wc_root, 10**9)) >= compact_after
+            and len(wc_committed_versions(wc_root, 10**9)) >= compact_after
         ):
             # before=batch_id: never fold THIS batch's dir (replay safety
             # — compact_band_index's in-stream rule)
@@ -498,13 +534,24 @@ def compact_window_counts(
     per distinct window.  Probe semantics are unchanged exactly because
     the probe already computes this aggregate over segment rows — cnt
     sums and the min-struct both commute with the fold (pinned by
-    tests/test_streaming_neardup.py).  Same crash ordering and in-stream
-    safety rules as the band compaction (publish c{top} atomically, pass
-    ``before = current batch id`` mid-stream)."""
+    tests/test_streaming_neardup.py).  Same publish ordering as the band
+    compaction (publish c{top} atomically, pass ``before = current batch
+    id`` mid-stream) — but because summed counts do NOT tolerate the
+    crash window between publish and input deletes the way the band
+    index's distinct-on-pairs probe does, the fold reads through
+    :func:`wc_committed_versions` (dirs already folded into a committed
+    c-dir are shadowed, never re-summed) and FIRST finishes any stale
+    deletes a crashed prior fold left behind."""
     import shutil
 
     root = os.path.join(state_root, "wc")
-    dirs = committed_versions(root, before)
+    all_dirs = committed_versions(root, before)
+    dirs = wc_committed_versions(root, before)
+    for d in set(all_dirs) - set(dirs):
+        # crash-retry: these were folded into the committed c-dir by a
+        # prior compaction that died before its deletes — finish them
+        # (re-folding them would double-count every window permanently)
+        shutil.rmtree(d, ignore_errors=True)
     if len(dirs) <= 1:
         return
     top = max(int(os.path.basename(d)[1:]) for d in dirs)

@@ -417,3 +417,120 @@ def test_substring_compaction_crash_retry_finishes_deletes(spark, tmp_path):
     assert got[11] == (3, 100, 0)   # 1 + 2, min first kept
     assert got[22] == (2, 101, 3)
     assert len(got) == 2
+
+
+def test_wc_probe_shadows_stale_deltas_in_crash_window(spark, tmp_path):
+    """Round-14 advice regression: with BOTH the published c-dir and its
+    not-yet-deleted b-dir inputs on disk (the crash window between
+    compact_window_counts' rename and its deletes), the next batch's
+    prior probe must see each folded window ONCE.  Summing both would
+    give a once-seen window pcnt=2, the pcnt==1 retro rule would skip
+    emitting the stored first occurrence, and the corrupted starts/b{id}
+    would be overwritten permanently."""
+    import os
+    import shutil
+
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        make_substring_sink,
+        wc_committed_versions,
+    )
+
+    state = str(tmp_path / "state")
+    sink = make_substring_sink(state, min_len=10)
+    wc = os.path.join(state, "wc")
+    starts = os.path.join(state, "starts")
+
+    text = "a b c d e f g h i j"  # 10 words: exactly one length-10 window
+    sink(spark.createDataFrame([(100, text)],
+                               "doc_id bigint, text string"), 0)
+
+    # crash window: c0 (fold of b0) published, b0's delete unfinished
+    shutil.copytree(os.path.join(wc, "b0"), os.path.join(wc, "c0"))
+    assert len(committed_versions(wc, 10**9)) == 2
+    live = wc_committed_versions(wc, 10**9)
+    assert [os.path.basename(d) for d in live] == ["c0"]
+
+    # batch 1 brings the second copy: prior pcnt must be 1, so the stored
+    # first occurrence (100, 0) is retro-emitted alongside (200, 0)
+    sink(spark.createDataFrame([(200, text)],
+                               "doc_id bigint, text string"), 1)
+    got = {
+        (r.doc, r.pos0)
+        for r in spark.read.parquet(os.path.join(starts, "b1")).collect()
+    }
+    assert got == {(100, 0), (200, 0)}
+
+
+def test_ivf_serving_shadows_crash_window_duplicates(spark, tmp_path):
+    """Round-14 advice regression: in ivf_index_compact's crash window
+    (published _COMPACTED segment + not-yet-deleted inputs), serving must
+    NOT read every index row twice — a duplicated neighbor would occupy
+    two of the k slots and evict a true neighbor.  Also: a half-written
+    segment (no _SUCCESS) never enters the plan, and the compact retry
+    just finishes the deletes."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_segments,
+        ivf_index_topk,
+        ivf_index_update,
+        ivf_index_versions,
+    )
+
+    root = str(tmp_path / "ivf")
+    e = table(spark, SF_SMOKE, "embeddings")
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.filter(FF.col("vec_id") % 31 == 0)
+        .withColumn("cell", (FF.row_number().over(w) - 1).cast("bigint"))
+        .filter(FF.col("cell") < 4)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 2 == 0), root, 1, cents)
+    ivf_index_update(spark, e.filter(FF.col("vec_id") % 2 == 1), root, 2, cents)
+    q = e.filter(FF.col("vec_id") < 5)
+
+    def serve():
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_index_topk(
+                spark, root, q, cents, k=5, n_probe=2
+            ).collect()
+        )
+
+    baseline = serve()
+
+    # build the crash window by hand: fold v1+v2 into a _COMPACTED v=3,
+    # leave the inputs on disk (rename done, deletes not)
+    segs = ivf_index_segments(root)
+    tmp = os.path.join(root, "_compact_tmp")
+    spark.read.parquet(*segs).sort("cell").write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, "_COMPACTED"), "w").close()
+    os.rename(tmp, os.path.join(root, "v=3"))
+    assert ivf_index_versions(root) == [1, 2, 3]
+
+    live = ivf_index_segments(root)
+    assert [os.path.basename(d) for d in live] == ["v=3"]
+    assert serve() == baseline, "crash-window serving diverged"
+
+    # half-written append (no _SUCCESS) is invisible to serving
+    shutil.copytree(os.path.join(root, "v=3"), os.path.join(root, "v=4"))
+    os.remove(os.path.join(root, "v=4", "_SUCCESS"))
+    assert [os.path.basename(d) for d in ivf_index_segments(root)] == ["v=3"]
+    assert serve() == baseline
+    shutil.rmtree(os.path.join(root, "v=4"))
+
+    # retry finishes the deletes without re-folding
+    n_rows = spark.read.parquet(*ivf_index_segments(root)).count()
+    nxt = ivf_index_compact(spark, root)
+    assert ivf_index_versions(root) == [3] and nxt == 4
+    assert spark.read.parquet(os.path.join(root, "v=3")).count() == n_rows
+    assert serve() == baseline

@@ -327,3 +327,18 @@ def test_byte_fallback_lossless_on_oov(spark):
     assert rows[3].n_tokens == 0 and rows[3].roundtrip_ok == 1
     # byte-level order sensitivity: ids_digest differs between docs
     assert rows[1].ids_digest != rows[2].ids_digest
+
+
+def test_unit_cap_tie_breaks_on_code_points(spark):
+    """Round-14 advice pin: the max_words cut line tie-breaks equal-freq
+    units in CODE-POINT order (the DuckDB-oracle / driver-EM order), not
+    UTF-16 code-unit order — for astral units the two diverge (surrogates
+    0xD800-0xDFFF sort below BMP 0xE000+ in UTF-16).  U+FFFD (65533) must
+    win the cut against U+10000 (65536)."""
+    from hiveka_spark.operators.unigram import unigram_train
+
+    docs = spark.createDataFrame([("\U00010000 �",)], "text string")
+    vocab = unigram_train(docs, max_words=1, max_piece_len=2)
+    pieces = {p for p, _, _ in vocab}
+    assert any("�" in p for p in pieces), pieces
+    assert not any("\U00010000" in p for p in pieces), pieces
