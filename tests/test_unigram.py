@@ -342,3 +342,81 @@ def test_unit_cap_tie_breaks_on_code_points(spark):
     pieces = {p for p, _, _ in vocab}
     assert any("�" in p for p in pieces), pieces
     assert not any("\U00010000" in p for p in pieces), pieces
+
+
+def test_lse_tables_match_duckdb(duck):
+    """The soft E-step's two bounded quantization tables must agree
+    ENTRY-BY-ENTRY between Python's math and DuckDB's ln/exp — the x141
+    oracle replays the whole forward-backward on these 2x1401 integers,
+    so this is the certified (not assumed) libm-agreement seam."""
+    from hiveka_spark.operators.unigram import _LSE_MAX_B, _lse_tables
+
+    corr, expw = _lse_tables()
+    got_corr = dict(duck.sql(
+        "SELECT b, CAST(FLOOR(1000000.0 * ln(1.0 + exp(-b / 100.0))) AS BIGINT)"
+        " FROM (SELECT UNNEST(range(0, 1401)) AS b)").fetchall())
+    got_expw = dict(duck.sql(
+        "SELECT b, CAST(FLOOR(1000000.0 * exp(-b / 100.0)) AS BIGINT)"
+        " FROM (SELECT UNNEST(range(0, 1401)) AS b)").fetchall())
+    assert len(corr) == len(expw) == _LSE_MAX_B + 1 == 1401
+    assert all(got_corr[b] == corr[b] for b in range(1401))
+    assert all(got_expw[b] == expw[b] for b in range(1401))
+    # boundary semantics: the table is exactly long enough — the last
+    # bucket's correction/weight is 0, so capping at 1400 loses nothing
+    assert corr[1400] == 0 and expw[1400] == 0
+
+
+def test_soft_em_diverges_from_hard_on_ambiguous_corpus(spark):
+    """The round-14 verdict's divergence fixture: on a corpus of
+    overlapping repeats (abab/abba/baba...) the 1-best E-step routes ALL
+    mass through its tie-broken winner while forward-backward spreads
+    posterior mass over competing segmentations — the two trainers ship
+    genuinely different vocabularies, pinned here so the families can
+    never silently collapse into one another."""
+    from hiveka_spark.operators.unigram import (
+        unigram_train,
+        unigram_train_soft,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab abba baba ab ba aa bb abab abba") for i in range(3)]
+        + [(9, "xyz xy yz zx xyz")],
+        "doc_id bigint, text string",
+    )
+    hard = unigram_train(docs, max_words=50, max_piece_len=3,
+                         n_seed=40, keep_multi=8)
+    soft = unigram_train_soft(docs, max_words=50, max_piece_len=3,
+                              n_seed=40, keep_multi=8)
+    hp = {p for p, _, _ in hard}
+    sp = {p for p, _, _ in soft}
+    # pinned divergence: soft's posterior mass keeps the short prefix
+    # piece, hard's 1-best count ranking keeps the longer rare one
+    assert "▁a" in sp - hp, sorted(sp - hp)
+    assert "▁aa" in hp - sp, sorted(hp - sp)
+    # characters shadowed by multi-char pieces get ZERO count under
+    # 1-best (never on a winning path) but real posterior mass under
+    # forward-backward — the soft-EM signature
+    hd = {p: c for p, c, _ in hard}
+    sd = {p: c for p, c, _ in soft}
+    assert hd["a"] == 0 and hd["b"] == 0
+    assert sd["a"] > 0 and sd["b"] > 0
+
+
+def test_soft_vocab_round_trips_through_apply(spark):
+    """A soft-trained vocabulary is a drop-in for the apply path: every
+    document tokenizes with the lossless round-trip certificate intact
+    (chars are always kept, so coverage holds by construction)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.unigram import (
+        unigram_apply_fast,
+        unigram_train_soft,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents")
+    vocab = unigram_train_soft(d, max_words=200, max_piece_len=4,
+                               n_seed=128, keep_multi=64)
+    out = unigram_apply_fast(d, vocab, max_piece_len=4).collect()
+    assert out and all(r.roundtrip_ok for r in out)
+    assert any(r.n_tokens > 0 for r in out)
