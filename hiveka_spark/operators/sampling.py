@@ -812,3 +812,84 @@ def multi_epoch_shards(
         F.row_number().over(w).cast("bigint").alias("shard_pos"),
         *keep_cols,
     )
+
+
+def greedy_chain_segments(
+    seg_docs: DataFrame, budget: int, max_seg: int = 4096
+) -> DataFrame:
+    """Greedy nearest-neighbor CHAIN packing report per (cell, seg) group —
+    the within-segment order of Shi et al. 2024's in-context pretraining
+    done on TRUE pairwise similarity instead of x107's distance-to-centroid
+    surrogate (round-14 verdict #3: consume the kNN structure).  Input
+    rows: (cell, seg, vec_id, crank, len, qv) with ``qv`` the quantized
+    bigint embedding; per group the chain starts at the min-crank doc
+    (the segment's centroid-nearest — the same doc x107's order starts
+    with) and repeatedly extends to the unvisited doc with the MAXIMUM
+    quantized dot to the current one (tie: min vec_id), then x25's
+    cumulative-token chunking runs over the chain order.
+
+    Output one row per (cell, seg): n_docs, n_chunks, sum_len, n_pairs,
+    chain_adj_dot (the adjacency certificate — SUM of the chain-step
+    dots, exact int64: |dot| <= dim * 1e8).
+
+    Scale shape: ONE shuffle groups each segment's <= ``max_seg`` docs
+    (the x107 segment seam bounds the group — this is the per-buffer
+    locality the paper's sharded implementation accepts), then the
+    Arrow-batched applyInPandas chain is O(n^2) int64 dot products on a
+    BOUNDED group (64 docs x dim 64 at the gate's settings); nothing is
+    corpus-quadratic.  The greedy argmax and tie rule replay exactly in
+    the x143 oracle's recursive CTE."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "cell bigint, seg bigint, n_docs bigint, n_chunks bigint, "
+        "sum_len bigint, n_pairs bigint, chain_adj_dot bigint"
+    )
+
+    def run(key, pdf):
+        cell, seg = int(key[0]), int(key[1])
+        n = len(pdf)
+        if n > max_seg:
+            raise ValueError(
+                f"greedy_chain_segments: segment ({cell},{seg}) has {n} "
+                f"docs > max_seg={max_seg} — shrink the segment seam"
+            )
+        pdf = pdf.sort_values("crank").reset_index(drop=True)
+        q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        ids = pdf["vec_id"].to_numpy()
+        lens = pdf["len"].to_numpy()
+        remaining = list(range(1, n))
+        order = [0]
+        cur = 0
+        chain_dot = 0
+        while remaining:
+            rem = np.asarray(remaining)
+            dots = q[rem] @ q[cur]
+            m = dots.max()
+            tied = rem[dots == m]
+            nxt = int(tied[np.argmin(ids[tied])])
+            chain_dot += int(m)
+            order.append(nxt)
+            remaining.remove(nxt)
+            cur = nxt
+        cum = 0
+        chunks = set()
+        for i in order:
+            chunks.add(cum // budget)
+            cum += int(lens[i])
+        return pd.DataFrame(
+            [
+                {
+                    "cell": cell,
+                    "seg": seg,
+                    "n_docs": n,
+                    "n_chunks": len(chunks),
+                    "sum_len": int(lens.sum()),
+                    "n_pairs": n - 1,
+                    "chain_adj_dot": chain_dot,
+                }
+            ]
+        )
+
+    return seg_docs.groupBy("cell", "seg").applyInPandas(run, schema)

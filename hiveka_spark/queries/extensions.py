@@ -348,12 +348,15 @@ def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_planes=4)
 
 
-def _ann_ivf_oracle(
+def _ann_ivf_ctes(
     k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31,
-    query_pred: str = "vec_id < 10",
+    query_pred: str = "vec_id < 10", out: str = "knnf",
 ) -> str:
-    return f"""
-    WITH q AS (SELECT vec_id,
+    """The IVF top-k replay as a CTE chain ending in ``{out}`` (query_id,
+    neighbor_id, cosine, rank) — factored out of :func:`_ann_ivf_oracle`
+    so graph consumers (x142's mutual-kNN components) can embed x139's
+    certified edge list as their input CTE."""
+    return f"""q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
           FROM embeddings),
     nn AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd,
@@ -377,12 +380,22 @@ def _ann_ivf_oracle(
              CAST(FLOOR((list_dot_product(p.qvd, c.qvd)
                          / (sqrt(p.n2) * sqrt(c.n2))) * 10000.0) AS BIGINT) / 10000.0
                AS cosine
-      FROM probes p JOIN corpus c ON p.cell = c.cell AND c.neighbor_id <> p.query_id)
-    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, neighbor_id) AS rn
-          FROM scored)
-    WHERE rn <= {k}
+      FROM probes p JOIN corpus c ON p.cell = c.cell AND c.neighbor_id <> p.query_id),
+    {out} AS (
+      SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored)
+      WHERE rn <= {k})"""
+
+
+def _ann_ivf_oracle(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, stride: int = 31,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    return f"""
+    WITH {_ann_ivf_ctes(k, n_cells, n_probe, stride, query_pred)}
+    SELECT query_id, neighbor_id, cosine, rank FROM knnf
     """
 
 
@@ -3378,4 +3391,90 @@ def x139_bulk_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e, "vec_id", "embedding",
         k=_X139_K, n_cells=16, n_probe=4, centroid_stride=31,
         broadcast_queries=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x142 — mutual-kNN graph dedup/clustering: the consumer of x139's edge list
+# (connected components over mutual edges via the x26 star machinery)
+# ---------------------------------------------------------------------------
+
+
+def _x142_oracle(k: int = _X139_K) -> str:
+    return f"""
+    WITH RECURSIVE {_ann_ivf_ctes(k=k, query_pred="TRUE")},
+    fwd AS (SELECT query_id, neighbor_id FROM knnf),
+    mpairs AS (
+      SELECT a.query_id AS id_a, a.neighbor_id AS id_b
+      FROM fwd a JOIN fwd b
+        ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+      WHERE a.query_id < a.neighbor_id),
+    edges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+              UNION SELECT id_b, id_a FROM mpairs),
+    reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS canonical_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS removed
+    FROM labels GROUP BY cluster
+    """
+
+
+@register(
+    "x142_mutual_knn_components",
+    oracle=_x142_oracle(),
+    tags=("similarity", "knn-graph", "dedup", "clustering",
+          "connected-components", "iterative"),
+)
+def x142_mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN graph clustering — the consumer of x139's bulk kNN edge
+    list (round-14 verdict #3): an undirected edge (a, b) exists iff b is
+    in a's IVF top-{_X139_K} AND a is in b's (the mutuality filter that
+    makes kNN graphs symmetric and prunes hub edges — the standard
+    SemDeDup-alternative construction), then connected components over
+    those edges via the x26 large-star/small-star machinery give one
+    summary row per cluster (n_members, keep-first canonical, removed).
+    Where x37's semantic dedup approximates neighborhoods with IVF cells,
+    this clusters on certified TRUE neighbors.
+
+    Scale shape: the graph build is x139's non-broadcast cell join (both
+    sides shuffle on cell — the corpus-sized-query plan), the edge list
+    (corpus x {_X139_K} rows, ids only) is materialized once and
+    self-joined on the two id columns (equi-join, never text or vectors),
+    and components run in O(log n) star-contraction rounds.  At 100 TB
+    the edge list persists as parquet between the build and the join —
+    here localCheckpoint stands in (bounded: n x k id rows).  The oracle
+    embeds x139's certified replay chain as its input CTE and closes the
+    components with the x26 transitive-closure recursion — the whole
+    consumer certified end to end, edges included."""
+    from hiveka_spark.operators.clustering import dedup_clusters
+
+    e = table(spark, sf_dir, "embeddings")
+    knn = S.ivf_topk(
+        e, e, "vec_id", "embedding",
+        k=_X139_K, n_cells=16, n_probe=4, centroid_stride=31,
+        broadcast_queries=False,
+    )
+    fwd = knn.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    mutual = (
+        fwd.alias("a")
+        .join(
+            fwd.alias("b"),
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .filter(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+        )
+    )
+    return dedup_clusters(mutual, method="star").select(
+        "cluster",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        "canonical_id",
+        F.col("removed").cast("bigint").alias("removed"),
     )

@@ -558,3 +558,61 @@ def test_pack_token_examples_composite_group_equals_per_group(spark):
         for r in pack_token_examples(part, C).collect():
             split[(ep, r["shard"], r["ex_idx"])] = tuple(r)[2:]
     assert combined == split and combined
+
+
+def test_knn_chain_improves_adjacency_over_centroid_order(spark):
+    """Round-14 verdict #3's 'must improve' clause: the greedy
+    true-neighbor chain (x143) must produce a STRICTLY larger summed
+    adjacent-pair dot than x107's distance-to-centroid order on the same
+    segments, and both must beat the arrival order — otherwise the
+    true-neighbor repack isn't buying anything over the surrogate."""
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    from .conftest import SF_SMOKE
+
+    _ensure_loaded()
+    x107 = REGISTRY["x107_related_packing"].fn(spark, SF_SMOKE)
+    x143 = REGISTRY["x143_knn_chain_packing"].fn(spark, SF_SMOKE)
+    cent = x107.agg(FF.sum("rel_adj_dot")).collect()[0][0]
+    chain = x143.agg(FF.sum("chain_adj_dot")).collect()[0][0]
+    arrival = x143.agg(FF.sum("arr_adj_dot")).collect()[0][0]
+    assert chain > cent, (chain, cent)
+    assert chain > arrival, (chain, arrival)
+    # same segments: doc counts and token sums must agree exactly
+    a = {(r.cell, r.seg): (r.n_docs, r.sum_len) for r in x107.collect()}
+    b = {(r.cell, r.seg): (r.n_docs, r.sum_len) for r in x143.collect()}
+    assert a == b
+
+
+def test_greedy_chain_segments_tie_and_guard(spark):
+    """The chain's argmax tie breaks to the MIN vec_id (the oracle's
+    ROW_NUMBER order), a single-doc segment yields zero pairs, and the
+    max_seg guard trips on oversized segments."""
+    import pytest
+
+    from hiveka_spark.operators.sampling import greedy_chain_segments
+
+    # three docs: doc 0 starts (crank 1); docs 1 and 2 have EQUAL dots to
+    # doc 0 (tie) -> chain must visit vec_id 1 before 2
+    rows = [
+        (0, 0, 0, 1, 10, [10000, 0]),
+        (0, 0, 2, 2, 10, [10000, 10000]),
+        (0, 0, 1, 3, 10, [10000, -10000]),
+        (5, 0, 9, 1, 7, [1, 1]),  # singleton segment
+    ]
+    df = spark.createDataFrame(
+        rows, "cell bigint, seg bigint, vec_id bigint, crank bigint,"
+        " len bigint, qv array<bigint>"
+    )
+    out = {(r.cell, r.seg): r for r in
+           greedy_chain_segments(df, budget=15).collect()}
+    t = out[(0, 0)]
+    # tie at dot=1e8 -> vec 1 first, then from vec 1: dot(1,2) = 1e8-1e8=0
+    assert t.n_pairs == 2 and t.chain_adj_dot == 10**8 + 0
+    assert t.n_chunks == 2  # lens 10,10,10 over budget 15 -> chunks 0,1,1
+    s = out[(5, 0)]
+    assert s.n_docs == 1 and s.n_pairs == 0 and s.chain_adj_dot == 0
+    with pytest.raises(Exception, match="max_seg"):
+        greedy_chain_segments(df.filter("cell = 0"), 15, max_seg=2).collect()
