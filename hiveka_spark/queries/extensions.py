@@ -2872,38 +2872,81 @@ def _x119_scatter(spark: SparkSession, sf_dir: str):
     |a| <= ~1e4) shared by x119 (single top direction) and x129 (block
     top-k): ONE corpus pass builds S and m, the int64-headroom guard and
     the single integer rescale are applied here so the two gates can
-    never drift on the matrix they iterate."""
+    never drift on the matrix they iterate.
+
+    The pass is per-PARTITION Gramian accumulation (round-14 verdict #4,
+    closing SCALE.md's documented cutover): each task folds its rows into
+    ONE dim^2 int64 matrix (numpy ``M.T @ M`` — exact: |qv| <= 2e4,
+    products <= 4e8, far under int64 per partition) plus the component
+    sums and the row count, and emits dim^2 + dim + 1 rows.  The shuffle
+    is therefore n_partitions * dim^2 rows instead of the old per-ROW
+    explode's n_rows * dim^2 (at dim 1024 the explode writes 1M rows per
+    input row — the seam is what survives an embedding-width increase).
+    Integer sums commute, so the result — and the x119/x122/x129 oracles,
+    which replay S as a plain join-aggregate — is bit-identical."""
     from hiveka_spark.operators.similarity import quantized
 
     dim = _X119_DIM
     e = table(spark, sf_dir, "embeddings")
     q = e.select("vec_id", quantized("embedding").alias("qv"))
-    comp = q.select(
-        "vec_id", F.posexplode("qv").alias("p0", "v")
-    ).select("vec_id", (F.col("p0") + 1).alias("i"), "v")
-    outer = q.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(dim)),
-                    lambda i: F.transform(
-                        F.sequence(F.lit(1), F.lit(dim)),
-                        lambda j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (
-                                F.element_at("qv", i.cast("int"))
-                                * F.element_at("qv", j.cast("int"))
-                            ).alias("p"),
-                        ),
-                    ),
-                )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = np.zeros((dim, dim), dtype=np.int64)
+        mv = np.zeros(dim, dtype=np.int64)
+        n_part = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
             )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    s = outer.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("sv"))
-    m = comp.groupBy("i").agg(F.sum("v").cast("bigint").alias("mv"))
-    n = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            g += mat.T @ mat
+            mv += mat.sum(axis=0)
+            n_part += len(pdf)
+        if not n_part:
+            return
+        ii, jj = np.meshgrid(
+            np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+        )
+        out = pd.DataFrame(
+            {
+                "kind": np.zeros(dim * dim, dtype=np.int32),
+                "i": ii.reshape(-1).astype(np.int64),
+                "j": jj.reshape(-1).astype(np.int64),
+                "val": g.reshape(-1),
+            }
+        )
+        mrows = pd.DataFrame(
+            {
+                "kind": np.ones(dim, dtype=np.int32),
+                "i": np.arange(1, dim + 1, dtype=np.int64),
+                "j": np.zeros(dim, dtype=np.int64),
+                "val": mv,
+            }
+        )
+        nrow = pd.DataFrame(
+            {"kind": [2], "i": [0], "j": [0], "val": [n_part]}
+        )
+        yield pd.concat([out, mrows, nrow], ignore_index=True)
+
+    parts = (
+        q.mapInPandas(partials, "kind int, i long, j long, val long")
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("val").cast("bigint").alias("val"))
+        # bounded: dim^2 + dim + 1 rows; materialized once so the guard
+        # collect, amat, and the max-abs branch share ONE corpus pass
+        .localCheckpoint(eager=True)
+    )
+    s = parts.filter(F.col("kind") == 0).select(
+        "i", "j", F.col("val").alias("sv")
+    )
+    m = parts.filter(F.col("kind") == 1).select(
+        "i", F.col("val").alias("mv")
+    )
+    n = parts.filter(F.col("kind") == 2).select(F.col("val").alias("n"))
     # int64-headroom guard (round-13 advice): |qv_k| <= 2e4 after 1e-4
     # quantization of unit-ish embeddings, so |sv| <= n*4e8 and the
     # centered term |n*sv| <= n^2*4e8 — under 2^63 only for n <= ~4.8e6.
