@@ -1511,8 +1511,8 @@ def ivf_index_segments(root: str) -> list[str]:
     return [_os.path.join(base, f"v={v}") for v in versions if v >= floor]
 
 
-def ivf_index_compact(spark, root: str) -> int:
-    """Fold every committed segment of a persisted IVF index into ONE
+def ivf_index_compact(spark, root: str, before: int | None = None) -> int:
+    """Fold the committed segments of a persisted IVF index into ONE
     segment and return the NEXT safe append version — the c-dir
     compaction recipe (streaming.neardup) for the ANN store: a
     long-running ingest otherwise accumulates one ``v=<version>`` dir per
@@ -1536,7 +1536,16 @@ def ivf_index_compact(spark, root: str) -> int:
     from the top-k rank — round-14 advice).  The retry path here just
     finishes the deletes.  At 100 TB the rewrite is also where the
     cell-clustered file layout would be applied (sort the fold by
-    ``cell`` so probes touch contiguous row groups)."""
+    ``cell`` so probes touch contiguous row groups).
+
+    ``before`` is the IN-STREAM safety rule (streaming.neardup's
+    ``before = current batch id``): fold only live versions < ``before``,
+    so a live ingest can compact BETWEEN micro-batches without ever
+    folding the version a checkpoint replay may overwrite.  Stream sinks
+    pair it with spaced append versions (:func:`make_ivf_stream_sink`
+    appends at 2*batch_id + 2) so the fold's ``top + 1`` publish slot is
+    always free — a committed segment already at that slot raises
+    instead of being clobbered."""
     import os as _os
     import shutil as _shutil
 
@@ -1551,9 +1560,23 @@ def ivf_index_compact(spark, root: str) -> int:
     for v in versions:
         if v not in live_versions:
             _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
+    if before is not None:
+        live_versions = [v for v in live_versions if v < before]
     if len(live_versions) <= 1:
         return (live_versions[-1] + 1) if live_versions else 0
     top = max(live_versions)
+    if (top + 1) in versions:
+        raise ValueError(
+            f"ivf_index_compact: publish slot v={top + 1} is already a "
+            f"committed segment (existing versions {versions}) — the "
+            "caller's version spacing must leave the fold's top+1 slot "
+            "free (make_ivf_stream_sink's even/odd convention)"
+        )
+    live = [
+        d
+        for d in live
+        if int(_os.path.basename(d).split("=", 1)[1]) in live_versions
+    ]
     target = _os.path.join(base, f"v={top + 1}")
     tmp = _os.path.join(base, "_compact_tmp")
     (
@@ -1567,6 +1590,51 @@ def ivf_index_compact(spark, root: str) -> int:
     for v in live_versions:
         _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
     return top + 2
+
+
+def make_ivf_stream_sink(
+    root: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_after: int | None = None,
+):
+    """foreachBatch sink for a LIVE IVF index with in-stream compaction
+    (round-14 verdict #5 — s29's append sink x x135's fold, concurrent):
+    each micro-batch appends its vectors as one segment, and when the
+    committed segment count reaches ``compact_after`` the accumulated
+    index folds BETWEEN micro-batches — before the batch's own append,
+    with ``before = this batch's version``, so a checkpoint replay can
+    never find its own segment folded (streaming.neardup's in-stream
+    rule).  Append versions are SPACED (2*batch_id + 2, always even) so
+    the fold's ``top + 1`` publish slot (always odd) can never collide
+    with a present or future batch segment — the version-namespace
+    discipline the band index gets from its b/c prefixes, done
+    arithmetically here because the IVF store is partition-discovered.
+
+    Replay-safe end to end: overwrite-by-version appends, the
+    :func:`ivf_index_segments` shadowing on every read, and
+    :func:`ivf_index_compact`'s finish-the-deletes retry make any crash
+    point re-runnable; serving BETWEEN batches is correct at every
+    boundary (pinned by the s32 tests, including a mid-stream
+    crash-after-publish window)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        version = 2 * batch_id + 2
+        # trigger on COMMITTED dirs, not live ones: after a crashed fold
+        # the live count collapses to 1 (shadowing) while the folded
+        # inputs still sit on disk — the fold pass is also what finishes
+        # those deletes, so it must keep firing until the listing is
+        # actually bounded again
+        if (
+            compact_after is not None
+            and len(ivf_index_versions(root)) >= compact_after
+        ):
+            ivf_index_compact(s, root, before=version)
+        ivf_index_update(s, batch_df, root, version, centroids, id_col, vec_col)
+
+    return sink
 
 
 def ivf_index_topk(

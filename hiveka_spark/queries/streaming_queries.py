@@ -2399,3 +2399,81 @@ def _set_s31_oracle() -> None:
 
 
 _set_s31_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s32 — live IVF index WITH in-stream compaction (s29 x x135, concurrent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s32_stream_ivf_compacting",
+    oracle=_s29_oracle(),
+    tags=("streaming", "similarity", "ann", "ivf", "index-maintenance",
+          "compaction"),
+)
+def s32_stream_ivf_compacting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE IVF index with compaction CONCURRENT with ingest (round-14
+    verdict #5): s29's append-per-micro-batch sink, but the accumulated
+    segments fold mid-stream whenever the committed count reaches the
+    threshold — compaction runs between micro-batches with ``before =
+    the current batch's version`` (the neardup in-stream rule) and the
+    even/odd version spacing keeps the fold's publish slot collision-free
+    against both replayed and future batches.  The convergence contract
+    is unchanged and so is the oracle: a query served from the drained
+    (and now partially folded) index equals one-shot ivf_topk over the
+    full corpus — compaction changed the index's FILE layout, never its
+    content, even though it ran while the index was growing.
+
+    Scale shape: s29's per batch (broadcast-centroid argmax + one
+    segment write) plus, amortized, one cell-sorted rewrite of the
+    accumulated index — exactly the bounded-listing policy a perpetual
+    ANN ingest needs (the rewrite is also where the cell-clustered file
+    layout is refreshed).  Tests pin the serving-equality at EVERY batch
+    boundary and a crash between the fold's publish and its deletes
+    mid-stream."""
+    import glob as _glob
+    import os as _os
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_topk,
+        make_ivf_stream_sink,
+    )
+
+    src_dir = scratch_dir(prefix="gate_s32src_")
+    root = scratch_dir(prefix="gate_s32idx_")
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") / 31 < 16))
+        .select(
+            F.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"), "embedding"
+        )
+        .localCheckpoint(eager=True)  # frozen offline parameters (k rows)
+    )
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_ivf_stream_sink(root, cents, compact_after=2)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s32_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # compaction must actually have run mid-stream: at least one odd
+    # (_COMPACTED) segment, fewer live segments than batches
+    segs = _glob.glob(f"{root}/v=*")
+    assert any(
+        _os.path.exists(_os.path.join(d, "_COMPACTED")) for d in segs
+    ), f"no mid-stream fold happened: {sorted(segs)}"
+    return ivf_index_topk(
+        spark, root, e.filter(F.col("vec_id") < 10), cents, k=5, n_probe=4
+    ).localCheckpoint(eager=True)  # materialize before scratch cleanup

@@ -1071,3 +1071,120 @@ def test_ivf_compaction_guard_and_crash_retry(spark, tmp_path):
     nxt2 = ivf_index_compact(spark, root)
     assert spark.read.parquet(root).count() == n_all
     assert ivf_index_versions(root) == [5] and nxt2 == 6
+
+
+def test_ivf_stream_sink_serves_correctly_at_every_fold_boundary(spark, tmp_path):
+    """s32's convergence, pinned at EVERY micro-batch boundary: after each
+    sink call — appends and mid-stream folds interleaved — serving from
+    the index equals one-shot ivf_topk over the data ingested so far, and
+    a crash between a fold's publish and its deletes mid-stream costs
+    nothing (the next sink call finishes the deletes and keeps serving
+    right)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_segments,
+        ivf_index_topk,
+        ivf_topk,
+        make_ivf_stream_sink,
+    )
+
+    from .conftest import SF_SMOKE
+
+    root = str(tmp_path / "ivf")
+    e = table(spark, SF_SMOKE, "embeddings")
+    cents = (
+        e.filter((FF.col("vec_id") % 31 == 0) & (FF.col("vec_id") / 31 < 8))
+        .select(FF.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"),
+                "embedding")
+        .localCheckpoint(eager=True)
+    )
+    q = e.filter(FF.col("vec_id") < 5).localCheckpoint(eager=True)
+    sink = make_ivf_stream_sink(root, cents, compact_after=2)
+
+    def served():
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_index_topk(
+                spark, root, q, cents, k=5, n_probe=4
+            ).collect()
+        )
+
+    def oneshot(corpus):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk(
+                corpus, q, "vec_id", "embedding", k=5, n_cells=8,
+                n_probe=4, centroids=cents,
+            ).collect()
+        )
+
+    batches = [e.filter(FF.col("vec_id") % 3 == i) for i in range(3)]
+    so_far = None
+    for b, batch in enumerate(batches):
+        sink(batch, b)
+        so_far = batch if so_far is None else so_far.unionByName(batch)
+        assert served() == oneshot(so_far), f"diverged after batch {b}"
+    # batch 2's sink folded v2/v4 into v5 before appending v6
+    names = sorted(os.path.basename(d) for d in ivf_index_segments(root))
+    assert names == ["v=5", "v=6"], names
+    assert os.path.exists(os.path.join(root, "v=5", "_COMPACTED"))
+
+    # mid-stream crash window: re-create a folded input next to the
+    # published fold (publish done, deletes not), then run another batch —
+    # serving must not double-read, and the sink's fold finishes cleanup
+    baseline = served()
+    shutil.copytree(os.path.join(root, "v=5"), str(tmp_path / "stash"))
+    # fabricate the window: fold v5+v6 by hand into _COMPACTED v=7
+    segs = ivf_index_segments(root)
+    tmp = os.path.join(root, "_compact_tmp")
+    spark.read.parquet(*segs).sort("cell").write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, "_COMPACTED"), "w").close()
+    os.rename(tmp, os.path.join(root, "v=7"))
+    assert sorted(os.path.basename(d) for d in ivf_index_segments(root)) == ["v=7"]
+    assert served() == baseline, "crash-window serving diverged"
+
+    empty = e.filter(FF.col("vec_id") < 0)
+    sink(empty, 3)  # version 8; its fold pass (before=8) finishes deletes
+    names = sorted(os.path.basename(d) for d in ivf_index_segments(root))
+    assert names == ["v=7", "v=8"], names
+    assert not os.path.exists(os.path.join(root, "v=5"))
+    assert served() == baseline
+
+
+def test_ivf_compact_refuses_occupied_publish_slot(spark, tmp_path):
+    """A caller that violates the version-spacing convention (a committed
+    segment already sitting in the fold's top+1 slot) gets a loud error,
+    not a clobbered segment."""
+    import pyspark.sql.functions as FF
+    import pytest
+    from pyspark.sql import Window
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_update,
+    )
+
+    from .conftest import SF_SMOKE
+
+    root = str(tmp_path / "ivf")
+    e = table(spark, SF_SMOKE, "embeddings")
+    w = Window.orderBy("vec_id")
+    cents = (
+        e.filter(FF.col("vec_id") % 31 == 0)
+        .withColumn("cell", (FF.row_number().over(w) - 1).cast("bigint"))
+        .filter(FF.col("cell") < 4)
+        .select("cell", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf_index_update(spark, e.limit(4), root, 1, cents)
+    ivf_index_update(spark, e.limit(4), root, 2, cents)
+    ivf_index_update(spark, e.limit(4), root, 3, cents)
+    with pytest.raises(ValueError, match="publish slot"):
+        ivf_index_compact(spark, root, before=3)  # folds v1,v2 -> slot v3 taken
