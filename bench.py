@@ -181,6 +181,12 @@ HEADLINE = [
     "s31_stream_likelihood_drift",
     "x138_unigram_byte_fallback",
     "x139_bulk_knn_graph",
+    # round-15 additions (floors established from r15 on):
+    "x140_opq_rotated_pq",
+    "x141_unigram_train_soft",
+    "x142_mutual_knn_components",
+    "x143_knn_chain_packing",
+    "s32_stream_ivf_compacting",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's
