@@ -187,6 +187,7 @@ HEADLINE = [
     "x142_mutual_knn_components",
     "x143_knn_chain_packing",
     "s32_stream_ivf_compacting",
+    "x144_three_family_fertility",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

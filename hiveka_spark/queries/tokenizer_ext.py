@@ -229,33 +229,40 @@ def x125_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ug_apply_ctes(src: str = "documents") -> str:
-    """The APPLY replay chain shared by x126/x127/x130/x131/x137/x138:
-    per-doc marked units with positions (ug_du), the distinct-unit set
-    (ug_dus), the candidate cost table with single-char UNK fallback rows
-    (ug_appc), a third Viterbi recursion over the distinct corpus units,
-    and per-unit token counts (ug_ut).  ``src``: the (doc_id, text) table
-    the units come from — x138 applies the FROZEN vocabulary to augmented
-    out-of-corpus text while training stays on ``documents``."""
-    return f"""ug_du AS MATERIALIZED (
+def _ug_apply_ctes(src: str = "documents", cost: str = "ug_cost2",
+                   vocab: str = "ug_vocab2", p: str = "ug_") -> str:
+    """The APPLY replay chain shared by x126/x127/x130/x131/x137/x138 (and
+    x144's soft arm via the name parameters): per-doc marked units with
+    positions ({p}du), the distinct-unit set ({p}dus), the candidate cost
+    table with single-char UNK fallback rows ({p}appc), a Viterbi
+    recursion over the distinct corpus units, and per-unit token counts
+    ({p}ut).  ``src``: the (doc_id, text) table the units come from —
+    x138 applies the FROZEN vocabulary to augmented out-of-corpus text
+    while training stays on ``documents``.  ``cost``/``vocab``/``p``
+    re-point the chain at a different trained table (x141's soft
+    vocabulary) without name collisions."""
+    vit = _ug_viterbi_ctes(
+        f"{p}vit3", f"{p}seg3", f"{p}c3", f"{p}appc", f"{p}dus"
+    )
+    return f"""{p}du AS MATERIALIZED (
       SELECT doc_id, upos, replace(u, ' ', '▁') AS u
       FROM (SELECT doc_id,
                    UNNEST(range(1, LEN(us) + 1)) AS upos,
                    UNNEST(us) AS u
             FROM (SELECT doc_id, {_SP_UNITS_SQL.format(col="text")} AS us
                   FROM {src}))),
-    ug_dus AS MATERIALIZED (
-      SELECT DISTINCT u AS w, CAST(1 AS BIGINT) AS freq FROM ug_du),
-    ug_appc AS MATERIALIZED (
-      SELECT piece, pl, cq FROM ug_cost2
+    {p}dus AS MATERIALIZED (
+      SELECT DISTINCT u AS w, CAST(1 AS BIGINT) AS freq FROM {p}du),
+    {p}appc AS MATERIALIZED (
+      SELECT piece, pl, cq FROM {cost}
       UNION ALL
       SELECT c AS piece, CAST(1 AS BIGINT) AS pl,
              CAST(40000000 AS BIGINT) AS cq
-      FROM (SELECT DISTINCT UNNEST(string_split(w, '')) AS c FROM ug_dus)
-      WHERE c NOT IN (SELECT piece FROM ug_vocab2)),
-    {_ug_viterbi_ctes("ug_vit3", "ug_seg3", "ug_c3", "ug_appc", "ug_dus")},
-    ug_ut AS (SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
-              FROM ug_seg3 WHERE pos > 0 GROUP BY w)"""
+      FROM (SELECT DISTINCT UNNEST(string_split(w, '')) AS c FROM {p}dus)
+      WHERE c NOT IN (SELECT piece FROM {vocab})),
+    {vit},
+    {p}ut AS (SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
+              FROM {p}seg3 WHERE pos > 0 GROUP BY w)"""
 
 
 def _x126_oracle() -> str:
@@ -1324,13 +1331,17 @@ def _ugs_train_ctes(
     mpl: int = _UG_MAX_PIECE,
     n_seed: int = _UG_SEED,
     keep_multi: int = _UG_KEEP_MULTI,
+    include_seed: bool = True,
 ) -> str:
     """The full SOFT unigram-LM training replay (x141): the shared seed
     prefix, soft E-step 1 (forward-backward), likelihood-loss prune, and
     the final soft E-step — operators/unigram.py::unigram_train_soft's
-    SQL twin.  Produces ugs_vocab2 / ugs_cost2 / ugs_c2."""
-    return f"""{_ug_seed_ctes(max_words, mpl, n_seed)},
-    {_UGS_TABLES},
+    SQL twin.  Produces ugs_vocab2 / ugs_cost2 / ugs_c2.
+    ``include_seed=False`` omits the shared prefix CTEs for oracles that
+    already contain the HARD chain (x144 — the two trainers share the
+    identical seed, so the soft tail just references it)."""
+    seed = f"{_ug_seed_ctes(max_words, mpl, n_seed)},\n    " if include_seed else ""
+    return f"""{seed}{_UGS_TABLES},
     {_ugs_fwd_ctes("ugs_f1", "ug_cost1", "ug_uf", mpl)},
     {_ugs_bwd_ctes("ugs_b1", "ug_cost1", "ug_uf", mpl)},
     {_ugs_post_ctes("ugs_c1", "ugs_f1", "ugs_b1", "ug_cost1", mpl)},
@@ -1417,4 +1428,141 @@ def x141_unigram_train_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (p, cnt, cq) in enumerate(rows)
         ],
         "piece_id bigint, piece string, is_char bigint, cnt bigint, cost_q bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x144 — THREE-family fertility: BPE vs hard-EM unigram vs soft-EM unigram
+# ---------------------------------------------------------------------------
+
+
+def _x144_oracle() -> str:
+    """x127's two-family chain + the soft arm: the soft tail reuses the
+    hard chain's seed CTEs (include_seed=False — identical prefix by
+    construction) and applies through the name-parameterized apply chain."""
+    return f"""
+    WITH RECURSIVE {_bpe_apply_ctes(_X76_MERGES, _X76_MAX_WORDS)},
+    bpe_ut AS (
+      SELECT w AS u, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM ap WHERE it = (SELECT MAX(merge_rank) FROM merges) GROUP BY w),
+    {_ug_train_ctes()},
+    {_ug_apply_ctes()},
+    {_ugs_train_ctes(include_seed=False)},
+    {_ug_apply_ctes(cost="ugs_cost2", vocab="ugs_vocab2", p="ugs_")},
+    words AS (
+      SELECT doc_id, lang,
+             CAST(LEN(list_filter(string_split(LOWER(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words
+      FROM documents),
+    bpe_pd AS (
+      SELECT w.doc_id, MIN(w.lang) AS lang, MIN(w.n_words) AS n_words,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tok
+      FROM words w
+      LEFT JOIN docunits du ON du.doc_id = w.doc_id
+      LEFT JOIN bpe_ut t ON t.u = du.u
+      GROUP BY w.doc_id),
+    ug_pd AS (
+      SELECT w.doc_id, MIN(w.lang) AS lang, MIN(w.n_words) AS n_words,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tok
+      FROM words w
+      LEFT JOIN ug_du du ON du.doc_id = w.doc_id
+      LEFT JOIN ug_ut t ON t.u = du.u
+      GROUP BY w.doc_id),
+    ugs_pd AS (
+      SELECT w.doc_id, MIN(w.lang) AS lang, MIN(w.n_words) AS n_words,
+             CAST(COALESCE(SUM(t.n_tok), 0) AS BIGINT) AS n_tok
+      FROM words w
+      LEFT JOIN ugs_du du ON du.doc_id = w.doc_id
+      LEFT JOIN ugs_ut t ON t.u = du.u
+      GROUP BY w.doc_id),
+    all_pd AS (
+      SELECT 'bpe' AS tokenizer, * FROM bpe_pd
+      UNION ALL
+      SELECT 'unigram' AS tokenizer, * FROM ug_pd
+      UNION ALL
+      SELECT 'unigram_soft' AS tokenizer, * FROM ugs_pd)
+    SELECT tokenizer, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tok) AS BIGINT) * 10000
+             // CAST(SUM(n_words) AS BIGINT) AS fertility_q
+    FROM all_pd GROUP BY tokenizer, lang
+    """
+
+
+@register(
+    "x144_three_family_fertility",
+    oracle=_x144_oracle(),
+    tags=("text", "tokenizer", "unigram", "soft-em", "bpe", "evaluation",
+          "multilingual"),
+)
+def x144_three_family_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-family fertility comparison — x127's family-choice table with
+    the soft-EM arm (x141) as a third column: BPE, hard-EM unigram, and
+    soft-EM unigram trained on the SAME corpus, applied with each
+    family's flat zero-shuffle mapInPandas, rolled up per language.
+    Hard and soft unigram ship DIFFERENT vocabularies (the x141
+    divergence fixture) and therefore different fertilities — this is
+    the table that quantifies what the algorithm-faithful E-step and the
+    likelihood-loss prune actually buy per language, before a 100 TB
+    tokenize run commits to one.
+
+    Scale shape: three independent one-pass + bounded-driver trainings,
+    three flat apply passes, one per-(family, lang) rollup — x127's
+    shape with one more language-sized frame in the final union.  The
+    oracle replays ALL THREE trainings and applications in one SQL text
+    (the soft tail reuses the hard chain's seed CTEs — identical by
+    construction — and the apply chain is name-parameterized)."""
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.unigram import (
+        unigram_apply_fast,
+        unigram_train,
+        unigram_train_soft,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id", "lang",
+        F.coalesce(F.size(tokens("text")), F.lit(0))
+        .cast("bigint").alias("n_words"),
+    )
+
+    mt = bpe_train_capped(
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    arms = [
+        ("bpe",
+         bpe_apply_fast(d, merges, "text", "doc_id", units=True).select(
+             "doc_id", F.col("n_bpe_tokens").alias("n_tok"))),
+    ]
+    for tag, trainer in (("unigram", unigram_train),
+                         ("unigram_soft", unigram_train_soft)):
+        vocab = trainer(
+            d, "text",
+            max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+            n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+        )
+        arms.append((tag, unigram_apply_fast(
+            d, vocab, "text", "doc_id", max_piece_len=_UG_MAX_PIECE
+        ).select("doc_id", F.col("n_tokens").alias("n_tok"))))
+
+    both = None
+    for tag, counts in arms:
+        c = counts.withColumn("tokenizer", F.lit(tag))
+        both = c if both is None else both.unionByName(c)
+    per = (
+        meta.join(both, "doc_id")
+        .groupBy("tokenizer", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    return per.select(
+        "tokenizer", "lang", "n_docs", "sum_words", "sum_tokens",
+        F.expr("sum_tokens * 10000 DIV sum_words")
+        .cast("bigint").alias("fertility_q"),
     )
