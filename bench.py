@@ -188,6 +188,7 @@ HEADLINE = [
     "x143_knn_chain_packing",
     "s32_stream_ivf_compacting",
     "x144_three_family_fertility",
+    "s33_stream_knn_graph",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -1637,6 +1637,181 @@ def make_ivf_stream_sink(
     return sink
 
 
+def make_knn_graph_sink(
+    state_root: str,
+    centroids,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink maintaining a LIVE kNN graph (s33 — x139's bulk
+    edge list under streaming ingest): vectors arrive in micro-batches
+    and after any batch the edge snapshot equals one-shot
+    ``ivf_topk(corpus_so_far, corpus_so_far, broadcast_queries=False)``.
+
+    Three stores under ``state_root`` (all overwrite-by-version, so
+    checkpoint replay is idempotent):
+
+    - ``index/v=<2b+2>``: the accumulated IVF index (s29's append, s32's
+      version spacing — compaction composes).
+    - ``probes/b<2b+2>``: APPEND-ONLY per-node probe rows (query_id,
+      cell, qqvec, qn2 — the node's n_probe nearest frozen cells).
+      Probe sets are frozen per node, so old nodes are never re-ranked;
+      this store is what lets the old->new merge run WITHOUT re-reading
+      source vectors.
+    - ``edges/b<2b+2>``: the per-node top-k snapshot (query_id,
+      neighbor_id, cosine, rank) — full snapshot per version, superseded
+      predecessors deleted down to one.
+
+    Convergence is the s19 discipline at graph level — a candidate pair
+    (q, nb) with nb in a cell q probes is generated EXACTLY ONCE, when
+    the later of the two arrives: the batch's nodes score against the
+    whole accumulated index (new->all, intra-batch included), and all
+    PRIOR nodes' probe rows score against the batch's index rows
+    (old->new).  Candidate scores are static (frozen cells, quantized
+    cosine), so folding each batch's candidates into the previous top-k
+    snapshot with the one-shot rank rule (cosine DESC, neighbor_id)
+    reaches the one-shot answer for ANY batch split — pinned by the s33
+    tests.
+
+    Scale shape per batch: one broadcast-centroid argmax over the batch,
+    two cell-keyed equi-joins (batch-probes x index; prior-probes x
+    batch-index — both bounded by batch size x cell occupancy), and the
+    snapshot merge.  The merge rewrites the full snapshot (the
+    VersionedUpsertSink posture s27/s28/s31 share); at 100 TB the edge
+    store is partitioned by the query's home cell and only partitions
+    whose cells intersect the batch rewrite — batch-local, not
+    corpus-sized."""
+    import os as _os
+
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    index_root = _os.path.join(state_root, "index")
+    probes_root = _os.path.join(state_root, "probes")
+    edges_root = _os.path.join(state_root, "edges")
+    for p in (probes_root, edges_root):
+        _os.makedirs(p, exist_ok=True)
+
+    def _probe_rows(df: DataFrame) -> DataFrame:
+        v = with_quantized_norm(df, vec_col)
+        cents = _cell_centroids(v, df, id_col, vec_col, 0, None, centroids)
+        scored = v.crossJoin(F.broadcast(cents)).withColumn(
+            "c_cos",
+            cosine_expr(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_cos").desc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n_probe)
+            .select(
+                F.col(id_col).alias("query_id"),
+                "cell",
+                F.col("qvec").alias("qqvec"),
+                F.col("qnorm2").alias("qn2"),
+            )
+        )
+
+    def _score(qs: DataFrame, index: DataFrame) -> DataFrame:
+        return (
+            index.join(qs, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine",
+                F.floor(
+                    cosine_expr(
+                        F.col("qqvec"), F.col("cvec"),
+                        F.col("qn2"), F.col("cn2"),
+                    )
+                    * 10000.0
+                )
+                / 10000.0,
+            )
+            .select("query_id", "neighbor_id", "cosine")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        version = 2 * batch_id + 2
+        bq = _probe_rows(batch_df).localCheckpoint(eager=True)  # batch-sized
+        prior_probes = committed_versions(probes_root, version)
+        ivf_index_update(
+            s, batch_df, index_root, version, centroids, id_col, vec_col
+        )
+        index = s.read.parquet(*ivf_index_segments(index_root)).select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            F.col("qvec").alias("cvec"),
+            F.col("qnorm2").alias("cn2"),
+        )
+        batch_index = s.read.parquet(
+            f"{index_root}/v={version}"
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            F.col("qvec").alias("cvec"),
+            F.col("qnorm2").alias("cn2"),
+        )
+        cands = _score(bq, index)  # new -> all (intra-batch included)
+        if prior_probes:
+            old = s.read.parquet(*prior_probes)
+            cands = cands.unionByName(_score(old, batch_index))  # old -> new
+        prev_dirs = committed_versions(edges_root, version)
+        merged = cands
+        if prev_dirs:
+            prev = s.read.parquet(max(prev_dirs, key=_version_of)).select(
+                "query_id", "neighbor_id", "cosine"
+            )
+            merged = merged.unionByName(prev)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        (
+            merged.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(edges_root, f"b{version}"))
+        )
+        bq.write.mode("overwrite").parquet(
+            _os.path.join(probes_root, f"b{version}")
+        )
+        # prior snapshots are superseded; bound the listing (keep the
+        # numeric-max predecessor so a replay of THIS version can still
+        # merge against it — committed_versions sorts by NAME, so the max
+        # is taken over parsed versions)
+        import shutil as _shutil
+
+        if len(prev_dirs) > 1:
+            keep = max(prev_dirs, key=_version_of)
+            for d in prev_dirs:
+                if d != keep:
+                    _shutil.rmtree(d, ignore_errors=True)
+
+    return sink
+
+
+def _version_of(path: str) -> int:
+    import os as _os
+
+    return int(_os.path.basename(path).lstrip("bv"))
+
+
+def knn_graph_snapshot(spark, state_root: str) -> DataFrame:
+    """The live kNN graph's latest committed edge snapshot."""
+    import os as _os
+
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    dirs = committed_versions(_os.path.join(state_root, "edges"), 10**9)
+    if not dirs:
+        raise FileNotFoundError(f"no committed edge snapshot under {state_root}")
+    return spark.read.parquet(max(dirs, key=_version_of))
+
+
 def ivf_index_topk(
     spark,
     root: str,

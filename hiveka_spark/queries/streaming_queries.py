@@ -2477,3 +2477,78 @@ def s32_stream_ivf_compacting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_topk(
         spark, root, e.filter(F.col("vec_id") < 10), cents, k=5, n_probe=4
     ).localCheckpoint(eager=True)  # materialize before scratch cleanup
+
+
+# ---------------------------------------------------------------------------
+# s33 — LIVE kNN graph maintenance (x139 under streaming ingest)
+# ---------------------------------------------------------------------------
+
+
+def _s33_oracle() -> str:
+    from hiveka_spark.queries.extensions import _X139_K, _ann_ivf_oracle
+
+    return _ann_ivf_oracle(k=_X139_K, query_pred="TRUE")
+
+
+@register(
+    "s33_stream_knn_graph",
+    oracle=_s33_oracle(),
+    tags=("streaming", "similarity", "ann", "knn-graph",
+          "index-maintenance"),
+)
+def s33_stream_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE kNN GRAPH — x139's corpus-wide edge list maintained under
+    streaming ingest (the live x graph cell): vectors arrive in
+    micro-batches; each batch appends to the IVF index, its nodes score
+    against the whole accumulated index (new->all, intra-batch pairs
+    included), all PRIOR nodes' frozen probe rows score against the
+    batch's index rows (old->new — the s19 'pair discovered when the
+    later one arrives' discipline at graph level), and the per-node
+    top-k snapshot folds the batch's candidates with the one-shot rank
+    rule.  Old vectors are NEVER re-read — the probe store carries the
+    quantized payload.  Convergence contract: the drained snapshot
+    equals one-shot ``ivf_topk(e, e, broadcast_queries=False)`` — the
+    oracle is exactly x139's replay, and the tests pin invariance for
+    several batch splits plus checkpoint replay.
+
+    Scale shape per batch: one broadcast-centroid argmax, two cell-keyed
+    equi-joins bounded by batch x cell occupancy, one snapshot merge
+    (at 100 TB: partition the edge store by home cell and rewrite only
+    batch-touched partitions)."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+    from hiveka_spark.queries.extensions import _X139_K
+
+    src_dir = scratch_dir(prefix="gate_s33src_")
+    state_root = scratch_dir(prefix="gate_s33state_")
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") % 31 == 0) & (F.col("vec_id") / 31 < 16))
+        .select(
+            F.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"), "embedding"
+        )
+        .localCheckpoint(eager=True)  # frozen offline parameters (k rows)
+    )
+    e.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_knn_graph_sink(state_root, cents, k=_X139_K, n_probe=4)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir(prefix="ckpt_s33_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return knn_graph_snapshot(spark, state_root).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    ).localCheckpoint(eager=True)  # materialize before scratch cleanup

@@ -1188,3 +1188,61 @@ def test_ivf_compact_refuses_occupied_publish_slot(spark, tmp_path):
     ivf_index_update(spark, e.limit(4), root, 3, cents)
     with pytest.raises(ValueError, match="publish slot"):
         ivf_index_compact(spark, root, before=3)  # folds v1,v2 -> slot v3 taken
+
+
+def test_knn_graph_sink_batch_split_invariance_and_replay(spark, tmp_path):
+    """s33's convergence for ANY batch split: driving the sink manually
+    with 1/2/3-way splits of the corpus yields the identical edge
+    snapshot as one-shot ivf_topk(e, e, broadcast_queries=False); a
+    checkpoint REPLAY of the last batch (same batch id, fresh call)
+    leaves the snapshot unchanged (overwrite-by-version idempotence)."""
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        ivf_topk,
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    cents = (
+        e.filter((FF.col("vec_id") % 31 == 0) & (FF.col("vec_id") / 31 < 16))
+        .select(FF.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"),
+                "embedding")
+        .localCheckpoint(eager=True)
+    )
+    expected = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            e, e, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+            centroids=cents, broadcast_queries=False,
+        ).collect()
+    )
+
+    def run(splits, root):
+        sink = make_knn_graph_sink(str(root), cents, k=3, n_probe=4)
+        for b, batch in enumerate(splits):
+            sink(batch, b)
+        return sink
+
+    for n in (1, 3):
+        root = tmp_path / f"split{n}"
+        run([e.filter(FF.col("vec_id") % n == i) for i in range(n)], root)
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in knn_graph_snapshot(spark, str(root)).collect()
+        )
+        assert got == expected, f"{n}-way split diverged"
+
+    # replay: re-run the LAST batch (id 2) against the 3-way state
+    root = tmp_path / "split3"
+    sink = make_knn_graph_sink(str(root), cents, k=3, n_probe=4)
+    sink(e.filter(FF.col("vec_id") % 3 == 2), 2)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got == expected, "replay changed the snapshot"
