@@ -189,6 +189,7 @@ HEADLINE = [
     "s32_stream_ivf_compacting",
     "x144_three_family_fertility",
     "s33_stream_knn_graph",
+    "x145_rotated_pq_recall",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

@@ -6928,3 +6928,177 @@ def x143_knn_chain_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", "seg", "n_docs", "n_chunks", "sum_len", "n_pairs",
         "chain_adj_dot", "arr_adj_dot",
     )
+
+
+# ---------------------------------------------------------------------------
+# x145 — rotated-PQ RECALL certification: Ge et al.'s other column, the
+# recall@k of raw vs OPQ-rotated ADC against exact-L2 ground truth
+# ---------------------------------------------------------------------------
+
+
+def _x145_arm_ctes(
+    p: str, src: str, k: int = 5, m: int = 16, dsub: int = 4,
+    n_cent: int = 64, stride: int = 7,
+) -> str:
+    """One ADC top-k arm (x48's chain, name-parameterized) over a
+    (vec_id, qv) source CTE — ends at ``{p}res`` (query_id, neighbor_id)."""
+    return f"""{p}sub AS MATERIALIZED (
+        SELECT vec_id, CAST(s AS BIGINT) AS sub,
+               list_transform(qv[CAST(s*{dsub}+1 AS INT):CAST(s*{dsub}+{dsub} AS INT)],
+                              x -> CAST(x AS DOUBLE)) AS sv
+        FROM {src} CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
+    {p}cents AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
+              FROM {p}sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
+    {p}asgn AS (SELECT s.vec_id, s.sub, c.code,
+                    CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+                         + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2
+             FROM {p}sub s JOIN {p}cents c USING (sub)),
+    {p}codes AS (SELECT vec_id AS neighbor_id, sub, code
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d2, code) AS r
+                    FROM {p}asgn)
+              WHERE r = 1),
+    {p}lut AS (SELECT vec_id AS query_id, sub, code, d2 AS d2q
+            FROM {p}asgn WHERE vec_id < 10),
+    {p}res AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_d2, neighbor_id) AS rn
+        FROM (SELECT l.query_id, c.neighbor_id,
+                     CAST(SUM(l.d2q) AS BIGINT) AS approx_d2
+              FROM {p}codes c JOIN {p}lut l USING (sub, code)
+              WHERE l.query_id <> c.neighbor_id GROUP BY 1, 2))
+        WHERE rn <= {k})"""
+
+
+def _x145_oracle(k: int = 5) -> str:
+    from hiveka_spark.queries.extensions import (
+        _X119_DIM,
+        _x119_scatter_ctes,
+        _x129_chain_ctes,
+    )
+
+    dim = _X119_DIM
+    chain, p1, p2 = _x129_chain_ctes(dim)
+    d2 = (
+        "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}) AS BIGINT)"
+    )
+    return f"""
+    WITH {_x119_scatter_ctes(dim)},
+    {chain},
+    {_x140_rotation_ctes(p1, p2, dim)},
+    ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd
+           FROM q),
+    exact AS (SELECT query_id, neighbor_id FROM (
+                SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY qr.vec_id
+                         ORDER BY {d2.format(a="qr.qvd", b="c.qvd")}, c.vec_id) AS rn
+                FROM ev qr JOIN ev c ON qr.vec_id <> c.vec_id
+                WHERE qr.vec_id < 10)
+              WHERE rn <= {k}),
+    {_x145_arm_ctes("r5r", "q", k)},
+    {_x145_arm_ctes("r5s", "rq2", k)},
+    hits_raw AS (SELECT r.query_id, COUNT(*) AS n
+                 FROM r5rres r JOIN exact e USING (query_id, neighbor_id)
+                 GROUP BY 1),
+    hits_rot AS (SELECT r.query_id, COUNT(*) AS n
+                 FROM r5sres r JOIN exact e USING (query_id, neighbor_id)
+                 GROUP BY 1)
+    SELECT q.query_id,
+           CAST({k} AS BIGINT) AS k,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS raw_hits,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS rot_hits
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits_raw a USING (query_id)
+    LEFT JOIN hits_rot b USING (query_id)
+    """
+
+
+@register(
+    "x145_rotated_pq_recall",
+    oracle=_x145_oracle(),
+    tags=("similarity", "ann", "pq", "opq", "recall", "certification"),
+)
+def x145_rotated_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-PQ RECALL@5, certified — Ge et al. 2014's other column
+    next to x140's distortion table: per query, how many of raw-ADC's
+    and OPQ-rotated-ADC's top-5 fall inside the exact squared-L2 top-5
+    in the ORIGINAL space (the x61 discipline — the rotation must earn
+    its recall in the metric users query in, not in its own rotated
+    coordinates).  Ground truth, both ADC arms (the rotated one coding
+    queries AND corpus through the same Householder chain, stride
+    codebooks drawn from the rotated stream), the x129 basis, and the
+    rotation construction all replay in ONE oracle.  On the near-uniform
+    fixture the delta is ~nil by construction; the planted-cluster win
+    is pinned in tests/test_opq.py.
+
+    Scale shape: x61's — one broadcast brute-force certification pass,
+    two x48-shaped ADC plans (the rotation adds one per-row broadcast
+    reflection map, no shuffle), id-only intersections."""
+    from hiveka_spark.operators.similarity import (
+        opq_householder_chain,
+        pq_topk,
+        with_quantized_norm,
+    )
+    from hiveka_spark.queries.extensions import x129_block_power_iteration
+
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    k = 5
+    basis = sorted(
+        (r.pos, r.dir1_q, r.dir2_q)
+        for r in x129_block_power_iteration(spark, sf_dir).collect()
+    )  # bounded: dim rows
+    chain = opq_householder_chain(
+        [[b[1] for b in basis], [b[2] for b in basis]]
+    )
+
+    c = with_quantized_norm(e, "embedding").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")
+    )
+    qv = with_quantized_norm(qs, "embedding").select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qqvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qqvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        c.crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # bounded: 10 * k rows
+    )
+
+    def arm(rotate):
+        return pq_topk(
+            e, qs, "vec_id", "embedding",
+            k=k, m=16, dim=64, n_centroids=64, centroid_stride=7,
+            rotate=rotate,
+        ).select("query_id", "neighbor_id")
+
+    hits_raw = (
+        arm(None).join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("rn_"))
+    )
+    hits_rot = (
+        arm(chain).join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("sn_"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits_raw, "query_id", "left")
+        .join(hits_rot, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("bigint").alias("k"),
+            F.coalesce("rn_", F.lit(0)).cast("bigint").alias("raw_hits"),
+            F.coalesce("sn_", F.lit(0)).cast("bigint").alias("rot_hits"),
+        )
+    )
