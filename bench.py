@@ -282,7 +282,10 @@ def main() -> None:
     out, missing_floor = build_artifact(
         timings, first_pass, remeasured, base, sf_dir, headline=HEADLINE
     )
-    print(json.dumps(out))
+    # compact separators: the driver's durable record keeps only the LAST
+    # 2000 chars of this line, and default ", "/": " separators waste ~18%
+    # of that window (the r15 suite's all-flagged storm overflowed it)
+    print(json.dumps(out, separators=(",", ":")))
     if missing_floor:
         print(
             "ERROR: HEADLINE entries without a BENCH_BASELINE.json floor: "
@@ -322,7 +325,11 @@ def build_artifact(
     stats.  Budget arithmetic: ~13 chars per compact ratio + ~8 per
     flagged prefix (capped) + ~120 of stats — everything fits to ~135
     entries even with EVERYTHING flagged (pinned in
-    tests/test_bench_artifact.py at the current size).
+    tests/test_bench_artifact.py at the current size).  Round 15: the
+    printed line uses COMPACT JSON separators (the driver truncates the
+    printed text, so whitespace was burning ~18% of the window) and the
+    summary stats moved AFTER the per-entry map — overflow now eats the
+    map's front, never the stats or the flag list.
 
     Returns (artifact, missing_floor); a non-empty missing_floor is the
     caller's hard-error signal (round-9 verdict: new entries must land
@@ -351,9 +358,6 @@ def build_artifact(
         if ratios:
             vals = sorted(ratios.values())
             out["baseline_ratios"] = ratios
-            out["ratio_mean"] = round(sum(vals) / len(vals), 3)
-            out["ratio_median"] = round(vals[len(vals) // 2], 3)
-            out["ratio_worst"] = max(vals)
             if missing_floor:
                 out["missing_floor"] = missing_floor
             # backstop of main()'s up-front _check_prefix_unique (which
@@ -365,6 +369,13 @@ def build_artifact(
             out["ratios"] = {
                 n.split("_", 1)[0]: round(r, 2) for n, r in ratios.items()
             }
+            # summary stats AFTER the per-entry map (round-15): if a
+            # future suite outgrows the tail window, truncation eats the
+            # ratio map's FRONT — the stats and the flag list are the
+            # last ~200 chars and survive any storm
+            out["ratio_mean"] = round(sum(vals) / len(vals), 3)
+            out["ratio_median"] = round(vals[len(vals) // 2], 3)
+            out["ratio_worst"] = max(vals)
             # prefixes, not full names, and CAPPED at the worst offenders:
             # a many-flagged regression round must not blow the 2000-char
             # tail that carries the ratio map (at 120+ entries an

@@ -22,7 +22,9 @@ def _synthetic(names):
 
 
 def _tail_keys(out: dict, keep: int = 2000) -> str:
-    line = json.dumps(out)
+    # mirrors main()'s print: compact separators (the driver truncates the
+    # PRINTED text, so the model must match the wire format)
+    line = json.dumps(out, separators=(",", ":"))
     return line[-keep:]
 
 
