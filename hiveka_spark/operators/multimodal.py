@@ -500,11 +500,11 @@ AUDIO_SIGNATURE_SCHEMA = StructType(
 
 def audio_prefix_signature(
     df: DataFrame,
-    prefix_bytes: int = 64,
+    prefix_samples: int = 64,
     decoder: Callable[[bytes, dict | None], "tuple[np.ndarray, int]"] | None = None,
 ) -> DataFrame:
     """Content-derived audio fingerprint: the hex of the first
-    ``prefix_bytes`` BYTES of the decoded PCM sample buffer NORMALIZED to
+    ``prefix_samples`` decoded PCM SAMPLES, each NORMALIZED to
     little-endian int32 (through the real codec — container bytes never
     enter the key, so a re-containerized or length-trimmed copy of the
     same recording keys identically while any byte-level container diff
@@ -513,7 +513,11 @@ def audio_prefix_signature(
     dtype width AND the host's endianness, so the same recording decoded
     on a big-endian executor (or via a codec returning a different
     integer width for the same PCM values) would key differently across
-    a heterogeneous cluster.  Widening is injective, so the key stays
+    a heterogeneous cluster.  The key is sliced in SAMPLES before
+    widening (round-15 review): a byte-count slice of the widened buffer
+    would quietly shrink coverage 4x, so clips between 17 and 63 samples
+    that previously keyed losslessly on their full payload would collide
+    on a 16-sample prefix.  Widening is injective, so the key stays
     LOSSLESS — distinct recordings can never collide on a truncated low
     byte.  The audio-side analog of x49's image content hash; clips
     shorter than the prefix key on their full normalized payload."""
@@ -531,8 +535,9 @@ def audio_prefix_signature(
                 # fixed-width little-endian sample bytes, NOT a low-byte
                 # truncation (lossless at any decoder width — round-13
                 # advice) and NOT native layout (host/dtype-portable —
-                # round-14 advice)
-                pre = arr.astype("<i4").tobytes()[:prefix_bytes]
+                # round-14 advice); sliced in SAMPLES before widening so
+                # normalization never shrinks coverage (round-15 review)
+                pre = arr[:prefix_samples].astype("<i4").tobytes()
                 rows.append(
                     {
                         "media_id": int(media_id),

@@ -472,11 +472,18 @@ def _opq_apply(df: DataFrame, chain: list[tuple[list[int], int]]) -> DataFrame:
                 "0L, (a, x) -> a + x)"
             ),
         )
+        # the IF references _dot TWICE, which stops CollapseProject from
+        # inlining the single-use dot aggregate INTO the zip_with lambda
+        # body — inlined, the dim-element dot re-evaluates once per output
+        # component (O(dim^2) per row per reflection, plan-verified; the
+        # exact pathology _pq_subvectors' docstring documents).  _dot is
+        # never NULL (an aggregate over non-null ints), so the IF is
+        # semantically identity; the barrier is pinned in tests/test_opq.py
         df = df.withColumn(
             "_qv",
             F.expr(
-                f"zip_with(_qv, {u_sql}, "
-                f"(x, u) -> x - (2 * _dot * u) DIV {int(uu)}L)"
+                f"IF(_dot IS NULL, _qv, zip_with(_qv, {u_sql}, "
+                f"(x, u) -> x - (2 * _dot * u) DIV {int(uu)}L))"
             ),
         ).drop("_dot")
     return df
@@ -1562,8 +1569,14 @@ def ivf_index_compact(spark, root: str, before: int | None = None) -> int:
             _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
     if before is not None:
         live_versions = [v for v in live_versions if v < before]
+    # the "next safe append version" must clear EVERY committed version,
+    # not just the folded ones: with `before` the max committed version
+    # can sit outside the fold set (a replayed batch's own segment), and
+    # returning below it would make an honoring caller raise or clobber
+    # (round-15 review)
+    ceiling = max(versions) if versions else -1
     if len(live_versions) <= 1:
-        return (live_versions[-1] + 1) if live_versions else 0
+        return ceiling + 1
     top = max(live_versions)
     if (top + 1) in versions:
         raise ValueError(
@@ -1589,7 +1602,7 @@ def ivf_index_compact(spark, root: str, before: int | None = None) -> int:
     _os.rename(tmp, target)
     for v in live_versions:
         _shutil.rmtree(_os.path.join(base, f"v={v}"), ignore_errors=True)
-    return top + 2
+    return max(ceiling, top + 1) + 1
 
 
 def make_ivf_stream_sink(
@@ -1635,6 +1648,60 @@ def make_ivf_stream_sink(
         ivf_index_update(s, batch_df, root, version, centroids, id_col, vec_col)
 
     return sink
+
+
+def _probe_side(
+    df: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, cell, qqvec, qn2): each vector's ``n_probe`` nearest
+    frozen cells with its quantized payload — THE probe-side frame the
+    index servers share (ivf_index_topk, make_knn_graph_sink), so the
+    cell tie-break (c_cos DESC, cell) exists exactly once.  The s33
+    streaming/one-shot convergence contract depends on this rule staying
+    byte-identical across call sites (round-15 review)."""
+    v = with_quantized_norm(df, vec_col)
+    cents = _cell_centroids(v, df, id_col, vec_col, 0, None, centroids)
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos",
+        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cell",
+            F.col("qvec").alias("qqvec"),
+            F.col("qnorm2").alias("qn2"),
+        )
+    )
+
+
+def _serve_scores(index: DataFrame, qs: DataFrame) -> DataFrame:
+    """Floor-quantized cosine of probe rows against index rows sharing a
+    cell, self-pairs dropped — the serving score block (quantization and
+    the exclusion rule single-sourced; pass ``F.broadcast(qs)`` for the
+    bounded-probe-batch contract)."""
+    return (
+        index.join(qs, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.floor(
+                cosine_expr(
+                    F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")
+                )
+                * 10000.0
+            )
+            / 10000.0,
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
 
 
 def make_knn_graph_sink(
@@ -1693,51 +1760,12 @@ def make_knn_graph_sink(
     for p in (probes_root, edges_root):
         _os.makedirs(p, exist_ok=True)
 
-    def _probe_rows(df: DataFrame) -> DataFrame:
-        v = with_quantized_norm(df, vec_col)
-        cents = _cell_centroids(v, df, id_col, vec_col, 0, None, centroids)
-        scored = v.crossJoin(F.broadcast(cents)).withColumn(
-            "c_cos",
-            cosine_expr(
-                F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_cos").desc(), F.col("cell")
-        )
-        return (
-            scored.withColumn("c_rank", F.row_number().over(w))
-            .filter(F.col("c_rank") <= n_probe)
-            .select(
-                F.col(id_col).alias("query_id"),
-                "cell",
-                F.col("qvec").alias("qqvec"),
-                F.col("qnorm2").alias("qn2"),
-            )
-        )
-
-    def _score(qs: DataFrame, index: DataFrame) -> DataFrame:
-        return (
-            index.join(qs, "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn(
-                "cosine",
-                F.floor(
-                    cosine_expr(
-                        F.col("qqvec"), F.col("cvec"),
-                        F.col("qn2"), F.col("cn2"),
-                    )
-                    * 10000.0
-                )
-                / 10000.0,
-            )
-            .select("query_id", "neighbor_id", "cosine")
-        )
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         version = 2 * batch_id + 2
-        bq = _probe_rows(batch_df).localCheckpoint(eager=True)  # batch-sized
+        bq = _probe_side(
+            batch_df, centroids, id_col, vec_col, n_probe
+        ).localCheckpoint(eager=True)  # batch-sized
         prior_probes = committed_versions(probes_root, version)
         ivf_index_update(
             s, batch_df, index_root, version, centroids, id_col, vec_col
@@ -1756,10 +1784,12 @@ def make_knn_graph_sink(
             F.col("qvec").alias("cvec"),
             F.col("qnorm2").alias("cn2"),
         )
-        cands = _score(bq, index)  # new -> all (intra-batch included)
+        cands = _serve_scores(index, bq)  # new -> all (intra-batch incl.)
         if prior_probes:
             old = s.read.parquet(*prior_probes)
-            cands = cands.unionByName(_score(old, batch_index))  # old -> new
+            cands = cands.unionByName(
+                _serve_scores(batch_index, old)  # old -> new
+            )
         prev_dirs = committed_versions(edges_root, version)
         merged = cands
         if prev_dirs:
@@ -1852,36 +1882,11 @@ def ivf_index_topk(
         F.col("qvec").alias("cvec"),
         F.col("qnorm2").alias("cn2"),
     )
-    v = with_quantized_norm(queries, vec_col)
-    cents = _cell_centroids(v, queries, id_col, vec_col, 0, None, centroids)
-    scored_c = v.crossJoin(F.broadcast(cents)).withColumn(
-        "c_cos",
-        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
-    qs = (
-        scored_c.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_probe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("qvec").alias("qqvec"),
-            F.col("qnorm2").alias("qn2"),
-            "cell",
-        )
-    )
-    scored = (
-        index.join(F.broadcast(qs) if broadcast_queries else qs, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.floor(
-                cosine_expr(
-                    F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")
-                )
-                * 10000.0
-            )
-            / 10000.0,
-        )
+    # probe selection + scoring through the shared helpers so the cell
+    # tie-break and quantization can never drift from the s33 sink's
+    qs = _probe_side(queries, centroids, id_col, vec_col, n_probe)
+    scored = _serve_scores(
+        index, F.broadcast(qs) if broadcast_queries else qs
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

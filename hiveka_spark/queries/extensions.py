@@ -2454,11 +2454,12 @@ def _x116_oracle() -> str:
              CAST(doc_id % 400 + 100 AS BIGINT) AS n
       FROM documents),
     k AS (SELECT doc_id, n,
-                 -- 64 key bytes = the first 16 decoded uint8 samples
-                 -- widened to little-endian int32 (the engine's <i4
-                 -- normalization): each digest byte -> its hex + '000000'
-                 array_to_string(list_transform(range(0, 16),
-                     i -> substr(sha256(CAST(gid AS VARCHAR)), 2*i + 1, 2)
+                 -- the first 64 decoded uint8 samples widened to
+                 -- little-endian int32 (the engine's <i4 normalization):
+                 -- each payload byte -> its hex + '000000'; the digest
+                 -- tiles, so samples 32..63 repeat samples 0..31
+                 array_to_string(list_transform(range(0, 64),
+                     i -> substr(sha256(CAST(gid AS VARCHAR)), 2*(i % 32) + 1, 2)
                           || '000000'), '') AS prefix_hex
           FROM b)
     SELECT prefix_hex,
@@ -2477,8 +2478,8 @@ def _x116_oracle() -> str:
 )
 def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio content dedup with a REAL codec in the loop (the audio-side
-    x49): clips are keyed by the hex of the first 64 bytes of their
-    DECODED samples normalized to little-endian int32 —
+    x49): clips are keyed by the hex of their first 64 DECODED samples
+    normalized to little-endian int32 —
     container bytes never enter the key, so trimmed or extended copies
     of the same recording (different RIFF lengths, same PCM prefix)
     group together while any byte-level container comparison would not.
@@ -2491,12 +2492,12 @@ def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: synth and decode are Arrow-batched mapInPandas through
     the stdlib wave codec (real RIFF parse, x44's discipline); the dedup
-    is ONE hash aggregate on the 128-hex-char key — x01's shape, the
+    is ONE hash aggregate on the 512-hex-char key — x01's shape, the
     shuffle carries fingerprints, never audio bytes.  The oracle replays
     the digest-tiling arithmetic through the ``<i4`` key normalization:
-    the 64 key bytes are the first 16 decoded uint8 samples (= the first
-    16 bytes of sha256(gid)) each widened to 4 little-endian bytes, so
-    prefix_hex is the digest's first 16 hex pairs each suffixed
+    the key is the first 64 decoded uint8 samples (= the 32-byte
+    sha256(gid) tiled twice) each widened to 4 little-endian bytes, so
+    prefix_hex is the digest's hex pairs, tiled, each suffixed
     '000000' — certified without the oracle ever seeing a container."""
     from hiveka_spark.operators.multimodal import (
         audio_prefix_signature,
@@ -2508,7 +2509,7 @@ def x116_audio_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(doc_id DIV {_X116_GROUP} AS STRING)").alias("text"),
     )
     media = synthesize_wav_media(d, "doc_id", "text")
-    sig = audio_prefix_signature(media, prefix_bytes=64)
+    sig = audio_prefix_signature(media, prefix_samples=64)
     return sig.groupBy("prefix_hex").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clips"),
         F.min("media_id").cast("bigint").alias("keeper_id"),

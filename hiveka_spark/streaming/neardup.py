@@ -447,9 +447,14 @@ def make_substring_sink(state_root: str, min_len: int = 10,
         starts_out.distinct().write.mode("overwrite").parquet(
             os.path.join(starts_root, f"b{batch_id}")
         )
+        # trigger on COMMITTED dirs, not the shadowed live view: after a
+        # crashed fold the live count collapses to 1 while the folded
+        # b-dirs still sit on disk, and the fold pass is also what
+        # finishes those deletes — it must keep firing until the listing
+        # is actually bounded again (make_ivf_stream_sink's rule)
         if (
             compact_after is not None
-            and len(wc_committed_versions(wc_root, 10**9)) >= compact_after
+            and len(committed_versions(wc_root, 10**9)) >= compact_after
         ):
             # before=batch_id: never fold THIS batch's dir (replay safety
             # — compact_band_index's in-stream rule)

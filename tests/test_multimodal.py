@@ -229,4 +229,4 @@ def test_x116_prefix_groups_trimmed_copies(spark):
     for r in rows:
         assert r.n_dups == r.n_clips - 1
         assert r.keeper_id % _X116_GROUP == 0 or r.n_clips < _X116_GROUP
-        assert len(r.prefix_hex) == 128
+        assert len(r.prefix_hex) == 512  # 64 samples x 4 bytes x 2 hex

@@ -160,3 +160,26 @@ def test_rotated_pq_identical_vector_achieves_adc_minimum(spark):
     assert 1003 in by_id, sorted(by_id)
     best = min(r.approx_d2 for r in got)
     assert by_id[1003].approx_d2 == best
+
+
+def test_opq_apply_dot_is_not_inlined_into_the_lambda(spark):
+    """Plan pin for the rotation's staging barrier: the per-row dot
+    product must live in its OWN projection, not be collapsed into the
+    zip_with lambda body (where it would re-evaluate per output
+    component — O(dim^2) per row per reflection)."""
+    from hiveka_spark.operators.similarity import _opq_apply, quantized
+
+    e = _planted(spark).select(
+        F.col("vec_id").alias("_id"), quantized("embedding").alias("_qv")
+    )
+    chain = opq_householder_chain([[10000] * DIM])
+    plan = (
+        _opq_apply(e, chain)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the staged plan keeps the dot as its OWN named projection column;
+    # a collapsed plan erases the alias and nests the aggregate inside
+    # the rotation lambda (verified both shapes by hand)
+    assert "AS _dot#" in plan, (
+        "dot aggregate was inlined into the rotation lambda:\n" + plan
+    )
