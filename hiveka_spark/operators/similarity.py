@@ -455,14 +455,51 @@ def opq_householder_chain(
     return chain
 
 
+#: conservative per-component bound on rotated quantized vectors handed to
+#: _opq_apply: reflections preserve the L2 norm (up to the +-1 truncation
+#: quantum per component per reflection), so any component is bounded by
+#: ||qv||_2 <= sqrt(dim) * max|qv_0| ~ 8 * 3e4 = 2.4e5 for unit-ish
+#: embeddings at QUANT=1e4 and dim 64; 2^18 = 262144 covers that with the
+#: drift margin.  Raise explicitly at call sites with wilder inputs.
+_OPQ_MAX_ABS_QV = 1 << 18
+
+
+def _opq_headroom_guard(
+    chain: list[tuple[list[int], int]], dim: int,
+    max_abs_qv: int = _OPQ_MAX_ABS_QV,
+) -> None:
+    """int64-overflow guard for the reflection arithmetic (round-16 advice
+    fix — the x119 guard pattern): the largest intermediate in
+    ``x - (2 * dot * u) DIV uu`` is ``2 * dot * u`` with
+    ``|dot| <= dim * max|qv| * max|u|``, so require
+    ``2 * dim * max_abs_qv * max|u|^2 < 2^63``.  At dim 64 with the x129
+    basis (|u| <= ~1.6e5) this passes with ~10x margin; at dim 1024 the
+    true bound (~1.4e20) exceeds int64 and this RAISES instead of letting
+    the rotated codes silently wrap."""
+    u_max = max((max(abs(c) for c in u) for u, _ in chain), default=0)
+    bound = 2 * dim * max_abs_qv * u_max * u_max
+    if bound >= 2**63:
+        raise ValueError(
+            "OPQ reflection would overflow int64: "
+            f"2 * dim({dim}) * max|qv|({max_abs_qv}) * max|u|({u_max})^2 "
+            f"= {bound} >= 2^63; rescale the direction basis (or shrink "
+            "the quantization) before building the chain"
+        )
+
+
 def _opq_apply(df: DataFrame, chain: list[tuple[list[int], int]]) -> DataFrame:
     """Apply a Householder chain to the ``_qv`` column (bigint array) —
     one staged select per reflection so the per-row dot product is
     evaluated ONCE, not re-evaluated per component inside the zip_with
     lambda.  Pure codegen-able integer arithmetic; the chain's u vectors
     are dim-sized SQL array literals (bounded: k * dim values).
-    Headroom: |dot| <= dim * |qv| * |u| ~ 64 * 1e5 * 1e5 = 6.4e11;
-    2*dot*u <= ~1.3e17 < 2^63."""
+    Headroom is GUARDED, not assumed (:func:`_opq_headroom_guard`):
+    |dot| <= dim * max|qv| * max|u| ~ 64 * 2.6e5 * 1.6e5 = 2.7e12 and
+    2*dot*u <= ~8.5e17 < 2^63 for the dim-64 x129 basis; larger dims must
+    pass the guard or raise."""
+    if chain:
+        dim = max(len(u) for u, _ in chain)
+        _opq_headroom_guard(chain, dim)
     for u, uu in chain:
         u_sql = "array(" + ",".join(f"{int(c)}L" for c in u) + ")"
         df = df.withColumn(

@@ -225,22 +225,17 @@ _LSE_MAX_B = 1400
 
 
 def _lse_tables() -> tuple[list[int], list[int]]:
-    """The two bounded quantization tables of the soft E-step, computed
-    with the EXACT expression the DuckDB oracle uses (same op order:
-    ``1e6 * ln(1 + exp(-b/100))`` / ``1e6 * exp(-b/100)``, floor) — the
-    parity is pinned entry-by-entry in tests/test_unigram.py (b/100.0 and
-    the outer multiply are correctly-rounded IEEE ops; ln/exp agreement
-    is the x100 shared-libm discipline, here CERTIFIED by the test
-    instead of assumed)."""
-    corr = [
-        math.floor(_COST_SCALE * math.log(1.0 + math.exp(-b / 100.0)))
-        for b in range(_LSE_MAX_B + 1)
-    ]
-    expw = [
-        math.floor(_COST_SCALE * math.exp(-b / 100.0))
-        for b in range(_LSE_MAX_B + 1)
-    ]
-    return corr, expw
+    """The two bounded quantization tables of the soft E-step — read from
+    the CHECKED-IN literals in :mod:`hiveka_spark.operators._lse_literals`
+    (round-16 advice fix): the DuckDB oracle embeds the SAME literals as
+    SQL list constants, so Python/SQL parity is definitional instead of
+    depending on the host libm rounding ``ln(1 + exp(-b/100))`` the same
+    way at every floor boundary (tests/test_unigram.py still regenerates
+    the tables with ``math`` and compares — documenting, on this host,
+    that the literals ARE the float-generated values)."""
+    from hiveka_spark.operators._lse_literals import LSE_CORR, LSE_EXPW
+
+    return list(LSE_CORR), list(LSE_EXPW)
 
 
 def _lse(x: int, y: int, corr: list[int]) -> int:

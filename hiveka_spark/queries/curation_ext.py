@@ -6949,7 +6949,7 @@ def _x145_arm_ctes(
         FROM {src} CROSS JOIN (SELECT UNNEST(range(0, {m})) AS s)),
     {p}cents AS (SELECT CAST(vec_id // {stride} AS BIGINT) AS code, sub, sv AS cv
               FROM {p}sub WHERE vec_id % {stride} = 0 AND vec_id // {stride} < {n_cent}),
-    {p}asgn AS (SELECT s.vec_id, s.sub, c.code,
+    {p}asgn AS MATERIALIZED (SELECT s.vec_id, s.sub, c.code,
                     CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
                          + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2
              FROM {p}sub s JOIN {p}cents c USING (sub)),

@@ -3447,7 +3447,7 @@ def x139_bulk_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _x142_oracle(k: int = _X139_K) -> str:
     return f"""
     WITH RECURSIVE {_ann_ivf_ctes(k=k, query_pred="TRUE")},
-    fwd AS (SELECT query_id, neighbor_id FROM knnf),
+    fwd AS MATERIALIZED (SELECT query_id, neighbor_id FROM knnf),
     mpairs AS (
       SELECT a.query_id AS id_a, a.neighbor_id AS id_b
       FROM fwd a JOIN fwd b

@@ -1207,16 +1207,21 @@ _UGS_LSE = (
     " // 10000, 1400) AS INT) + 1]"
 )
 
-#: the two bounded quantization tables (operators/unigram.py::_lse_tables
-#: — parity with Python's math pinned entry-by-entry in tests)
-_UGS_TABLES = """ugs_corr AS (
-      SELECT b, CAST(FLOOR(1000000.0 * ln(1.0 + exp(-b / 100.0))) AS BIGINT) AS v
-      FROM (SELECT UNNEST(range(0, 1401)) AS b)),
-    ugs_corrl AS (SELECT list(v ORDER BY b) AS cl FROM ugs_corr),
-    ugs_expw AS (
-      SELECT b, CAST(FLOOR(1000000.0 * exp(-b / 100.0)) AS BIGINT) AS v
-      FROM (SELECT UNNEST(range(0, 1401)) AS b)),
-    ugs_expwl AS (SELECT list(v ORDER BY b) AS el FROM ugs_expw)"""
+def _ugs_tables_sql() -> str:
+    """The two bounded quantization tables as SQL LIST LITERALS read from
+    the checked-in :mod:`~hiveka_spark.operators._lse_literals` constants
+    (round-16 advice fix) — the oracle no longer calls ``ln``/``exp`` at
+    all, so Python/DuckDB parity cannot break on a libm floor boundary."""
+    from hiveka_spark.operators._lse_literals import LSE_CORR, LSE_EXPW
+
+    cl = ",".join(str(v) for v in LSE_CORR)
+    el = ",".join(str(v) for v in LSE_EXPW)
+    return (f"ugs_corrl AS (SELECT [{cl}]::BIGINT[] AS cl),\n"
+            f"    ugs_expwl AS (SELECT [{el}]::BIGINT[] AS el)")
+
+
+#: the two bounded quantization tables (operators/unigram.py::_lse_tables)
+_UGS_TABLES = _ugs_tables_sql()
 
 
 def _ugs_fwd_ctes(fwd: str, cost: str, units: str,

@@ -183,3 +183,21 @@ def test_opq_apply_dot_is_not_inlined_into_the_lambda(spark):
     assert "AS _dot#" in plan, (
         "dot aggregate was inlined into the rotation lambda:\n" + plan
     )
+
+
+def test_opq_headroom_guard_raises_at_large_dim():
+    """Round-16 advice fix: the int64 headroom of the reflection
+    arithmetic is guarded, not assumed.  A dim-64 x129-scale chain passes
+    (~10x margin); a dim-1024 chain with the same component magnitudes
+    overflows the 2*dot*u intermediate and must RAISE — silently wrapped
+    rotated codes are the failure mode being excluded."""
+    import pytest
+
+    from hiveka_spark.operators.similarity import _opq_headroom_guard
+
+    ok = [([150_000] * 64, 64 * 150_000**2)]
+    _opq_headroom_guard(ok, 64)  # x129-scale: passes
+
+    big = [([330_000] * 1024, 1024 * 330_000**2)]
+    with pytest.raises(ValueError, match="overflow int64"):
+        _opq_headroom_guard(big, 1024)

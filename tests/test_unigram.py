@@ -344,23 +344,35 @@ def test_unit_cap_tie_breaks_on_code_points(spark):
     assert not any("\U00010000" in p for p in pieces), pieces
 
 
-def test_lse_tables_match_duckdb(duck):
-    """The soft E-step's two bounded quantization tables must agree
-    ENTRY-BY-ENTRY between Python's math and DuckDB's ln/exp — the x141
-    oracle replays the whole forward-backward on these 2x1401 integers,
-    so this is the certified (not assumed) libm-agreement seam."""
+def test_lse_tables_are_the_checked_in_literals(duck):
+    """The soft E-step's two quantization tables are now CHECKED-IN
+    literals (round-16 advice fix): Python reads them, the x141 oracle
+    embeds them as SQL list constants — so the engine-parity seam is
+    definitional.  This test documents (a) that on this host the literals
+    equal the float-generated values they were produced from, (b) that the
+    oracle SQL contains the literal (not ln/exp), and (c) the boundary
+    semantics (bucket 1400 floors both tables to 0)."""
+    import math
+
+    from hiveka_spark.operators._lse_literals import LSE_CORR, LSE_EXPW
     from hiveka_spark.operators.unigram import _LSE_MAX_B, _lse_tables
+    from hiveka_spark.queries.tokenizer_ext import _UGS_TABLES
 
     corr, expw = _lse_tables()
-    got_corr = dict(duck.sql(
-        "SELECT b, CAST(FLOOR(1000000.0 * ln(1.0 + exp(-b / 100.0))) AS BIGINT)"
-        " FROM (SELECT UNNEST(range(0, 1401)) AS b)").fetchall())
-    got_expw = dict(duck.sql(
-        "SELECT b, CAST(FLOOR(1000000.0 * exp(-b / 100.0)) AS BIGINT)"
-        " FROM (SELECT UNNEST(range(0, 1401)) AS b)").fetchall())
+    assert corr == list(LSE_CORR) and expw == list(LSE_EXPW)
     assert len(corr) == len(expw) == _LSE_MAX_B + 1 == 1401
-    assert all(got_corr[b] == corr[b] for b in range(1401))
-    assert all(got_expw[b] == expw[b] for b in range(1401))
+    gen_corr = [math.floor(1_000_000 * math.log(1.0 + math.exp(-b / 100.0)))
+                for b in range(1401)]
+    gen_expw = [math.floor(1_000_000 * math.exp(-b / 100.0))
+                for b in range(1401)]
+    assert corr == gen_corr and expw == gen_expw
+    # the oracle carries the literals, not runtime ln/exp
+    assert "ln(" not in _UGS_TABLES and "exp(" not in _UGS_TABLES
+    assert str(LSE_CORR[1]) in _UGS_TABLES and str(LSE_EXPW[1]) in _UGS_TABLES
+    # DuckDB reads the literal back verbatim
+    cl, el = duck.sql(f"WITH {_UGS_TABLES} SELECT cl, el"
+                      " FROM ugs_corrl, ugs_expwl").fetchone()
+    assert list(cl) == corr and list(el) == expw
     # boundary semantics: the table is exactly long enough — the last
     # bucket's correction/weight is 0, so capping at 1400 loses nothing
     assert corr[1400] == 0 and expw[1400] == 0
