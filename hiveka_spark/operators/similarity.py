@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -1707,23 +1709,34 @@ def _probe_side(
         cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    wq = Window.partitionBy(id_col)
     return (
         scored.withColumn("c_rank", F.row_number().over(w))
         .filter(F.col("c_rank") <= n_probe)
+        # home = the rank-1 probe cell: the node's partition key in the
+        # per-cell edge store (frozen forever, since centroids are frozen)
+        .withColumn(
+            "home",
+            F.max(F.when(F.col("c_rank") == 1, F.col("cell"))).over(wq),
+        )
         .select(
             F.col(id_col).alias("query_id"),
             "cell",
             F.col("qvec").alias("qqvec"),
             F.col("qnorm2").alias("qn2"),
+            "home",
         )
     )
 
 
-def _serve_scores(index: DataFrame, qs: DataFrame) -> DataFrame:
+def _serve_scores(
+    index: DataFrame, qs: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Floor-quantized cosine of probe rows against index rows sharing a
     cell, self-pairs dropped — the serving score block (quantization and
     the exclusion rule single-sourced; pass ``F.broadcast(qs)`` for the
-    bounded-probe-batch contract)."""
+    bounded-probe-batch contract).  ``extra`` passes additional
+    query-side columns through (the s33 sink carries ``home``)."""
     return (
         index.join(qs, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1737,8 +1750,59 @@ def _serve_scores(index: DataFrame, qs: DataFrame) -> DataFrame:
             )
             / 10000.0,
         )
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", "cosine", *extra)
     )
+
+
+def compact_probe_store(spark, probes_root: str, before: int = 10**9) -> None:
+    """Fold committed probe segments (``probes/b{id}``, id < ``before``)
+    into ONE compacted segment ``c{top}`` — the wc-store recipe (round-16
+    advice: the probe store was append-only, so a long-running ingest
+    re-listed and re-scanned one dir per prior batch on every old->new
+    join).  Probe content is a SET of frozen per-node rows, so the fold
+    is a pure union; but the old->new join must never see a row twice (a
+    duplicated candidate would take two ranks in the top-k window and
+    evict a true neighbor), so both this fold and the sink's prior-probe
+    read go through :func:`~hiveka_spark.streaming.neardup.
+    wc_committed_versions` — dirs already folded into a committed c-dir
+    are shadowed, never re-read — and the retry path FIRST finishes the
+    deletes a crashed prior fold left behind.  Same in-stream safety rule
+    as every other store: callers pass ``before = current version`` so a
+    checkpoint replay can never find its own segment folded."""
+    import shutil as _shutil
+
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        wc_committed_versions,
+    )
+
+    all_dirs = committed_versions(probes_root, before)
+    dirs = wc_committed_versions(probes_root, before)
+    for d in set(all_dirs) - set(dirs):
+        # crash-retry: already folded into a committed c-dir — finish the
+        # deletes instead of re-folding (re-reading them alongside the
+        # c-dir would duplicate probe rows and corrupt future top-k merges)
+        _shutil.rmtree(d, ignore_errors=True)
+    if len(dirs) <= 1:
+        return
+    top = max(int(os.path.basename(d)[1:]) for d in dirs)
+    target = os.path.join(probes_root, f"c{top}")
+    if not os.path.exists(target):
+        tmp = os.path.join(probes_root, "_compact_tmp")
+        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, target)
+    for d in dirs:
+        if os.path.abspath(d) != os.path.abspath(target):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
+def _cell_edge_versions(cell_dir: str, before: int) -> list[str]:
+    """Committed (``_SUCCESS``-marked) edge versions of ONE home cell."""
+    from hiveka_spark.streaming.neardup import committed_versions
+
+    if not os.path.isdir(cell_dir):
+        return []
+    return committed_versions(cell_dir, before)
 
 
 def make_knn_graph_sink(
@@ -1748,6 +1812,7 @@ def make_knn_graph_sink(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_probes_after: int | None = None,
 ):
     """foreachBatch sink maintaining a LIVE kNN graph (s33 — x139's bulk
     edge list under streaming ingest): vectors arrive in micro-batches
@@ -1760,13 +1825,20 @@ def make_knn_graph_sink(
     - ``index/v=<2b+2>``: the accumulated IVF index (s29's append, s32's
       version spacing — compaction composes).
     - ``probes/b<2b+2>``: APPEND-ONLY per-node probe rows (query_id,
-      cell, qqvec, qn2 — the node's n_probe nearest frozen cells).
-      Probe sets are frozen per node, so old nodes are never re-ranked;
-      this store is what lets the old->new merge run WITHOUT re-reading
-      source vectors.
-    - ``edges/b<2b+2>``: the per-node top-k snapshot (query_id,
-      neighbor_id, cosine, rank) — full snapshot per version, superseded
-      predecessors deleted down to one.
+      cell, qqvec, qn2, home — the node's n_probe nearest frozen cells
+      plus its rank-1 "home" cell).  Probe sets are frozen per node, so
+      old nodes are never re-ranked; this store is what lets the
+      old->new merge run WITHOUT re-reading source vectors.  Foldable:
+      ``compact_probes_after`` bounds the dir listing via
+      :func:`compact_probe_store` (round-16 advice).
+    - ``edges/hc<cell>/b<version>``: the per-node top-k rows (query_id,
+      neighbor_id, cosine, rank, home) PARTITIONED BY HOME CELL — the
+      round-15 verdict #1 rewrite: each batch rewrites ONLY the cells it
+      touches (home cells of the batch's nodes plus home cells of prior
+      nodes whose probe sets intersect the batch's index cells), never
+      the full snapshot.  An untouched cell's files are byte-identical
+      across a batch (test-pinned).  Per cell, superseded versions are
+      deleted down to the newest predecessor (<= 2 live versions/cell).
 
     Convergence is the s19 discipline at graph level — a candidate pair
     (q, nb) with nb in a cell q probes is generated EXACTLY ONCE, when
@@ -1774,36 +1846,56 @@ def make_knn_graph_sink(
     whole accumulated index (new->all, intra-batch included), and all
     PRIOR nodes' probe rows score against the batch's index rows
     (old->new).  Candidate scores are static (frozen cells, quantized
-    cosine), so folding each batch's candidates into the previous top-k
-    snapshot with the one-shot rank rule (cosine DESC, neighbor_id)
-    reaches the one-shot answer for ANY batch split — pinned by the s33
-    tests.
+    cosine), so folding each batch's candidates into the touched cells'
+    previous top-k rows with the one-shot rank rule (cosine DESC,
+    neighbor_id) reaches the one-shot answer for ANY batch split —
+    pinned by the s33 tests.  A node's home cell is frozen at arrival
+    (frozen centroids), so its rows can never migrate between cell
+    partitions; queries untouched by the batch re-rank to identical rows
+    inside a touched cell and are preserved verbatim in untouched cells.
+
+    Crash windows (the x135/wc-store ordering rules at cell granularity):
+    the merged batch output lands in ONE partitioned staging write, then
+    each ``hc=<cell>`` subdir is renamed atomically into
+    ``edges/hc<cell>/b<version>`` and ``_SUCCESS``-marked; a crash
+    mid-publish replays the batch, which recomputes the same rows (static
+    scores, predecessor kept until after all publishes) and overwrites
+    by version; predecessor deletes run last and are finished lazily on
+    the cell's next touch.
 
     Scale shape per batch: one broadcast-centroid argmax over the batch,
     two cell-keyed equi-joins (batch-probes x index; prior-probes x
-    batch-index — both bounded by batch size x cell occupancy), and the
-    snapshot merge.  The merge rewrites the full snapshot (the
-    VersionedUpsertSink posture s27/s28/s31 share); at 100 TB the edge
-    store is partitioned by the query's home cell and only partitions
-    whose cells intersect the batch rewrite — batch-local, not
-    corpus-sized."""
-    import os as _os
+    batch-index — both bounded by batch size x cell occupancy), one
+    touched-cell merge (batch-local, not corpus-sized), and a
+    bounded-per-batch set of directory renames.  At 100 TB the touched
+    set per batch is ~ batch size x n_probe cells out of ~sqrt(n) cells
+    — the snapshot-rewrite cost the full-rewrite design paid is gone
+    (measured in SCALE.md round-16)."""
+    import shutil as _shutil
 
-    from hiveka_spark.streaming.neardup import committed_versions
+    from hiveka_spark.streaming.neardup import (
+        committed_versions,
+        wc_committed_versions,
+    )
 
-    index_root = _os.path.join(state_root, "index")
-    probes_root = _os.path.join(state_root, "probes")
-    edges_root = _os.path.join(state_root, "edges")
+    index_root = os.path.join(state_root, "index")
+    probes_root = os.path.join(state_root, "probes")
+    edges_root = os.path.join(state_root, "edges")
     for p in (probes_root, edges_root):
-        _os.makedirs(p, exist_ok=True)
+        os.makedirs(p, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         version = 2 * batch_id + 2
+        if compact_probes_after is not None and (
+            len(committed_versions(probes_root, version))
+            >= compact_probes_after
+        ):
+            compact_probe_store(s, probes_root, before=version)
         bq = _probe_side(
             batch_df, centroids, id_col, vec_col, n_probe
         ).localCheckpoint(eager=True)  # batch-sized
-        prior_probes = committed_versions(probes_root, version)
+        prior_probes = wc_committed_versions(probes_root, version)
         ivf_index_update(
             s, batch_df, index_root, version, centroids, id_col, vec_col
         )
@@ -1821,41 +1913,81 @@ def make_knn_graph_sink(
             F.col("qvec").alias("cvec"),
             F.col("qnorm2").alias("cn2"),
         )
-        cands = _serve_scores(index, bq)  # new -> all (intra-batch incl.)
+        # new -> all (intra-batch included), home carried per query row
+        cands = _serve_scores(index, bq, extra=("home",))
+        old = None
         if prior_probes:
             old = s.read.parquet(*prior_probes)
             cands = cands.unionByName(
-                _serve_scores(batch_index, old)  # old -> new
+                _serve_scores(batch_index, old, extra=("home",))  # old->new
             )
-        prev_dirs = committed_versions(edges_root, version)
+        # touched home cells: batch nodes' homes + homes of prior nodes
+        # whose probe cells intersect the batch's index cells.  This is a
+        # (possibly proper) SUPERSET of the candidate queries' homes —
+        # rewriting a candidate-less touched cell reproduces its rows
+        # identically.  Bounded driver collect: <= n_cells values.
+        batch_cells = batch_index.select("cell").distinct()
+        homes = bq.select("home")
+        if old is not None:
+            homes = homes.unionByName(
+                old.join(batch_cells, "cell", "semi").select("home")
+            )
+        touched = sorted(r.home for r in homes.distinct().collect())
+        # previous committed rows of the touched cells only
+        prev_paths: list[str] = []
+        kept_pred: dict[int, str] = {}
+        for c in touched:
+            vs = _cell_edge_versions(
+                os.path.join(edges_root, f"hc{c}"), version
+            )
+            if vs:
+                p = max(vs, key=_version_of)
+                kept_pred[c] = p
+                prev_paths.append(p)
         merged = cands
-        if prev_dirs:
-            prev = s.read.parquet(max(prev_dirs, key=_version_of)).select(
-                "query_id", "neighbor_id", "cosine"
+        if prev_paths:
+            prev = s.read.parquet(*prev_paths).select(
+                "query_id", "neighbor_id", "cosine", "home"
             )
             merged = merged.unionByName(prev)
         wr = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )
+        staging = os.path.join(edges_root, f"_staging_b{version}")
         (
             merged.withColumn("rank", F.row_number().over(wr).cast("bigint"))
             .filter(F.col("rank") <= k)
+            # duplicate the partition column so the data files keep `home`
+            .withColumn("hc", F.col("home"))
             .write.mode("overwrite")
-            .parquet(_os.path.join(edges_root, f"b{version}"))
+            .partitionBy("hc")
+            .parquet(staging)
         )
+        # per-cell atomic publish: rename each staged partition into its
+        # cell dir and _SUCCESS-mark it (cells with no rows stage nothing)
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("hc="):
+                continue
+            c = int(name.split("=", 1)[1])
+            cell_dir = os.path.join(edges_root, f"hc{c}")
+            os.makedirs(cell_dir, exist_ok=True)
+            tgt = os.path.join(cell_dir, f"b{version}")
+            if os.path.exists(tgt):  # checkpoint replay: overwrite-by-version
+                _shutil.rmtree(tgt)
+            os.rename(os.path.join(staging, name), tgt)
+            open(os.path.join(tgt, "_SUCCESS"), "w").close()
+        _shutil.rmtree(staging, ignore_errors=True)
         bq.write.mode("overwrite").parquet(
-            _os.path.join(probes_root, f"b{version}")
+            os.path.join(probes_root, f"b{version}")
         )
-        # prior snapshots are superseded; bound the listing (keep the
-        # numeric-max predecessor so a replay of THIS version can still
-        # merge against it — committed_versions sorts by NAME, so the max
-        # is taken over parsed versions)
-        import shutil as _shutil
-
-        if len(prev_dirs) > 1:
-            keep = max(prev_dirs, key=_version_of)
-            for d in prev_dirs:
-                if d != keep:
+        # supersede: per touched cell keep {this version, newest
+        # predecessor} — the predecessor survives so a replay of THIS
+        # version can still merge against it; older leftovers (crashed
+        # delete passes) go now
+        for c in touched:
+            cell_dir = os.path.join(edges_root, f"hc{c}")
+            for d in _cell_edge_versions(cell_dir, version):
+                if d != kept_pred.get(c):
                     _shutil.rmtree(d, ignore_errors=True)
 
     return sink
@@ -1868,15 +2000,21 @@ def _version_of(path: str) -> int:
 
 
 def knn_graph_snapshot(spark, state_root: str) -> DataFrame:
-    """The live kNN graph's latest committed edge snapshot."""
-    import os as _os
-
-    from hiveka_spark.streaming.neardup import committed_versions
-
-    dirs = committed_versions(_os.path.join(state_root, "edges"), 10**9)
-    if not dirs:
+    """The live kNN graph's latest committed edge snapshot: per home
+    cell, the newest committed version dir (``edges/hc<cell>/b<v>``) —
+    one bounded listing over ~n_cells dirs, <= 2 version dirs each."""
+    edges_root = os.path.join(state_root, "edges")
+    paths: list[str] = []
+    if os.path.isdir(edges_root):
+        for name in sorted(os.listdir(edges_root)):
+            if not (name.startswith("hc") and name[2:].isdigit()):
+                continue
+            vs = _cell_edge_versions(os.path.join(edges_root, name), 10**9)
+            if vs:
+                paths.append(max(vs, key=_version_of))
+    if not paths:
         raise FileNotFoundError(f"no committed edge snapshot under {state_root}")
-    return spark.read.parquet(max(dirs, key=_version_of))
+    return spark.read.parquet(*paths)
 
 
 def ivf_index_topk(

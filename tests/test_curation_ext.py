@@ -1246,3 +1246,143 @@ def test_knn_graph_sink_batch_split_invariance_and_replay(spark, tmp_path):
         for r in knn_graph_snapshot(spark, str(root)).collect()
     )
     assert got == expected, "replay changed the snapshot"
+
+
+def _tiny_two_cell(spark):
+    """Two well-separated clusters + their two centroids (dim 4): with
+    n_probe=1 every node probes exactly its own cluster's cell, so a
+    batch of cluster-B nodes cannot touch cluster A's edge partition."""
+    import pyspark.sql.functions as FF  # noqa: F401
+
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])],
+        "cell bigint, embedding array<float>",
+    ).localCheckpoint(eager=True)
+    rows_a = [(i, [1.0, 0.01 * i, 0.02 * i, 0.0]) for i in range(3)]
+    rows_b = [(10 + i, [0.01 * i, 1.0, 0.0, 0.02 * i]) for i in range(3)]
+    a = spark.createDataFrame(rows_a, "vec_id bigint, embedding array<float>")
+    b = spark.createDataFrame(rows_b, "vec_id bigint, embedding array<float>")
+    return cents, a, b
+
+
+def _dir_digest(root):
+    """{relative file path: md5} over every file under root."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = hashlib.md5(
+                open(p, "rb").read()
+            ).hexdigest()
+    return out
+
+
+def test_knn_graph_untouched_cell_is_byte_identical(spark, tmp_path):
+    """Round-15 verdict #1: the edge store is partitioned by home cell
+    and a batch rewrites ONLY touched cells — a batch of cluster-B nodes
+    (n_probe=1, disjoint probe cells) must leave cluster A's partition
+    files byte-identical, while still converging to the one-shot graph."""
+    from hiveka_spark.operators.similarity import (
+        ivf_topk,
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+
+    cents, a, b = _tiny_two_cell(spark)
+    root = tmp_path / "state"
+    sink = make_knn_graph_sink(str(root), cents, k=2, n_probe=1)
+    sink(a, 0)
+    hc0 = str(root / "edges" / "hc0")
+    before = _dir_digest(hc0)
+    assert before, "cluster A's partition was not written"
+    sink(b, 1)
+    after = _dir_digest(hc0)
+    assert after == before, "untouched cell hc0 was rewritten"
+    # touched cell advanced to the batch's version
+    import os
+
+    assert any(
+        n.startswith("b4")
+        for n in os.listdir(str(root / "edges" / "hc1"))
+    ), os.listdir(str(root / "edges" / "hc1"))
+    # convergence unchanged: snapshot == one-shot over the union
+    e = a.unionByName(b)
+    expected = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            e, e, "vec_id", "embedding", k=2, n_cells=2, n_probe=1,
+            centroids=cents, broadcast_queries=False,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got == expected
+
+
+def test_knn_graph_probe_store_compaction(spark, tmp_path):
+    """Round-16 advice: the probe store folds into a c-dir on the
+    compact_after trigger — the listing stays bounded under a long
+    ingest, the drained snapshot still equals the one-shot graph, and the
+    crash window between the fold's c-dir publish and its input deletes
+    is survivable (shadowed reads + finish-the-deletes retry)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        compact_probe_store,
+        ivf_topk,
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+    from hiveka_spark.streaming.neardup import wc_committed_versions
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    cents = (
+        e.filter((FF.col("vec_id") % 31 == 0) & (FF.col("vec_id") / 31 < 16))
+        .select(FF.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"),
+                "embedding")
+        .localCheckpoint(eager=True)
+    )
+    root = tmp_path / "state"
+    sink = make_knn_graph_sink(
+        str(root), cents, k=3, n_probe=4, compact_probes_after=2
+    )
+    for i in range(4):
+        sink(e.filter(FF.col("vec_id") % 4 == i), i)
+    probes = str(root / "probes")
+    names = sorted(os.listdir(probes))
+    assert any(n.startswith("c") for n in names), names
+    # folded b-dirs are gone: only the c-dir + post-fold b-dirs remain
+    assert len(wc_committed_versions(probes, 10**9)) <= 3, names
+    expected = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            e, e, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+            centroids=cents, broadcast_queries=False,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got == expected, "compaction changed the graph"
+
+    # crash window: re-create a folded input next to the committed c-dir
+    # (as if the fold published but died before its deletes) — shadowed
+    # reads must ignore it and the retry must finish the delete
+    cdirs = [n for n in os.listdir(probes) if n.startswith("c")]
+    top = max(int(n[1:]) for n in cdirs)
+    ghost = os.path.join(probes, f"b{top}")
+    shutil.copytree(os.path.join(probes, f"c{top}"), ghost)
+    live = wc_committed_versions(probes, 10**9)
+    assert ghost not in live, "shadowing failed: folded b-dir re-read"
+    compact_probe_store(spark, probes, before=10**9)
+    assert not os.path.exists(ghost), "retry did not finish the deletes"
