@@ -2071,3 +2071,43 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def mutual_knn_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int = 31,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Mutual-kNN edge list (id_a < id_b) over the corpus: an undirected
+    edge exists iff b is in a's IVF top-k AND a is in b's — the
+    hub-pruning symmetric construction x142/x146 cluster on (see
+    x142_mutual_knn_components for the full scale argument).  The bulk
+    edge list is x139's non-broadcast cell join, materialized once
+    (n x k id-only rows, localCheckpoint standing in for the parquet
+    persist a 100 TB run would use) and self-joined on the two id
+    columns."""
+    knn = ivf_topk(
+        corpus, corpus, id_col, vec_col,
+        k=k, n_cells=n_cells, n_probe=n_probe,
+        centroid_stride=centroid_stride, centroids=centroids,
+        broadcast_queries=False,
+    )
+    fwd = knn.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    return (
+        fwd.alias("a")
+        .join(
+            fwd.alias("b"),
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .filter(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+        )
+    )

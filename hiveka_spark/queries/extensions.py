@@ -3444,9 +3444,12 @@ def x139_bulk_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _x142_oracle(k: int = _X139_K) -> str:
-    return f"""
-    WITH RECURSIVE {_ann_ivf_ctes(k=k, query_pred="TRUE")},
+def _x142_label_ctes(k: int = _X139_K) -> str:
+    """The mutual-kNN component chain (x139's certified edge replay ->
+    mutual pairs -> transitive closure -> per-node labels) WITHOUT the
+    leading WITH RECURSIVE or the final select — shared by the x142
+    summary oracle and x146's keep-best rewrite oracle."""
+    return f"""{_ann_ivf_ctes(k=k, query_pred="TRUE")},
     fwd AS MATERIALIZED (SELECT query_id, neighbor_id FROM knnf),
     mpairs AS (
       SELECT a.query_id AS id_a, a.neighbor_id AS id_b
@@ -3458,7 +3461,12 @@ def _x142_oracle(k: int = _X139_K) -> str:
     reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
               UNION
               SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u)
+    labels AS (SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u)"""
+
+
+def _x142_oracle(k: int = _X139_K) -> str:
+    return f"""
+    WITH RECURSIVE {_x142_label_ctes(k)}
     SELECT cluster,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MIN(node) AS canonical_id,
@@ -3497,28 +3505,124 @@ def x142_mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.operators.clustering import dedup_clusters
 
     e = table(spark, sf_dir, "embeddings")
-    knn = S.ivf_topk(
-        e, e, "vec_id", "embedding",
+    mutual = S.mutual_knn_pairs(
+        e, "vec_id", "embedding",
         k=_X139_K, n_cells=16, n_probe=4, centroid_stride=31,
-        broadcast_queries=False,
-    )
-    fwd = knn.select("query_id", "neighbor_id").localCheckpoint(eager=True)
-    mutual = (
-        fwd.alias("a")
-        .join(
-            fwd.alias("b"),
-            (F.col("a.query_id") == F.col("b.neighbor_id"))
-            & (F.col("a.neighbor_id") == F.col("b.query_id")),
-        )
-        .filter(F.col("a.query_id") < F.col("a.neighbor_id"))
-        .select(
-            F.col("a.query_id").alias("id_a"),
-            F.col("a.neighbor_id").alias("id_b"),
-        )
     )
     return dedup_clusters(mutual, method="star").select(
         "cluster",
         F.col("n_members").cast("bigint").alias("n_members"),
         "canonical_id",
         F.col("removed").cast("bigint").alias("removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x146 — graph-dedup TERMINAL consumer: keep-best removal over mutual-kNN
+# components, emitting the deduped corpus with md5-certified output text
+# ---------------------------------------------------------------------------
+
+
+def _x146_oracle(k: int = _X139_K) -> str:
+    from hiveka_spark.queries.pipeline_ext import _quality_cte
+
+    return f"""
+    WITH RECURSIVE {_x142_label_ctes(k)},
+    {_quality_cte()},
+    m AS (SELECT l.node AS doc_id, l.cluster, q.quality_score
+          FROM labels l JOIN quality q ON q.doc_id = l.node),
+    r AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY quality_score DESC, doc_id) AS rnk
+      FROM m),
+    clus AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+             FROM r GROUP BY cluster)
+    SELECT d.doc_id,
+           CAST(COALESCE(r.cluster, -1) AS BIGINT) AS cluster,
+           CAST(COALESCE(c.n_members, 1) AS BIGINT) AS n_members,
+           CAST(COALESCE(c.n_members, 1) - 1 AS BIGINT) AS n_removed,
+           md5(d.text) AS out_md5
+    FROM documents d
+    LEFT JOIN r ON r.doc_id = d.doc_id
+    LEFT JOIN clus c ON c.cluster = r.cluster
+    WHERE r.doc_id IS NULL OR r.rnk = 1
+    """
+
+
+@register(
+    "x146_graph_dedup_rewrite",
+    oracle=_x146_oracle(),
+    tags=("similarity", "knn-graph", "dedup", "quality", "rewrite",
+          "training-prep", "certification"),
+)
+def x146_graph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-DEDUP TERMINAL CONSUMER (round-15 verdict #2) — x142 emits
+    mutual-kNN clusters but nothing rewrote the corpus from them; this
+    gate closes the loop: connected components over certified TRUE
+    mutual neighbors (:func:`~hiveka_spark.operators.similarity.
+    mutual_knn_pairs` — x139's edge replay, hub edges pruned by the
+    mutuality filter), then x33's keep-best resolution policy (highest
+    x08 quality score per cluster, ties to the smaller doc id — real
+    duplicates differ in truncation/boilerplate, so min-id keep throws
+    away the best copy), emitting the SURVIVING corpus with x97's
+    discipline: one row per kept document carrying its cluster audit
+    (cluster, n_members, n_removed) and the md5 of the text a training
+    pipeline would actually feed downstream.  Where x37's SemDeDup
+    removes by cell-approximate neighborhoods, this removes only on
+    certified mutual top-k edges (the removal-count comparison is pinned
+    on a planted-cluster fixture in tests/test_graph_dedup.py).
+
+    Scale shape: the edge build is x139's non-broadcast cell join; the
+    mutual filter and components run on n x k id-only rows; the quality
+    join touches the label set (duplicate-volume-sized) against the
+    corpus-sized score projection; the final anti-join/left-join pair is
+    id-keyed.  No text ever shuffles except the one md5 projection.  The
+    oracle embeds x142's full chain (which embeds x139's) + x33's
+    quality CTE and closes with the same keep-best window."""
+    from pyspark.sql import Window
+
+    from hiveka_spark.operators.clustering import connected_components_star
+    from hiveka_spark.operators.text import with_quality
+
+    e = table(spark, sf_dir, "embeddings")
+    mutual = S.mutual_knn_pairs(
+        e, "vec_id", "embedding",
+        k=_X139_K, n_cells=16, n_probe=4, centroid_stride=31,
+    )
+    # star contraction, not min-label propagation: mutual-kNN graphs form
+    # long chains (O(diameter) propagation rounds would both miss the
+    # fixpoint cap and multiply the shuffle count at 100 TB)
+    cc, _rounds = connected_components_star(mutual)  # (node, cluster)
+    d = table(spark, sf_dir, "documents")
+    q = with_quality(d).select("doc_id", "quality_score")
+    m = cc.join(q, cc["node"] == q["doc_id"]).select(
+        "doc_id", "cluster", "quality_score"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    r = m.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )  # duplicate-volume-sized; referenced by keepers, removals, and sizes
+    clus = r.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    keepers = (
+        r.filter(F.col("rnk") == 1)
+        .join(clus, "cluster")
+        .select("doc_id", "cluster", "n_members")
+    )
+    removed = r.filter(F.col("rnk") > 1).select("doc_id")
+    return (
+        d.join(removed, "doc_id", "left_anti")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.lit(-1)).cast("bigint").alias("cluster"),
+            F.coalesce("n_members", F.lit(1)).cast("bigint")
+            .alias("n_members"),
+            (F.coalesce("n_members", F.lit(1)) - 1).cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.col("text")).alias("out_md5"),
+        )
     )
