@@ -413,28 +413,45 @@ def _trunc_div(a: int, b: int) -> int:
 
 def opq_householder_chain(
     dirs: list[list[int]],
+    axes: list[int] | None = None,
 ) -> list[tuple[list[int], int]]:
     """OPQ-style rotation front (Ge et al. 2014) from learned principal
     directions — the Householder QR chain that maps direction ``j`` onto
-    coordinate axis ``j``, so the variance structure the directions carry
-    lands in the FIRST PQ subspaces instead of smearing across all of
-    them.  This is the consumer of x129's block-power-iteration basis
-    (round-14 verdict #1): ``dirs`` is the quantized (bigint) top-k
-    basis, extended to a full-dim orthogonal map by padding with the
-    identity on the untouched coordinates (each reflection only acts on
-    coordinates >= j).
+    coordinate axis ``axes[j]`` (default ``j``).  This is the consumer of
+    x129's block-power-iteration basis (round-14 verdict #1): ``dirs`` is
+    the quantized (bigint) top-m basis, extended to a full-dim orthogonal
+    map by padding with the identity on the untouched coordinates (each
+    reflection fixes all previously targeted axes exactly: the reflector
+    is zeroed there).
 
-    Integer-exact and bounded (k reflections over dim-sized vectors,
+    ``axes`` is the SUBSPACE-BALANCING knob (round-15 verdict #3): with
+    the default sequential targets, every learned direction lands in the
+    FIRST PQ subspace, overloading its centroid budget while the others
+    code noise — the measured failure mode of a width-4 front at dsub 4.
+    Passing ``axes=[j * dsub for j in range(m)]`` sends one direction to
+    the leading coordinate of EACH subspace instead — Ge et al.'s
+    variance-balancing objective in Householder form (the planted-cluster
+    win is pinned in tests/test_opq.py).
+
+    Integer-exact and bounded (m reflections over dim-sized vectors,
     driver-side — no corpus access), replayed verbatim by the x140
-    oracle: ``s_j = isqrt(sum of squares over coords >= j)`` (floor), the
-    reflector sign chosen AWAY from cancellation
-    (``u_j = v_j + sign(v_j) * s``), every division truncating.  Returns
-    ``[(u, <u,u>), ...]``; hand to the ``rotate=`` parameter of
-    :func:`train_pq_codebooks` / :func:`pq_topk`.  Each reflection
-    ``x -> x - (2 <x,u> u) DIV <u,u>`` is exactly orthogonal up to the
-    +-1 integer-truncation quantum per component, so rotated-space
-    distances track original-space distances to the same quantum."""
+    oracle: ``s_j = isqrt(sum of squares over non-fixed coords)``
+    (floor), the reflector sign chosen AWAY from cancellation
+    (``u_t = v_t + sign(v_t) * s``), every division truncating.  (A
+    direction's residue on already-fixed axes is a few truncation quanta
+    by Gram-Schmidt orthogonality; the reflector zeroes those coords, so
+    fixed axes stay EXACTLY fixed.)  Returns ``[(u, <u,u>), ...]``; hand
+    to the ``rotate=`` parameter of :func:`train_pq_codebooks` /
+    :func:`pq_topk`.  Each reflection ``x -> x - (2 <x,u> u) DIV <u,u>``
+    is exactly orthogonal up to the +-1 integer-truncation quantum per
+    component, so rotated-space distances track original-space distances
+    to the same quantum."""
     import math
+
+    if axes is None:
+        axes = list(range(len(dirs)))
+    if len(axes) != len(dirs) or len(set(axes)) != len(axes):
+        raise ValueError(f"axes must be distinct, one per direction: {axes}")
 
     chain: list[tuple[list[int], int]] = []
 
@@ -446,12 +463,19 @@ def opq_householder_chain(
         v = [int(x) for x in v]
         for u, uu in chain:
             v = reflect(v, u, uu)
-        s = math.isqrt(sum(x * x for x in v[j:]))
-        sign = 1 if v[j] >= 0 else -1
-        u = [0] * j + [v[j] + sign * s] + v[j + 1 :]
+        fixed = set(axes[:j])
+        t = axes[j]
+        s = math.isqrt(
+            sum(x * x for c, x in enumerate(v) if c not in fixed)
+        )
+        sign = 1 if v[t] >= 0 else -1
+        u = [
+            0 if c in fixed else (x + sign * s if c == t else x)
+            for c, x in enumerate(v)
+        ]
         uu = sum(x * x for x in u)
         if uu == 0:
-            # direction already (numerically) zero past axis j: identity
+            # direction already (numerically) zero off the fixed axes
             continue
         chain.append((u, uu))
     return chain

@@ -6577,78 +6577,94 @@ _X140_STRIDE = 7
 _X140_ITERS = 2
 
 
-def _x140_rotation_ctes(p1: str, p2: str, dim: int) -> str:
+def _x140_axes() -> list[int]:
+    """Target axes of the width-m OPQ front: direction j lands on the
+    LEADING coordinate of subspace j (variance balancing — one learned
+    direction per PQ subspace, never four fighting over subspace 0's
+    centroid budget; see opq_householder_chain's axes doc)."""
+    from hiveka_spark.queries.extensions import _X129_TOPM
+
+    return [j * _X140_DSUB for j in range(_X129_TOPM)]
+
+
+def _x140_rotation_ctes(
+    dirs: list[str], dim: int, axes: list[int] | None = None
+) -> tuple[str, str]:
     """SQL replay of :func:`~hiveka_spark.operators.similarity.
-    opq_householder_chain` + its corpus application: build the two
-    Householder reflectors from the x129 direction tables ``p1``/``p2``
-    (floor-isqrt with a one-step correction — exact for nn < ~2^40 since
-    IEEE sqrt is correctly rounded there; sign away from cancellation;
-    truncating //), then rotate every quantized corpus vector.  Produces
-    ``rq2`` (vec_id, qv) — the rotated twin of the scatter's ``q``.  A
-    zero reflector (uu = 0) is an identity both here (CASE guard
-    subtracts 0) and driver-side (the chain skips it)."""
+    opq_householder_chain` + its corpus application, at ANY width m
+    (round-15 verdict #3 — generalized from the hand-unrolled 2-reflector
+    version): for each direction table in ``dirs`` (i, val — the x129m
+    learned basis), apply the already-built reflectors, build reflector j
+    from the remainder (floor-isqrt with a one-step correction — exact
+    for nn < ~2^40 since IEEE sqrt is correctly rounded there; sign away
+    from cancellation; truncating //; coordinates < j zeroed), then
+    rotate every quantized corpus vector through the whole chain.
+    Returns ``(ctes_text, final_cte)`` where the final CTE is the rotated
+    twin of the scatter's ``q`` (vec_id, qv).  A zero reflector (uu = 0)
+    is an identity both here (CASE guard subtracts 0) and driver-side
+    (the chain skips it)."""
     isq = ("CASE WHEN (s0+1)*(s0+1) <= nn THEN s0+1 "
            "WHEN s0*s0 > nn THEN s0-1 ELSE s0 END")
-    return f"""r1n AS (SELECT CAST(SUM(val*val) AS BIGINT) AS nn,
-                 CAST(MAX(CASE WHEN i = 1 THEN val END) AS BIGINT) AS vj
-          FROM {p1}),
-    r1q AS (SELECT vj, {isq} AS s
-            FROM (SELECT nn, vj,
-                         CAST(FLOOR(SQRT(CAST(nn AS DOUBLE))) AS BIGINT) AS s0
-                  FROM r1n)),
-    u1 AS MATERIALIZED (SELECT i,
-            CAST(CASE WHEN i = 1
-                 THEN val + (CASE WHEN r.vj >= 0 THEN 1 ELSE -1 END) * r.s
-                 ELSE val END AS BIGINT) AS u
-         FROM {p1} CROSS JOIN r1q r),
-    u1u AS (SELECT CAST(SUM(u*u) AS BIGINT) AS uu FROM u1),
-    p2d AS (SELECT CAST(SUM(a.val * b.u) AS BIGINT) AS dt
-            FROM {p2} a JOIN u1 b USING (i)),
-    p2r AS MATERIALIZED (SELECT a.i,
+    if axes is None:
+        axes = list(range(len(dirs)))
+    steps: list[str] = []
+    for j, pj in enumerate(dirs):
+        cur = pj
+        for l in range(j):
+            steps.append(
+                f"""rc{j}a{l} AS (SELECT CAST(SUM(a.val * b.u) AS BIGINT) AS dt
+            FROM {cur} a JOIN ru{l} b USING (i)),
+    rc{j}b{l} AS MATERIALIZED (SELECT a.i,
             CAST(a.val - CASE WHEN w.uu = 0 THEN 0
                  ELSE (2 * d.dt * b.u) // w.uu END AS BIGINT) AS val
-         FROM {p2} a JOIN u1 b USING (i) CROSS JOIN p2d d CROSS JOIN u1u w),
-    r2n AS (SELECT CAST(SUM(CASE WHEN i >= 2 THEN val*val ELSE 0 END)
-                        AS BIGINT) AS nn,
-                   CAST(MAX(CASE WHEN i = 2 THEN val END) AS BIGINT) AS vj
-            FROM p2r),
-    r2q AS (SELECT vj, {isq} AS s
+         FROM {cur} a JOIN ru{l} b USING (i)
+         CROSS JOIN rc{j}a{l} d CROSS JOIN ru{l}u w)"""
+            )
+            cur = f"rc{j}b{l}"
+        ax = axes[j] + 1  # 1-based target axis of reflector j
+        fixed = [a + 1 for a in axes[:j]]  # 1-based already-fixed axes
+        notfix = (
+            f"i NOT IN ({', '.join(map(str, fixed))})" if fixed else "TRUE"
+        )
+        infix = (
+            f"i IN ({', '.join(map(str, fixed))})" if fixed else "FALSE"
+        )
+        steps.append(
+            f"""rr{j}n AS (SELECT CAST(SUM(CASE WHEN {notfix} THEN val*val
+                                      ELSE 0 END) AS BIGINT) AS nn,
+                   CAST(MAX(CASE WHEN i = {ax} THEN val END) AS BIGINT) AS vj
+            FROM {cur}),
+    rr{j}q AS (SELECT vj, {isq} AS s
             FROM (SELECT nn, vj,
                          CAST(FLOOR(SQRT(CAST(nn AS DOUBLE))) AS BIGINT) AS s0
-                  FROM r2n)),
-    u2 AS MATERIALIZED (SELECT i,
-            CAST(CASE WHEN i = 1 THEN 0
-                 WHEN i = 2
+                  FROM rr{j}n)),
+    ru{j} AS MATERIALIZED (SELECT i,
+            CAST(CASE WHEN {infix} THEN 0
+                 WHEN i = {ax}
                  THEN val + (CASE WHEN r.vj >= 0 THEN 1 ELSE -1 END) * r.s
                  ELSE val END AS BIGINT) AS u
-         FROM p2r CROSS JOIN r2q r),
-    u2u AS (SELECT CAST(SUM(u*u) AS BIGINT) AS uu FROM u2),
-    u1l AS (SELECT list(u ORDER BY i) AS ul FROM u1),
-    u2l AS (SELECT list(u ORDER BY i) AS ul FROM u2),
-    rd1 AS MATERIALIZED (SELECT q.vec_id, q.qv,
+         FROM {cur} CROSS JOIN rr{j}q r),
+    ru{j}u AS (SELECT CAST(SUM(u*u) AS BIGINT) AS uu FROM ru{j}),
+    ru{j}l AS (SELECT list(u ORDER BY i) AS ul FROM ru{j})"""
+        )
+    src = "q"
+    for j in range(len(dirs)):
+        steps.append(
+            f"""rd{j} AS MATERIALIZED (SELECT s.vec_id, s.qv,
             CAST(list_sum(list_transform(range(1, {dim + 1}),
-                 i -> q.qv[CAST(i AS INT)] * t.ul[CAST(i AS INT)]))
+                 i -> s.qv[CAST(i AS INT)] * t.ul[CAST(i AS INT)]))
                  AS BIGINT) AS dt
-          FROM q CROSS JOIN u1l t),
-    rq1 AS MATERIALIZED (SELECT vec_id,
+          FROM {src} s CROSS JOIN ru{j}l t),
+    rq{j} AS MATERIALIZED (SELECT vec_id,
             list_transform(range(1, {dim + 1}),
                  i -> CAST(qv[CAST(i AS INT)] -
                       CASE WHEN w.uu = 0 THEN 0
                       ELSE (2 * dt * t.ul[CAST(i AS INT)]) // w.uu END
                       AS BIGINT)) AS qv
-          FROM rd1 CROSS JOIN u1l t CROSS JOIN u1u w),
-    rd2 AS MATERIALIZED (SELECT r.vec_id, r.qv,
-            CAST(list_sum(list_transform(range(1, {dim + 1}),
-                 i -> r.qv[CAST(i AS INT)] * t.ul[CAST(i AS INT)]))
-                 AS BIGINT) AS dt
-          FROM rq1 r CROSS JOIN u2l t),
-    rq2 AS MATERIALIZED (SELECT vec_id,
-            list_transform(range(1, {dim + 1}),
-                 i -> CAST(qv[CAST(i AS INT)] -
-                      CASE WHEN w.uu = 0 THEN 0
-                      ELSE (2 * dt * t.ul[CAST(i AS INT)]) // w.uu END
-                      AS BIGINT)) AS qv
-          FROM rd2 CROSS JOIN u2l t CROSS JOIN u2u w)"""
+          FROM rd{j} CROSS JOIN ru{j}l t CROSS JOIN ru{j}u w)"""
+        )
+        src = f"rq{j}"
+    return ",\n    ".join(steps), src
 
 
 def _x140_arm_ctes(
@@ -6681,6 +6697,18 @@ def _x140_arm_ctes(
                FROM {p}best GROUP BY sub)"""
 
 
+def _x140_basis(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """The top-m learned directions as plain int lists — the OPQ front's
+    driver-side input (bounded collect: m * dim rows)."""
+    from hiveka_spark.queries.extensions import _x129m_basis
+
+    dirs = []
+    for vf in _x129m_basis(spark, sf_dir):
+        rows = sorted((r.i, r.val) for r in vf.collect())
+        dirs.append([v for _, v in rows])
+    return dirs
+
+
 def _x140_oracle(
     m: int = _X140_M,
     dsub: int = _X140_DSUB,
@@ -6691,17 +6719,18 @@ def _x140_oracle(
     from hiveka_spark.queries.extensions import (
         _X119_DIM,
         _x119_scatter_ctes,
-        _x129_chain_ctes,
+        _x129m_chain_ctes,
     )
 
     dim = _X119_DIM
-    chain, p1, p2 = _x129_chain_ctes(dim)
+    chain, dir_tables = _x129m_chain_ctes(dim)
+    rot, rot_final = _x140_rotation_ctes(dir_tables, dim, _x140_axes())
     return f"""
     WITH {_x119_scatter_ctes(dim)},
     {chain},
-    {_x140_rotation_ctes(p1, p2, dim)},
+    {rot},
     {_x140_arm_ctes("raw", "q", m, dsub, n_cent, stride, n_iters)},
-    {_x140_arm_ctes("rot", "rq2", m, dsub, n_cent, stride, n_iters)}
+    {_x140_arm_ctes("rot", rot_final, m, dsub, n_cent, stride, n_iters)}
     SELECT CAST(a.sub AS BIGINT) AS sub,
            CAST(a.n AS BIGINT) AS n_vecs,
            CAST(a.total AS BIGINT) AS raw_total_d2,
@@ -6718,45 +6747,43 @@ def _x140_oracle(
     tags=("similarity", "ann", "pq", "opq", "certification"),
 )
 def x140_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ-ROTATED PQ distortion table — the consumer of x129's learned
-    basis (round-14 verdict #1, Ge et al. 2014): the top-2 principal
-    directions become a Householder rotation front
-    (:func:`~hiveka_spark.operators.similarity.opq_householder_chain`,
-    padded to dim by identity on the untouched coordinates), PQ codebooks
-    are trained in BOTH the raw and the rotated space with the identical
-    Lloyd recipe, and the gate reports x136's per-subspace reconstruction
-    error side by side — the table an index build reads to decide whether
-    the rotation pays for this corpus (on near-uniform unit-sphere
-    fixtures the delta is ~nil by construction; on clustered corpora the
-    rotation concentrates inter-cluster variance into the first
-    subspaces and the delta is large — pinned by the planted-cluster
-    recall/distortion tests in tests/test_opq.py).
+    """OPQ-ROTATED PQ distortion table — the consumer of the width-4
+    learned basis (round-15 verdict #3, Ge et al. 2014): the top-4
+    principal directions (x129's block power iteration at width 4 —
+    Walsh seeds + sequential integer Gram-Schmidt, ``_x129m_basis``)
+    become a Householder rotation front
+    (:func:`~hiveka_spark.operators.similarity.opq_householder_chain`)
+    with SUBSPACE-BALANCED target axes — direction j lands on the
+    leading coordinate of PQ subspace j, never four directions fighting
+    over subspace 0's centroid budget (the measured failure mode of
+    sequential targets, pinned in tests/test_opq.py).  PQ codebooks are
+    trained in BOTH the raw and the rotated space with the identical
+    Lloyd recipe, and the gate reports x136's per-subspace
+    reconstruction error side by side — the table an index build reads
+    to decide whether the rotation pays for this corpus (on
+    near-uniform unit-sphere fixtures the delta is ~nil by
+    construction; on clustered corpora the width-4 front's
+    recall/distortion win over the 2-reflector front is pinned by the
+    planted-cluster tests).
 
     Scale shape: the basis is x119/x129's one corpus pass + dim-sized
-    iterations; the rotation is a per-row map (two broadcast dim-vector
+    iterations; the rotation is a per-row map (four broadcast dim-vector
     reflections, pure codegen integer arithmetic — no shuffle); each arm
     is x136's broadcast-join Lloyd + one m-row rollup.  The oracle
-    replays EVERYTHING — scatter, three power iterations with
-    Gram-Schmidt, isqrt reflector construction, per-vector rotation, and
-    both training chains (namespaced via _pq_train_chain_sql's prefix) —
-    in one WITH chain."""
+    replays EVERYTHING — scatter, three width-4 power iterations with
+    sequential Gram-Schmidt, isqrt reflector construction (fixed axes
+    zeroed), per-vector rotation through all four reflectors, and both
+    training chains (namespaced via _pq_train_chain_sql's prefix) — in
+    one WITH chain."""
     from hiveka_spark.operators.similarity import (
         _pq_d2,
         _pq_subvectors,
         opq_householder_chain,
         train_pq_codebooks,
     )
-    from hiveka_spark.queries.extensions import x129_block_power_iteration
 
     e = table(spark, sf_dir, "embeddings")
-    # bounded: dim rows — the learned basis, collected once
-    basis = sorted(
-        (r.pos, r.dir1_q, r.dir2_q)
-        for r in x129_block_power_iteration(spark, sf_dir).collect()
-    )
-    chain = opq_householder_chain(
-        [[b[1] for b in basis], [b[2] for b in basis]]
-    )
+    chain = opq_householder_chain(_x140_basis(spark, sf_dir), _x140_axes())
     dim = _X140_M * _X140_DSUB
 
     def arm(rotate, tag: str) -> DataFrame:
@@ -6974,11 +7001,12 @@ def _x145_oracle(k: int = 5) -> str:
     from hiveka_spark.queries.extensions import (
         _X119_DIM,
         _x119_scatter_ctes,
-        _x129_chain_ctes,
+        _x129m_chain_ctes,
     )
 
     dim = _X119_DIM
-    chain, p1, p2 = _x129_chain_ctes(dim)
+    chain, dir_tables = _x129m_chain_ctes(dim)
+    rot, rot_final = _x140_rotation_ctes(dir_tables, dim, _x140_axes())
     d2 = (
         "CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}) AS BIGINT)"
@@ -6986,7 +7014,7 @@ def _x145_oracle(k: int = 5) -> str:
     return f"""
     WITH {_x119_scatter_ctes(dim)},
     {chain},
-    {_x140_rotation_ctes(p1, p2, dim)},
+    {rot},
     ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd
            FROM q),
     exact AS (SELECT query_id, neighbor_id FROM (
@@ -6998,7 +7026,7 @@ def _x145_oracle(k: int = 5) -> str:
                 WHERE qr.vec_id < 10)
               WHERE rn <= {k}),
     {_x145_arm_ctes("r5r", "q", k)},
-    {_x145_arm_ctes("r5s", "rq2", k)},
+    {_x145_arm_ctes("r5s", rot_final, k)},
     hits_raw AS (SELECT r.query_id, COUNT(*) AS n
                  FROM r5rres r JOIN exact e USING (query_id, neighbor_id)
                  GROUP BY 1),
@@ -7027,11 +7055,12 @@ def x145_rotated_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the ORIGINAL space (the x61 discipline — the rotation must earn
     its recall in the metric users query in, not in its own rotated
     coordinates).  Ground truth, both ADC arms (the rotated one coding
-    queries AND corpus through the same Householder chain, stride
-    codebooks drawn from the rotated stream), the x129 basis, and the
-    rotation construction all replay in ONE oracle.  On the near-uniform
-    fixture the delta is ~nil by construction; the planted-cluster win
-    is pinned in tests/test_opq.py.
+    queries AND corpus through the same width-4 subspace-balanced
+    Householder chain, stride codebooks drawn from the rotated stream),
+    the width-4 x129 basis, and the rotation construction all replay in
+    ONE oracle.  On the near-uniform fixture the delta is ~nil by
+    construction; the planted-cluster win of the width-4 front over the
+    2-reflector front is pinned in tests/test_opq.py.
 
     Scale shape: x61's — one broadcast brute-force certification pass,
     two x48-shaped ADC plans (the rotation adds one per-row broadcast
@@ -7041,18 +7070,11 @@ def x145_rotated_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
         with_quantized_norm,
     )
-    from hiveka_spark.queries.extensions import x129_block_power_iteration
 
     e = table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 10)
     k = 5
-    basis = sorted(
-        (r.pos, r.dir1_q, r.dir2_q)
-        for r in x129_block_power_iteration(spark, sf_dir).collect()
-    )  # bounded: dim rows
-    chain = opq_householder_chain(
-        [[b[1] for b in basis], [b[2] for b in basis]]
-    )
+    chain = opq_householder_chain(_x140_basis(spark, sf_dir), _x140_axes())
 
     c = with_quantized_norm(e, "embedding").select(
         F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cvec")

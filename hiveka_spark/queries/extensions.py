@@ -3328,6 +3328,125 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: width of the OPQ rotation front consumed by x140/x145 (round-15 verdict
+#: #3 — raised from the 2 directions x129's gate reports; the m Walsh seeds
+#: below stay mutually orthogonal at any power-of-two dim >= 2^(m-1))
+_X129_TOPM = 4
+
+
+def _x129m_seed_sql(j: int, dim: int, name: str) -> str:
+    """Deterministic Walsh-pattern seed for block direction ``j``: sign
+    flips every 2^(j-1) coordinates (j=0 all ones = x129's a0; j=1
+    alternating = x129's b0) — mutually orthogonal, so the block starts
+    independent without any randomness."""
+    if j == 0:
+        return (f"{name} AS (SELECT i, CAST(1 AS BIGINT) AS val "
+                f"FROM (SELECT UNNEST(range(1, {dim + 1})) AS i))")
+    half = 2 ** (j - 1)
+    return (f"{name} AS (SELECT i, CAST(CASE WHEN ((i - 1) // {half}) % 2 = 0 "
+            "THEN 1 ELSE -1 END AS BIGINT) AS val "
+            f"FROM (SELECT UNNEST(range(1, {dim + 1})) AS i))")
+
+
+def _x129m_ortho_sql(u2: str, v1: str, dots: str, o2: str) -> str:
+    """Integer Gram-Schmidt of rescaled ``u2`` against rescaled ``v1`` —
+    x129's deflation step, shared by the width-m chain."""
+    return f"""{dots} AS MATERIALIZED (
+      SELECT CAST(SUM(a.val * b.val) AS BIGINT) AS num,
+             CAST(SUM(b.val * b.val) AS BIGINT) AS den
+      FROM {u2} a JOIN {v1} b USING (i)),
+    {o2} AS MATERIALIZED (
+      SELECT a.i, CAST(a.val - (d.num * b.val) // d.den AS BIGINT) AS wv
+      FROM {u2} a JOIN {v1} b USING (i) CROSS JOIN {dots} d)"""
+
+
+def _x129m_chain_ctes(
+    dim: int = _X119_DIM, iters: int = _X119_ITERS, m: int = _X129_TOPM
+) -> tuple[str, list[str]]:
+    """x129's block power iteration generalized to WIDTH m (round-15
+    verdict #3): per iteration, every direction takes one matvec + the
+    max-abs rescale, then deflates sequentially against each
+    already-finished direction of the SAME iteration (ortho + rescale per
+    deflation — rescale-before-orthogonalize keeps |num| <= dim * 1e8 and
+    |num * v_i| <= dim * 1e12, the x129 headroom argument unchanged at
+    any m).  Returns ``(ctes_text, [dir_cte_names])`` — m direction
+    tables, every step unrolled for the oracle."""
+    matvec, rescale = _x119_matvec_sql, _x119_rescale_sql
+    steps: list[str] = []
+    prev: list[str] = []
+    for j in range(m):
+        name = f"g{j}s"
+        steps.append(_x129m_seed_sql(j, dim, name))
+        prev.append(name)
+    for t in range(1, iters + 1):
+        cur: list[str] = []
+        for j in range(m):
+            steps.append(matvec(prev[j], f"g{j}w{t}"))
+            steps.append(rescale(f"g{j}w{t}", f"g{j}u{t}_0"))
+            name = f"g{j}u{t}_0"
+            for l in range(j):
+                steps.append(
+                    _x129m_ortho_sql(
+                        name, cur[l], f"g{j}d{t}_{l}", f"g{j}o{t}_{l}"
+                    )
+                )
+                steps.append(rescale(f"g{j}o{t}_{l}", f"g{j}u{t}_{l + 1}"))
+                name = f"g{j}u{t}_{l + 1}"
+            cur.append(name)
+        prev = cur
+    return ",\n    ".join(steps), prev
+
+
+def _x129m_basis(spark: SparkSession, sf_dir: str, m: int = _X129_TOPM):
+    """Spark twin of :func:`_x129m_chain_ctes`: the top-m quantized
+    principal directions as a list of m (i, val) dim-sized frames —
+    x129's loop at width m with per-step eager checkpoints (the
+    iteration-frame lineage rule)."""
+    dim = _X119_DIM
+    ap = _x119_scatter(spark, sf_dir)
+    vs = []
+    for j in range(m):
+        if j == 0:
+            seed = F.lit(1)
+        else:
+            half = 2 ** (j - 1)
+            seed = F.when(
+                F.expr(f"(id - 1) DIV {half}") % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        vs.append(
+            spark.range(1, dim + 1).select(
+                F.col("id").cast("bigint").alias("i"),
+                seed.cast("bigint").alias("val"),
+            )
+        )
+    for _ in range(_X119_ITERS):
+        cur = []
+        for j in range(m):
+            u = _x119_rescale(_x119_matvec(ap, vs[j])).localCheckpoint(
+                eager=True
+            )
+            for l in range(j):
+                vl = cur[l].select("i", F.col("val").alias("u"))
+                dots = u.join(vl, "i").agg(
+                    F.sum(F.col("val") * F.col("u")).cast("bigint")
+                    .alias("num"),
+                    F.sum(F.col("u") * F.col("u")).cast("bigint")
+                    .alias("den"),
+                )
+                u = _x119_rescale(
+                    u.join(vl, "i")
+                    .crossJoin(F.broadcast(dots))
+                    .select(
+                        "i",
+                        F.expr("CAST(val - (num * u) DIV den AS BIGINT)")
+                        .alias("wv"),
+                    )
+                ).localCheckpoint(eager=True)
+            cur.append(u)
+        vs = cur
+    return vs
+
+
 # ---------------------------------------------------------------------------
 # x135 — IVF index COMPACTION: segment fold with serving-equality certificate
 # ---------------------------------------------------------------------------
