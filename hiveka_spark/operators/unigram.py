@@ -391,6 +391,80 @@ def unigram_train_soft(
     return [(p, c2.get(p, 0), cost2[p]) for p in order]
 
 
+def prune_schedule(
+    n_seed: int, keep_multi: int, num: int = 3, den: int = 4
+) -> list[int]:
+    """SentencePiece's shrink schedule: from ``n_seed`` multi-char
+    pieces, each round keeps ``max(keep_multi, ceil(num/den * n))``
+    until the target is reached.  Deterministic in the parameters alone
+    — which is what lets the oracle unroll the loop statically."""
+    sizes = [n_seed]
+    while sizes[-1] > keep_multi:
+        n = sizes[-1]
+        sizes.append(max(keep_multi, -((-n * num) // den)))
+    return sizes
+
+
+def unigram_train_soft_iterative(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 400,
+    max_piece_len: int = 5,
+    n_seed: int = 256,
+    keep_multi: int = 128,
+) -> list[tuple[str, int, int]]:
+    """SOFT-EM unigram-LM training with SentencePiece's ITERATIVE prune
+    schedule (round-15 verdict #4 — the last fidelity step of the
+    family): where :func:`unigram_train_soft` takes ONE likelihood-loss
+    cut straight from ``n_seed`` to ``keep_multi``, this shrinks by
+    keep-ceil(3/4 * |multi|) per round (:func:`prune_schedule`), running
+    a fresh soft E-step before every cut — a piece whose mass was
+    shadowed by a since-pruned competitor gets its posterior counts (and
+    so its loss rank) refreshed before it has to survive the next cut,
+    which is exactly why SentencePiece shrinks gradually (the
+    tests/test_unigram.py fixture pins a piece the one-shot cut drops
+    and the two-round schedule keeps).
+
+    Same arithmetic as the one-shot arm end to end: forward-backward
+    expected counts through the checked-in LSE literal tables, the
+    self-excluded re-encoding loss, (loss DESC, piece ASC) cut order,
+    and a final E-step under the settled vocabulary.  The schedule is a
+    pure function of (n_seed, keep_multi), so the x147 oracle unrolls
+    every round's E-step + cut statically (the x125/x141 recursion
+    discipline composed R times)."""
+    capped = (
+        sp_unit_freq(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc(F.encode(F.col("w"), "UTF-8")))
+        .limit(max_words)
+        .collect()  # bounded: max_words rows (the x76 cap discipline)
+    )
+    units = [(r["w"], int(r["freq"])) for r in capped]
+    corr, expw = _lse_tables()
+
+    seed = _seed_counts(units, max_piece_len)
+    chars = sorted(p for p in seed if len(p) == 1)
+    multi = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[:n_seed]
+    vocab = {p: seed[p] for p in chars + multi}
+    for k in prune_schedule(n_seed, keep_multi)[1:]:
+        c = _fb_expected(units, vocab, max_piece_len, corr, expw)
+        cfull = {p: c.get(p, 0) for p in vocab}
+        cost = _cost_table(cfull)
+        loss = {
+            p: cfull[p] * (_alt_cost(p, cost, max_piece_len) - cost[p])
+            for p in vocab
+            if len(p) > 1
+        }
+        kept = sorted(loss, key=lambda p: (-loss[p], p))[:k]
+        vocab = {p: cfull[p] for p in chars}
+        vocab.update({p: cfull[p] for p in kept})
+    cf = _fb_expected(units, vocab, max_piece_len, corr, expw)
+    costf = _cost_table(vocab)
+    order = sorted(vocab, key=lambda p: (len(p) > 1, p))
+    return [(p, cf.get(p, 0), costf[p]) for p in order]
+
+
 def unigram_apply_fast(
     docs: DataFrame,
     vocab: list[tuple[str, int, int]] | dict[str, int],

@@ -1437,6 +1437,121 @@ def x141_unigram_train_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x147 — soft-EM unigram with SentencePiece's ITERATIVE prune schedule
+# ---------------------------------------------------------------------------
+
+
+def _ugs_iter_train_ctes(
+    max_words: int = _UG_MAX_WORDS,
+    mpl: int = _UG_MAX_PIECE,
+    n_seed: int = _UG_SEED,
+    keep_multi: int = _UG_KEEP_MULTI,
+) -> tuple[str, str, str]:
+    """The ITERATIVE soft training replay (x147): the shrink schedule is
+    a pure function of (n_seed, keep_multi) (operators/unigram.py::
+    prune_schedule), so every round's soft E-step + likelihood-loss cut
+    unrolls statically — the x141 round chain repeated R times with
+    namespaced CTEs, then the final E-step.  Returns
+    ``(ctes, final_vocab_cte, final_cost_cte)``; final counts land in
+    ``ugi_fc``."""
+    from hiveka_spark.operators.unigram import prune_schedule
+
+    parts = [_ug_seed_ctes(max_words, mpl, n_seed), _UGS_TABLES]
+    vocab, cost = "ug_p1", "ug_cost1"
+    for r, k in enumerate(prune_schedule(n_seed, keep_multi)[1:], 1):
+        p = f"ugi{r}"
+        parts += [
+            _ugs_fwd_ctes(f"{p}f", cost, "ug_uf", mpl),
+            _ugs_bwd_ctes(f"{p}b", cost, "ug_uf", mpl),
+            _ugs_post_ctes(f"{p}c", f"{p}f", f"{p}b", cost, mpl),
+            f"""{p}full AS (SELECT p.piece, COALESCE(n.cnt, 0) AS cnt
+                   FROM {vocab} p LEFT JOIN {p}c n USING (piece))""",
+            f"{p}cost AS MATERIALIZED ({_ug_cost_sql(f'{p}full')})",
+            _ugs_alt_ctes(f"{p}alt", f"{p}cost", vocab, mpl),
+            f"""{p}loss AS (
+      SELECT f.piece,
+             f.cnt * (a.dp[CAST(LEN(f.piece) + 1 AS INT)] - kk.cq) AS loss
+      FROM (SELECT piece, cnt FROM {p}full WHERE LEN(piece) > 1) f
+      JOIN (SELECT w, dp FROM {p}alt WHERE pos = LEN(w)) a ON a.w = f.piece
+      JOIN {p}cost kk ON kk.piece = f.piece)""",
+            f"""{p}kept AS (SELECT piece FROM {p}loss
+                 ORDER BY loss DESC, piece LIMIT {k})""",
+            f"""{p}v AS (
+      SELECT c0.piece, COALESCE(n.cnt, 0) AS cnt
+      FROM ug_chars0 c0 LEFT JOIN {p}c n USING (piece)
+      UNION ALL
+      SELECT kx.piece, COALESCE(n.cnt, 0) AS cnt
+      FROM {p}kept kx LEFT JOIN {p}c n ON n.piece = kx.piece)""",
+            f"{p}vc AS MATERIALIZED ({_ug_cost_sql(f'{p}v')})",
+        ]
+        vocab, cost = f"{p}v", f"{p}vc"
+    parts += [
+        _ugs_fwd_ctes("ugi_ff", cost, "ug_uf", mpl),
+        _ugs_bwd_ctes("ugi_fb", cost, "ug_uf", mpl),
+        _ugs_post_ctes("ugi_fc", "ugi_ff", "ugi_fb", cost, mpl),
+    ]
+    return ",\n    ".join(parts), vocab, cost
+
+
+def _x147_oracle() -> str:
+    ctes, vocab, cost = _ugs_iter_train_ctes()
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY (LEN(v.piece) > 1), v.piece) - 1
+                AS BIGINT) AS piece_id,
+           v.piece,
+           CAST(CASE WHEN LEN(v.piece) = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_char,
+           CAST(COALESCE(f.cnt, 0) AS BIGINT) AS cnt,
+           k.cq AS cost_q
+    FROM {vocab} v
+    JOIN {cost} k ON k.piece = v.piece
+    LEFT JOIN ugi_fc f ON f.piece = v.piece
+    """
+
+
+@register(
+    "x147_unigram_train_iterative",
+    oracle=_x147_oracle(),
+    tags=("text", "tokenizer", "unigram", "soft-em", "iterative",
+          "training-prep"),
+)
+def x147_unigram_train_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-EM unigram-LM training with SentencePiece's ITERATIVE prune
+    schedule (round-15 verdict #4 — the family's last fidelity step):
+    x141 takes ONE likelihood-loss cut from {_UG_SEED} multi pieces to
+    {_UG_KEEP_MULTI}; this shrinks keep-ceil(3/4) per round
+    ({_UG_SEED} -> 192 -> 144 -> {_UG_KEEP_MULTI}) with a FRESH
+    forward-backward E-step before every cut, so a piece whose posterior
+    mass was shadowed by a since-pruned competitor is re-ranked before
+    it must survive — the reason SentencePiece prunes gradually
+    (tests/test_unigram.py pins a fixture where the two-round schedule
+    keeps a piece the one-shot cut drops).  Every round's E-step, loss
+    DP, and cut replay in the oracle — the x141 recursion discipline
+    composed statically over the schedule (a pure function of the
+    parameters, so the unroll depth is fixed).
+
+    Scale shape: x141's, times the bounded round count (R =
+    ceil(log(n_seed/keep_multi) / log(4/3)) driver-local rounds over the
+    capped unit table; the corpus is still touched exactly once)."""
+    from hiveka_spark.operators.unigram import unigram_train_soft_iterative
+
+    d = table(spark, sf_dir, "documents")
+    rows = unigram_train_soft_iterative(
+        d, "text",
+        max_words=_UG_MAX_WORDS, max_piece_len=_UG_MAX_PIECE,
+        n_seed=_UG_SEED, keep_multi=_UG_KEEP_MULTI,
+    )
+    return spark.createDataFrame(
+        [
+            (i, p, 1 if len(p) == 1 else 0, cnt, cq)
+            for i, (p, cnt, cq) in enumerate(rows)
+        ],
+        "piece_id bigint, piece string, is_char bigint, cnt bigint, cost_q bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # x144 — THREE-family fertility: BPE vs hard-EM unigram vs soft-EM unigram
 # ---------------------------------------------------------------------------
 

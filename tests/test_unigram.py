@@ -432,3 +432,61 @@ def test_soft_vocab_round_trips_through_apply(spark):
     out = unigram_apply_fast(d, vocab, max_piece_len=4).collect()
     assert out and all(r.roundtrip_ok for r in out)
     assert any(r.n_tokens > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# x147: iterative prune schedule (round-15 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_prune_schedule_shape():
+    from hiveka_spark.operators.unigram import prune_schedule
+
+    assert prune_schedule(256, 128) == [256, 192, 144, 128]
+    assert prune_schedule(8, 3) == [8, 6, 5, 4, 3]
+    assert prune_schedule(4, 3) == [4, 3]
+    assert prune_schedule(128, 128) == [128]
+
+
+def test_iterative_prune_keeps_piece_one_shot_drops(spark):
+    """The verdict's 'done' fixture: under gradual pruning, 'abc' is
+    re-ranked by a fresh E-step after its shadowing competitors die in
+    round 1 and SURVIVES; the one-shot cut drops it.  Both arms are
+    otherwise the identical arithmetic."""
+    from hiveka_spark.operators.unigram import (
+        unigram_train_soft,
+        unigram_train_soft_iterative,
+    )
+
+    freqs = [("cdea", 8), ("bcde", 6), ("abc", 8), ("abcf", 5),
+             ("deab", 2), ("cde", 2)]
+    text = " ".join(w for w, f in freqs for _ in range(f))
+    df = spark.createDataFrame([(text,)], "text string")
+    one = unigram_train_soft(df, n_seed=8, keep_multi=3, max_words=50)
+    it = unigram_train_soft_iterative(df, n_seed=8, keep_multi=3,
+                                      max_words=50)
+    v1 = {p for p, _, _ in one if len(p) > 1}
+    v2 = {p for p, _, _ in it if len(p) > 1}
+    assert len(v1) == len(v2) == 3
+    assert v1 != v2, "fixture no longer diverges"
+    assert "abc" in v2 and "abc" not in v1, (sorted(v1), sorted(v2))
+
+
+def test_iterative_prune_degenerates_to_one_shot_on_single_cut(spark):
+    """When the schedule has exactly one cut (ceil(3/4 * n_seed) <=
+    keep_multi), the iterative trainer IS the one-shot trainer — same
+    vocabulary, counts, and costs."""
+    from hiveka_spark.operators.unigram import (
+        prune_schedule,
+        unigram_train_soft,
+        unigram_train_soft_iterative,
+    )
+
+    assert len(prune_schedule(4, 3)) == 2
+    df = spark.createDataFrame(
+        [("abcd abcd abc bcd ab cd abcd bc",)], "text string"
+    )
+    one = unigram_train_soft(df, n_seed=4, keep_multi=3, max_words=50)
+    it = unigram_train_soft_iterative(df, n_seed=4, keep_multi=3,
+                                      max_words=50)
+    assert one == it
