@@ -7124,3 +7124,216 @@ def x145_rotated_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sn_", F.lit(0)).cast("bigint").alias("rot_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x148 — MULTIMODAL CURATION CAPSTONE: image+audio corpus -> codec-probed
+# decode -> per-modality content dedup -> caption quality/dedup join ->
+# manifested export (round-15 verdict #5 — the multimodal operators compose)
+# ---------------------------------------------------------------------------
+
+_X148_QUALITY_MIN = 0.5
+#: duplicate-injection offsets (the x90 augmentation discipline — the base
+#: tables carry no duplicates, so the gate plants them deterministically):
+#: +100000 repeats BOTH modality keys (100000 % 400 == 0, so the audio
+#: payload length n = id % 400 + 100 repeats too); +100001 repeats the image
+#: content but SHIFTS the audio length by one — the two dup copies certify
+#: that each modality dedups on ITS OWN content key
+_X148_OFF_BOTH = 100000
+_X148_OFF_IMG = 100001
+
+
+def _x148_dig_cte(name: str, src: str) -> str:
+    """(doc_id, sha, dig, n) — the shared digest-byte expansion of x22/x44's
+    oracles over an augmented (doc_id, text) corpus CTE."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT doc_id, sha256(text) AS sha, md5(text) AS cmd5,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+             CAST(doc_id % 400 + 100 AS BIGINT) AS n,
+             list_transform(range(0, 32),
+               k -> strpos('0123456789abcdef', substr(sha256(text), CAST(k*2+1 AS INT), 1)) * 16
+                  + strpos('0123456789abcdef', substr(sha256(text), CAST(k*2+2 AS INT), 1)) - 17
+             ) AS dig
+      FROM {src})"""
+
+
+def _x148_oracle() -> str:
+    from hiveka_spark.queries.pipeline_ext import _quality_cte
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_X148_OFF_BOTH}, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {_X148_OFF_IMG}, text FROM documents WHERE doc_id % 7 = 3),
+    {_quality_cte(src="corpus")},
+    {_x148_dig_cte("dg", "corpus")},
+    imgk AS (
+      SELECT * FROM (
+        SELECT doc_id, sha, cmd5, blen,
+               CAST(doc_id % 64 + 16 AS BIGINT) * (doc_id % 48 + 16) * 3 AS np,
+               dig,
+               ROW_NUMBER() OVER (PARTITION BY sha ORDER BY doc_id) AS rn
+        FROM dg)
+      WHERE rn = 1),
+    audk AS (
+      SELECT * FROM (
+        SELECT doc_id, sha, cmd5, n, dig,
+               ROW_NUMBER() OVER (PARTITION BY sha, n ORDER BY doc_id) AS rn
+        FROM dg)
+      WHERE rn = 1),
+    cap AS (
+      SELECT c.doc_id, d.cmd5, q.quality_score,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.cmd5 ORDER BY c.doc_id) = 1
+                       AND q.quality_score >= {_X148_QUALITY_MIN}
+                  THEN 1 ELSE 0 END AS caption_ok
+      FROM corpus c JOIN quality q USING (doc_id) JOIN dg d USING (doc_id)),
+    rows_ AS (
+      SELECT 'image' AS modality, i.doc_id AS media_id, i.blen AS byte_len,
+             CAST(((i.np // 32) * list_sum(i.dig)
+                   + COALESCE(list_sum(list_slice(i.dig, 1, CAST(i.np % 32 AS INT))), 0))
+                  // i.np AS BIGINT) AS feature,
+             c.quality_score, CAST(c.caption_ok AS BIGINT) AS caption_ok,
+             i.cmd5 AS caption_md5
+      FROM imgk i JOIN cap c ON c.doc_id = i.doc_id
+      UNION ALL
+      SELECT 'audio', a.doc_id, 44 + a.n,
+             CAST(((a.n // 32) * list_sum(a.dig)
+                   + COALESCE(list_sum(list_slice(a.dig, 1, CAST(a.n % 32 AS INT))), 0))
+                  // a.n AS BIGINT),
+             c.quality_score, CAST(c.caption_ok AS BIGINT), a.cmd5
+      FROM audk a JOIN cap c ON c.doc_id = a.doc_id)
+    SELECT modality, media_id, byte_len, feature, quality_score, caption_ok,
+           CASE WHEN caption_ok = 1
+                THEN ROW_NUMBER() OVER (PARTITION BY modality, caption_ok
+                                        ORDER BY media_id)
+                ELSE -1 END AS seq,
+           caption_md5
+    FROM rows_
+    """
+
+
+@register(
+    "x148_multimodal_curation",
+    oracle=_x148_oracle(),
+    tags=("multimodal", "dedup", "quality", "pipeline", "e2e",
+          "training-prep", "certification"),
+)
+def x148_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL CURATION CAPSTONE (round-15 verdict #5) — the
+    multimodal operators finally COMPOSE into one pipeline instead of
+    being certified in isolation: an image+audio corpus (x12's media
+    synthesis + x44's genuine RIFF/WAVE containers, over a
+    duplicate-injected caption corpus — the base tables carry no dups,
+    so two deterministic augmentation copies plant them) flows through
+
+    1. codec-probed decode (image: the x22 digest-tiled fake behind
+       ``available_codecs()`` probing; audio: the REAL stdlib ``wave``
+       binding — both Arrow-batched ``mapInPandas``),
+    2. per-modality CONTENT dedup, keep-first on each modality's own
+       key — full image bytes vs (payload digest, sample count); the
+       +{_X148_OFF_BOTH} copy dies in both modalities while the
+       +{_X148_OFF_IMG} copy dies only as an image (its audio clip is
+       one sample longer — genuinely different content),
+    3. the caption-side curation join: x08 quality floor
+       ({_X148_QUALITY_MIN}) + x01 keep-first exact caption dedup —
+       which is what finally removes the surviving +{_X148_OFF_IMG}
+       audio clip from the EXPORT (its caption is a duplicate), the
+       cross-modal guarantee content dedup alone cannot give,
+    4. the manifested export: per modality, export-sequence numbers over
+       the caption-approved survivors (x89's deterministic ordering),
+       audit rows retained with seq = -1.
+
+    Every stage — augmentation, both decodes, both dedup keys, quality,
+    caption resolution, sequencing — replays in ONE oracle (x90's
+    stage-replay discipline; the decode features are digest arithmetic,
+    so the hash check covers the codec path end to end).
+
+    Scale shape: two corpus-sized Arrow decode passes (zero shuffle),
+    two hash-keyed keep-first windows on compact feature rows (never
+    raw bytes after decode), one id-keyed caption join, one per-modality
+    sequence window.  At 100 TB the decode batches stream (content
+    bytes never collect anywhere) and the dedup keys are 16-32 bytes."""
+    from hiveka_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+        synthesize_media,
+        synthesize_wav_media,
+    )
+    from hiveka_spark.operators.text import with_quality
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + _X148_OFF_BOTH).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + _X148_OFF_IMG).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)  # three stages fan out from it
+    )
+
+    img = decode_image_features(synthesize_media(corpus, "doc_id", "text"))
+    aud = decode_audio_features(synthesize_wav_media(corpus, "doc_id", "text"))
+
+    w_img = Window.partitionBy("content_sha").orderBy("media_id")
+    img_kept = (
+        img.withColumn("rn", F.row_number().over(w_img))
+        .filter(F.col("rn") == 1)
+        .select("media_id", "byte_len", F.col("mean_pixel").alias("feature"))
+    )
+    cmd5 = corpus.select(
+        F.col("doc_id").alias("media_id"), F.md5("text").alias("caption_md5")
+    )
+    w_aud = Window.partitionBy("caption_md5", "n_samples").orderBy("media_id")
+    aud_kept = (
+        aud.join(cmd5, "media_id")
+        .withColumn("rn", F.row_number().over(w_aud))
+        .filter(F.col("rn") == 1)
+        .select("media_id", "byte_len", F.col("mean_abs").alias("feature"))
+    )
+
+    w_cap = Window.partitionBy("caption_md5").orderBy("doc_id")
+    cap = (
+        with_quality(corpus)
+        .withColumn("caption_md5", F.md5("text"))
+        .withColumn("crn", F.row_number().over(w_cap))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            "quality_score",
+            "caption_md5",
+            F.when(
+                (F.col("crn") == 1)
+                & (F.col("quality_score") >= _X148_QUALITY_MIN),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("caption_ok"),
+        )
+    )
+
+    un = (
+        img_kept.withColumn("modality", F.lit("image"))
+        .unionByName(aud_kept.withColumn("modality", F.lit("audio")))
+        .join(cap, "media_id")
+    )
+    w_seq = Window.partitionBy("modality", "caption_ok").orderBy("media_id")
+    return un.select(
+        "modality",
+        "media_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        F.col("feature").cast("bigint").alias("feature"),
+        "quality_score",
+        "caption_ok",
+        F.when(F.col("caption_ok") == 1, F.row_number().over(w_seq))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("seq"),
+        "caption_md5",
+    )

@@ -310,8 +310,10 @@ def x34_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x33 — duplicate-cluster resolution keeping the best-quality member
 # ---------------------------------------------------------------------------
 
-def _quality_cte() -> str:
-    """DuckDB CTEs computing (doc_id, quality_score) — the x08 formula."""
+def _quality_cte(src: str = "documents") -> str:
+    """DuckDB CTEs computing (doc_id, quality_score) — the x08 formula —
+    over ``src`` (any (doc_id, text) relation; x148 hands in its
+    augmented media corpus)."""
     from hiveka_spark.operators.text import EN_STOPWORDS
 
     stop = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
@@ -320,7 +322,7 @@ def _quality_cte() -> str:
                   LENGTH(text) AS len_text,
                   list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks,
                   LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum_space
-           FROM documents),
+           FROM {src}),
     qf AS (SELECT doc_id,
                   LEN(toks) AS n_tok,
                   LEN(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop,

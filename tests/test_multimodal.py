@@ -230,3 +230,45 @@ def test_x116_prefix_groups_trimmed_copies(spark):
         assert r.n_dups == r.n_clips - 1
         assert r.keeper_id % _X116_GROUP == 0 or r.n_clips < _X116_GROUP
         assert len(r.prefix_hex) == 512  # 64 samples x 4 bytes x 2 hex
+
+
+def test_x148_multimodal_curation_stage_invariants(spark):
+    """The capstone's per-stage contracts, asserted directly on the gate
+    output: image dedup kills BOTH injected copies (content = caption
+    bytes), audio dedup kills only the +100000 copy (same payload AND
+    same sample count) while +100001 survives as genuinely different
+    audio content — and the caption stage then excludes it from the
+    export (caption dup), with dense per-modality sequence numbers over
+    the approved rows."""
+    from hiveka_spark.queries.curation_ext import (
+        _X148_OFF_BOTH,
+        _X148_OFF_IMG,
+        _X148_QUALITY_MIN,
+        x148_multimodal_curation,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = x148_multimodal_curation(spark, SF_SMOKE).collect()
+    img = [r for r in rows if r.modality == "image"]
+    aud = [r for r in rows if r.modality == "audio"]
+    assert all(r.media_id < _X148_OFF_BOTH for r in img)
+    assert not any(
+        _X148_OFF_BOTH <= r.media_id < _X148_OFF_IMG for r in aud
+    ), "+OFF_BOTH audio copy must die in content dedup"
+    survivors = [r for r in aud if r.media_id >= _X148_OFF_IMG]
+    assert survivors, "+OFF_IMG audio copies must survive content dedup"
+    assert all(
+        r.caption_ok == 0 and r.seq == -1 for r in survivors
+    ), "caption dedup must exclude the surviving copy from the export"
+    for mod_rows in (img, aud):
+        ok = sorted(r.seq for r in mod_rows if r.caption_ok == 1)
+        assert ok == list(range(1, len(ok) + 1)), "seq not dense"
+        assert all(
+            r.quality_score >= _X148_QUALITY_MIN
+            for r in mod_rows
+            if r.caption_ok == 1
+        )
+        assert any(r.caption_ok == 0 for r in mod_rows), (
+            "quality floor filtered nothing — fixture degenerate"
+        )
