@@ -190,6 +190,9 @@ HEADLINE = [
     "x144_three_family_fertility",
     "s33_stream_knn_graph",
     "x145_rotated_pq_recall",
+    "x146_graph_dedup_rewrite",
+    "x147_unigram_train_iterative",
+    "x148_multimodal_curation",
 ]
 
 # Ratio above which a query is re-measured (see _remeasure): round-5's

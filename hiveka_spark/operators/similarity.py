@@ -1829,6 +1829,54 @@ def _cell_edge_versions(cell_dir: str, before: int) -> list[str]:
     return committed_versions(cell_dir, before)
 
 
+def _cell_live_dirs(cell_dir: str, before: int) -> list[str]:
+    """LIVE committed edge dirs of one cell: delta ``b{v}`` dirs plus the
+    newest base ``c{v}``, with everything a committed base already folded
+    SHADOWED (the wc-store rule) — reading a folded delta next to its base
+    would duplicate a query's rows and double them in the rank window."""
+    from hiveka_spark.streaming.neardup import wc_committed_versions
+
+    if not os.path.isdir(cell_dir):
+        return []
+    return wc_committed_versions(cell_dir, before)
+
+
+def compact_edge_cell(spark, cell_dir: str, before: int = 10**9) -> None:
+    """Fold one home cell's committed edge dirs (id < ``before``) into a
+    single base ``c{top}`` holding each query's LATEST top-k rows (the
+    per-query max-``_v`` winners — superseded delta rows drop here, which
+    is what bounds both the cell's dir listing and its dead-row volume
+    under a long ingest).  wc-store crash rules: finish a crashed prior
+    fold's deletes first (shadowed dirs are already inside the committed
+    base), publish atomically under the ``c`` prefix, only then delete
+    the folded inputs."""
+    import shutil as _shutil
+
+    all_dirs = _cell_edge_versions(cell_dir, before)
+    dirs = _cell_live_dirs(cell_dir, before)
+    for d in set(all_dirs) - set(dirs):
+        _shutil.rmtree(d, ignore_errors=True)
+    if len(dirs) <= 1:
+        return
+    top = max(int(os.path.basename(d)[1:]) for d in dirs)
+    target = os.path.join(cell_dir, f"c{top}")
+    if not os.path.exists(target):
+        tmp = os.path.join(cell_dir, "_compact_tmp")
+        w = Window.partitionBy("query_id")
+        (
+            spark.read.parquet(*dirs)
+            .withColumn("_vm", F.max("_v").over(w))
+            .filter(F.col("_v") == F.col("_vm"))
+            .drop("_vm")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(tmp, target)
+    for d in dirs:
+        if os.path.abspath(d) != os.path.abspath(target):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def make_knn_graph_sink(
     state_root: str,
     centroids,
@@ -1837,6 +1885,7 @@ def make_knn_graph_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_probes_after: int | None = None,
+    compact_edges_after: int | None = 8,
 ):
     """foreachBatch sink maintaining a LIVE kNN graph (s33 — x139's bulk
     edge list under streaming ingest): vectors arrive in micro-batches
@@ -1855,14 +1904,24 @@ def make_knn_graph_sink(
       old->new merge run WITHOUT re-reading source vectors.  Foldable:
       ``compact_probes_after`` bounds the dir listing via
       :func:`compact_probe_store` (round-16 advice).
-    - ``edges/hc<cell>/b<version>``: the per-node top-k rows (query_id,
-      neighbor_id, cosine, rank, home) PARTITIONED BY HOME CELL — the
-      round-15 verdict #1 rewrite: each batch rewrites ONLY the cells it
-      touches (home cells of the batch's nodes plus home cells of prior
-      nodes whose probe sets intersect the batch's index cells), never
-      the full snapshot.  An untouched cell's files are byte-identical
-      across a batch (test-pinned).  Per cell, superseded versions are
-      deleted down to the newest predecessor (<= 2 live versions/cell).
+    - ``edges/hc<cell>/{b<version>,c<version>}``: the per-node top-k rows
+      (query_id, neighbor_id, cosine, rank, home, _v) PARTITIONED BY HOME
+      CELL, maintained as PER-QUERY DELTAS (round-15 verdict #1, taken to
+      its honest conclusion): a batch writes ONLY the queries it produced
+      candidates for — their complete new top-k rows, stamped with the
+      batch version — never a full snapshot and never the unchanged
+      queries of a touched cell.  Reads (the sink's own prev lookup, the
+      fold, :func:`knn_graph_snapshot`) keep each query's max-``_v``
+      rows.  Cell-level rewriting alone is NOT enough at scale: an old
+      node anywhere probes the batch's cells, so the touched-HOME-CELL
+      set saturates to all cells for any realistic batch (measured —
+      64/64 cells touched at the 10x probe); what stays batch-bounded is
+      the INVOLVED-QUERY set, so that is the write unit.  Per cell,
+      ``compact_edges_after`` folds deltas into a ``c{v}`` base
+      (:func:`compact_edge_cell` — per-query latest rows, dead rows
+      dropped, wc-store shadowing + crash rules), bounding both the
+      listing and the dead-row volume.  An untouched cell's files are
+      byte-identical across a batch (test-pinned).
 
     Convergence is the s19 discipline at graph level — a candidate pair
     (q, nb) with nb in a cell q probes is generated EXACTLY ONCE, when
@@ -1870,31 +1929,30 @@ def make_knn_graph_sink(
     whole accumulated index (new->all, intra-batch included), and all
     PRIOR nodes' probe rows score against the batch's index rows
     (old->new).  Candidate scores are static (frozen cells, quantized
-    cosine), so folding each batch's candidates into the touched cells'
-    previous top-k rows with the one-shot rank rule (cosine DESC,
-    neighbor_id) reaches the one-shot answer for ANY batch split —
+    cosine), so folding each batch's candidates into each involved
+    query's previous top-k rows with the one-shot rank rule (cosine
+    DESC, neighbor_id) reaches the one-shot answer for ANY batch split —
     pinned by the s33 tests.  A node's home cell is frozen at arrival
-    (frozen centroids), so its rows can never migrate between cell
-    partitions; queries untouched by the batch re-rank to identical rows
-    inside a touched cell and are preserved verbatim in untouched cells.
+    (frozen centroids), so its rows never migrate between cells; a query
+    with no new candidates keeps its latest rows untouched on disk.
 
-    Crash windows (the x135/wc-store ordering rules at cell granularity):
-    the merged batch output lands in ONE partitioned staging write, then
-    each ``hc=<cell>`` subdir is renamed atomically into
+    Crash windows: the batch's delta lands in ONE partitioned staging
+    write, then each ``hc=<cell>`` subdir is renamed atomically into
     ``edges/hc<cell>/b<version>`` and ``_SUCCESS``-marked; a crash
-    mid-publish replays the batch, which recomputes the same rows (static
-    scores, predecessor kept until after all publishes) and overwrites
-    by version; predecessor deletes run last and are finished lazily on
-    the cell's next touch.
+    mid-publish replays the batch, which recomputes the same rows
+    (static scores; the prev lookup reads only versions < this one) and
+    overwrites by version.  The per-cell fold runs BEFORE the batch's
+    own read with ``before = version`` (the in-stream rule), finishes a
+    crashed predecessor's deletes, and publishes under the ``c`` prefix
+    so no future batch id can collide.
 
     Scale shape per batch: one broadcast-centroid argmax over the batch,
     two cell-keyed equi-joins (batch-probes x index; prior-probes x
-    batch-index — both bounded by batch size x cell occupancy), one
-    touched-cell merge (batch-local, not corpus-sized), and a
-    bounded-per-batch set of directory renames.  At 100 TB the touched
-    set per batch is ~ batch size x n_probe cells out of ~sqrt(n) cells
-    — the snapshot-rewrite cost the full-rewrite design paid is gone
-    (measured in SCALE.md round-16)."""
+    batch-index — the intrinsic candidate cost, ~ batch x cell
+    occupancy), one involved-query merge, and a delta write of
+    Theta(involved x k) rows — vs Theta(corpus x k) for the full-rewrite
+    design (the r15 shape; measured side by side in SCALE.md round-16).
+    Reads amortize via the per-cell fold cadence."""
     import shutil as _shutil
 
     from hiveka_spark.streaming.neardup import (
@@ -1945,11 +2003,9 @@ def make_knn_graph_sink(
             cands = cands.unionByName(
                 _serve_scores(batch_index, old, extra=("home",))  # old->new
             )
-        # touched home cells: batch nodes' homes + homes of prior nodes
-        # whose probe cells intersect the batch's index cells.  This is a
-        # (possibly proper) SUPERSET of the candidate queries' homes —
-        # rewriting a candidate-less touched cell reproduces its rows
-        # identically.  Bounded driver collect: <= n_cells values.
+        # candidate-bearing cells (a superset of the cells the delta will
+        # actually land in: a query whose only candidates are self-pairs
+        # stages nothing).  Bounded driver collect: <= n_cells values.
         batch_cells = batch_index.select("cell").distinct()
         homes = bq.select("home")
         if old is not None:
@@ -1957,21 +2013,29 @@ def make_knn_graph_sink(
                 old.join(batch_cells, "cell", "semi").select("home")
             )
         touched = sorted(r.home for r in homes.distinct().collect())
-        # previous committed rows of the touched cells only
+        # in-stream per-cell fold: bound the listing BEFORE reading prev
         prev_paths: list[str] = []
-        kept_pred: dict[int, str] = {}
         for c in touched:
-            vs = _cell_edge_versions(
-                os.path.join(edges_root, f"hc{c}"), version
-            )
-            if vs:
-                p = max(vs, key=_version_of)
-                kept_pred[c] = p
-                prev_paths.append(p)
+            cell_dir = os.path.join(edges_root, f"hc{c}")
+            if (
+                compact_edges_after is not None
+                and len(_cell_edge_versions(cell_dir, version))
+                >= compact_edges_after
+            ):
+                compact_edge_cell(s, cell_dir, before=version)
+            prev_paths.extend(_cell_live_dirs(cell_dir, version))
+        # the batch's candidates need merging against each INVOLVED
+        # query's latest committed top-k rows only
         merged = cands
         if prev_paths:
-            prev = s.read.parquet(*prev_paths).select(
-                "query_id", "neighbor_id", "cosine", "home"
+            involved = cands.select("query_id").distinct()
+            wv = Window.partitionBy("query_id")
+            prev = (
+                s.read.parquet(*prev_paths)
+                .join(involved, "query_id", "semi")
+                .withColumn("_vm", F.max("_v").over(wv))
+                .filter(F.col("_v") == F.col("_vm"))
+                .select("query_id", "neighbor_id", "cosine", "home")
             )
             merged = merged.unionByName(prev)
         wr = Window.partitionBy("query_id").orderBy(
@@ -1981,6 +2045,7 @@ def make_knn_graph_sink(
         (
             merged.withColumn("rank", F.row_number().over(wr).cast("bigint"))
             .filter(F.col("rank") <= k)
+            .withColumn("_v", F.lit(version).cast("bigint"))
             # duplicate the partition column so the data files keep `home`
             .withColumn("hc", F.col("home"))
             .write.mode("overwrite")
@@ -2004,15 +2069,6 @@ def make_knn_graph_sink(
         bq.write.mode("overwrite").parquet(
             os.path.join(probes_root, f"b{version}")
         )
-        # supersede: per touched cell keep {this version, newest
-        # predecessor} — the predecessor survives so a replay of THIS
-        # version can still merge against it; older leftovers (crashed
-        # delete passes) go now
-        for c in touched:
-            cell_dir = os.path.join(edges_root, f"hc{c}")
-            for d in _cell_edge_versions(cell_dir, version):
-                if d != kept_pred.get(c):
-                    _shutil.rmtree(d, ignore_errors=True)
 
     return sink
 
@@ -2020,25 +2076,30 @@ def make_knn_graph_sink(
 def _version_of(path: str) -> int:
     import os as _os
 
-    return int(_os.path.basename(path).lstrip("bv"))
+    return int(_os.path.basename(path).lstrip("bcv="))
 
 
 def knn_graph_snapshot(spark, state_root: str) -> DataFrame:
     """The live kNN graph's latest committed edge snapshot: per home
-    cell, the newest committed version dir (``edges/hc<cell>/b<v>``) —
-    one bounded listing over ~n_cells dirs, <= 2 version dirs each."""
+    cell, the live (shadowed) delta + base dirs, then each query's
+    max-``_v`` rows win — one bounded listing over ~n_cells dirs, each
+    holding <= compact_edges_after committed dirs."""
     edges_root = os.path.join(state_root, "edges")
     paths: list[str] = []
     if os.path.isdir(edges_root):
         for name in sorted(os.listdir(edges_root)):
             if not (name.startswith("hc") and name[2:].isdigit()):
                 continue
-            vs = _cell_edge_versions(os.path.join(edges_root, name), 10**9)
-            if vs:
-                paths.append(max(vs, key=_version_of))
+            paths.extend(_cell_live_dirs(os.path.join(edges_root, name), 10**9))
     if not paths:
         raise FileNotFoundError(f"no committed edge snapshot under {state_root}")
-    return spark.read.parquet(*paths)
+    w = Window.partitionBy("query_id")
+    return (
+        spark.read.parquet(*paths)
+        .withColumn("_vm", F.max("_v").over(w))
+        .filter(F.col("_v") == F.col("_vm"))
+        .drop("_vm")
+    )
 
 
 def ivf_index_topk(

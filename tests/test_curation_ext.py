@@ -1386,3 +1386,81 @@ def test_knn_graph_probe_store_compaction(spark, tmp_path):
     assert ghost not in live, "shadowing failed: folded b-dir re-read"
     compact_probe_store(spark, probes, before=10**9)
     assert not os.path.exists(ghost), "retry did not finish the deletes"
+
+
+def test_knn_graph_edge_cell_compaction(spark, tmp_path):
+    """Round-16 delta design: per-cell edge folds keep the listing
+    bounded under many batches without changing the snapshot, and the
+    crash window between a fold's c-dir publish and its deletes is
+    shadowed (a folded delta re-listed next to its base must not double
+    any query's rows)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        _cell_live_dirs,
+        compact_edge_cell,
+        ivf_topk,
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    cents = (
+        e.filter((FF.col("vec_id") % 31 == 0) & (FF.col("vec_id") / 31 < 16))
+        .select(FF.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"),
+                "embedding")
+        .localCheckpoint(eager=True)
+    )
+    root = tmp_path / "state"
+    sink = make_knn_graph_sink(str(root), cents, k=3, n_probe=4,
+                               compact_edges_after=3)
+    for i in range(6):
+        sink(e.filter(FF.col("vec_id") % 6 == i), i)
+    edges = str(root / "edges")
+    cells = [n for n in os.listdir(edges) if n.startswith("hc")]
+    assert cells
+    # fold happened: at least one cell carries a c-dir base, and no cell's
+    # live listing exceeds the compaction trigger + the current batch
+    assert any(
+        any(v.startswith("c") for v in os.listdir(os.path.join(edges, n)))
+        for n in cells
+    )
+    for n in cells:
+        assert len(_cell_live_dirs(os.path.join(edges, n), 10**9)) <= 4, (
+            n, os.listdir(os.path.join(edges, n)))
+    expected = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            e, e, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+            centroids=cents, broadcast_queries=False,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got == expected, "edge-cell compaction changed the graph"
+
+    # crash window: re-create a folded delta next to its committed base
+    cdir = next(
+        os.path.join(edges, n)
+        for n in cells
+        if any(v.startswith("c") for v in os.listdir(os.path.join(edges, n)))
+    )
+    top = max(
+        int(v[1:]) for v in os.listdir(cdir) if v.startswith("c")
+    )
+    ghost = os.path.join(cdir, f"b{top}")
+    shutil.copytree(os.path.join(cdir, f"c{top}"), ghost)
+    assert ghost not in _cell_live_dirs(cdir, 10**9), "shadowing failed"
+    got2 = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got2 == expected, "ghost delta leaked into the snapshot"
+    compact_edge_cell(spark, cdir, before=10**9)
+    assert not os.path.exists(ghost), "retry did not finish the deletes"
