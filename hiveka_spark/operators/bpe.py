@@ -361,6 +361,7 @@ def bpe_train_capped(
     units: bool = True,
     normalize: bool = True,
     base_merges: list[tuple[str, str]] | None = None,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """The PRODUCTION BPE trainer — real-vocab-capable: ONE distributed
     corpus-sized pass reduces the corpus to its unit-frequency table
@@ -389,15 +390,23 @@ def bpe_train_capped(
     ``base_merges``: CONTINUE training from a frozen base table
     (:func:`bpe_train_continue` is the documented entry point) — the
     loop seeds from the base apply state and returned ranks are offset
-    past the base."""
+    past the base.
+
+    ``wf``: a PRECOMPUTED unit-frequency frame ((w, freq) in the mode the
+    caller trains in) — the one-corpus-pass seam: callers that also need
+    the alphabet (the vocabulary preamble) materialize the reduction once
+    and derive both from it, instead of the trainer and the alphabet each
+    scanning the corpus.  The cap/collect/loop below is unchanged, so the
+    merge table is bit-identical to the self-reduced path."""
     if not normalize:
         if units:
             raise ValueError(
                 "units=True is the normalized-mode pair joiner; byte-exact "
                 "(normalize=False) training uses sp_units — pass units=False"
             )
-        wf = sp_unit_freq(docs, text_col)
-    else:
+        if wf is None:
+            wf = sp_unit_freq(docs, text_col)
+    elif wf is None:
         wf = unit_freq(docs, text_col) if units else word_freq(docs, text_col)
     capped = wf.orderBy(
         F.desc("freq"), F.encode(F.col("w"), "UTF-8")

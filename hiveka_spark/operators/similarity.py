@@ -388,6 +388,85 @@ def _pq_subvectors(
     return _pq_sub_from_qv(base, out_id, m, dsub)
 
 
+def pq_subvectors_shared(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    dim: int = 64,
+    rotate: list[tuple[list[int], int]] | None = None,
+) -> DataFrame:
+    """The subvector frame MATERIALIZED for sharing (r16, guide §2.4):
+    id-hash-repartitioned to the cluster's parallelism and eagerly
+    checkpointed, so (a) every consumer (each Lloyd pass of
+    :func:`train_pq_codebooks`, the encode/distortion passes of
+    x136/x140-style gates) reads the slim materialized rows instead of
+    replaying scan + OPQ rotation + subspace split per pass, and (b) the
+    (_id, sub)-keyed argmin aggregates downstream are EXCHANGE-FREE —
+    HashPartitioning(_id) satisfies the (_id, sub) clustering, so the one
+    repartition here replaces a corpus-sized exchange per pass.  Rows are
+    identical to :func:`_pq_subvectors`; only the physical layout
+    changes."""
+    c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dim // m, rotate)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    return c_sub.repartition(target, F.col("_id")).localCheckpoint(eager=True)
+
+
+def _pq_cands(cents: DataFrame, dsub: int) -> DataFrame:
+    """(sub, _cands) — the codebook pre-grouped into ONE array of
+    (code, cv_0..cv_{dsub-1}) structs per subspace (bounded: n_centroids
+    elements), the broadcast shape :func:`_pq_best` consumes."""
+    return cents.groupBy("sub").agg(
+        F.collect_list(
+            F.struct("code", *[f"cv_{i}" for i in range(dsub)])
+        ).alias("_cands")
+    )
+
+
+def _pq_best(c_sub: DataFrame, cents: DataFrame, dsub: int) -> DataFrame:
+    """Per-row PQ code assignment (r16, guide §2.4): attach each
+    subvector row's nearest codeword as (code, d2) WITHOUT the old
+    join-explosion argmin.  The old shape — broadcast-join the codebook
+    on `sub` (xN_centroids row multiplication), then
+    ``groupBy(keys).agg(min(struct(d2, code)))`` — planned as a
+    SortAggregate (struct-typed min never hash-aggregates), i.e. a SORT
+    of the n_centroids-times-expanded corpus per task plus a corpus-sized
+    Exchange per encode pass.  Here the codebook is pre-grouped into one
+    bounded candidate array per subspace (:func:`_pq_cands`),
+    broadcast-joined WITHOUT row multiplication, and the argmin is
+    ``array_min`` over per-candidate (d2, code) structs — least-struct
+    comparison is the same (d2 ASC, code ASC) total order (codes are
+    distinct per subspace), so the assignment is bit-identical while the
+    Sort and the Exchange disappear from every consumer (the Lloyd loop,
+    the serving encodes, the distortion passes).  Keeps every c_sub
+    column and appends (code, d2)."""
+
+    def d2_of(c: Column) -> Column:
+        terms = [
+            (F.col(f"sv_{i}") - c[f"cv_{i}"]) * (F.col(f"sv_{i}") - c[f"cv_{i}"])
+            for i in range(dsub)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    best = F.array_min(
+        F.transform(
+            F.col("_cands"),
+            lambda c: F.struct(d2_of(c).alias("d2"), c["code"].alias("code")),
+        )
+    )
+    return (
+        c_sub.join(F.broadcast(_pq_cands(cents, dsub)), "sub")
+        .withColumn("_best", best)
+        .drop("_cands")
+        .withColumn("code", F.col("_best.code"))
+        .withColumn("d2", F.col("_best.d2"))
+        .drop("_best")
+    )
+
+
 def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
     """Sum of squared component deltas — pure codegen-able bigint math."""
     terms = [
@@ -562,6 +641,7 @@ def train_pq_codebooks(
     centroid_stride: int = 7,
     n_iters: int = 4,
     rotate: list[tuple[list[int], int]] | None = None,
+    subvectors: DataFrame | None = None,
 ) -> DataFrame:
     """Train per-subspace PQ codebooks with distributed Lloyd — the
     offline-codebook production posture pq_topk/ivfpq_topk document
@@ -583,9 +663,21 @@ def train_pq_codebooks(
     from :func:`opq_householder_chain`) trains the codebooks in the
     ROTATED space — the OPQ posture; serve with the same chain handed to
     :func:`pq_topk`.
+
+    ``subvectors`` (r16, guide §2.4): a PRECOMPUTED subvector frame
+    (:func:`pq_subvectors_shared`'s id-partitioned materialized shape, or
+    any frame with _pq_subvectors' columns) — callers that also encode
+    against the trained books hand it in so the scan + rotation +
+    subspace split is paid ONCE instead of once per Lloyd pass per
+    consumer, and the id-partitioning makes every per-pass argmin
+    aggregate exchange-free.
     """
     dsub = dim // m
-    c_sub = _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub, rotate)
+    c_sub = (
+        subvectors
+        if subvectors is not None
+        else _pq_subvectors(corpus, id_col, vec_col, "_id", m, dsub, rotate)
+    )
     cents = c_sub.filter(
         (F.col("_id") % centroid_stride == 0)
         & (F.col("_id") < F.lit(centroid_stride * n_centroids))
@@ -603,23 +695,16 @@ def _pq_train_loop(
     """The per-subspace Lloyd loop of :func:`train_pq_codebooks`, factored
     so the residual-encoding path (:func:`ivfpq_residual_topk`) trains its
     codebooks over RESIDUAL subvectors with the byte-identical update rule
-    (broadcast assignment join, map-side-combinable argmin, truncating-
-    integer-division means, empty-cell keep)."""
+    (per-row broadcast-array argmin — :func:`_pq_best`, r16: no corpus
+    Sort/Exchange per pass — truncating-integer-division means,
+    empty-cell keep)."""
     for _ in range(n_iters):
-        assigned = (
-            c_sub.join(F.broadcast(cents), "sub")
-            .withColumn("d2", _pq_d2(dsub, "sv_", "cv_"))
-            .groupBy("_id", "sub")
-            .agg(
-                F.min(
-                    F.struct("d2", "code", *[f"sv_{i}" for i in range(dsub)])
-                ).alias("mc")
-            )
-            .select(
-                "sub",
-                F.col("mc.code").alias("code"),
-                *[F.col(f"mc.sv_{i}").alias(f"sv_{i}") for i in range(dsub)],
-            )
+        # per-row argmin: each subvector row keeps its sv_* columns and
+        # gains its nearest code — the old min(struct(d2, code, sv_*))
+        # carried the row's own (constant) subvectors through the
+        # comparator; (d2, code) was already the decisive total order
+        assigned = _pq_best(c_sub, cents, dsub).select(
+            "sub", "code", *[f"sv_{i}" for i in range(dsub)]
         )
         updated = assigned.groupBy("sub", "code").agg(
             *[
@@ -656,6 +741,42 @@ def _l2_bigint(a: Column, b: Column) -> Column:
     )
 
 
+def _cell_cands(ccents: DataFrame) -> DataFrame:
+    """ONE-row (_cc) frame holding every coarse centroid as an array of
+    (cell, _cv) structs (bounded: n_cells elements) — the broadcast shape
+    the per-row coarse argmin consumes (r16, guide §2.4): the old
+    ``crossJoin(centroids) -> groupBy(_id).agg(min(struct(cd2, cell, ...)))``
+    planned as a SortAggregate over the n_cells-times-expanded corpus
+    plus a corpus-sized Exchange (the vector array riding the shuffle);
+    scoring the candidate array per row keeps assignment map-only."""
+    return ccents.agg(F.collect_list(F.struct("cell", "_cv")).alias("_cc"))
+
+
+def _cell_scored_arr(with_cv: bool = False) -> Column:
+    """Array of (cd2, cell[, _cv]) structs: the row's ``_qv`` scored
+    against every candidate in the broadcast ``_cc`` array.  (cd2, cell)
+    is a total order (cells are distinct), so ``array_min`` of it is the
+    old min(struct) argmin bit-for-bit and ``array_sort`` + slice is the
+    old (cd2, cell)-ascending row_number probe ranking; trailing fields
+    (``_cv`` for the residual path) ride behind the decisive prefix
+    exactly as they rode the old struct comparator."""
+
+    def entry(c: Column) -> Column:
+        fields = [
+            F.aggregate(
+                F.zip_with(F.col("_qv"), c["_cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("cd2"),
+            c["cell"].alias("cell"),
+        ]
+        if with_cv:
+            fields.append(c["_cv"].alias("_cv"))
+        return F.struct(*fields)
+
+    return F.transform(F.col("_cc"), entry)
+
+
 def _stride_cells(v: DataFrame, cell_stride: int, n_cells: int) -> DataFrame:
     """Deterministic stride-seeded cell centroids (cell, _cv) off a
     (_id, _qv) frame — the shared untrained coarse quantizer."""
@@ -671,28 +792,25 @@ def _coarse_stage(
     v: DataFrame, qv: DataFrame, ccents: DataFrame, n_probe: int
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus cell assignment + per-query probe sets off a broadcast
-    centroid frame — lazy; callers decide about materialization."""
+    centroid frame — lazy; callers decide about materialization.
 
-    def cell_scores(side: DataFrame) -> DataFrame:
-        return side.crossJoin(F.broadcast(ccents)).withColumn(
-            "cd2", _l2_bigint(F.col("_qv"), F.col("_cv"))
-        )
-
-    # corpus argmin as min(struct(cd2, cell)): same (cd2, cell) tie-break
-    # as a rank-1 window but map-side combinable — no per-key sort of the
-    # n*n_cells scored rows
-    corp_cell = (
-        cell_scores(v)
-        .groupBy("_id")
-        .agg(F.min(F.struct("cd2", "cell")).alias("m"))
-        .select("_id", F.col("m.cell").alias("cell"))
+    r16: per-row broadcast-array argmin (:func:`_cell_cands`) — the
+    corpus side is MAP-ONLY (no n_cells row multiplication, no
+    SortAggregate, no corpus Exchange); probe ranking is array_sort +
+    slice per query row, the same (cd2, cell)-ascending order."""
+    cands = _cell_cands(ccents)
+    corp_cell = v.crossJoin(F.broadcast(cands)).select(
+        "_id", F.array_min(_cell_scored_arr())["cell"].alias("cell")
     )
-    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
     probes = (
-        cell_scores(qv)
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col("_id").alias("query_id"), "cell")
+        qv.crossJoin(F.broadcast(cands))
+        .select(
+            F.col("_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort(_cell_scored_arr()), 1, n_probe)
+            ).alias("_s"),
+        )
+        .select("query_id", F.col("_s.cell").alias("cell"))
     )
     return corp_cell, probes
 
@@ -724,14 +842,11 @@ def train_ivf_centroids(
     cents = _stride_cells(v, cell_stride, n_cells)
 
     for _ in range(n_iters):
-        # argmin carries the vector through the struct comparator: (cd2,
-        # cell) is already a total order per _id, so _qv never compares
-        assigned = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
-            .groupBy("_id")
-            .agg(F.min(F.struct("cd2", "cell", "_qv")).alias("mc"))
-            .select(F.col("mc.cell").alias("cell"), F.col("mc._qv").alias("_qv"))
+        # per-row broadcast-array argmin (r16): the vector stays on its
+        # row — no n_cells expansion, no SortAggregate, no corpus
+        # Exchange for the assignment; (cd2, cell) is the same total order
+        assigned = v.crossJoin(F.broadcast(_cell_cands(cents))).select(
+            F.array_min(_cell_scored_arr())["cell"].alias("cell"), "_qv"
         )
         comp = (
             assigned.select("cell", F.posexplode("_qv").alias("pos", "val"))
@@ -818,28 +933,30 @@ def ivf_exact_candidates(
         if cell_centroids is not None
         else _stride_cells(v, cell_stride, n_cells)
     )
-    corp = (
-        v.crossJoin(F.broadcast(ccents))
-        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
-        .groupBy("_id")
-        .agg(F.min(F.struct("cd2", "cell", "_qv")).alias("m"))
-        .select(
-            F.col("_id").alias("neighbor_id"),
-            F.col("m.cell").alias("cell"),
-            F.col("m._qv").alias("cvec"),
-        )
+    # per-row broadcast-array argmin / sorted-slice probe ranking (r16):
+    # corpus assignment is map-only (vector stays on its row), probe_rank
+    # is the array position of the (cd2, cell)-ascending sort — the same
+    # order the old row_number ranked
+    cands = _cell_cands(ccents)
+    corp = v.crossJoin(F.broadcast(cands)).select(
+        F.col("_id").alias("neighbor_id"),
+        F.array_min(_cell_scored_arr())["cell"].alias("cell"),
+        F.col("_qv").alias("cvec"),
     )
-    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
     probes = (
-        qv.crossJoin(F.broadcast(ccents))
-        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
-        .withColumn("probe_rank", F.row_number().over(w_probe))
-        .filter(F.col("probe_rank") <= n_probe)
+        qv.crossJoin(F.broadcast(cands))
         .select(
             F.col("_id").alias("query_id"),
-            "cell",
-            "probe_rank",
             F.col("_qv").alias("qqvec"),
+            F.posexplode(
+                F.slice(F.array_sort(_cell_scored_arr()), 1, n_probe)
+            ).alias("_p", "_s"),
+        )
+        .select(
+            "query_id",
+            F.col("_s.cell").alias("cell"),
+            (F.col("_p") + 1).cast("int").alias("probe_rank"),
+            "qqvec",
         )
     )
     return (
@@ -982,14 +1099,11 @@ def pq_topk(
             "sub",
             *[F.col(f"sv_{i}").alias(f"cv_{i}") for i in range(dsub)],
         )
-    # encode: nearest centroid per (vector, subspace); min(struct) is the
-    # deterministic argmin (d2 asc, code asc) and map-side combines
-    codes = (
-        c_sub.join(F.broadcast(cents), "sub")
-        .withColumn("d2", d2_expr("sv_", "cv_"))
-        .groupBy("_id", "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("mc"))
-        .select(F.col("_id").alias("neighbor_id"), "sub", F.col("mc.code").alias("code"))
+    # encode: nearest centroid per (vector, subspace) — per-row
+    # broadcast-array argmin (_pq_best, r16): same deterministic
+    # (d2 asc, code asc) order, no row multiplication, no Sort/Exchange
+    codes = _pq_best(c_sub, cents, dsub).select(
+        F.col("_id").alias("neighbor_id"), "sub", "code"
     )
     # ADC lookup table: |Q| * m * n_centroids rows — always broadcastable
     lut = (
@@ -1113,14 +1227,10 @@ def ivfpq_topk(
             )
         ),
     )
-    codes = (
-        subs_with_cell.join(F.broadcast(pcents), "sub")
-        .withColumn("d2", d2_cols())
-        .groupBy("_id", "cell", "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("mc"))
-        .select(
-            F.col("_id").alias("neighbor_id"), "cell", "sub", F.col("mc.code").alias("code")
-        )
+    # per-row broadcast-array argmin (_pq_best, r16): no row
+    # multiplication, no corpus Sort/Exchange; cell rides the row
+    codes = _pq_best(subs_with_cell, pcents, dsub).select(
+        F.col("_id").alias("neighbor_id"), "cell", "sub", "code"
     )
     lut = (
         sub_cols(qv, "query_id")
@@ -1199,31 +1309,37 @@ def ivfpq_residual_topk(
         else _stride_cells(v, cell_stride, n_cells)
     )
 
-    # corpus: cell assignment + residual out of ONE argmin — (cd2, cell) is
-    # already a total order per _id (cells are distinct), so the trailing
-    # _qv/_cv fields never compare; residual = qv - centroid(cell)
+    # corpus: cell assignment + residual out of ONE per-row argmin (r16:
+    # broadcast candidate array, map-only — no n_cells expansion, no
+    # SortAggregate/Exchange).  (cd2, cell) is a total order (cells are
+    # distinct), so the trailing _cv field never compares — it rides the
+    # winning struct exactly as it rode the old comparator; residual =
+    # qv - centroid(cell)
+    cands = _cell_cands(ccents)
     corp_res = (
-        v.crossJoin(F.broadcast(ccents))
-        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
-        .groupBy("_id")
-        .agg(F.min(F.struct("cd2", "cell", "_qv", "_cv")).alias("mc"))
+        v.crossJoin(F.broadcast(cands))
+        .withColumn("_b", F.array_min(_cell_scored_arr(with_cv=True)))
         .select(
             "_id",
-            F.col("mc.cell").alias("cell"),
-            F.zip_with("mc._qv", "mc._cv", lambda a, b: a - b).alias("_rv"),
+            F.col("_b.cell").alias("cell"),
+            F.zip_with("_qv", "_b._cv", lambda a, b: a - b).alias("_rv"),
         )
     )
-    # queries: per probed cell, the query's residual AGAINST THAT CELL
-    w_probe = Window.partitionBy("_id").orderBy("cd2", "cell")
+    # queries: per probed cell, the query's residual AGAINST THAT CELL —
+    # sorted-slice probe ranking, same (cd2, cell)-ascending order
     q_res = (
-        qv.crossJoin(F.broadcast(ccents))
-        .withColumn("cd2", _l2_bigint(F.col("_qv"), F.col("_cv")))
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
+        qv.crossJoin(F.broadcast(cands))
         .select(
             F.col("_id").alias("query_id"),
-            "cell",
-            F.zip_with("_qv", "_cv", lambda a, b: a - b).alias("_rv"),
+            "_qv",
+            F.explode(
+                F.slice(F.array_sort(_cell_scored_arr(with_cv=True)), 1, n_probe)
+            ).alias("_s"),
+        )
+        .select(
+            "query_id",
+            F.col("_s.cell").alias("cell"),
+            F.zip_with("_qv", "_s._cv", lambda a, b: a - b).alias("_rv"),
         )
     )
 
@@ -1263,17 +1379,10 @@ def ivfpq_residual_topk(
     # lazy localCheckpoint is NOT job-free under AQE — it materializes the
     # upstream broadcast while translating the plan to an RDD)
 
-    codes = (
-        c_sub.join(F.broadcast(rcents), "sub")
-        .withColumn("d2", _pq_d2(dsub, "sv_", "cv_"))
-        .groupBy("_id", "cell", "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("mc"))
-        .select(
-            F.col("_id").alias("neighbor_id"),
-            "cell",
-            "sub",
-            F.col("mc.code").alias("code"),
-        )
+    # per-row broadcast-array argmin (_pq_best, r16) — same
+    # (d2, code)-ascending assignment, no residual-corpus Sort/Exchange
+    codes = _pq_best(c_sub, rcents, dsub).select(
+        F.col("_id").alias("neighbor_id"), "cell", "sub", "code"
     )
     lut = (
         res_subs(q_res, "query_id")

@@ -1777,10 +1777,15 @@ def x84_ann_trained_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook passes swept 1/2/4 -> recall 0.86/0.88/0.86 at sf0.01 (r10):
     # 2 passes matches the trained-cells config and the non-monotone tail
     # is the honest measurement (deeper ADC training re-orders the pool
-    # without adding coverage — rerank is already exact)
+    # without adding coverage — rerank is already exact).  Subvectors
+    # materialized once (r16): both Lloyd passes read the slim
+    # id-partitioned frame, argmin aggregates exchange-free.
+    from hiveka_spark.operators.similarity import pq_subvectors_shared
+
     cbs = train_pq_codebooks(
         e, "vec_id", "embedding", m=16, dim=64,
         n_centroids=64, centroid_stride=7, n_iters=2,
+        subvectors=pq_subvectors_shared(e, "vec_id", "embedding", m=16, dim=64),
     ).localCheckpoint(eager=True)
     pool_full = ivfpq_topk(
         e, qs, "vec_id", "embedding",
@@ -2347,21 +2352,39 @@ def _trained_merge_vocab(d, byte_fallback: bool = False):
     s24), existing ONCE so the training constants and the alphabet
     collection cannot drift between gates.  Both collects are bounded:
     n_merges merge rows, corpus-character-set alphabet.  Returns
-    (merges, vocab)."""
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_expr
+    (merges, vocab).
 
+    ONE corpus pass (r16 optimization, guide §2.4): the unit-frequency
+    reduction is materialized once (vocabulary-bounded rows) and BOTH the
+    trainer (via bpe_train_capped's ``wf`` seam) and the alphabet derive
+    from it — the alphabet's distinct character set over distinct units
+    equals the old per-occurrence corpus scan by construction (every
+    corpus character appears in some unit, and char-distinct is
+    occurrence-insensitive)."""
+    merges, vocab, _ = _trained_merge_vocab_wf(d, byte_fallback=byte_fallback)
+    return merges, vocab
+
+
+def _trained_merge_vocab_wf(d, byte_fallback: bool = False):
+    """:func:`_trained_merge_vocab` plus the MATERIALIZED unit-frequency
+    frame it was derived from — for gates that need (w, freq) themselves
+    (x115's utilization mass) so the corpus reduction is paid exactly
+    once.  Returns (merges, vocab, wf)."""
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_freq
+
+    wf = unit_freq(d, "text").localCheckpoint(eager=True)
     mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True,
+        wf=wf,
     )
     merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
     alphabet = [
         r["s"]
-        for r in d.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
+        for r in wf.select(F.explode(F.split("w", "")).alias("s"))
         .distinct()
         .collect()  # bounded: the corpus character set
     ]
-    return merges, bpe_vocab(merges, alphabet, byte_fallback=byte_fallback)
+    return merges, bpe_vocab(merges, alphabet, byte_fallback=byte_fallback), wf
 
 
 
@@ -4120,18 +4143,27 @@ def _trained_merge_vocab_raw(d):
     alphabet both run over :func:`~hiveka_spark.operators.bpe.sp_units`
     (case preserved, whitespace as '▁' token content).  Same bounded
     collects; always builds the byte-fallback ship vocabulary (the raw
-    mode exists for serving, where held-out characters are a given)."""
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, sp_mark, sp_units
+    mode exists for serving, where held-out characters are a given).
+    Same one-corpus-pass shape as the normalized twin (r16): the
+    sp-unit-frequency reduction is materialized once and feeds both the
+    trainer (``wf`` seam) and the alphabet — sp_unit_freq's ``w`` is
+    already space-marked, so its distinct character set (incl. '▁')
+    equals the old per-occurrence scan."""
+    from hiveka_spark.operators.bpe import (
+        bpe_train_capped,
+        bpe_vocab,
+        sp_unit_freq,
+    )
 
+    wf = sp_unit_freq(d, "text").localCheckpoint(eager=True)
     mt = bpe_train_capped(
         d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
-        units=False, normalize=False,
+        units=False, normalize=False, wf=wf,
     )
     merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
     alphabet = [
         r["s"]
-        for r in d.select(F.explode(sp_units("text")).alias("u"))
-        .select(F.explode(F.split(sp_mark("u"), "")).alias("s"))
+        for r in wf.select(F.explode(F.split("w", "")).alias("s"))
         .distinct()
         .collect()  # bounded: the corpus character set (incl. '▁')
     ]
@@ -4544,7 +4576,7 @@ def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_docs, n_tokens, ids_digest, n_unk)."""
     import shutil
 
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_expr
+    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_freq
     from hiveka_spark.operators.sampling import (
         composed_order_digest,
         epoch_shards,
@@ -4555,15 +4587,19 @@ def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, v2 = d.filter(~v2_pred), d.filter(v2_pred)
 
     # frozen tokenizer: trained on v1, alphabet from v1's units, plain
-    # vocabulary (unk contract — n_unk below measures what v2 introduces)
+    # vocabulary (unk contract — n_unk below measures what v2 introduces).
+    # ONE v1 pass (r16): the unit-frequency reduction feeds the trainer
+    # (wf seam) and the alphabet both — char-distinct over distinct units
+    # equals the old per-occurrence scan.
+    wf = unit_freq(v1, "text").localCheckpoint(eager=True)
     mt = bpe_train_capped(
-        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True,
+        wf=wf,
     )
     merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
     alphabet = [
         r["s"]
-        for r in v1.select(F.explode(unit_expr("text")).alias("u"))
-        .select(F.explode(F.split("u", "")).alias("s"))
+        for r in wf.select(F.explode(F.split("w", "")).alias("s"))
         .distinct()
         .collect()
     ]
@@ -6066,11 +6102,13 @@ def x115_vocab_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary join is a broadcast of the vocab-sized table.  The
     oracle replays training, the per-unit apply, and the mass rollup
     from docunits x unit_syms."""
-    from hiveka_spark.operators.bpe import bpe_encode_ids, unit_freq
+    from hiveka_spark.operators.bpe import bpe_encode_ids
 
     d = table(spark, sf_dir, "documents")
-    merges, vocab = _trained_merge_vocab(d)
-    uf = unit_freq(d, "text").withColumn("uid", F.col("w"))
+    # ONE corpus pass (r16): the trainer's materialized unit-frequency
+    # frame IS the distinct-unit usage table this gate encodes
+    merges, vocab, wf = _trained_merge_vocab_wf(d)
+    uf = wf.withColumn("uid", F.col("w"))
     enc = bpe_encode_ids(
         uf, merges, vocab, text_col="w", id_col="uid", keep_cols=("freq",)
     )
@@ -6539,24 +6577,23 @@ def x136_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_pq_train_chain_sql` — the same text x84/x77 certify against)
     and re-derives every assignment and distance."""
     from hiveka_spark.operators.similarity import (
-        _pq_d2,
-        _pq_subvectors,
+        _pq_best,
+        pq_subvectors_shared,
         train_pq_codebooks,
     )
 
     e = table(spark, sf_dir, "embeddings")
+    # ONE materialized subvector frame (r16) feeds every Lloyd pass AND
+    # the error pass: scan + subspace split paid once; assignment is the
+    # per-row broadcast-array argmin (no corpus Sort/Exchange)
+    c_sub = pq_subvectors_shared(
+        e, "vec_id", "embedding", m=_X136_M, dim=_X136_M * _X136_DSUB
+    )
     books = train_pq_codebooks(
         e, m=_X136_M, dim=_X136_M * _X136_DSUB, n_centroids=_X136_CENT,
-        centroid_stride=_X136_STRIDE, n_iters=_X136_ITERS,
+        centroid_stride=_X136_STRIDE, n_iters=_X136_ITERS, subvectors=c_sub,
     ).localCheckpoint(eager=True)  # bounded: m * n_centroids rows
-    c_sub = _pq_subvectors(e, "vec_id", "embedding", "_id", _X136_M, _X136_DSUB)
-    best = (
-        c_sub.join(F.broadcast(books), "sub")
-        .withColumn("d2", _pq_d2(_X136_DSUB, "sv_", "cv_"))
-        .groupBy("_id", "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("b"))
-        .select("sub", F.col("b.d2").alias("d2"), F.col("b.code").alias("code"))
-    )
+    best = _pq_best(c_sub, books, _X136_DSUB).select("sub", "d2", "code")
     return best.groupBy("sub").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.countDistinct("code").cast("bigint").alias("n_codes_used"),
@@ -6699,14 +6736,11 @@ def _x140_arm_ctes(
 
 def _x140_basis(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """The top-m learned directions as plain int lists — the OPQ front's
-    driver-side input (bounded collect: m * dim rows)."""
+    driver-side input (:func:`_x129m_basis` is driver-local since r16:
+    one corpus pass for the scatter, zero per-direction collects)."""
     from hiveka_spark.queries.extensions import _x129m_basis
 
-    dirs = []
-    for vf in _x129m_basis(spark, sf_dir):
-        rows = sorted((r.i, r.val) for r in vf.collect())
-        dirs.append([v for _, v in rows])
-    return dirs
+    return _x129m_basis(spark, sf_dir)
 
 
 def _x140_oracle(
@@ -6776,9 +6810,9 @@ def x140_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     training chains (namespaced via _pq_train_chain_sql's prefix) — in
     one WITH chain."""
     from hiveka_spark.operators.similarity import (
-        _pq_d2,
-        _pq_subvectors,
+        _pq_best,
         opq_householder_chain,
+        pq_subvectors_shared,
         train_pq_codebooks,
     )
 
@@ -6787,21 +6821,19 @@ def x140_opq_rotated_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _X140_M * _X140_DSUB
 
     def arm(rotate, tag: str) -> DataFrame:
+        # ONE materialized id-partitioned subvector frame per arm (r16):
+        # scan + rotation + subspace split paid once instead of per Lloyd
+        # pass + once more for the distortion pass; every (_id, sub)
+        # argmin exchange-free
+        c_sub = pq_subvectors_shared(
+            e, "vec_id", "embedding", m=_X140_M, dim=dim, rotate=rotate
+        )
         books = train_pq_codebooks(
             e, m=_X140_M, dim=dim, n_centroids=_X140_CENT,
             centroid_stride=_X140_STRIDE, n_iters=_X140_ITERS,
-            rotate=rotate,
+            rotate=rotate, subvectors=c_sub,
         ).localCheckpoint(eager=True)  # bounded: m * n_centroids rows
-        c_sub = _pq_subvectors(
-            e, "vec_id", "embedding", "_id", _X140_M, _X140_DSUB, rotate
-        )
-        best = (
-            c_sub.join(F.broadcast(books), "sub")
-            .withColumn("d2", _pq_d2(_X140_DSUB, "sv_", "cv_"))
-            .groupBy("_id", "sub")
-            .agg(F.min(F.struct("d2", "code")).alias("b"))
-            .select("sub", F.col("b.d2").alias("d2"))
-        )
+        best = _pq_best(c_sub, books, _X140_DSUB).select("sub", "d2")
         return best.groupBy("sub").agg(
             F.count(F.lit(1)).cast("bigint").alias(f"{tag}_n"),
             F.sum("d2").cast("bigint").alias(f"{tag}_total_d2"),

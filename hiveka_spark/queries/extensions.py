@@ -2775,7 +2775,7 @@ def _x119_rescale_sql(w: str, v: str) -> str:
 
 def _x119_scatter_ctes(dim: int = _X119_DIM) -> str:
     """The centered-scatter replay CTEs (q/e/s/m/cn/amat/ap) shared by the
-    x119 and x129 oracles — the SQL twin of :func:`_x119_scatter`."""
+    x119 and x129 oracles — the SQL twin of :func:`_x119_scatter_local`."""
     return f"""q AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
           FROM embeddings),
@@ -2834,46 +2834,67 @@ def x119_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger n the n*S term needs a pre-DIV by n to stay in int64 — the
     rescale step already in the chain is where that lands; many-
     component variants go to Halko et al. randomized SVD with the same
-    aggregate shape."""
+    aggregate shape.
+
+    r16 optimization (guide §5 — the bounded-driver-finish posture the
+    tokenizer trainers already use): the corpus pass and the dim^2
+    scatter are unchanged, but the dim-sized matvec/rescale iterations
+    run DRIVER-LOCALLY in exact integer Python over the collected
+    scatter (4096 bounded rows) instead of as 64-row Spark joins —
+    bit-identical arithmetic (truncating DIV), zero per-iteration jobs."""
     dim = _X119_DIM
-    ap = _x119_scatter(spark, sf_dir)
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("bigint").alias("i"),
-        F.lit(1).cast("bigint").alias("val"),
-    )
+    a = _x119_scatter_local(spark, sf_dir)
+    v = [1] * dim
     for _ in range(_X119_ITERS):
-        v = _x119_rescale(_x119_matvec(ap, v))
-    return v.select(F.col("i").alias("pos"), F.col("val").alias("dir_q"))
-
-
-def _x119_matvec(ap: DataFrame, v: DataFrame) -> DataFrame:
-    """One dim-sized integer matvec w = A v (64-row join + keyed sum)."""
-    return (
-        ap.join(v.select(F.col("i").alias("j"), "val"), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("a") * F.col("val")).cast("bigint").alias("wv"))
+        v = _x119_rescale_local(_x119_matvec_local(a, v))
+    return spark.createDataFrame(
+        [(i + 1, int(v[i])) for i in range(dim)], "pos bigint, dir_q bigint"
     )
 
 
-def _x119_rescale(w: DataFrame) -> DataFrame:
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division — Spark ``DIV`` / DuckDB ``//``
+    semantics (toward zero); Python's ``//`` floors toward -inf and
+    would drift on negatives."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def _x119_matvec_local(a: list[list[int]], v: list[int]) -> list[int]:
+    """Driver-local integer matvec w = A v — exact twin of the oracle's
+    matvec CTE (:func:`_x119_matvec_sql`) over the bounded dim^2 scatter."""
+    return [sum(ar * vr for ar, vr in zip(row, v)) for row in a]
+
+
+def _x119_rescale_local(w: list[int]) -> list[int]:
     """Deterministic integer rescale of a dim-sized vector to ~1e4
-    magnitude (max-abs to 10000, truncating DIV — DuckDB // agrees on
-    negatives: both truncate toward zero)."""
-    sc = w.agg(
-        F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1))
-        .cast("bigint").alias("s")
-    )
-    return w.crossJoin(F.broadcast(sc)).select(
-        "i", F.expr("CAST(wv * 10000 DIV s AS BIGINT)").alias("val")
-    )
+    magnitude (max-abs to 10000, truncating DIV toward zero — the exact
+    twin of :func:`_x119_rescale_sql`)."""
+    s = max(max(abs(x) for x in w), 1)
+    return [_trunc_div(x * 10000, s) for x in w]
 
 
-def _x119_scatter(spark: SparkSession, sf_dir: str):
-    """The rescaled centered-scatter matrix ``ap`` (i, j, a — dim^2 rows,
-    |a| <= ~1e4) shared by x119 (single top direction) and x129 (block
-    top-k): ONE corpus pass builds S and m, the int64-headroom guard and
-    the single integer rescale are applied here so the two gates can
-    never drift on the matrix they iterate.
+def _x119_ortho_local(u: list[int], v: list[int]) -> list[int]:
+    """Integer Gram-Schmidt deflation o = u - (num * v) DIV den with
+    num = <u, v>, den = <v, v> — the exact twin of the oracle's ortho
+    CTEs (x129's deflation step), truncating toward zero."""
+    num = sum(x * y for x, y in zip(u, v))
+    den = sum(y * y for y in v)
+    return [x - _trunc_div(num * y, den) for x, y in zip(u, v)]
+
+
+def _x119_scatter_local(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """The rescaled centered-scatter matrix as a DRIVER-LOCAL dim x dim
+    integer matrix (|a| <= ~1e4), shared by x119 (single top direction)
+    and x129 (block top-k): ONE corpus pass builds S and m, the
+    int64-headroom guard, the centering and the single integer rescale
+    run driver-side over the collected bounded parts (dim^2 + dim + 1
+    rows — the centroid-collect posture), so the two gates can never
+    drift on the matrix they iterate and no dim-sized Spark frame ever
+    round-trips the driver (r16: was 3 eager checkpoints + per-iteration
+    64-row join jobs).
 
     The pass is per-PARTITION Gramian accumulation (round-14 verdict #4,
     closing SCALE.md's documented cutover): each task folds its rows into
@@ -2933,28 +2954,30 @@ def _x119_scatter(spark: SparkSession, sf_dir: str):
         )
         yield pd.concat([out, mrows, nrow], ignore_index=True)
 
-    parts = (
+    # ONE job: the corpus pass + the bounded (dim^2 + dim + 1)-row collect;
+    # everything below is exact integer Python (Spark's bigint ops and
+    # Python ints agree inside the guard's headroom bound)
+    rows = (
         q.mapInPandas(partials, "kind int, i long, j long, val long")
         .groupBy("kind", "i", "j")
         .agg(F.sum("val").cast("bigint").alias("val"))
-        # bounded: dim^2 + dim + 1 rows; materialized once so the guard
-        # collect, amat, and the max-abs branch share ONE corpus pass
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    s = parts.filter(F.col("kind") == 0).select(
-        "i", "j", F.col("val").alias("sv")
-    )
-    m = parts.filter(F.col("kind") == 1).select(
-        "i", F.col("val").alias("mv")
-    )
-    n = parts.filter(F.col("kind") == 2).select(F.col("val").alias("n"))
+    s: dict[tuple[int, int], int] = {}
+    m: dict[int, int] = {}
+    n_rows = 0
+    for r in rows:
+        if r["kind"] == 0:
+            s[(r["i"], r["j"])] = int(r["val"])
+        elif r["kind"] == 1:
+            m[r["i"]] = int(r["val"])
+        else:
+            n_rows = int(r["val"])
     # int64-headroom guard (round-13 advice): |qv_k| <= 2e4 after 1e-4
     # quantization of unit-ish embeddings, so |sv| <= n*4e8 and the
     # centered term |n*sv| <= n^2*4e8 — under 2^63 only for n <= ~4.8e6.
     # Fail LOUDLY past the bound instead of silently wrapping; the fix at
-    # that scale is the pre-DIV-by-n rescale noted below.  Bounded
-    # collect: one row.
-    n_rows = n.collect()[0]["n"]
+    # that scale is the pre-DIV-by-n rescale noted below.
     if n_rows > 4_000_000:
         raise ValueError(
             f"x119_power_iteration: n={n_rows} rows exceeds the int64 "
@@ -2962,26 +2985,16 @@ def _x119_scatter(spark: SparkSession, sf_dir: str):
             "quantization (bound ~4e6); apply the pre-DIV-by-n rescale "
             "before the centered-scatter join"
         )
-    amat = (
-        s.join(m.select(F.col("i"), F.col("mv").alias("mi")), "i")
-        .join(
-            m.select(F.col("i").alias("j"), F.col("mv").alias("mj")), "j"
-        )
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i", "j",
-            (F.col("n") * F.col("sv") - F.col("mi") * F.col("mj"))
-            .cast("bigint").alias("a"),
-        )
-        # dim^2 rows; checkpointed so the max-abs branch and three matvec
-        # iterations never replay the corpus aggregate (the x101 posture)
-        .localCheckpoint(eager=True)
-    )
-    mx = amat.agg(F.max(F.abs(F.col("a"))).cast("bigint").alias("mx"))
-    return amat.crossJoin(F.broadcast(mx)).select(
-        "i", "j",
-        F.expr("CAST(a DIV (mx DIV 10000 + 1) AS BIGINT)").alias("a"),
-    ).localCheckpoint(eager=True)
+    amat = [
+        [
+            n_rows * s.get((i, j), 0) - m.get(i, 0) * m.get(j, 0)
+            for j in range(1, dim + 1)
+        ]
+        for i in range(1, dim + 1)
+    ]
+    mx = max(abs(c) for row in amat for c in row)
+    d = _trunc_div(mx, 10000) + 1
+    return [[_trunc_div(c, d) for c in row] for row in amat]
 
 
 # ---------------------------------------------------------------------------
@@ -3273,7 +3286,7 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orthogonalized basis an OPQ-style rotation front (Ge et al. 2014) for
     x84's residual quantization arm and a 2-axis drift dashboard (x122's
     projection table at k=2).  Same engine-exact arithmetic as x119: the
-    shared rescaled scatter (``_x119_scatter`` — one corpus pass, dim^2
+    shared rescaled scatter (``_x119_scatter_local`` — one corpus pass, dim^2
     rows, int64-guarded), then per iteration two dim-sized matvecs, the
     max-abs-to-1e4 rescale, and the deflation step
     v2 <- v2 - (<v2, v1> * v1) DIV <v1, v1> in truncating integer
@@ -3282,49 +3295,25 @@ def x129_block_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     |num| <= dim * 1e8, |num * v1_i| <= dim * 1e12.
 
     Scale shape: identical to x119 — the corpus is touched once for the
-    scatter; all iteration frames are dim-sized.  At dim >= ~1024 the
-    per-row dim^2 outer-product explode must move to per-PARTITION
-    Gramian accumulation (aggregate dim^2 cells per partition, not per
-    row) and k grows via Halko et al. randomized SVD on the same
-    aggregate shape — documented in SCALE.md (round-14 row)."""
+    scatter; all iteration state is dim-sized and (r16) runs
+    DRIVER-LOCALLY in exact integer Python over the collected scatter
+    (the bounded-driver-finish posture; was ~3 eager dim-row checkpoint
+    jobs per iteration).  At dim >= ~1024 the per-row dim^2
+    outer-product explode must move to per-PARTITION Gramian
+    accumulation (aggregate dim^2 cells per partition, not per row) and
+    k grows via Halko et al. randomized SVD on the same aggregate shape
+    — documented in SCALE.md (round-14 row)."""
     dim = _X119_DIM
-    ap = _x119_scatter(spark, sf_dir)
-    v1 = spark.range(1, dim + 1).select(
-        F.col("id").cast("bigint").alias("i"),
-        F.lit(1).cast("bigint").alias("val"),
-    )
-    v2 = spark.range(1, dim + 1).select(
-        F.col("id").cast("bigint").alias("i"),
-        F.when(F.col("id") % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-        .cast("bigint").alias("val"),
-    )
+    a = _x119_scatter_local(spark, sf_dir)
+    v1 = [1] * dim
+    v2 = [1 if i % 2 == 0 else -1 for i in range(dim)]
     for _ in range(_X119_ITERS):
-        # dim-sized eager checkpoints: v1/u2 are each referenced by several
-        # downstream branches per iteration (matvec, dots, the ortho join,
-        # the final select) — without truncation the lineage re-executes
-        # the 64-row join fan-out ~4x per iteration per reference
-        # (measured 47.6 s vs 4.4 s floored; the x101 posture)
-        v1 = _x119_rescale(_x119_matvec(ap, v1)).localCheckpoint(eager=True)
-        u2 = _x119_rescale(_x119_matvec(ap, v2)).localCheckpoint(eager=True)
-        dots = (
-            u2.join(v1.select("i", F.col("val").alias("u")), "i")
-            .agg(
-                F.sum(F.col("val") * F.col("u")).cast("bigint").alias("num"),
-                F.sum(F.col("u") * F.col("u")).cast("bigint").alias("den"),
-            )
-        )
-        v2 = _x119_rescale(
-            u2.join(v1.select("i", F.col("val").alias("u")), "i")
-            .crossJoin(F.broadcast(dots))
-            .select(
-                "i",
-                F.expr("CAST(val - (num * u) DIV den AS BIGINT)").alias("wv"),
-            )
-        ).localCheckpoint(eager=True)
-    return (
-        v1.select("i", F.col("val").alias("dir1_q"))
-        .join(v2.select("i", F.col("val").alias("dir2_q")), "i")
-        .select(F.col("i").alias("pos"), "dir1_q", "dir2_q")
+        v1 = _x119_rescale_local(_x119_matvec_local(a, v1))
+        u2 = _x119_rescale_local(_x119_matvec_local(a, v2))
+        v2 = _x119_rescale_local(_x119_ortho_local(u2, v1))
+    return spark.createDataFrame(
+        [(i + 1, int(v1[i]), int(v2[i])) for i in range(dim)],
+        "pos bigint, dir1_q bigint, dir2_q bigint",
     )
 
 
@@ -3397,51 +3386,32 @@ def _x129m_chain_ctes(
     return ",\n    ".join(steps), prev
 
 
-def _x129m_basis(spark: SparkSession, sf_dir: str, m: int = _X129_TOPM):
-    """Spark twin of :func:`_x129m_chain_ctes`: the top-m quantized
-    principal directions as a list of m (i, val) dim-sized frames —
-    x129's loop at width m with per-step eager checkpoints (the
-    iteration-frame lineage rule)."""
+def _x129m_basis(
+    spark: SparkSession, sf_dir: str, m: int = _X129_TOPM
+) -> list[list[int]]:
+    """Driver-local twin of :func:`_x129m_chain_ctes`: the top-m
+    quantized principal directions as m plain dim-sized int lists —
+    x129's loop at width m in exact integer Python over the collected
+    scatter (r16: was ~(m + m(m-1)/2) eager dim-row checkpoint jobs PER
+    iteration plus m collects in the consumer; now zero jobs past the
+    scatter's one corpus pass)."""
     dim = _X119_DIM
-    ap = _x119_scatter(spark, sf_dir)
-    vs = []
+    a = _x119_scatter_local(spark, sf_dir)
+    vs: list[list[int]] = []
     for j in range(m):
         if j == 0:
-            seed = F.lit(1)
+            vs.append([1] * dim)
         else:
             half = 2 ** (j - 1)
-            seed = F.when(
-                F.expr(f"(id - 1) DIV {half}") % 2 == 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-        vs.append(
-            spark.range(1, dim + 1).select(
-                F.col("id").cast("bigint").alias("i"),
-                seed.cast("bigint").alias("val"),
+            vs.append(
+                [1 if (i // half) % 2 == 0 else -1 for i in range(dim)]
             )
-        )
     for _ in range(_X119_ITERS):
-        cur = []
+        cur: list[list[int]] = []
         for j in range(m):
-            u = _x119_rescale(_x119_matvec(ap, vs[j])).localCheckpoint(
-                eager=True
-            )
+            u = _x119_rescale_local(_x119_matvec_local(a, vs[j]))
             for l in range(j):
-                vl = cur[l].select("i", F.col("val").alias("u"))
-                dots = u.join(vl, "i").agg(
-                    F.sum(F.col("val") * F.col("u")).cast("bigint")
-                    .alias("num"),
-                    F.sum(F.col("u") * F.col("u")).cast("bigint")
-                    .alias("den"),
-                )
-                u = _x119_rescale(
-                    u.join(vl, "i")
-                    .crossJoin(F.broadcast(dots))
-                    .select(
-                        "i",
-                        F.expr("CAST(val - (num * u) DIV den AS BIGINT)")
-                        .alias("wv"),
-                    )
-                ).localCheckpoint(eager=True)
+                u = _x119_rescale_local(_x119_ortho_local(u, cur[l]))
             cur.append(u)
         vs = cur
     return vs
