@@ -254,9 +254,11 @@ def test_x47_chunking_is_map_only(spark):
 def test_x48_pq_broadcasts_lut_no_cartesian(spark):
     """PQ/ADC: centroid join and the LUT join must both broadcast; nothing
     may plan as a cartesian/nested-loop product, and the keyed aggregates
-    (code argmin, ADC sum, rank window) bound the exchanges at 3 — plus one
-    more when the degenerate-parallelism guard repartitions a single-file
-    gate input (at scale that branch never fires)."""
+    (ADC sum, rank window) bound the exchanges — plus one more when the
+    degenerate-parallelism guard repartitions a single-file gate input (at
+    scale that branch never fires), plus the CENTROID-SIZED candidate-array
+    rollup (_pq_cands, r16: m * n_centroids rows, bounded at any corpus
+    size — it replaced the corpus-sized SortAggregate argmin exchange)."""
     from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
 
@@ -266,7 +268,10 @@ def test_x48_pq_broadcasts_lut_no_cartesian(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert shuffle_count(df) <= 4
+    assert shuffle_count(df) <= 5
+    # the corpus-sized argmin SortAggregate is gone: no sort-based
+    # aggregate should remain anywhere in the encode path
+    assert "SortAggregate" not in plan
 
 
 def test_x49_phash_band_join_no_cartesian(spark):
@@ -332,8 +337,11 @@ def test_x54_partition_pruning_reaches_scan(spark):
 def test_x55_ivfpq_no_cartesian_bounded_shuffles(spark):
     """IVFPQ: centroids, probes, and the ADC LUT all broadcast; no
     CartesianProduct anywhere.  Exchanges are bounded (repartition guard,
-    two cell-argmin windows, code argmin, the build-time id-keyed cell
-    join, ADC sum, rank) — all keyed, none corpus-squared."""
+    two cell-argmin windows, the build-time id-keyed cell join, ADC sum,
+    rank) — all keyed, none corpus-squared — plus the CENTROID-SIZED
+    candidate-array rollup (_pq_cands, r16: m * n_centroids rows, bounded
+    at any corpus size — it replaced the corpus-sized SortAggregate code
+    argmin exchange)."""
     from hiveka_spark.plans.inspect import formatted_plan
     from hiveka_spark.queries import REGISTRY, _ensure_loaded
 
@@ -342,7 +350,9 @@ def test_x55_ivfpq_no_cartesian_bounded_shuffles(spark):
     plan = formatted_plan(df)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
-    assert shuffle_count(df) <= 9
+    assert shuffle_count(df) <= 10
+    # the corpus-sized argmin SortAggregate is gone from the encode path
+    assert "SortAggregate" not in plan
 
 
 def test_x60_no_stage_recomputation(spark):
