@@ -130,6 +130,7 @@ def connected_components_star(
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
     rounds = 0
+    prev_count = None  # carried ss.count() — saves one job per round (r16)
     for _ in range(max_iter):
         rounds += 1
         # LARGE-STAR over the SYMMETRIZED edge list: emit (v, m(u)) for
@@ -167,12 +168,18 @@ def connected_components_star(
         )
         # exact fixpoint probe: same edge count and no edge outside the old
         # set => identical sets (both sides are distinct).  Round 1 compares
-        # against the symmetric init and is never stable — fine.
+        # against the symmetric init and is never stable — fine.  The old
+        # set's count is carried from its own round (r16, guide §1.2: don't
+        # recount a checkpointed frame every round).
+        if prev_count is None:
+            prev_count = edges.count()
+        ss_count = ss.count()
         stable = (
-            ss.count() == edges.count()
+            ss_count == prev_count
             and ss.exceptAll(edges).limit(1).count() == 0
         )
         edges = ss
+        prev_count = ss_count
         if stable:
             break
     # terminal star forest: every edge is node -> component min; component

@@ -532,16 +532,18 @@ def build_bloom_bitset(
     The collect is bounded by m_bits distinct positions — the same bounded-
     collect posture as centroid handoff.  The returned Column is reusable
     across queries AND micro-batches (it is pure plan data)."""
-    pos_rows = (
+    # Arrow collect (toPandas) instead of a py4j row collect: the result is
+    # up to m_bits small ints and the row path pays per-Row object overhead.
+    pos = (
         ev_sh.select(
             F.explode(F.array(*bloom_positions(F.col("s"), n_hashes, m_bits))).alias("pos")
         )
         .distinct()
-        .collect()
+        .toPandas()["pos"]
+        .to_numpy()
     )
     words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        p = r["pos"]
+    for p in pos.tolist():
         words[p // 64] |= 1 << (p % 64)
     return F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words]).cast(
         "array<bigint>"

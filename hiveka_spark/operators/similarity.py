@@ -57,20 +57,63 @@ def quantized(col: Column | str) -> Column:
     -0.042849998921 -> float32 product exactly -428.5 -> HALF_UP -429, vs
     the double product -428.49998921 -> -428).  Every SQL oracle promotes
     float to double before arithmetic, so double-first is the portable
-    semantic."""
+    semantic.
+
+    String inputs build the transform as ONE parsed SQL expression instead
+    of a py4j lambda-column chain (r16, guide §5 driver work: the ANN
+    gates construct this dozens of times; each py4j Column op is a driver
+    round trip, while F.expr is a single call parsed JVM-side)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"transform({col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT))"
+        )
     return F.transform(
         col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
     )
 
 
 def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    q = quantized(vec_col)
-    dot_self = F.aggregate(
-        F.zip_with(q, q, lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    # qnorm2 references the qvec column; projection collapse inlines it, so
+    # the plan is the one the lambda-column chain built (r16: both
+    # expressions arrive as two parsed SQL strings, not ~10 driver calls)
+    return df.withColumn("qvec", quantized(vec_col)).withColumn(
+        "qnorm2",
+        F.expr(
+            "aggregate(zip_with(qvec, qvec, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
     )
-    return df.withColumn("qvec", q).withColumn("qnorm2", dot_self)
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Integer dot product of two array<bigint> columns as SQL text — the
+    same aggregate(zip_with(...)) runtime expression :func:`cosine_expr`
+    builds, but composed as ONE parsed string (r16, guide §5 driver work:
+    one py4j call instead of a lambda-column chain per call site).  An
+    unrolled element_at expansion was tried and measured ~2x SLOWER at
+    runtime than the higher-order form on the x139 candidate join (64
+    bounds/null checks per side beat the primitive-array loop), so the
+    zip_with form stays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def l2_sql(a: str, b: str) -> str:
+    """Squared-L2 twin of :func:`dot_sql` — same runtime expression as
+    the F.aggregate/F.zip_with chain, one parsed string."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def cosine_sql(qa: str, qb: str, na2: str, nb2: str) -> Column:
+    """cos = dot/(sqrt*sqrt) — bit-identical to :func:`cosine_expr` (same
+    integer dot, same double division), built as one parsed string."""
+    return F.expr(f"{dot_sql(qa, qb)} / (SQRT({na2}) * SQRT({nb2}))")
 
 
 def cosine_expr(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
@@ -107,7 +150,7 @@ def brute_force_topk(
         .withColumn(
             "cosine",
             F.floor(
-                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
             )
             / 10000.0,
         )
@@ -208,7 +251,7 @@ def lsh_topk(
         .withColumn(
             "cosine",
             F.floor(
-                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
             )
             / 10000.0,
         )
@@ -301,7 +344,7 @@ def ivf_topk(
     def nearest_cells(side: DataFrame, n: int) -> DataFrame:
         """Attach the n nearest cell ids (by cosine to centroid) to each row."""
         scored = side.crossJoin(F.broadcast(cents)).withColumn(
-            "c_cos", cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2"))
+            "c_cos", cosine_sql("qvec", "cvec", "qnorm2", "cn2")
         )
         w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
         return (
@@ -324,7 +367,7 @@ def ivf_topk(
         .withColumn(
             "cosine",
             F.floor(
-                cosine_expr(F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")) * 10000.0
+                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
             )
             / 10000.0,
         )
@@ -347,19 +390,20 @@ def _pq_sub_from_qv(
     by _pq_subvectors, ivfpq_topk, and ivfpq_residual_topk so the
     subspace-extraction expression exists exactly once.  ``keep`` columns
     (the residual path carries the cell id) pass through untouched."""
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("bigint").alias("sub"),
-                *[
-                    F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
-                    for i in range(dsub)
-                ],
-            )
-            for s in range(m)
-        ]
+    # ONE parsed SQL string instead of ~m*dsub py4j Column constructions
+    # (r16, guide §5 driver work: this expression is built several times
+    # per ANN gate and measured ~0.5 s per construction at dim 64)
+    subs = ", ".join(
+        f"struct(CAST({s} AS BIGINT) AS sub, "
+        + ", ".join(
+            f"element_at(_qv, {s * dsub + i + 1}) AS sv_{i}" for i in range(dsub)
+        )
+        + ")"
+        for s in range(m)
     )
-    return df.select(F.col("_id").alias(out_id), *keep, F.inline(subs))
+    return df.select(
+        F.col("_id").alias(out_id), *keep, F.expr(f"inline(array({subs}))")
+    )
 
 
 def _pq_subvectors(
@@ -441,21 +485,15 @@ def _pq_best(c_sub: DataFrame, cents: DataFrame, dsub: int) -> DataFrame:
     the serving encodes, the distortion passes).  Keeps every c_sub
     column and appends (code, d2)."""
 
-    def d2_of(c: Column) -> Column:
-        terms = [
-            (F.col(f"sv_{i}") - c[f"cv_{i}"]) * (F.col(f"sv_{i}") - c[f"cv_{i}"])
-            for i in range(dsub)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out.cast("bigint")
-
-    best = F.array_min(
-        F.transform(
-            F.col("_cands"),
-            lambda c: F.struct(d2_of(c).alias("d2"), c["code"].alias("code")),
-        )
+    # ONE parsed SQL string for the candidate-scoring lambda (r16, guide
+    # §5): the per-Column construction of dsub difference-square terms per
+    # candidate struct was a measurable driver cost per gate
+    d2_sql = " + ".join(
+        f"(sv_{i} - c.cv_{i}) * (sv_{i} - c.cv_{i})" for i in range(dsub)
+    )
+    best = F.expr(
+        "array_min(transform(_cands, c -> "
+        f"struct(CAST({d2_sql} AS BIGINT) AS d2, c.code AS code)))"
     )
     return (
         c_sub.join(F.broadcast(_pq_cands(cents, dsub)), "sub")
@@ -468,16 +506,13 @@ def _pq_best(c_sub: DataFrame, cents: DataFrame, dsub: int) -> DataFrame:
 
 
 def _pq_d2(dsub: int, a_prefix: str, b_prefix: str) -> Column:
-    """Sum of squared component deltas — pure codegen-able bigint math."""
-    terms = [
-        (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
-        * (F.col(f"{a_prefix}{i}") - F.col(f"{b_prefix}{i}"))
+    """Sum of squared component deltas — pure codegen-able bigint math,
+    built as ONE parsed SQL string (r16, guide §5 driver work)."""
+    terms = " + ".join(
+        f"({a_prefix}{i} - {b_prefix}{i}) * ({a_prefix}{i} - {b_prefix}{i})"
         for i in range(dsub)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("bigint")
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -761,20 +796,13 @@ def _cell_scored_arr(with_cv: bool = False) -> Column:
     (``_cv`` for the residual path) ride behind the decisive prefix
     exactly as they rode the old struct comparator."""
 
-    def entry(c: Column) -> Column:
-        fields = [
-            F.aggregate(
-                F.zip_with(F.col("_qv"), c["_cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("cd2"),
-            c["cell"].alias("cell"),
-        ]
-        if with_cv:
-            fields.append(c["_cv"].alias("_cv"))
-        return F.struct(*fields)
-
-    return F.transform(F.col("_cc"), entry)
+    cv = ", c._cv AS _cv" if with_cv else ""
+    return F.expr(
+        "transform(_cc, c -> struct("
+        "aggregate(zip_with(_qv, c._cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS cd2, "
+        f"c.cell AS cell{cv}))"
+    )
 
 
 def _stride_cells(v: DataFrame, cell_stride: int, n_cells: int) -> DataFrame:
@@ -965,7 +993,7 @@ def ivf_exact_candidates(
         .select(
             "query_id",
             "neighbor_id",
-            _l2_bigint(F.col("qqvec"), F.col("cvec")).alias("d2"),
+            F.expr(l2_sql("qqvec", "cvec")).alias("d2"),
             F.col("probe_rank").cast("bigint").alias("probe_rank"),
         )
     )
@@ -1002,7 +1030,7 @@ def exact_rerank(
     scored = (
         cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvv), "query_id")
-        .withColumn("d2", _l2_bigint(F.col("qqvec"), F.col("cvec")))
+        .withColumn("d2", F.expr(l2_sql("qqvec", "cvec")))
     )
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
@@ -1208,24 +1236,8 @@ def ivfpq_topk(
     # corpus-sized frames — this is the one big-big join and it happens at
     # BUILD time, not per query), then encode; cell rides the argmin keys
     # (it is functionally dependent on the vector id, so no extra groups)
-    subs_with_cell = v.join(corp_cell, "_id")
-    subs_with_cell = subs_with_cell.select(
-        "_id",
-        "cell",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("bigint").alias("sub"),
-                        *[
-                            F.element_at("_qv", s * dsub + i + 1).alias(f"sv_{i}")
-                            for i in range(dsub)
-                        ],
-                    )
-                    for s in range(m)
-                ]
-            )
-        ),
+    subs_with_cell = _pq_sub_from_qv(
+        v.join(corp_cell, "_id"), "_id", m, dsub, keep=("cell",)
     )
     # per-row broadcast-array argmin (_pq_best, r16): no row
     # multiplication, no corpus Sort/Exchange; cell rides the row
@@ -1470,7 +1482,7 @@ def lsh_neardup_pairs(
         .join(b, "id_b")
         .withColumn(
             "cosine",
-            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
             / 10000.0,
         )
         .filter(F.col("cosine") >= threshold)
@@ -1499,7 +1511,7 @@ def cosine_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
             / 10000.0,
         )
         .filter(F.col("cosine") >= threshold)
@@ -1540,7 +1552,7 @@ def semantic_dedup(
         v, df, id_col, vec_col, n_cells, centroid_stride, centroids
     )
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "c_cos", cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2"))
+        "c_cos", cosine_sql("qvec", "cvec", "qnorm2", "cn2")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
     assigned = (
@@ -1561,7 +1573,7 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.floor(cosine_expr(F.col("va"), F.col("vb"), F.col("na2"), F.col("nb2")) * 10000.0)
+            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
             / 10000.0,
         )
         .filter(F.col("cosine") >= threshold)
@@ -1601,7 +1613,7 @@ def ivf_assign(
     cents = _cell_centroids(v, corpus, id_col, vec_col, 0, None, centroids)
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
         "c_cos",
-        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+        cosine_sql("qvec", "cvec", "qnorm2", "cn2"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
     return (
@@ -1839,7 +1851,7 @@ def _probe_side(
     cents = _cell_centroids(v, df, id_col, vec_col, 0, None, centroids)
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
         "c_cos",
-        cosine_expr(F.col("qvec"), F.col("cvec"), F.col("qnorm2"), F.col("cn2")),
+        cosine_sql("qvec", "cvec", "qnorm2", "cn2"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
     wq = Window.partitionBy(id_col)
@@ -1876,9 +1888,7 @@ def _serve_scores(
         .withColumn(
             "cosine",
             F.floor(
-                cosine_expr(
-                    F.col("qqvec"), F.col("cvec"), F.col("qn2"), F.col("cn2")
-                )
+                cosine_sql("qqvec", "cvec", "qn2", "cn2")
                 * 10000.0
             )
             / 10000.0,
