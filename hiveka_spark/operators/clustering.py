@@ -119,9 +119,13 @@ def connected_components_star(
     all_nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
         eager=True
     )
+    from pyspark.sql import Observation
+
+    init_obs = Observation()
     edges = (
         both.filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(init_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
 
@@ -156,7 +160,11 @@ def connected_components_star(
             .distinct()
         )
         # SMALL-STAR: attach u and all its smaller neighbors to their
-        # minimum; output stays directed larger -> smaller
+        # minimum; output stays directed larger -> smaller.  The new edge
+        # count rides the checkpoint job as an Observation accumulator
+        # (r16, guide §1.2: the separate ss.count() job this replaces ran
+        # once per round).
+        obs = Observation()
         sm = min_nbr(ls)
         ss = (
             ls.join(sm, "u")
@@ -164,6 +172,7 @@ def connected_components_star(
             .unionByName(sm.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         # exact fixpoint probe: same edge count and no edge outside the old
@@ -172,8 +181,8 @@ def connected_components_star(
         # set's count is carried from its own round (r16, guide §1.2: don't
         # recount a checkpointed frame every round).
         if prev_count is None:
-            prev_count = edges.count()
-        ss_count = ss.count()
+            prev_count = int(init_obs.get["n"])
+        ss_count = int(obs.get["n"])
         stable = (
             ss_count == prev_count
             and ss.exceptAll(edges).limit(1).count() == 0

@@ -74,9 +74,13 @@ def quantized(col: Column | str) -> Column:
 
 
 def with_quantized_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    # qnorm2 references the qvec column; projection collapse inlines it, so
-    # the plan is the one the lambda-column chain built (r16: both
-    # expressions arrive as two parsed SQL strings, not ~10 driver calls)
+    # qnorm2 references the qvec COLUMN: CollapseProject keeps the two
+    # Projects separate (qvec is referenced twice and non-cheap), so qvec
+    # is computed ONCE per row instead of being inlined into qnorm2 — the
+    # extra Project fuses into the same WholeStageCodegen span (plan diff
+    # pinned in plans/r16/x06/x15: joins/exchanges identical, +Project
+    # only).  Both expressions arrive as two parsed SQL strings, not ~10
+    # driver calls (r16, guide §5).
     return df.withColumn("qvec", quantized(vec_col)).withColumn(
         "qnorm2",
         F.expr(

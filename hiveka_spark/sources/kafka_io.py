@@ -122,16 +122,34 @@ def reader_options(cfg: KafkaTableConfig, streaming: bool = False) -> dict[str, 
     return opts
 
 
+# classpath probes memoized per JVM gateway (r16, guide §5 driver work):
+# the answer cannot change within an application's lifetime, and the
+# missing-class branch pays a marshaled JVM exception per call — which the
+# streaming sinks were paying once per micro-batch via decode_wire /
+# encode_payload.  Keyed on the py4j gateway identity so a fresh JVM
+# (new local session in tests) re-probes.
+_CLASSPATH_PROBE_CACHE: dict[tuple[int, str], bool] = {}
+
+
+def _jvm_class_present(spark: SparkSession, cls: str) -> bool:
+    key = (id(spark._sc._gateway), cls)
+    hit = _CLASSPATH_PROBE_CACHE.get(key)
+    if hit is None:
+        try:
+            spark._jvm.java.lang.Class.forName(cls)
+            hit = True
+        except Exception:
+            hit = False
+        _CLASSPATH_PROBE_CACHE[key] = hit
+    return hit
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True when the spark-sql-kafka connector classes are on the JVM
     classpath."""
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
-        return True
-    except Exception:
-        return False
+    return _jvm_class_present(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
 
 
 def avro_jvm_available(spark: SparkSession) -> bool:
@@ -139,13 +157,7 @@ def avro_jvm_available(spark: SparkSession) -> bool:
     ``pyspark.sql.avro.functions.from_avro``/``to_avro`` will actually
     evaluate (the Python wrappers import fine either way; evaluation needs
     org.apache.spark.sql.avro.* from the spark-avro jar)."""
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.avro.AvroDataToCatalyst"
-        )
-        return True
-    except Exception:
-        return False
+    return _jvm_class_present(spark, "org.apache.spark.sql.avro.AvroDataToCatalyst")
 
 
 def _require_kafka(spark: SparkSession) -> None:

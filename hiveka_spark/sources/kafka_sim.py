@@ -104,15 +104,6 @@ class SimBroker:
         # time, timestampType=0 CreateTime) else stamp append time (=1)
         has_ts = "timestamp" in cols
         ts = F.col("timestamp") if has_ts else F.current_timestamp()
-        # Persist the routed batch across the two actions below (the log
-        # write, then the per-partition counts): the payload plan — which for
-        # the streaming sinks is a full per-batch curation/verification
-        # chain — is computed ONCE instead of twice, and the round-robin
-        # partition assignment for null keys (monotonically_increasing_id,
-        # non-deterministic across jobs) is frozen so the counts can never
-        # disagree with the written log.
-        from pyspark import StorageLevel
-
         routed = payload.select(
             key.alias("key"), F.col("value").alias("value"), ts.alias("timestamp")
         ).withColumn(
@@ -122,7 +113,7 @@ class SimBroker:
             )
             .otherwise(F.pmod(F.monotonically_increasing_id(), F.lit(n_parts)))
             .cast("int"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
         wire = routed.select(
             "key",
             "value",
@@ -132,17 +123,31 @@ class SimBroker:
             "timestamp",
             F.lit(0 if has_ts else 1).alias("timestampType"),
         )
+        # Per-partition counts ride the log-write job as an Observation
+        # (n_parts is known, so group-by becomes one count_if per
+        # partition): ONE action computes the payload plan — which for the
+        # streaming sinks is a full per-batch curation/verification chain —
+        # where the old write+groupBy.collect pair computed it twice, and
+        # counts can never disagree with the written log because they come
+        # from the very job that wrote it (r16, guide §1.2/§5).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        wire = wire.observe(
+            obs,
+            *[
+                F.count(F.when(F.col("partition") == p, 1)).alias(f"p{p}")
+                for p in range(n_parts)
+            ],
+        )
         out_dir = os.path.join(self.root, topic)
-        try:
-            wire.write.mode("append").partitionBy("partition").parquet(out_dir)
-            counts = {
-                str(r["partition"]): r["n"]
-                for r in routed.groupBy("partition")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-        finally:
-            routed.unpersist()
+        wire.write.mode("append").partitionBy("partition").parquet(out_dir)
+        got = obs.get
+        counts = {
+            str(p): int(got[f"p{p}"])
+            for p in range(n_parts)
+            if int(got[f"p{p}"])
+        }
         for p, n in counts.items():
             meta["next"][p] = int(meta["next"].get(p, 0)) + int(n)
         self._save_meta(topic, meta)

@@ -177,29 +177,40 @@ class StreamCurationSink:
             "overwrite"
         ).parquet(os.path.join(self.sh_root, f"b{batch_id}"))
         sh_cur = s.read.parquet(os.path.join(self.sh_root, f"b{batch_id}"))
-        D.minhash_band_rows(
+        prior = committed_versions(self.bands_root, batch_id)
+        bands_out = D.minhash_band_rows(
             None, "doc_id", "text",
             num_perm=self.num_perm, bands=self.bands, k=self.k,
             reuse=False, shingle_df=sh_cur,
-        ).write.mode("overwrite").parquet(os.path.join(self.bands_root, f"b{batch_id}"))
+        )
+        obs = None
+        if prior:
+            # the batch's distinct bh_buckets ride the band-write job as an
+            # Observation accumulator (r16, guide §1.2: the separate
+            # distinct+collect job this replaces cost one Spark job per
+            # micro-batch for a handful of small ints)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            bands_out = bands_out.observe(
+                obs,
+                F.collect_set(
+                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS))
+                ).alias("bk"),
+            )
+        bands_out.write.mode("overwrite").parquet(
+            os.path.join(self.bands_root, f"b{batch_id}")
+        )
         bands_cur = s.read.parquet(os.path.join(self.bands_root, f"b{batch_id}"))
 
         a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
         b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
         cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-        prior = committed_versions(self.bands_root, batch_id)
         if prior:
             # bucket-pruned probe: the compacted c-segment is partitioned
             # by bh_bucket (neardup.compact_band_index), so reading only
             # this batch's buckets prunes directories before any I/O
-            buckets = [
-                r[0]
-                for r in bands_cur.select(
-                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).alias("bk")
-                )
-                .distinct()
-                .collect()
-            ]
+            buckets = list(obs.get["bk"])
             idx = read_bands(s, prior, bh_buckets=buckets).select(
                 F.col("doc").alias("id_old"), "band", "bh"
             )
