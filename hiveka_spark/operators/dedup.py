@@ -722,12 +722,17 @@ def minhash_signatures(
     sh = base.select("doc", F.explode("sh").alias("s"))
     h = F.pmod(portable_hash60("s"), F.lit(MERSENNE31)).alias("h")
     hashed = sh.select("doc", h)
+    # each per-permutation MIN arrives as ONE parsed SQL string instead of
+    # a ~6-call py4j Column chain (r16, guide §5 driver work: this builder
+    # runs per gate and per micro-batch in the streaming sinks; the
+    # resolved expressions are identical)
     mins = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(MERSENNE31))).alias(f"m{i}")
+        F.expr(f"MIN(pmod(h * {a} + {b}, {MERSENNE31})) AS m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     sig = hashed.groupBy("doc").agg(*mins)
-    return sig.select("doc", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
+    arr = ", ".join(f"m{i}" for i in range(num_perm))
+    return sig.select("doc", F.expr(f"array({arr}) AS signature"))
 
 
 def minhash_band_rows(
@@ -755,24 +760,18 @@ def minhash_band_rows(
         if signature_df is not None
         else minhash_signatures(df, id_col, text_col, num_perm, k, reuse, shingle_df)
     )
+    # the whole band/bucket expression arrives as ONE parsed SQL string
+    # (r16, guide §5): SQL `signature[i]` is 0-based like Column.getItem,
+    # and the hash matches portable_hash60 textually (md5/substring/conv)
+    structs = ", ".join(
+        f"struct({bi} AS band, "
+        "CAST(conv(substring(md5(CAST(concat_ws('_', "
+        + ", ".join(f"signature[{bi * r + j}]" for j in range(r))
+        + ") AS STRING)), 1, 15), 16, 10) AS BIGINT) AS bh)"
+        for bi in range(bands)
+    )
     return sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        portable_hash60(
-                            F.concat_ws(
-                                "_",
-                                *[F.col("signature")[bi * r + j] for j in range(r)],
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc", "bb.band", "bb.bh")
 
 

@@ -286,10 +286,28 @@ def stream_minhash_dedup(
             "overwrite"
         ).parquet(os.path.join(sh_root, f"b{batch_id}"))
         sh_cur = s.read.parquet(os.path.join(sh_root, f"b{batch_id}"))
-        D.minhash_band_rows(
+        prior_bands = committed_versions(bands_root, batch_id)
+        bands_out = D.minhash_band_rows(
             None, "doc_id", "text",
             num_perm=num_perm, bands=bands, k=k, reuse=False, shingle_df=sh_cur,
-        ).write.mode("overwrite").parquet(os.path.join(bands_root, f"b{batch_id}"))
+        )
+        obs = None
+        if prior_bands:
+            # the batch's distinct bh_buckets ride the band-write job as an
+            # Observation accumulator (r16, guide §1.2: replaces a separate
+            # distinct+collect job per micro-batch for <= N_BH_BUCKETS ints)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            bands_out = bands_out.observe(
+                obs,
+                F.collect_set(
+                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS))
+                ).alias("bk"),
+            )
+        bands_out.write.mode("overwrite").parquet(
+            os.path.join(bands_root, f"b{batch_id}")
+        )
         bands_cur = s.read.parquet(os.path.join(bands_root, f"b{batch_id}"))
         sh_all = s.read.parquet(
             os.path.join(sh_root, f"b{batch_id}"),
@@ -298,20 +316,11 @@ def stream_minhash_dedup(
         a = bands_cur.select(F.col("doc").alias("id_a"), "band", "bh")
         b = bands_cur.select(F.col("doc").alias("id_b"), "band", "bh")
         cand = a.join(b, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-        prior_bands = committed_versions(bands_root, batch_id)
         if prior_bands:
-            # the batch's own bucket set (<= N_BH_BUCKETS values, one tiny
-            # aggregate over this batch's band rows): everything the probe
-            # join could match lives in these buckets, so the committed
-            # c-segment prunes to matching partition dirs before any read
-            buckets = [
-                r[0]
-                for r in bands_cur.select(
-                    F.pmod(F.col("bh"), F.lit(N_BH_BUCKETS)).alias("bk")
-                )
-                .distinct()
-                .collect()
-            ]
+            # everything the probe join could match lives in the batch's
+            # bucket set, so the committed c-segment prunes to matching
+            # partition dirs before any read
+            buckets = list(obs.get["bk"])
             idx = read_bands(s, prior_bands, bh_buckets=buckets).select(
                 F.col("doc").alias("id_old"), "band", "bh"
             )
