@@ -2097,9 +2097,15 @@ def make_knn_graph_sink(
             >= compact_probes_after
         ):
             compact_probe_store(s, probes_root, before=version)
-        bq = _probe_side(
-            batch_df, centroids, id_col, vec_col, n_probe
-        ).localCheckpoint(eager=True)  # batch-sized
+        from pyspark import StorageLevel
+
+        # batch-sized; LAZY persist instead of the eager localCheckpoint
+        # this used to be (r16, guide §1.2): the homes collect below is
+        # the first action and materializes the cache, so no dedicated
+        # job pays for it.  Unpersisted after the probes-store write.
+        bq = _probe_side(batch_df, centroids, id_col, vec_col, n_probe).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         prior_probes = wc_committed_versions(probes_root, version)
         ivf_index_update(
             s, batch_df, index_root, version, centroids, id_col, vec_col
@@ -2189,9 +2195,12 @@ def make_knn_graph_sink(
             os.rename(os.path.join(staging, name), tgt)
             open(os.path.join(tgt, "_SUCCESS"), "w").close()
         _shutil.rmtree(staging, ignore_errors=True)
-        bq.write.mode("overwrite").parquet(
-            os.path.join(probes_root, f"b{version}")
-        )
+        try:
+            bq.write.mode("overwrite").parquet(
+                os.path.join(probes_root, f"b{version}")
+            )
+        finally:
+            bq.unpersist()
 
     return sink
 

@@ -141,9 +141,13 @@ class StreamCurationSink:
         s = batch_df.sparkSession
 
         # stage 1+2 (stateless): Gopher rule chain, then the Bloom probe on
-        # the survivors; participants are checkpointed once so the three
+        # the survivors; participants are persisted (LAZY — the shingle
+        # write below is the first action and materializes the cache, so
+        # unlike the eager localCheckpoint this used to be, no dedicated
+        # job pays for the materialization; r16, guide §1.2) so the three
         # downstream consumers (shingle write, band write, produce) don't
-        # re-run tokenization — bounded by one micro-batch.
+        # re-run tokenization — bounded by one micro-batch, unpersisted at
+        # batch end.
         keep_cols = ["doc_id", "text", *[c for c in self.payload_cols if c != "text"]]
         g = (
             with_gopher_rules(batch_df)
@@ -167,7 +171,11 @@ class StreamCurationSink:
             )
             .select(F.col("doc").alias("doc_id"))
         )
-        part = g.join(flagged, "doc_id", "left_anti").localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        part = g.join(flagged, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         # stage 3 (stateful): s19's band-index discipline — write this
         # batch's shingles/bands (overwrite by id: replay-idempotent), probe
@@ -263,7 +271,10 @@ class StreamCurationSink:
             *payload,
             F.lit(False).alias("_tombstone"),
         )
-        self.produce_sink(kept.unionByName(tombstones), batch_id)
+        try:
+            self.produce_sink(kept.unionByName(tombstones), batch_id)
+        finally:
+            part.unpersist()
 
         if (
             self.compact_after is not None
