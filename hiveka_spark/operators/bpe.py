@@ -398,6 +398,33 @@ def bpe_train_capped(
     and derive both from it, instead of the trainer and the alphabet each
     scanning the corpus.  The cap/collect/loop below is unchanged, so the
     merge table is bit-identical to the self-reduced path."""
+    merges = bpe_train_capped_rows(
+        docs, text_col, n_merges=n_merges, max_words=max_words, units=units,
+        normalize=normalize, base_merges=base_merges, wf=wf,
+    )
+    off = len(base_merges or [])
+    return docs.sparkSession.createDataFrame(
+        [(r + off, a, b, m, c) for (r, a, b, m, c) in merges],
+        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    )
+
+
+def bpe_train_capped_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    max_words: int = 400,
+    units: bool = True,
+    normalize: bool = True,
+    base_merges: list[tuple[str, str]] | None = None,
+    wf: DataFrame | None = None,
+) -> list[tuple[int, str, str, str, int]]:
+    """:func:`bpe_train_capped`'s merge list as plain driver rows
+    ((rank, lhs, rhs, merged, pair_count), ranks NOT offset by
+    ``base_merges``) — the seam for driver-local consumers (the gates'
+    ``_trained_merge_vocab`` preamble), which previously paid a
+    createDataFrame -> collect round trip per gate just to unwrap the
+    list the trainer had already computed in Python (r16, guide §5)."""
     if not normalize:
         if units:
             raise ValueError(
@@ -412,12 +439,7 @@ def bpe_train_capped(
         F.desc("freq"), F.encode(F.col("w"), "UTF-8")
     ).limit(max_words)
     rows = [(r["w"], int(r["freq"])) for r in capped.collect()]
-    merges = _train_python(rows, n_merges, base_merges=base_merges)
-    off = len(base_merges or [])
-    return docs.sparkSession.createDataFrame(
-        [(r + off, a, b, m, c) for (r, a, b, m, c) in merges],
-        "merge_rank bigint, lhs string, rhs string, merged string, pair_count bigint",
-    )
+    return _train_python(rows, n_merges, base_merges=base_merges)
 
 
 def bpe_train_continue(

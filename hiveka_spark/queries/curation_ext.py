@@ -2370,14 +2370,22 @@ def _trained_merge_vocab_wf(d, byte_fallback: bool = False):
     frame it was derived from — for gates that need (w, freq) themselves
     (x115's utilization mass) so the corpus reduction is paid exactly
     once.  Returns (merges, vocab, wf)."""
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_freq
+    from hiveka_spark.operators.bpe import (
+        bpe_train_capped_rows,
+        bpe_vocab,
+        unit_freq,
+    )
 
     wf = unit_freq(d, "text").localCheckpoint(eager=True)
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True,
-        wf=wf,
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    # rows seam (r16): the trainer's merge list stays a Python list — no
+    # createDataFrame -> collect round trip per gate
+    merges = [
+        (lhs, rhs)
+        for (_rank, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
+            units=True, wf=wf,
+        )
+    ]  # bounded: n_merges rows
     alphabet = [
         r["s"]
         for r in wf.select(F.explode(F.split("w", "")).alias("s"))
@@ -2661,13 +2669,15 @@ def x79_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived table rank-by-rank.  Scale: merge table ~32k rows broadcast
     once; tokenization is zero-shuffle per-doc work; distinct-unit
     memoization makes the zipfian common case a dict hit."""
-    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped_rows
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges rows
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        )
+    ]  # bounded: n_merges rows; rows seam (r16) — no DataFrame round trip
     return bpe_apply_fast(d, merges, "text", "doc_id", units=True)
 
 
@@ -4150,17 +4160,19 @@ def _trained_merge_vocab_raw(d):
     already space-marked, so its distinct character set (incl. '▁')
     equals the old per-occurrence scan."""
     from hiveka_spark.operators.bpe import (
-        bpe_train_capped,
+        bpe_train_capped_rows,
         bpe_vocab,
         sp_unit_freq,
     )
 
     wf = sp_unit_freq(d, "text").localCheckpoint(eager=True)
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
-        units=False, normalize=False, wf=wf,
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
+            units=False, normalize=False, wf=wf,
+        )
+    ]  # bounded: n_merges; rows seam (r16)
     alphabet = [
         r["s"]
         for r in wf.select(F.explode(F.split("w", "")).alias("s"))
@@ -4576,7 +4588,11 @@ def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_docs, n_tokens, ids_digest, n_unk)."""
     import shutil
 
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_vocab, unit_freq
+    from hiveka_spark.operators.bpe import (
+        bpe_train_capped_rows,
+        bpe_vocab,
+        unit_freq,
+    )
     from hiveka_spark.operators.sampling import (
         composed_order_digest,
         epoch_shards,
@@ -4592,11 +4608,13 @@ def x95_incremental_token_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (wf seam) and the alphabet both — char-distinct over distinct units
     # equals the old per-occurrence scan.
     wf = unit_freq(v1, "text").localCheckpoint(eager=True)
-    mt = bpe_train_capped(
-        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True,
-        wf=wf,
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
+            units=True, wf=wf,
+        )
+    ]  # rows seam (r16) — no DataFrame round trip
     alphabet = [
         r["s"]
         for r in wf.select(F.explode(F.split("w", "")).alias("s"))
@@ -4744,19 +4762,21 @@ def x98_bpe_vocab_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
     over v2's units, and the seeded continuation recursion, certifying
     every appended merge row-for-row; equivalence of continue-vs-train-
     longer on a fixed corpus is property-pinned in tests."""
-    from hiveka_spark.operators.bpe import bpe_train_capped, bpe_train_continue
+    from hiveka_spark.operators.bpe import bpe_train_capped_rows, bpe_train_continue
 
     d = table(spark, sf_dir, "documents")
     v2_pred = F.expr(_X95_V2_PRED)
     v1, v2 = d.filter(~v2_pred), d.filter(v2_pred)
-    base_mt = bpe_train_capped(
-        v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
     base = [
-        (r["lhs"], r["rhs"])
-        for r in base_mt.orderBy("merge_rank").collect()  # bounded: n_base;
-        # explicit order — rank-sensitive seeding must not rely on the
-        # LocalRelation's incidental row order (round-13 review)
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in sorted(
+            bpe_train_capped_rows(
+                v1, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS,
+                units=True,
+            )
+        )  # bounded: n_base; explicit rank sort — rank-sensitive seeding
+        # (rows seam r16; the list is built in rank order, sort keeps the
+        # round-13 explicit-order discipline)
     ]
     return bpe_train_continue(
         v2, base, "text", n_more=_X98_MORE, max_words=_X76_MAX_WORDS, units=True
@@ -5138,13 +5158,15 @@ def x104_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ratios are bigint DIV on the language-level SUMS (never per-doc
     floats), so the oracle — which replays training AND application
     recursively — matches on integer arithmetic alone."""
-    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped_rows
 
     d = table(spark, sf_dir, "documents")
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        )
+    ]  # bounded: n_merges; rows seam (r16)
     counts = bpe_apply_fast(d, merges, "text", "doc_id", units=True)
     meta = d.select(
         "doc_id", "lang",

@@ -1939,7 +1939,7 @@ def s27_stream_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal x104's batch derivation, which the DuckDB oracle replays
     (training recursion + application + per-language rollup)."""
     from hiveka_spark.catalog import table
-    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped_rows
     from hiveka_spark.operators.text import tokens
     from hiveka_spark.queries.curation_ext import _X76_MAX_WORDS, _X76_MERGES
     from hiveka_spark.streaming.upsert import VersionedUpsertSink
@@ -1948,10 +1948,12 @@ def s27_stream_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_root = scratch_dir(prefix="gate_s27state_")
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # frozen v1 tokenizer: trained on the batch corpus BEFORE the stream
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        )
+    ]  # bounded: n_merges; rows seam (r16) — no DataFrame round trip
 
     d.repartition(4).write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema

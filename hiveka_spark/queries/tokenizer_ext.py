@@ -390,7 +390,7 @@ def x127_tokenizer_family_fertility(spark: SparkSession, sf_dir: str) -> DataFra
     union of language-sized frames.  The oracle replays BOTH trainings
     and BOTH applications in one SQL text (x104's CTEs + the unigram
     chain)."""
-    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped_rows
     from hiveka_spark.operators.unigram import unigram_apply_fast, unigram_train
 
     d = table(spark, sf_dir, "documents")
@@ -400,10 +400,12 @@ def x127_tokenizer_family_fertility(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint").alias("n_words"),
     )
 
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        )
+    ]  # bounded: n_merges; rows seam (r16)
     bpe_counts = bpe_apply_fast(d, merges, "text", "doc_id", units=True).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tok")
     )
@@ -1634,7 +1636,7 @@ def x144_three_family_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays ALL THREE trainings and applications in one SQL text
     (the soft tail reuses the hard chain's seed CTEs — identical by
     construction — and the apply chain is name-parameterized)."""
-    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped
+    from hiveka_spark.operators.bpe import bpe_apply_fast, bpe_train_capped_rows
     from hiveka_spark.operators.unigram import (
         unigram_apply_fast,
         unigram_train,
@@ -1648,10 +1650,12 @@ def x144_three_family_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_words"),
     )
 
-    mt = bpe_train_capped(
-        d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in mt.collect()]  # bounded: n_merges
+    merges = [
+        (lhs, rhs)
+        for (_r, lhs, rhs, _m, _c) in bpe_train_capped_rows(
+            d, "text", n_merges=_X76_MERGES, max_words=_X76_MAX_WORDS, units=True
+        )
+    ]  # bounded: n_merges; rows seam (r16)
     arms = [
         ("bpe",
          bpe_apply_fast(d, merges, "text", "doc_id", units=True).select(
