@@ -1761,7 +1761,6 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.sources.kafka_io import (
         KafkaTableConfig,
         decode_wire,
-        read_kafka_batch,
         write_kafka,
     )
     from hiveka_spark.sources.kafka_sim import SimBroker
@@ -1839,12 +1838,15 @@ def s26_live_incremental_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("batch", F.lit(1)).write.mode("overwrite").parquet(
         f"{store}/b=1"
     )
-    # per-partition next-unconsumed offset — the A8 resume watermark
-    hwm = {
-        int(r["partition"]): int(r["hi"]) + 1
-        for r in read_kafka_batch(spark, cfg_out, broker=broker)
-        .groupBy("partition").agg(F.max("offset").alias("hi")).collect()
-    }  # bounded: one row per topic partition
+    # per-partition next-unconsumed offset — the A8 resume watermark.
+    # Taken from the broker's end-offset METADATA (the consumer
+    # ``endOffsets()`` call; the simulator's ``latest()`` is its analog,
+    # maintained transactionally by every produce) instead of the full
+    # topic scan + max(offset) aggregate this used to be: identical value
+    # — meta ``next`` is exactly max(offset)+1 per partition, 0 for an
+    # empty partition, matching the delta read's COALESCE(..., 0) — with
+    # zero Spark jobs (r16, guide §1.2).
+    hwm = {int(p): int(o) for p, o in broker.latest()[cur_topic].items()}
 
     # ---- refresh 2: drop 2 arrives, stream resumes, DELTA-only tokenize
     write_kafka(raw.filter(drop2), cfg_in, raw_topic, key_col="doc_id", broker=broker)
