@@ -117,15 +117,15 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def unit_expr(text_col: str = "text"):
-    """SentencePiece-style space-spanning units of a text column: the token
-    stream cut into non-overlapping word PAIRS joined by '_' (the odd
-    trailing word stands alone) — the space-as-token-content convention
-    that lets merges learn cross-word pieces.  Shared by the training
-    reduction (:func:`unit_freq`) and the apply side (:func:`bpe_apply` /
-    :func:`bpe_apply_fast`) so trained merges tokenize the exact unit
-    stream they were learned on."""
-    toks = tokens(text_col)
+def unit_pairs(toks: Column) -> Column:
+    """SentencePiece-style space-spanning units over an ALREADY-PROJECTED
+    token-array column: the token stream cut into non-overlapping word
+    PAIRS joined by '_' (the odd trailing word stands alone) — the
+    space-as-token-content convention that lets merges learn cross-word
+    pieces.  ``toks`` MUST be a bound column (project :func:`tokens` into
+    its own select first): the lambda body references it once per element,
+    so handing it the raw split EXPRESSION re-tokenizes the text per pair
+    — O(words^2) per row (measured 6x slower on the sf0.1 corpus)."""
     pairs = F.transform(
         F.sequence(
             F.lit(0).cast("bigint"),
@@ -147,16 +147,28 @@ def unit_expr(text_col: str = "text"):
     )
 
 
+def unit_expr(text_col: str = "text"):
+    """:func:`unit_pairs` over :func:`tokens` of a TEXT column, as one
+    expression.  Prefer projecting the token array and calling
+    :func:`unit_pairs` in DataFrame code (see its docstring for the
+    per-element re-tokenization cost of the inline form); this form exists
+    for contexts that need a single self-contained Column."""
+    return unit_pairs(tokens(text_col))
+
+
 def unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, freq) over space-spanning units (:func:`unit_expr`).  Same
     one-pass map-side-combinable shape as :func:`word_freq`; exists because
     a pre-tokenizer unit richer than the bare word multiplies the trainable
     merge capacity (the gate corpus has a 31-word vocabulary: word units
-    exhaust after ~107 merges, pair units sustain 256+ — gate x76)."""
-    toks = tokens(text_col)
+    exhaust after ~107 merges, pair units sustain 256+ — gate x76).
+    The token array is projected ONCE before the pair lambda touches it
+    (r16, see :func:`unit_pairs`: the inline form re-splits per element)."""
+    pre = docs.select(tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 0  # sequence(0, -1) would count DOWN
+    )
     return (
-        docs.filter(F.size(toks) > 0)  # sequence(0, -1) would count DOWN
-        .select(F.explode(unit_expr(text_col)).alias("w"))
+        pre.select(F.explode(unit_pairs(F.col("__toks"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -502,8 +514,15 @@ def bpe_apply(
     pinned equal at small merge counts in tests/test_operators.py, which
     is this loop's remaining job."""
     wspec = Window.partitionBy(id_col, "wi").orderBy("pos")
-    pretok = unit_expr(text_col) if units else tokens(text_col)
-    t = docs.select(
+    if units:
+        # project the token array before the pair lambda references it
+        # (r16, see unit_pairs: the inline form re-splits per element)
+        src = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        pretok = unit_pairs(F.col("__toks"))
+    else:
+        src = docs
+        pretok = tokens(text_col)
+    t = src.select(
         F.col(id_col), F.posexplode(pretok).alias("wi", "w")
     ).select(
         id_col, "wi", F.posexplode(F.split("w", "")).alias("pos", "s")

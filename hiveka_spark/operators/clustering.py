@@ -116,6 +116,9 @@ def connected_components_star(
             )
         ).alias("e")
     ).select("e.u", "e.v")
+    # the upstream pair pipeline feeds BOTH init checkpoints (node universe
+    # and edge set); persist so it materializes once, not once per action
+    both = both.persist()
     all_nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(
         eager=True
     )
@@ -128,6 +131,7 @@ def connected_components_star(
         .observe(init_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    both.unpersist()
 
     def min_nbr(e: DataFrame) -> DataFrame:
         # m(u) = min over the closed neighborhood N(u) ∪ {u}
@@ -140,24 +144,31 @@ def connected_components_star(
         # LARGE-STAR over the SYMMETRIZED edge list: emit (v, m(u)) for
         # v in N(u), v > u.  Every emitted edge already points larger ->
         # smaller (m <= u < v), which is exactly small-star's input form.
-        sym = (
-            edges.select(
+        # Symmetrization needs no distinct shuffle (r16): round 1's init
+        # edges are symmetric-by-construction (both directions of every
+        # pair, distinct), and every later round's edges are a DISTINCT
+        # strictly-directed (u > v) set, so the u>v rows and their u<v
+        # reversals are disjoint and each half is internally distinct.
+        if rounds == 1:
+            sym = edges
+        else:
+            sym = edges.select(
                 F.explode(
                     F.array(
                         F.struct("u", "v"),
                         F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
                     )
                 ).alias("e")
-            )
-            .select("e.u", "e.v")
-            .distinct()
-        )
+            ).select("e.u", "e.v")
+        # no distinct on ls (r16): min_nbr is duplicate-insensitive and
+        # small-star's output applies its own distinct, so deduping here
+        # only traded one extra shuffle for a smaller (bounded-identical
+        # order) join input.
         ls = (
             sym.join(min_nbr(sym), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: attach u and all its smaller neighbors to their
         # minimum; output stays directed larger -> smaller.  The new edge

@@ -2965,14 +2965,17 @@ def x82_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiveka_spark.operators.bpe import (
         bpe_decode_ids,
         bpe_encode_ids,
-        unit_expr,
+        unit_pairs,
     )
+    from hiveka_spark.operators.text import tokens
 
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab(d)
 
-    units_df = d.select(
-        "doc_id", F.posexplode(unit_expr("text")).alias("upos", "u")
+    # token array projected before the pair lambda references it (r16,
+    # see unit_pairs: the inline form re-splits the text per element)
+    units_df = d.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", F.posexplode(unit_pairs(F.col("__toks"))).alias("upos", "u")
     )
     enc = bpe_encode_ids(
         units_df, merges, vocab, text_col="u", id_col="doc_id",
@@ -3081,8 +3084,9 @@ def x83_token_roundtrip_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BYTE_BASE,
         bpe_decode_ids,
         bpe_encode_ids,
-        unit_expr,
+        unit_pairs,
     )
+    from hiveka_spark.operators.text import tokens
 
     d = table(spark, sf_dir, "documents")
     merges, vocab = _trained_merge_vocab(d, byte_fallback=True)
@@ -3097,8 +3101,10 @@ def x83_token_roundtrip_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_X83_SUFFIX_B),
         ).alias("text"),
     )
-    units_df = aug.select(
-        "doc_id", F.posexplode(unit_expr("text")).alias("upos", "u")
+    # token array projected before the pair lambda references it (r16,
+    # see unit_pairs: the inline form re-splits the text per element)
+    units_df = aug.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id", F.posexplode(unit_pairs(F.col("__toks"))).alias("upos", "u")
     )
     enc = bpe_encode_ids(
         units_df, merges, vocab, text_col="u", id_col="doc_id",
