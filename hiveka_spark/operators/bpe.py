@@ -163,10 +163,12 @@ def unit_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     merge capacity (the gate corpus has a 31-word vocabulary: word units
     exhaust after ~107 merges, pair units sustain 256+ — gate x76).
     The token array is projected ONCE before the pair lambda touches it
-    (r16, see :func:`unit_pairs`: the inline form re-splits per element)."""
-    pre = docs.select(tokens(text_col).alias("__toks")).filter(
-        F.size("__toks") > 0  # sequence(0, -1) would count DOWN
-    )
+    (r16, see :func:`unit_pairs`: the inline form re-splits per element).
+    No empty-array pre-filter: unit_pairs itself yields NULL for empty
+    token arrays (guarding the descending sequence(0, -1)) and explode of
+    NULL emits no rows — an explicit filter would be pushed below the
+    projection and re-evaluate the split a second time per row."""
+    pre = docs.select(tokens(text_col).alias("__toks"))
     return (
         pre.select(F.explode(unit_pairs(F.col("__toks"))).alias("w"))
         .groupBy("w")

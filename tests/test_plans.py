@@ -1003,3 +1003,39 @@ def test_x132_single_unit_aggregate(spark):
     _ensure_loaded()
     df = REGISTRY["x132_unigram_ambiguity"].fn(spark, SF_SMOKE)
     assert shuffle_count(df) == 1
+
+
+# round-16: the pair-unit lambda must reference a PROJECTED token array
+
+
+def test_unit_pairs_generate_references_projected_tokens(spark):
+    """The space-spanning-unit Generate consumes a pre-projected token
+    array (__toks), never the inline split expression: referencing the
+    split inside the transform lambda re-tokenizes the text once per
+    element_at/size — O(words^2) per row, measured 6x slower (r16).  The
+    split may appear ONCE (the projection that builds __toks); any
+    occurrence inside the generator expression itself is the regression."""
+    from hiveka_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in ("x82_token_roundtrip", "x83_token_roundtrip_fallback"):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "posexplode" in line.lower():
+                assert "split(lower" not in line, (
+                    f"{name}: generator re-evaluates the token split "
+                    "per element (project tokens() first, see unit_pairs)"
+                )
+
+
+def test_unit_freq_single_tokenize(spark):
+    """unit_freq's plan evaluates the token split exactly once (in the
+    __toks projection), not once per pair element inside the explode."""
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.bpe import unit_freq
+
+    df = unit_freq(table(spark, SF_SMOKE, "documents"), "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("split(lower")
+    assert n == 1, f"expected exactly one tokenize in the plan, found {n}"
