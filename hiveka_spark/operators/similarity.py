@@ -130,34 +130,81 @@ def cosine_expr(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
     return dot / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
 
 
+#: Embedding dimensionality of the scoring surfaces — the scalar-unpacked
+#: scoring joins (see :func:`_unpack_qv`) extract exactly this many
+#: components per side.
+SCORE_DIM = 64
+
+
+def _unpack_qv(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[Column]:
+    """One scalar bigint column per vector component, extracted ONCE PER
+    ROW before a scoring join (r16, guide §4 boundary/§2.4): the
+    aggregate(zip_with(...)) dot product is an INTERPRETED higher-order
+    function evaluated once per candidate PAIR — at candidates-per-query ~
+    corpus*n_probe/n_cells that is the dominant executor cost of every
+    bulk ANN join.  Over scalar columns the pair dot compiles to plain
+    whole-stage-codegen multiply-adds (the same trick _pq_subvectors
+    documents for the encode join, ~5x there).  Unrolling element_at at
+    the PAIR level was measured ~2x slower (dot_sql's note) — the win
+    comes from paying the per-component extraction once per ROW, never
+    per pair."""
+    return [
+        F.expr(f"element_at({arr}, {i + 1})").alias(f"{prefix}{i}")
+        for i in range(dim)
+    ]
+
+
+def scalar_cosine_floor(
+    qp: str, cp: str, na2: str, nb2: str, dim: int = SCORE_DIM
+) -> Column:
+    """Floor-quantized 4-dp cosine over scalar component columns —
+    bit-identical to ``F.floor(cosine_sql(...) * 10000.0) / 10000.0``
+    (bigint dot is associative, the division and quantization are the
+    same double arithmetic; the divisor is cast so the SQL literal cannot
+    parse as DECIMAL and change the result type)."""
+    dot = " + ".join(f"{qp}{i} * {cp}{i}" for i in range(dim))
+    return F.expr(
+        f"FLOOR(({dot}) / (SQRT({na2}) * SQRT({nb2})) * 10000.0) "
+        "/ CAST(10000.0 AS DOUBLE)"
+    )
+
+
+def scalar_l2(ap: str, bp: str, dim: int = SCORE_DIM) -> Column:
+    """Bigint squared-L2 over scalar component columns — bit-identical to
+    ``l2_sql`` (integer arithmetic, associative), codegen'd instead of
+    interpreted per pair (see :func:`_unpack_qv`)."""
+    return F.expr(
+        " + ".join(f"({ap}{i} - {bp}{i}) * ({ap}{i} - {bp}{i})" for i in range(dim))
+    ).cast("bigint")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every corpus vector,
     rank per query with a deterministic tiebreak (cos desc, corpus id asc).
 
     Output: query_id, neighbor_id, cosine (floor-quantized 4dp), rank.
     """
+    # scalar-unpacked scoring (r16, see _unpack_qv): per-pair cosine is
+    # codegen'd multiply-adds, extraction paid once per row
     c = with_quantized_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"), F.col("qnorm2").alias("cn2")
+        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
+        *_unpack_qv("qvec", "c_", dim),
     )
     q = with_quantized_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"), F.col("qnorm2").alias("qn2")
+        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
+        *_unpack_qv("qvec", "q_", dim),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.floor(
-                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
-            )
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("q_", "c_", "qn2", "cn2", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -241,24 +288,19 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(2 ** p).cast("bigint")) for p in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probes))
+    # scalar-unpacked scoring (r16, see _unpack_qv)
     cc = c.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"),
-        F.col("qnorm2").alias("cn2"), "bucket",
+        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
+        "bucket", *_unpack_qv("qvec", "c_", dim),
     )
     qq = q.select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"),
-        F.col("qnorm2").alias("qn2"), "bucket",
+        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
+        "bucket", *_unpack_qv("qvec", "q_", dim),
     )
     scored = (
         cc.join(F.broadcast(qq), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.floor(
-                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
-            )
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("q_", "c_", "qn2", "cn2", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -319,6 +361,7 @@ def ivf_topk(
     centroid_stride: int | None = None,
     centroids: DataFrame | None = None,
     broadcast_queries: bool = True,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``n_cells`` Voronoi cells around deterministic centroids; each query
@@ -357,24 +400,21 @@ def ivf_topk(
             .drop("cvec", "cn2", "c_cos", "c_rank")
         )
 
+    # scoring sides unpacked to scalar component columns ONCE PER ROW so
+    # the candidate-pair cosine is codegen'd multiply-adds instead of an
+    # interpreted per-pair zip_with (r16, see _unpack_qv)
     c = nearest_cells(v, 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cvec"),
-        F.col("qnorm2").alias("cn2"), "cell",
+        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
+        "cell", *_unpack_qv("qvec", "c_", dim),
     )
     q = nearest_cells(queries.transform(lambda d: with_quantized_norm(d, vec_col)), n_probe).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qqvec"),
-        F.col("qnorm2").alias("qn2"), "cell",
+        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
+        "cell", *_unpack_qv("qvec", "q_", dim),
     )
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.floor(
-                cosine_sql("qqvec", "cvec", "qn2", "cn2") * 10000.0
-            )
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("q_", "c_", "qn2", "cn2", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     # no dedup needed: each corpus vector lives in exactly one cell and probe
@@ -940,6 +980,7 @@ def ivf_exact_candidates(
     n_probe: int = 4,
     cell_stride: int = 31,
     cell_centroids: DataFrame | None = None,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """(query_id, neighbor_id, d2, probe_rank): EXACT bigint squared-L2
     scores of every corpus vector in each query's ``n_probe`` nearest
@@ -970,10 +1011,11 @@ def ivf_exact_candidates(
     # is the array position of the (cd2, cell)-ascending sort — the same
     # order the old row_number ranked
     cands = _cell_cands(ccents)
+    # scalar-unpacked candidate scoring (r16, see _unpack_qv)
     corp = v.crossJoin(F.broadcast(cands)).select(
         F.col("_id").alias("neighbor_id"),
         F.array_min(_cell_scored_arr())["cell"].alias("cell"),
-        F.col("_qv").alias("cvec"),
+        *_unpack_qv("_qv", "c_", dim),
     )
     probes = (
         qv.crossJoin(F.broadcast(cands))
@@ -988,7 +1030,7 @@ def ivf_exact_candidates(
             "query_id",
             F.col("_s.cell").alias("cell"),
             (F.col("_p") + 1).cast("int").alias("probe_rank"),
-            "qqvec",
+            *_unpack_qv("qqvec", "q_", dim),
         )
     )
     return (
@@ -997,7 +1039,7 @@ def ivf_exact_candidates(
         .select(
             "query_id",
             "neighbor_id",
-            F.expr(l2_sql("qqvec", "cvec")).alias("d2"),
+            scalar_l2("q_", "c_", dim).alias("d2"),
             F.col("probe_rank").cast("bigint").alias("probe_rank"),
         )
     )
@@ -1010,6 +1052,7 @@ def exact_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """Serving-grade SECOND stage: full-precision bigint-L2 rerank of an
     ANN candidate pool — the standard search-then-rerank shape (FAISS
@@ -1025,16 +1068,17 @@ def exact_rerank(
     by pool coverage (did the first stage surface the true neighbor),
     which x77 measures arm-against-arm."""
     cand = candidates.select("query_id", "neighbor_id")
+    # scalar-unpacked rerank scoring (r16, see _unpack_qv)
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("cvec")
-    )
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("_cq")
+    ).select("neighbor_id", *_unpack_qv("_cq", "c_", dim))
     qvv = queries.select(
-        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qqvec")
-    )
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("_qq")
+    ).select("query_id", *_unpack_qv("_qq", "q_", dim))
     scored = (
         cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvv), "query_id")
-        .withColumn("d2", F.expr(l2_sql("qqvec", "cvec")))
+        .withColumn("d2", scalar_l2("q_", "c_", dim))
     )
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
@@ -1479,16 +1523,16 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na2"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb2"))
+    # scalar-unpacked verify (r16, see _unpack_qv): the exact cosine on
+    # each surviving pair is codegen'd multiply-adds
+    a = v.select(F.col("_id").alias("id_a"), F.col("qnorm2").alias("na2"),
+                 *_unpack_qv("qvec", "a_", dim))
+    b = v.select(F.col("_id").alias("id_b"), F.col("qnorm2").alias("nb2"),
+                 *_unpack_qv("qvec", "b_", dim))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "cosine",
-            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("a_", "b_", "na2", "nb2", dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1499,6 +1543,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (id_a < id_b).
 
@@ -1508,16 +1553,15 @@ def cosine_neardup_pairs(
     exact answers on bounded inputs.
     """
     v = with_quantized_norm(df, vec_col)
-    a = v.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("va"), F.col("qnorm2").alias("na2"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("vb"), F.col("qnorm2").alias("nb2"))
+    # scalar-unpacked scoring (r16, see _unpack_qv)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("qnorm2").alias("na2"),
+                 *_unpack_qv("qvec", "a_", dim))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("qnorm2").alias("nb2"),
+                 *_unpack_qv("qvec", "b_", dim))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("a_", "b_", "na2", "nb2", dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1531,6 +1575,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     centroid_stride: int | None = None,
     centroids: DataFrame | None = None,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus into
     ``n_cells`` centroid cells (same deterministic IVF assignment as
@@ -1564,22 +1609,20 @@ def semantic_dedup(
         .filter(F.col("c_rank") == 1)
         .select(F.col(id_col).alias("_id"), "qvec", "qnorm2", "cell")
     )
+    # scalar-unpacked in-cell pair scoring (r16, see _unpack_qv): the
+    # sum(cell_size^2) candidate volume is the dominant cost here
     a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("qvec").alias("va"),
-        F.col("qnorm2").alias("na2"), "cell",
+        F.col("_id").alias("id_a"), F.col("qnorm2").alias("na2"),
+        "cell", *_unpack_qv("qvec", "a_", dim),
     )
     b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("qvec").alias("vb"),
-        F.col("qnorm2").alias("nb2"), "cell",
+        F.col("_id").alias("id_b"), F.col("qnorm2").alias("nb2"),
+        "cell", *_unpack_qv("qvec", "b_", dim),
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.floor(cosine_sql("va", "vb", "na2", "nb2") * 10000.0)
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("a_", "b_", "na2", "nb2", dim))
         .filter(F.col("cosine") >= threshold)
     )
     # keep-first: the dropped vector's auditor is its SMALLEST qualifying
@@ -1879,24 +1922,31 @@ def _probe_side(
 
 
 def _serve_scores(
-    index: DataFrame, qs: DataFrame, extra: tuple[str, ...] = ()
+    index: DataFrame,
+    qs: DataFrame,
+    extra: tuple[str, ...] = (),
+    broadcast: bool = False,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """Floor-quantized cosine of probe rows against index rows sharing a
     cell, self-pairs dropped — the serving score block (quantization and
-    the exclusion rule single-sourced; pass ``F.broadcast(qs)`` for the
-    bounded-probe-batch contract).  ``extra`` passes additional
-    query-side columns through (the s33 sink carries ``home``)."""
+    the exclusion rule single-sourced; ``broadcast=True`` is the
+    bounded-probe-batch contract — the hint is applied here, AFTER the
+    scalar unpack projection, so it always sits directly on the join
+    input).  ``extra`` passes additional query-side columns through (the
+    s33 sink carries ``home``).  Both sides unpack to scalar component
+    columns per ROW so the per-PAIR cosine is codegen'd multiply-adds,
+    not an interpreted zip_with (r16, see _unpack_qv)."""
+    idx_sc = index.select(
+        "cell", "neighbor_id", "cn2", *_unpack_qv("cvec", "c_", dim)
+    )
+    qs_sc = qs.select(
+        "cell", "query_id", "qn2", *extra, *_unpack_qv("qqvec", "q_", dim)
+    )
     return (
-        index.join(qs, "cell")
+        idx_sc.join(F.broadcast(qs_sc) if broadcast else qs_sc, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.floor(
-                cosine_sql("qqvec", "cvec", "qn2", "cn2")
-                * 10000.0
-            )
-            / 10000.0,
-        )
+        .withColumn("cosine", scalar_cosine_floor("q_", "c_", "qn2", "cn2", dim))
         .select("query_id", "neighbor_id", "cosine", *extra)
     )
 
@@ -2009,6 +2059,7 @@ def make_knn_graph_sink(
     vec_col: str = "embedding",
     compact_probes_after: int | None = None,
     compact_edges_after: int | None = 8,
+    dim: int = SCORE_DIM,
 ):
     """foreachBatch sink maintaining a LIVE kNN graph (s33 — x139's bulk
     edge list under streaming ingest): vectors arrive in micro-batches
@@ -2125,12 +2176,12 @@ def make_knn_graph_sink(
             F.col("qnorm2").alias("cn2"),
         )
         # new -> all (intra-batch included), home carried per query row
-        cands = _serve_scores(index, bq, extra=("home",))
+        cands = _serve_scores(index, bq, extra=("home",), dim=dim)
         old = None
         if prior_probes:
             old = s.read.parquet(*prior_probes)
             cands = cands.unionByName(
-                _serve_scores(batch_index, old, extra=("home",))  # old->new
+                _serve_scores(batch_index, old, extra=("home",), dim=dim)  # old->new
             )
         # candidate-bearing cells (a superset of the cells the delta will
         # actually land in: a query whose only candidates are self-pairs
@@ -2244,6 +2295,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """IVF top-k served FROM THE PERSISTED INDEX: the corpus side is the
     read-back union of the LIVE committed segments
@@ -2277,9 +2329,7 @@ def ivf_index_topk(
     # probe selection + scoring through the shared helpers so the cell
     # tie-break and quantization can never drift from the s33 sink's
     qs = _probe_side(queries, centroids, id_col, vec_col, n_probe)
-    scored = _serve_scores(
-        index, F.broadcast(qs) if broadcast_queries else qs
-    )
+    scored = _serve_scores(index, qs, broadcast=broadcast_queries, dim=dim)
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -2299,6 +2349,7 @@ def mutual_knn_pairs(
     n_probe: int = 4,
     centroid_stride: int = 31,
     centroids: DataFrame | None = None,
+    dim: int = SCORE_DIM,
 ) -> DataFrame:
     """Mutual-kNN edge list (id_a < id_b) over the corpus: an undirected
     edge exists iff b is in a's IVF top-k AND a is in b's — the
@@ -2312,7 +2363,7 @@ def mutual_knn_pairs(
         corpus, corpus, id_col, vec_col,
         k=k, n_cells=n_cells, n_probe=n_probe,
         centroid_stride=centroid_stride, centroids=centroids,
-        broadcast_queries=False,
+        broadcast_queries=False, dim=dim,
     )
     fwd = knn.select("query_id", "neighbor_id").localCheckpoint(eager=True)
     return (

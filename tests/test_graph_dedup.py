@@ -50,7 +50,7 @@ def _graph_removed(spark, e, d, k):
     keep-best by quality -> removed id set."""
     mutual = mutual_knn_pairs(
         e, "vec_id", "embedding",
-        k=k, n_cells=NCLUST, n_probe=1, centroid_stride=PER,
+        k=k, n_cells=NCLUST, n_probe=1, centroid_stride=PER, dim=DIM,
     )
     cc, _rounds = connected_components_star(mutual)
     q = with_quality(d).select("doc_id", "quality_score")
@@ -79,7 +79,7 @@ def test_graph_dedup_matches_semdedup_on_planted_clusters(spark):
 
     sem = semantic_dedup(
         e, "vec_id", "embedding",
-        n_cells=NCLUST, threshold=0.9, centroid_stride=PER,
+        n_cells=NCLUST, threshold=0.9, centroid_stride=PER, dim=DIM,
     )
     sem_removed = {r.vec_id for r in sem.collect()}
     assert len(sem_removed) == len(removed), (
@@ -101,7 +101,7 @@ def test_graph_dedup_keeps_best_quality_not_min_id(spark):
     # SemDeDup's keep-first keeps min id instead — the policies differ
     sem = semantic_dedup(
         e, "vec_id", "embedding",
-        n_cells=NCLUST, threshold=0.9, centroid_stride=PER,
+        n_cells=NCLUST, threshold=0.9, centroid_stride=PER, dim=DIM,
     )
     sem_removed = {r.vec_id for r in sem.collect()}
     assert all(c * PER not in sem_removed for c in range(NCLUST))

@@ -230,14 +230,14 @@ def test_ivf_explicit_centroids_frame(spark):
     queries = corpus.filter(F.col("vec_id") < 3)
     by_stride = ivf_topk(
         corpus, queries, "vec_id", "embedding", k=3, n_cells=4, n_probe=2,
-        centroid_stride=10,
+        centroid_stride=10, dim=3,
     )
     cents = corpus.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") / 10).cast("bigint").alias("cell"), "embedding"
     )
     by_frame = ivf_topk(
         corpus, queries, "vec_id", "embedding", k=3, n_cells=4, n_probe=2,
-        centroids=cents,
+        centroids=cents, dim=3,
     )
     assert sorted(map(tuple, by_stride.collect())) == sorted(map(tuple, by_frame.collect()))
 
