@@ -147,11 +147,27 @@ def _unpack_qv(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[Column]:
     documents for the encode join, ~5x there).  Unrolling element_at at
     the PAIR level was measured ~2x slower (dot_sql's note) — the win
     comes from paying the per-component extraction once per ROW, never
-    per pair."""
-    return [
+    per pair.
+
+    ``dim`` must match the vectors (callers with non-default dims pass it
+    explicitly, like the PQ seams).  A mismatch fails LOUDLY either way:
+    shorter arrays through element_at's own bounds error, longer ones
+    through the size guard on the last component — without the guard a
+    longer vector would silently score on its first ``dim`` components
+    only.  NULL arrays stay NULL (size(NULL) = -1 skips the guard), as
+    the interpreted zip_with form did."""
+    cols = [
         F.expr(f"element_at({arr}, {i + 1})").alias(f"{prefix}{i}")
-        for i in range(dim)
+        for i in range(dim - 1)
     ]
+    cols.append(
+        F.expr(
+            f"IF(size({arr}) IN ({dim}, -1), element_at({arr}, {dim}), "
+            f"raise_error(concat('scalar scoring dim mismatch: expected "
+            f"{dim}, got ', CAST(size({arr}) AS STRING))))"
+        ).alias(f"{prefix}{dim - 1}")
+    )
+    return cols
 
 
 def scalar_cosine_floor(

@@ -1293,7 +1293,7 @@ def test_knn_graph_untouched_cell_is_byte_identical(spark, tmp_path):
 
     cents, a, b = _tiny_two_cell(spark)
     root = tmp_path / "state"
-    sink = make_knn_graph_sink(str(root), cents, k=2, n_probe=1)
+    sink = make_knn_graph_sink(str(root), cents, k=2, n_probe=1, dim=4)
     sink(a, 0)
     hc0 = str(root / "edges" / "hc0")
     before = _dir_digest(hc0)
@@ -1314,7 +1314,7 @@ def test_knn_graph_untouched_cell_is_byte_identical(spark, tmp_path):
         (r.query_id, r.rank, r.neighbor_id, r.cosine)
         for r in ivf_topk(
             e, e, "vec_id", "embedding", k=2, n_cells=2, n_probe=1,
-            centroids=cents, broadcast_queries=False,
+            centroids=cents, broadcast_queries=False, dim=4,
         ).collect()
     )
     got = sorted(

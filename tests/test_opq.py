@@ -61,7 +61,7 @@ def _recall(e, rotate, k=5):
     q = e.limit(20)
     truth = {
         (r.query_id, r.neighbor_id)
-        for r in brute_force_topk(e, q, k=k).collect()
+        for r in brute_force_topk(e, q, k=k, dim=DIM).collect()
     }
     got = {
         (r.query_id, r.neighbor_id)
