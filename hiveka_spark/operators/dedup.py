@@ -111,9 +111,29 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def ngrams_from_tokens(ws: Column, k: int = 3) -> Column:
+def ngrams_from_tokens_sql(ws: str, k: int = 3) -> str:
+    """SQL text of :func:`ngrams_from_tokens` over a token-array expression
+    given as SQL — the whole shifted-slice zip_with chain arrives as ONE
+    parsed string instead of ~2k py4j Column calls (r16, guide §5: the
+    shingle builders run per gate and per micro-batch in the streaming
+    minhash sinks; resolved expressions identical)."""
+    n = f"greatest(size({ws}), 1)"
+    acc = ws
+    for j in range(1, k):
+        acc = (
+            f"zip_with({acc}, slice({ws}, {j + 1}, {n}), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    return (
+        f"CASE WHEN size({ws}) >= {k} THEN filter({acc}, g -> g IS NOT NULL) "
+        f"ELSE array(concat_ws(' ', {ws})) END"
+    )
+
+
+def ngrams_from_tokens(ws: Column | str, k: int = 3) -> Column:
     """Word k-grams (duplicates kept, document order) from a token-array
-    column (JVM-side).
+    column (JVM-side).  A ``str`` argument is taken as the SQL text of the
+    token-array expression and composes via :func:`ngrams_from_tokens_sql`.
 
     Built with zip_with over shifted slices, NOT transform(sequence, i ->
     element_at(ws, i+j)): a lambda that captures `ws` embeds the whole
@@ -129,6 +149,8 @@ def ngrams_from_tokens(ws: Column, k: int = 3) -> Column:
     exist for single-shot convenience; multi-pass operators project tokens
     first (see _shingle_sets).
     """
+    if isinstance(ws, str):
+        return F.expr(ngrams_from_tokens_sql(ws, k))
     n = F.size(ws)
     # acc[i] = ws[i] + ' ' + ws[i+1] + ... ; zip_with pads the shorter side
     # with NULL and concat propagates it, so trailing partial grams become
@@ -147,6 +169,10 @@ def ngrams_from_tokens(ws: Column, k: int = 3) -> Column:
 
 def word_ngrams(text_col: Column | str, k: int = 3) -> Column:
     """Word k-grams of lowercased text, duplicates kept (JVM-side)."""
+    if isinstance(text_col, str):
+        from hiveka_spark.operators.text import tokens_sql
+
+        return F.expr(ngrams_from_tokens_sql(tokens_sql(text_col), k))
     ws = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
     return ngrams_from_tokens(ws, k)
 
@@ -180,7 +206,7 @@ def _shingle_sets(
         F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
     )
     sets = toks.select(
-        "doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh")
+        "doc", F.array_distinct(ngrams_from_tokens("ws", k)).alias("sh")
     )
     sets = sets.repartition(F.col("doc"))
     if reuse:
@@ -315,7 +341,7 @@ def shingle_novelty(
         F.col(id_col).alias("doc"), tokens(text_col).alias("ws")
     )
     sh_df = toks.select(
-        "doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh")
+        "doc", F.array_distinct(ngrams_from_tokens("ws", k)).alias("sh")
     )
     if reuse:
         sh_df = _persist_tracked(sh_df)
@@ -365,12 +391,12 @@ def contamination_overlap(
 
     tr = (
         train.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ws"))
-        .select("doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh"))
+        .select("doc", F.array_distinct(ngrams_from_tokens("ws", k)).alias("sh"))
         .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
     )
     ev = (
         eval_df.select(tokens(text_col).alias("ws"))
-        .select(F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"))
+        .select(F.explode(F.array_distinct(ngrams_from_tokens("ws", k))).alias("s"))
         .distinct()
     )
     hits = (
@@ -518,7 +544,7 @@ def eval_shingle_set(eval_df: DataFrame, text_col: str = "text", k: int = 3) -> 
 
     return (
         eval_df.select(tokens(text_col).alias("ws"))
-        .select(F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"))
+        .select(F.explode(F.array_distinct(ngrams_from_tokens("ws", k))).alias("s"))
         .distinct()
     )
 
@@ -570,7 +596,7 @@ def bloom_probe(
 
     tr = (
         train.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ws"))
-        .select("doc", F.array_distinct(ngrams_from_tokens(F.col("ws"), k)).alias("sh"))
+        .select("doc", F.array_distinct(ngrams_from_tokens("ws", k)).alias("sh"))
         .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
         .withColumn("_bs", bitset)
     )
@@ -636,7 +662,7 @@ def containment_decontamination(
             df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("ws"))
             .select(
                 "doc_id",
-                F.explode(F.array_distinct(ngrams_from_tokens(F.col("ws"), k))).alias("s"),
+                F.explode(F.array_distinct(ngrams_from_tokens("ws", k))).alias("s"),
             )
         )
 
@@ -839,22 +865,31 @@ def simhash(
     signature in int range; the bit-vote sums are computed as one aggregate
     of +/-1 contributions per bit — explode + single shuffle)."""
     toks = F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit(""))
-    t = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("w"))
-    h = portable_hash60("w")
+    # expressions compose as parsed SQL strings (r16, guide §5 — the
+    # change-6 treatment: ~500 py4j round trips -> ~40), and the hash is
+    # projected ONCE per token row instead of appearing inside all
+    # ``bits`` vote aggregates
+    t = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("w")).select(
+        "doc",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(w AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            f"SUM(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS v{i}"
+        )
         for i in range(bits)
     ]
     agg = t.groupBy("doc").agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = bit if sig is None else sig + bit
-    return agg.select("doc", sig.alias("simhash"))
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return agg.select("doc", F.expr(f"{sig} AS simhash"))
 
 
 def simhash_pairs(
@@ -874,20 +909,12 @@ def simhash_pairs(
     sig = simhash(df, id_col, text_col, bits)
     width = bits // bands
     mask = (1 << width) - 1
+    structs = ", ".join(
+        f"struct({bi} AS block, shiftright(simhash, {bi * width}) & {mask} AS bv)"
+        for bi in range(bands)
+    )
     blocks = sig.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("block"),
-                        F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask)).alias("bv"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", "simhash", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc", "simhash", "bb.block", "bb.bv")
     a = blocks.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sig_a"), "block", "bv")
     b = blocks.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sig_b"), "block", "bv")

@@ -29,8 +29,34 @@ EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "o
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def tokens_sql(col_sql: str) -> str:
+    """SQL text of :func:`tokens` over a column expression given as SQL.
+
+    The text builders below compose whole output columns as single parsed
+    SQL strings instead of hundreds of py4j Column calls (r16, guide §5:
+    they run per gate AND per micro-batch in the streaming curation sinks;
+    the resolved expressions are identical — double literals carry the
+    ``D`` suffix so no SQL literal parses as DECIMAL and changes a result
+    type).
+    """
+    return f"filter(split(lower({col_sql}), ' '), w -> w != '')"
+
+
+def _in_list(var: str, words: list[str]) -> str:
+    """SQL ``var IN ('w1', 'w2', ...)`` membership test."""
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"{var} IN ({lits})"
+
+
+def _array_lit(words: list[str]) -> str:
+    """SQL ``array('w1', ...)`` literal."""
+    return "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lowercased text, empties removed."""
+    if isinstance(col, str):
+        return F.expr(tokens_sql(col))
     return F.filter(F.split(F.lower(col), " "), lambda w: w != F.lit(""))
 
 
@@ -46,14 +72,15 @@ def floor4(col: Column) -> Column:
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + regex token counts and char count."""
-    toks = tokens(text_col)
+    toks = tokens_sql(text_col)
+    pat = TOKEN_PATTERN.replace("\\", "\\\\")
     return df.withColumns(
         {
-            "n_tokens": F.size(toks).cast("bigint"),
-            "n_regex_tokens": F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
-            ).cast("bigint"),
-            "n_chars_actual": F.length(text_col).cast("bigint"),
+            "n_tokens": F.expr(f"CAST(size({toks}) AS BIGINT)"),
+            "n_regex_tokens": F.expr(
+                f"CAST(size(regexp_extract_all({text_col}, '{pat}', 0)) AS BIGINT)"
+            ),
+            "n_chars_actual": F.expr(f"CAST(length({text_col}) AS BIGINT)"),
         }
     )
 
@@ -64,29 +91,37 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     Features are exact small-int rationals quantized with floor4 so the DuckDB
     oracle reproduces them bit-for-bit.
     """
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
+    toks = tokens_sql(text_col)
+    n_tok = f"size({toks})"
     # sum of token lengths via JVM-side fold (no UDF)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda w: F.length(w).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    sum_len = (
+        f"aggregate(transform({toks}, w -> CAST(length(w) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(EN_STOPWORDS)))
-    n_alnum_space = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""))
-    punct_ratio = (F.length(text_col) - n_alnum_space) * 1.0 / F.greatest(
-        F.length(text_col), F.lit(1)
+    n_stop = f"size(filter({toks}, w -> {_in_list('w', EN_STOPWORDS)}))"
+    n_alnum_space = f"length(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ''))"
+    punct_ratio = (
+        f"(length({text_col}) - {n_alnum_space}) * 1.0D"
+        f" / greatest(length({text_col}), 1)"
     )
+    f4 = "FLOOR(({}) * 10000.0D) / 10000.0D".format
     return df.withColumns(
         {
-            "n_tokens": n_tok.cast("bigint"),
-            "avg_token_len": floor4(sum_len * 1.0 / F.greatest(n_tok, F.lit(1))),
-            "stopword_ratio": floor4(n_stop * 1.0 / F.greatest(n_tok, F.lit(1))),
-            "punct_ratio": floor4(punct_ratio),
-            "quality_score": floor4(
-                F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
-                + (1.0 - punct_ratio) * 0.3
-                + F.least(n_stop * 1.0 / F.greatest(n_tok, F.lit(1)) * 5.0, F.lit(1.0)) * 0.2
+            "n_tokens": F.expr(f"CAST({n_tok} AS BIGINT)"),
+            "avg_token_len": F.expr(
+                f4(f"{sum_len} * 1.0D / greatest({n_tok}, 1)")
+            ),
+            "stopword_ratio": F.expr(
+                f4(f"{n_stop} * 1.0D / greatest({n_tok}, 1)")
+            ),
+            "punct_ratio": F.expr(f4(punct_ratio)),
+            "quality_score": F.expr(
+                f4(
+                    f"least({n_tok} / 100.0D, 1.0D) * 0.5D"
+                    f" + (1.0D - {punct_ratio}) * 0.3D"
+                    f" + least({n_stop} * 1.0D / greatest({n_tok}, 1) * 5.0D, 1.0D)"
+                    " * 0.2D"
+                )
             ),
         }
     )
@@ -100,28 +135,21 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (per-language score columns -> greatest -> case) is identical and all
     JVM-side.
     """
-    toks = tokens(text_col)
-
-    def marker_filter(markers: list[str]):
-        # NB: the lambda must take exactly ONE arg — pyspark interprets a
-        # second lambda parameter as the array index column.
-        return lambda w: w.isin(markers)
-
-    scores = {
-        lang: F.size(F.filter(toks, marker_filter(markers))).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    }
-    out = df.withColumns({f"score_{lang}": c for lang, c in scores.items()})
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = F.lit(None).cast("string")
-    # reversed so earlier languages win ties (last when() wins in a chain
-    # evaluated front-to-back; build with when-first-match instead)
-    expr = None
-    for lang in LANG_MARKERS:
-        cond = F.col(f"score_{lang}") == best
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    pred = expr
-    return out.withColumn("pred_lang", pred)
+    toks = tokens_sql(text_col)
+    out = df.withColumns(
+        {
+            f"score_{lang}": F.expr(
+                f"size(filter({toks}, w -> {_in_list('w', markers)}))"
+            )
+            for lang, markers in LANG_MARKERS.items()
+        }
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
+    # when-first-match: earlier languages win ties (lexicon declaration order)
+    whens = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return out.withColumn("pred_lang", F.expr(f"CASE {whens} END"))
 
 
 def with_gopher_rules(
@@ -142,44 +170,46 @@ def with_gopher_rules(
     with input bytes); every ratio is floor4-quantized so a SQL oracle
     replays the decisions bit-for-bit.  Emits per-rule flags, not just
     ``keep`` — production pipelines log WHICH rule dropped a doc."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda w: F.length(w).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    toks = tokens_sql(text_col)
+    n = f"size({toks})"
+    sum_len = (
+        f"aggregate(transform({toks}, w -> CAST(length(w) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    mean_len = floor4(sum_len * 1.0 / F.greatest(n, F.lit(1)))
-    alpha_frac = floor4(
-        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) * 1.0
-        / F.greatest(n, F.lit(1))
+    f4 = "FLOOR(({}) * 10000.0D) / 10000.0D".format
+    mean_len = f4(f"{sum_len} * 1.0D / greatest({n}, 1)")
+    alpha_frac = f4(
+        f"size(filter({toks}, w -> w rlike '[a-z]')) * 1.0D / greatest({n}, 1)"
     )
-    n_stop = F.size(
-        F.array_intersect(F.array_distinct(toks), F.lit(EN_STOPWORDS))
+    n_stop = (
+        f"size(array_intersect(array_distinct({toks}), {_array_lit(EN_STOPWORDS)}))"
     )
-    flag = lambda c: F.when(c, 1).otherwise(0).cast("bigint")  # noqa: E731
+    flag = "CAST(CASE WHEN {} THEN 1 ELSE 0 END AS BIGINT)".format
     out = df.withColumns(
         {
-            "n_words": n.cast("bigint"),
-            "mean_word_len": mean_len,
-            "alpha_frac": alpha_frac,
-            "n_stop_distinct": n_stop.cast("bigint"),
+            "n_words": F.expr(f"CAST({n} AS BIGINT)"),
+            "mean_word_len": F.expr(mean_len),
+            "alpha_frac": F.expr(alpha_frac),
+            "n_stop_distinct": F.expr(f"CAST({n_stop} AS BIGINT)"),
         }
     )
     out = out.withColumns(
         {
-            "wc_ok": flag(F.col("n_words").between(min_words, max_words)),
-            "len_ok": flag(
-                F.col("mean_word_len").between(min_mean_len, max_mean_len)
+            "wc_ok": F.expr(
+                flag(f"n_words BETWEEN {min_words} AND {max_words}")
             ),
-            "alpha_ok": flag(F.col("alpha_frac") >= min_alpha_frac),
-            "stop_ok": flag(F.col("n_stop_distinct") >= min_stop_distinct),
+            "len_ok": F.expr(
+                flag(
+                    f"mean_word_len BETWEEN {min_mean_len!r}D AND {max_mean_len!r}D"
+                )
+            ),
+            "alpha_ok": F.expr(flag(f"alpha_frac >= {min_alpha_frac!r}D")),
+            "stop_ok": F.expr(flag(f"n_stop_distinct >= {min_stop_distinct}")),
         }
     )
     return out.withColumn(
         "keep",
-        (F.col("wc_ok") * F.col("len_ok") * F.col("alpha_ok") * F.col("stop_ok"))
-        .cast("bigint"),
+        F.expr("CAST(wc_ok * len_ok * alpha_ok * stop_ok AS BIGINT)"),
     )
 
 
@@ -192,15 +222,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       normalized text's characters, folded JVM-side — the classic rolling
       fingerprint, kept in bigint range so ANSI mode never overflows.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    chars = F.split(norm, "")
-    p = F.lit(2147483647).cast("bigint")
-    roll = F.aggregate(
-        chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    roll = (
+        f"aggregate(split({norm}, ''), CAST(0 AS BIGINT), "
+        "(acc, ch) -> (acc * 31 + ascii(ch)) % CAST(2147483647 AS BIGINT))"
     )
-    return df.withColumns({"fp_md5": F.md5(norm), "fp_roll": roll})
+    return df.withColumns(
+        {"fp_md5": F.expr(f"md5({norm})"), "fp_roll": F.expr(roll)}
+    )
 
 
 # Sentiment polarity lexicon (SURVEY.md §2C text-analysis row; mirrors the
@@ -232,21 +261,24 @@ def with_sentiment(
     neg = SENTIMENT_NEG if neg is None else neg
     # NULL text scores as empty (0/0/0/neutral) so the pandas-UDF twin —
     # where None naturally maps to "" — stays pinned equal row-for-row
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n_pos = F.size(F.filter(toks, lambda w: w.isin(pos)))
-    n_neg = F.size(F.filter(toks, lambda w: w.isin(neg)))
-    n_tok = F.size(toks)
-    polarity = F.floor(
-        (n_pos - n_neg) * 1000000.0 / F.greatest(n_tok, F.lit(1))
-    ).cast("bigint")
+    toks = tokens_sql(f"coalesce({text_col}, '')")
+    n_pos = f"size(filter({toks}, w -> {_in_list('w', pos)}))"
+    n_neg = f"size(filter({toks}, w -> {_in_list('w', neg)}))"
+    n_tok = f"size({toks})"
+    polarity = (
+        f"CAST(FLOOR(({n_pos} - {n_neg}) * 1000000.0D"
+        f" / greatest({n_tok}, 1)) AS BIGINT)"
+    )
     return df.withColumns(
         {
-            "n_pos": n_pos.cast("bigint"),
-            "n_neg": n_neg.cast("bigint"),
-            "polarity_micro": polarity,
-            "sentiment": F.when(polarity > 0, "positive")
-            .when(polarity < 0, "negative")
-            .otherwise("neutral"),
+            "n_pos": F.expr(f"CAST({n_pos} AS BIGINT)"),
+            "n_neg": F.expr(f"CAST({n_neg} AS BIGINT)"),
+            "polarity_micro": F.expr(polarity),
+            "sentiment": F.expr(
+                f"CASE WHEN {polarity} > 0 THEN 'positive'"
+                f" WHEN {polarity} < 0 THEN 'negative'"
+                " ELSE 'neutral' END"
+            ),
         }
     )
 
