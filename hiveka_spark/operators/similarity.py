@@ -156,16 +156,23 @@ def _unpack_qv(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[Column]:
     longer vector would silently score on its first ``dim`` components
     only.  NULL arrays stay NULL (size(NULL) = -1 skips the guard), as
     the interpreted zip_with form did."""
+    return [F.expr(s) for s in _unpack_qv_sql(arr, prefix, dim)]
+
+
+def _unpack_qv_sql(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[str]:
+    """:func:`_unpack_qv` as ``expr AS alias`` SQL strings for
+    ``selectExpr`` — the scoring surfaces pass the whole component list in
+    ONE varargs py4j call instead of ``dim`` separate ``F.expr`` round
+    trips (r16 third session: 8 unpack invocations cost 1.4 s of pure
+    driver latency in x84's profile, and _serve_scores pays two per
+    micro-batch in the streaming IVF sinks)."""
     cols = [
-        F.expr(f"element_at({arr}, {i + 1})").alias(f"{prefix}{i}")
-        for i in range(dim - 1)
+        f"element_at({arr}, {i + 1}) AS {prefix}{i}" for i in range(dim - 1)
     ]
     cols.append(
-        F.expr(
-            f"IF(size({arr}) IN ({dim}, -1), element_at({arr}, {dim}), "
-            f"raise_error(concat('scalar scoring dim mismatch: expected "
-            f"{dim}, got ', CAST(size({arr}) AS STRING))))"
-        ).alias(f"{prefix}{dim - 1}")
+        f"IF(size({arr}) IN ({dim}, -1), element_at({arr}, {dim}), "
+        f"raise_error(concat('scalar scoring dim mismatch: expected "
+        f"{dim}, got ', CAST(size({arr}) AS STRING)))) AS {prefix}{dim - 1}"
     )
     return cols
 
@@ -208,14 +215,15 @@ def brute_force_topk(
     Output: query_id, neighbor_id, cosine (floor-quantized 4dp), rank.
     """
     # scalar-unpacked scoring (r16, see _unpack_qv): per-pair cosine is
-    # codegen'd multiply-adds, extraction paid once per row
-    c = with_quantized_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
-        *_unpack_qv("qvec", "c_", dim),
+    # codegen'd multiply-adds, extraction paid once per row; the whole
+    # component list rides ONE selectExpr call (see _unpack_qv_sql)
+    c = with_quantized_norm(corpus, vec_col).selectExpr(
+        f"`{id_col}` AS neighbor_id", "qnorm2 AS cn2",
+        *_unpack_qv_sql("qvec", "c_", dim),
     )
-    q = with_quantized_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
-        *_unpack_qv("qvec", "q_", dim),
+    q = with_quantized_norm(queries, vec_col).selectExpr(
+        f"`{id_col}` AS query_id", "qnorm2 AS qn2",
+        *_unpack_qv_sql("qvec", "q_", dim),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -304,14 +312,14 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(2 ** p).cast("bigint")) for p in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probes))
-    # scalar-unpacked scoring (r16, see _unpack_qv)
-    cc = c.select(
-        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
-        "bucket", *_unpack_qv("qvec", "c_", dim),
+    # scalar-unpacked scoring (r16, see _unpack_qv / _unpack_qv_sql)
+    cc = c.selectExpr(
+        f"`{id_col}` AS neighbor_id", "qnorm2 AS cn2",
+        "bucket", *_unpack_qv_sql("qvec", "c_", dim),
     )
-    qq = q.select(
-        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
-        "bucket", *_unpack_qv("qvec", "q_", dim),
+    qq = q.selectExpr(
+        f"`{id_col}` AS query_id", "qnorm2 AS qn2",
+        "bucket", *_unpack_qv_sql("qvec", "q_", dim),
     )
     scored = (
         cc.join(F.broadcast(qq), "bucket")
@@ -419,13 +427,13 @@ def ivf_topk(
     # scoring sides unpacked to scalar component columns ONCE PER ROW so
     # the candidate-pair cosine is codegen'd multiply-adds instead of an
     # interpreted per-pair zip_with (r16, see _unpack_qv)
-    c = nearest_cells(v, 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qnorm2").alias("cn2"),
-        "cell", *_unpack_qv("qvec", "c_", dim),
+    c = nearest_cells(v, 1).selectExpr(
+        f"`{id_col}` AS neighbor_id", "qnorm2 AS cn2",
+        "cell", *_unpack_qv_sql("qvec", "c_", dim),
     )
-    q = nearest_cells(queries.transform(lambda d: with_quantized_norm(d, vec_col)), n_probe).select(
-        F.col(id_col).alias("query_id"), F.col("qnorm2").alias("qn2"),
-        "cell", *_unpack_qv("qvec", "q_", dim),
+    q = nearest_cells(queries.transform(lambda d: with_quantized_norm(d, vec_col)), n_probe).selectExpr(
+        f"`{id_col}` AS query_id", "qnorm2 AS qn2",
+        "cell", *_unpack_qv_sql("qvec", "q_", dim),
     )
     scored = (
         c.join(F.broadcast(q) if broadcast_queries else q, "cell")
@@ -856,8 +864,13 @@ def _cell_scored_arr(with_cv: bool = False) -> Column:
     (``_cv`` for the residual path) ride behind the decisive prefix
     exactly as they rode the old struct comparator."""
 
+    return F.expr(_cell_scored_arr_sql(with_cv))
+
+
+def _cell_scored_arr_sql(with_cv: bool = False) -> str:
+    """:func:`_cell_scored_arr` as SQL text (composable into selectExpr)."""
     cv = ", c._cv AS _cv" if with_cv else ""
-    return F.expr(
+    return (
         "transform(_cc, c -> struct("
         "aggregate(zip_with(_qv, c._cv, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS cd2, "
@@ -1027,11 +1040,11 @@ def ivf_exact_candidates(
     # is the array position of the (cd2, cell)-ascending sort — the same
     # order the old row_number ranked
     cands = _cell_cands(ccents)
-    # scalar-unpacked candidate scoring (r16, see _unpack_qv)
-    corp = v.crossJoin(F.broadcast(cands)).select(
-        F.col("_id").alias("neighbor_id"),
-        F.array_min(_cell_scored_arr())["cell"].alias("cell"),
-        *_unpack_qv("_qv", "c_", dim),
+    # scalar-unpacked candidate scoring (r16, see _unpack_qv / _unpack_qv_sql)
+    corp = v.crossJoin(F.broadcast(cands)).selectExpr(
+        "_id AS neighbor_id",
+        f"array_min({_cell_scored_arr_sql()}).cell AS cell",
+        *_unpack_qv_sql("_qv", "c_", dim),
     )
     probes = (
         qv.crossJoin(F.broadcast(cands))
@@ -1042,11 +1055,11 @@ def ivf_exact_candidates(
                 F.slice(F.array_sort(_cell_scored_arr()), 1, n_probe)
             ).alias("_p", "_s"),
         )
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("_s.cell").alias("cell"),
-            (F.col("_p") + 1).cast("int").alias("probe_rank"),
-            *_unpack_qv("qqvec", "q_", dim),
+            "_s.cell AS cell",
+            "CAST(_p + 1 AS INT) AS probe_rank",
+            *_unpack_qv_sql("qqvec", "q_", dim),
         )
     )
     return (
@@ -1084,13 +1097,13 @@ def exact_rerank(
     by pool coverage (did the first stage surface the true neighbor),
     which x77 measures arm-against-arm."""
     cand = candidates.select("query_id", "neighbor_id")
-    # scalar-unpacked rerank scoring (r16, see _unpack_qv)
+    # scalar-unpacked rerank scoring (r16, see _unpack_qv / _unpack_qv_sql)
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("_cq")
-    ).select("neighbor_id", *_unpack_qv("_cq", "c_", dim))
+    ).selectExpr("neighbor_id", *_unpack_qv_sql("_cq", "c_", dim))
     qvv = queries.select(
         F.col(id_col).alias("query_id"), quantized(vec_col).alias("_qq")
-    ).select("query_id", *_unpack_qv("_qq", "q_", dim))
+    ).selectExpr("query_id", *_unpack_qv_sql("_qq", "q_", dim))
     scored = (
         cv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qvv), "query_id")
@@ -1541,10 +1554,10 @@ def lsh_neardup_pairs(
     )
     # scalar-unpacked verify (r16, see _unpack_qv): the exact cosine on
     # each surviving pair is codegen'd multiply-adds
-    a = v.select(F.col("_id").alias("id_a"), F.col("qnorm2").alias("na2"),
-                 *_unpack_qv("qvec", "a_", dim))
-    b = v.select(F.col("_id").alias("id_b"), F.col("qnorm2").alias("nb2"),
-                 *_unpack_qv("qvec", "b_", dim))
+    a = v.selectExpr("_id AS id_a", "qnorm2 AS na2",
+                     *_unpack_qv_sql("qvec", "a_", dim))
+    b = v.selectExpr("_id AS id_b", "qnorm2 AS nb2",
+                     *_unpack_qv_sql("qvec", "b_", dim))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1570,10 +1583,10 @@ def cosine_neardup_pairs(
     """
     v = with_quantized_norm(df, vec_col)
     # scalar-unpacked scoring (r16, see _unpack_qv)
-    a = v.select(F.col(id_col).alias("id_a"), F.col("qnorm2").alias("na2"),
-                 *_unpack_qv("qvec", "a_", dim))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("qnorm2").alias("nb2"),
-                 *_unpack_qv("qvec", "b_", dim))
+    a = v.selectExpr(f"`{id_col}` AS id_a", "qnorm2 AS na2",
+                     *_unpack_qv_sql("qvec", "a_", dim))
+    b = v.selectExpr(f"`{id_col}` AS id_b", "qnorm2 AS nb2",
+                     *_unpack_qv_sql("qvec", "b_", dim))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1627,13 +1640,13 @@ def semantic_dedup(
     )
     # scalar-unpacked in-cell pair scoring (r16, see _unpack_qv): the
     # sum(cell_size^2) candidate volume is the dominant cost here
-    a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("qnorm2").alias("na2"),
-        "cell", *_unpack_qv("qvec", "a_", dim),
+    a = assigned.selectExpr(
+        "_id AS id_a", "qnorm2 AS na2",
+        "cell", *_unpack_qv_sql("qvec", "a_", dim),
     )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("qnorm2").alias("nb2"),
-        "cell", *_unpack_qv("qvec", "b_", dim),
+    b = assigned.selectExpr(
+        "_id AS id_b", "qnorm2 AS nb2",
+        "cell", *_unpack_qv_sql("qvec", "b_", dim),
     )
     pairs = (
         a.join(b, "cell")
@@ -1953,11 +1966,11 @@ def _serve_scores(
     s33 sink carries ``home``).  Both sides unpack to scalar component
     columns per ROW so the per-PAIR cosine is codegen'd multiply-adds,
     not an interpreted zip_with (r16, see _unpack_qv)."""
-    idx_sc = index.select(
-        "cell", "neighbor_id", "cn2", *_unpack_qv("cvec", "c_", dim)
+    idx_sc = index.selectExpr(
+        "cell", "neighbor_id", "cn2", *_unpack_qv_sql("cvec", "c_", dim)
     )
-    qs_sc = qs.select(
-        "cell", "query_id", "qn2", *extra, *_unpack_qv("qqvec", "q_", dim)
+    qs_sc = qs.selectExpr(
+        "cell", "query_id", "qn2", *extra, *_unpack_qv_sql("qqvec", "q_", dim)
     )
     return (
         idx_sc.join(F.broadcast(qs_sc) if broadcast else qs_sc, "cell")
