@@ -484,6 +484,17 @@ def bloom_positions(shingle: Column, n_hashes: int, m_bits: int) -> list[Column]
     ]
 
 
+def bloom_positions_spark_sql(expr: str, n_hashes: int, m_bits: int) -> list[str]:
+    """:func:`bloom_positions` as Spark SQL text (one parsed string per
+    position instead of a ~8-call py4j chain — r16 guide §5; the probe
+    runs per micro-batch in s20)."""
+    return [
+        f"pmod(CAST(conv(substring(md5(CAST(concat('bloom{i}_', {expr})"
+        f" AS STRING)), 1, 15), 16, 10) AS BIGINT), {m_bits})"
+        for i in range(n_hashes)
+    ]
+
+
 def bloom_positions_sql(expr: str, n_hashes: int, m_bits: int) -> list[str]:
     """DuckDB twins of :func:`bloom_positions`."""
     out = []
@@ -560,10 +571,9 @@ def build_bloom_bitset(
     across queries AND micro-batches (it is pure plan data)."""
     # Arrow collect (toPandas) instead of a py4j row collect: the result is
     # up to m_bits small ints and the row path pays per-Row object overhead.
+    pos_arr = ", ".join(bloom_positions_spark_sql("s", n_hashes, m_bits))
     pos = (
-        ev_sh.select(
-            F.explode(F.array(*bloom_positions(F.col("s"), n_hashes, m_bits))).alias("pos")
-        )
+        ev_sh.select(F.expr(f"explode(array({pos_arr}))").alias("pos"))
         .distinct()
         .toPandas()["pos"]
         .to_numpy()
@@ -600,8 +610,15 @@ def bloom_probe(
         .select("doc", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
         .withColumn("_bs", bitset)
     )
-    for i, p in enumerate(bloom_positions(F.col("s"), n_hashes, m_bits)):
-        tr = tr.withColumn(f"_p{i}", p)
+    tr = tr.selectExpr(
+        "*",
+        *[
+            f"{p} AS _p{i}"
+            for i, p in enumerate(
+                bloom_positions_spark_sql("s", n_hashes, m_bits)
+            )
+        ],
+    )
     # bit test in SQL form: the Python shiftright wrapper only takes int
     # literals, but the SQL function shifts by any expression.  Arithmetic
     # (signed) shift is fine — "& 1" reads the target bit regardless of the
