@@ -150,12 +150,13 @@ def _unpack_qv(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[Column]:
     per pair.
 
     ``dim`` must match the vectors (callers with non-default dims pass it
-    explicitly, like the PQ seams).  A mismatch fails LOUDLY either way:
-    shorter arrays through element_at's own bounds error, longer ones
-    through the size guard on the last component — without the guard a
-    longer vector would silently score on its first ``dim`` components
-    only.  NULL arrays stay NULL (size(NULL) = -1 skips the guard), as
-    the interpreted zip_with form did."""
+    explicitly, like the PQ seams).  A mismatch fails LOUDLY either way —
+    shorter AND longer arrays hit the size guard's raise_error on the
+    last component; without the guard a longer vector would silently
+    score on its first ``dim`` components only.  NULL arrays stay NULL
+    (the explicit IS NULL arm — config-independent, unlike the previous
+    ``size(NULL) = -1`` probe which flips to NULL under ANSI mode;
+    round-16 advice), as the interpreted zip_with form did."""
     return [F.expr(s) for s in _unpack_qv_sql(arr, prefix, dim)]
 
 
@@ -170,7 +171,7 @@ def _unpack_qv_sql(arr: str, prefix: str, dim: int = SCORE_DIM) -> list[str]:
         f"element_at({arr}, {i + 1}) AS {prefix}{i}" for i in range(dim - 1)
     ]
     cols.append(
-        f"IF(size({arr}) IN ({dim}, -1), element_at({arr}, {dim}), "
+        f"IF({arr} IS NULL OR size({arr}) = {dim}, element_at({arr}, {dim}), "
         f"raise_error(concat('scalar scoring dim mismatch: expected "
         f"{dim}, got ', CAST(size({arr}) AS STRING)))) AS {prefix}{dim - 1}"
     )
@@ -2051,32 +2052,90 @@ def compact_edge_cell(spark, cell_dir: str, before: int = 10**9) -> None:
     under a long ingest).  wc-store crash rules: finish a crashed prior
     fold's deletes first (shadowed dirs are already inside the committed
     base), publish atomically under the ``c`` prefix, only then delete
-    the folded inputs."""
+    the folded inputs.  Thin single-cell wrapper over
+    :func:`compact_edge_cells` (one shared fold implementation)."""
+    compact_edge_cells(
+        spark,
+        os.path.dirname(cell_dir),
+        [int(os.path.basename(cell_dir)[2:])],
+        before=before,
+    )
+
+
+def compact_edge_cells(
+    spark, edges_root: str, cells: list[int], before: int = 10**9
+) -> None:
+    """Fold MANY home cells' committed edge dirs in ONE staged Spark job
+    (round-16 verdict #1: :func:`compact_edge_cell` ran one tiny job per
+    folding cell, driver-sequentially — at thousands of cells that
+    serializes a fold round; guide §5 driver round trips / §2.4).
+
+    Per-cell SEMANTICS are compact_edge_cell's exactly — same per-query
+    max-``_v`` winners, same ``c{top}`` naming (top = the cell's own max
+    folded id), same wc-store crash rules — only the JOB SHAPE changes:
+    one read over every folding cell's live dirs, one per-query
+    latest-version filter (sound globally because a query's rows live
+    only in its frozen home cell, so the global window partitions
+    exactly like the per-cell ones), one write partitioned by home cell,
+    then per-cell atomic rename + ``_SUCCESS`` + input deletes.
+
+    Crash windows: a crashed prior STAGING write is discarded up front
+    (nothing was published, all inputs intact — the retry refolds); a
+    crash mid-PUBLISH leaves some cells folded (their c-dir committed,
+    inputs shadowed by wc_committed_versions until the next fold
+    finishes the deletes — the existing rule) and the rest untouched."""
     import shutil as _shutil
 
-    all_dirs = _cell_edge_versions(cell_dir, before)
-    dirs = _cell_live_dirs(cell_dir, before)
-    for d in set(all_dirs) - set(dirs):
-        _shutil.rmtree(d, ignore_errors=True)
-    if len(dirs) <= 1:
-        return
-    top = max(int(os.path.basename(d)[1:]) for d in dirs)
-    target = os.path.join(cell_dir, f"c{top}")
-    if not os.path.exists(target):
-        tmp = os.path.join(cell_dir, "_compact_tmp")
-        w = Window.partitionBy("query_id")
-        (
-            spark.read.parquet(*dirs)
-            .withColumn("_vm", F.max("_v").over(w))
-            .filter(F.col("_v") == F.col("_vm"))
-            .drop("_vm")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        os.rename(tmp, target)
-    for d in dirs:
-        if os.path.abspath(d) != os.path.abspath(target):
+    fold: list[tuple[str, list[str], int]] = []  # (cell_dir, live_dirs, top)
+    for c in cells:
+        cell_dir = os.path.join(edges_root, f"hc{c}")
+        all_dirs = _cell_edge_versions(cell_dir, before)
+        dirs = _cell_live_dirs(cell_dir, before)
+        for d in set(all_dirs) - set(dirs):
+            # crash-retry: already folded into a committed c-dir — finish
+            # the deletes instead of re-folding (re-reading them alongside
+            # the c-dir would duplicate rows in future top-k merges)
             _shutil.rmtree(d, ignore_errors=True)
+        if len(dirs) <= 1:
+            continue
+        top = max(int(os.path.basename(d)[1:]) for d in dirs)
+        target = os.path.join(cell_dir, f"c{top}")
+        if os.path.exists(target):
+            # crash-retry: this cell's fold already published atomically;
+            # only its input deletes remained
+            for d in dirs:
+                if os.path.abspath(d) != os.path.abspath(target):
+                    _shutil.rmtree(d, ignore_errors=True)
+            continue
+        fold.append((cell_dir, dirs, top))
+    if not fold:
+        return
+    staging = os.path.join(edges_root, "_fold_staging")
+    _shutil.rmtree(staging, ignore_errors=True)  # crashed predecessor
+    w = Window.partitionBy("query_id")
+    (
+        spark.read.parquet(*[d for _, dirs, _ in fold for d in dirs])
+        .withColumn("_vm", F.max("_v").over(w))
+        .filter(F.col("_v") == F.col("_vm"))
+        .drop("_vm")
+        # duplicate the partition column so the data files keep `home`
+        # (the sink's own staging convention)
+        .withColumn("hc", F.col("home"))
+        .write.mode("overwrite")
+        .partitionBy("hc")
+        .parquet(staging)
+    )
+    for cell_dir, dirs, top in fold:
+        c = int(os.path.basename(cell_dir)[2:])
+        src = os.path.join(staging, f"hc={c}")
+        target = os.path.join(cell_dir, f"c{top}")
+        if not os.path.isdir(src):  # defensive: no rows staged -> no fold
+            continue
+        os.rename(src, target)
+        open(os.path.join(target, "_SUCCESS"), "w").close()
+        for d in dirs:
+            _shutil.rmtree(d, ignore_errors=True)
+    _shutil.rmtree(staging, ignore_errors=True)
 
 
 def make_knn_graph_sink(
@@ -2222,17 +2281,28 @@ def make_knn_graph_sink(
                 old.join(batch_cells, "cell", "semi").select("home")
             )
         touched = sorted(r.home for r in homes.distinct().collect())
-        # in-stream per-cell fold: bound the listing BEFORE reading prev
+        # in-stream fold: bound the listing BEFORE reading prev.  All due
+        # cells fold in ONE staged Spark job (compact_edge_cells; round-16
+        # verdict #1 — the per-cell loop ran one tiny driver-sequential
+        # job per folding cell)
+        if compact_edges_after is not None:
+            due = [
+                c
+                for c in touched
+                if len(
+                    _cell_edge_versions(
+                        os.path.join(edges_root, f"hc{c}"), version
+                    )
+                )
+                >= compact_edges_after
+            ]
+            if due:
+                compact_edge_cells(s, edges_root, due, before=version)
         prev_paths: list[str] = []
         for c in touched:
-            cell_dir = os.path.join(edges_root, f"hc{c}")
-            if (
-                compact_edges_after is not None
-                and len(_cell_edge_versions(cell_dir, version))
-                >= compact_edges_after
-            ):
-                compact_edge_cell(s, cell_dir, before=version)
-            prev_paths.extend(_cell_live_dirs(cell_dir, version))
+            prev_paths.extend(
+                _cell_live_dirs(os.path.join(edges_root, f"hc{c}"), version)
+            )
         # the batch's candidates need merging against each INVOLVED
         # query's latest committed top-k rows only
         merged = cands

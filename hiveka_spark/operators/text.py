@@ -42,15 +42,30 @@ def tokens_sql(col_sql: str) -> str:
     return f"filter(split(lower({col_sql}), ' '), w -> w != '')"
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a plain column NAME for interpolation into SQL text
+    (round-16 advice: the parsed-SQL builders must resolve names with
+    spaces / reserved words exactly as the Column API did)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _str_lit(w: str) -> str:
+    """SQL string literal: backslashes first (default escapedStringLiterals
+    is false, so '\\' is an escape character in SQL text), then quotes."""
+    return "'" + w.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _in_list(var: str, words: list[str]) -> str:
-    """SQL ``var IN ('w1', 'w2', ...)`` membership test."""
-    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
-    return f"{var} IN ({lits})"
+    """SQL ``var IN ('w1', 'w2', ...)`` membership test; an empty word
+    list is the always-false predicate (``x IN ()`` does not parse)."""
+    if not words:
+        return "false"
+    return f"{var} IN ({', '.join(_str_lit(w) for w in words)})"
 
 
 def _array_lit(words: list[str]) -> str:
     """SQL ``array('w1', ...)`` literal."""
-    return "array(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+    return "array(" + ", ".join(_str_lit(w) for w in words) + ")"
 
 
 def tokens(col: Column | str) -> Column:
@@ -72,6 +87,7 @@ def floor4(col: Column) -> Column:
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + regex token counts and char count."""
+    text_col = _qident(text_col)
     toks = tokens_sql(text_col)
     pat = TOKEN_PATTERN.replace("\\", "\\\\")
     return df.withColumns(
@@ -91,6 +107,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     Features are exact small-int rationals quantized with floor4 so the DuckDB
     oracle reproduces them bit-for-bit.
     """
+    text_col = _qident(text_col)
     toks = tokens_sql(text_col)
     n_tok = f"size({toks})"
     # sum of token lengths via JVM-side fold (no UDF)
@@ -135,6 +152,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (per-language score columns -> greatest -> case) is identical and all
     JVM-side.
     """
+    text_col = _qident(text_col)
     toks = tokens_sql(text_col)
     out = df.withColumns(
         {
@@ -170,6 +188,7 @@ def with_gopher_rules(
     with input bytes); every ratio is floor4-quantized so a SQL oracle
     replays the decisions bit-for-bit.  Emits per-rule flags, not just
     ``keep`` — production pipelines log WHICH rule dropped a doc."""
+    text_col = _qident(text_col)
     toks = tokens_sql(text_col)
     n = f"size({toks})"
     sum_len = (
@@ -222,6 +241,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       normalized text's characters, folded JVM-side — the classic rolling
       fingerprint, kept in bigint range so ANSI mode never overflows.
     """
+    text_col = _qident(text_col)
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
     roll = (
         f"aggregate(split({norm}, ''), CAST(0 AS BIGINT), "
@@ -261,6 +281,7 @@ def with_sentiment(
     neg = SENTIMENT_NEG if neg is None else neg
     # NULL text scores as empty (0/0/0/neutral) so the pandas-UDF twin —
     # where None naturally maps to "" — stays pinned equal row-for-row
+    text_col = _qident(text_col)
     toks = tokens_sql(f"coalesce({text_col}, '')")
     n_pos = f"size(filter({toks}, w -> {_in_list('w', pos)}))"
     n_neg = f"size(filter({toks}, w -> {_in_list('w', neg)}))"

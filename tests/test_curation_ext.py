@@ -1464,3 +1464,98 @@ def test_knn_graph_edge_cell_compaction(spark, tmp_path):
     assert got2 == expected, "ghost delta leaked into the snapshot"
     compact_edge_cell(spark, cdir, before=10**9)
     assert not os.path.exists(ghost), "retry did not finish the deletes"
+
+
+def test_compact_edge_cells_one_staged_fold(spark, tmp_path):
+    """Round-17 (r16 verdict #1): ALL due cells fold through ONE staged
+    compact_edge_cells call — per-cell c{top} naming, per-query latest
+    rows, snapshot unchanged vs the one-shot graph."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import (
+        _cell_live_dirs,
+        compact_edge_cells,
+        ivf_topk,
+        knn_graph_snapshot,
+        make_knn_graph_sink,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    cents = (
+        e.filter((FF.col("vec_id") % 31 == 0) & (FF.col("vec_id") / 31 < 16))
+        .select(FF.expr("CAST(vec_id DIV 31 AS BIGINT)").alias("cell"),
+                "embedding")
+        .localCheckpoint(eager=True)
+    )
+    root = tmp_path / "state"
+    # compaction disabled: accumulate per-cell deltas across 4 batches
+    sink = make_knn_graph_sink(str(root), cents, k=3, n_probe=4,
+                               compact_edges_after=None)
+    for i in range(4):
+        sink(e.filter(FF.col("vec_id") % 4 == i), i)
+    edges = str(root / "edges")
+    cells = sorted(
+        int(n[2:]) for n in os.listdir(edges) if n.startswith("hc")
+    )
+    assert len(cells) > 1, "fixture must produce multiple home cells"
+    multi = [
+        c for c in cells
+        if len(_cell_live_dirs(os.path.join(edges, f"hc{c}"), 10**9)) > 1
+    ]
+    assert len(multi) > 1, "need >1 cell with >1 live dir to exercise batching"
+
+    compact_edge_cells(spark, edges, cells, before=10**9)
+
+    for c in cells:
+        live = _cell_live_dirs(os.path.join(edges, f"hc{c}"), 10**9)
+        assert len(live) == 1, (c, live)
+        if c in multi:
+            assert os.path.basename(live[0]).startswith("c"), (c, live)
+    assert not os.path.exists(os.path.join(edges, "_fold_staging"))
+
+    expected = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            e, e, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+            centroids=cents, broadcast_queries=False,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in knn_graph_snapshot(spark, str(root)).collect()
+    )
+    assert got == expected, "batched fold changed the graph"
+
+
+def test_unpack_qv_null_and_mismatch_guard(spark):
+    """Round-16 advice: the scalar-unpack dim guard must be ANSI-config-
+    independent — NULL vectors pass through as NULL components; wrong-dim
+    vectors raise loudly."""
+    import pytest
+
+    from hiveka_spark.operators.similarity import _unpack_qv_sql
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, None)], "id bigint, v array<bigint>"
+    )
+    rows = {
+        r["id"]: (r["q0"], r["q3"])
+        for r in df.selectExpr("id", *_unpack_qv_sql("v", "q", 4)).collect()
+    }
+    assert rows[1] == (1, 4)
+    assert rows[2] == (None, None)
+    # shorter array: ANSI sessions fail at element_at's own bounds check
+    # (evaluated before the last-component guard); non-ANSI sessions reach
+    # the guard's raise_error — loud either way
+    bad = spark.createDataFrame([(3, [1, 2])], "id bigint, v array<bigint>")
+    with pytest.raises(Exception, match="dim mismatch|INVALID_ARRAY_INDEX"):
+        bad.selectExpr("id", *_unpack_qv_sql("v", "q", 4)).collect()
+    # longer array: only the guard can catch this (element_at succeeds)
+    long = spark.createDataFrame([(4, [1, 2, 3, 4, 5])], "id bigint, v array<bigint>")
+    with pytest.raises(Exception, match="dim mismatch"):
+        long.selectExpr("id", *_unpack_qv_sql("v", "q", 4)).collect()

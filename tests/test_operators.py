@@ -1326,3 +1326,52 @@ def test_bpe_train_continue_equals_train_longer():
         cont = _train_python(wf, N, base_merges=[(a, b) for _, a, b, _, _ in base])
         stitched = base + [(r + B, a, b, m, c) for (r, a, b, m, c) in cont]
         assert stitched == full, (B, N, stitched, full)
+
+
+# ------------------------------------------- r17 parsed-SQL robustness fixes
+def test_sentiment_empty_lexicon_is_valid_sql(spark):
+    """Round-16 advice: an empty pos/neg list used to emit `w IN ()` which
+    fails at parse time; it must behave as the always-false predicate the
+    old Column-API isin([]) was."""
+    from hiveka_spark.operators.text import with_sentiment
+
+    out = with_sentiment(
+        spark.createDataFrame([(1, "fast slow fast")], ["doc_id", "text"]),
+        pos=[], neg=["slow"],
+    ).collect()[0]
+    assert (out["n_pos"], out["n_neg"], out["sentiment"]) == (0, 1, "negative")
+
+
+def test_text_builders_quote_odd_column_names(spark):
+    """Round-16 advice: parsed-SQL builders must backtick-quote plain
+    column-name arguments so names with spaces/reserved words resolve as
+    the Column API resolved them."""
+    from hiveka_spark.operators.text import (
+        with_fingerprint,
+        with_gopher_rules,
+        with_lang_id,
+        with_quality,
+        with_sentiment,
+        with_token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is in it for the win")],
+        ["doc_id", "doc text"],  # space + would not parse unquoted
+    )
+    for fn in (with_token_stats, with_quality, with_lang_id,
+               with_gopher_rules, with_fingerprint, with_sentiment):
+        row = fn(df, text_col="doc text").collect()[0]
+        assert row["doc_id"] == 1, fn.__name__
+
+
+def test_sentiment_lexicon_backslash_word(spark):
+    """Round-16 advice: a caller-supplied lexicon word containing a
+    backslash must survive SQL string-literal escaping intact."""
+    from hiveka_spark.operators.text import with_sentiment
+
+    out = with_sentiment(
+        spark.createDataFrame([(1, r"a\b c")], ["doc_id", "text"]),
+        pos=[r"a\b"], neg=[],
+    ).collect()[0]
+    assert out["n_pos"] == 1 and out["sentiment"] == "positive"

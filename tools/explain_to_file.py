@@ -28,7 +28,8 @@ def main() -> None:
 
     _ensure_loaded()
     spark = get_spark("explain-dump")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    round_dir = os.environ.get("PLANS_ROUND", "r17")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
