@@ -36,7 +36,6 @@ long-lived session releases everything at entry exit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from hiveka_spark.catalog import table
@@ -193,10 +192,24 @@ def _x60_oracle() -> str:
 
 
 def _keep(df: DataFrame, scope: list[DataFrame]) -> DataFrame:
-    """Persist a stage frontier into the live ``dedup_cache_scope`` list so
-    downstream consumers read an InMemoryTableScan instead of recomputing
-    the corpus at every stage boundary."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    """Materialize a stage frontier with an EAGER localCheckpoint so
+    downstream consumers read the materialized rows instead of recomputing
+    the corpus at every stage boundary — AND so the composed plan's
+    LINEAGE is truncated at each stage (r17, guide §3.3/§5: with the r16
+    lazy persist the 8-stage chain's analyzed tree kept nesting, and each
+    downstream join/select/persist py4j call paid JVM plan analysis +
+    CacheManager canonicalization over the whole tree — measured 16.9 s
+    of pure driver plan construction plus 27.5 s of cache-era
+    materialization at sf0.1, vs 7.1 s total with checkpoints, identical
+    report rows).  localCheckpoint stands in for the parquet
+    materialization a 100 TB run would use between curation stages (the
+    mutual_knn_pairs convention): storage is MEMORY_AND_DISK either way;
+    what persist kept that checkpoints drop is lineage-based recompute on
+    executor loss — which a production run gets back from the on-disk
+    parquet frontier.  Frames still register with the scope (unpersist is
+    a no-op on checkpoints; block cleanup rides GC, as every
+    localCheckpoint in the engine does)."""
+    df = df.localCheckpoint(eager=True)
     scope.append(df)
     return df
 
@@ -206,8 +219,9 @@ def curation_frontiers(ing: DataFrame, scope: list[DataFrame]) -> dict[str, Data
     dedup, MinHash near-dup dedup, fuzzy eval decontamination — shared by
     the x60 report and the x90 training-run capstone (the Spark twin of
     the oracles' shared ``_curation_stage_ctes`` text).  Returns the
-    persisted stage frontiers {ing, q, e, n4, train, n5}; every persist is
-    owned by ``scope``."""
+    materialized stage frontiers {ing, q, e, n4, train, n5} (eager
+    localCheckpoints — see ``_keep``); every frame registers with
+    ``scope``."""
 
     def keep(df: DataFrame) -> DataFrame:
         return _keep(df, scope)
@@ -284,10 +298,11 @@ def build_curation_report(ing: DataFrame, scope: list[DataFrame]) -> DataFrame:
     """Build the LAZY stage-2..8 report plan from an ingested corpus.
 
     ``scope`` is the live frame list yielded by ``dedup_cache_scope`` —
-    every stage frontier is persisted into it, so the report plan reads
-    each frontier as an InMemoryTableScan instead of recomputing the
-    corpus at every stage boundary (asserted by
-    tests/test_plans.py::test_x60_no_stage_recomputation).  Exposed
+    every stage frontier is an eager localCheckpoint registered with it,
+    so the report plan reads each frontier's materialized rows (a slim
+    ``Scan ExistingRDD``) instead of recomputing the corpus at every
+    stage boundary, and the composed plan stays ANALYSIS-BOUNDED (asserted
+    by tests/test_plans.py::test_x60_no_stage_recomputation).  Exposed
     separately from the gate entry so the plan can be inspected before
     materialization."""
 

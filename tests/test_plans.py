@@ -357,10 +357,11 @@ def test_x55_ivfpq_no_cartesian_bounded_shuffles(spark):
 
 def test_x60_no_stage_recomputation(spark):
     """The composed curation pipeline must read each stage frontier from
-    cache, never re-derive the corpus at a stage boundary: the report plan
-    scans the underlying corpus source AT MOST once (for the one frontier
-    whose cache hasn't materialized yet at plan time the relation plan is
-    inlined), and every other stage consumer is an InMemoryTableScan."""
+    its materialized checkpoint, never re-derive the corpus at a stage
+    boundary: every stage consumer is a slim ``Scan ExistingRDD`` over the
+    frontier's eager localCheckpoint (r17 — checkpoints also truncate the
+    8-stage chain's analyzed lineage, the plan-size fix), and the corpus
+    source appears NOWHERE in the report plan."""
     from hiveka_spark.catalog import table
     from hiveka_spark.operators.dedup import dedup_cache_scope
     from hiveka_spark.plans.inspect import formatted_plan
@@ -371,16 +372,16 @@ def test_x60_no_stage_recomputation(spark):
     )
     with dedup_cache_scope() as scope:
         report = build_curation_report(d, scope)
-        # materialize so the plan below reads caches, as the real run does
+        # materialize as the real run does
         report.count()
         plan = formatted_plan(report)
-        cached_reads = plan.count("InMemoryTableScan")
-        # 8+ consumers across the stage chain read persisted frontiers
-        assert cached_reads >= 8, f"only {cached_reads} cached reads:\n{plan}"
-        # the corpus parquet is scanned at most once in the whole plan — a
-        # second scan would mean a stage boundary recomputed the corpus
+        frontier_reads = plan.count("Scan ExistingRDD")
+        # 8+ consumers across the stage chain read materialized frontiers
+        assert frontier_reads >= 8, f"only {frontier_reads} frontier reads:\n{plan}"
+        # the corpus parquet never appears — every stage boundary reads a
+        # checkpointed frontier, nothing recomputes the corpus
         corpus_scans = plan.count("documents.parquet")
-        assert corpus_scans <= 1, f"{corpus_scans} corpus scans:\n{plan}"
+        assert corpus_scans == 0, f"{corpus_scans} corpus scans:\n{plan}"
         assert len(scope) >= 7  # ing,e,n4,train,n5,ntok,kept + shingle sets
 
 
@@ -585,13 +586,13 @@ def test_x90_single_tokenize_no_stage_recomputation(spark):
 
     with dedup_cache_scope() as scope:
         packed = build_training_export(spark, SF_SMOKE, scope)
-        packed.count()  # materialize the caches, as the real write does
+        packed.count()  # materialize the frontiers, as the real write does
         plan = formatted_plan(packed)
         assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1, plan
-        # kept frontier (and everything upstream) reads from cache; the
-        # corpus parquet appears at most once in the whole composed plan
+        # kept frontier (and everything upstream) reads its materialized
+        # checkpoint; the corpus parquet appears at most once in the plan
         assert plan.count("documents.parquet") <= 1, plan
-        assert plan.count("InMemoryTableScan") >= 1, plan
+        assert plan.count("Scan ExistingRDD") >= 1, plan
         # the only SinglePartition exchanges allowed are the rate table's
         # grand-total aggregates (input: one row per SOURCE, ~20 rows —
         # bounded by construction); every corpus-sized exchange must be
