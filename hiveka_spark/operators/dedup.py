@@ -581,9 +581,15 @@ def build_bloom_bitset(
     words = [0] * (m_bits // 64)
     for p in pos.tolist():
         words[p // 64] |= 1 << (p % 64)
-    return F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words]).cast(
-        "array<bigint>"
+    # ONE parsed SQL array literal: F.lit(list) expands to one py4j
+    # Column call PER ELEMENT (m_bits/64 = 4096 round trips, measured
+    # 2.8 s per build — and the streaming gates build a bitset per run);
+    # the parsed text is a single call and the resolved literal is
+    # identical (r17, guide §5)
+    vals = ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
     )
+    return F.expr(f"array({vals})")
 
 
 def bloom_probe(
