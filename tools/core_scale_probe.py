@@ -47,7 +47,18 @@ def main() -> None:
     from hiveka_spark.catalog import table
     from hiveka_spark.session import get_spark
 
-    spark = get_spark("core-scale-probe")
+    # a REAL Nx-sized input arrives as many splits; the replicated fixture
+    # is one tiny parquet whose default 128MB splits would cap the map
+    # side at a handful of tasks regardless of core count — split the
+    # scan so the probe measures the OPERATORS' parallelism, not an
+    # artifact of the fixture's file size
+    spark = get_spark(
+        "core-scale-probe",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
     cpus = spark.sparkContext.defaultParallelism
     table(spark, sf_dir, "lineitem").count()  # warm-up
 
