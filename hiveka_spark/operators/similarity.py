@@ -260,25 +260,46 @@ def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int, tag: str = "") -
     """Sign-bit bucket id from deterministic hyperplanes over the QUANTIZED
     vector: dot products are exact bigint arithmetic (|qv| <= 1e4ish, |w| <=
     500, dim 64 => |dot| < 2^30), so the bucket is order- and
-    engine-independent."""
-    qvec = qvec_col if isinstance(qvec_col, Column) else F.col(qvec_col)
-    # ONE array<array<bigint>> literal instead of n_planes*dim Literal nodes:
-    # Catalyst planning cost scales with tree size, and the per-literal form
-    # cost ~2s of optimizer time per query at dim 64 (execution was fine).
-    planes = F.lit(plane_weights(n_planes, dim, tag)).cast("array<array<bigint>>")
-    pows = F.lit([2**p for p in range(n_planes)]).cast("array<bigint>")
-    dots = F.transform(
-        planes,
-        lambda w: F.aggregate(
-            F.zip_with(qvec, w, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    engine-independent.
+
+    Composed as ONE parsed SQL string (r17, guide §5): the previous
+    `F.lit(<nested python list>)` form expanded to one py4j Column call
+    per element — n_planes*dim + n_planes round trips per invocation,
+    ~0.24 s each at (16, 64), and lsh_neardup_pairs builds n_tables of
+    them per gate (1.9 s of pure driver latency in x05's profile).  The
+    resolved literals and the fold are identical."""
+    if isinstance(qvec_col, Column):  # no SQL name to splice — legacy path
+        planes = F.lit(plane_weights(n_planes, dim, tag)).cast(
+            "array<array<bigint>>"
+        )
+        pows = F.lit([2**p for p in range(n_planes)]).cast("array<bigint>")
+        dots = F.transform(
+            planes,
+            lambda w: F.aggregate(
+                F.zip_with(qvec_col, w, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        bits = F.zip_with(
+            dots,
+            pows,
+            lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qvec = f"`{qvec_col}`"
+    planes_sql = "array(" + ", ".join(
+        "array(" + ",".join(f"{int(c)}L" for c in w) + ")"
+        for w in plane_weights(n_planes, dim, tag)
+    ) + ")"
+    pows_sql = "array(" + ",".join(f"{2**p}L" for p in range(n_planes)) + ")"
+    return F.expr(
+        f"aggregate(zip_with(transform({planes_sql}, "
+        f"w -> aggregate(zip_with({qvec}, w, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)), "
+        f"{pows_sql}, (d, pw) -> IF(d > 0, pw, CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    bits = F.zip_with(
-        dots, pows, lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("bigint"))
-    )
-    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def lsh_topk(

@@ -1234,6 +1234,7 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-row frames."""
     from hiveka_spark.operators.similarity import (
         ivfpq_topk,
+        pq_subvectors_shared,
         pq_topk,
         train_pq_codebooks,
         with_quantized_norm,
@@ -1291,9 +1292,16 @@ def x61_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sensitivity posture the ivfpq docstring documents.  The whole
     # training replay is inside the DuckDB oracle, so the recall uplift is
     # hash-certified.
+    # r17: the trainer reads the ONE materialized id-partitioned subvector
+    # frame (the r16 x84/x136/x140 seam, missed here): the Lloyd pass's
+    # argmin aggregate is exchange-free and the scan+quantize+split is not
+    # replayed under both the assignment and the seed sides — measured
+    # 4.6s -> 1.2s warm at sf0.1 with bit-identical codebooks.  The ADC
+    # arms stay inline per the coarse-stage note above.
     cb = train_pq_codebooks(
         e, "vec_id", "embedding", m=16, dim=64,
         n_centroids=64, centroid_stride=7, n_iters=1,
+        subvectors=pq_subvectors_shared(e, "vec_id", "embedding", m=16, dim=64),
     )
     tr = ivfpq_topk(
         e, qs, "vec_id", "embedding",
