@@ -297,7 +297,8 @@ def lsh_bucket(qvec_col: Column | str, n_planes: int, dim: int, tag: str = "") -
         f"aggregate(zip_with(transform({planes_sql}, "
         f"w -> aggregate(zip_with({qvec}, w, (a, b) -> a * b), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)), "
-        f"{pows_sql}, (d, pw) -> IF(d > 0, pw, CAST(0 AS BIGINT))), "
+        f"{pows_sql}, (d, pw) -> CASE WHEN d > 0 THEN pw "
+        "ELSE CAST(0 AS BIGINT) END), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
