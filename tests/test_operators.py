@@ -1375,3 +1375,23 @@ def test_sentiment_lexicon_backslash_word(spark):
         pos=[r"a\b"], neg=[],
     ).collect()[0]
     assert out["n_pos"] == 1 and out["sentiment"] == "positive"
+
+
+def test_lsh_bucket_sql_and_column_paths_agree(spark):
+    """r17: lsh_bucket composes its hyperplane literals as ONE parsed SQL
+    string when given a column NAME; the legacy Column path must produce
+    identical buckets (same planes, same fold)."""
+    import pyspark.sql.functions as F
+
+    from hiveka_spark.catalog import table
+    from hiveka_spark.operators.similarity import lsh_bucket, with_quantized_norm
+
+    from .conftest import SF_SMOKE
+
+    v = with_quantized_norm(table(spark, SF_SMOKE, "embeddings"), "embedding")
+    out = v.select(
+        "vec_id",
+        lsh_bucket("qvec", 4, 64, tag="t0_").alias("b_sql"),
+        lsh_bucket(F.col("qvec"), 4, 64, tag="t0_").alias("b_col"),
+    ).collect()
+    assert out and all(r["b_sql"] == r["b_col"] for r in out)
